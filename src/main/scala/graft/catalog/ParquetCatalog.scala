@@ -1,0 +1,87 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Table-name rewrite for forecast outputs.
+  *
+  * Mirrors the reference's intent (forecast_script.py:121-124): the output
+  * table for source `t` is `bucket_forecast_<t>` with one leading `bucket_`
+  * prefix stripped, so `bucket_bounce_rate` -> `bucket_forecast_bounce_rate`
+  * and `plain_sales` -> `bucket_forecast_plain_sales`.
+  *
+  * The reference has a bug here: forecast_script.py:156 *unconditionally*
+  * slices `t[7:]` when building the INSERT target, so an unprefixed source
+  * table is created as `bucket_forecast_<t>` but inserted into
+  * `bucket_forecast_<t-minus-7-chars>` and the run fails. We port the
+  * conditional form (fs:121-124) everywhere; see NameRewriteSpec.
+  */
+object TableNames {
+  val ForecastPrefix = "bucket_forecast_"
+
+  def forecastName(source: String): String = {
+    val base = if (source.startsWith("bucket_")) source.substring(7) else source
+    ForecastPrefix + base
+  }
+
+  def isForecastOutput(name: String): Boolean = name.startsWith(ForecastPrefix)
+}
+
+/** A "database" rooted at a directory of parquet tables, one table per
+  * `<root>/<name>.parquet` path (file or directory — Spark writes dirs).
+  *
+  * Replaces the reference's ClickHouse catalog surface
+  * (forecast_script.py:97-151): SHOW TABLES (fs:98), DESCRIBE (fs:106),
+  * EXISTS (fs:128), DROP (fs:131) and CREATE ... ENGINE=MergeTree()
+  * ORDER BY date (fs:138-145). Uses the Hadoop FileSystem API throughout so
+  * the same code addresses HDFS/S3/ABFS roots on a real cluster, not just
+  * local disk.
+  */
+final class ParquetCatalog(val spark: SparkSession, val root: String) {
+
+  private val suffix = ".parquet"
+
+  private def fs: FileSystem = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def tablePath(name: String): String = s"$root/$name$suffix"
+
+  /** SHOW TABLES (fs:97-101): every `*.parquet` child of the root, sorted. */
+  def listTables(): Seq[String] = {
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) Seq.empty
+    else
+      fs.listStatus(rootPath)
+        .map(_.getPath.getName)
+        .filter(_.endsWith(suffix))
+        .map(_.dropRight(suffix.length))
+        .sorted
+        .toSeq
+  }
+
+  /** EXISTS TABLE (fs:128-129). */
+  def tableExists(name: String): Boolean = fs.exists(new Path(tablePath(name)))
+
+  def load(name: String): DataFrame = spark.read.parquet(tablePath(name))
+
+  /** DESCRIBE TABLE (fs:106-111) — Spark-native: the parquet footer schema. */
+  def schemaOf(name: String): StructType = load(name).schema
+
+  /** DROP TABLE (fs:131-132). */
+  def drop(name: String): Unit = {
+    val p = new Path(tablePath(name))
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+
+  /** The reference's EXISTS -> DROP -> CREATE -> INSERT dance
+    * (fs:127-151, 201-215) collapses into a single overwrite write.
+    * `sortWithinPartitions(sortCol)` stands in for MergeTree's
+    * `ORDER BY date` clustering (fs:142-143): parquet gets monotone
+    * min/max column stats per row group, so later date-range scans prune.
+    */
+  def writeTable(name: String, df: DataFrame, sortCol: String = "date"): Unit = {
+    val out = if (df.columns.contains(sortCol)) df.sortWithinPartitions(sortCol) else df
+    out.write.mode("overwrite").parquet(tablePath(name))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.series.{Bucketize, SeriesOps}
+import graft.sources.Fixtures
+
+/** Reference-parity query surface (SURVEY.md §2.1-§2.4), each entry paired
+  * with DuckDB oracle SQL over the same parquet. Double-valued aggregates
+  * are rounded in BOTH engines so hash compares are stable across
+  * summation order.
+  */
+object CoreQueries {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    Fixtures.table(spark, dir, name)
+
+  private val eventMetrics = Seq("event_count", "value_sum", "active_users")
+
+  /** S1+R1+A-series: daily bucketization of `events` (FIXTURES.md §B) —
+    * the reference's assumed data-producing front end. */
+  def bucketizeEvents(spark: SparkSession, dir: String): DataFrame =
+    Bucketize.events(table(spark, dir, "events")).orderBy("date")
+
+  /** R2/A1: `last_known_date = max(date)` (forecast_script.py:166). */
+  def maxDate(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(max(to_date(col("ts"))).as("last_known_date"))
+
+  /** R3: wide -> long melt to Prophet's (ds, y) shape (fs:172), all metrics
+    * in one pass via stack. */
+  def seriesMelt(spark: SparkSession, dir: String): DataFrame =
+    SeriesOps
+      .melt(Bucketize.events(table(spark, dir, "events")), eventMetrics)
+      .orderBy("metric", "ds")
+
+  /** M3: make_future_dataframe(periods=7) future part (fs:174,176) —
+    * strictly-after-last daily sequence, generated distributed via
+    * sequence()+explode (no driver collect). */
+  def futureDates(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(max(to_date(col("ts"))).as("last"))
+      .select(explode(sequence(date_add(col("last"), 1), date_add(col("last"), 7))).as("ds"))
+      .orderBy("ds")
+
+  /** R8: long -> wide pivot by date (fs:187-194). Explicit value list: no
+    * extra distinct-scan job, and failed/missing metrics still yield a
+    * (null) column — matching the reference's NULL fill (fs:208-210). */
+  def pivotWide(spark: SparkSession, dir: String): DataFrame =
+    SeriesOps
+      .melt(Bucketize.events(table(spark, dir, "events")), eventMetrics)
+      .groupBy(col("ds"))
+      .pivot("metric", eventMetrics.sorted)
+      .agg(first(col("y")))
+      .orderBy("ds")
+
+  /** TPC-H Q1-style pricing summary — scan+filter+agg baseline. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
+          .as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bucketize_events" -> (bucketizeEvents _),
+    "max_date" -> (maxDate _),
+    "series_melt" -> (seriesMelt _),
+    "future_dates" -> (futureDates _),
+    "pivot_wide" -> (pivotWide _),
+    "q1_agg" -> (q1Agg _)
+  )
+
+  private val bucketizeSql =
+    """SELECT CAST(ts AS DATE) AS date, COUNT(*) AS event_count,
+      | ROUND(SUM(value), 2) AS value_sum,
+      | COUNT(DISTINCT user_id) AS active_users
+      |FROM events GROUP BY 1""".stripMargin.replace("\n", " ")
+
+  val oracleSql: Map[String, String] = Map(
+    "bucketize_events" -> s"$bucketizeSql ORDER BY 1",
+    "max_date" -> "SELECT MAX(CAST(ts AS DATE)) AS last_known_date FROM events",
+    "series_melt" ->
+      (s"WITH b AS ($bucketizeSql) " +
+        "SELECT 'event_count' AS metric, date AS ds, CAST(event_count AS DOUBLE) AS y FROM b " +
+        "UNION ALL SELECT 'value_sum', date, value_sum FROM b " +
+        "UNION ALL SELECT 'active_users', date, CAST(active_users AS DOUBLE) FROM b " +
+        "ORDER BY metric, ds"),
+    "future_dates" ->
+      ("SELECT CAST(last + i * INTERVAL '1 day' AS DATE) AS ds " +
+        "FROM (SELECT MAX(CAST(ts AS DATE)) AS last FROM events) " +
+        "CROSS JOIN generate_series(1, 7) AS gs(i) ORDER BY 1"),
+    "pivot_wide" ->
+      (s"WITH b AS ($bucketizeSql) " +
+        "SELECT date AS ds, CAST(active_users AS DOUBLE) AS active_users, " +
+        "CAST(event_count AS DOUBLE) AS event_count, value_sum " +
+        "FROM b ORDER BY ds"),
+    "q1_agg" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "ROUND(SUM(l_quantity), 2) AS sum_qty, " +
+        "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, " +
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
+        "ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, " +
+        "ROUND(AVG(l_quantity), 4) AS avg_qty, " +
+        "ROUND(AVG(l_extendedprice), 4) AS avg_price, " +
+        "ROUND(AVG(l_discount), 4) AS avg_disc, " +
+        "COUNT(*) AS count_order " +
+        "FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")
+  )
+}

@@ -1,0 +1,44 @@
+package graft.catalog
+
+import graft.SparkSpec
+
+class NameRewriteSpec extends SparkSpec {
+  test("prefixed source strips one bucket_ (fs:121-124)") {
+    assert(TableNames.forecastName("bucket_bounce_rate") == "bucket_forecast_bounce_rate")
+  }
+  test("unprefixed source keeps full name — reference fs:156 bug not ported") {
+    assert(TableNames.forecastName("plain_sales") == "bucket_forecast_plain_sales")
+  }
+  test("no double prefix") {
+    assert(TableNames.forecastName("bucket_forecast_x") == "bucket_forecast_forecast_x")
+    assert(TableNames.isForecastOutput("bucket_forecast_x"))
+    assert(!TableNames.isForecastOutput("bucket_x"))
+  }
+}
+
+class CatalogSpec extends SparkSpec {
+  test("listTables sees the fixture tables") {
+    val cat = new ParquetCatalog(spark, sf0001)
+    val tables = cat.listTables()
+    assert(tables.contains("lineitem") && tables.contains("events"))
+    assert(tables == tables.sorted)
+  }
+  test("tableExists / schemaOf / load") {
+    val cat = new ParquetCatalog(spark, sf0001)
+    assert(cat.tableExists("orders"))
+    assert(!cat.tableExists("nope"))
+    assert(cat.schemaOf("orders").fieldNames.contains("o_orderkey"))
+    assert(cat.load("region").count() == 5)
+  }
+  test("writeTable overwrite + drop round-trip") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftcat").toString
+    val cat = new ParquetCatalog(spark, tmp)
+    val df = spark.range(10).toDF("n")
+    cat.writeTable("t1", df, sortCol = "n")
+    assert(cat.tableExists("t1") && cat.load("t1").count() == 10)
+    cat.writeTable("t1", spark.range(3).toDF("n"), sortCol = "n")
+    assert(cat.load("t1").count() == 3)
+    cat.drop("t1")
+    assert(!cat.tableExists("t1"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.series
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+class SeriesOpsSpec extends SparkSpec {
+
+  /** bucket_mixed_types fixture (FIXTURES.md §B). */
+  private val mixedSchema = StructType(Seq(
+    StructField("date", DateType),
+    StructField("good_int", IntegerType),
+    StructField("good_double", DoubleType),
+    StructField("skip_str", StringType),
+    StructField("skip_bool", BooleanType),
+    StructField("skip_arr", ArrayType(IntegerType)),
+    StructField("nullable_metric", DoubleType, nullable = true)))
+
+  test("numericMetricColumns keeps numerics, skips date by name + non-numerics (C4)") {
+    assert(SeriesOps.numericMetricColumns(mixedSchema) ==
+      Seq("good_int", "good_double", "nullable_metric"))
+  }
+
+  test("numericMetricColumns skips a second date-typed column (documented divergence)") {
+    val s = StructType(Seq(
+      StructField("date", DateType), StructField("other_date", DateType),
+      StructField("m", LongType)))
+    assert(SeriesOps.numericMetricColumns(s) == Seq("m"))
+  }
+
+  test("melt produces (metric, ds, y) rows per metric per date") {
+    import spark.implicits._
+    val df = Seq(("2024-01-01", 1, 10.0), ("2024-01-02", 2, 20.0))
+      .toDF("date", "a", "b")
+    val m = SeriesOps.melt(SeriesOps.normalizeDate(df), Seq("a", "b"))
+    assert(m.count() == 4)
+    assert(m.columns.toSeq == Seq("metric", "ds", "y"))
+    val row = m.filter($"metric" === "a" && $"ds" === "2024-01-01").head()
+    assert(row.getAs[Double]("y") == 1.0)
+    assert(m.schema("y").dataType == DoubleType)
+  }
+
+  test("normalizeDate parses ISO strings like the reference's to_datetime (R1)") {
+    import spark.implicits._
+    val df = Seq("2024-03-05").toDF("date")
+    val out = SeriesOps.normalizeDate(df)
+    assert(out.schema("date").dataType == DateType)
+    assert(out.head().getDate(0).toString == "2024-03-05")
+  }
+
+  test("bucketize events yields one row per day with the 3 metrics") {
+    val b = Bucketize.events(graft.sources.Fixtures.table(spark, sf0001, "events"))
+    assert(b.columns.toSeq == Seq("date", "event_count", "value_sum", "active_users"))
+    val n = b.count()
+    assert(n >= 28 && n <= 31) // ~30 days of events at sf0.001
+  }
+}
