@@ -1,0 +1,87 @@
+package graft.forecast
+
+import java.time.LocalDate
+
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** One forecast output point for a (table, metric) series. */
+final case class ForecastRow(
+    table: String,
+    metric: String,
+    date: java.sql.Date,
+    yhat: Double,
+    yhat_lower: Double,
+    yhat_upper: Double)
+
+private[forecast] final case class LongPoint(
+    table: String,
+    metric: String,
+    ds: java.sql.Date,
+    y: Double)
+
+/** Distributed per-series fit/predict.
+  *
+  * The reference runs one cmdstan subprocess per metric, sequentially, on a
+  * single host (forecast_script.py:169-198). Here every (table, metric)
+  * series is one shuffle group: `groupByKey.flatMapGroups` fans all fits
+  * across executors, so wall-clock scales with cluster width instead of
+  * `tables x columns`. Per-group state is bounded — daily series, so even
+  * 20 years is ~7.3k points — which makes the in-group collect safe at any
+  * table count.
+  */
+object ForecastEngine {
+
+  /** `long` must have columns (table string, metric string, ds date,
+    * y numeric-castable). Null `y` rows are dropped before the fit, like
+    * Prophet's internal NaN handling [public].
+    *
+    * Per-metric fault isolation (fs:170,196-198): a series whose fit or
+    * predict throws contributes zero rows; downstream wide pivot fills its
+    * columns with NULL, matching the reference's literal-NULL insert
+    * (fs:208-210).
+    */
+  def forecast(long: DataFrame, interval: Int, onlyFuture: Boolean): Dataset[ForecastRow] = {
+    val spark = long.sparkSession
+    import spark.implicits._
+    require(interval >= 0, s"interval must be >= 0, got $interval")
+
+    long
+      .select(
+        col("table").cast("string"),
+        col("metric").cast("string"),
+        col("ds").cast("date"),
+        col("y").cast("double"))
+      .filter(col("ds").isNotNull && col("y").isNotNull && !isnan(col("y")))
+      .as[LongPoint]
+      .groupByKey(p => (p.table, p.metric))
+      .flatMapGroups { (key: (String, String), it: Iterator[LongPoint]) =>
+        val pts = it.map(p => (p.ds.toLocalDate.toEpochDay, p.y)).toArray
+        forecastSeries(key._1, key._2, pts, interval, onlyFuture)
+      }
+  }
+
+  /** Pure per-series pipeline (fit -> future frame -> predict), testable
+    * without a SparkSession. Mirrors fs:171-194 for one column.
+    */
+  def forecastSeries(
+      table: String,
+      metric: String,
+      points: Array[(Long, Double)],
+      interval: Int,
+      onlyFuture: Boolean): Iterator[ForecastRow] =
+    Try {
+      val params = ProphetLike.fit(points)
+      val histDays = points.map(_._1).distinct.sorted
+      val last = histDays.last
+      // make_future_dataframe(periods=interval) includes history by
+      // default (fs:174); --only-future keeps strictly-after days (fs:176).
+      val futureDays = Array.tabulate(interval)(i => last + i + 1)
+      val days = if (onlyFuture) futureDays else histDays ++ futureDays
+      ProphetLike.predict(params, days).iterator.map { case (d, yh, lo, hi) =>
+        ForecastRow(table, metric, java.sql.Date.valueOf(LocalDate.ofEpochDay(d)), yh, lo, hi)
+      }
+    }.getOrElse(Iterator.empty)
+}

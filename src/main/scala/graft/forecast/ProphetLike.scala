@@ -1,0 +1,165 @@
+package graft.forecast
+
+import breeze.linalg.{diag, DenseMatrix, DenseVector}
+
+/** Fitted per-series model parameters — the JVM stand-in for the reference's
+  * ephemeral `Prophet()` model object (forecast_script.py:171). All fields
+  * are plain data so the whole object serializes cheaply between executors.
+  *
+  * Model form follows the public Prophet paper (Taylor & Letham,
+  * "Forecasting at Scale", Am. Stat. 2018): additive
+  * `y(t) = g(t) + s(t) + eps` with a piecewise-linear trend `g` over
+  * changepoints and Fourier seasonal terms `s`. Divergences from the
+  * reference's Stan MAP fit (documented in SURVEY.md §7.4): we solve a
+  * ridge-regularized least-squares system in closed form (breeze) instead
+  * of L-BFGS with a Laplace changepoint prior, and the uncertainty band is
+  * analytic (residual sigma + changepoint-magnitude growth) instead of
+  * 1000-sample trend simulation.
+  */
+final case class ProphetParams(
+    tStartDay: Long,
+    tEndDay: Long,
+    spanDays: Double,
+    yScale: Double,
+    /** coefficient vector: [intercept, slope, hinge_1..hinge_n, weekly(6), yearly(20)] */
+    beta: Array[Double],
+    /** changepoint locations in scaled time (0,1) */
+    changepoints: Array[Double],
+    weeklyEnabled: Boolean,
+    yearlyEnabled: Boolean,
+    /** residual std in standardized-y space */
+    sigma: Double,
+    /** rms changepoint-delta magnitude, drives future band growth */
+    deltaScale: Double)
+
+object ProphetLike {
+
+  /** Prophet defaults [public]: 25 potential changepoints in the first 80%
+    * of history; weekly order 3 (enabled at >= 2 weeks of span); yearly
+    * order 10 (enabled at >= 2 years); 80% interval (z = Phi^-1(0.9)).
+    */
+  val MaxChangepoints = 25
+  val ChangepointRange = 0.8
+  val WeeklyOrder = 3
+  val YearlyOrder = 10
+  val YearDays = 365.25
+  val Z80 = 1.2815515655446004
+
+  def weeklyEnabled(spanDays: Double): Boolean = spanDays >= 14
+  def yearlyEnabled(spanDays: Double): Boolean = spanDays >= 730
+
+  private def fourier(day: Long, period: Double, order: Int): Array[Double] = {
+    val out = new Array[Double](2 * order)
+    var k = 1
+    while (k <= order) {
+      val arg = 2.0 * math.Pi * k * day / period
+      out(2 * (k - 1)) = math.sin(arg)
+      out(2 * (k - 1) + 1) = math.cos(arg)
+      k += 1
+    }
+    out
+  }
+
+  /** One design-matrix row for epoch-day `d` given trend/seasonality config. */
+  private def featureRow(
+      d: Long,
+      tStart: Long,
+      span: Double,
+      cps: Array[Double],
+      weekly: Boolean,
+      yearly: Boolean): Array[Double] = {
+    val t = (d - tStart) / span
+    val row = Array.newBuilder[Double]
+    row.sizeHint(2 + cps.length + (if (weekly) 2 * WeeklyOrder else 0) +
+      (if (yearly) 2 * YearlyOrder else 0))
+    row += 1.0
+    row += t
+    var j = 0
+    while (j < cps.length) { row += math.max(0.0, t - cps(j)); j += 1 }
+    if (weekly) row ++= fourier(d, 7.0, WeeklyOrder)
+    if (yearly) row ++= fourier(d, YearDays, YearlyOrder)
+    row.result()
+  }
+
+  /** Fit on an epoch-day-sorted series. Bounded work: series are daily, so
+    * even 20 years is ~7.3k points x <60 features — safe to run inside a
+    * single `mapGroups` task (the per-group collect the reference does on
+    * the driver, pushed to executors; SURVEY.md §2.5 A2).
+    */
+  def fit(points: Array[(Long, Double)]): ProphetParams = {
+    require(points.nonEmpty, "cannot fit an empty series")
+    val sorted = points.sortBy(_._1)
+    val days = sorted.map(_._1)
+    val ys = sorted.map(_._2)
+    val tStart = days.head
+    val tEnd = days.last
+    val span = math.max(1.0, (tEnd - tStart).toDouble)
+    val yScale = math.max(1e-12, ys.map(math.abs).max)
+    val n = sorted.length
+
+    val weekly = n >= 3 && weeklyEnabled(span)
+    val yearly = n >= 3 && yearlyEnabled(span)
+    // Potential changepoints uniform over the first 80% of scaled time;
+    // cap so short series keep more observations than parameters.
+    val nCp =
+      if (n < 8) 0
+      else math.min(MaxChangepoints, (n - 4) / 2)
+    val cps = Array.tabulate(nCp)(j => ChangepointRange * (j + 1).toDouble / (nCp + 1))
+
+    val p = 2 + cps.length + (if (weekly) 2 * WeeklyOrder else 0) +
+      (if (yearly) 2 * YearlyOrder else 0)
+    val x = DenseMatrix.zeros[Double](n, p)
+    var i = 0
+    while (i < n) {
+      val row = featureRow(days(i), tStart, span, cps, weekly, yearly)
+      var j = 0
+      while (j < p) { x(i, j) = row(j); j += 1 }
+      i += 1
+    }
+    val yv = DenseVector(ys.map(_ / yScale))
+
+    // Ridge penalties approximating Prophet's priors: near-flat prior for
+    // base intercept/slope, a strong Laplace(0.05)-like shrinkage on
+    // changepoint deltas (scaled with n so smoothing strength tracks the
+    // likelihood term), and a mild Normal(0,10)-like prior on seasonality.
+    val lam = DenseVector.zeros[Double](p)
+    lam(0) = 1e-6; lam(1) = 1e-6
+    val lamCp = 1.0 + 0.05 * n
+    var j = 2
+    while (j < 2 + cps.length) { lam(j) = lamCp; j += 1 }
+    while (j < p) { lam(j) = 1.0; j += 1 }
+
+    val xtx = x.t * x + diag(lam)
+    val beta = xtx \ (x.t * yv)
+
+    val resid = yv - x * beta
+    val dof = math.max(1, n - p)
+    val sigma = math.sqrt((resid dot resid) / dof)
+    val deltas = beta.toArray.slice(2, 2 + cps.length)
+    val deltaScale =
+      if (deltas.isEmpty) 0.0
+      else math.sqrt(deltas.map(d => d * d).sum / deltas.length)
+
+    ProphetParams(tStart, tEnd, span, yScale, beta.toArray, cps, weekly, yearly,
+      sigma, deltaScale)
+  }
+
+  /** Deterministic predict with an 80% band. In-sample: +/- z*sigma. Future
+    * days widen as sqrt(sigma^2 + (deltaScale * dt)^2) with dt the scaled
+    * distance past the end of history — an analytic proxy for Prophet's
+    * simulated future-changepoint trend uncertainty [public].
+    */
+  def predict(params: ProphetParams, days: Array[Long]): Array[(Long, Double, Double, Double)] = {
+    val beta = DenseVector(params.beta)
+    days.map { d =>
+      val row = DenseVector(featureRow(d, params.tStartDay, params.spanDays,
+        params.changepoints, params.weeklyEnabled, params.yearlyEnabled))
+      val yhat = (row dot beta) * params.yScale
+      val dt = math.max(0.0, (d - params.tEndDay) / params.spanDays)
+      val sd = math.sqrt(params.sigma * params.sigma +
+        math.pow(params.deltaScale * dt, 2)) * params.yScale
+      val half = Z80 * sd
+      (d, yhat, yhat - half, yhat + half)
+    }
+  }
+}

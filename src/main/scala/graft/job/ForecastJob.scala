@@ -1,0 +1,108 @@
+package graft.job
+
+import scala.collection.mutable.ArrayBuffer
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{ParquetCatalog, TableNames}
+import graft.forecast.{ForecastEngine, ForecastOutput}
+import graft.series.SeriesOps
+
+/** Run bookkeeping, mirroring the reference's counters
+  * (forecast_script.py:69-73,146-151,244-247) minus its quirks: a table
+  * with failed metrics is NOT also listed successful (fs:217 bug), and the
+  * summary reports plain counts (fs:246 can go negative).
+  */
+final case class JobSummary(
+    successful: Seq[String],
+    created: Seq[String],
+    updated: Seq[String],
+    skipped: Seq[(String, String)],
+    failedSeries: Seq[(String, String)],
+    wallSeconds: Double)
+
+/** The reference's whole-program loop (forecast_script.py:220-247): for
+  * every reference-shaped table in the database, fit every numeric column
+  * and (re)write `bucket_forecast_<t>`.
+  *
+  * Differences by design:
+  *  - `specificTables` filters by exact set membership, not the reference's
+  *    substring-on-raw-comma-string check (fs:231 quirk, SURVEY.md §2.3 R9).
+  *  - per-table work is a lazy Spark plan end to end (scan -> melt ->
+  *    grouped fit -> pivot -> write); nothing is collected to the driver
+  *    (the reference pulls each full table into pandas, fs:157-158).
+  *  - tables still run sequentially driver-side, but each table's
+  *    (metric-count) series fit in parallel across executors; at high
+  *    table counts the melt could union all tables into one job — kept
+  *    per-table to preserve the reference's per-table overwrite semantics.
+  */
+final class ForecastJob(
+    catalog: ParquetCatalog,
+    interval: Int,
+    specificTables: Option[Set[String]] = None,
+    onlyFuture: Boolean = false) {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  def run(): JobSummary = {
+    val t0 = System.nanoTime()
+    val successful = ArrayBuffer[String]()
+    val created = ArrayBuffer[String]()
+    val updated = ArrayBuffer[String]()
+    val skipped = ArrayBuffer[(String, String)]()
+    val failedSeries = ArrayBuffer[(String, String)]()
+
+    val candidates = catalog
+      .listTables()
+      .filterNot(TableNames.isForecastOutput) // skip our own outputs (fs:234)
+      .filter(t => specificTables.forall(_.contains(t)))
+
+    candidates.foreach { t =>
+      try {
+        val raw = catalog.load(t)
+        if (!raw.columns.contains("date")) {
+          skipped += t -> "no date column"
+        } else {
+          val df = SeriesOps.normalizeDate(raw)
+          val metrics = SeriesOps.numericMetricColumns(df.schema)
+          if (metrics.isEmpty) {
+            skipped += t -> "no numeric metric columns"
+          } else if (SeriesOps.isEmpty(df)) {
+            // empty-input guard (fs:160-163)
+            skipped += t -> "empty table"
+          } else {
+            val long = SeriesOps.melt(df, metrics).withColumn("table", lit(t))
+            val fc = ForecastEngine.forecast(long, interval, onlyFuture).cache()
+            // bounded collect: one row per metric, to report failed fits
+            val fitted =
+              fc.select("metric").distinct().collect().map(_.getString(0)).toSet
+            metrics.filterNot(fitted).foreach(m => failedSeries += t -> m)
+            val wide = ForecastOutput.toWide(fc, metrics)
+            val outName = TableNames.forecastName(t)
+            val existed = catalog.tableExists(outName)
+            catalog.writeTable(outName, wide, sortCol = "date")
+            fc.unpersist()
+            if (existed) updated += outName else created += outName
+            if (metrics.forall(fitted)) successful += t
+            log.info(s"forecast $t -> $outName (${metrics.size} metrics, " +
+              s"${metrics.count(fitted)} fitted)")
+          }
+        }
+      } catch {
+        case NonFatal(e) =>
+          log.error(s"table $t failed: ${e.getMessage}")
+          failedSeries += t -> "*"
+      }
+    }
+
+    val summary = JobSummary(successful.toSeq, created.toSeq, updated.toSeq,
+      skipped.toSeq, failedSeries.toSeq, (System.nanoTime() - t0) / 1e9)
+    log.info(
+      f"forecast run: ${summary.successful.size} successful, " +
+        f"${summary.created.size} created, ${summary.updated.size} updated, " +
+        f"${summary.skipped.size} skipped, ${summary.failedSeries.size} failed " +
+        f"series in ${summary.wallSeconds}%.1f s")
+    summary
+  }
+}

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.forecast.{ForecastEngine, ForecastOutput}
 import graft.series.{Bucketize, SeriesOps}
 import graft.sources.Fixtures
 
@@ -72,7 +73,32 @@ object CoreQueries {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** M1-M5 + R8 + S4 end to end: the flagship forecast pipeline over the
+    * events-derived daily buckets, 7-day horizon. No oracle SQL (the fit
+    * is not SQL-expressible — SURVEY.md §5.1); correctness lives in the
+    * ScalaTest invariants + property suite. Deterministic by construction
+    * (closed-form solve, analytic band), so repeated runs hash identically.
+    */
+  def forecastEvents(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = Bucketize.events(table(spark, dir, "events"))
+    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false)
+    ForecastOutput.toWide(fc, eventMetrics).orderBy("date")
+  }
+
+  /** Long-history variant (~6.5 y of order dates): exercises the yearly-
+    * seasonality path and date-gap handling. */
+  def forecastOrders(spark: SparkSession, dir: String): DataFrame = {
+    val metrics = Seq("order_count", "revenue")
+    val bucket = Bucketize.orders(table(spark, dir, "orders"))
+    val long = SeriesOps.melt(bucket, metrics).withColumn("table", lit("bucket_orders"))
+    val fc = ForecastEngine.forecast(long, interval = 30, onlyFuture = false)
+    ForecastOutput.toWide(fc, metrics).orderBy("date")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "forecast_events" -> (forecastEvents _),
+    "forecast_orders" -> (forecastOrders _),
     "bucketize_events" -> (bucketizeEvents _),
     "max_date" -> (maxDate _),
     "series_melt" -> (seriesMelt _),

@@ -1,0 +1,80 @@
+package graft.forecast
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY.md §5.3 property tests — pure (no SparkSession): daily-series
+  * generator over [2015,2024] starts and [14,1500] lengths with generated
+  * trend/seasonality/noise; invariants of the fit/predict pipeline.
+  * Uses scalacheck's own runner (scalatestplus bridge is not on the
+  * offline classpath); seeded via fixed generator inputs for repro.
+  */
+class ForecastPropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop, minTests: Int = 25): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minTests), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val seriesGen: Gen[Array[(Long, Double)]] = for {
+    startYear <- Gen.choose(2015, 2024)
+    len <- Gen.choose(14, 1500)
+    base <- Gen.choose(-100.0, 100.0)
+    slope <- Gen.choose(-0.5, 0.5)
+    weeklyAmp <- Gen.choose(0.0, 10.0)
+    yearlyAmp <- Gen.choose(0.0, 20.0)
+    noiseSeed <- Gen.choose(0L, Long.MaxValue)
+  } yield {
+    val rng = new scala.util.Random(noiseSeed)
+    val start = java.time.LocalDate.of(startYear, 1, 1).toEpochDay
+    Array.tabulate(len) { i =>
+      val y = base + slope * i +
+        weeklyAmp * math.sin(2 * math.Pi * i / 7.0) +
+        yearlyAmp * math.sin(2 * math.Pi * i / 365.25) +
+        rng.nextGaussian()
+      (start + i, y)
+    }
+  }
+
+  test("forecastSeries invariants: row count, date range, band order, determinism") {
+    check(Prop.forAll(seriesGen, Gen.choose(1, 30)) { (pts, interval) =>
+      val rowsDefault =
+        ForecastEngine.forecastSeries("t", "m", pts, interval, onlyFuture = false).toArray
+      val rowsFuture =
+        ForecastEngine.forecastSeries("t", "m", pts, interval, onlyFuture = true).toArray
+      val histDays = pts.map(_._1).distinct
+      val last = histDays.max
+      val lastDate = java.time.LocalDate.ofEpochDay(last)
+
+      val countOk = rowsDefault.length == histDays.length + interval &&
+        rowsFuture.length == interval
+      val strictlyFuture = rowsFuture.forall(_.date.toLocalDate.isAfter(lastDate))
+      val rangeOk = rowsDefault.nonEmpty &&
+        rowsDefault.map(_.date.toLocalDate.toEpochDay).max == last + interval
+      val bandOk = rowsDefault.forall(r => r.yhat_lower <= r.yhat && r.yhat <= r.yhat_upper)
+      val again =
+        ForecastEngine.forecastSeries("t", "m", pts, interval, onlyFuture = false).toArray
+      val deterministic = rowsDefault.map(r => (r.date.toString, r.yhat, r.yhat_lower, r.yhat_upper))
+        .sameElements(again.map(r => (r.date.toString, r.yhat, r.yhat_lower, r.yhat_upper)))
+
+      countOk && strictlyFuture && rangeOk && bandOk && deterministic
+    })
+  }
+
+  test("clean trend+seasonality signal is recovered within tolerance") {
+    check(Prop.forAll(Gen.choose(60, 400), Gen.choose(-0.3, 0.3), Gen.choose(0.0, 5.0)) {
+      (len, slope, amp) =>
+        val start = java.time.LocalDate.of(2020, 1, 1).toEpochDay
+        val pts = Array.tabulate(len)(i =>
+          (start + i, 10.0 + slope * i + amp * math.sin(2 * math.Pi * i / 7.0)))
+        val params = ProphetLike.fit(pts)
+        val preds = ProphetLike.predict(params, pts.map(_._1))
+        val rmse = math.sqrt(preds.zip(pts).map { case ((_, yh, _, _), (_, y)) =>
+          (yh - y) * (yh - y)
+        }.sum / len)
+        val scale = math.max(1.0, pts.map(p => math.abs(p._2)).max)
+        rmse / scale < 0.05
+    })
+  }
+}

@@ -1,0 +1,118 @@
+package graft.forecast
+
+import graft.SparkSpec
+
+class ProphetLikeSpec extends SparkSpec {
+
+  private def series(n: Int)(f: Int => Double): Array[(Long, Double)] = {
+    val start = java.time.LocalDate.parse("2023-01-01").toEpochDay
+    Array.tabulate(n)(i => (start + i, f(i)))
+  }
+
+  test("recovers a linear trend within tolerance") {
+    val pts = series(120)(i => 10.0 + 0.5 * i)
+    val p = ProphetLike.fit(pts)
+    val preds = ProphetLike.predict(p, pts.map(_._1))
+    val rmse = math.sqrt(preds.zip(pts).map { case ((_, yh, _, _), (_, y)) =>
+      (yh - y) * (yh - y)
+    }.sum / pts.length)
+    assert(rmse < 0.5, s"in-sample rmse $rmse")
+    // extrapolation 14 days out stays close on a clean trend
+    val last = pts.last._1
+    val fut = ProphetLike.predict(p, Array(last + 14))
+    val expected = 10.0 + 0.5 * (119 + 14)
+    assert(math.abs(fut.head._2 - expected) < 3.0, s"got ${fut.head._2} want $expected")
+  }
+
+  test("recovers weekly seasonality on trend+weekly signal") {
+    val pts = series(140)(i => 50.0 + 0.2 * i + 5.0 * math.sin(2 * math.Pi * i / 7.0))
+    val p = ProphetLike.fit(pts)
+    assert(p.weeklyEnabled && !p.yearlyEnabled)
+    val preds = ProphetLike.predict(p, pts.map(_._1))
+    val rmse = math.sqrt(preds.zip(pts).map { case ((_, yh, _, _), (_, y)) =>
+      (yh - y) * (yh - y)
+    }.sum / pts.length)
+    assert(rmse < 1.0, s"rmse $rmse")
+  }
+
+  test("yearly enabled only at >= 730 days span (Prophet auto rule)") {
+    val short = ProphetLike.fit(series(200)(i => i.toDouble))
+    val long = ProphetLike.fit(series(800)(i => i.toDouble))
+    assert(!short.yearlyEnabled && long.yearlyEnabled)
+  }
+
+  test("band ordering and future widening") {
+    val pts = series(100)(i => 20.0 + 3.0 * math.sin(2 * math.Pi * i / 7.0) + (i % 3))
+    val p = ProphetLike.fit(pts)
+    val last = pts.last._1
+    val preds = ProphetLike.predict(p, Array(last, last + 1, last + 30))
+    preds.foreach { case (_, yh, lo, hi) => assert(lo <= yh && yh <= hi) }
+    val w = preds.map { case (_, _, lo, hi) => hi - lo }
+    assert(w(0) <= w(1) + 1e-9 && w(1) <= w(2) + 1e-9, s"widths ${w.toSeq}")
+  }
+
+  test("deterministic: same input -> identical params and predictions") {
+    val pts = series(90)(i => 5.0 + 0.1 * i + math.cos(i.toDouble))
+    val a = ProphetLike.fit(pts)
+    val b = ProphetLike.fit(pts)
+    assert(a.beta.toSeq == b.beta.toSeq && a.sigma == b.sigma)
+    val last = pts.last._1
+    assert(ProphetLike.predict(a, Array(last + 5)).toSeq ==
+      ProphetLike.predict(b, Array(last + 5)).toSeq)
+  }
+
+  test("tiny and constant series do not blow up") {
+    val one = ProphetLike.fit(Array((19000L, 42.0)))
+    val pred = ProphetLike.predict(one, Array(19001L))
+    assert(math.abs(pred.head._2 - 42.0) < 1.0)
+    val const = ProphetLike.fit(series(50)(_ => 7.0))
+    val p2 = ProphetLike.predict(const, Array(19400L))
+    assert(math.abs(p2.head._2 - 7.0) < 0.5)
+  }
+}
+
+class ForecastEngineSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def longDf(rows: Seq[(String, String, String, java.lang.Double)]) = {
+    import spark.implicits._
+    rows.toDF("table", "metric", "ds", "y")
+  }
+
+  private val hist = (0 until 30).map { i =>
+    val d = java.time.LocalDate.parse("2024-01-01").plusDays(i.toLong).toString
+    ("t", "m", d, java.lang.Double.valueOf(10.0 + i))
+  }
+
+  test("history + interval rows by default; strictly-future with onlyFuture") {
+    val fc = ForecastEngine.forecast(longDf(hist), interval = 7, onlyFuture = false)
+    assert(fc.count() == 37)
+    val fut = ForecastEngine.forecast(longDf(hist), interval = 7, onlyFuture = true)
+    assert(fut.count() == 7)
+    val minDs = fut.agg(min("date")).head().getDate(0).toString
+    assert(minDs == "2024-01-31") // strict > last known date (fs:176)
+  }
+
+  test("per-metric fault isolation: bad metric vanishes, good one survives (M5)") {
+    val bad = (0 until 30).map { i =>
+      val d = java.time.LocalDate.parse("2024-01-01").plusDays(i.toLong).toString
+      ("t", "broken", d, null.asInstanceOf[java.lang.Double])
+    }
+    val fc = ForecastEngine.forecast(longDf(hist ++ bad), 7, onlyFuture = false)
+    val metrics = fc.select("metric").distinct().collect().map(_.getString(0)).toSet
+    assert(metrics == Set("m"))
+    // wide pivot with the full metric list still emits NULL columns for it
+    val wide = ForecastOutput.toWide(fc, Seq("m", "broken"))
+    assert(wide.columns.toSeq ==
+      Seq("date", "m", "m_min", "m_max", "broken", "broken_min", "broken_max"))
+    assert(wide.filter(col("broken").isNotNull).count() == 0)
+    assert(wide.filter(col("m").isNull).count() == 0)
+  }
+
+  test("wide output invariant: m_min <= m <= m_max on every row") {
+    val fc = ForecastEngine.forecast(longDf(hist), 7, onlyFuture = false)
+    val wide = ForecastOutput.toWide(fc, Seq("m"))
+    assert(wide.filter(col("m_min") > col("m") || col("m") > col("m_max")).count() == 0)
+    assert(wide.count() == 37)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.job
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.catalog.ParquetCatalog
+import graft.series.Bucketize
+import graft.sources.Fixtures
+
+/** End-to-end golden test (SURVEY.md §5.4): a temp catalog seeded with
+  * bucket_events + bucket_orders + an unprefixed table, full job run,
+  * schema/row-count/overwrite/bookkeeping assertions.
+  */
+class ForecastJobSpec extends SparkSpec {
+
+  private def seedCatalog(): ParquetCatalog = {
+    val tmp = java.nio.file.Files.createTempDirectory("graftjob").toString
+    val cat = new ParquetCatalog(spark, tmp)
+    cat.writeTable("bucket_events", Bucketize.events(Fixtures.table(spark, sf0001, "events")))
+    cat.writeTable("plain_sales", Bucketize.orders(Fixtures.table(spark, sf0001, "orders")))
+    // a table the job must skip: no numeric metrics
+    cat.writeTable("bucket_names_only",
+      Fixtures.table(spark, sf0001, "region").withColumnRenamed("r_regionkey", "date"))
+    cat
+  }
+
+  test("full run: creates outputs, correct schema/rows, exact bookkeeping") {
+    val cat = seedCatalog()
+    val summary = new ForecastJob(cat, interval = 7).run()
+
+    assert(summary.created.toSet ==
+      Set("bucket_forecast_events", "bucket_forecast_plain_sales"))
+    assert(summary.successful.toSet == Set("bucket_events", "plain_sales"))
+    assert(summary.failedSeries.isEmpty)
+
+    val out = cat.load("bucket_forecast_events")
+    assert(out.columns.toSeq == Seq("date",
+      "event_count", "event_count_min", "event_count_max",
+      "value_sum", "value_sum_min", "value_sum_max",
+      "active_users", "active_users_min", "active_users_max"))
+    val nHist = cat.load("bucket_events").count()
+    assert(out.count() == nHist + 7)
+    // per-row band invariant on a real metric
+    assert(out.filter(col("value_sum_min") > col("value_sum")).count() == 0)
+  }
+
+  test("rerun overwrites: outputs land in updated, row counts stable") {
+    val cat = seedCatalog()
+    new ForecastJob(cat, 7).run()
+    val n1 = cat.load("bucket_forecast_events").count()
+    val s2 = new ForecastJob(cat, 7).run()
+    assert(s2.created.isEmpty)
+    assert(s2.updated.toSet ==
+      Set("bucket_forecast_events", "bucket_forecast_plain_sales"))
+    assert(cat.load("bucket_forecast_events").count() == n1)
+  }
+
+  test("specificTables is exact-match (fs:231 substring quirk not ported)") {
+    val cat = seedCatalog()
+    // 'sales' is a substring of plain_sales; the reference would match it
+    val s = new ForecastJob(cat, 7, specificTables = Some(Set("sales"))).run()
+    assert(s.created.isEmpty && s.successful.isEmpty)
+    val s2 = new ForecastJob(cat, 7, specificTables = Some(Set("plain_sales"))).run()
+    assert(s2.created == Seq("bucket_forecast_plain_sales"))
+  }
+
+  test("forecast outputs are themselves skipped on rerun (fs:234)") {
+    val cat = seedCatalog()
+    new ForecastJob(cat, 7).run()
+    val s2 = new ForecastJob(cat, 7).run()
+    // no bucket_forecast_forecast_* tables appear
+    assert(cat.listTables().forall(!_.startsWith("bucket_forecast_forecast")))
+    assert(!s2.successful.exists(_.startsWith("bucket_forecast_")))
+  }
+
+  test("only-future output has exactly interval rows per table") {
+    val cat = seedCatalog()
+    new ForecastJob(cat, 7, onlyFuture = true).run()
+    assert(cat.load("bucket_forecast_events").count() == 7)
+  }
+}
