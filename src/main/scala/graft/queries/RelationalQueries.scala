@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.CoreQueries.table
+
+/** Relational extension surface (SURVEY.md §7.5): join / window / set-op /
+  * rollup / scalar-function coverage over the TPC-H-ish star schema, each
+  * with a DuckDB oracle. Scale posture: dimension sides (region, nation,
+  * customer, supplier) are `broadcast()` so fact-table joins are
+  * shuffle-free map joins; only aggregations shuffle, on their group keys.
+  */
+object RelationalQueries {
+
+  /** TPC-H Q3-style: top-10 open orders by revenue for one segment.
+    * customer is broadcast; lineitem/orders join shuffles on orderkey only
+    * because revenue groups by it anyway. Deterministic under ties via
+    * (revenue DESC, orderkey ASC).
+    */
+  def q3JoinTopk(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = table(spark, dir, "orders")
+      .filter(to_date(col("o_orderdate")) < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = table(spark, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) > lit("1998-01-01"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue per nation inside one region and year window.
+    * All four dimension tables broadcast — the only shuffle is the final
+    * groupBy(n_name).
+    */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = table(spark, dir, "region").filter(col("r_name") === "EUROPE")
+    val nation = table(spark, dir, "nation")
+    val cust = table(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val sup = table(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val ord = table(spark, dir, "orders")
+      .filter(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
+        to_date(col("o_orderdate")) < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Window: top-3 orders by totalprice per priority class (row_number with
+    * a deterministic (price DESC, orderkey) frame), plus a running rank.
+    */
+  def windowTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    table(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  /** ROLLUP over (status, priority): grand total + per-status subtotals.
+    * NULLS FIRST ordering pinned explicitly — Spark and DuckDB disagree on
+    * the default null sort order.
+    */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** Set op: custkeys with no >300k order (EXCEPT = distinct set semantics). */
+  def setExcept(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .select(col("c_custkey"))
+      .except(
+        table(spark, dir, "orders")
+          .filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  /** Semi join: customers with at least one >300k order — EXISTS in SQL,
+    * left_semi in Spark (no row multiplication, build side broadcast).
+    */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val big = table(spark, dir, "orders")
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey"))
+    table(spark, dir, "customer")
+      .join(broadcast(big), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** Anti join: parts with no shipments since mid-2001 — NOT EXISTS /
+    * left_anti. */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part")
+      .join(
+        table(spark, dir, "lineitem")
+          .filter(to_date(col("l_shipdate")) >= lit("2001-06-01"))
+          .select(col("l_partkey")),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy("p_partkey")
+
+  /** Scalar string/math/date function coverage in one projection —
+    * everything here compiles to codegen'd built-ins on both engines.
+    */
+  def scalarFunctions(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_brand"), 1, 5).as("brand_prefix"),
+        length(col("p_type")).as("type_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        (col("p_partkey") % 7).as("key_mod7"),
+        round(abs(col("p_retailprice") - 1000.0), 2).as("price_dist"),
+        round(sqrt(col("p_size").cast("double")), 4).as("size_sqrt"))
+      .orderBy("p_partkey")
+
+  /** Date-part extraction + arithmetic over order dates. */
+  def dateFunctions(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        date_add(to_date(col("o_orderdate")), 30).as("due_date"))
+      .orderBy("o_orderkey")
+
+  /** Sessionization: 30-minute-gap sessions per user over the event stream
+    * — lag window + conditional sum, the standard Spark idiom for
+    * gap-based sessions (Structured Streaming's session_window is the
+    * streaming twin; see graft.streaming).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_join_topk" -> (q3JoinTopk _),
+    "q5_region_revenue" -> (q5RegionRevenue _),
+    "window_topk" -> (windowTopk _),
+    "agg_rollup" -> (aggRollup _),
+    "set_except" -> (setExcept _),
+    "join_semi" -> (joinSemi _),
+    "join_anti" -> (joinAnti _),
+    "scalar_functions" -> (scalarFunctions _),
+    "date_functions" -> (dateFunctions _),
+    "sessionize" -> (sessionize _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q3_join_topk" ->
+      ("SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, " +
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND CAST(o_orderdate AS DATE) < DATE '1998-01-01' " +
+        "AND CAST(l_shipdate AS DATE) > DATE '1998-01-01' " +
+        "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    "q5_region_revenue" ->
+      ("SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'EUROPE' AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01' " +
+        "AND CAST(o_orderdate AS DATE) < DATE '1998-01-01' " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    "window_topk" ->
+      ("SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (" +
+        "SELECT o_orderpriority, o_orderkey, o_totalprice, " +
+        "ROW_NUMBER() OVER (PARTITION BY o_orderpriority " +
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
+        "WHERE rn <= 3 ORDER BY o_orderpriority, rn"),
+    "agg_rollup" ->
+      ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, " +
+        "ROUND(SUM(o_totalprice), 2) AS total_price " +
+        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
+    "set_except" ->
+      ("SELECT c_custkey FROM customer EXCEPT " +
+        "SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000 " +
+        "ORDER BY c_custkey"),
+    "join_semi" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE EXISTS (" +
+        "SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000) " +
+        "ORDER BY c_custkey"),
+    "join_anti" ->
+      ("SELECT p_partkey, p_name FROM part WHERE NOT EXISTS (" +
+        "SELECT 1 FROM lineitem WHERE l_partkey = p_partkey " +
+        "AND CAST(l_shipdate AS DATE) >= DATE '2001-06-01') ORDER BY p_partkey"),
+    "scalar_functions" ->
+      ("SELECT p_partkey, UPPER(p_name) AS name_upper, " +
+        "SUBSTRING(p_brand, 1, 5) AS brand_prefix, LENGTH(p_type) AS type_len, " +
+        "CONCAT_WS('|', p_brand, p_type) AS brand_type, " +
+        "p_partkey % 7 AS key_mod7, " +
+        "ROUND(ABS(p_retailprice - 1000.0), 2) AS price_dist, " +
+        "ROUND(SQRT(CAST(p_size AS DOUBLE)), 4) AS size_sqrt " +
+        "FROM part ORDER BY p_partkey"),
+    "date_functions" ->
+      ("SELECT o_orderkey, EXTRACT(YEAR FROM o_orderdate) AS y, " +
+        "EXTRACT(MONTH FROM o_orderdate) AS m, EXTRACT(DAY FROM o_orderdate) AS d, " +
+        "EXTRACT(QUARTER FROM o_orderdate) AS q, " +
+        "CAST(o_orderdate AS DATE) + 30 AS due_date " +
+        "FROM orders ORDER BY o_orderkey"),
+    "sessionize" ->
+      ("SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, " +
+        "COUNT(*) AS n_events FROM (" +
+        "SELECT user_id, CASE WHEN prev_ts IS NULL OR " +
+        "EPOCH(ts) - EPOCH(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session FROM (" +
+        "SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) AS prev_ts FROM events)) " +
+        "GROUP BY user_id ORDER BY user_id")
+  )
+}
