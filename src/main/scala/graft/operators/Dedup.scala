@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for a training-data pipeline, over a corpus
+  * DataFrame with (doc_id long, text string) — exact, n-gram Jaccard,
+  * MinHash+LSH banding, and SimHash; plus embedding-cosine near-dup over
+  * (vec_id long, embedding array<float>).
+  *
+  * Scale design: nothing here collects to the driver. Exact dedup is one
+  * hash aggregation. Jaccard generates candidates only for pairs sharing a
+  * shingle (inverted-index self-join) — at web scale you put the
+  * MinHash/LSH band join in front to bound candidates, which is exactly
+  * what `minhashPairs` does: its shuffle volume is (#docs x #bands) keys,
+  * independent of pairwise document count.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of `text`, 1-based slices; empty array
+    * for texts shorter than n words (safe: Spark's `sequence(1, k)` with
+    * k < 1 would otherwise count backwards).
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(
+        array_distinct(
+          transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+            concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** Exact dedup: canonical doc per identical text + multiplicity.
+    * One shuffle keyed by the full text. (At 100 TB you'd key the
+    * exchange on xxhash64(text) and verify within groups; same plan
+    * shape, smaller shuffle payload.)
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+
+  /** Exact n-gram Jaccard near-dup pairs at `threshold`, candidates =
+    * pairs sharing >= 1 shingle. The inverted-index join means work is
+    * proportional to sum over shingles of df^2, not docs^2.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(wordShingles(col("text"), n)).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signature + banded LSH near-dup pairs.
+    *
+    * Hash family: minhash_i = min over shingles of xxhash64(i, shingle) —
+    * the perm index as a leading hash input gives `numHashes` independent,
+    * deterministic, codegen'd hash functions with no bigint-mod math.
+    * Banding: `numBands` bands of `numHashes/numBands` rows; candidate
+    * pairs share at least one band hash; est_jaccard = fraction of equal
+    * signature positions (unbiased MinHash estimator [public: Broder 1997]).
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      threshold: Double = 0.35): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val rowsPerBand = numHashes / numBands
+    val sh = docs.select(col("doc_id"), explode(wordShingles(col("text"), n)).as("shingle"))
+    // one pass, numHashes min-aggregates -> signature columns
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
+    // band hashes: doc -> (band_id, band_hash)
+    val bandCols = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1))): _*).as("bh"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    candidates
+      .join(sig.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
+      .join(sig.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          when(x === y, 1.0).otherwise(0.0)), lit(0.0), (acc, v) => acc + v) / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over word tokens (token multiplicity counts): bit i of
+    * the fingerprint is the sign of the sum of +/-1 votes from each token
+    * hash's bit i [public: Charikar 2002].
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs at Hamming distance <= maxHamming (default 3).
+    * Candidate generation by the pigeonhole principle: split the 64-bit
+    * fingerprint into maxHamming+1 chunks; any pair within distance
+    * maxHamming agrees on >= 1 chunk, so the join key is (chunk_id,
+    * chunk_value) — never all-pairs.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nChunks = maxHamming + 1
+    val bitsPerChunk = 64 / nChunks
+    val fp = simhash(docs)
+    val chunks = (0 until nChunks).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftrightunsigned(col("simhash"), c * bitsPerChunk)
+          .bitwiseAND((1L << bitsPerChunk) - 1).as("cv"))
+    }
+    val keyed = fp.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.cv").as("cv"))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Embedding-cosine near-dup pairs above `threshold`. The pairwise join
+    * broadcasts the (small) normed side; at larger cardinalities swap the
+    * candidate generation for Similarity.lshBuckets and keep this exact
+    * cosine as the verify stage.
+    */
+  def embeddingCosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"),
+      VectorFunctions.norm(col("embedding")).as("nrm"))
+    e.as("a")
+      .join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", VectorFunctions.cosineWithNorms(
+        col("a.embedding"), col("b.embedding"), col("a.nrm"), col("b.nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cos"), 6).as("cos"))
+  }
+}

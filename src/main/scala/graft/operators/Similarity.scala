@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — exact, O(|queries| x |corpus|);
+  * fine when the query side is small and broadcastable. Scale path:
+  * random-hyperplane LSH (SimHash for vectors [public: Charikar 2002])
+  * with multiple tables; candidates share a bucket in >= 1 table, so the
+  * join is keyed by (table, bucket) and never enumerates all pairs.
+  */
+object Similarity {
+
+  /** Exact brute-force top-k by cosine for each query vector. The query
+    * side is broadcast; corpus stays partitioned — the single window
+    * ranks per query_id. Deterministic tie-break (cos DESC, vec_id).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      VectorFunctions.norm(col("embedding")).as("nrm"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      VectorFunctions.norm(col("embedding")).as("qnrm"))
+    val scored = c
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        VectorFunctions.cosineWithNorms(col("embedding"), col("qe"), col("nrm"), col("qnrm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Deterministic random hyperplanes: `numTables` tables x `bitsPerTable`
+    * planes, components from a seeded RNG; returns one bucket id per
+    * (vector, table).
+    */
+  private def hyperplanes(dim: Int, numTables: Int, bitsPerTable: Int, seed: Long)
+      : IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val rng = new scala.util.Random(seed)
+    IndexedSeq.fill(numTables)(IndexedSeq.fill(bitsPerTable)(
+      Array.fill(dim)(rng.nextGaussian())))
+  }
+
+  private def planeDotSign(v: Column, plane: Array[Double]): Column = {
+    val planeCol = array(plane.map(lit): _*)
+    when(VectorFunctions.dot(v, planeCol) >= 0, 1L).otherwise(0L)
+  }
+
+  /** (vec_id, table, bucket) assignment — the shuffle key for candidate
+    * generation. Bucket = sign-bit signature of the vector against that
+    * table's hyperplanes.
+    */
+  def lshBuckets(emb: DataFrame, dim: Int, numTables: Int = 4, bitsPerTable: Int = 6,
+      seed: Long = 7L): DataFrame = {
+    val planes = hyperplanes(dim, numTables, bitsPerTable, seed)
+    val tables = (0 until numTables).map { t =>
+      val bucket = (0 until bitsPerTable)
+        .map(b => planeDotSign(col("embedding"), planes(t)(b)) * (1L << b))
+        .reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }
+    emb.select(col("vec_id"), col("embedding"), explode(array(tables: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket"))
+  }
+
+  /** ANN top-k: candidates = corpus vectors sharing >= 1 (table, bucket)
+    * with the query; exact cosine re-rank on candidates only. Recall is
+    * tunable via numTables/bitsPerTable; candidates per query is bounded
+    * by corpus_size / 2^bits x tables in expectation, independent of the
+    * all-pairs count.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+      numTables: Int = 4, bitsPerTable: Int = 6, seed: Long = 7L): DataFrame = {
+    val cb = lshBuckets(corpus, dim, numTables, bitsPerTable, seed)
+    val qb = lshBuckets(queries, dim, numTables, bitsPerTable, seed)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("tbl"), col("bucket"))
+    val cand = cb.join(broadcast(qb),
+        cb("tbl") === qb("tbl") && cb("bucket") === qb("bucket") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("qe"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .withColumn("cos", VectorFunctions.cosine(col("embedding"), col("qe")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+  }
+}

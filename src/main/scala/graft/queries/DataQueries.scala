@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+import graft.queries.CoreQueries.table
+
+/** Training-data-pipeline operator surface: deduplication and similarity
+  * search over the `documents` / `embeddings` fixtures. Exact-math
+  * operators (exact dedup, n-gram Jaccard, cosine) carry DuckDB oracles;
+  * the sketch-based ones (MinHash bands, SimHash, LSH ANN) hash with
+  * Spark's xxhash64 / seeded hyperplanes, which DuckDB cannot reproduce —
+  * they get rows-only driver checks plus ScalaTest ground-truth recall
+  * tests against their exact counterparts.
+  */
+object DataQueries {
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(table(spark, dir, "documents")).orderBy("doc_id")
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(table(spark, dir, "documents"), n = 3, threshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(table(spark, dir, "documents"))
+      .orderBy("doc_a", "doc_b")
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(table(spark, dir, "documents"), maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairs(table(spark, dir, "embeddings"), threshold = 0.45)
+      .orderBy("vec_a", "vec_b")
+
+  def annTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  def annTopkLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), dim = 64, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding" -> (dedupEmbedding _),
+    "ann_topk" -> (annTopk _),
+    "ann_topk_lsh" -> (annTopkLsh _)
+  )
+
+  private val shingleCte =
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "sh AS (SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN []::VARCHAR[] " +
+      "ELSE list_distinct(list_transform(generate_series(1, len(w) - 2), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END) AS shingle FROM toks), " +
+      "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id), " +
+      "com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c " +
+      "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2) "
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      ("SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents " +
+        "GROUP BY text ORDER BY doc_id"),
+    "dedup_ngram_jaccard" ->
+      (shingleCte +
+        "SELECT doc_a, doc_b, ROUND(jc, 6) AS jaccard FROM (" +
+        "SELECT doc_a, doc_b, " +
+        "CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) AS jc " +
+        "FROM com JOIN sizes sa ON doc_a = sa.doc_id " +
+        "JOIN sizes sb ON doc_b = sb.doc_id) WHERE jc >= 0.5 " +
+        "ORDER BY doc_a, doc_b"),
+    "dedup_embedding" ->
+      ("SELECT vec_a, vec_b, ROUND(cs, 6) AS cos FROM (" +
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+        "CAST(b.embedding AS DOUBLE[])) AS cs " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) " +
+        "WHERE cs >= 0.45 ORDER BY vec_a, vec_b"),
+    "ann_topk" ->
+      ("SELECT query_id, rn AS rank, vec_id, ROUND(cs, 6) AS cos FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS vec_id, " +
+        "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
+        "CAST(c.embedding AS DOUBLE[])) AS cs, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
+        "CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rn " +
+        "FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id " +
+        "WHERE q.vec_id < 10) WHERE rn <= 5 ORDER BY query_id, rank")
+  )
+}

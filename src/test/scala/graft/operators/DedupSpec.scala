@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Fixtures
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Fixtures.table(spark, sf0001, "documents")
+
+  test("wordShingles: distinct n-grams, short texts yield empty array") {
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x x x x x")).toDF("doc_id", "text")
+    val sh = df.select($"doc_id", Dedup.wordShingles($"text", 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L) == Seq.empty)
+    assert(sh(3L) == Seq("x x x")) // distinct collapses repeats
+  }
+
+  test("exact dedup: synthetic duplicates collapse to min doc_id") {
+    val df = Seq((10L, "same text"), (3L, "same text"), (7L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exact(df).orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 2L), (7L, 1L)))
+  }
+
+  test("ngram jaccard finds the planted near-dup pairs, none below threshold") {
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5).collect()
+    assert(pairs.nonEmpty, "fixtures contain planted near-dups")
+    assert(pairs.forall(r => r.getDouble(2) >= 0.5 && r.getLong(0) < r.getLong(1)))
+  }
+
+  test("minhash candidates recover the true jaccard pairs (recall vs exact)") {
+    val truth = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val est = Dedup.minhashPairs(docs, 3, 64, 16, threshold = 0.35)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val recall = truth.count(est.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"minhash recall $recall over ${truth.size} true pairs")
+  }
+
+  test("minhash estimate is deterministic across runs") {
+    val a = Dedup.minhashPairs(docs).orderBy("doc_a", "doc_b").collect().toSeq
+    val b = Dedup.minhashPairs(docs).orderBy("doc_a", "doc_b").collect().toSeq
+    assert(a == b)
+  }
+
+  test("simhash: identical texts -> distance 0; near-identical -> small distance") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again today"),
+      (4L, "completely different words about spark catalyst shuffles and parquet files")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.simhash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) <= 16)
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(4L)) > 16)
+    val pairs = Dedup.simhashPairs(df, maxHamming = 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("embedding cosine pairs: symmetric-free, above threshold, deterministic") {
+    val emb = Fixtures.table(spark, sf0001, "embeddings")
+    val pairs = Dedup.embeddingCosinePairs(emb, 0.45).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1) && r.getDouble(2) >= 0.45))
+  }
+}

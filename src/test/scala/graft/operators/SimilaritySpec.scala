@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Fixtures
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Fixtures.table(spark, sf0001, "embeddings")
+  private lazy val queries = emb.filter(col("vec_id") < 10)
+
+  test("brute-force topk: k rows per query, descending cos, no self-match") {
+    val out = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
+    assert(out.length == 10 * 5)
+    val byQuery = out.groupBy(_.getLong(0))
+    byQuery.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 5))
+      val cs = sorted.map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      assert(!rows.exists(_.getLong(2) == q))
+    }
+  }
+
+  test("lsh buckets: deterministic, numTables entries per vector") {
+    val b1 = Similarity.lshBuckets(emb, 64).collect()
+    val b2 = Similarity.lshBuckets(emb, 64).collect()
+    assert(b1.length == emb.count() * 4)
+    assert(b1.map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet ==
+      b2.map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet)
+  }
+
+  test("lsh topk: subset of corpus, cos values agree with brute force") {
+    val brute = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val lsh = Similarity.lshTopK(emb, queries, dim = 64, k = 5).collect()
+    assert(lsh.nonEmpty, "buckets should yield candidates at n=500")
+    // any (query, vec) pair produced by LSH that brute force also ranked
+    // must carry the identical rounded cosine
+    lsh.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(math.abs(c - r.getDouble(3)) < 1e-9)
+      }
+    }
+  }
+}
