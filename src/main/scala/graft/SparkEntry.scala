@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{CoreQueries, DataQueries, RelationalQueries}
+import graft.queries.{CoreQueries, DataQueries, RelationalQueries, TextQueries}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -8,9 +8,11 @@ object SparkEntry {
     CoreQueries.forecastEvents(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ RelationalQueries.queries ++ DataQueries.queries
+    CoreQueries.queries ++ RelationalQueries.queries ++ DataQueries.queries ++
+      TextQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql ++ RelationalQueries.oracleSql ++ DataQueries.oracleSql
+    CoreQueries.oracleSql ++ RelationalQueries.oracleSql ++ DataQueries.oracleSql ++
+      TextQueries.oracleSql
 }

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for corpus curation, built entirely from
+  * codegen'd Spark built-ins so every score is also expressible as the
+  * DuckDB oracle's ANSI SQL (the driver hash-compares both).
+  */
+object TextFunctions {
+
+  /** Whitespace token count; 0 for blank strings (split of "" yields [""]
+    * in both engines, so the blank guard keeps them aligned).
+    */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** Fraction of characters that are ASCII letters, 6 decimals. */
+  def alphaRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+      greatest(length(text), lit(1)), 6)
+
+  /** Mean token length (whitespace removed / token count), 6 decimals. */
+  def avgWordLen(text: Column): Column =
+    round(length(regexp_replace(text, "\\s", "")).cast("double") /
+      greatest(tokenCount(text), lit(1)), 6)
+
+  /** Composite quality score in [0,1]: letter density x saturating length
+    * factor (>= 20 tokens = full credit) — the usual cheap pre-filter for
+    * training corpora, 6 decimals.
+    */
+  def qualityScore(text: Column): Column =
+    round(
+      (length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+        greatest(length(text), lit(1))) *
+        least(lit(1.0), tokenCount(text).cast("double") / 20.0),
+      6)
+
+  /** Per-language stopword marker lists for the n-gram/stopword-count
+    * language heuristic. Deliberately tiny and public: the top function
+    * words of each language.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "en", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "dans"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"))
+
+  private def markerHits(tokens: Column, markers: Seq[String]): Column =
+    size(filter(tokens, t => array_contains(array(markers.map(lit): _*), t)))
+
+  /** Stopword-count language ID: argmax of per-language marker hits over
+    * lowercased whitespace tokens; ties break in lang-code order; zero
+    * hits everywhere -> 'und' (undetermined), mirroring BCP-47.
+    */
+  def langId(text: Column): Column = {
+    val tokens = split(lower(text), "\\s+")
+    val hits = LangMarkers.map { case (lang, ms) => lang -> markerHits(tokens, ms) }
+    val maxHits = greatest(hits.map(_._2): _*)
+    // first language (in declared order) reaching the max
+    hits.reverse.foldLeft(lit("und")) { case (acc, (lang, h)) =>
+      when(maxHits > 0 && h === maxHits, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Canonical-form content fingerprint: md5 of lowercased,
+    * whitespace-collapsed text — the exact-dup key that survives
+    * formatting noise. (The incremental/rolling variant is
+    * RollingHashExpr.)
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

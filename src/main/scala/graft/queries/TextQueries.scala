@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{RollingHashExpr, TextFunctions}
+import graft.queries.CoreQueries.table
+
+/** Text-analysis query surface over `documents`: token counting, quality
+  * scoring, language ID, fingerprinting, and corpus rollups. All scoring
+  * queries carry DuckDB oracles (note: DuckDB regexp_replace needs the 'g'
+  * flag to match Spark's replace-all); the rolling-hash fingerprint is a
+  * custom codegen Expression, so it's rows-only checked + unit-tested.
+  */
+object TextQueries {
+
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
+        TextFunctions.avgWordLen(col("text")).as("avg_word_len"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  def textLangid(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  def textRollingHash(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), RollingHashExpr.rolling_hash(col("text")).as("rhash"))
+      .orderBy("doc_id")
+
+  /** Corpus rollup: doc counts + mean length + token volume per
+    * (lang, source) — the curation dashboard staple. */
+  def langSourceAgg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        sum(TextFunctions.tokenCount(col("text"))).as("total_tokens"))
+      .orderBy("lang", "source")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (textStats _),
+    "text_langid" -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _),
+    "text_rolling_hash" -> (textRollingHash _),
+    "lang_source_agg" -> (langSourceAgg _)
+  )
+
+  private val tokCount =
+    "CASE WHEN length(trim(text)) = 0 THEN 0 " +
+      "ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) END"
+
+  private def langHits(markers: Seq[String]): String =
+    "len(list_filter(string_split_regex(lower(text), '\\s+'), " +
+      s"t -> list_contains([${markers.map(m => s"'$m'").mkString(", ")}], t)))"
+
+  private val langCase: String = {
+    val hits = TextFunctions.LangMarkers.map { case (l, ms) => l -> langHits(ms) }
+    val maxExpr = s"GREATEST(${hits.map(_._2).mkString(", ")})"
+    "CASE WHEN " + maxExpr + " = 0 THEN 'und' " +
+      hits.map { case (l, h) => s"WHEN $h = $maxExpr THEN '$l'" }.mkString(" ") +
+      " END"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      (s"SELECT doc_id, $tokCount AS n_tokens, " +
+        "ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) " +
+        "/ GREATEST(length(text), 1), 6) AS alpha_ratio, " +
+        "ROUND(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) " +
+        s"/ GREATEST($tokCount, 1), 6) AS avg_word_len, " +
+        "ROUND((CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) " +
+        "/ GREATEST(length(text), 1)) * " +
+        s"LEAST(1.0, CAST($tokCount AS DOUBLE) / 20.0), 6) AS quality " +
+        "FROM documents ORDER BY doc_id"),
+    "text_langid" ->
+      (s"SELECT doc_id, lang, $langCase AS lang_pred FROM documents ORDER BY doc_id"),
+    "text_fingerprint" ->
+      ("SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp " +
+        "FROM documents ORDER BY doc_id"),
+    "lang_source_agg" ->
+      ("SELECT lang, source, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars, " +
+        s"CAST(SUM($tokCount) AS BIGINT) AS total_tokens " +
+        "FROM documents GROUP BY lang, source ORDER BY lang, source")
+  )
+}

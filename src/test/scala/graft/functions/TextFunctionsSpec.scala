@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("text").select(c.as("v")).head().get(0)
+
+  test("tokenCount: whitespace runs, blank -> 0") {
+    assert(one(TextFunctions.tokenCount($"text"), "a b  c") == 3L)
+    assert(one(TextFunctions.tokenCount($"text"), "   ") == 0L)
+    assert(one(TextFunctions.tokenCount($"text"), "single") == 1L)
+  }
+
+  test("alphaRatio and avgWordLen known values") {
+    assert(one(TextFunctions.alphaRatio($"text"), "ab1") == 0.666667) // round(2/3, 6)
+    assert(one(TextFunctions.avgWordLen($"text"), "ab cdef") == 3.0)
+  }
+
+  test("qualityScore saturates at 20 tokens") {
+    val short = one(TextFunctions.qualityScore($"text"), "pure words here").asInstanceOf[Double]
+    val long = one(TextFunctions.qualityScore($"text"),
+      Seq.fill(25)("word").mkString(" ")).asInstanceOf[Double]
+    assert(short < 1.0 && short > 0)
+    assert(long > 0.75) // all-alpha + spaces, full length credit
+  }
+
+  test("langId picks the marker-dominant language; und for no hits") {
+    assert(one(TextFunctions.langId($"text"), "der hund und die katze ist nicht da") == "de")
+    assert(one(TextFunctions.langId($"text"), "the cat and the dog of the house") == "en")
+    assert(one(TextFunctions.langId($"text"), "el perro y la casa de los gatos") == "es")
+    assert(one(TextFunctions.langId($"text"), "le chat et les chiens dans une maison") == "fr")
+    assert(one(TextFunctions.langId($"text"), "qwzx bnmp vcxz") == "und")
+  }
+
+  test("fingerprint normalizes case and whitespace") {
+    val a = one(TextFunctions.fingerprint($"text"), "Hello   World")
+    val b = one(TextFunctions.fingerprint($"text"), "hello world ")
+    val c = one(TextFunctions.fingerprint($"text"), "hello earth")
+    assert(a == b && a != c)
+  }
+
+  test("rolling hash matches the reference recurrence and is codegen-stable") {
+    val s = "spark"
+    var expect = 0L
+    s.getBytes("UTF-8").foreach(b => expect = expect * RollingHashExpr.Base + (b & 0xff))
+    assert(one(RollingHashExpr.rolling_hash($"text"), s) == expect)
+    // null-safe
+    val withNull = Seq(Some("x"), None).toDF("text")
+      .select(RollingHashExpr.rolling_hash($"text").as("h")).collect()
+    assert(withNull.count(_.isNullAt(0)) == 1)
+  }
+
+  test("rolling_hash registers as a SQL function") {
+    RollingHashExpr.register(spark)
+    Seq("abc").toDF("text").createOrReplaceTempView("rh_t")
+    val viaSql = spark.sql("SELECT rolling_hash(text) AS h FROM rh_t").head().getLong(0)
+    val viaCol = Seq("abc").toDF("text")
+      .select(RollingHashExpr.rolling_hash($"text")).head().getLong(0)
+    assert(viaSql == viaCol)
+  }
+}
