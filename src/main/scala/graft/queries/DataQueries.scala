@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.multimodal.Multimodal
 import graft.operators.{Dedup, Similarity}
 import graft.queries.CoreQueries.table
 
@@ -47,7 +48,21 @@ object DataQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Multimodal plumbing end to end (rows-only: the decode step is a
+    * documented stub; see graft.multimodal.Multimodal). Deterministic
+    * fake features over binary payloads derived from document text.
+    */
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaTable(table(spark, dir, "documents"), "doc_id", "text")
+    Multimodal.extractFeatures(media)
+      .toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("width"),
+        col("height"), round(element_at(col("features"), 1), 6).as("feat0"))
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_features" -> (mmFeatures _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash" -> (dedupMinhash _),

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming front end for the reference's input contract
+  * (SURVEY.md §2.7, §7.5a): the reference assumes pre-bucketed daily
+  * `bucket_*` tables already exist in the warehouse; this produces them
+  * continuously from an events stream.
+  *
+  * Works identically on a batch DataFrame (unit tests / backfill) and a
+  * readStream source: the plan is the same tumbling-window aggregation;
+  * only the sink mode differs.
+  */
+object EventBucketizer {
+
+  /** Daily tumbling-window buckets with late-data handling.
+    *
+    * `approx_count_distinct` stands in for the batch path's exact
+    * countDistinct: exact distinct aggregation is not incrementally
+    * computable under append-mode watermarking, and at 100 TB a sketch is
+    * the right answer on the batch side too (documented divergence from
+    * Bucketize.events).
+    */
+  def dailyBuckets(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        round(sum(col("value")), 2).as("value_sum"),
+        approx_count_distinct(col("user_id")).as("active_users"))
+      .select(to_date(col("w.start")).as("date"), col("event_count"),
+        col("value_sum"), col("active_users"))
+
+  /** Per-(user, event_type) running counters via explicit state — the
+    * `mapGroupsWithState` pattern for aggregations that aren't
+    * window-expressible (cumulative per-key state across triggers).
+    */
+  final case class UserTypeCount(user_id: Long, event_type: String, n: Long)
+
+  def runningUserTypeCounts(
+      events: Dataset[(Long, String)]): Dataset[UserTypeCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey { case (uid, et) => (uid, et) }
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[(Long, String)], state: GroupState[Long]) =>
+          val next = state.getOption.getOrElse(0L) + rows.size
+          state.update(next)
+          UserTypeCount(key._1, key._2, next)
+      }
+  }
+
+  /** Continuous writer: append daily buckets as date-partitioned parquet —
+    * the streaming twin of ParquetCatalog.writeTable. Returns the started
+    * query; caller owns lifecycle.
+    */
+  def writeDaily(events: DataFrame, outPath: String, checkpoint: String) =
+    dailyBuckets(events).writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("date")
+      .start()
+}

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.series.Bucketize
+import graft.sources.Fixtures
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming dailyBuckets matches batch bucketize on count and sum") {
+    // stage the fixture as a stream source (readStream needs a directory
+    // it can list); decode nanos ts like Fixtures does
+    val src = java.nio.file.Files.createTempDirectory("graftstream").toString
+    val batch = Fixtures.table(spark, sf0001, "events")
+    batch.write.mode("overwrite").parquet(s"$src/events")
+
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .parquet(s"$src/events")
+    val q = EventBucketizer.dailyBuckets(stream).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("daily_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      // watermark: the final (latest) day stays open in append mode until
+      // a later event arrives, so compare the closed windows only
+      val got = spark.table("daily_out")
+        .select($"date", $"event_count", $"value_sum").collect()
+        .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val want = Bucketize.events(batch)
+        .select($"date", $"event_count", $"value_sum").collect()
+        .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got.nonEmpty, "stream emitted closed windows")
+      got.foreach { case (d, (n, s)) =>
+        assert(want(d)._1 == n && math.abs(want(d)._2 - s) < 1e-6, s"day $d")
+      }
+    } finally q.stop()
+  }
+
+  test("runningUserTypeCounts accumulates state per (user, type)") {
+    val events = Seq((1L, "click"), (1L, "click"), (1L, "view"), (2L, "click"))
+      .toDS()
+    val out = EventBucketizer.runningUserTypeCounts(events).collect()
+      .map(u => (u.user_id, u.event_type) -> u.n).toMap
+    assert(out == Map((1L, "click") -> 2L, (1L, "view") -> 1L, (2L, "click") -> 1L))
+  }
+}
