@@ -3,9 +3,11 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float|double>` embedding columns, built from
-  * codegen-friendly higher-order functions (`zip_with`/`aggregate`) —
-  * no UDFs, so Catalyst can see and optimize the whole expression tree.
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Vector math over `array<float|double>` embedding columns, backed by the
+  * native codegen'd [[VectorDotExpr]] kernel (a zip_with/aggregate
+  * formulation was ~20x slower on pairwise scans — see VectorDot.scala).
   *
   * All math is done in DOUBLE regardless of storage type: both engines
   * (and the DuckDB oracle) then produce bit-identical sequential sums,
@@ -13,13 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
-
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    ColumnBridge.column(
+      VectorDotExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  def norm(v: Column): Column =
-    sqrt(aggregate(transform(toDouble(v), x => x * x), lit(0.0), (acc, x) => acc + x))
+  def norm(v: Column): Column = sqrt(dot(v, v))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

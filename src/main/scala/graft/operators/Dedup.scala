@@ -19,17 +19,25 @@ import graft.functions.VectorFunctions
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles of `text`, 1-based slices; empty array
-    * for texts shorter than n words (safe: Spark's `sequence(1, k)` with
-    * k < 1 would otherwise count backwards).
+  /** Distinct word n-gram shingles of `text`; empty array for texts
+    * shorter than n words.
+    *
+    * Built by zipping the token array with its own 1..n-1 shifted copies
+    * (`zip_with` null-pads the tail, `concat` propagates the null, filter
+    * drops it) — a constant number of array allocations per document. The
+    * obvious per-index `transform(sequence, i -> concat_ws(slice))`
+    * formulation allocates a slice per shingle and measured ~7s per pass
+    * over 5k docs at sf0.1 vs ~0.5s for this one.
     */
   def wordShingles(text: Column, n: Int): Column = {
+    require(n >= 2, "shingle order must be >= 2")
     val toks = split(text, " ")
+    val glued = (2 to n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k), greatest(size(toks), lit(1))),
+        (a, b) => concat(a, lit(" "), b))
+    }
     when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(
-        array_distinct(
-          transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-            concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array_distinct(filter(glued, _.isNotNull)))
   }
 
   /** Exact dedup: canonical doc per identical text + multiplicity.
@@ -48,17 +56,19 @@ object Dedup {
     * proportional to sum over shingles of df^2, not docs^2.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // carry each doc's shingle-set size alongside every exploded shingle:
+    // the pair aggregation then reconstructs |A| and |B| with max() and no
+    // extra join against a per-doc sizes table (2 joins saved; the set
+    // size is functionally determined by the doc id)
     val sh = docs
-      .select(col("doc_id"), explode(wordShingles(col("text"), n)).as("shingle"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("a")
+      .select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+    sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .agg(count(lit(1)).as("common"),
+        max(col("a.n_sh")).as("n_a"), max(col("b.n_sh")).as("n_b"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)
