@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.AsOfJoin
 import graft.queries.CoreQueries.table
 
 /** Relational extension surface (SURVEY.md §7.5): join / window / set-op /
@@ -170,7 +171,50 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** CUBE over (status, priority): all 4 grouping combinations. */
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** Exact interpolated percentiles per order status — Spark `percentile`
+    * and DuckDB `quantile_cont` share the linear-interpolation definition.
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
+        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"))
+      .orderBy("o_orderstatus")
+
+  /** As-of join: each event picks up the previous day's average value for
+    * its event type (strictly-before semantics). Spark side composes
+    * union + keyed window (graft.operators.AsOfJoin); the oracle uses
+    * DuckDB's native ASOF LEFT JOIN.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = table(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), to_date(col("ts")).as("edate"))
+    val daily = table(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("ddate"))
+      .agg(round(avg(col("value")), 4).as("prev_day_avg"))
+    AsOfJoin.joinStrictlyBefore(
+      events, daily,
+      keys = Seq("event_type"), leftTime = "edate", rightTime = "ddate",
+      values = Seq("prev_day_avg"))
+      .select(col("event_id"), col("event_type"), col("prev_day_avg"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_cube" -> (aggCube _),
+    "percentiles" -> (percentiles _),
+    "asof_join" -> (asofJoin _),
     "q3_join_topk" -> (q3JoinTopk _),
     "q5_region_revenue" -> (q5RegionRevenue _),
     "window_topk" -> (windowTopk _),
@@ -184,6 +228,25 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "agg_cube" ->
+      ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, " +
+        "ROUND(SUM(o_totalprice), 2) AS total_price " +
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
+    "percentiles" ->
+      ("SELECT o_orderstatus, " +
+        "ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25, " +
+        "ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50, " +
+        "ROUND(quantile_cont(o_totalprice, 0.75), 2) AS p75, " +
+        "ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95 " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "asof_join" ->
+      ("SELECT e.event_id, e.event_type, d.prev_day_avg " +
+        "FROM (SELECT event_id, event_type, CAST(ts AS DATE) AS edate FROM events) e " +
+        "ASOF LEFT JOIN (SELECT event_type, CAST(ts AS DATE) AS ddate, " +
+        "ROUND(AVG(value), 4) AS prev_day_avg FROM events GROUP BY 1, 2) d " +
+        "ON e.event_type = d.event_type AND e.edate > d.ddate " +
+        "ORDER BY e.event_id"),
     "q3_join_topk" ->
       ("SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, " +
         "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue " +

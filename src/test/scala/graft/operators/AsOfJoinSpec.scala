@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("strictly-before semantics: same-day right value is not visible") {
+    val left = Seq(
+      ("k1", "2024-01-01", 100L),
+      ("k1", "2024-01-02", 101L),
+      ("k1", "2024-01-03", 102L),
+      ("k2", "2024-01-02", 200L)
+    ).toDF("k", "t", "id")
+    val right = Seq(
+      ("k1", "2024-01-01", 1.0),
+      ("k1", "2024-01-02", 2.0),
+      ("k2", "2024-01-01", 9.0)
+    ).toDF("k", "t", "v")
+    val out = AsOfJoin.joinStrictlyBefore(left, right,
+      keys = Seq("k"), leftTime = "t", rightTime = "t", values = Seq("v"))
+      .select("id", "v").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(100L).isEmpty)          // nothing before Jan 1
+    assert(out(101L).contains(1.0))    // sees Jan 1, not same-day Jan 2
+    assert(out(102L).contains(2.0))    // latest strictly before Jan 3
+    assert(out(200L).contains(9.0))    // keys do not bleed
+  }
+
+  test("left row count preserved (left-join semantics)") {
+    val left = (1 to 50).map(i => ("k", f"2024-02-$i%02d".take(10), i.toLong))
+      .filter(_._2.matches("2024-02-(0[1-9]|1[0-9]|2[0-8])")).toDF("k", "t", "id")
+    val right = Seq(("k", "2024-02-10", 1.0)).toDF("k", "t", "v")
+    val out = AsOfJoin.joinStrictlyBefore(left, right, Seq("k"), "t", "t", Seq("v"))
+    assert(out.count() == left.count())
+  }
+}
