@@ -96,8 +96,18 @@ object CoreQueries {
     ForecastOutput.toWide(fc, metrics).orderBy("date")
   }
 
+  /** --only-future path (fs:176 strict >): exactly `interval` rows per
+    * metric, all strictly after the last history date. Rows-only. */
+  def forecastEventsFuture(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = Bucketize.events(table(spark, dir, "events"))
+    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = true)
+    ForecastOutput.toWide(fc, eventMetrics).orderBy("date")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "forecast_events" -> (forecastEvents _),
+    "forecast_events_future" -> (forecastEventsFuture _),
     "forecast_orders" -> (forecastOrders _),
     "bucketize_events" -> (bucketizeEvents _),
     "max_date" -> (maxDate _),

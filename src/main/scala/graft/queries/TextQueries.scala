@@ -50,7 +50,35 @@ object TextQueries {
         sum(TextFunctions.tokenCount(col("text"))).as("total_tokens"))
       .orderBy("lang", "source")
 
+  /** TF-IDF top-3 terms per document (first 50 docs; document frequency
+    * computed over the whole corpus). Scale shape: tf is one (doc, term)
+    * aggregation, df one term aggregation over it; the df side joins
+    * broadcast. Ranking orders by the raw double score (rounded only on
+    * output) with a term tie-break so both engines agree exactly.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(spark, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("sc").desc, col("term"))
+    tf.filter(col("doc_id") < 50)
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("sc", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("term"), col("tf"),
+        round(col("sc"), 6).as("score"))
+      .orderBy("doc_id", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tfidf_top_terms" -> (tfidfTopTerms _),
     "text_stats" -> (textStats _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
@@ -75,6 +103,20 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "tfidf_top_terms" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks " +
+        "WHERE length(term) > 0 GROUP BY 1, 2), " +
+        "dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents) " +
+        "SELECT doc_id, rn, term, tf, ROUND(sc, 6) AS score FROM (" +
+        "SELECT tf.doc_id, tf.term, tf.tf, " +
+        "tf.tf * ln(CAST(n_docs AS DOUBLE) / df) AS sc, " +
+        "ROW_NUMBER() OVER (PARTITION BY tf.doc_id " +
+        "ORDER BY tf.tf * ln(CAST(n_docs AS DOUBLE) / df) DESC, tf.term) AS rn " +
+        "FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n " +
+        "WHERE tf.doc_id < 50) WHERE rn <= 3 ORDER BY doc_id, rn"),
     "text_stats" ->
       (s"SELECT doc_id, $tokCount AS n_tokens, " +
         "ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) " +
