@@ -99,12 +99,22 @@ object ProphetLike {
 
     val weekly = n >= 3 && weeklyEnabled(span)
     val yearly = n >= 3 && yearlyEnabled(span)
-    // Potential changepoints uniform over the first 80% of scaled time;
-    // cap so short series keep more observations than parameters.
+    // Potential changepoints at observation quantiles over the first 80%
+    // of DATA POINTS (Prophet's rule [public]: linspace over the ordered
+    // history index, not uniform in time — the two differ on gappy
+    // series); capped so short series keep more observations than
+    // parameters.
     val nCp =
       if (n < 8) 0
       else math.min(MaxChangepoints, (n - 4) / 2)
-    val cps = Array.tabulate(nCp)(j => ChangepointRange * (j + 1).toDouble / (nCp + 1))
+    val histSize = math.floor(ChangepointRange * n).toInt
+    val cps: Array[Double] =
+      if (nCp == 0 || histSize < 2) Array.empty
+      else
+        Array.tabulate(nCp) { j =>
+          val idx = math.round((j + 1).toDouble * (histSize - 1) / nCp).toInt
+          (days(math.min(idx, n - 1)) - tStart) / span
+        }.distinct.filter(_ > 0.0)
 
     val p = 2 + cps.length + (if (weekly) 2 * WeeklyOrder else 0) +
       (if (yearly) 2 * YearlyOrder else 0)
