@@ -17,8 +17,13 @@ object ForecastOutput {
     * reference's cast-back-to-source-int coercion.
     */
   def toWide(fc: Dataset[ForecastRow], metrics: Seq[String]): DataFrame = {
+    // group by (table, date), not date alone: a multi-table frame must
+    // never merge same-named metrics across tables via first(); per-table
+    // callers see identical output (table is dropped after the pivot),
+    // misuse surfaces as visibly duplicated dates instead of silently
+    // mixed values
     val wide = fc
-      .groupBy(col("date"))
+      .groupBy(col("table"), col("date"))
       .pivot("metric", metrics)
       .agg(
         first(col("yhat")).as("v"),
@@ -30,6 +35,6 @@ object ForecastOutput {
         col(s"`${m}_vmin`").as(s"${m}_min"),
         col(s"`${m}_vmax`").as(s"${m}_max"))
     }
-    wide.select(ordered: _*)
+    wide.drop("table").select(ordered: _*)
   }
 }

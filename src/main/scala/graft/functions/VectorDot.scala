@@ -59,7 +59,11 @@ case class VectorDotExpr(left: Expression, right: Expression) extends BinaryExpr
 object VectorDotExpr {
 
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vector_dot: dimension mismatch ($n vs ${b.numElements()})" +
+          " — truncating silently would return plausible-but-wrong similarities")
     var s = 0.0
     var i = 0
     if (aFloat && bFloat) {

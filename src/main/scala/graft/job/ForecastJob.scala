@@ -53,10 +53,18 @@ final class ForecastJob(
     val skipped = ArrayBuffer[(String, String)]()
     val failedSeries = ArrayBuffer[(String, String)]()
 
-    val candidates = catalog
+    val eligible = catalog
       .listTables()
       .filterNot(TableNames.isForecastOutput) // skip our own outputs (fs:234)
       .filter(t => specificTables.forall(_.contains(t)))
+    // `bucket_x` and `x` both map to bucket_forecast_x (the prefix-strip
+    // rewrite, fs:121-124); run only the first and skip the rest instead
+    // of silently overwriting one forecast with the other
+    val byOutput = eligible.groupBy(TableNames.forecastName)
+    val candidates = eligible.filter(t => byOutput(TableNames.forecastName(t)).head == t)
+    eligible.filterNot(candidates.contains).foreach { t =>
+      skipped += t -> s"output name collides with ${byOutput(TableNames.forecastName(t)).head}"
+    }
 
     candidates.foreach { t =>
       try {
@@ -74,19 +82,20 @@ final class ForecastJob(
           } else {
             val long = SeriesOps.melt(df, metrics).withColumn("table", lit(t))
             val fc = ForecastEngine.forecast(long, interval, onlyFuture).cache()
-            // bounded collect: one row per metric, to report failed fits
-            val fitted =
-              fc.select("metric").distinct().collect().map(_.getString(0)).toSet
-            metrics.filterNot(fitted).foreach(m => failedSeries += t -> m)
-            val wide = ForecastOutput.toWide(fc, metrics)
-            val outName = TableNames.forecastName(t)
-            val existed = catalog.tableExists(outName)
-            catalog.writeTable(outName, wide, sortCol = "date")
-            fc.unpersist()
-            if (existed) updated += outName else created += outName
-            if (metrics.forall(fitted)) successful += t
-            log.info(s"forecast $t -> $outName (${metrics.size} metrics, " +
-              s"${metrics.count(fitted)} fitted)")
+            try {
+              // bounded collect: one row per metric, to report failed fits
+              val fitted =
+                fc.select("metric").distinct().collect().map(_.getString(0)).toSet
+              metrics.filterNot(fitted).foreach(m => failedSeries += t -> m)
+              val wide = ForecastOutput.toWide(fc, metrics)
+              val outName = TableNames.forecastName(t)
+              val existed = catalog.tableExists(outName)
+              catalog.writeTable(outName, wide, sortCol = "date")
+              if (existed) updated += outName else created += outName
+              if (metrics.forall(fitted)) successful += t
+              log.info(s"forecast $t -> $outName (${metrics.size} metrics, " +
+                s"${metrics.count(fitted)} fitted)")
+            } finally fc.unpersist()
           }
         }
       } catch {

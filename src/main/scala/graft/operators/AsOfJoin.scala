@@ -39,29 +39,38 @@ object AsOfJoin {
       values: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "as-of join needs >= 1 key column (see scaladoc)")
     val leftCols = left.columns.toSeq
+    // All right-side values travel inside ONE struct: last(ignoreNulls)
+    // then skips only the placeholder-null left rows, never a genuine
+    // NULL inside a right row's value column (a bare last(v, ignoreNulls)
+    // would carry a stale older value past a legitimately-null newer row,
+    // diverging from ASOF JOIN semantics).
+    val valueStruct = struct(values.map(col): _*)
+    val structType = {
+      val fields = values.map(v => right.schema(v))
+      org.apache.spark.sql.types.StructType(fields)
+    }
     // tag 0 = left, 1 = right; at equal times left sorts first, so a left
     // row never sees a same-instant right value => strictly-before
     val taggedLeft = left
       .withColumn("__t", col(leftTime))
       .withColumn("__tag", lit(0))
       .select((keys.map(col) :+ col("__t") :+ col("__tag")) ++
-        leftCols.filterNot(keys.contains).map(col) ++
-        values.map(v => lit(null).cast(right.schema(v).dataType).as(v)): _*)
+        leftCols.filterNot(keys.contains).map(col) :+
+        lit(null).cast(structType).as("__vals"): _*)
     val taggedRight = right
       .withColumn("__t", col(rightTime))
       .withColumn("__tag", lit(1))
       .select((keys.map(col) :+ col("__t") :+ col("__tag")) ++
-        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        values.map(col): _*)
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        valueStruct.as("__vals"): _*)
     val w = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = values.foldLeft(taggedLeft.unionByName(taggedRight)) { (df, v) =>
-      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
-    }
-    carried
+    taggedLeft.unionByName(taggedRight)
+      .withColumn("__carried", last(col("__vals"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 0)
-      .select((keys ++ leftCols.filterNot(keys.contains) ++ values).map(col): _*)
+      .select((keys ++ leftCols.filterNot(keys.contains)).map(col) ++
+        values.map(v => col(s"__carried.$v").as(v)): _*)
   }
 }

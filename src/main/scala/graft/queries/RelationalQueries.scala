@@ -30,7 +30,9 @@ object RelationalQueries {
     val li = table(spark, dir, "lineitem")
       .filter(to_date(col("l_shipdate")) > lit("1998-01-01"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+    // orders is a filtered FACT side — no broadcast hint; AQE picks the
+    // strategy at runtime (broadcasting it would OOM at warehouse scale)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
@@ -39,8 +41,8 @@ object RelationalQueries {
   }
 
   /** TPC-H Q5-style: revenue per nation inside one region and year window.
-    * All four dimension tables broadcast — the only shuffle is the final
-    * groupBy(n_name).
+    * Dimension tables (supplier/customer/nation/region) broadcast; the
+    * lineitem-orders fact join shuffles on orderkey, then one groupBy.
     */
   def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
     val region = table(spark, dir, "region").filter(col("r_name") === "EUROPE")
@@ -53,7 +55,8 @@ object RelationalQueries {
       .select("o_orderkey", "o_custkey")
     val li = table(spark, dir, "lineitem")
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+    // orders is a fact side: shuffle join on orderkey, dims broadcast
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(cust),
         col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
@@ -162,9 +165,12 @@ object RelationalQueries {
     table(spark, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"))
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      // cast-to-double keeps fractional seconds — unix_timestamp truncates
+      // to whole seconds and would disagree with the oracle's EPOCH() on
+      // gaps that straddle the 1800s boundary by <1s
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          col("ts").cast("double") - col("prev_ts").cast("double") > 1800, 1)
           .otherwise(0))
       .groupBy(col("user_id"))
       .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))

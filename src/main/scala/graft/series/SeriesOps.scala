@@ -56,8 +56,13 @@ object SeriesOps {
     */
   def melt(df: DataFrame, metrics: Seq[String], dateCol: String = "date"): DataFrame = {
     require(metrics.nonEmpty, "melt needs at least one metric column")
+    // column names are runtime-discovered from arbitrary warehouses:
+    // escape string-literal quotes and identifier backticks so a name
+    // like it's_count can't break (or inject into) the stack() SQL
+    def lit(m: String) = "'" + m.replace("'", "''") + "'"
+    def ident(m: String) = "`" + m.replace("`", "``") + "`"
     val pairs = metrics
-      .map(m => s"'$m', CAST(`$m` AS DOUBLE)")
+      .map(m => s"${lit(m)}, CAST(${ident(m)} AS DOUBLE)")
       .mkString(", ")
     df.select(
       col(dateCol).cast(DateType).as("ds"),

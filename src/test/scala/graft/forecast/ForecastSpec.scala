@@ -109,6 +109,19 @@ class ForecastEngineSpec extends SparkSpec {
     assert(wide.filter(col("m").isNull).count() == 0)
   }
 
+  test("toWide never merges same-named metrics across tables") {
+    val twoTables = longDf(hist ++ hist.map { case (_, m, d, y) =>
+      ("other", m, d, java.lang.Double.valueOf(y + 1000.0))
+    })
+    val fc = ForecastEngine.forecast(twoTables, 0, onlyFuture = false)
+    val wide = ForecastOutput.toWide(fc, Seq("m"))
+    // one row per (table, date): duplicated dates are visible, values are
+    // never mixed across tables by first()
+    assert(wide.count() == 60)
+    val perDate = wide.groupBy("date").count()
+    assert(perDate.filter(col("count") =!= 2).count() == 0)
+  }
+
   test("wide output invariant: m_min <= m <= m_max on every row") {
     val fc = ForecastEngine.forecast(longDf(hist), 7, onlyFuture = false)
     val wide = ForecastOutput.toWide(fc, Seq("m"))

@@ -73,6 +73,19 @@ class ForecastJobSpec extends SparkSpec {
     assert(!s2.successful.exists(_.startsWith("bucket_forecast_")))
   }
 
+  test("bucket_x vs x output-name collision: first runs, second is skipped") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftcoll").toString
+    val cat = new ParquetCatalog(spark, tmp)
+    val b = Bucketize.events(Fixtures.table(spark, sf0001, "events"))
+    cat.writeTable("bucket_sales", b)
+    cat.writeTable("sales", b)
+    val s = new ForecastJob(cat, 7).run()
+    assert(s.created == Seq("bucket_forecast_sales"))
+    assert(s.skipped.exists { case (t, reason) =>
+      t == "sales" && reason.contains("collides")
+    })
+  }
+
   test("only-future output has exactly interval rows per table") {
     val cat = seedCatalog()
     new ForecastJob(cat, 7, onlyFuture = true).run()

@@ -26,6 +26,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(200L).contains(9.0))    // keys do not bleed
   }
 
+  test("a genuinely-null newer right value is carried, not skipped for a stale one") {
+    val left = Seq(("k", "2024-01-03", 1L)).toDF("k", "t", "id")
+    val right = Seq(
+      ("k", "2024-01-01", Option(5.0)),
+      ("k", "2024-01-02", Option.empty[Double])
+    ).toDF("k", "t", "v")
+    val out = AsOfJoin.joinStrictlyBefore(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select("v").head()
+    assert(out.isNullAt(0), "must match the Jan 2 row (NULL), like ASOF JOIN")
+  }
+
   test("left row count preserved (left-join semantics)") {
     val left = (1 to 50).map(i => ("k", f"2024-02-$i%02d".take(10), i.toLong))
       .filter(_._2.matches("2024-02-(0[1-9]|1[0-9]|2[0-8])")).toDF("k", "t", "id")

@@ -23,6 +23,16 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dimension mismatch fails loudly instead of truncating") {
+    import spark.implicits._
+    val bad = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      graft.operators.Dedup.embeddingCosinePairs(bad, 0.0).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("lsh buckets: deterministic, numTables entries per vector") {
     val b1 = Similarity.lshBuckets(emb, 64).collect()
     val b2 = Similarity.lshBuckets(emb, 64).collect()

@@ -40,6 +40,30 @@ class SeriesOpsSpec extends SparkSpec {
     assert(m.schema("y").dataType == DoubleType)
   }
 
+  test("melt escapes quotes and backticks in runtime-discovered column names") {
+    import spark.implicits._
+    val df = Seq(("2024-01-01", 1.5)).toDF("date", "it's_count")
+    val m = SeriesOps.melt(SeriesOps.normalizeDate(df), Seq("it's_count"))
+    val row = m.head()
+    assert(row.getString(0) == "it's_count" && row.getDouble(2) == 1.5)
+  }
+
+  test("scanSorted prunes to date + metrics and orders by date (S1)") {
+    import spark.implicits._
+    val df = Seq(("2024-01-02", 2, "x"), ("2024-01-01", 1, "y"))
+      .toDF("date", "m", "junk")
+    val out = SeriesOps.scanSorted(SeriesOps.normalizeDate(df), Seq("m"))
+    assert(out.columns.toSeq == Seq("date", "m"))
+    assert(out.collect().map(_.getInt(1)).toSeq == Seq(1, 2))
+  }
+
+  test("maxDate aggregate returns the last known date (R2)") {
+    import spark.implicits._
+    val df = SeriesOps.normalizeDate(
+      Seq("2024-01-03", "2024-01-09", "2024-01-01").toDF("date"))
+    assert(df.agg(SeriesOps.maxDate(df)).head().getDate(0).toString == "2024-01-09")
+  }
+
   test("normalizeDate parses ISO strings like the reference's to_datetime (R1)") {
     import spark.implicits._
     val df = Seq("2024-03-05").toDF("date")
