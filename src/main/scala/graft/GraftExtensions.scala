@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{RollingHashExpr, VectorDotExpr}
+
+/** Session extension wiring: makes the engine's custom expressions
+  * available to plain SQL users —
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   spark.sql("SELECT rolling_hash(text), vector_dot(a, b) FROM t")
+  *
+  * No custom Rule/SparkStrategy is injected on purpose: SURVEY.md §4
+  * found zero planner work needed for parity, and every graft operator
+  * composes built-ins Catalyst already optimizes. The extension surface
+  * is exactly the two measured-win expressions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(
+      (FunctionIdentifier("rolling_hash"),
+        new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),
+        (args: Seq[Expression]) => RollingHashExpr(args.head)))
+    e.injectFunction(
+      (FunctionIdentifier("vector_dot"),
+        new ExpressionInfo(classOf[VectorDotExpr].getName, "vector_dot"),
+        (args: Seq[Expression]) => VectorDotExpr(args(0), args(1))))
+  }
+}
+
+/** Imperative twin of [[GraftExtensions]] for sessions that already
+  * exist (tests, notebooks).
+  */
+object GraftFunctions {
+  def registerAll(spark: SparkSession): Unit = {
+    RollingHashExpr.register(spark)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vector_dot", exprs => VectorDotExpr(exprs(0), exprs(1)), "scala_udf")
+  }
+}

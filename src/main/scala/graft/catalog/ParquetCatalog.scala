@@ -84,4 +84,19 @@ final class ParquetCatalog(val spark: SparkSession, val root: String) {
     val out = if (df.columns.contains(sortCol)) df.sortWithinPartitions(sortCol) else df
     out.write.mode("overwrite").parquet(tablePath(name))
   }
+
+  /** Hive-style partitioned overwrite for big fact tables: directory per
+    * `partitionCol` value (e.g. a derived month/date column), rows sorted
+    * by `sortCol` inside each file. Readers with partition-column
+    * predicates then prune whole directories before any IO — the 100 TB
+    * layout for event/lineitem-scale inputs.
+    */
+  def writePartitioned(
+      name: String,
+      df: DataFrame,
+      partitionCol: String,
+      sortCol: String = "date"): Unit = {
+    val out = if (df.columns.contains(sortCol)) df.sortWithinPartitions(sortCol) else df
+    out.write.mode("overwrite").partitionBy(partitionCol).parquet(tablePath(name))
+  }
 }

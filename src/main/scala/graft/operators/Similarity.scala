@@ -70,6 +70,65 @@ object Similarity {
         col("tb.bucket").as("bucket"))
   }
 
+  /** IVF-style coarse quantization: `nCentroids` centroids chosen
+    * deterministically from the corpus itself (every k-th vector by id
+    * rank — a seeded stand-in for k-means; at real scale you'd run a few
+    * Lloyd iterations with MLlib KMeans and broadcast the codebook).
+    * Returns (vec_id, centroid_id) assignments — the partition key for
+    * IVF search.
+    */
+  private def centroidsOf(corpus: DataFrame, nCentroids: Int): DataFrame = {
+    val n = corpus.count() // one cheap job; the codebook is broadcast anyway
+    val step = math.max(1L, n / nCentroids)
+    corpus
+      .filter(pmod(col("vec_id"), lit(step)) === 0 && col("vec_id") < step * nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+  }
+
+  def ivfAssign(corpus: DataFrame, nCentroids: Int): DataFrame = {
+    val centroids = centroidsOf(corpus, nCentroids)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("centroid_id"))
+    corpus
+      .join(broadcast(centroids))
+      .withColumn("dist",
+        VectorFunctions.dot(col("embedding"), col("embedding")) +
+          VectorFunctions.dot(col("ce"), col("ce")) -
+          lit(2.0) * VectorFunctions.dot(col("embedding"), col("ce")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+  }
+
+  /** IVF ANN top-k: queries probe their own cell plus the `nprobe`-1 next
+    * nearest centroids; candidates are corpus vectors assigned to probed
+    * cells. Work per query is bounded by cell sizes, independent of the
+    * corpus-wide pair count — the standard inverted-file trade of recall
+    * for fan-out.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val assign = ivfAssign(corpus, nCentroids)
+    val centroids = centroidsOf(corpus, nCentroids)
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("centroid_id"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(broadcast(centroids))
+      .withColumn("dist", lit(-2.0) * VectorFunctions.dot(col("qe"), col("ce")) +
+        VectorFunctions.dot(col("ce"), col("ce")))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("qe"), col("centroid_id"))
+    val cells = corpus.join(assign, "vec_id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    cells
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", VectorFunctions.cosine(col("embedding"), col("qe")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** ANN top-k: candidates = corpus vectors sharing >= 1 (table, bucket)
     * with the query; exact cosine re-rank on candidates only. Recall is
     * tunable via numTables/bitsPerTable; candidates per query is bounded

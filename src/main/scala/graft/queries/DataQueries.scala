@@ -48,6 +48,12 @@ object DataQueries {
       .orderBy("query_id", "rank")
   }
 
+  def annTopkIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** Multimodal plumbing end to end (rows-only: the decode step is a
     * documented stub; see graft.multimodal.Multimodal). Deterministic
     * fake features over binary payloads derived from document text.
@@ -69,7 +75,8 @@ object DataQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "ann_topk" -> (annTopk _),
-    "ann_topk_lsh" -> (annTopkLsh _)
+    "ann_topk_lsh" -> (annTopkLsh _),
+    "ann_topk_ivf" -> (annTopkIvf _)
   )
 
   private val shingleCte =

@@ -41,6 +41,25 @@ class SimilaritySpec extends SparkSpec {
       b2.map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet)
   }
 
+  test("ivf: every vector assigned to exactly one centroid; probes bound candidates") {
+    val assign = Similarity.ivfAssign(emb, nCentroids = 16)
+    assert(assign.count() == emb.count())
+    assert(assign.select("vec_id").distinct().count() == emb.count())
+    val nCells = assign.select("centroid_id").distinct().count()
+    assert(nCells > 1 && nCells <= 16)
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5).collect()
+    assert(ivf.nonEmpty)
+    // ranked per query, no self matches, cos agrees with brute force
+    val brute = Similarity.bruteForceTopK(emb, queries, 500).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    ivf.foreach { r =>
+      assert(r.getLong(2) != r.getLong(0))
+      brute.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(math.abs(c - r.getDouble(3)) < 1e-9)
+      }
+    }
+  }
+
   test("lsh topk: subset of corpus, cos values agree with brute force") {
     val brute = Similarity.bruteForceTopK(emb, queries, 5).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
