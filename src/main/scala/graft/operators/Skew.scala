@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for algebraic aggregations.
+  *
+  * A single hot key (one event_type, one tenant, one date) turns a
+  * one-shuffle groupBy into a straggler task at warehouse scale. Salting
+  * splits every group into `salts` sub-groups on a random-but-deterministic
+  * shard key, aggregates partials, then combines — two small shuffles
+  * instead of one skewed one. Only valid for algebraic aggregates
+  * (sum/count/min/max: partials combine losslessly).
+  *
+  * AQE's skew-join handling covers joins; this is the groupBy-side
+  * counterpart Spark does not re-plan automatically.
+  */
+object Skew {
+
+  /** Two-phase salted sum/count. `aggs` maps output column name ->
+    * (source column, "sum" | "count" | "min" | "max").
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      aggs: Map[String, (String, String)],
+      salts: Int = 16): DataFrame = {
+    require(salts > 1, "salts must be > 1")
+    // deterministic shard: hash of the whole row's source columns would
+    // recompute; xxhash64 over a monotonically increasing id is enough to
+    // spread rows and keeps the result reproducible
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    val partialAggs = aggs.toSeq.map { case (out, (src, fn)) =>
+      (fn match {
+        case "sum" => sum(col(src))
+        case "count" => count(col(src))
+        case "min" => min(col(src))
+        case "max" => max(col(src))
+        case other => throw new IllegalArgumentException(
+          s"saltedAgg supports algebraic aggregates only, got $other")
+      }).as(s"__p_$out")
+    }
+    val combineAggs = aggs.toSeq.map { case (out, (_, fn)) =>
+      (fn match {
+        case "sum" | "count" => sum(col(s"__p_$out"))
+        case "min" => min(col(s"__p_$out"))
+        case "max" => max(col(s"__p_$out"))
+      }).as(out)
+    }
+    salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(combineAggs.head, combineAggs.tail: _*)
+  }
+}

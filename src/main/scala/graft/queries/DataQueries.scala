@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, DedupClusters, Similarity, Skew}
 import graft.queries.CoreQueries.table
 
 /** Training-data-pipeline operator surface: deduplication and similarity
@@ -67,7 +67,33 @@ object DataQueries {
       .orderBy("media_id")
   }
 
+  /** Salted two-phase aggregation must equal the plain one-shuffle
+    * GROUP BY (the oracle) — the skew-mitigation correctness contract.
+    */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedAgg(
+      table(spark, dir, "events").select(col("event_type"), col("value")),
+      keys = Seq("event_type"),
+      aggs = Map("value_sum" -> ("value", "sum"), "n" -> ("value", "count")),
+      salts = 16)
+      .select(col("event_type"), round(col("value_sum"), 2).as("value_sum"), col("n"))
+      .orderBy("event_type")
+
+  /** Corpus canonicalization: exact dups collapse, near-dup clusters
+    * (connected components over MinHash pairs, GraphX Pregel CC) keep
+    * their min-id representative. Rows-only (sketch-based input).
+    */
+  def dedupCanonicalize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = Dedup.minhashPairs(docs)
+    DedupClusters.canonicalize(docs, pairs)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "salted_agg" -> (saltedAgg _),
+    "dedup_canonicalize" -> (dedupCanonicalize _),
     "mm_features" -> (mmFeatures _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -90,6 +116,9 @@ object DataQueries {
       "GROUP BY 1, 2) "
 
   val oracleSql: Map[String, String] = Map(
+    "salted_agg" ->
+      ("SELECT event_type, ROUND(SUM(value), 2) AS value_sum, COUNT(value) AS n " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "dedup_exact" ->
       ("SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents " +
         "GROUP BY text ORDER BY doc_id"),

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Fixtures
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted aggregation equals plain groupBy on a skewed key distribution") {
+    // 90% of rows share one key — the skew scenario
+    val df = ((1 to 900).map(i => ("hot", i.toDouble)) ++
+      (1 to 100).map(i => (s"k${i % 7}", i.toDouble))).toDF("k", "v")
+    val salted = Skew.saltedAgg(df, Seq("k"),
+      Map("s" -> ("v", "sum"), "n" -> ("v", "count"), "mx" -> ("v", "max")), salts = 8)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2), r.getDouble(3)))).toMap
+    val plain = df.groupBy("k")
+      .agg(sum("v").as("s"), count("v").as("n"), max("v").as("mx"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(salted.keySet == plain.keySet)
+    plain.foreach { case (k, (s, n, mx)) =>
+      val (s2, n2, mx2) = salted(k)
+      assert(math.abs(s - s2) < 1e-9 && n == n2 && mx == mx2, s"key $k")
+    }
+  }
+
+  test("non-algebraic aggregate is rejected") {
+    val df = Seq(("a", 1.0)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Skew.saltedAgg(df, Seq("k"), Map("bad" -> ("v", "avg")))
+    }
+  }
+}
+
+class DedupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("transitive near-dup pairs collapse into one component") {
+    // A~B, B~C, D~E: components {1,2,3} and {7,8}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val cc = DedupClusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) == cc(2L) && cc(2L) == cc(3L) && cc(1L) == 1L)
+    assert(cc(7L) == cc(8L) && cc(7L) == 7L)
+    assert(cc(1L) != cc(7L))
+  }
+
+  test("canonicalize keeps one doc per cluster and all singletons") {
+    val docs = Seq(
+      (1L, "near dup one"), (2L, "near dup two"), (3L, "near dup three"),
+      (7L, "pair a"), (8L, "pair b"),
+      (10L, "unique"), (11L, "copy"), (12L, "copy") // exact dups 11/12
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val kept = DedupClusters.canonicalize(docs, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 7L, 10L, 11L))
+  }
+
+  test("fixture corpus: survivors = docs minus planted near-dup non-canonicals") {
+    val docs = Fixtures.table(spark, sf0001, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+    val kept = DedupClusters.canonicalize(docs, pairs)
+    val nonCanonical = DedupClusters.connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("cluster_id")).count()
+    assert(kept.count() == docs.count() - nonCanonical)
+  }
+}
