@@ -217,7 +217,21 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** Sketch aggregates (HLL distinct + approximate quantiles): rows-only —
+    * Spark's HLL++/KLL sketches are implementation-defined and cannot
+    * hash-match DuckDB's — accuracy is asserted against exact answers in
+    * ApproxSpec instead.
+    */
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        round(percentile_approx(col("value"), lit(0.5), lit(1000)), 2).as("approx_p50"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "approx_stats" -> (approxStats _),
     "agg_cube" -> (aggCube _),
     "percentiles" -> (percentiles _),
     "asof_join" -> (asofJoin _),

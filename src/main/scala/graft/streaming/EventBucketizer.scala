@@ -53,6 +53,19 @@ object EventBucketizer {
       }
   }
 
+  /** Gap-based sessions as a streaming aggregation: `session_window`
+    * merges events within `gap` of each other per user — the streaming
+    * twin of the batch lag-window sessionize query (RelationalQueries).
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("value_sum"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("value_sum"))
+
   /** Continuous writer: append daily buckets as date-partitioned parquet —
     * the streaming twin of ParquetCatalog.writeTable. Returns the started
     * query; caller owns lifecycle.

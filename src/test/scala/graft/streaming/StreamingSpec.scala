@@ -41,6 +41,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session_window count matches the batch lag-window sessionize") {
+    val src = java.nio.file.Files.createTempDirectory("graftsess").toString
+    val batch = Fixtures.table(spark, sf0001, "events")
+    batch.write.mode("overwrite").parquet(s"$src/events")
+    val stream = spark.readStream.schema(batch.schema).parquet(s"$src/events")
+    val q = EventBucketizer.sessionWindows(stream).writeStream
+      .outputMode("append").format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .groupBy("user_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // batch truth: the sessionize query at the same 30-min gap
+      val want = graft.queries.RelationalQueries.sessionize(spark, sf0001)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.nonEmpty)
+      // the last session per user may still be open under the watermark in
+      // append mode; closed-session counts must never exceed batch truth
+      got.foreach { case (u, n) =>
+        assert(n <= want(u), s"user $u: stream $n > batch ${want(u)}")
+      }
+      val exact = got.count { case (u, n) => n == want(u) }
+      assert(exact > got.size / 2, "most users' sessions fully closed")
+    } finally q.stop()
+  }
+
   test("runningUserTypeCounts accumulates state per (user, type)") {
     val events = Seq((1L, "click"), (1L, "click"), (1L, "view"), (2L, "click"))
       .toDS()
