@@ -230,7 +230,22 @@ object RelationalQueries {
         round(percentile_approx(col("value"), lit(0.5), lit(1000)), 2).as("approx_p50"))
       .orderBy("event_type")
 
+  /** Greatest-per-group: priciest part per brand. Spark expresses the
+    * TPC-H-Q2-style correlated max subquery as one window pass (no
+    * re-scan); the oracle keeps the correlated-subquery form — same
+    * result, two idioms.
+    */
+  def maxPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+    table(spark, dir, "part")
+      .withColumn("brand_max", max(col("p_retailprice")).over(w))
+      .filter(col("p_retailprice") === col("brand_max"))
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+      .orderBy("p_brand", "p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "max_per_group" -> (maxPerGroup _),
     "approx_stats" -> (approxStats _),
     "agg_cube" -> (aggCube _),
     "percentiles" -> (percentiles _),
@@ -248,6 +263,10 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "max_per_group" ->
+      ("SELECT p_brand, p_partkey, p_retailprice FROM part p " +
+        "WHERE p_retailprice = (SELECT MAX(p2.p_retailprice) FROM part p2 " +
+        "WHERE p2.p_brand = p.p_brand) ORDER BY p_brand, p_partkey"),
     "agg_cube" ->
       ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, " +
         "ROUND(SUM(o_totalprice), 2) AS total_price " +
