@@ -154,10 +154,74 @@ object ProphetLike {
       sigma, deltaScale)
   }
 
+  /** Prophet-parity uncertainty band via seeded trend simulation [public:
+    * Prophet's predictive_samples]: future changepoints arrive as a
+    * Bernoulli-per-day process matching the historical changepoint rate,
+    * with Laplace(0, mean|delta|) slope jumps; each path accumulates the
+    * trend deviation, plus N(0, sigma) observation noise; the band is the
+    * [10%, 90%] sample quantile (80% interval). Deterministic for a fixed
+    * seed — derive the seed from (table, metric) for stable reruns.
+    * In-sample days get the +/- z*sigma noise-only band, matching
+    * Prophet's zero in-sample trend uncertainty.
+    */
+  def predictSimulatedBand(
+      params: ProphetParams,
+      days: Array[Long],
+      seed: Long,
+      nSims: Int = 300): Array[(Long, Double, Double, Double)] = {
+    val rng = new scala.util.Random(seed)
+    val sortedFuture = days.filter(_ > params.tEndDay).sorted
+    val nFut = sortedFuture.length
+    // historical changepoint rate per day; Laplace scale from fitted deltas
+    val histDays = math.max(1.0, params.spanDays)
+    val cpRate = if (histDays > 0) params.changepoints.length / histDays else 0.0
+    val lap = math.max(params.deltaScale, 1e-12)
+    def laplace(): Double = {
+      val u = rng.nextDouble() - 0.5
+      -lap * math.signum(u) * math.log(1 - 2 * math.abs(u))
+    }
+    // deviations(simIdx)(futIdx) in standardized-y space
+    val deviations = Array.ofDim[Double](nSims, nFut)
+    var s = 0
+    while (s < nSims) {
+      var slopeDelta = 0.0
+      var dev = 0.0
+      var i = 0
+      while (i < nFut) {
+        val stepDays =
+          if (i == 0) (sortedFuture(0) - params.tEndDay).toDouble
+          else (sortedFuture(i) - sortedFuture(i - 1)).toDouble
+        var d = 0
+        while (d < stepDays.toInt) {
+          if (rng.nextDouble() < cpRate) slopeDelta += laplace()
+          d += 1
+        }
+        dev += slopeDelta * (stepDays / params.spanDays)
+        deviations(s)(i) = dev + params.sigma * rng.nextGaussian()
+        i += 1
+      }
+      s += 1
+    }
+    val futIdx = sortedFuture.zipWithIndex.toMap
+    val loQ = (nSims * 0.1).toInt
+    val hiQ = math.min(nSims - 1, (nSims * 0.9).toInt)
+    predict(params, days).map { case (d, yhat, aLo, aHi) =>
+      futIdx.get(d) match {
+        case Some(i) =>
+          val samples = Array.tabulate(nSims)(s => deviations(s)(i)).sorted
+          val lo = yhat + samples(loQ) * params.yScale
+          val hi = yhat + samples(hiQ) * params.yScale
+          (d, yhat, math.min(lo, yhat), math.max(hi, yhat))
+        case None => (d, yhat, aLo, aHi) // in-sample: noise-only band
+      }
+    }
+  }
+
   /** Deterministic predict with an 80% band. In-sample: +/- z*sigma. Future
     * days widen as sqrt(sigma^2 + (deltaScale * dt)^2) with dt the scaled
     * distance past the end of history — an analytic proxy for Prophet's
-    * simulated future-changepoint trend uncertainty [public].
+    * simulated future-changepoint trend uncertainty [public]. For closer
+    * Prophet parity use [[predictSimulatedBand]].
     */
   def predict(params: ProphetParams, days: Array[Long]): Array[(Long, Double, Double, Double)] = {
     val beta = DenseVector(params.beta)

@@ -105,6 +105,89 @@ final class ForecastJob(
       }
     }
 
+    summarize(successful, created, updated, skipped, failedSeries, t0)
+  }
+
+  /** Whole-database variant: melts every eligible table into ONE long
+    * frame and runs a single grouped-fit shuffle, so thousands of small
+    * tables don't pay one Spark job each (the reference's per-table loop
+    * is its scaling wall, SURVEY.md §3). Writes still happen per table to
+    * preserve the per-output overwrite contract. Semantics identical to
+    * run() — ForecastJobSpec asserts output equality.
+    */
+  def runUnioned(): JobSummary = {
+    import org.apache.spark.sql.DataFrame
+    val t0 = System.nanoTime()
+    val successful = ArrayBuffer[String]()
+    val created = ArrayBuffer[String]()
+    val updated = ArrayBuffer[String]()
+    val skipped = ArrayBuffer[(String, String)]()
+    val failedSeries = ArrayBuffer[(String, String)]()
+
+    val eligible = catalog
+      .listTables()
+      .filterNot(TableNames.isForecastOutput)
+      .filter(t => specificTables.forall(_.contains(t)))
+    val byOutput = eligible.groupBy(TableNames.forecastName)
+    val candidates = eligible.filter(t => byOutput(TableNames.forecastName(t)).head == t)
+    eligible.filterNot(candidates.contains).foreach { t =>
+      skipped += t -> s"output name collides with ${byOutput(TableNames.forecastName(t)).head}"
+    }
+
+    val prepared: Seq[(String, Seq[String], DataFrame)] = candidates.flatMap { t =>
+      try {
+        val raw = catalog.load(t)
+        if (!raw.columns.contains("date")) { skipped += t -> "no date column"; None }
+        else {
+          val df = SeriesOps.normalizeDate(raw)
+          val metrics = SeriesOps.numericMetricColumns(df.schema)
+          if (metrics.isEmpty) { skipped += t -> "no numeric metric columns"; None }
+          else if (SeriesOps.isEmpty(df)) { skipped += t -> "empty table"; None }
+          else Some((t, metrics, SeriesOps.melt(df, metrics).withColumn("table", lit(t))))
+        }
+      } catch {
+        case NonFatal(e) =>
+          log.error(s"table $t failed during prepare: ${e.getMessage}")
+          failedSeries += t -> "*"
+          None
+      }
+    }
+
+    if (prepared.nonEmpty) {
+      val all = prepared.map(_._3).reduce(_.unionByName(_))
+      val fc = ForecastEngine.forecast(all, interval, onlyFuture).cache()
+      try {
+        val fittedPairs = fc.select("table", "metric").distinct().collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+        prepared.foreach { case (t, metrics, _) =>
+          try {
+            metrics.filterNot(m => fittedPairs((t, m)))
+              .foreach(m => failedSeries += t -> m)
+            val wide = ForecastOutput.toWide(
+              fc.filter(col("table") === t), metrics)
+            val outName = TableNames.forecastName(t)
+            val existed = catalog.tableExists(outName)
+            catalog.writeTable(outName, wide, sortCol = "date")
+            if (existed) updated += outName else created += outName
+            if (metrics.forall(m => fittedPairs((t, m)))) successful += t
+          } catch {
+            case NonFatal(e) =>
+              log.error(s"table $t failed during write: ${e.getMessage}")
+              failedSeries += t -> "*"
+          }
+        }
+      } finally fc.unpersist()
+    }
+    summarize(successful, created, updated, skipped, failedSeries, t0)
+  }
+
+  private def summarize(
+      successful: ArrayBuffer[String],
+      created: ArrayBuffer[String],
+      updated: ArrayBuffer[String],
+      skipped: ArrayBuffer[(String, String)],
+      failedSeries: ArrayBuffer[(String, String)],
+      t0: Long): JobSummary = {
     val summary = JobSummary(successful.toSeq, created.toSeq, updated.toSeq,
       skipped.toSeq, failedSeries.toSeq, (System.nanoTime() - t0) / 1e9)
     log.info(

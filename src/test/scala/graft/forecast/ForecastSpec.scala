@@ -61,6 +61,24 @@ class ProphetLikeSpec extends SparkSpec {
       ProphetLike.predict(b, Array(last + 5)).toSeq)
   }
 
+  test("simulated band: deterministic per seed, ordered, in-sample = analytic") {
+    val pts = series(120)(i => 30.0 + 0.3 * i + 2.0 * math.sin(2 * math.Pi * i / 7.0) + (i % 5))
+    val p = ProphetLike.fit(pts)
+    val days = pts.map(_._1) ++ Array.tabulate(14)(i => pts.last._1 + i + 1)
+    val a = ProphetLike.predictSimulatedBand(p, days, seed = 42L)
+    val b = ProphetLike.predictSimulatedBand(p, days, seed = 42L)
+    assert(a.toSeq == b.toSeq, "same seed -> identical band")
+    a.foreach { case (_, yh, lo, hi) => assert(lo <= yh && yh <= hi) }
+    val analytic = ProphetLike.predict(p, days).map(r => r._1 -> r).toMap
+    a.filter(_._1 <= pts.last._1).foreach { case (d, _, lo, hi) =>
+      assert(lo == analytic(d)._3 && hi == analytic(d)._4, s"in-sample day $d")
+    }
+    // future band is at least as wide as the pure-noise band on average
+    val futWidths = a.filter(_._1 > pts.last._1).map { case (_, _, lo, hi) => hi - lo }
+    val noiseWidth = 2 * ProphetLike.Z80 * p.sigma * p.yScale
+    assert(futWidths.sum / futWidths.length >= noiseWidth * 0.8)
+  }
+
   test("tiny and constant series do not blow up") {
     val one = ProphetLike.fit(Array((19000L, 42.0)))
     val pred = ProphetLike.predict(one, Array(19001L))

@@ -73,6 +73,21 @@ class ForecastJobSpec extends SparkSpec {
     assert(!s2.successful.exists(_.startsWith("bucket_forecast_")))
   }
 
+  test("runUnioned produces identical outputs and bookkeeping to run()") {
+    val catA = seedCatalog()
+    val catB = seedCatalog()
+    val sA = new ForecastJob(catA, 7).run()
+    val sB = new ForecastJob(catB, 7).runUnioned()
+    assert(sA.created.toSet == sB.created.toSet)
+    assert(sA.successful.toSet == sB.successful.toSet)
+    assert(sA.failedSeries.toSet == sB.failedSeries.toSet)
+    Seq("bucket_forecast_events", "bucket_forecast_plain_sales").foreach { t =>
+      val a = catA.load(t).orderBy("date").collect().map(_.toString).toSeq
+      val b = catB.load(t).orderBy("date").collect().map(_.toString).toSeq
+      assert(a == b, s"output $t differs between run() and runUnioned()")
+    }
+  }
+
   test("bucket_x vs x output-name collision: first runs, second is skipped") {
     val tmp = java.nio.file.Files.createTempDirectory("graftcoll").toString
     val cat = new ParquetCatalog(spark, tmp)
