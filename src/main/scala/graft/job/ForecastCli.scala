@@ -7,13 +7,15 @@ import graft.catalog.ParquetCatalog
 /** CLI mirroring the reference's positional contract
   * (forecast_script.py:251-267, README.md:5-13):
   *
-  *   graft.job.ForecastCli <db_dir> <interval> [specific_tables] [--only-future]
+  *   graft.job.ForecastCli <db_dir> <interval> [specific_tables]
+  *       [--only-future] [--unioned]
   *
   * `db_dir` is a directory of parquet tables (the "database");
   * `interval` is the forecast horizon in days; `specific_tables` is a
   * comma-separated allowlist matched EXACTLY (the reference's substring
   * quirk at fs:231 is not ported); `--only-future` keeps only
-  * strictly-after-history rows (fs:176).
+  * strictly-after-history rows (fs:176); `--unioned` fits the whole
+  * database in one grouped shuffle instead of one Spark job per table.
   *
   * Infra parity (SURVEY.md §2.8): I2 — the top-level catch mirrors the
   * reference's global excepthook (fs:76-79); I4 — wall-clock summary.
@@ -32,8 +34,10 @@ object ForecastCli {
       val dbDir = args(0)
       val interval = args(1).toInt
       val rest = args.drop(2)
+      val flags = Set("--only-future", "--unioned")
       val onlyFuture = rest.contains("--only-future")
-      val specific = rest.filterNot(_ == "--only-future").headOption
+      val unioned = rest.contains("--unioned")
+      val specific = rest.filterNot(flags).headOption
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
       // spark-submit injects spark.master; fall back to local[*] when
@@ -46,8 +50,8 @@ object ForecastCli {
         (if (sys.props.contains("spark.master")) builder
          else builder.master(sys.env.getOrElse("GRAFT_MASTER", "local[*]")))
           .getOrCreate()
-      val summary =
-        new ForecastJob(new ParquetCatalog(spark, dbDir), interval, specific, onlyFuture).run()
+      val job = new ForecastJob(new ParquetCatalog(spark, dbDir), interval, specific, onlyFuture)
+      val summary = if (unioned) job.runUnioned() else job.run()
       println(
         f"forecast run finished in ${summary.wallSeconds}%.1f s: " +
           s"successful=${summary.successful.size} created=${summary.created.size} " +

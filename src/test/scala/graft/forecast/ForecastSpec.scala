@@ -140,6 +140,18 @@ class ForecastEngineSpec extends SparkSpec {
     assert(perDate.filter(col("count") =!= 2).count() == 0)
   }
 
+  test("non-finite y values are dropped like NaN, not fed to the solver") {
+    val inf = (0 until 30).map { i =>
+      val d = java.time.LocalDate.parse("2024-01-01").plusDays(i.toLong).toString
+      ("t", "m", d, java.lang.Double.valueOf(
+        if (i == 10) Double.PositiveInfinity else 10.0 + i))
+    }
+    val fc = ForecastEngine.forecast(longDf(inf), 7, onlyFuture = false)
+    val rows = fc.collect()
+    assert(rows.length == 29 + 7) // the Inf day is dropped from history
+    assert(rows.forall(r => !r.yhat.isNaN && !r.yhat.isInfinite))
+  }
+
   test("wide output invariant: m_min <= m <= m_max on every row") {
     val fc = ForecastEngine.forecast(longDf(hist), 7, onlyFuture = false)
     val wide = ForecastOutput.toWide(fc, Seq("m"))
