@@ -23,11 +23,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(
       (FunctionIdentifier("rolling_hash"),
         new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),
-        (args: Seq[Expression]) => RollingHashExpr(args.head)))
+        (args: Seq[Expression]) => {
+          require(args.length == 1,
+            s"rolling_hash expects 1 argument, got ${args.length}")
+          RollingHashExpr(args.head)
+        }))
     e.injectFunction(
       (FunctionIdentifier("vector_dot"),
         new ExpressionInfo(classOf[VectorDotExpr].getName, "vector_dot"),
-        (args: Seq[Expression]) => VectorDotExpr(args(0), args(1))))
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            s"vector_dot expects 2 arguments, got ${args.length}")
+          VectorDotExpr(args(0), args(1))
+        }))
   }
 }
 
@@ -38,6 +46,10 @@ object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
     RollingHashExpr.register(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vector_dot", exprs => VectorDotExpr(exprs(0), exprs(1)), "scala_udf")
+      "vector_dot", exprs => {
+        require(exprs.length == 2,
+          s"vector_dot expects 2 arguments, got ${exprs.length}")
+        VectorDotExpr(exprs(0), exprs(1))
+      }, "scala_udf")
   }
 }

@@ -80,23 +80,18 @@ final class ParquetCatalog(val spark: SparkSession, val root: String) {
     * `ORDER BY date` clustering (fs:142-143): parquet gets monotone
     * min/max column stats per row group, so later date-range scans prune.
     */
-  def writeTable(name: String, df: DataFrame, sortCol: String = "date"): Unit = {
-    val out = if (df.columns.contains(sortCol)) df.sortWithinPartitions(sortCol) else df
-    out.write.mode("overwrite").parquet(tablePath(name))
-  }
-
-  /** Hive-style partitioned overwrite for big fact tables: directory per
-    * `partitionCol` value (e.g. a derived month/date column), rows sorted
-    * by `sortCol` inside each file. Readers with partition-column
-    * predicates then prune whole directories before any IO — the 100 TB
-    * layout for event/lineitem-scale inputs.
+  /** `partitionCol` (optional) adds hive-style directory partitioning for
+    * big fact tables (e.g. a derived month column): readers with
+    * partition-column predicates prune whole directories before any IO —
+    * the 100 TB layout for event/lineitem-scale inputs.
     */
-  def writePartitioned(
+  def writeTable(
       name: String,
       df: DataFrame,
-      partitionCol: String,
-      sortCol: String = "date"): Unit = {
+      sortCol: String = "date",
+      partitionCol: Option[String] = None): Unit = {
     val out = if (df.columns.contains(sortCol)) df.sortWithinPartitions(sortCol) else df
-    out.write.mode("overwrite").partitionBy(partitionCol).parquet(tablePath(name))
+    val writer = out.write.mode("overwrite")
+    partitionCol.fold(writer)(p => writer.partitionBy(p)).parquet(tablePath(name))
   }
 }

@@ -157,9 +157,19 @@ final class ForecastJob(
       val all = prepared.map(_._3).reduce(_.unionByName(_))
       val fc = ForecastEngine.forecast(all, interval, onlyFuture).cache()
       try {
-        val fittedPairs = fc.select("table", "metric").distinct().collect()
-          .map(r => (r.getString(0), r.getString(1))).toSet
-        prepared.foreach { case (t, metrics, _) =>
+        // the one action that is NOT per-table isolated: a corrupt file in
+        // any input surfaces here; record every prepared table as failed
+        // instead of aborting with no summary
+        val fittedPairsOpt =
+          try Some(fc.select("table", "metric").distinct().collect()
+            .map(r => (r.getString(0), r.getString(1))).toSet)
+          catch {
+            case NonFatal(e) =>
+              log.error(s"unioned fit failed: ${e.getMessage}")
+              prepared.foreach { case (t, _, _) => failedSeries += t -> "*" }
+              None
+          }
+        for (fittedPairs <- fittedPairsOpt) prepared.foreach { case (t, metrics, _) =>
           try {
             metrics.filterNot(m => fittedPairs((t, m)))
               .foreach(m => failedSeries += t -> m)

@@ -71,6 +71,6 @@ object AsOfJoin {
       .withColumn("__carried", last(col("__vals"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 0)
       .select((keys ++ leftCols.filterNot(keys.contains)).map(col) ++
-        values.map(v => col(s"__carried.$v").as(v)): _*)
+        values.map(v => col("__carried").getField(v).as(v)): _*)
   }
 }

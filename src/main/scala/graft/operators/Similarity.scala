@@ -77,16 +77,25 @@ object Similarity {
     * Returns (vec_id, centroid_id) assignments — the partition key for
     * IVF search.
     */
-  private def centroidsOf(corpus: DataFrame, nCentroids: Int): DataFrame = {
-    val n = corpus.count() // one cheap job; the codebook is broadcast anyway
-    val step = math.max(1L, n / nCentroids)
+  /** Deterministic codebook: the `nCentroids` corpus vectors with the
+    * smallest id hash. orderBy+limit plans as a distributed top-k
+    * (TakeOrderedAndProject) — no global sort — and hash-ordering makes
+    * the pick independent of how ids are distributed (a vec_id-modulus
+    * pick silently selects zero centroids on offset/sparse id spaces).
+    */
+  private[operators] def centroidsOf(corpus: DataFrame, nCentroids: Int): DataFrame =
     corpus
-      .filter(pmod(col("vec_id"), lit(step)) === 0 && col("vec_id") < step * nCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
-  }
+      .orderBy(xxhash64(col("centroid_id")), col("centroid_id"))
+      .limit(nCentroids)
 
-  def ivfAssign(corpus: DataFrame, nCentroids: Int): DataFrame = {
-    val centroids = centroidsOf(corpus, nCentroids)
+  def ivfAssign(corpus: DataFrame, nCentroids: Int): DataFrame =
+    ivfAssignTo(corpus, centroidsOf(corpus, nCentroids))
+
+  /** Assignment against a precomputed broadcast codebook — callers that
+    * also probe (ivfTopK) compute centroids once and reuse.
+    */
+  def ivfAssignTo(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("centroid_id"))
     corpus
       .join(broadcast(centroids))
@@ -107,8 +116,8 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
-    val assign = ivfAssign(corpus, nCentroids)
-    val centroids = centroidsOf(corpus, nCentroids)
+    val centroids = centroidsOf(corpus, nCentroids).cache()
+    val assign = ivfAssignTo(corpus, centroids)
     val wq = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("centroid_id"))
     val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))

@@ -167,10 +167,12 @@ object RelationalQueries {
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       // cast-to-double keeps fractional seconds — unix_timestamp truncates
       // to whole seconds and would disagree with the oracle's EPOCH() on
-      // gaps that straddle the 1800s boundary by <1s
+      // gaps that straddle the 1800s boundary by <1s. >= (not >) so a gap
+      // of exactly 1800s opens a new session, matching Structured
+      // Streaming's half-open session_window [start, start+gap).
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          col("ts").cast("double") - col("prev_ts").cast("double") > 1800, 1)
+          col("ts").cast("double") - col("prev_ts").cast("double") >= 1800, 1)
           .otherwise(0))
       .groupBy(col("user_id"))
       .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
@@ -345,7 +347,7 @@ object RelationalQueries {
       ("SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, " +
         "COUNT(*) AS n_events FROM (" +
         "SELECT user_id, CASE WHEN prev_ts IS NULL OR " +
-        "EPOCH(ts) - EPOCH(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session FROM (" +
+        "EPOCH(ts) - EPOCH(prev_ts) >= 1800 THEN 1 ELSE 0 END AS new_session FROM (" +
         "SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id " +
         "ORDER BY ts, event_id) AS prev_ts FROM events)) " +
         "GROUP BY user_id ORDER BY user_id")

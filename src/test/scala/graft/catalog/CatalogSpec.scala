@@ -30,6 +30,20 @@ class CatalogSpec extends SparkSpec {
     assert(cat.schemaOf("orders").fieldNames.contains("o_orderkey"))
     assert(cat.load("region").count() == 5)
   }
+  test("writeTable with partitionCol lays out hive-style directories") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graftpart").toString
+    val cat = new ParquetCatalog(spark, tmp)
+    val df = spark.range(100).toDF("n").withColumn("bucket", pmod(col("n"), lit(4)))
+    cat.writeTable("t", df, sortCol = "n", partitionCol = Some("bucket"))
+    val dirs = new java.io.File(s"$tmp/t.parquet").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("bucket=0", "bucket=1", "bucket=2", "bucket=3"))
+    assert(cat.load("t").count() == 100)
+    // partition-column predicate prunes directories (PartitionFilters)
+    assert(cat.load("t").filter(col("bucket") === 2).count() == 25)
+  }
+
   test("writeTable overwrite + drop round-trip") {
     val tmp = java.nio.file.Files.createTempDirectory("graftcat").toString
     val cat = new ParquetCatalog(spark, tmp)

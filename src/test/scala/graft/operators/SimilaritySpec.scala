@@ -41,6 +41,16 @@ class SimilaritySpec extends SparkSpec {
       b2.map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet)
   }
 
+  test("ivf centroids survive offset/sparse id spaces (hash-rank pick)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val offset = emb.withColumn("vec_id", col("vec_id") + 1000001L)
+    val cents = Similarity.centroidsOf(offset, 16).collect()
+    assert(cents.length == 16)
+    val assign = Similarity.ivfAssign(offset, 16)
+    assert(assign.count() == offset.count())
+  }
+
   test("ivf: every vector assigned to exactly one centroid; probes bound candidates") {
     val assign = Similarity.ivfAssign(emb, nCentroids = 16)
     assert(assign.count() == emb.count())
