@@ -1,0 +1,57 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-regression tests: the scale-critical physical-plan properties
+  * (pushdown, pruning, join strategy, no accidental cartesian products)
+  * asserted from the formatted explain output, so a future refactor that
+  * silently loses them fails here rather than in a 100 TB run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q1_agg: shipdate filter reaches the parquet scan; columns pruned") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters") && p.contains("LessThan(l_shipdate"),
+      "date filter must be pushed to the scan")
+    assert(!p.contains("l_orderkey"), "unused columns must be pruned from the read")
+  }
+
+  test("q5_region_revenue: all dimension joins broadcast, no cartesian product") {
+    val p = plan("q5_region_revenue")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dedup_ngram_jaccard: candidate join is keyed (no nested-loop all-pairs)") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "shingle self-join must be an equi-join")
+  }
+
+  test("forecast_events: bounded shuffle count, grouped fit present") {
+    val p = plan("forecast_events")
+    assert(p.contains("MapGroups"), "per-series fit must be a grouped map")
+    // tree lines read "Exchange (25)"; the details section repeats nodes
+    // as "(25) Exchange" — count only the tree form
+    val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).length
+    // bucketize(2: partial agg + countDistinct) + fit keying(1) +
+    // pivot(2) + final sort(1) = 6; a regression that re-shuffles the
+    // long frame or loses map-side partials pushes this up
+    assert(exchanges <= 7, s"shuffle explosion: $exchanges exchanges\n$p")
+  }
+
+  test("ann_topk: query side broadcast, single window rank") {
+    val p = plan("ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "small query side must broadcast")
+    assert("Window".r.findAllIn(p).length >= 1)
+  }
+}
