@@ -53,16 +53,35 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs at `threshold`, candidates =
     * pairs sharing >= 1 shingle. The inverted-index join means work is
-    * proportional to sum over shingles of df^2, not docs^2.
+    * proportional to sum over shingles of df^2, not docs^2 — so a single
+    * stop-shingle present in k docs emits k^2 candidate rows. `maxShingleDf`
+    * caps that: shingles with document frequency above the cap are dropped
+    * from the inverted index BEFORE the self-join (the standard df-cap
+    * trick). Effect on scores: `common` can only shrink for pairs sharing
+    * a hot shingle, so jaccard is slightly UNDER-estimated for them —
+    * genuine near-dups share many (rare) shingles and survive a generous
+    * cap; callers needing exactness at web scale should front with
+    * `minhashPairs` instead.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      maxShingleDf: Int = 1000): DataFrame = {
     // carry each doc's shingle-set size alongside every exploded shingle:
     // the pair aggregation then reconstructs |A| and |B| with max() and no
     // extra join against a per-doc sizes table (2 joins saved; the set
     // size is functionally determined by the doc id)
-    val sh = docs
+    val exploded = docs
       .select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+    // df cap: one extra aggregate + join, both keyed on `shingle` — the
+    // same key the self-join shuffles on, so no new partitioning is paid
+    val rare = exploded.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select(col("shingle"))
+    val sh = exploded.join(rare, Seq("shingle"), "left_semi")
     sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -93,12 +112,19 @@ object Dedup {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rowsPerBand = numHashes / numBands
     val sh = docs.select(col("doc_id"), explode(wordShingles(col("text"), n)).as("shingle"))
-    // one pass, numHashes min-aggregates -> signature columns
+    // one pass, numHashes min-aggregates -> signature columns.
+    // PERSISTED: the signature feeds the banding and both candidate
+    // re-joins; the self-join aliasing renews attribute ids, so Spark's
+    // ReuseExchange can't dedup the three otherwise-identical aggregations
+    // — without the persist the corpus is tokenized + min-aggregated 3x.
+    // (Left cached for Spark's LRU; ~numHashes longs per doc, tiny next to
+    // the corpus itself.)
     val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
     val sig = sh.groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band hashes: doc -> (band_id, band_hash)
     val bandCols = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
@@ -185,5 +211,41 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(col("cos"), 6).as("cos"))
+  }
+
+  /** Scale path for embedding near-dup: candidate pairs share >= 1
+    * (table, bucket) under random-hyperplane LSH [public: Charikar 2002],
+    * then an exact cosine verify keeps only pairs above `threshold`. The
+    * candidate join is keyed by (tbl, bucket) — expected fan-in per bucket
+    * is corpus / 2^bitsPerTable, so work scales with bucket occupancy, not
+    * the O(n^2) pair count of [[embeddingCosinePairs]] (which remains the
+    * exact oracle / verify-stage form). High-cosine pairs land in the same
+    * bucket with probability (1 - theta/pi)^bits per table; recall is
+    * tuned with numTables (union over tables). Defaults are sized for
+    * recall >= 0.95 at cos ~ 0.45 (theta ~ 62 deg -> per-bit collision
+    * ~0.65, per-table 0.65^3 ~ 0.28, miss over 16 tables ~ 0.005); for a
+    * higher threshold (true near-dups, cos >= 0.9) raise bitsPerTable to
+    * shrink buckets — occupancy scales corpus/2^bits.
+    */
+  def embeddingCosinePairsLsh(
+      emb: DataFrame,
+      threshold: Double,
+      dim: Int,
+      numTables: Int = 16,
+      bitsPerTable: Int = 3,
+      seed: Long = 7L): DataFrame = {
+    val b = Similarity.lshBuckets(
+      emb.select(col("vec_id"), col("embedding")), dim, numTables, bitsPerTable, seed)
+    val candidates = b.as("a")
+      .join(b.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("a.embedding").as("ea"),
+        col("b.vec_id").as("vec_b"), col("b.embedding").as("eb"))
+      .distinct()
+    candidates
+      .withColumn("cos", VectorFunctions.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
   }
 }

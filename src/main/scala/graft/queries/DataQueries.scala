@@ -36,6 +36,15 @@ object DataQueries {
     Dedup.embeddingCosinePairs(table(spark, dir, "embeddings"), threshold = 0.45)
       .orderBy("vec_a", "vec_b")
 
+  /** Scale path for embedding near-dup: LSH-bucketed candidates + exact
+    * cosine verify. Rows-only (seeded hyperplanes aren't reproducible in
+    * DuckDB); DedupSpec bounds its recall against the exact operator.
+    */
+  def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairsLsh(table(spark, dir, "embeddings"),
+      threshold = 0.45, dim = 64)
+      .orderBy("vec_a", "vec_b")
+
   def annTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -91,29 +100,56 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** Same canonicalization fed by EXACT Jaccard pairs — fully
+    * deterministic, so the whole pipeline (shingle join + connected
+    * components + exact-dup collapse) hash-matches a DuckDB
+    * recursive-CTE connected-components oracle.
+    */
+  def dedupCanonicalizeExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+    DedupClusters.canonicalize(docs, pairs)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "salted_agg" -> (saltedAgg _),
     "dedup_canonicalize" -> (dedupCanonicalize _),
+    "dedup_canonicalize_exact" -> (dedupCanonicalizeExact _),
     "mm_features" -> (mmFeatures _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "ann_topk" -> (annTopk _),
     "ann_topk_lsh" -> (annTopkLsh _),
     "ann_topk_ivf" -> (annTopkIvf _)
   )
 
+  // mirrors Dedup.ngramJaccardPairs including the maxShingleDf=1000 cap:
+  // `sizes` (full per-doc set sizes) comes from the UNCAPPED index, the
+  // pair-common counts from the capped one — same as the Spark side
   private val shingleCte =
-    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+    "toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
       "sh AS (SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN []::VARCHAR[] " +
       "ELSE list_distinct(list_transform(generate_series(1, len(w) - 2), " +
       "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END) AS shingle FROM toks), " +
       "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id), " +
+      "rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000), " +
+      "shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)), " +
       "com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c " +
-      "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+      "FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
       "GROUP BY 1, 2) "
+
+  private val jaccardPairsCte =
+    shingleCte +
+      ", pairs AS (SELECT doc_a, doc_b FROM (" +
+      "SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) AS jc " +
+      "FROM com JOIN sizes sa ON doc_a = sa.doc_id " +
+      "JOIN sizes sb ON doc_b = sb.doc_id) WHERE jc >= 0.5) "
 
   val oracleSql: Map[String, String] = Map(
     "salted_agg" ->
@@ -123,13 +159,32 @@ object DataQueries {
       ("SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents " +
         "GROUP BY text ORDER BY doc_id"),
     "dedup_ngram_jaccard" ->
-      (shingleCte +
+      ("WITH " + shingleCte +
         "SELECT doc_a, doc_b, ROUND(jc, 6) AS jaccard FROM (" +
         "SELECT doc_a, doc_b, " +
         "CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) AS jc " +
         "FROM com JOIN sizes sa ON doc_a = sa.doc_id " +
         "JOIN sizes sb ON doc_b = sb.doc_id) WHERE jc >= 0.5 " +
         "ORDER BY doc_a, doc_b"),
+    // connected components as a recursive transitive closure (edge lists
+    // are tiny relative to the corpus: only near-dup pairs), then the same
+    // exact-dup collapse + min-id-canonical filter as the Spark side
+    "dedup_canonicalize_exact" ->
+      ("WITH RECURSIVE " + jaccardPairsCte +
+        ", edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs " +
+        "UNION SELECT doc_b, doc_a FROM pairs), " +
+        "reach(src, dst) AS (" +
+        "SELECT a, a FROM edges " +
+        "UNION " +
+        "SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst), " +
+        "clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster_id " +
+        "FROM reach GROUP BY src), " +
+        "surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text) " +
+        "SELECT d.doc_id, d.lang, d.source FROM documents d " +
+        "JOIN surv s ON d.doc_id = s.doc_id " +
+        "LEFT JOIN clusters c ON d.doc_id = c.doc_id " +
+        "WHERE d.doc_id = COALESCE(c.cluster_id, d.doc_id) " +
+        "ORDER BY d.doc_id"),
     "dedup_embedding" ->
       ("SELECT vec_a, vec_b, ROUND(cs, 6) AS cos FROM (" +
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +

@@ -52,9 +52,13 @@ object TextQueries {
 
   /** TF-IDF top-3 terms per document (first 50 docs; document frequency
     * computed over the whole corpus). Scale shape: tf is one (doc, term)
-    * aggregation, df one term aggregation over it; the df side joins
-    * broadcast. Ranking orders by the raw double score (rounded only on
-    * output) with a term tie-break so both engines agree exactly.
+    * aggregation, df one term aggregation over it. The join broadcasts the
+    * FILTERED tf side (candidate docs' terms — small by construction), so
+    * the corpus-wide vocabulary never ships to executors: at 100 TB dfreq
+    * is hundreds of millions of terms and must stay shuffled, while the
+    * candidate side is bounded by the doc filter. Ranking orders by the
+    * raw double score (rounded only on output) with a term tie-break so
+    * both engines agree exactly.
     */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -66,8 +70,8 @@ object TextQueries {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("sc").desc, col("term"))
-    tf.filter(col("doc_id") < 50)
-      .join(broadcast(dfreq), "term")
+    broadcast(tf.filter(col("doc_id") < 50))
+      .join(dfreq, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("sc", col("tf") * log(col("n_docs").cast("double") / col("df")))
       .withColumn("rn", row_number().over(w))
