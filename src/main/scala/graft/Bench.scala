@@ -1,6 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, sum, xxhash64}
+import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
+/** Benchmark surface: runs every SparkEntry query on SPARK_GRAFT_SF_DIR
+  * and prints ONE JSON line with per-query seconds + status.
+  *
+  * Consumption: every output column flows through
+  * `select(xxhash64(cols)).agg(bit_xor(h))`. A bare count() lets Catalyst
+  * elide unreferenced projections (timing a parquet row-count instead of
+  * the query); `sum(xxhash64)` — round 2's attempt — overflows LongType
+  * almost surely under Spark 4's default ANSI mode and aborts the job.
+  * bit_xor is overflow-free, order-insensitive, and still forces every
+  * column of every row.
+  *
+  * Failure accounting: a query that throws is reported per-name in the
+  * JSON `status`/`errors` fields, logged to stderr, and flips the exit
+  * code to 1 — an aborted query can never masquerade as a fast success
+  * (the round-2 failure mode: 40/43 aborts swallowed, rc=0).
+  *
+  * Hygiene: `spark.catalog.clearCache()` between queries, so one query's
+  * internal persist (minhash signatures, IVF codebooks, LSH buckets,
+  * Jaccard inverted index) can neither flatter a later query nor
+  * accumulate MEMORY_AND_DISK blocks across the run.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,22 +38,45 @@ object Bench {
     // absorb executor startup and parquet footer costs
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
     catch { case _: Throwable => () }
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      // consume EVERY output column through a hash aggregate: a bare
-      // count() lets Catalyst elide unreferenced projections (and time a
-      // parquet row-count instead of the query), so map-only queries
-      // would measure fiction
-      try {
-        val df = fn(spark, sfDir)
-        df.agg(sum(xxhash64(df.columns.map(c => col(s"`$c`")): _*))).collect()
-      } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val err: Option[String] =
+        try {
+          val df = fn(spark, sfDir)
+          df.select(xxhash64(df.columns.map(c => col(s"`$c`")): _*).as("h"))
+            .agg(bit_xor(col("h"))).collect()
+          None
+        } catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      System.err.println(
+        f"[bench] $name%-28s ${if (err.isEmpty) "OK" else "FAIL"}%-4s $sec%8.2fs" +
+          err.map(" " + _).getOrElse(""))
+      (name, sec, err)
+    }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val status = results.map { case (k, _, e) =>
+      "\"" + k + "\":\"" + (if (e.isEmpty) "ok" else "failed") + "\"" }
+      .mkString("{", ",", "}")
+    val errors = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
+    val failed = results.count(_._3.nonEmpty)
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""status":$status,"errors":$errors,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed > 0) sys.exit(1)
   }
 }

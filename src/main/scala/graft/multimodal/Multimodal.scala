@@ -9,9 +9,13 @@ import org.apache.spark.sql.functions._
   * setup over its whole partition (the JVM analogue of a batched
   * Arrow-UDF pipeline).
   *
-  * The actual codec step is STUBBED — this container ships no image/audio
-  * libraries — behind [[MediaDecoder.decodeStub]], a deterministic fake
-  * keyed on payload bytes. Everything around it is real and tested:
+  * Decode: for `kind = "image"` the (width, height) metadata is parsed
+  * FOR REAL from the payload's container header — PNG IHDR or JPEG SOF
+  * frame, pure JVM byte-walking, no codec libraries
+  * ([[MediaDecoder.imageDims]]). Full pixel decode and the audio/video
+  * paths remain STUBBED behind [[MediaDecoder.decodeStub]], a
+  * deterministic fake keyed on payload bytes (this container ships no
+  * codec libraries). Everything around the stub is real and tested:
   * schema, binary handling, partition-batched execution, feature-vector
   * output shape.
   */
@@ -29,6 +33,48 @@ object Multimodal {
   val FeatureDim = 8
 
   object MediaDecoder {
+
+    private def be32(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+    private def be16(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+    /** REAL image-dimension parse from container header bytes — no codec
+      * library needed, just the published container layouts:
+      *   - PNG [public: RFC 2083 §4.1.1]: 8-byte signature, then the IHDR
+      *     chunk is mandatory-first, so width/height are the big-endian
+      *     int32s at byte offsets 16 and 20.
+      *   - JPEG [public: ITU T.81 §B.2.2]: FFD8 SOI, then marker segments
+      *     `FF <marker> <len16> <payload>`; the first SOFn frame header
+      *     (C0-CF minus C4/C8/CC) carries height at +5, width at +7.
+      * Returns None for anything that isn't a well-formed PNG/JPEG prefix
+      * (caller falls back to the stub).
+      */
+    def imageDims(payload: Array[Byte]): Option[(Int, Int)] = {
+      val isPng = payload.length >= 24 &&
+        (payload(0) & 0xff) == 0x89 && payload(1) == 'P' &&
+        payload(2) == 'N' && payload(3) == 'G' &&
+        (payload(4) & 0xff) == 0x0d && (payload(5) & 0xff) == 0x0a &&
+        (payload(6) & 0xff) == 0x1a && (payload(7) & 0xff) == 0x0a
+      if (isPng) Some((be32(payload, 16), be32(payload, 20)))
+      else if (payload.length >= 4 &&
+          (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) {
+        var i = 2
+        while (i + 8 < payload.length && (payload(i) & 0xff) == 0xff) {
+          val marker = payload(i + 1) & 0xff
+          if (marker >= 0xc0 && marker <= 0xcf &&
+              marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+            return Some((be16(payload, i + 7), be16(payload, i + 5)))
+          val len = be16(payload, i + 2)
+          if (len < 2) return None
+          i += 2 + len
+        }
+        None
+      } else None
+    }
+
     /** STUB decode: a real implementation would hand `payload` to an image
       * or audio codec here. The fake derives (width, height) and an
       * 8-bin byte histogram deterministically from the bytes, so plumbing
@@ -37,11 +83,28 @@ object Multimodal {
     def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
       val w = 16 + (if (payload.isEmpty) 0 else (payload(0) & 0x3f))
       val h = 16 + (if (payload.length < 2) 0 else (payload(1) & 0x3f))
+      (w, h, byteHistogram(payload))
+    }
+
+    private def byteHistogram(payload: Array[Byte]): Array[Float] = {
       val hist = new Array[Float](FeatureDim)
       payload.foreach(b => hist((b & 0xff) % FeatureDim) += 1f)
       val n = math.max(1, payload.length).toFloat
-      (w, h, hist.map(_ / n))
+      hist.map(_ / n)
     }
+
+    /** Per-kind dispatch: images get the real header parse when the
+      * payload is a recognizable PNG/JPEG (falling back to the stub for
+      * opaque bytes — the fixture payloads are utf-8 text); audio/video
+      * stay on the stub until real codecs exist.
+      */
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Array[Float]) =
+      if (kind == "image")
+        imageDims(payload) match {
+          case Some((w, h)) => (w, h, byteHistogram(payload))
+          case None => decodeStub(payload)
+        }
+      else decodeStub(payload)
   }
 
   /** Wrap any table with a string column as a media table (fixture stand-in
@@ -67,7 +130,7 @@ object Multimodal {
         // per-partition decoder setup would happen here (codec contexts,
         // model weights, ...) — amortized across the whole batch
         rows.map { r =>
-          val (w, h, feats) = MediaDecoder.decodeStub(r.payload)
+          val (w, h, feats) = MediaDecoder.decode(r.kind, r.payload)
           MediaFeatures(r.media_id, r.kind, r.payload.length, w, h, feats)
         }
       }

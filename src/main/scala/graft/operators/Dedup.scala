@@ -77,11 +77,22 @@ object Dedup {
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
     // df cap: one extra aggregate + join, both keyed on `shingle` — the
     // same key the self-join shuffles on, so no new partitioning is paid
-    val rare = exploded.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
+    // df cap via a count-over-window on the SAME shingle key the
+    // self-join shuffles on: one pass over `exploded`, one shuffle —
+    // no separate df-aggregate + semi-join re-deriving the tokenize/
+    // explode subtree.
+    // PERSISTED (mirrors minhashPairs' signature persist): the capped
+    // index feeds both sides of the self-join, whose aliasing renews
+    // attribute ids so ReuseExchange can't dedup the two scans — without
+    // the persist the whole subtree runs twice per side (measured 53.8s
+    // vs ~5s warm at sf0.1 in round 2). Callers running many queries in
+    // one session should clearCache between them (Bench/Verify do).
+    val wsh = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    val sh = exploded
+      .withColumn("df", count(lit(1)).over(wsh))
       .filter(col("df") <= maxShingleDf)
-      .select(col("shingle"))
-    val sh = exploded.join(rare, Seq("shingle"), "left_semi")
+      .drop("df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -117,8 +128,10 @@ object Dedup {
     // re-joins; the self-join aliasing renews attribute ids, so Spark's
     // ReuseExchange can't dedup the three otherwise-identical aggregations
     // — without the persist the corpus is tokenized + min-aggregated 3x.
-    // (Left cached for Spark's LRU; ~numHashes longs per doc, tiny next to
-    // the corpus itself.)
+    // DELIBERATE cache scope: the returned plan is lazy, so the operator
+    // cannot unpersist before the caller consumes it; session drivers
+    // (Bench, Verify) call spark.catalog.clearCache() between queries.
+    // (~numHashes longs per doc, tiny next to the corpus itself.)
     val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
     val sig = sh.groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
@@ -234,16 +247,25 @@ object Dedup {
       numTables: Int = 16,
       bitsPerTable: Int = 3,
       seed: Long = 7L): DataFrame = {
-    val b = Similarity.lshBuckets(
-      emb.select(col("vec_id"), col("embedding")), dim, numTables, bitsPerTable, seed)
+    val e = emb.select(col("vec_id"), col("embedding"))
+    // PERSISTED: the self-join aliasing renews attribute ids, so without
+    // it the bucket assignment (numTables x bitsPerTable dot products per
+    // vector) is computed twice. Dropping the embedding before distinct()
+    // keeps the candidate shuffle at two longs per pair instead of
+    // 2 x dim doubles; the vectors are re-joined only for the (much
+    // smaller) post-distinct verify stage.
+    val b = Similarity.lshBuckets(e, dim, numTables, bitsPerTable, seed)
+      .select(col("vec_id"), col("tbl"), col("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = b.as("a")
       .join(b.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("a.embedding").as("ea"),
-        col("b.vec_id").as("vec_b"), col("b.embedding").as("eb"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
     candidates
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
       .withColumn("cos", VectorFunctions.cosine(col("ea"), col("eb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))

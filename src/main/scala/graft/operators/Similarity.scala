@@ -116,6 +116,10 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    // cached so assignment + probing share one codebook computation.
+    // DELIBERATE cache scope: the returned plan is lazy so the operator
+    // can't unpersist before consumption; Bench/Verify clearCache between
+    // queries (nCentroids rows — negligible if a caller keeps it longer).
     val centroids = centroidsOf(corpus, nCentroids).cache()
     val assign = ivfAssignTo(corpus, centroids)
     val wq = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("centroid_id"))
@@ -139,13 +143,23 @@ object Similarity {
   }
 
   /** ANN top-k: candidates = corpus vectors sharing >= 1 (table, bucket)
-    * with the query; exact cosine re-rank on candidates only. Recall is
-    * tunable via numTables/bitsPerTable; candidates per query is bounded
-    * by corpus_size / 2^bits x tables in expectation, independent of the
-    * all-pairs count.
+    * with the query; exact cosine re-rank on candidates only. Candidates
+    * per query is corpus_size / 2^bits x tables in expectation,
+    * independent of the all-pairs count.
+    *
+    * Recall tuning: a neighbor at angle theta collides per bit with
+    * probability 1 - theta/pi, per table with p = (1-theta/pi)^bits, and
+    * is missed everywhere with (1-p)^tables. Top-k neighbors sit at
+    * moderate angles (the fixtures' planted neighbors are cos ~ 0.45-0.5,
+    * theta ~ 60 deg, per-bit ~ 0.66) — so defaults favor MORE tables with
+    * FEWER bits than the near-dup case: 16 x 4 gives per-table ~ 0.19,
+    * miss ~ 0.81^16 ~ 0.03 (the old 4 x 6 missed ~ 72% — measured 0.28
+    * recall). At larger corpora raise bitsPerTable to shrink buckets and
+    * numTables with it to hold recall; SimilaritySpec pins recall >= 0.8
+    * against bruteForceTopK so a mistuned knob fails loudly.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
-      numTables: Int = 4, bitsPerTable: Int = 6, seed: Long = 7L): DataFrame = {
+      numTables: Int = 16, bitsPerTable: Int = 4, seed: Long = 7L): DataFrame = {
     val cb = lshBuckets(corpus, dim, numTables, bitsPerTable, seed)
     val qb = lshBuckets(queries, dim, numTables, bitsPerTable, seed)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),

@@ -96,6 +96,21 @@ object CoreQueries {
     ForecastOutput.toWide(fc, metrics).orderBy("date")
   }
 
+  /** M4 simulated-band (Prophet-parity) path through the driver surface:
+    * same pipeline as forecastEvents but band = SimulatedBand(). The
+    * per-series simulation seed derives from (table, metric)
+    * (ForecastEngine.forecastSeries), so repeated runs produce identical
+    * rows. Rows-only: the seeded trend simulation is not SQL-expressible;
+    * band invariants (ordering, widening, determinism) live in
+    * ForecastSpec/ForecastPropertySpec. */
+  def forecastEventsSimband(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = Bucketize.events(table(spark, dir, "events"))
+    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false,
+      band = ForecastEngine.SimulatedBand())
+    ForecastOutput.toWide(fc, eventMetrics).orderBy("date")
+  }
+
   /** --only-future path (fs:176 strict >): exactly `interval` rows per
     * metric, all strictly after the last history date. Rows-only. */
   def forecastEventsFuture(spark: SparkSession, dir: String): DataFrame = {
@@ -108,6 +123,7 @@ object CoreQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "forecast_events" -> (forecastEvents _),
     "forecast_events_future" -> (forecastEventsFuture _),
+    "forecast_events_simband" -> (forecastEventsSimband _),
     "forecast_orders" -> (forecastOrders _),
     "bucketize_events" -> (bucketizeEvents _),
     "max_date" -> (maxDate _),

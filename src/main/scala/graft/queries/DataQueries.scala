@@ -8,12 +8,16 @@ import graft.operators.{Dedup, DedupClusters, Similarity, Skew}
 import graft.queries.CoreQueries.table
 
 /** Training-data-pipeline operator surface: deduplication and similarity
-  * search over the `documents` / `embeddings` fixtures. Exact-math
-  * operators (exact dedup, n-gram Jaccard, cosine) carry DuckDB oracles;
-  * the sketch-based ones (MinHash bands, SimHash, LSH ANN) hash with
-  * Spark's xxhash64 / seeded hyperplanes, which DuckDB cannot reproduce —
-  * they get rows-only driver checks plus ScalaTest ground-truth recall
-  * tests against their exact counterparts.
+  * search over the `documents` / `embeddings` fixtures. Deterministic
+  * operators (exact dedup, n-gram Jaccard, cosine) carry DuckDB oracles —
+  * note the Jaccard path is deterministic but NOT exact set-Jaccard: it
+  * applies the maxShingleDf=1000 document-frequency cap (see
+  * [[graft.operators.Dedup.ngramJaccardPairs]]), and the oracle mirrors
+  * the cap so both engines compute the same capped semantics. The
+  * sketch-based ones (MinHash bands, SimHash, LSH ANN) hash with Spark's
+  * xxhash64 / seeded hyperplanes, which DuckDB cannot reproduce — they
+  * get rows-only driver checks plus ScalaTest ground-truth recall tests
+  * against their exact counterparts.
   */
 object DataQueries {
 
@@ -100,9 +104,11 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
-  /** Same canonicalization fed by EXACT Jaccard pairs — fully
-    * deterministic, so the whole pipeline (shingle join + connected
-    * components + exact-dup collapse) hash-matches a DuckDB
+  /** Same canonicalization fed by deterministic df-capped Jaccard pairs
+    * (maxShingleDf=1000 — pairs sharing only hot shingles are dropped, so
+    * this is an approximation of true set-Jaccard; the oracle applies the
+    * same cap). Fully deterministic, so the whole pipeline (shingle join +
+    * connected components + exact-dup collapse) hash-matches a DuckDB
     * recursive-CTE connected-components oracle.
     */
   def dedupCanonicalizeExact(spark: SparkSession, dir: String): DataFrame = {

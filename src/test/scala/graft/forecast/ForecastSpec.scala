@@ -152,6 +152,23 @@ class ForecastEngineSpec extends SparkSpec {
     assert(rows.forall(r => !r.yhat.isNaN && !r.yhat.isInfinite))
   }
 
+  test("cast-to-source typing: int-source metric yields truncated int forecasts (fs:135 parity)") {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    val fc = ForecastEngine.forecast(longDf(hist), 7, onlyFuture = false)
+    val wide = ForecastOutput.toWide(fc, Seq("m"), sourceTypes = Map("m" -> IntegerType))
+    val s = wide.schema
+    assert(Seq("m", "m_min", "m_max").forall(c => s(c).dataType == IntegerType))
+    // casting truncates like the reference's int coercion; values stay sane
+    val rows = wide.orderBy("date").collect()
+    assert(rows.forall(r => r.getInt(2) <= r.getInt(1) && r.getInt(1) <= r.getInt(3)))
+    // default path unchanged: no sourceTypes -> DoubleType everywhere
+    val dbl = ForecastOutput.toWide(fc, Seq("m"))
+    assert(Seq("m", "m_min", "m_max").forall(c => dbl.schema(c).dataType == DoubleType))
+    // partial map: unlisted metrics keep DoubleType
+    val part = ForecastOutput.toWide(fc, Seq("m"), sourceTypes = Map("other" -> LongType))
+    assert(part.schema("m").dataType == DoubleType)
+  }
+
   test("wide output invariant: m_min <= m <= m_max on every row") {
     val fc = ForecastEngine.forecast(longDf(hist), 7, onlyFuture = false)
     val wide = ForecastOutput.toWide(fc, Seq("m"))

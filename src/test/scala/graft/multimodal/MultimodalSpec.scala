@@ -37,6 +37,56 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.sum == 1.0f)
   }
 
+  // golden 640x480 PNG prefix: signature + IHDR chunk header + dims
+  private val pngHeader: Array[Byte] = (
+    Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a) ++ // signature
+      Seq(0x00, 0x00, 0x00, 0x0d) ++                                      // IHDR length 13
+      "IHDR".getBytes("US-ASCII").map(_.toInt) ++
+      Seq(0x00, 0x00, 0x02, 0x80) ++                                      // width 640
+      Seq(0x00, 0x00, 0x01, 0xe0) ++                                      // height 480
+      Seq(0x08, 0x06, 0x00, 0x00, 0x00)                                   // depth/color/etc
+    ).map(_.toByte).toArray
+
+  // golden 320x200 JPEG prefix: SOI, APP0 (to prove segment walking), SOF0
+  private val jpegHeader: Array[Byte] = (
+    Seq(0xff, 0xd8) ++                                    // SOI
+      Seq(0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46) ++         // APP0, len 4
+      Seq(0xff, 0xc0, 0x00, 0x11, 0x08) ++               // SOF0, len 17, precision 8
+      Seq(0x00, 0xc8) ++                                  // height 200
+      Seq(0x01, 0x40) ++                                  // width 320
+      Seq(0x03, 0x01, 0x22, 0x00)                         // components...
+    ).map(_.toByte).toArray
+
+  test("real image header parse: PNG IHDR and JPEG SOF0 dims, not the stub") {
+    assert(Multimodal.MediaDecoder.imageDims(pngHeader).contains((640, 480)))
+    assert(Multimodal.MediaDecoder.imageDims(jpegHeader).contains((320, 200)))
+    // non-image bytes fall back to None -> stub
+    assert(Multimodal.MediaDecoder.imageDims("plain text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.MediaDecoder.imageDims(Array.empty[Byte]).isEmpty)
+    // truncated PNG signature must not parse
+    assert(Multimodal.MediaDecoder.imageDims(pngHeader.take(12)).isEmpty)
+    // dispatch: image kind uses the header; audio kind ignores it
+    val (wi, hi, _) = Multimodal.MediaDecoder.decode("image", pngHeader)
+    assert((wi, hi) == (640, 480))
+    val (wa, ha, _) = Multimodal.MediaDecoder.decode("audio", pngHeader)
+    assert((wa, ha) == (16 + (0x89 & 0x3f), 16 + ('P' & 0x3f)))
+  }
+
+  test("extractFeatures carries real header dims through the Spark path") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "image", pngHeader),
+      (2L, "image", jpegHeader),
+      (3L, "image", "not an image".getBytes("UTF-8")),
+      (4L, "video", pngHeader)
+    ).toDF("media_id", "kind", "payload")
+    val out = Multimodal.extractFeatures(df).collect().map(f => f.media_id -> f).toMap
+    assert((out(1L).width, out(1L).height) == (640, 480))
+    assert((out(2L).width, out(2L).height) == (320, 200))
+    assert(out(3L).width == 16 + ('n' & 0x3f)) // stub fallback
+    assert(out(4L).width == 16 + (0x89 & 0x3f)) // non-image kind stays stubbed
+  }
+
   test("partition-batched path survives repartitioning (plumbing, not plan)") {
     val out = Multimodal.extractFeatures(media.repartition(8, col("media_id")))
       .collect().sortBy(_.media_id).map(_.n_bytes).toSeq

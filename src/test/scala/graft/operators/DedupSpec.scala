@@ -70,4 +70,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.nonEmpty)
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1) && r.getDouble(2) >= 0.45))
   }
+
+  test("embedding LSH pairs: recall >= 0.85 vs exact cosine pairs, no false positives") {
+    val emb = Fixtures.table(spark, sf0001, "embeddings")
+    val truth = Dedup.embeddingCosinePairs(emb, 0.45)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingCosinePairsLsh(emb, threshold = 0.45, dim = 64)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixtures contain planted high-cosine pairs")
+    val recall = truth.count(lsh.contains).toDouble / truth.size
+    assert(recall >= 0.85, s"embedding LSH recall $recall over ${truth.size} true pairs")
+    // the exact-cosine verify stage means LSH can only MISS pairs, never
+    // invent ones below threshold
+    assert(lsh.subsetOf(truth), "LSH emitted a pair the exact operator did not")
+  }
 }

@@ -83,4 +83,14 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("lsh topk: recall >= 0.8 vs brute-force ground truth") {
+    val truth = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshTopK(emb, queries, dim = 64, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(truth.size == 10 * 5)
+    val recall = truth.count(lsh.contains).toDouble / truth.size
+    assert(recall >= 0.8, s"lsh topk recall $recall over ${truth.size} true (query,neighbor) pairs")
+  }
 }
