@@ -16,6 +16,17 @@ object TextFunctions {
     when(length(trim(text)) === 0, lit(0L))
       .otherwise(size(split(trim(text), "\\s+")).cast("long"))
 
+  /** BPE-ish subword-budget estimate: count of GPT-2-style pre-tokenizer
+    * matches — letter runs, digit runs, and non-space symbol runs each
+    * seed at least one merge group [public: Radford et al. 2019 BPE
+    * pre-tokenization]. A cheap codegen'd stand-in for a real tokenizer
+    * when budgeting token volume at corpus scale; real BPE merges only
+    * split within runs, so this lower-bounds the true count.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0)))
+      .cast("long")
+
   /** Fraction of characters that are ASCII letters, 6 decimals. */
   def alphaRatio(text: Column): Column =
     round(length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /

@@ -92,6 +92,38 @@ object Similarity {
   def ivfAssign(corpus: DataFrame, nCentroids: Int): DataFrame =
     ivfAssignTo(corpus, centroidsOf(corpus, nCentroids))
 
+  /** Lloyd (k-means) refinement of an IVF codebook: `iters` rounds of
+    * assign -> per-cell mean. Each round is distributed — an assignment
+    * against the broadcast codebook plus one posexplode mean aggregation
+    * keyed by (cell, dimension) — so the corpus is never collected. Only
+    * the CODEBOOK (nCentroids x dim doubles) comes back to the driver per
+    * round, truncating the iteration's lineage exactly like MLlib KMeans'
+    * driver-resident centers; cells that lose all members keep their
+    * previous centroid (the standard empty-cluster fallback). Better
+    * centroids tighten cell radii, which is what makes low-nprobe IVF
+    * recall work at scale.
+    */
+  def refineCentroids(corpus: DataFrame, initial: DataFrame, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    var cents = initial.select(col("centroid_id"), col("ce").cast("array<double>").as("ce"))
+    for (_ <- 0 until iters) {
+      val assign = ivfAssignTo(corpus, cents)
+      val means = corpus.join(assign, "vec_id")
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("upd"))
+      val next = cents.withColumnRenamed("ce", "prev")
+        .join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("upd"), col("prev")).as("ce"))
+      cents = spark.createDataFrame(
+        java.util.Arrays.asList(next.collect(): _*), next.schema)
+    }
+    cents
+  }
+
   /** Assignment against a precomputed broadcast codebook — callers that
     * also probe (ivfTopK) compute centroids once and reuse.
     */
@@ -115,12 +147,14 @@ object Similarity {
     * for fan-out.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+      nCentroids: Int = 16, nprobe: Int = 4, refineIters: Int = 0): DataFrame = {
     // cached so assignment + probing share one codebook computation.
     // DELIBERATE cache scope: the returned plan is lazy so the operator
     // can't unpersist before consumption; Bench/Verify clearCache between
     // queries (nCentroids rows — negligible if a caller keeps it longer).
-    val centroids = centroidsOf(corpus, nCentroids).cache()
+    val seed = centroidsOf(corpus, nCentroids)
+    val centroids =
+      (if (refineIters > 0) refineCentroids(corpus, seed, refineIters) else seed).cache()
     val assign = ivfAssignTo(corpus, centroids)
     val wq = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("centroid_id"))
     val probes = queries

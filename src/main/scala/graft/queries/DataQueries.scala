@@ -67,6 +67,15 @@ object DataQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF with a Lloyd-refined codebook (2 distributed k-means rounds):
+    * tighter cells -> better low-nprobe recall. Deterministic (hash-rank
+    * seed + deterministic refinement), rows-only like the other sketches. */
+  def annTopkIvfRefined(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, refineIters = 2)
+      .orderBy("query_id", "rank")
+  }
+
   /** Multimodal plumbing end to end (rows-only: the decode step is a
     * documented stub; see graft.multimodal.Multimodal). Deterministic
     * fake features over binary payloads derived from document text.
@@ -132,7 +141,8 @@ object DataQueries {
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "ann_topk" -> (annTopk _),
     "ann_topk_lsh" -> (annTopkLsh _),
-    "ann_topk_ivf" -> (annTopkIvf _)
+    "ann_topk_ivf" -> (annTopkIvf _),
+    "ann_topk_ivf_refined" -> (annTopkIvfRefined _)
   )
 
   // mirrors Dedup.ngramJaccardPairs including the maxShingleDf=1000 cap:

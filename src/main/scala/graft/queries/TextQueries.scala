@@ -39,6 +39,16 @@ object TextQueries {
       .select(col("doc_id"), RollingHashExpr.rolling_hash(col("text")).as("rhash"))
       .orderBy("doc_id")
 
+  /** Token budgeting per doc: whitespace tokens vs the BPE-ish subword
+    * estimate — the pair a training-data pipeline tracks per corpus slice. */
+  def textBpeTokens(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_ws_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
   /** Corpus rollup: doc counts + mean length + token volume per
     * (lang, source) — the curation dashboard staple. */
   def langSourceAgg(spark: SparkSession, dir: String): DataFrame =
@@ -84,6 +94,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "text_stats" -> (textStats _),
+    "text_bpe_tokens" -> (textBpeTokens _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
     "text_rolling_hash" -> (textRollingHash _),
@@ -131,6 +142,10 @@ object TextQueries {
         "/ GREATEST(length(text), 1)) * " +
         s"LEAST(1.0, CAST($tokCount AS DOUBLE) / 20.0), 6) AS quality " +
         "FROM documents ORDER BY doc_id"),
+    "text_bpe_tokens" ->
+      (s"SELECT doc_id, $tokCount AS n_ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) " +
+        "AS n_bpe_tokens FROM documents ORDER BY doc_id"),
     "text_langid" ->
       (s"SELECT doc_id, lang, $langCase AS lang_pred FROM documents ORDER BY doc_id"),
     "text_fingerprint" ->

@@ -66,6 +66,24 @@ object EventBucketizer {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("value_sum"))
 
+  /** Streaming exact dedup — the streaming twin of
+    * [[graft.operators.Dedup.exact]]: emits only the FIRST arrival of each
+    * distinct text. Keyed on xxhash64(text) so the dedup state store holds
+    * an 8-byte key per distinct doc instead of the full text (the same
+    * shrink-the-shuffle-key trick the batch operator documents for 100 TB).
+    * `dropDuplicatesWithinWatermark` bounds state: a key is evicted once
+    * the watermark passes its event time, so state scales with the
+    * duplicate-arrival horizon (how late a dup can trail its original),
+    * not with corpus size — the property that makes streaming dedup
+    * feasible on an unbounded corpus.
+    */
+  def streamingDedup(docs: DataFrame, watermark: String = "1 day"): DataFrame =
+    docs
+      .withColumn("text_hash", xxhash64(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+      .drop("text_hash")
+
   /** Continuous writer: append daily buckets as date-partitioned parquet —
     * the streaming twin of ParquetCatalog.writeTable. Returns the started
     * query; caller owns lifecycle.

@@ -16,6 +16,17 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one(TextFunctions.tokenCount($"text"), "single") == 1L)
   }
 
+  test("bpeTokenCount: letter/digit/symbol runs each count once; blank -> 0") {
+    // "Hello, world2!" -> [Hello][,][world][2][!] = 5
+    assert(one(TextFunctions.bpeTokenCount($"text"), "Hello, world2!") == 5L)
+    assert(one(TextFunctions.bpeTokenCount($"text"), "abc def") == 2L)
+    assert(one(TextFunctions.bpeTokenCount($"text"), "2024-01-01") == 5L)
+    assert(one(TextFunctions.bpeTokenCount($"text"), "") == 0L)
+    assert(one(TextFunctions.bpeTokenCount($"text"), "   ") == 0L)
+    // lower-bounds the whitespace count never by more than punctuation adds
+    assert(one(TextFunctions.bpeTokenCount($"text"), "a b c") == 3L)
+  }
+
   test("alphaRatio and avgWordLen known values") {
     assert(one(TextFunctions.alphaRatio($"text"), "ab1") == 0.666667) // round(2/3, 6)
     assert(one(TextFunctions.avgWordLen($"text"), "ab cdef") == 3.0)

@@ -84,6 +84,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lloyd refinement monotonically reduces quantization error; empty cells survive") {
+    import graft.functions.VectorFunctions
+    def quantErr(cents: org.apache.spark.sql.DataFrame): Double = {
+      val assign = Similarity.ivfAssignTo(emb, cents)
+      emb.join(assign, "vec_id").join(cents, "centroid_id")
+        .select(avg(
+          VectorFunctions.dot(col("embedding"), col("embedding")) +
+            VectorFunctions.dot(col("ce"), col("ce")) -
+            lit(2.0) * VectorFunctions.dot(col("embedding"), col("ce"))).as("e"))
+        .head().getDouble(0)
+    }
+    val init = Similarity.centroidsOf(emb, 16)
+      .select(col("centroid_id"), col("ce").cast("array<double>").as("ce"))
+    val e0 = quantErr(init)
+    val r1 = Similarity.refineCentroids(emb, init, 1)
+    val e1 = quantErr(r1)
+    val r3 = Similarity.refineCentroids(emb, init, 3)
+    val e3 = quantErr(r3)
+    assert(r1.count() == 16 && r3.count() == 16, "codebook size preserved")
+    assert(e1 < e0, s"one Lloyd round must improve the hash-pick seed: $e1 vs $e0")
+    assert(e3 <= e1 + 1e-9, s"Lloyd is monotone: $e3 vs $e1")
+    // deterministic: same input -> identical codebook
+    val r1b = Similarity.refineCentroids(emb, init, 1)
+    assert(r1.orderBy("centroid_id").collect().toSeq ==
+      r1b.orderBy("centroid_id").collect().toSeq)
+  }
+
   test("lsh topk: recall >= 0.8 vs brute-force ground truth") {
     val truth = Similarity.bruteForceTopK(emb, queries, 5).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

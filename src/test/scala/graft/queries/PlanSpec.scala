@@ -48,6 +48,34 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 7, s"shuffle explosion: $exchanges exchanges\n$p")
   }
 
+  test("dedup_ngram_jaccard: capped index persisted once, df-cap is one window pass") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(p.contains("InMemoryRelation"),
+      "the capped inverted index must be persisted — without it the " +
+        "tokenize/explode subtree recomputes on both sides of the self-join")
+    assert("Window".r.findAllIn(p).nonEmpty,
+      "df cap must be a count-over-window on the join key, not a " +
+        "separate aggregate + semi-join re-deriving the explode")
+  }
+
+  test("dedup_embedding_lsh: candidate distinct shuffles ids only, buckets persisted") {
+    val p = plan("dedup_embedding_lsh")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("InMemoryRelation"),
+      "LSH buckets must be persisted across the self-join's renewed attribute ids")
+    // the distinct() aggregate must key on the two id columns alone — an
+    // embedding column here widens the candidate shuffle by 2 x dim doubles
+    assert("""Keys \[2\]: \[vec_a#\d+L, vec_b#\d+L\]""".r.findAllIn(p).nonEmpty,
+      s"candidate distinct must key on (vec_a, vec_b) only\n$p")
+  }
+
+  test("ann_topk_lsh: bucket join keyed, no cartesian, single re-rank window") {
+    val p = plan("ann_topk_lsh")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), "candidate generation must be an equi-join")
+  }
+
   test("ann_topk: query side broadcast, single window rank") {
     val p = plan("ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -67,6 +67,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup emits one row per distinct text, matching batch exact dedup") {
+    val src = java.nio.file.Files.createTempDirectory("graftdedup").toString
+    // duplicated corpus with event times: dup arrives 1 minute after its
+    // original, well inside the watermark
+    val docs = Seq(
+      (1L, "alpha beta gamma", "2024-01-01 10:00:00"),
+      (2L, "alpha beta gamma", "2024-01-01 10:01:00"),
+      (3L, "delta epsilon", "2024-01-01 10:02:00"),
+      (4L, "zeta eta theta", "2024-01-01 10:03:00"),
+      (5L, "delta epsilon", "2024-01-01 10:04:00")
+    ).toDF("doc_id", "text", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    docs.write.mode("overwrite").parquet(s"$src/docs")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$src/docs")
+    val q = EventBucketizer.streamingDedup(stream).writeStream
+      .outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("text").collect()
+        .map(_.getString(0)).toSeq
+      // one survivor per distinct text — same multiset as batch exact dedup
+      assert(got.sorted == Seq("alpha beta gamma", "delta epsilon", "zeta eta theta"))
+      val batchSurvivors = graft.operators.Dedup.exact(docs.select($"doc_id", $"text"))
+      assert(got.length == batchSurvivors.count())
+    } finally q.stop()
+  }
+
   test("runningUserTypeCounts accumulates state per (user, type)") {
     val events = Seq((1L, "click"), (1L, "click"), (1L, "view"), (2L, "click"))
       .toDS()
