@@ -94,4 +94,36 @@ final class ParquetCatalog(val spark: SparkSession, val root: String) {
     val writer = out.write.mode("overwrite")
     partitionCol.fold(writer)(p => writer.partitionBy(p)).parquet(tablePath(name))
   }
+
+  /** Bucketed write for CO-LOCATED joins: rows are hash-partitioned into
+    * `nBuckets` files on `bucketCol` at write time, and the bucket spec is
+    * recorded in the session catalog (bucketing metadata cannot live in
+    * parquet footers, so this goes through `saveAsTable`; the data itself
+    * still lands under this catalog's root as an external table). An
+    * equi-join between two tables bucketed identically on the join key
+    * plans with NO Exchange on either side — the shuffle for the heaviest
+    * recurring fact-to-fact joins (lineitem x orders on the order key at
+    * 100 TB) is paid once at ingest instead of per query. `sortBy` within
+    * buckets additionally lets sort-merge join skip its per-task sorts
+    * when each bucket is a single file. CatalogSpec pins the no-Exchange
+    * plan property.
+    */
+  def writeBucketed(
+      name: String,
+      df: DataFrame,
+      bucketCol: String,
+      nBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", tablePath(name))
+      .format("parquet")
+      .saveAsTable(name)
+
+  /** Read back a bucketed table — must go through the session catalog so
+    * the optimizer sees the bucket spec (a plain parquet read of the same
+    * files would forget the hash-partitioning and re-shuffle).
+    */
+  def loadBucketed(name: String): DataFrame = spark.table(name)
 }

@@ -30,6 +30,40 @@ class CatalogSpec extends SparkSpec {
     assert(cat.schemaOf("orders").fieldNames.contains("o_orderkey"))
     assert(cat.load("region").count() == 5)
   }
+  test("bucketed tables co-locate the join: zero Exchange on either side") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graftbucket").toString
+    val cat = new ParquetCatalog(spark, tmp)
+    val facts = spark.range(2000).toDF("k")
+      .withColumn("v", col("k") * 2)
+    val dims = spark.range(2000).toDF("k")
+      .withColumn("w", col("k") % 7)
+    cat.writeBucketed("bf_facts", facts, "k", 8)
+    cat.writeBucketed("bf_dims", dims, "k", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast join so the bucket co-location is what the
+      // plan must rely on
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = cat.loadBucketed("bf_facts")
+        .join(cat.loadBucketed("bf_dims"), "k")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle either side\n$p")
+      assert(joined.count() == 2000)
+      // negative control: the same files read WITHOUT the bucket spec
+      // (plain parquet path read) must re-shuffle
+      val plain = spark.read.parquet(cat.tablePath("bf_facts"))
+        .join(spark.read.parquet(cat.tablePath("bf_dims")), "k")
+      assert(plain.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bf_facts")
+      spark.sql("DROP TABLE IF EXISTS bf_dims")
+    }
+  }
+
   test("writeTable with partitionCol lays out hive-style directories") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graftpart").toString
