@@ -118,6 +118,44 @@ object Multimodal {
         (pmod(col(idCol).cast("long"), lit(3)) + 1).cast("int")).as("kind"),
       col(payloadCol).cast("binary").as("payload"))
 
+  final case class FrameSample(
+      media_id: Long,
+      frame_idx: Int,
+      offset: Int,
+      frame: Array[Byte])
+
+  /** Deterministic frame sampling for video payloads: `nFrames`
+    * fixed-size byte windows at evenly spaced offsets — the
+    * container-agnostic stand-in for keyframe extraction (a real
+    * implementation would seek the codec's keyframe index here; the
+    * offsets/slicing/fan-out plumbing is what Spark owns either way).
+    * Emits one row per (media, frame) — the long shape a per-frame
+    * embedding or captioning stage consumes; non-video rows contribute a
+    * single frame 0 over the payload head so downstream stages see a
+    * uniform schema. Fan-out is nFrames x rows with small fixed-size
+    * frames: partition counts carry over from the input, so repartition
+    * upstream by media_id for even decode batches at scale.
+    */
+  def sampleFrames(media: DataFrame, nFrames: Int = 4, frameBytes: Int = 64)
+      : Dataset[FrameSample] = {
+    require(nFrames >= 1 && frameBytes >= 1)
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("kind"), col("payload")).as[MediaRow]
+      .flatMap { r =>
+        val n = if (r.kind == "video") nFrames else 1
+        val len = r.payload.length
+        (0 until n).iterator.map { i =>
+          val off =
+            if (n <= 1 || len <= frameBytes) 0
+            else ((len - frameBytes).toLong * i / (n - 1)).toInt
+          val from = math.min(off, len)
+          val until = math.min(off + frameBytes, len)
+          FrameSample(r.media_id, i, off,
+            java.util.Arrays.copyOfRange(r.payload, from, until))
+        }
+      }
+  }
+
   /** Batched feature extraction: one decoder instantiation per partition,
     * streamed row-by-row (no per-partition materialization). Partition
     * count governs decode parallelism — repartition upstream by media_id

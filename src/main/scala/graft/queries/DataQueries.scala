@@ -89,6 +89,19 @@ object DataQueries {
       .orderBy("media_id")
   }
 
+  /** Frame-sampling fan-out for video payloads (rows-only: deterministic
+    * byte-window offsets; the per-frame shape a downstream embedding
+    * stage consumes).
+    */
+  def mmFrames(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaTable(table(spark, dir, "documents"), "doc_id", "text")
+    Multimodal.sampleFrames(media, nFrames = 4, frameBytes = 64)
+      .toDF()
+      .select(col("media_id"), col("frame_idx"), col("offset"),
+        length(col("frame")).as("n_bytes"))
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** Salted two-phase aggregation must equal the plain one-shuffle
     * GROUP BY (the oracle) — the skew-mitigation correctness contract.
     */
@@ -133,6 +146,7 @@ object DataQueries {
     "dedup_canonicalize" -> (dedupCanonicalize _),
     "dedup_canonicalize_exact" -> (dedupCanonicalizeExact _),
     "mm_features" -> (mmFeatures _),
+    "mm_frames" -> (mmFrames _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash" -> (dedupMinhash _),

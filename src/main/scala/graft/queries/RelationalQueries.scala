@@ -246,7 +246,28 @@ object RelationalQueries {
       .orderBy("p_brand", "p_partkey")
   }
 
+  /** TPC-H Q17-flavored decorrelated aggregate subquery: lineitems above
+    * 1.2x their part's average quantity. The correlated per-row subquery
+    * is written as one per-key aggregate + equi-join — the decorrelation
+    * Catalyst applies to the SQL form, stated directly so the plan is one
+    * shuffle on l_partkey shared by both the aggregate and the join.
+    * (Quantities are small integers stored as doubles, so avg is exact in
+    * both engines regardless of summation order — safe to compare
+    * strictly without an epsilon.)
+    */
+  def aboveAvgQty(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val avgQ = li.groupBy(col("l_partkey")).agg(avg(col("l_quantity")).as("avg_qty"))
+    li.join(avgQ, "l_partkey")
+      .filter(col("l_quantity") > col("avg_qty") * 1.2)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_above"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy("l_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "above_avg_qty" -> (aboveAvgQty _),
     "max_per_group" -> (maxPerGroup _),
     "approx_stats" -> (approxStats _),
     "agg_cube" -> (aggCube _),
@@ -265,6 +286,13 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "above_avg_qty" ->
+      ("SELECT l_partkey, COUNT(*) AS n_above, " +
+        "ROUND(SUM(l_extendedprice), 2) AS revenue FROM lineitem " +
+        "JOIN (SELECT l_partkey, AVG(l_quantity) AS avg_qty FROM lineitem " +
+        "GROUP BY l_partkey) USING (l_partkey) " +
+        "WHERE l_quantity > avg_qty * 1.2 " +
+        "GROUP BY l_partkey ORDER BY l_partkey"),
     "max_per_group" ->
       ("SELECT p_brand, p_partkey, p_retailprice FROM part p " +
         "WHERE p_retailprice = (SELECT MAX(p2.p_retailprice) FROM part p2 " +

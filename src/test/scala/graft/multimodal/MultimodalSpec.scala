@@ -87,6 +87,33 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L).width == 16 + (0x89 & 0x3f)) // non-image kind stays stubbed
   }
 
+  test("frame sampling: nFrames per video, 1 per other kinds, spaced offsets, bounded slices") {
+    import spark.implicits._
+    val payload = Array.tabulate(1000)(_.toByte)
+    val df = Seq(
+      (1L, "video", payload),
+      (2L, "image", payload),
+      (3L, "video", Array.empty[Byte]),
+      (4L, "video", payload.take(10)) // shorter than one frame window
+    ).toDF("media_id", "kind", "payload")
+    val frames = Multimodal.sampleFrames(df, nFrames = 4, frameBytes = 64)
+      .collect().groupBy(_.media_id)
+    assert(frames(1L).length == 4 && frames(2L).length == 1)
+    assert(frames(3L).length == 4 && frames(3L).forall(_.frame.isEmpty))
+    // evenly spaced over (len - frameBytes): 0, 312, 624, 936
+    assert(frames(1L).sortBy(_.frame_idx).map(_.offset).toSeq == Seq(0, 312, 624, 936))
+    assert(frames(1L).forall(_.frame.length == 64))
+    assert(frames(4L).forall(f => f.offset == 0 && f.frame.length == 10))
+    // frame content is the actual payload slice at the offset
+    val f2 = frames(1L).find(_.frame_idx == 1).get
+    assert(f2.frame.toSeq == payload.slice(312, 312 + 64).toSeq)
+    // deterministic across runs
+    val again = Multimodal.sampleFrames(df, nFrames = 4, frameBytes = 64)
+      .collect().groupBy(_.media_id)
+    assert(again(1L).sortBy(_.frame_idx).map(_.offset).toSeq ==
+      frames(1L).sortBy(_.frame_idx).map(_.offset).toSeq)
+  }
+
   test("partition-batched path survives repartitioning (plumbing, not plan)") {
     val out = Multimodal.extractFeatures(media.repartition(8, col("media_id")))
       .collect().sortBy(_.media_id).map(_.n_bytes).toSeq
