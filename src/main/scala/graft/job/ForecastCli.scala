@@ -8,14 +8,16 @@ import graft.catalog.ParquetCatalog
   * (forecast_script.py:251-267, README.md:5-13):
   *
   *   graft.job.ForecastCli <db_dir> <interval> [specific_tables]
-  *       [--only-future] [--unioned]
+  *       [--only-future] [--unioned] [--parity-types]
   *
   * `db_dir` is a directory of parquet tables (the "database");
   * `interval` is the forecast horizon in days; `specific_tables` is a
   * comma-separated allowlist matched EXACTLY (the reference's substring
   * quirk at fs:231 is not ported); `--only-future` keeps only
   * strictly-after-history rows (fs:176); `--unioned` fits the whole
-  * database in one grouped shuffle instead of one Spark job per table.
+  * database in one grouped shuffle instead of one Spark job per table;
+  * `--parity-types` casts forecast columns back to each metric's source
+  * type (the reference's fs:135 type re-use — truncating for int metrics).
   *
   * Infra parity (SURVEY.md §2.8): I2 — the top-level catch mirrors the
   * reference's global excepthook (fs:76-79); I4 — wall-clock summary.
@@ -34,9 +36,10 @@ object ForecastCli {
       val dbDir = args(0)
       val interval = args(1).toInt
       val rest = args.drop(2)
-      val flags = Set("--only-future", "--unioned")
+      val flags = Set("--only-future", "--unioned", "--parity-types")
       val onlyFuture = rest.contains("--only-future")
       val unioned = rest.contains("--unioned")
+      val parityTypes = rest.contains("--parity-types")
       val specific = rest.filterNot(flags).headOption
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
@@ -50,7 +53,8 @@ object ForecastCli {
         (if (sys.props.contains("spark.master")) builder
          else builder.master(sys.env.getOrElse("GRAFT_MASTER", "local[*]")))
           .getOrCreate()
-      val job = new ForecastJob(new ParquetCatalog(spark, dbDir), interval, specific, onlyFuture)
+      val job = new ForecastJob(new ParquetCatalog(spark, dbDir), interval, specific,
+        onlyFuture, parityTypes)
       val summary = if (unioned) job.runUnioned() else job.run()
       println(
         f"forecast run finished in ${summary.wallSeconds}%.1f s: " +

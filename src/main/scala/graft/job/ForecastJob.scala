@@ -41,9 +41,20 @@ final class ForecastJob(
     catalog: ParquetCatalog,
     interval: Int,
     specificTables: Option[Set[String]] = None,
-    onlyFuture: Boolean = false) {
+    onlyFuture: Boolean = false,
+    parityTypes: Boolean = false) {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Strict-parity output typing (opt-in, fs:135): each metric's three
+    * forecast columns are cast back to the SOURCE column's type, so an
+    * int-typed metric yields truncated int forecasts exactly like the
+    * reference's type re-use. Default stays DoubleType (SURVEY §7.6).
+    */
+  private def sourceTypes(df: org.apache.spark.sql.DataFrame, metrics: Seq[String])
+      : Map[String, org.apache.spark.sql.types.DataType] =
+    if (!parityTypes) Map.empty
+    else metrics.map(m => m -> df.schema(m).dataType).toMap
 
   def run(): JobSummary = {
     val t0 = System.nanoTime()
@@ -87,7 +98,7 @@ final class ForecastJob(
               val fitted =
                 fc.select("metric").distinct().collect().map(_.getString(0)).toSet
               metrics.filterNot(fitted).foreach(m => failedSeries += t -> m)
-              val wide = ForecastOutput.toWide(fc, metrics)
+              val wide = ForecastOutput.toWide(fc, metrics, sourceTypes(df, metrics))
               val outName = TableNames.forecastName(t)
               val existed = catalog.tableExists(outName)
               catalog.writeTable(outName, wide, sortCol = "date")
@@ -134,7 +145,8 @@ final class ForecastJob(
       skipped += t -> s"output name collides with ${byOutput(TableNames.forecastName(t)).head}"
     }
 
-    val prepared: Seq[(String, Seq[String], DataFrame)] = candidates.flatMap { t =>
+    val prepared: Seq[(String, Seq[String], Map[String, org.apache.spark.sql.types.DataType], DataFrame)] =
+      candidates.flatMap { t =>
       try {
         val raw = catalog.load(t)
         if (!raw.columns.contains("date")) { skipped += t -> "no date column"; None }
@@ -143,7 +155,8 @@ final class ForecastJob(
           val metrics = SeriesOps.numericMetricColumns(df.schema)
           if (metrics.isEmpty) { skipped += t -> "no numeric metric columns"; None }
           else if (SeriesOps.isEmpty(df)) { skipped += t -> "empty table"; None }
-          else Some((t, metrics, SeriesOps.melt(df, metrics).withColumn("table", lit(t))))
+          else Some((t, metrics, sourceTypes(df, metrics),
+            SeriesOps.melt(df, metrics).withColumn("table", lit(t))))
         }
       } catch {
         case NonFatal(e) =>
@@ -154,7 +167,7 @@ final class ForecastJob(
     }
 
     if (prepared.nonEmpty) {
-      val all = prepared.map(_._3).reduce(_.unionByName(_))
+      val all = prepared.map(_._4).reduce(_.unionByName(_))
       val fc = ForecastEngine.forecast(all, interval, onlyFuture).cache()
       try {
         // the one action that is NOT per-table isolated: a corrupt file in
@@ -166,15 +179,15 @@ final class ForecastJob(
           catch {
             case NonFatal(e) =>
               log.error(s"unioned fit failed: ${e.getMessage}")
-              prepared.foreach { case (t, _, _) => failedSeries += t -> "*" }
+              prepared.foreach { case (t, _, _, _) => failedSeries += t -> "*" }
               None
           }
-        for (fittedPairs <- fittedPairsOpt) prepared.foreach { case (t, metrics, _) =>
+        for (fittedPairs <- fittedPairsOpt) prepared.foreach { case (t, metrics, types, _) =>
           try {
             metrics.filterNot(m => fittedPairs((t, m)))
               .foreach(m => failedSeries += t -> m)
             val wide = ForecastOutput.toWide(
-              fc.filter(col("table") === t), metrics)
+              fc.filter(col("table") === t), metrics, types)
             val outName = TableNames.forecastName(t)
             val existed = catalog.tableExists(outName)
             catalog.writeTable(outName, wide, sortCol = "date")

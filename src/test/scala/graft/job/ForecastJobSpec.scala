@@ -101,6 +101,27 @@ class ForecastJobSpec extends SparkSpec {
     })
   }
 
+  test("parityTypes casts forecast columns back to source metric types (fs:135)") {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val cat = seedCatalog()
+    new ForecastJob(cat, 7, parityTypes = true).run()
+    val s = cat.load("bucket_forecast_events").schema
+    // event_count/active_users are long in the source buckets -> long out
+    assert(s("event_count").dataType == LongType)
+    assert(s("event_count_min").dataType == LongType)
+    assert(s("active_users_max").dataType == LongType)
+    // value_sum is double in the source -> stays double
+    assert(s("value_sum").dataType == DoubleType)
+    // default (SURVEY §7.6): everything double
+    val cat2 = seedCatalog()
+    new ForecastJob(cat2, 7).run()
+    assert(cat2.load("bucket_forecast_events").schema("event_count").dataType == DoubleType)
+    // unioned path applies the same per-table source typing
+    val cat3 = seedCatalog()
+    new ForecastJob(cat3, 7, parityTypes = true).runUnioned()
+    assert(cat3.load("bucket_forecast_events").schema("active_users").dataType == LongType)
+  }
+
   test("only-future output has exactly interval rows per table") {
     val cat = seedCatalog()
     new ForecastJob(cat, 7, onlyFuture = true).run()
