@@ -54,4 +54,29 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(combineAggs.head, combineAggs.tail: _*)
   }
+
+  /** Skew-mitigated inner equi-join: the big (skewed) side gets a
+    * deterministic per-row salt, the small side is replicated once per
+    * salt value, and the join keys become (key, salt) — so a hot join key
+    * spreads over `salts` reducer partitions instead of one straggler.
+    * Shuffle volume: big side unchanged, small side x salts (use for
+    * big-to-modest joins where the small side is too large to broadcast
+    * outright but cheap to replicate a few ways). Result is row-identical
+    * to the plain inner join — the driver oracle checks exactly that.
+    * Prefer AQE's skew-join split when it fires; this is the explicit
+    * form for when it can't (e.g. skew inside one bucketed partition or
+    * non-shuffle joins AQE won't re-plan).
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      salts: Int = 16): DataFrame = {
+    require(salts > 1, "salts must be > 1")
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

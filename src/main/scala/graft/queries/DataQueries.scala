@@ -114,6 +114,22 @@ object DataQueries {
       .select(col("event_type"), round(col("value_sum"), 2).as("value_sum"), col("n"))
       .orderBy("event_type")
 
+  /** Salted-join contract: the skew-spread (key, salt) join must be
+    * row-identical to the plain inner join — rolled up per supplier
+    * nation so the oracle (which runs the PLAIN join) stays small.
+    */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"))
+    val sup = table(spark, dir, "supplier")
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    Skew.saltedJoin(li, sup, "suppkey", salts = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy("s_nationkey")
+  }
+
   /** Corpus canonicalization: exact dups collapse, near-dup clusters
     * (connected components over MinHash pairs, GraphX Pregel CC) keep
     * their min-id representative. Rows-only (sketch-based input).
@@ -143,6 +159,7 @@ object DataQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "salted_agg" -> (saltedAgg _),
+    "salted_join" -> (saltedJoin _),
     "dedup_canonicalize" -> (dedupCanonicalize _),
     "dedup_canonicalize_exact" -> (dedupCanonicalizeExact _),
     "mm_features" -> (mmFeatures _),
@@ -185,6 +202,11 @@ object DataQueries {
     "salted_agg" ->
       ("SELECT event_type, ROUND(SUM(value), 2) AS value_sum, COUNT(value) AS n " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "salted_join" ->
+      ("SELECT s_nationkey, COUNT(*) AS n_items, " +
+        "ROUND(SUM(l_extendedprice), 2) AS revenue " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
     "dedup_exact" ->
       ("SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents " +
         "GROUP BY text ORDER BY doc_id"),

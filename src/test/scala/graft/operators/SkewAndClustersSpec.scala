@@ -31,6 +31,21 @@ class SkewSpec extends SparkSpec {
       Skew.saltedAgg(df, Seq("k"), Map("bad" -> ("v", "avg")))
     }
   }
+
+  test("salted join is row-identical to the plain inner join under skew") {
+    // one hot key carrying 90% of the big side, plus unmatched keys on
+    // both sides (inner-join semantics must drop them)
+    val big = ((1 to 900).map(i => (1L, i.toDouble)) ++
+      (1 to 100).map(i => ((i % 5 + 2).toLong, i.toDouble)) ++
+      Seq((99L, 1.0))).toDF("k", "v")
+    val small = (1L to 6L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val salted = Skew.saltedJoin(big, small, "k", salts = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted.toSeq
+    val plain = big.join(small, "k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted.toSeq
+    assert(salted == plain)
+    assert(salted.nonEmpty && !salted.exists(_._1 == 99L))
+  }
 }
 
 class DedupClustersSpec extends SparkSpec {
