@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{RollingHashExpr, TextFunctions}
+import graft.operators.Dedup
 import graft.queries.CoreQueries.table
 
 /** Text-analysis query surface over `documents`: token counting, quality
@@ -60,6 +61,25 @@ object TextQueries {
         sum(TextFunctions.tokenCount(col("text"))).as("total_tokens"))
       .orderBy("lang", "source")
 
+  /** The curation pipeline end to end, every stage oracle-expressible:
+    * exact-dedup survivors -> quality gate -> language ID -> per-language
+    * rollup. The composite a training-data pipeline runs nightly; each
+    * stage is also tested standalone (dedup_exact, text_stats,
+    * text_langid).
+    */
+  def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val survivors = Dedup.exact(docs).select("doc_id")
+    docs
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .filter(col("quality") >= 0.3)
+      .withColumn("lang_pred", TextFunctions.langId(col("text")))
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("quality")), 4).as("avg_quality"))
+      .orderBy("lang_pred")
+  }
+
   /** TF-IDF top-3 terms per document (first 50 docs; document frequency
     * computed over the whole corpus). Scale shape: tf is one (doc, term)
     * aggregation, df one term aggregation over it. The join broadcasts the
@@ -95,6 +115,7 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "text_stats" -> (textStats _),
     "text_bpe_tokens" -> (textBpeTokens _),
+    "corpus_curate" -> (corpusCurate _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
     "text_rolling_hash" -> (textRollingHash _),
@@ -117,7 +138,18 @@ object TextQueries {
       " END"
   }
 
+  private val qualityExpr =
+    "ROUND((CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) " +
+      "/ GREATEST(length(text), 1)) * " +
+      s"LEAST(1.0, CAST($tokCount AS DOUBLE) / 20.0), 6)"
+
   val oracleSql: Map[String, String] = Map(
+    "corpus_curate" ->
+      ("WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text), " +
+        s"q AS (SELECT d.doc_id, $qualityExpr AS quality, $langCase AS lang_pred " +
+        "FROM documents d JOIN surv USING (doc_id)) " +
+        "SELECT lang_pred, COUNT(*) AS n_docs, ROUND(AVG(quality), 4) AS avg_quality " +
+        "FROM q WHERE quality >= 0.3 GROUP BY lang_pred ORDER BY lang_pred"),
     "tfidf_top_terms" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term " +
         "FROM documents), " +
@@ -138,9 +170,7 @@ object TextQueries {
         "/ GREATEST(length(text), 1), 6) AS alpha_ratio, " +
         "ROUND(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) " +
         s"/ GREATEST($tokCount, 1), 6) AS avg_word_len, " +
-        "ROUND((CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) " +
-        "/ GREATEST(length(text), 1)) * " +
-        s"LEAST(1.0, CAST($tokCount AS DOUBLE) / 20.0), 6) AS quality " +
+        s"$qualityExpr AS quality " +
         "FROM documents ORDER BY doc_id"),
     "text_bpe_tokens" ->
       (s"SELECT doc_id, $tokCount AS n_ws_tokens, " +
