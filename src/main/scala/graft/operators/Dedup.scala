@@ -51,6 +51,33 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
 
+  /** Exact dedup with the hash-keyed exchange [[exact]]'s doc promises
+    * for 100 TB: the corpus-wide shuffle carries only (xxhash64(text),
+    * doc_id) — ~16 bytes/row instead of full document text. Hash groups
+    * with one member are provably unique (no text comparison needed);
+    * only COLLIDED groups — true duplicates plus the ~n²/2⁶⁴ accidental
+    * collisions — re-group on the text itself for the exact verify, so
+    * text bytes move only in proportion to the duplicate count. The
+    * dup-hash set is broadcast (tiny next to the corpus: one 8-byte hash
+    * per duplicated text); if a corpus ever had broadcast-breaking
+    * duplicate cardinality, swap the broadcast for a shuffled semi-join —
+    * same result, one more exchange. Output is row-identical to
+    * [[exact]]; the driver checks both against the same oracle.
+    */
+  def exactHashKeyed(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), col("text"), xxhash64(col("text")).as("h"))
+    val counts = hashed.select(col("h"), col("doc_id"))
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+    val dupHashes = broadcast(counts.filter(col("n") > 1).select(col("h")))
+    val singles = hashed.join(dupHashes, Seq("h"), "left_anti")
+      .select(col("doc_id"), lit(1L).as("n_copies"))
+    val dups = hashed.join(dupHashes, Seq("h"), "left_semi")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+    singles.unionByName(dups)
+  }
+
   /** Exact n-gram Jaccard near-dup pairs at `threshold`, candidates =
     * pairs sharing >= 1 shingle. The inverted-index join means work is
     * proportional to sum over shingles of df^2, not docs^2 — so a single

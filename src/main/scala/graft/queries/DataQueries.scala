@@ -24,6 +24,13 @@ object DataQueries {
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(table(spark, dir, "documents")).orderBy("doc_id")
 
+  /** Same result as dedup_exact through the hash-keyed shuffle (the shape
+    * whose corpus-wide exchange never ships text) — both hash-match the
+    * same oracle, pinning the equivalence at the driver.
+    */
+  def dedupExactHashKeyed(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactHashKeyed(table(spark, dir, "documents")).orderBy("doc_id")
+
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(table(spark, dir, "documents"), n = 3, threshold = 0.5)
       .orderBy("doc_a", "doc_b")
@@ -165,6 +172,7 @@ object DataQueries {
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_exact_hashkeyed" -> (dedupExactHashKeyed _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -208,6 +216,9 @@ object DataQueries {
         "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
         "GROUP BY s_nationkey ORDER BY s_nationkey"),
     "dedup_exact" ->
+      ("SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents " +
+        "GROUP BY text ORDER BY doc_id"),
+    "dedup_exact_hashkeyed" ->
       ("SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents " +
         "GROUP BY text ORDER BY doc_id"),
     "dedup_ngram_jaccard" ->

@@ -25,6 +25,17 @@ class DedupSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 2L), (7L, 1L)))
   }
 
+  test("hash-keyed exact dedup is row-identical to the plain form") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // synthetic with dups
+    val df = Seq((10L, "same text"), (3L, "same text"), (7L, "other"),
+      (8L, "third"), (9L, "third")).toDF("doc_id", "text")
+    assert(rows(Dedup.exactHashKeyed(df)) == rows(Dedup.exact(df)))
+    // fixture corpus with planted duplicates
+    assert(rows(Dedup.exactHashKeyed(docs)) == rows(Dedup.exact(docs)))
+  }
+
   test("ngram jaccard finds the planted near-dup pairs, none below threshold") {
     val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5).collect()
     assert(pairs.nonEmpty, "fixtures contain planted near-dups")

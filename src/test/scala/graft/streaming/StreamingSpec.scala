@@ -94,6 +94,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: state evicted past the watermark, so a late dup re-emits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = EventBucketizer.streamingDedup(docs, watermark = "10 minutes").writeStream
+      .outputMode("append").format("memory").queryName("dedup_late").start()
+    try {
+      mem.addData((1L, "alpha", t("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // in-watermark dup: suppressed
+      mem.addData((2L, "alpha", t("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // advance the watermark well past alpha's 10:00+10min state horizon
+      mem.addData((3L, "beta", t("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      // same text again, above the current watermark: its dedup state was
+      // evicted, so it re-emits — the state-bounding trade documented on
+      // streamingDedup (memory scales with the dup-arrival horizon)
+      mem.addData((4L, "alpha", t("2024-01-01 11:59:00")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_late").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L, 4L),
+        s"expected in-watermark dup suppressed and post-eviction dup re-emitted, got $ids")
+    } finally q.stop()
+  }
+
   test("runningUserTypeCounts accumulates state per (user, type)") {
     val events = Seq((1L, "click"), (1L, "click"), (1L, "view"), (2L, "click"))
       .toDS()
