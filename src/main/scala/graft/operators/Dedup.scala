@@ -66,12 +66,17 @@ object Dedup {
     */
   def exactHashKeyed(docs: DataFrame): DataFrame = {
     val hashed = docs.select(col("doc_id"), col("text"), xxhash64(col("text")).as("h"))
-    val counts = hashed.select(col("h"), col("doc_id"))
+    // PERSISTED: the dup-hash set feeds two broadcasts (anti + semi) whose
+    // renewed attribute ids defeat ReuseExchange — without it the
+    // corpus-wide hash aggregate underneath runs twice. Bench/Verify
+    // clearCache between queries (standard cache-scope policy here).
+    val dupHashes = hashed.select(col("h"), col("doc_id"))
       .groupBy(col("h")).agg(count(lit(1)).as("n"))
-    val dupHashes = broadcast(counts.filter(col("n") > 1).select(col("h")))
-    val singles = hashed.join(dupHashes, Seq("h"), "left_anti")
+      .filter(col("n") > 1).select(col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val singles = hashed.join(broadcast(dupHashes), Seq("h"), "left_anti")
       .select(col("doc_id"), lit(1L).as("n_copies"))
-    val dups = hashed.join(dupHashes, Seq("h"), "left_semi")
+    val dups = hashed.join(broadcast(dupHashes), Seq("h"), "left_semi")
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
