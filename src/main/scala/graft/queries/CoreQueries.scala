@@ -56,6 +56,19 @@ object CoreQueries {
       .agg(first(col("y")))
       .orderBy("ds")
 
+  /** Gap-filled keyed daily series: per-priority order counts with every
+    * missing calendar day materialized and forward-filled — the input
+    * repair step upstream of any fit over sparse series. */
+  def seriesGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    SeriesOps.gapFill(daily, "priority", "d", "n")
+      .select(col("priority"), col("d"), col("n"), col("n_ffill"))
+      .orderBy("priority", "d")
+  }
+
   /** TPC-H Q1-style pricing summary — scan+filter+agg baseline. */
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
@@ -128,6 +141,7 @@ object CoreQueries {
     "bucketize_events" -> (bucketizeEvents _),
     "max_date" -> (maxDate _),
     "series_melt" -> (seriesMelt _),
+    "series_gapfill" -> (seriesGapfill _),
     "future_dates" -> (futureDates _),
     "pivot_wide" -> (pivotWide _),
     "q1_agg" -> (q1Agg _)
@@ -148,6 +162,16 @@ object CoreQueries {
         "UNION ALL SELECT 'value_sum', date, value_sum FROM b " +
         "UNION ALL SELECT 'active_users', date, CAST(active_users AS DOUBLE) FROM b " +
         "ORDER BY metric, ds"),
+    "series_gapfill" ->
+      ("WITH daily AS (SELECT o_orderpriority AS priority, " +
+        "CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n FROM orders GROUP BY 1, 2), " +
+        "spine AS (SELECT priority, " +
+        "unnest(generate_series(mn, mx, INTERVAL '1 day'))::DATE AS d " +
+        "FROM (SELECT priority, MIN(d) AS mn, MAX(d) AS mx FROM daily GROUP BY priority)) " +
+        "SELECT s.priority, s.d, dy.n, " +
+        "LAST_VALUE(dy.n IGNORE NULLS) OVER (PARTITION BY s.priority ORDER BY s.d " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_ffill " +
+        "FROM spine s LEFT JOIN daily dy USING (priority, d) ORDER BY priority, d"),
     "future_dates" ->
       ("SELECT CAST(last + i * INTERVAL '1 day' AS DATE) AS ds " +
         "FROM (SELECT MAX(CAST(ts AS DATE)) AS last FROM events) " +

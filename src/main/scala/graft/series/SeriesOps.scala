@@ -49,6 +49,28 @@ object SeriesOps {
   /** Empty-input guard (fs:160-163) without a full count. */
   def isEmpty(df: DataFrame): Boolean = df.isEmpty
 
+  /** Daily gap filling for keyed series: build each key's min..max date
+    * spine distributed (`sequence` + `explode` — no driver collect),
+    * left-join the observations back, and forward-fill with
+    * last-non-null over a date-ordered window. One shuffle on the key
+    * (spine aggregate) + one on (key, date) for the join, then the window
+    * reuses the key partitioning. The downstream forecast fit shuffles on
+    * the same key, so the fill is effectively free in a pipeline.
+    * Output adds `<valueCol>_ffill`; spine rows with no prior observation
+    * keep NULL (nothing to carry forward).
+    */
+  def gapFill(df: DataFrame, keyCol: String, dateCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spine = df.groupBy(col(keyCol))
+      .agg(min(col(dateCol)).as("__mn"), max(col(dateCol)).as("__mx"))
+      .select(col(keyCol), explode(sequence(col("__mn"), col("__mx"))).as(dateCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(df, Seq(keyCol, dateCol), "left")
+      .withColumn(s"${valueCol}_ffill", last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
   /** Wide -> long melt: the reference's per-column rename to Prophet's
     * `(ds, y)` frame (fs:169,172), done once for all metrics with `stack`
     * so a single pass over the table feeds every per-metric fit.

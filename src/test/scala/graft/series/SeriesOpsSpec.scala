@@ -72,6 +72,26 @@ class SeriesOpsSpec extends SparkSpec {
     assert(out.head().getDate(0).toString == "2024-03-05")
   }
 
+  test("gapFill materializes missing days and forward-fills per key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("a", "2024-01-01", 1L), ("a", "2024-01-04", 4L),
+      ("b", "2024-02-10", 7L))
+      .toDF("k", "d", "n").withColumn("d", to_date($"d"))
+    val out = SeriesOps.gapFill(df, "k", "d", "n")
+      .orderBy("k", "d").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("a", "2024-01-01", Some(1L), 1L),
+      ("a", "2024-01-02", None, 1L),    // gap day: raw NULL, ffill carries
+      ("a", "2024-01-03", None, 1L),
+      ("a", "2024-01-04", Some(4L), 4L),
+      ("b", "2024-02-10", Some(7L), 7L) // singleton key: spine = 1 day
+    ))
+  }
+
   test("bucketize events yields one row per day with the 3 metrics") {
     val b = Bucketize.events(graft.sources.Fixtures.table(spark, sf0001, "events"))
     assert(b.columns.toSeq == Seq("date", "event_count", "value_sum", "active_users"))
