@@ -22,13 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** @param left      rows to enrich
-    * @param right     time-versioned lookup side
-    * @param keys      equi-join key columns present on both sides
-    * @param leftTime  event-time column on `left`
-    * @param rightTime version-time column on `right`
-    * @param values    right-side value columns to carry (must not clash
-    *                  with left column names)
+  /** Match direction, mirroring pandas merge_asof [public API]:
+    * Backward = most recent right row at-or-before (the ASOF default),
+    * Forward = nearest right row at-or-after.
+    */
+  sealed trait Direction
+  case object Backward extends Direction
+  case object Forward extends Direction
+
+  /** Strictly-before backward as-of join — the DuckDB-oracle-checked
+    * form; delegates to [[joinAsOf]].
     */
   def joinStrictlyBefore(
       left: DataFrame,
@@ -36,41 +39,91 @@ object AsOfJoin {
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
-      values: Seq[String]): DataFrame = {
+      values: Seq[String]): DataFrame =
+    joinAsOf(left, right, keys, leftTime, rightTime, values)
+
+  /** General as-of join.
+    *
+    * @param left      rows to enrich
+    * @param right     time-versioned lookup side
+    * @param keys      equi-join key columns present on both sides
+    * @param leftTime  event-time column on `left`
+    * @param rightTime version-time column on `right`
+    * @param values    right-side value columns to carry (must not clash
+    *                  with left column names)
+    * @param strict    true = the matched right time must differ from the
+    *                  left time (strictly before/after); false = a
+    *                  same-instant right row matches (ASOF >= semantics)
+    * @param direction backward (default) or forward match
+    * @param toleranceSeconds max |leftTime - matched rightTime| in
+    *                  seconds; matches farther away yield NULLs (pandas
+    *                  merge_asof tolerance). Times are compared on the
+    *                  second grid via a timestamp cast.
+    */
+  def joinAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      values: Seq[String],
+      strict: Boolean = true,
+      direction: Direction = Backward,
+      toleranceSeconds: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "as-of join needs >= 1 key column (see scaladoc)")
+    require(!values.contains("__rt"), "__rt is reserved")
     val leftCols = left.columns.toSeq
     // All right-side values travel inside ONE struct: last(ignoreNulls)
     // then skips only the placeholder-null left rows, never a genuine
     // NULL inside a right row's value column (a bare last(v, ignoreNulls)
     // would carry a stale older value past a legitimately-null newer row,
-    // diverging from ASOF JOIN semantics).
-    val valueStruct = struct(values.map(col): _*)
-    val structType = {
-      val fields = values.map(v => right.schema(v))
-      org.apache.spark.sql.types.StructType(fields)
-    }
-    // tag 0 = left, 1 = right; at equal times left sorts first, so a left
-    // row never sees a same-instant right value => strictly-before
+    // diverging from ASOF JOIN semantics). The struct also carries the
+    // matched right TIME so the tolerance gate can measure the gap.
+    val valueStruct = struct(values.map(col) :+
+      col(rightTime).cast("timestamp").as("__rt"): _*)
+    val structType = org.apache.spark.sql.types.StructType(
+      values.map(v => right.schema(v)) :+
+        org.apache.spark.sql.types.StructField("__rt",
+          org.apache.spark.sql.types.TimestampType))
+    // scan-order tag: with strict semantics the left row must sort before
+    // a same-instant right row (so it can't see it); inclusive flips that
+    val (leftTag, rightTag) = if (strict) (0, 1) else (1, 0)
     val taggedLeft = left
       .withColumn("__t", col(leftTime))
-      .withColumn("__tag", lit(0))
-      .select((keys.map(col) :+ col("__t") :+ col("__tag")) ++
+      .withColumn("__tag", lit(leftTag))
+      .withColumn("__isleft", lit(true))
+      .select((keys.map(col) :+ col("__t") :+ col("__tag") :+ col("__isleft")) ++
         leftCols.filterNot(keys.contains).map(col) :+
         lit(null).cast(structType).as("__vals"): _*)
     val taggedRight = right
       .withColumn("__t", col(rightTime))
-      .withColumn("__tag", lit(1))
-      .select((keys.map(col) :+ col("__t") :+ col("__tag")) ++
+      .withColumn("__tag", lit(rightTag))
+      .withColumn("__isleft", lit(false))
+      .select((keys.map(col) :+ col("__t") :+ col("__tag") :+ col("__isleft")) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         valueStruct.as("__vals"): _*)
+    val timeOrder = direction match {
+      case Backward => col("__t").asc
+      case Forward  => col("__t").desc
+    }
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__tag").asc)
+      .orderBy(timeOrder, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    taggedLeft.unionByName(taggedRight)
+    val carried = taggedLeft.unionByName(taggedRight)
       .withColumn("__carried", last(col("__vals"), ignoreNulls = true).over(w))
-      .filter(col("__tag") === 0)
-      .select((keys ++ leftCols.filterNot(keys.contains)).map(col) ++
-        values.map(v => col("__carried").getField(v).as(v)): _*)
+      .filter(col("__isleft"))
+    val gap = direction match {
+      case Backward =>
+        unix_timestamp(col("__t").cast("timestamp")) -
+          unix_timestamp(col("__carried").getField("__rt"))
+      case Forward =>
+        unix_timestamp(col("__carried").getField("__rt")) -
+          unix_timestamp(col("__t").cast("timestamp"))
+    }
+    val withinTol = toleranceSeconds.map(s => gap <= lit(s)).getOrElse(lit(true))
+    carried.select((keys ++ leftCols.filterNot(keys.contains)).map(col) ++
+      values.map(v =>
+        when(withinTol, col("__carried").getField(v)).as(v)): _*)
   }
 }

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkSpec
+
+/** Property test over randomized corpora: the hash-keyed exact dedup must
+  * be indistinguishable from the plain one on ANY input (including
+  * corpora that are all duplicates, all unique, or single-doc), and both
+  * must conserve the corpus: survivor count = distinct texts,
+  * multiplicities sum to corpus size. Seed pinned like
+  * ForecastPropertySpec; GRAFT_PROP_TESTS deepens the soak.
+  */
+class DedupPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop, minTests: Int = 10): Unit = {
+    val n = sys.env.get("GRAFT_PROP_TESTS").map(_.toInt).getOrElse(minTests)
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(n)
+        .withInitialSeed(org.scalacheck.rng.Seed(20260812L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val corpusGen: Gen[List[(Long, String)]] = for {
+    nDistinct <- Gen.choose(1, 40)
+    texts <- Gen.listOfN(nDistinct,
+      Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString))
+    dupFactors <- Gen.listOfN(nDistinct, Gen.choose(1, 4))
+  } yield texts.zip(dupFactors)
+    .flatMap { case (t, k) => List.fill(k)(t) }
+    .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("property: hash-keyed dedup == plain dedup; survivors conserve the corpus") {
+    check(Prop.forAll(corpusGen) { corpus =>
+      val df = corpus.toDF("doc_id", "text")
+      val plain = Dedup.exact(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val hashed = Dedup.exactHashKeyed(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val distinctTexts = corpus.map(_._2).distinct.size
+      (plain == hashed) &&
+        plain.map(_._2).sum == corpus.size &&
+        plain.size == distinctTexts
+    })
+  }
+}
