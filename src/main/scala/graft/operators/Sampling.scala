@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic splitting and sampling for training-data pipelines.
+  *
+  * Spark's `randomSplit`/`sample` draw per-partition random streams, so
+  * membership changes under repartitioning, task retries, and input
+  * re-ordering. Hashing a STABLE id instead gives membership that is a
+  * pure function of the row — it survives reruns, cluster layout, and
+  * incremental reprocessing, which is what data lineage requires at
+  * 100 TB (the same doc must land in `train` today and next month).
+  * Everything is a codegen'd projection/filter: no shuffle, no state.
+  */
+object Sampling {
+
+  /** Uniform [0, 1) draw as a pure function of (id, seed). */
+  private def unit(idCol: String, seed: Long): Column =
+    pmod(xxhash64(col(idCol), lit(seed)), lit(1000000000L)).cast("double") / 1e9
+
+  /** Adds a `split` label column distributing rows across `weights`
+    * (label -> positive weight, normalized internally) by hash bucket.
+    * Deterministic, disjoint, and exhaustive: every row gets exactly one
+    * label, and the same (id, seed) always gets the same label.
+    */
+  def splitLabel(
+      df: DataFrame,
+      idCol: String,
+      weights: Seq[(String, Double)],
+      seed: Long = 7L): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be non-empty and positive")
+    val total = weights.map(_._2).sum
+    val cumHi = weights.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
+    val u = unit(idCol, seed)
+    // nested whens over the cumulative bounds; the last label is the
+    // unconditional fallback so float edge cases can't drop a row
+    val label = weights.map(_._1).zip(cumHi).init.reverse
+      .foldLeft(lit(weights.last._1): Column) { case (acc, (name, hi)) =>
+        when(u < lit(hi), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", label)
+  }
+
+  /** Deterministic per-stratum downsampling: keeps ~`fractions(stratum)`
+    * of each stratum (0.0 for strata absent from the map unless
+    * `defaultFraction` says otherwise). A filter, not a shuffle —
+    * rebalancing a skewed source mix (the curation use case) costs one
+    * scan.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0,
+      seed: Long = 7L): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0, 1]")
+    val frac = fractions.foldLeft(lit(defaultFraction): Column) {
+      case (acc, (k, f)) => when(col(strataCol) === lit(k), lit(f)).otherwise(acc)
+    }
+    df.filter(unit(idCol, seed) < frac)
+  }
+}

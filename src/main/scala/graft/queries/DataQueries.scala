@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, DedupClusters, Similarity, Skew}
+import graft.operators.{Dedup, DedupClusters, Sampling, Similarity, Skew}
 import graft.queries.CoreQueries.table
 
 /** Training-data-pipeline operator surface: deduplication and similarity
@@ -121,6 +121,18 @@ object DataQueries {
       .select(col("event_type"), round(col("value_sum"), 2).as("value_sum"), col("n"))
       .orderBy("event_type")
 
+  /** Deterministic train/val/test assignment rolled up per (split, lang)
+    * — rows-only (xxhash64 bucketing is not reproducible in DuckDB);
+    * SamplingSpec pins disjointness, coverage, proportions, and
+    * stability under repartitioning.
+    */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame =
+    Sampling.splitLabel(table(spark, dir, "documents"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("split", "lang")
+
   /** Salted-join contract: the skew-spread (key, salt) join must be
     * row-identical to the plain inner join — rolled up per supplier
     * nation so the oracle (which runs the PLAIN join) stays small.
@@ -167,6 +179,7 @@ object DataQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "salted_agg" -> (saltedAgg _),
     "salted_join" -> (saltedJoin _),
+    "sample_split" -> (sampleSplit _),
     "dedup_canonicalize" -> (dedupCanonicalize _),
     "dedup_canonicalize_exact" -> (dedupCanonicalizeExact _),
     "mm_features" -> (mmFeatures _),
