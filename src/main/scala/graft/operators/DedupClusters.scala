@@ -34,15 +34,70 @@ object DedupClusters {
       .toDF("doc_id", "cluster_id")
   }
 
+  /** DataFrame-native connected components: min-label propagation until
+    * fixpoint. Each round is two keyed shuffles (neighbor-min aggregate +
+    * label join) entirely inside Tungsten/AQE — no RDD conversion, unlike
+    * the GraphX form, whose Pregel rounds run row-serialized and carry
+    * fixed job-setup overhead per superstep. Converges in
+    * graph-diameter rounds; near-dup clusters are shallow (a dup cluster
+    * is nearly a clique), so 2-3 rounds is typical. Throws after
+    * `maxIter` instead of returning a half-merged clustering. Each
+    * round's labels are EAGERLY `localCheckpoint`ed: without lineage
+    * truncation the label plan doubles per round (2^rounds nodes — a
+    * plain persist keeps the full logical plan and OOMs the driver
+    * around diameter ~10); checkpointing re-roots the plan at the
+    * materialized RDD, the same trick GraphX's Pregel uses.
+    *
+    * Same contract as [[connectedComponents]]: (doc_id, cluster_id =
+    * component min), only vertices present in `pairs`.
+    */
+  def connectedComponentsDF(
+      pairs: DataFrame,
+      a: String = "doc_a",
+      b: String = "doc_b",
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+      .union(pairs.select(col(b).cast("long").as("src"), col(a).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("nbr"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select(col("id"), col("cluster").as("old")), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponentsDF did not converge in $maxIter rounds")
+    labels.toDF("doc_id", "cluster_id")
+  }
+
   /** Full dedup: drop exact copies (keep min doc_id per text), then drop
     * near-dup cluster non-canonicals. Returns the surviving documents.
+    * `useGraphx = false` swaps in [[connectedComponentsDF]] — identical
+    * output (the driver checks both against the same oracle).
     */
-  def canonicalize(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  def canonicalize(docs: DataFrame, pairs: DataFrame, useGraphx: Boolean = true): DataFrame = {
     val exactSurvivors = docs
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val clusters = connectedComponents(pairs)
+    val clusters =
+      if (useGraphx) connectedComponents(pairs) else connectedComponentsDF(pairs)
     docs
       .join(exactSurvivors, Seq("doc_id"), "left_semi")
       .join(clusters, Seq("doc_id"), "left")

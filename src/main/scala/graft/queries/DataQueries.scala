@@ -176,12 +176,25 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** dedup_canonicalize_exact through the DataFrame-native CC instead of
+    * GraphX — hash-checked against the SAME recursive-CTE oracle, so the
+    * two component implementations are cross-validated at the driver.
+    */
+  def dedupCanonicalizeDf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+    DedupClusters.canonicalize(docs, pairs, useGraphx = false)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "salted_agg" -> (saltedAgg _),
     "salted_join" -> (saltedJoin _),
     "sample_split" -> (sampleSplit _),
     "dedup_canonicalize" -> (dedupCanonicalize _),
     "dedup_canonicalize_exact" -> (dedupCanonicalizeExact _),
+    "dedup_canonicalize_df" -> (dedupCanonicalizeDf _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
     "dedup_exact" -> (dedupExact _),
@@ -219,6 +232,23 @@ object DataQueries {
       "FROM com JOIN sizes sa ON doc_a = sa.doc_id " +
       "JOIN sizes sb ON doc_b = sb.doc_id) WHERE jc >= 0.5) "
 
+  private val canonicalizeOracle =
+    "WITH RECURSIVE " + jaccardPairsCte +
+      ", edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs " +
+      "UNION SELECT doc_b, doc_a FROM pairs), " +
+      "reach(src, dst) AS (" +
+      "SELECT a, a FROM edges " +
+      "UNION " +
+      "SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst), " +
+      "clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster_id " +
+      "FROM reach GROUP BY src), " +
+      "surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text) " +
+      "SELECT d.doc_id, d.lang, d.source FROM documents d " +
+      "JOIN surv s ON d.doc_id = s.doc_id " +
+      "LEFT JOIN clusters c ON d.doc_id = c.doc_id " +
+      "WHERE d.doc_id = COALESCE(c.cluster_id, d.doc_id) " +
+      "ORDER BY d.doc_id"
+
   val oracleSql: Map[String, String] = Map(
     "salted_agg" ->
       ("SELECT event_type, ROUND(SUM(value), 2) AS value_sum, COUNT(value) AS n " +
@@ -244,23 +274,10 @@ object DataQueries {
         "ORDER BY doc_a, doc_b"),
     // connected components as a recursive transitive closure (edge lists
     // are tiny relative to the corpus: only near-dup pairs), then the same
-    // exact-dup collapse + min-id-canonical filter as the Spark side
-    "dedup_canonicalize_exact" ->
-      ("WITH RECURSIVE " + jaccardPairsCte +
-        ", edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs " +
-        "UNION SELECT doc_b, doc_a FROM pairs), " +
-        "reach(src, dst) AS (" +
-        "SELECT a, a FROM edges " +
-        "UNION " +
-        "SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst), " +
-        "clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster_id " +
-        "FROM reach GROUP BY src), " +
-        "surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text) " +
-        "SELECT d.doc_id, d.lang, d.source FROM documents d " +
-        "JOIN surv s ON d.doc_id = s.doc_id " +
-        "LEFT JOIN clusters c ON d.doc_id = c.doc_id " +
-        "WHERE d.doc_id = COALESCE(c.cluster_id, d.doc_id) " +
-        "ORDER BY d.doc_id"),
+    // exact-dup collapse + min-id-canonical filter as the Spark side.
+    // The same SQL oracles BOTH CC implementations (GraphX + DataFrame).
+    "dedup_canonicalize_exact" -> canonicalizeOracle,
+    "dedup_canonicalize_df" -> canonicalizeOracle,
     "dedup_embedding" ->
       ("SELECT vec_a, vec_b, ROUND(cs, 6) AS cos FROM (" +
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +

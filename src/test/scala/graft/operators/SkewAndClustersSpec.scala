@@ -82,4 +82,30 @@ class DedupClustersSpec extends SparkSpec {
       .filter(col("doc_id") =!= col("cluster_id")).count()
     assert(kept.count() == docs.count() - nonCanonical)
   }
+
+  test("DataFrame CC == GraphX CC on chains, a long path, and the fixture pairs") {
+    def cc(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chain + disjoint pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    assert(cc(DedupClusters.connectedComponentsDF(pairs)) ==
+      cc(DedupClusters.connectedComponents(pairs)))
+    // a 12-vertex path written high-to-low: min label must walk the full
+    // diameter, exercising the iteration (not just one round)
+    val path = (1 to 11).map(i => (12L - i, 12L - i + 1)).toDF("doc_a", "doc_b")
+    val dfcc = cc(DedupClusters.connectedComponentsDF(path))
+    assert(dfcc.values.toSet == Set(1L) && dfcc.size == 12)
+    // real near-dup graph from the fixtures
+    val jp = Dedup.ngramJaccardPairs(
+      Fixtures.table(spark, sf0001, "documents"), 3, 0.5)
+    assert(cc(DedupClusters.connectedComponentsDF(jp)) ==
+      cc(DedupClusters.connectedComponents(jp)))
+  }
+
+  test("DataFrame CC fails loudly instead of returning a half-merged clustering") {
+    val path = (1 to 11).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      DedupClusters.connectedComponentsDF(path, maxIter = 2).collect()
+    }
+  }
 }
