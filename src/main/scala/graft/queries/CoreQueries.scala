@@ -124,6 +124,27 @@ object CoreQueries {
     ForecastOutput.toWide(fc, eventMetrics).orderBy("date")
   }
 
+  /** In-sample anomaly detection — the natural consumer of the fitted
+    * band: history days whose ACTUAL value falls outside the model's 80%
+    * interval. interval = 0 keeps the frame history-only; the join back
+    * to actuals is keyed on (metric, day) — the same key the fit
+    * shuffled on. Deterministic fit => stable rows (rows-only; the fit
+    * is not SQL-expressible).
+    */
+  def forecastAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = Bucketize.events(table(spark, dir, "events"))
+    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val fc = ForecastEngine.forecast(long, interval = 0, onlyFuture = false)
+    fc.toDF()
+      .join(long, fc("metric") === long("metric") && fc("date") === long("ds"))
+      .filter(col("y") < col("yhat_lower") || col("y") > col("yhat_upper"))
+      .select(fc("metric"), col("date"), round(col("y"), 2).as("actual"),
+        round(col("yhat"), 2).as("expected"),
+        round(col("yhat_lower"), 2).as("band_lo"),
+        round(col("yhat_upper"), 2).as("band_hi"))
+      .orderBy("metric", "date")
+  }
+
   /** --only-future path (fs:176 strict >): exactly `interval` rows per
     * metric, all strictly after the last history date. Rows-only. */
   def forecastEventsFuture(spark: SparkSession, dir: String): DataFrame = {
@@ -137,6 +158,7 @@ object CoreQueries {
     "forecast_events" -> (forecastEvents _),
     "forecast_events_future" -> (forecastEventsFuture _),
     "forecast_events_simband" -> (forecastEventsSimband _),
+    "forecast_anomalies" -> (forecastAnomalies _),
     "forecast_orders" -> (forecastOrders _),
     "bucketize_events" -> (bucketizeEvents _),
     "max_date" -> (maxDate _),

@@ -266,7 +266,24 @@ object RelationalQueries {
       .orderBy("l_partkey")
   }
 
+  /** 7-day trailing moving average per event type. The daily sums are
+    * rounded BEFORE the window average so both engines feed identical
+    * doubles into the frame (unrounded per-day sums differ at 1e-15 by
+    * summation order and would poison the hash compare).
+    */
+  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 2).as("daily_value"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("ma7", round(avg(col("daily_value")).over(w), 4))
+      .orderBy("event_type", "d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "moving_avg" -> (movingAvg _),
     "above_avg_qty" -> (aboveAvgQty _),
     "max_per_group" -> (maxPerGroup _),
     "approx_stats" -> (approxStats _),
@@ -286,6 +303,13 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "moving_avg" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, " +
+        "ROUND(SUM(value), 2) AS daily_value FROM events GROUP BY 1, 2) " +
+        "SELECT event_type, d, daily_value, " +
+        "ROUND(AVG(daily_value) OVER (PARTITION BY event_type ORDER BY d " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7 " +
+        "FROM daily ORDER BY event_type, d"),
     "above_avg_qty" ->
       ("SELECT l_partkey, COUNT(*) AS n_above, " +
         "ROUND(SUM(l_extendedprice), 2) AS revenue FROM lineitem " +
