@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 import graft.queries.CoreQueries.table
 
 /** Relational extension surface (SURVEY.md §7.5): join / window / set-op /
@@ -282,7 +282,28 @@ object RelationalQueries {
       .orderBy("event_type", "d")
   }
 
+  private val priceBands = Seq(
+    (0, 0.0, 100000.0), (1, 100000.0, 200000.0), (2, 200000.0, 300000.0),
+    (3, 300000.0, 400000.0), (4, 400000.0, 600000.0))
+
+  /** Interval membership via the binned range join (equi-join on bin +
+    * exact in-bin predicate) instead of the nested-loop plan Spark gives
+    * a bare inequality join — rolled up per band; the oracle runs the
+    * plain inequality join, pinning the rewrite's equivalence.
+    */
+  def ordersPriceBands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = priceBands.toDF("band_id", "lo", "hi")
+    RangeJoin.binned(
+      table(spark, dir, "orders").select(col("o_totalprice")),
+      "o_totalprice", bands, "lo", "hi", binWidth = 50000.0)
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("band_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_price_bands" -> (ordersPriceBands _),
     "moving_avg" -> (movingAvg _),
     "above_avg_qty" -> (aboveAvgQty _),
     "max_per_group" -> (maxPerGroup _),
@@ -303,6 +324,14 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "orders_price_bands" -> {
+      val values = priceBands
+        .map { case (b, lo, hi) => s"($b, $lo, $hi)" }.mkString(", ")
+      s"SELECT band_id, COUNT(*) AS n_orders FROM orders " +
+        s"JOIN (VALUES $values) AS b(band_id, lo, hi) " +
+        "ON o_totalprice >= lo AND o_totalprice < hi " +
+        "GROUP BY band_id ORDER BY band_id"
+    },
     "moving_avg" ->
       ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, " +
         "ROUND(SUM(value), 2) AS daily_value FROM events GROUP BY 1, 2) " +
