@@ -232,6 +232,23 @@ object RelationalQueries {
         round(percentile_approx(col("value"), lit(0.5), lit(1000)), 2).as("approx_p50"))
       .orderBy("event_type")
 
+  /** Mergeable-sketch rollup: one HLL sketch of user reach per (type,
+    * day), then per-type range reach by UNIONING the daily sketches —
+    * the incremental pattern that makes distinct-count maintenance
+    * feasible at 100 TB (store small daily sketches, merge for any date
+    * range; never rescan raw events). Rows-only: DuckDB's approx
+    * algorithm differs; ApproxSpec bounds the estimate against exact
+    * countDistinct instead.
+    */
+  def hllReach(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("reach"),
+        count(lit(1)).as("n_days"))
+      .orderBy("event_type")
+
   /** Greatest-per-group: priciest part per brand. Spark expresses the
     * TPC-H-Q2-style correlated max subquery as one window pass (no
     * re-scan); the oracle keeps the correlated-subquery form — same
@@ -305,6 +322,7 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_price_bands" -> (ordersPriceBands _),
     "moving_avg" -> (movingAvg _),
+    "hll_reach" -> (hllReach _),
     "above_avg_qty" -> (aboveAvgQty _),
     "max_per_group" -> (maxPerGroup _),
     "approx_stats" -> (approxStats _),
