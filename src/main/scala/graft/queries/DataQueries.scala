@@ -176,6 +176,39 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** Train/test decontamination: test-split documents sharing >= 5
+    * (df-capped) 3-gram shingles with ANY train-split document — the
+    * benchmark-leakage sweep every LLM data pipeline runs before
+    * training. The split here is id-modulus (doc_id % 5 = 4 -> test) so
+    * the WHOLE pipeline — shingles, df cap, cross-split inverted-index
+    * join, per-doc rollup — is SQL-expressible and hash-matches the
+    * oracle (production would use Sampling.splitLabel's hash split; the
+    * join shape is identical). Same capped-index persist as
+    * ngramJaccardPairs: both split sides filter one cached subtree.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(spark, dir, "documents")
+    val exploded = docs.select(col("doc_id"),
+      explode(Dedup.wordShingles(col("text"), 3)).as("shingle"))
+    val sh = exploded
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= 1000).drop("df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val te = sh.filter(pmod(col("doc_id"), lit(5)) === 4)
+      .select(col("doc_id").as("test_id"), col("shingle"))
+    val tr = sh.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      .select(col("doc_id").as("train_id"), col("shingle"))
+    te.join(tr, "shingle")
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= 5)
+      .groupBy(col("test_id").as("doc_id"))
+      .agg(countDistinct(col("train_id")).as("n_train_matches"),
+        max(col("common")).as("max_common"))
+      .orderBy("doc_id")
+  }
+
   /** dedup_canonicalize_exact through the DataFrame-native CC instead of
     * GraphX — hash-checked against the SAME recursive-CTE oracle, so the
     * two component implementations are cross-validated at the driver.
@@ -200,6 +233,7 @@ object DataQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_hashkeyed" -> (dedupExactHashKeyed _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "decontaminate" -> (decontaminate _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -278,6 +312,14 @@ object DataQueries {
     // The same SQL oracles BOTH CC implementations (GraphX + DataFrame).
     "dedup_canonicalize_exact" -> canonicalizeOracle,
     "dedup_canonicalize_df" -> canonicalizeOracle,
+    "decontaminate" ->
+      ("WITH " + shingleCte +
+        ", tr AS (SELECT doc_id AS train_id, shingle FROM shf WHERE doc_id % 5 <> 4), " +
+        "te AS (SELECT doc_id AS test_id, shingle FROM shf WHERE doc_id % 5 = 4), " +
+        "ov AS (SELECT test_id, train_id, COUNT(*) AS c FROM te JOIN tr USING (shingle) " +
+        "GROUP BY 1, 2 HAVING COUNT(*) >= 5) " +
+        "SELECT test_id AS doc_id, COUNT(DISTINCT train_id) AS n_train_matches, " +
+        "MAX(c) AS max_common FROM ov GROUP BY 1 ORDER BY 1"),
     "dedup_embedding" ->
       ("SELECT vec_a, vec_b, ROUND(cs, 6) AS cos FROM (" +
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
