@@ -102,6 +102,16 @@ object RelationalQueries {
           .select(col("o_custkey").as("c_custkey")))
       .orderBy("c_custkey")
 
+  /** INTERSECT: customers ordering in BOTH 1995 and 1996 — plans as a
+    * distinct-semi-join pair, one shuffle per side on the set key.
+    */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    def custsIn(y: Int) = table(spark, dir, "orders")
+      .filter(year(to_date(col("o_orderdate"))) === y)
+      .select(col("o_custkey"))
+    custsIn(1995).intersect(custsIn(1996)).orderBy("o_custkey")
+  }
+
   /** Semi join: customers with at least one >300k order — EXISTS in SQL,
     * left_semi in Spark (no row multiplication, build side broadcast).
     */
@@ -334,6 +344,7 @@ object RelationalQueries {
     "window_topk" -> (windowTopk _),
     "agg_rollup" -> (aggRollup _),
     "set_except" -> (setExcept _),
+    "set_intersect" -> (setIntersect _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "scalar_functions" -> (scalarFunctions _),
@@ -420,6 +431,11 @@ object RelationalQueries {
       ("SELECT c_custkey FROM customer EXCEPT " +
         "SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000 " +
         "ORDER BY c_custkey"),
+    "set_intersect" ->
+      ("SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995 " +
+        "INTERSECT " +
+        "SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996 " +
+        "ORDER BY o_custkey"),
     "join_semi" ->
       ("SELECT c_custkey, c_name FROM customer WHERE EXISTS (" +
         "SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000) " +

@@ -66,6 +66,16 @@ object EventBucketizer {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("value_sum"))
 
+  /** Stream-static enrichment: per-micro-batch broadcast hash join of a
+    * streaming frame against a static dimension — the standard pattern
+    * for attaching slowly-changing metadata (user tier, source catalog)
+    * without a stateful stream-stream join. The static side re-resolves
+    * each micro-batch, so a reloaded dimension table is picked up on the
+    * next trigger; no watermark or state store involved.
+    */
+  def enriched(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming exact dedup — the streaming twin of
     * [[graft.operators.Dedup.exact]]: emits only the FIRST arrival of each
     * distinct text. Keyed on xxhash64(text) so the dedup state store holds

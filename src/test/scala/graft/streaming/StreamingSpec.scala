@@ -94,6 +94,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment matches the batch join") {
+    val src = java.nio.file.Files.createTempDirectory("graftenrich").toString
+    val batch = Fixtures.table(spark, sf0001, "events")
+    batch.write.mode("overwrite").parquet(s"$src/events")
+    val dim = batch.select($"user_id").distinct()
+      .withColumn("tier", when(pmod($"user_id", lit(3)) === 0, "gold").otherwise("std"))
+    val stream = spark.readStream.schema(batch.schema).parquet(s"$src/events")
+    val q = EventBucketizer.enriched(stream, dim, "user_id").writeStream
+      .outputMode("append").format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .groupBy("tier").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = batch.join(dim, Seq("user_id"), "left")
+        .groupBy("tier").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want && got.keySet == Set("gold", "std"))
+    } finally q.stop()
+  }
+
   test("streaming dedup: state evicted past the watermark, so a late dup re-emits") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
