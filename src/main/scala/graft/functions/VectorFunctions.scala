@@ -28,4 +28,24 @@ object VectorFunctions {
     */
   def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
+
+  /** Symmetric int8 quantization: per-vector scale = max|x| / 127,
+    * codes = round(x / scale) as tinyint. Returns struct(scale float,
+    * codes array<tinyint>) — 4x smaller at rest than float32, the
+    * standard storage trade for 100 TB embedding columns (per-element
+    * error <= scale/2; angular error is what the recall test bounds).
+    * All built-ins, so it stays inside whole-stage codegen.
+    */
+  def quantizeInt8(v: Column): Column = {
+    val scale = greatest(
+      array_max(transform(v, x => abs(x.cast("double")))), lit(1e-30)) / 127.0
+    struct(
+      scale.cast("float").as("scale"),
+      transform(v, x => round(x.cast("double") / scale).cast("byte")).as("codes"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: array<float> reconstruction. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"),
+      c => (c.cast("double") * q.getField("scale")).cast("float"))
 }

@@ -56,6 +56,20 @@ object DataQueries {
       threshold = 0.45, dim = 64)
       .orderBy("vec_a", "vec_b")
 
+  /** Brute-force top-k over int8-QUANTIZED embeddings (4x smaller at
+    * rest): quantize -> dequantize -> exact cosine rank. Rows-only (the
+    * round-trip is float-path-specific); SimilaritySpec bounds its
+    * recall >= 0.9 against the float top-k.
+    */
+  def annTopkInt8(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorFunctions.dequantizeInt8(
+        VectorFunctions.quantizeInt8(col("embedding"))).as("embedding"))
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   def annTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -239,6 +253,7 @@ object DataQueries {
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "ann_topk" -> (annTopk _),
+    "ann_topk_int8" -> (annTopkInt8 _),
     "ann_topk_lsh" -> (annTopkLsh _),
     "ann_topk_ivf" -> (annTopkIvf _),
     "ann_topk_ivf_refined" -> (annTopkIvfRefined _)

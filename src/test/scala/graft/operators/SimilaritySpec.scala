@@ -84,6 +84,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: bounded round-trip error, topk recall >= 0.9 vs float") {
+    import graft.functions.VectorFunctions
+    // per-element error <= scale/2 on the fixture embeddings
+    val errRow = emb.select(
+      VectorFunctions.quantizeInt8(col("embedding")).as("q"),
+      col("embedding"))
+      .select(
+        expr("aggregate(zip_with(embedding, transform(q.codes, c -> CAST(c AS DOUBLE) * q.scale), " +
+          "(a, b) -> abs(CAST(a AS DOUBLE) - b)), CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, x))").as("maxerr"),
+        col("q.scale").as("scale"))
+      .agg(max(expr("maxerr / scale")).as("worst"))
+      .head()
+    assert(errRow.getDouble(0) <= 0.5 + 1e-6, s"per-element error ${errRow.getDouble(0)} scales")
+    // ranking survives quantization
+    val queries10 = emb.filter(col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopK(emb, queries10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val deq = emb.select(col("vec_id"), VectorFunctions.dequantizeInt8(
+      VectorFunctions.quantizeInt8(col("embedding"))).as("embedding"))
+    val got = Similarity.bruteForceTopK(deq, deq.filter(col("vec_id") < 10), 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = truth.count(got.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"int8 topk recall $recall")
+  }
+
   test("ivf topk recall vs brute force: lloyd refinement buys recall at equal probe budget") {
     val truth = Similarity.bruteForceTopK(emb, queries, 5).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
