@@ -118,6 +118,45 @@ object Multimodal {
         (pmod(col(idCol).cast("long"), lit(3)) + 1).cast("int")).as("kind"),
       col(payloadCol).cast("binary").as("payload"))
 
+  final case class ResizedMedia(
+      media_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      out_width: Int,
+      out_height: Int,
+      payload: Array[Byte])
+
+  /** Aspect-preserving resize planning: computes each image's output
+    * dimensions for a bounding box (the REAL part — parsed source dims
+    * via [[MediaDecoder.imageDims]] where the payload is a recognizable
+    * PNG/JPEG, stub dims otherwise; fit math is exact integer
+    * arithmetic, never upscaling). The pixel resample itself would run
+    * here per partition with a codec; payload passes through unchanged
+    * as the documented stub. Output is the (metadata, payload) shape a
+    * batched GPU/codec stage consumes.
+    */
+  def resizeToFit(media: DataFrame, maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
+    require(maxW >= 1 && maxH >= 1)
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("kind"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h, _) = MediaDecoder.decode(r.kind, r.payload)
+          val (ow, oh) =
+            if (w <= maxW && h <= maxH) (w, h) // never upscale
+            else {
+              // scale by the tighter axis, floor, keep >= 1px
+              val byW = (maxW.toLong, math.max(1L, h.toLong * maxW / math.max(1, w)))
+              val byH = (math.max(1L, w.toLong * maxH / math.max(1, h)), maxH.toLong)
+              val fit = if (byW._2 <= maxH) byW else byH
+              (fit._1.toInt, fit._2.toInt)
+            }
+          ResizedMedia(r.media_id, r.kind, w, h, ow, oh, r.payload)
+        }
+      }
+  }
+
   final case class FrameSample(
       media_id: Long,
       frame_idx: Int,

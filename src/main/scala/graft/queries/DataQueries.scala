@@ -147,6 +147,19 @@ object DataQueries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("split", "lang")
 
+  /** Resize planning over the media table (rows-only: stub dims for
+    * text-byte payloads; the aspect-fit arithmetic is the real part,
+    * unit-tested against parsed PNG/JPEG headers in MultimodalSpec).
+    */
+  def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaTable(table(spark, dir, "documents"), "doc_id", "text")
+    Multimodal.resizeToFit(media, maxW = 48, maxH = 48)
+      .toDF()
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("out_width"), col("out_height"))
+      .orderBy("media_id")
+  }
+
   /** Salted-join contract: the skew-spread (key, salt) join must be
     * row-identical to the plain inner join — rolled up per supplier
     * nation so the oracle (which runs the PLAIN join) stays small.
@@ -244,6 +257,7 @@ object DataQueries {
     "dedup_canonicalize_df" -> (dedupCanonicalizeDf _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
+    "mm_resize" -> (mmResize _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_hashkeyed" -> (dedupExactHashKeyed _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),

@@ -114,6 +114,31 @@ class MultimodalSpec extends SparkSpec {
       frames(1L).sortBy(_.frame_idx).map(_.offset).toSeq)
   }
 
+  test("resizeToFit: aspect-preserving, never upscales, real header dims used") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "image", pngHeader),                       // 640x480 real dims
+      (2L, "image", "small".getBytes("UTF-8")),       // stub dims (~16-79)
+      (3L, "audio", pngHeader)                        // non-image: stub dims
+    ).toDF("media_id", "kind", "payload")
+    val out = Multimodal.resizeToFit(df, maxW = 320, maxH = 320)
+      .collect().map(r => r.media_id -> r).toMap
+    // 640x480 -> fit 320 wide -> 320x240 (aspect 4:3 preserved exactly)
+    assert((out(1L).width, out(1L).height) == (640, 480))
+    assert((out(1L).out_width, out(1L).out_height) == (320, 240))
+    // small stub dims are under the box: untouched (no upscale)
+    assert(out(2L).out_width == out(2L).width && out(2L).out_height == out(2L).height)
+    assert(out(2L).width <= 320)
+    // payload passes through the stubbed pixel path unchanged
+    assert(out(1L).payload.toSeq == pngHeader.toSeq)
+    // extreme aspect: 640x480 into a 100x10 box -> height-bound 13x10
+    val tall = Multimodal.resizeToFit(
+      Seq((9L, "image", pngHeader)).toDF("media_id", "kind", "payload"), 100, 10)
+      .head()
+    assert((tall.out_width, tall.out_height) == (13, 10))
+    assert(tall.out_width <= 100 && tall.out_height <= 10)
+  }
+
   test("partition-batched path survives repartitioning (plumbing, not plan)") {
     val out = Multimodal.extractFeatures(media.repartition(8, col("media_id")))
       .collect().sortBy(_.media_id).map(_.n_bytes).toSeq
