@@ -21,6 +21,18 @@ import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
   * internal persist (minhash signatures, IVF codebooks, LSH buckets,
   * Jaccard inverted index) can neither flatter a later query nor
   * accumulate MEMORY_AND_DISK blocks across the run.
+  *
+  * Line budget: the harness reading this output captures only the final
+  * ~2000 characters, and sbt appends its own "[success] Total time" line
+  * after ours. Rounds 1-3 shipped a JSON line that overflowed that window
+  * (62 queries x 9-decimal seconds + a per-query status map), so the line's
+  * START was cut off and it never parsed. The final stdout line is now kept
+  * under `MaxLineChars` by (a) moving the status map out of the line
+  * (per-query OK/FAIL already streams to stderr; full detail lands in
+  * BENCH_DETAIL.json), (b) rounding seconds, degrading 3->2->1 decimals if
+  * needed, and (c) as a last resort keeping only the slowest queries with a
+  * `queries_omitted` count. Failure accounting stays on the line via
+  * `failed` (+ truncated `errors` when nonzero).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -65,17 +77,44 @@ object Bench {
           err.map(" " + _).getOrElse(""))
       (name, sec, err)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val status = results.map { case (k, _, e) =>
-      "\"" + k + "\":\"" + (if (e.isEmpty) "ok" else "failed") + "\"" }
-      .mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, Some(e)) =>
-      "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
     val failed = results.count(_._3.nonEmpty)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""status":$status,"errors":$errors,"failed":$failed,"sf":"$sfDir"}""")
+    val totalStr = f"$total%.2f"
+    // full-fidelity detail for humans and the repo record (not the driver)
+    val detail = {
+      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val status = results.map { case (k, _, e) =>
+        "\"" + k + "\":\"" + (if (e.isEmpty) "ok" else "failed") + "\"" }
+        .mkString("{", ",", "}")
+      val errors = results.collect { case (k, _, Some(e)) =>
+        "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,""" +
+        s""""status":$status,"errors":$errors,"failed":$failed,"sf":"$sfDir"}"""
+    }
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    // compact driver-facing line, kept under the tail-capture budget
+    val MaxLineChars = 1800
+    def line(decimals: Int, keep: Int): String = {
+      val kept = results.sortBy(-_._2).take(keep).sortBy(_._1)
+      val qs = kept.map { case (k, v, _) =>
+        "\"" + k + "\":" + s"%.${decimals}f".format(v) }.mkString("{", ",", "}")
+      val omitted =
+        if (keep >= results.size) "" else s""","queries_omitted":${results.size - keep}"""
+      val errs =
+        if (failed == 0) ""
+        else "," + "\"errors\":" + results.collect { case (k, _, Some(e)) =>
+          "\"" + k + "\":\"" + esc(e.take(80)) + "\"" }.take(5).mkString("{", ",", "}")
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs""" +
+        omitted + errs + s""","failed":$failed,"sf":"$sfDir"}"""
+    }
+    val candidates =
+      Seq(3, 2, 1).map(d => line(d, results.size)) ++
+        Iterator.iterate(results.size)(_ / 2).takeWhile(_ >= 1).map(line(1, _)).toSeq
+    println(candidates.find(_.length <= MaxLineChars).getOrElse(candidates.last))
     spark.stop()
     if (failed > 0) sys.exit(1)
   }
