@@ -49,8 +49,12 @@ object Multimodal {
       *   - JPEG [public: ITU T.81 §B.2.2]: FFD8 SOI, then marker segments
       *     `FF <marker> <len16> <payload>`; the first SOFn frame header
       *     (C0-CF minus C4/C8/CC) carries height at +5, width at +7.
-      * Returns None for anything that isn't a well-formed PNG/JPEG prefix
-      * (caller falls back to the stub).
+      * Returns None for anything that isn't a well-formed PNG/JPEG prefix,
+      * including headers declaring non-positive dimensions — a corrupt or
+      * hostile PNG can claim width 0 or >= 2^31 (be32 wraps negative), and
+      * letting that through would poison downstream fit math with zero or
+      * negative output dims. Such payloads fall back to the stub like any
+      * other unparseable bytes.
       */
     def imageDims(payload: Array[Byte]): Option[(Int, Int)] = {
       val isPng = payload.length >= 24 &&
@@ -58,21 +62,27 @@ object Multimodal {
         payload(2) == 'N' && payload(3) == 'G' &&
         (payload(4) & 0xff) == 0x0d && (payload(5) & 0xff) == 0x0a &&
         (payload(6) & 0xff) == 0x1a && (payload(7) & 0xff) == 0x0a
-      if (isPng) Some((be32(payload, 16), be32(payload, 20)))
-      else if (payload.length >= 4 &&
-          (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) {
-        var i = 2
-        while (i + 8 < payload.length && (payload(i) & 0xff) == 0xff) {
-          val marker = payload(i + 1) & 0xff
-          if (marker >= 0xc0 && marker <= 0xcf &&
-              marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
-            return Some((be16(payload, i + 7), be16(payload, i + 5)))
-          val len = be16(payload, i + 2)
-          if (len < 2) return None
-          i += 2 + len
-        }
-        None
-      } else None
+      val parsed: Option[(Int, Int)] =
+        if (isPng) Some((be32(payload, 16), be32(payload, 20)))
+        else if (payload.length >= 4 &&
+            (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) {
+          var i = 2
+          var found: Option[(Int, Int)] = None
+          while (found.isEmpty && i + 8 < payload.length &&
+              (payload(i) & 0xff) == 0xff) {
+            val marker = payload(i + 1) & 0xff
+            if (marker >= 0xc0 && marker <= 0xcf &&
+                marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+              found = Some((be16(payload, i + 7), be16(payload, i + 5)))
+            else {
+              val len = be16(payload, i + 2)
+              if (len < 2) i = payload.length // malformed segment: bail
+              else i += 2 + len
+            }
+          }
+          found
+        } else None
+      parsed.filter { case (w, h) => w > 0 && h > 0 }
     }
 
     /** STUB decode: a real implementation would hand `payload` to an image

@@ -71,7 +71,15 @@ object AsOfJoin {
       direction: Direction = Backward,
       toleranceSeconds: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "as-of join needs >= 1 key column (see scaladoc)")
-    require(!values.contains("__rt"), "__rt is reserved")
+    // the implementation introduces these working columns via withColumn,
+    // which silently OVERWRITES an existing column of the same name and
+    // corrupts the join — reject them on both input schemas up front
+    locally {
+      val reserved = Set("__t", "__tag", "__isleft", "__vals", "__rt", "__carried")
+      val clashes = (left.columns ++ right.columns ++ values).filter(reserved)
+      require(clashes.isEmpty,
+        s"reserved internal column name(s) in input: ${clashes.distinct.mkString(", ")}")
+    }
     val leftCols = left.columns.toSeq
     // All right-side values travel inside ONE struct: last(ignoreNulls)
     // then skips only the placeholder-null left rows, never a genuine

@@ -30,14 +30,18 @@ object RangeJoin {
       binWidth: Double): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     val lb = left.withColumn("__bin", floor(col(valueCol) / binWidth))
-    // hi is exclusive: an interval ending exactly on a bin boundary does
-    // not overlap that boundary's bin. Empty intervals (hi <= lo) are
-    // dropped up front — sequence() would otherwise count DOWN for them.
-    val hiBin = floor(col(hiCol) / binWidth) -
-      when(col(hiCol) % binWidth === 0, 1).otherwise(0)
+    // Explode through floor(hi/binWidth) unconditionally. An interval whose
+    // exclusive hi sits exactly on a bin boundary gets one spurious bin, but
+    // deciding that via `hi % binWidth === 0` in floating point can disagree
+    // with the left side's floor(v / binWidth) for non-bin-granular doubles
+    // and silently drop a matching row; the exact in-bin predicate below
+    // discards the extra candidates at the cost of one bin per interval.
+    // Empty intervals (hi <= lo) are dropped up front — sequence() would
+    // otherwise count DOWN for them.
     val rb = right
       .filter(col(hiCol) > col(loCol))
-      .withColumn("__bin", explode(sequence(floor(col(loCol) / binWidth), hiBin)))
+      .withColumn("__bin",
+        explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
     lb.join(rb, Seq("__bin"))
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("__bin")

@@ -89,8 +89,12 @@ object DataQueries {
   }
 
   /** IVF with a Lloyd-refined codebook (2 distributed k-means rounds):
-    * tighter cells -> better low-nprobe recall. Deterministic (hash-rank
-    * seed + deterministic refinement), rows-only like the other sketches. */
+    * tighter cells -> better low-nprobe recall. Stable row SHAPE (hash-rank
+    * seeded, fixed k and rank window), but not bitwise run-to-run: the
+    * refinement's per-cell avg() over doubles is summation-order dependent
+    * across partition layouts, so centroids — and probe assignments near
+    * centroid ties — can drift. Rows-only check by design; do not promote
+    * to a hash-compared oracle without making the mean order-insensitive. */
   def annTopkIvfRefined(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, refineIters = 2)

@@ -76,11 +76,17 @@ object EventBucketizer {
   def enriched(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
-  /** Streaming exact dedup — the streaming twin of
+  /** Streaming near-exact dedup — the streaming counterpart of
     * [[graft.operators.Dedup.exact]]: emits only the FIRST arrival of each
-    * distinct text. Keyed on xxhash64(text) so the dedup state store holds
-    * an 8-byte key per distinct doc instead of the full text (the same
-    * shrink-the-shuffle-key trick the batch operator documents for 100 TB).
+    * distinct text. Keyed on (xxhash64(text), length(text)) so the dedup
+    * state store holds ~12 bytes per distinct doc instead of the full text
+    * (the same shrink-the-shuffle-key trick the batch operator documents
+    * for 100 TB); the length component shrinks the collision surface to
+    * same-length hash collisions. Unlike the batch `exactHashKeyed`, which
+    * re-verifies collided groups on the full text, this path cannot —
+    * state must stay bounded — so two distinct same-length texts colliding
+    * on xxhash64 (~n^2/2^65 over a watermark window of n docs) silently
+    * drop one row. That residual risk is the price of bounded state.
     * `dropDuplicatesWithinWatermark` bounds state: a key is evicted once
     * the watermark passes its event time, so state scales with the
     * duplicate-arrival horizon (how late a dup can trail its original),
@@ -90,9 +96,10 @@ object EventBucketizer {
   def streamingDedup(docs: DataFrame, watermark: String = "1 day"): DataFrame =
     docs
       .withColumn("text_hash", xxhash64(col("text")))
+      .withColumn("text_len", length(col("text")))
       .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("text_hash")
-      .drop("text_hash")
+      .dropDuplicatesWithinWatermark("text_hash", "text_len")
+      .drop("text_hash", "text_len")
 
   /** Continuous writer: append daily buckets as date-partitioned parquet —
     * the streaming twin of ParquetCatalog.writeTable. Returns the started

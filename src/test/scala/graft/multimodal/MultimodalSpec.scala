@@ -65,6 +65,14 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.MediaDecoder.imageDims(Array.empty[Byte]).isEmpty)
     // truncated PNG signature must not parse
     assert(Multimodal.MediaDecoder.imageDims(pngHeader.take(12)).isEmpty)
+    // hostile headers declaring zero / negative (be32-wrapped) dims fall
+    // back to the stub instead of poisoning downstream fit math
+    val zeroW = pngHeader.clone()
+    zeroW(16) = 0; zeroW(17) = 0; zeroW(18) = 0; zeroW(19) = 0 // width 0
+    assert(Multimodal.MediaDecoder.imageDims(zeroW).isEmpty)
+    val negH = pngHeader.clone()
+    negH(20) = 0xff.toByte // height >= 2^31 -> wraps negative
+    assert(Multimodal.MediaDecoder.imageDims(negH).isEmpty)
     // dispatch: image kind uses the header; audio kind ignores it
     val (wi, hi, _) = Multimodal.MediaDecoder.decode("image", pngHeader)
     assert((wi, hi) == (640, 480))

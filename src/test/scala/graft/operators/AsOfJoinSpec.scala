@@ -70,6 +70,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(1L).isEmpty, "9 days back: outside tolerance -> NULL")
   }
 
+  test("reserved internal column names are rejected on either input") {
+    val left = Seq(("k", "2024-01-01", 1L)).toDF("k", "t", "id")
+    val right = Seq(("k", "2024-01-01", 1.0)).toDF("k", "t", "v")
+    Seq("__t", "__tag", "__isleft", "__vals", "__rt", "__carried").foreach { bad =>
+      val l = left.withColumn(bad, left("id"))
+      val e1 = intercept[IllegalArgumentException] {
+        AsOfJoin.joinStrictlyBefore(l, right, Seq("k"), "t", "t", Seq("v"))
+      }
+      assert(e1.getMessage.contains(bad))
+      val r = right.withColumn(bad, right("v"))
+      val e2 = intercept[IllegalArgumentException] {
+        AsOfJoin.joinStrictlyBefore(left, r, Seq("k"), "t", "t", Seq("v"))
+      }
+      assert(e2.getMessage.contains(bad))
+    }
+  }
+
   test("left row count preserved (left-join semantics)") {
     val left = (1 to 50).map(i => ("k", f"2024-02-$i%02d".take(10), i.toLong))
       .filter(_._2.matches("2024-02-(0[1-9]|1[0-9]|2[0-8])")).toDF("k", "t", "id")

@@ -33,6 +33,21 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("non-bin-granular doubles: no row lost to float boundary rounding") {
+    // binWidth 0.1 is not exactly representable; deciding boundary-bin
+    // exclusion via `hi % binWidth === 0` can disagree with the left
+    // side's floor(v / binWidth) and silently drop matches. The fix
+    // explodes one extra candidate bin and lets the exact predicate prune.
+    val ivals = (0 until 30).map(i => (s"i$i", i * 0.1, (i + 3) * 0.1))
+      .toDF("name", "lo", "hi")
+    val values = (0 until 300).map(i => (i.toLong, i * 0.01)).toDF("id", "v")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val binned = pairs(RangeJoin.binned(values, "v", ivals, "lo", "hi", binWidth = 0.1))
+    val naive = pairs(values.join(ivals, col("v") >= col("lo") && col("v") < col("hi")))
+    assert(binned == naive)
+  }
+
   test("the join is an equi-join on bins, not a nested loop") {
     val values = Seq((1L, 5.0)).toDF("id", "v")
     val p = RangeJoin.binned(values, "v", intervals, "lo", "hi", 4.0)
