@@ -83,4 +83,35 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** PII patterns, shared verbatim with the DuckDB oracle SQL. Kept to the
+    * RE2-compatible subset (no lookarounds, no backreferences) so the same
+    * pattern string means the same thing under Java regex (Spark) and RE2
+    * (DuckDB). Deliberately high-recall / moderate-precision — the standard
+    * posture for a training-corpus scrub, where a false redaction costs one
+    * token and a miss leaks PII into model weights.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}"
+
+  /** Redact emails, IPv4 addresses, and international-format phone numbers
+    * with typed placeholder tokens. Email runs first (its local part may
+    * contain digits-and-dots that the IP pattern would otherwise bite),
+    * then IP, then phone. Pure codegen'd regexp_replace chain — no UDF.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Fraction of characters that are neither alphanumeric nor whitespace,
+    * 6 decimals — the "symbol soup" signal in C4/Gopher-style quality
+    * rules [public: Raffel et al. 2020; Rae et al. 2021].
+    */
+  def symbolRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+      greatest(length(text), lit(1)), 6)
 }

@@ -252,7 +252,27 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** Greedy token-budget batch packing ([[graft.operators.Packing]]):
+    * per-(partition, batch) summaries for the sequence-packing stage in
+    * front of a trainer. Rows-only — greedy packing is an inherently
+    * sequential per-partition scan, not SQL-expressible — but fully
+    * deterministic for the fixed (budget, numPartitions): PackingSpec pins
+    * the invariants (every doc exactly once, budget respected, stable
+    * across runs).
+    */
+  def packBatches(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.bpeTokenCount(col("text")).as("n_tokens"))
+    graft.operators.Packing
+      .packGreedy(docs, "doc_id", "n_tokens", budget = 2000L, numPartitions = 8)
+      .groupBy(col("part_id"), col("batch_idx"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("weight")).as("token_sum"))
+      .orderBy("part_id", "batch_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_batches" -> (packBatches _),
     "salted_agg" -> (saltedAgg _),
     "salted_join" -> (saltedJoin _),
     "sample_split" -> (sampleSplit _),

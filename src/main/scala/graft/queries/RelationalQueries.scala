@@ -329,7 +329,75 @@ object RelationalQueries {
       .orderBy("band_id")
   }
 
+  /** Analytic-window breadth in one pass: lag/lead, ntile, percent_rank,
+    * cume_dist over each customer's order timeline. One hash partition by
+    * customer, one sort per partition — the same single-shuffle shape
+    * regardless of scale factor. ntile is cast to long to match DuckDB's
+    * BIGINT; rank ratios round to 6 so both engines agree bitwise.
+    */
+  def windowFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    table(spark, dir, "orders")
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Set op: UNION (distinct) of two order-year customer slices — the
+    * dual of set_intersect; plans as union + hash-distinct, one shuffle
+    * on the set key.
+    */
+  def setUnion(spark: SparkSession, dir: String): DataFrame = {
+    def custsIn(y: Int) = table(spark, dir, "orders")
+      .filter(year(to_date(col("o_orderdate"))) === y)
+      .select(col("o_custkey"))
+    custsIn(1995).union(custsIn(1996)).distinct().orderBy("o_custkey")
+  }
+
+  /** FULL OUTER join with genuinely unmatched rows on BOTH sides:
+    * high-balance customers vs per-customer counts of big orders. The
+    * aggregated right side stays small, but full-outer semantics force a
+    * shuffle join (broadcast can't preserve the unmatched build side) —
+    * Spark plans SortMergeJoin here and that IS the right 100 TB shape.
+    */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val rich = table(spark, dir, "customer")
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_name"))
+    val big = table(spark, dir, "orders")
+      .filter(col("o_totalprice") > 350000)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big_orders"))
+    rich.join(big, rich("c_custkey") === big("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"), col("n_big_orders"))
+      .orderBy("custkey")
+  }
+
+  /** Explicit GROUPING SETS — per-status and per-priority subtotals plus
+    * the grand total, WITHOUT the cross products CUBE would add. Uses the
+    * native Dataset.groupingSets API (Spark 4) so Catalyst plans one
+    * Expand + one aggregate, not a self-union of three scans.
+    */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_functions" -> (windowFunctions _),
+    "set_union" -> (setUnion _),
+    "join_full_outer" -> (joinFullOuter _),
+    "agg_grouping_sets" -> (aggGroupingSets _),
     "orders_price_bands" -> (ordersPriceBands _),
     "moving_avg" -> (movingAvg _),
     "hll_reach" -> (hllReach _),
@@ -353,6 +421,32 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "window_functions" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "lag(o_totalprice) OVER w AS prev_price, " +
+        "lead(o_totalprice) OVER w AS next_price, " +
+        "ntile(4) OVER w AS quartile, " +
+        "ROUND(percent_rank() OVER w, 6) AS pct_rank, " +
+        "ROUND(cume_dist() OVER w, 6) AS cume " +
+        "FROM orders WHERE o_custkey < 200 " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
+        "ORDER BY o_custkey, o_orderkey"),
+    "set_union" ->
+      ("SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995 " +
+        "UNION " +
+        "SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996 " +
+        "ORDER BY o_custkey"),
+    "join_full_outer" ->
+      ("SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_name, n_big_orders " +
+        "FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000) c " +
+        "FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_big_orders FROM orders " +
+        "WHERE o_totalprice > 350000 GROUP BY o_custkey) o " +
+        "ON c_custkey = o_custkey ORDER BY custkey"),
+    "agg_grouping_sets" ->
+      ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, " +
+        "ROUND(SUM(o_totalprice), 2) AS total_price " +
+        "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
     "orders_price_bands" -> {
       val values = priceBands
         .map { case (b, lo, hi) => s"($b, $lo, $hi)" }.mkString(", ")

@@ -111,7 +111,67 @@ object TextQueries {
       .orderBy("doc_id", "rn")
   }
 
+  /** PII scrub over a corpus: emails, IPv4s, and phone numbers replaced by
+    * typed placeholder tokens. The fixture text carries no PII, so each doc
+    * is deterministically salted with synthetic PII derived from its id
+    * BEFORE redaction — the oracle applies the identical salt + the
+    * identical RE2-safe patterns, so a drift in either engine's regex
+    * semantics fails the hash compare. Pure projection: embarrassingly
+    * parallel, no shuffle, scales linearly with corpus bytes.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat(
+          col("text"),
+          lit(" contact user"), col("doc_id"), lit("@mail.example.com from 10."),
+          pmod(col("doc_id"), lit(200)), lit(".0."), pmod(col("doc_id"), lit(250)),
+          lit(" call +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("salted"))
+      .select(col("doc_id"), TextFunctions.redactPii(col("salted")).as("red_text"))
+      .orderBy("doc_id")
+
+  /** Gopher/C4-style quality rules [public: Rae et al. 2021 §A1.1; Raffel
+    * et al. 2020 §2.2]: word-count bounds, mean-word-length bounds, symbol
+    * ratio, stopword presence — each rule a column, plus the conjunction
+    * `keep`. Flags are 0/1 ints so both engines stringify identically.
+    */
+  def qualityGopher(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    docs.select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_words"),
+        TextFunctions.avgWordLen(col("text")).as("avg_word_len"),
+        TextFunctions.symbolRatio(col("text")).as("symbol_ratio"),
+        col("text").rlike("\\b(the|and|of|to)\\b").cast("int").as("has_stopword"))
+      .withColumn("keep",
+        (col("n_words").between(5, 5000) &&
+          col("avg_word_len").between(2.0, 15.0) &&
+          col("symbol_ratio") < 0.1 &&
+          col("has_stopword") === 1).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source quota: keep the first `10` docs (by id) of each source —
+    * the domain-balancing step of corpus curation (cap any one domain's
+    * share of the training mix). One hash-partitioned window by source;
+    * at 100 TB this is the cheap shape — no global sort, state per group
+    * is one counter.
+    */
+  def domainQuota(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .orderBy("source", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_redact" -> (piiRedact _),
+    "quality_gopher" -> (qualityGopher _),
+    "domain_quota" -> (domainQuota _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "text_stats" -> (textStats _),
     "text_bpe_tokens" -> (textBpeTokens _),
@@ -143,7 +203,40 @@ object TextQueries {
       "/ GREATEST(length(text), 1)) * " +
       s"LEAST(1.0, CAST($tokCount AS DOUBLE) / 20.0), 6)"
 
+  private val saltedExpr =
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.' || " +
+      "CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) || " +
+      "' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+
+  private val symbolRatioExpr =
+    "ROUND(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) " +
+      "/ GREATEST(length(text), 1), 6)"
+
+  private val avgWordLenExpr =
+    "ROUND(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) " +
+      s"/ GREATEST($tokCount, 1), 6)"
+
   val oracleSql: Map[String, String] = Map(
+    "pii_redact" ->
+      (s"WITH salted AS (SELECT doc_id, $saltedExpr AS s FROM documents) " +
+        "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(s, " +
+        s"'${TextFunctions.EmailRe}', '<EMAIL>', 'g'), " +
+        s"'${TextFunctions.Ipv4Re}', '<IP>', 'g'), " +
+        s"'${TextFunctions.PhoneRe}', '<PHONE>', 'g') AS red_text " +
+        "FROM salted ORDER BY doc_id"),
+    "quality_gopher" ->
+      (s"SELECT doc_id, n_words, avg_word_len, symbol_ratio, has_stopword, " +
+        "CAST((n_words BETWEEN 5 AND 5000 AND avg_word_len BETWEEN 2.0 AND 15.0 " +
+        "AND symbol_ratio < 0.1 AND has_stopword = 1) AS INT) AS keep FROM (" +
+        s"SELECT doc_id, $tokCount AS n_words, $avgWordLenExpr AS avg_word_len, " +
+        s"$symbolRatioExpr AS symbol_ratio, " +
+        "CAST(regexp_matches(text, '\\b(the|and|of|to)\\b') AS INT) AS has_stopword " +
+        "FROM documents) ORDER BY doc_id"),
+    "domain_quota" ->
+      ("SELECT doc_id, source, rn FROM (" +
+        "SELECT doc_id, source, ROW_NUMBER() OVER " +
+        "(PARTITION BY source ORDER BY doc_id) AS rn FROM documents) " +
+        "WHERE rn <= 10 ORDER BY source, rn"),
     "corpus_curate" ->
       ("WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text), " +
         s"q AS (SELECT d.doc_id, $qualityExpr AS quality, $langCase AS lang_pred " +
