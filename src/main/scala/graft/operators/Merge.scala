@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed upsert (SCD-1 MERGE semantics): apply a batch of updates onto a
+  * base table, keeping exactly one row per key.
+  *
+  * Precedence: an update row always beats a base row for the same key
+  * (incoming-batch-wins, the MERGE ... WHEN MATCHED THEN UPDATE contract);
+  * within one side, higher `versionCols` (compared in order, descending)
+  * win — callers include a unique id as the last version column to make
+  * the winner fully deterministic under ties.
+  *
+  * Scale shape: one hash shuffle on the key columns, a per-key window
+  * keeping row 1, no driver state. At 100 TB the window's per-key state
+  * is one counter; a pathologically hot key is an input-data bug (keys
+  * are meant unique per side), and AQE's skew handling covers the
+  * shuffle. Contrast with a join-based MERGE (base LEFT ANTI updates,
+  * then union): same shuffle count but two joins; the single-window form
+  * also dedups WITHIN each side for free.
+  */
+object Merge {
+
+  def upsert(
+      base: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      versionCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "upsert needs >= 1 key column")
+    require(versionCols.nonEmpty,
+      "upsert needs >= 1 version column (end with a unique id for determinism)")
+    val reserved = Set("__src", "__rn")
+    val clashes = (base.columns ++ updates.columns).filter(reserved)
+    require(clashes.isEmpty,
+      s"reserved internal column name(s) in input: ${clashes.distinct.mkString(", ")}")
+    val b = base.withColumn("__src", lit(0))
+    val u = updates.withColumn("__src", lit(1))
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__src").desc +: versionCols.map(col(_).desc): _*)
+    b.unionByName(u)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__src", "__rn")
+  }
+}

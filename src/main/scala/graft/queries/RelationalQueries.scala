@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, Merge, RangeJoin}
 import graft.queries.CoreQueries.table
 
 /** Relational extension surface (SURVEY.md §7.5): join / window / set-op /
@@ -393,7 +393,72 @@ object RelationalQueries {
         round(sum(col("o_totalprice")), 2).as("total_price"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** Ordered-sequence funnel over the event stream: users who did
+    * view -> click -> purchase IN ORDER (each step strictly after the
+    * previous step's first occurrence). Classic product-analytics
+    * operator. Every stage is a user-keyed aggregation or join — the
+    * plan shuffles on user_id only, and each step's frame shrinks, so
+    * the funnel narrows the data as it narrows the users.
+    */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    def cnt(df: DataFrame, step: Int, label: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).cast("long").as("step"), lit(label).as("event_type"),
+          col("n_users"))
+    cnt(s1, 1, "view").union(cnt(s2, 2, "click")).union(cnt(s3, 3, "purchase"))
+      .orderBy("step")
+  }
+
+  /** Weekly cohort retention: users bucketed by first-active week (weeks
+    * since 2024-01-01), counted per (cohort_week, week_offset) of later
+    * activity — the product-analytics retention triangle. Two user-keyed
+    * aggregations plus one distinct; integer week arithmetic matches the
+    * oracle exactly (no timezone/rounding surface).
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"),
+        floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7).as("week"))
+    val weeks = ev.distinct()
+    val cohort = weeks.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    weeks.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Keyed upsert via [[graft.operators.Merge.upsert]]: second-half events
+    * applied as updates onto first-half events per (user_id, event_type),
+    * versioned by (ts, event_id). The overlapping day keeps the
+    * incoming-batch-wins precedence observable. Oracle = the same
+    * union + ROW_NUMBER in SQL.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        round(col("value"), 2).as("value"))
+    val base = ev.filter(to_date(col("ts")) < lit("2024-01-16"))
+    val updates = ev.filter(to_date(col("ts")) >= lit("2024-01-10"))
+    Merge.upsert(base, updates, keys = Seq("user_id", "event_type"),
+        versionCols = Seq("ts", "event_id"))
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("d"),
+        col("event_id"), col("value"))
+      .orderBy("user_id", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_steps" -> (funnelSteps _),
+    "cohort_retention" -> (cohortRetention _),
+    "merge_upsert" -> (mergeUpsert _),
     "window_functions" -> (windowFunctions _),
     "set_union" -> (setUnion _),
     "join_full_outer" -> (joinFullOuter _),
@@ -421,6 +486,40 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "funnel_steps" ->
+      ("WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events " +
+        "WHERE event_type = 'view' GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e " +
+        "JOIN s1 ON e.user_id = s1.user_id " +
+        "WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e " +
+        "JOIN s2 ON e.user_id = s2.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id) " +
+        "SELECT * FROM (" +
+        "SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, COUNT(*) AS n_users FROM s1 " +
+        "UNION ALL SELECT 2, 'click', COUNT(*) FROM s2 " +
+        "UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3) ORDER BY step"),
+    "cohort_retention" ->
+      ("WITH weeks AS (SELECT DISTINCT user_id, " +
+        "CAST(FLOOR((CAST(ts AS DATE) - DATE '2024-01-01') / 7) AS BIGINT) AS week " +
+        "FROM events), " +
+        "cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id) " +
+        "SELECT cohort_week, week - cohort_week AS week_offset, " +
+        "CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users " +
+        "FROM weeks w JOIN cohort c ON w.user_id = c.user_id " +
+        "GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset"),
+    "merge_upsert" ->
+      ("WITH ev AS (SELECT user_id, event_type, ts, event_id, " +
+        "ROUND(value, 2) AS value FROM events), " +
+        "m AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type " +
+        "ORDER BY src DESC, ts DESC, event_id DESC) AS rn FROM (" +
+        "SELECT user_id, event_type, ts, event_id, value, 0 AS src FROM ev " +
+        "WHERE CAST(ts AS DATE) < DATE '2024-01-16' " +
+        "UNION ALL " +
+        "SELECT user_id, event_type, ts, event_id, value, 1 AS src FROM ev " +
+        "WHERE CAST(ts AS DATE) >= DATE '2024-01-10')) " +
+        "SELECT user_id, event_type, CAST(ts AS DATE) AS d, event_id, value " +
+        "FROM m WHERE rn = 1 ORDER BY user_id, event_type"),
     "window_functions" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice, " +
         "lag(o_totalprice) OVER w AS prev_price, " +

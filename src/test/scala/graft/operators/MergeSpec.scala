@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Seq(
+    ("k1", 5L, "base-new"),
+    ("k2", 1L, "base-only"),
+    ("k3", 2L, "base-old")
+  ).toDF("k", "v", "payload")
+
+  private val updates = Seq(
+    ("k1", 3L, "upd-old"),    // older version than base's k1 row
+    ("k3", 7L, "upd-new"),
+    ("k4", 1L, "upd-only")
+  ).toDF("k", "v", "payload")
+
+  test("an update beats a base row for the same key even with an older version") {
+    val out = Merge.upsert(base, updates, Seq("k"), Seq("v"))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out == Map(
+      "k1" -> "upd-old",   // incoming batch wins, not max-version
+      "k2" -> "base-only",
+      "k3" -> "upd-new",
+      "k4" -> "upd-only"))
+  }
+
+  test("within one side, higher version wins; ties broken by later version cols") {
+    val dups = Seq(
+      ("k", 1L, 1L, "a"), ("k", 2L, 1L, "b"), ("k", 2L, 2L, "c")
+    ).toDF("k", "v", "seq", "payload")
+    val out = Merge.upsert(dups, dups.limit(0), Seq("k"), Seq("v", "seq"))
+      .collect().map(_.getString(3)).toSeq
+    assert(out == Seq("c"))
+  }
+
+  test("exactly one row per key, keys from both sides present") {
+    val out = Merge.upsert(base, updates, Seq("k"), Seq("v"))
+    assert(out.count() == 4)
+    assert(out.select("k").distinct().count() == 4)
+  }
+
+  test("reserved internal names are rejected") {
+    val bad = base.withColumn("__src", $"v")
+    intercept[IllegalArgumentException](
+      Merge.upsert(bad, updates, Seq("k"), Seq("v")))
+    intercept[IllegalArgumentException](
+      Merge.upsert(base, updates.withColumn("__rn", $"v"), Seq("k"), Seq("v")))
+  }
+}
