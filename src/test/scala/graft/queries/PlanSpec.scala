@@ -82,4 +82,35 @@ class PlanSpec extends SparkSpec {
       "small query side must broadcast")
     assert("Window".r.findAllIn(p).length >= 1)
   }
+
+  test("funnel_steps: keyed equi-joins only, no cartesian, no nested loop") {
+    val p = plan("funnel_steps")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "funnel stages must join on user_id, never cross")
+  }
+
+  test("merge_upsert: exactly one exchange (the key shuffle), single window") {
+    val p = plan("merge_upsert")
+    val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).length
+    // one hash shuffle on (user_id, event_type) + the output orderBy's
+    // range exchange = 2; a join-based MERGE rewrite would add more
+    assert(exchanges <= 2, s"upsert must be one keyed shuffle + sort, got $exchanges\n$p")
+    assert("Window".r.findAllIn(p).nonEmpty)
+  }
+
+  test("pack_batches: one repartition exchange feeds the per-partition scan") {
+    val p = plan("pack_batches")
+    assert(!p.contains("CartesianProduct"))
+    // hash repartition by id + agg partial/final + orderBy range = <= 4
+    val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).length
+    assert(exchanges <= 4, s"packing pipeline grew extra shuffles: $exchanges\n$p")
+  }
+
+  test("window_functions: a single sort-window pass over one key shuffle") {
+    val p = plan("window_functions")
+    val windows = "Window \\(".r.findAllIn(p).length
+    assert(windows <= 1, s"all five analytics must share one Window operator\n$p")
+    assert(p.contains("PushedFilters") && p.contains("LessThan(o_custkey"),
+      "customer filter must reach the parquet scan")
+  }
 }
