@@ -126,4 +126,39 @@ final class ParquetCatalog(val spark: SparkSession, val root: String) {
     * files would forget the hash-partitioning and re-shuffle).
     */
   def loadBucketed(name: String): DataFrame = spark.table(name)
+
+  private val interchangeFormats = Set("csv", "json")
+
+  /** Ingest an external CSV/JSON dataset as a catalog table (converted to
+    * parquet — the interchange format never becomes the storage format).
+    * The schema is REQUIRED, not inferred: inference costs a full extra
+    * pass over the input (ruinous at ingest scale) and silently mistypes
+    * sparse or all-null columns; an explicit schema also makes malformed
+    * rows surface as nulls/errors instead of schema drift.
+    */
+  def importTable(
+      name: String,
+      sourcePath: String,
+      format: String,
+      schema: StructType,
+      options: Map[String, String] = Map.empty): Unit = {
+    require(interchangeFormats.contains(format),
+      s"importTable supports ${interchangeFormats.mkString("/")}, got '$format'")
+    spark.read.options(options).schema(schema).format(format).load(sourcePath)
+      .write.mode("overwrite").parquet(tablePath(name))
+  }
+
+  /** Export a catalog table to CSV/JSON for downstream consumers that
+    * can't read parquet. Partition count carries over from the table —
+    * coalesce upstream if a single file is required.
+    */
+  def exportTable(
+      name: String,
+      destPath: String,
+      format: String,
+      options: Map[String, String] = Map.empty): Unit = {
+    require(interchangeFormats.contains(format),
+      s"exportTable supports ${interchangeFormats.mkString("/")}, got '$format'")
+    load(name).write.mode("overwrite").options(options).format(format).save(destPath)
+  }
 }

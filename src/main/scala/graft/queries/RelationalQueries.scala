@@ -455,7 +455,38 @@ object RelationalQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** Semi-structured extraction: pull a typed field out of the JSON props
+    * column and aggregate on it — `get_json_object` stays inside codegen
+    * (no UDF), and the extraction happens after the scan so only the
+    * projected columns are read.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+        round(avg(col("k")), 4).as("k_avg"))
+      .orderBy("event_type")
+
+  /** ANALYZE-style column statistics in one scan-and-aggregate pass:
+    * row count, distinct keys, min/max/mean price, null count — the
+    * profile a catalog would persist for optimizer estimates.
+    */
+  def tableStats(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_custs"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"),
+        sum(when(col("o_orderstatus").isNull, 1).otherwise(0)).cast("long")
+          .as("n_null_status"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "json_extract" -> (jsonExtract _),
+    "table_stats" -> (tableStats _),
     "funnel_steps" -> (funnelSteps _),
     "cohort_retention" -> (cohortRetention _),
     "merge_upsert" -> (mergeUpsert _),
@@ -486,6 +517,19 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "json_extract" ->
+      ("SELECT event_type, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum, " +
+        "ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS k_avg " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "table_stats" ->
+      ("SELECT COUNT(*) AS n_rows, " +
+        "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs, " +
+        "ROUND(MIN(o_totalprice), 2) AS min_price, " +
+        "ROUND(MAX(o_totalprice), 2) AS max_price, " +
+        "ROUND(AVG(o_totalprice), 4) AS avg_price, " +
+        "CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_null_status FROM orders"),
     "funnel_steps" ->
       ("WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events " +
         "WHERE event_type = 'view' GROUP BY user_id), " +

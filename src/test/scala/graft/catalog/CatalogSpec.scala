@@ -78,6 +78,38 @@ class CatalogSpec extends SparkSpec {
     assert(cat.load("t").filter(col("bucket") === 2).count() == 25)
   }
 
+  test("csv/json interchange: import converts to parquet, export round-trips") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graftio").toString
+    val cat = new ParquetCatalog(spark, tmp)
+    // hand-written CSV with a header line
+    val csvDir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$tmp/in_csv"))
+    java.nio.file.Files.write(csvDir.resolve("part.csv"),
+      "id,name,score\n1,alpha,0.5\n2,beta,1.25\n3,gamma,\n".getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    cat.importTable("scores", s"$tmp/in_csv", "csv", schema,
+      Map("header" -> "true"))
+    // the table is parquet now, typed by the declared schema (no inference)
+    assert(cat.tableExists("scores"))
+    assert(cat.schemaOf("scores") == schema)
+    val rows = cat.load("scores").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, "alpha", Some(0.5)), (2L, "beta", Some(1.25)), (3L, "gamma", None)))
+    // export to json and read back with the same schema
+    cat.exportTable("scores", s"$tmp/out_json", "json")
+    val back = spark.read.schema(schema).json(s"$tmp/out_json")
+    assert(back.count() == 3)
+    assert(back.where("name = 'beta'").head().getDouble(2) == 1.25)
+    // unsupported interchange format is rejected
+    intercept[IllegalArgumentException](
+      cat.importTable("x", s"$tmp/in_csv", "parquet", schema))
+    intercept[IllegalArgumentException](cat.exportTable("scores", s"$tmp/o", "orc"))
+  }
+
   test("writeTable overwrite + drop round-trip") {
     val tmp = java.nio.file.Files.createTempDirectory("graftcat").toString
     val cat = new ParquetCatalog(spark, tmp)
