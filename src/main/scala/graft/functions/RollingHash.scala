@@ -36,6 +36,79 @@ case class RollingHashExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "rolling_hash"
 }
 
+/** All fixed-width window hashes of a string in ONE pass — the
+  * substring-dedup primitive at scale: instead of exploding w-char
+  * substrings (w bytes of shuffle per window position), explode these
+  * 8-byte hashes and group on them. True rolling computation: after the
+  * first window, each successive hash is O(1) (subtract the outgoing
+  * byte's contribution, multiply by Base, add the incoming byte), so a
+  * document of n bytes costs O(n), not O(n*w).
+  *
+  * Windows are over UTF-8 BYTES (same convention as xxhash64); for the
+  * ASCII fixtures bytes == characters. Returns an empty array when the
+  * string is shorter than the window.
+  */
+case class RollingWindowHashExpr(child: Expression, width: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes() =
+    if (child.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"rolling_hash_windows needs a string argument, got ${child.dataType}")
+    else if (width < 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"rolling_hash_windows needs width >= 1, got $width")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(input: Any): Any =
+    RollingWindowHashExpr.hashes(input.asInstanceOf[UTF8String], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.RollingWindowHashExpr.hashes($c, $width)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingWindowHashExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "rolling_hash_windows"
+}
+
+object RollingWindowHashExpr {
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def hashes(s: UTF8String, width: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length - width + 1
+    if (n <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    // Base^(width-1): the outgoing byte's positional weight
+    var pow = 1L
+    var j = 1
+    while (j < width) { pow *= RollingHashExpr.Base; j += 1 }
+    val out = new Array[Long](n)
+    var h = 0L
+    var i = 0
+    while (i < width) { h = h * RollingHashExpr.Base + (bytes(i) & 0xff); i += 1 }
+    out(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - (bytes(i - 1) & 0xff) * pow) * RollingHashExpr.Base +
+        (bytes(i + width - 1) & 0xff)
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  def rolling_hash_windows(c: Column, width: Int): Column =
+    ColumnBridge.column(RollingWindowHashExpr(ColumnBridge.expression(c), width))
+}
+
 object RollingHashExpr {
 
   /** JOAAT-style multiplier; Long arithmetic wraps (mod 2^64) by design. */

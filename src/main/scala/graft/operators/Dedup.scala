@@ -302,4 +302,45 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Substring-level duplication [public: Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — exact-substring dedup]:
+    * every `width`-char window shared by at least `minDocs` DISTINCT
+    * documents. This literal form ships the substring itself as the
+    * group key (width bytes per window position) — exactly SQL-expressible,
+    * so it is the oracle-checked reference semantics; at corpus scale use
+    * [[substringDupSpansHashed]], which groups on 8-byte rolling hashes
+    * instead (same spans, ~width-fold smaller shuffle).
+    */
+  def substringDupSpans(docs: DataFrame, width: Int = 32, minDocs: Int = 2): DataFrame = {
+    require(width >= 1 && minDocs >= 1)
+    docs
+      .filter(length(col("text")) >= width)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (width - 1))).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("text").substr(col("i"), lit(width)).as("span"))
+      .groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** The 100 TB form of [[substringDupSpans]]: one linear pass per doc
+    * computes ALL window hashes via the rolling-hash codegen Expression
+    * (O(1) per position), then the explode/group pipeline runs on 8-byte
+    * longs instead of width-byte strings. Hash collisions can merge two
+    * distinct spans (~n_windows^2 / 2^64) — the standard trade; a verify
+    * stage on collided groups restores exactness if needed. RollingHashSpec
+    * pins span-group agreement with the literal operator on the fixtures.
+    */
+  def substringDupSpansHashed(docs: DataFrame, width: Int = 32, minDocs: Int = 2): DataFrame = {
+    require(width >= 1 && minDocs >= 1)
+    docs
+      .select(col("doc_id"),
+        explode(graft.functions.RollingWindowHashExpr
+          .rolling_hash_windows(col("text"), width)).as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
 }

@@ -271,7 +271,25 @@ object DataQueries {
       .orderBy("part_id", "batch_idx")
   }
 
+  /** Exact substring-span dedup (Lee et al. 2022 semantics): 24-char
+    * windows shared by >= 2 distinct docs. Literal span keys — the
+    * oracle-checked reference form.
+    */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringDupSpans(table(spark, dir, "documents"), width = 24)
+      .orderBy("span")
+
+  /** Same spans through the rolling-hash scale path (8-byte group keys).
+    * Rows-only: the hash isn't reproducible in DuckDB SQL; RollingHashSpec
+    * pins agreement with dedup_substring's literal grouping.
+    */
+  def dedupSubstringHashed(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringDupSpansHashed(table(spark, dir, "documents"), width = 24)
+      .orderBy("span_hash")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring" -> (dedupSubstring _),
+    "dedup_substring_hashed" -> (dedupSubstringHashed _),
     "pack_batches" -> (packBatches _),
     "salted_agg" -> (saltedAgg _),
     "salted_join" -> (saltedJoin _),
@@ -337,6 +355,12 @@ object DataQueries {
       "ORDER BY d.doc_id"
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_substring" ->
+      ("SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM (" +
+        "SELECT doc_id, substr(text, CAST(i AS INT), 24) AS span FROM (" +
+        "SELECT doc_id, text, unnest(generate_series(1, length(text) - 23)) AS i " +
+        "FROM documents WHERE length(text) >= 24)) " +
+        "GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY span"),
     "salted_agg" ->
       ("SELECT event_type, ROUND(SUM(value), 2) AS value_sum, COUNT(value) AS n " +
         "FROM events GROUP BY event_type ORDER BY event_type"),

@@ -66,6 +66,43 @@ class TextFunctionsSpec extends SparkSpec {
     assert(withNull.count(_.isNullAt(0)) == 1)
   }
 
+  test("rolling window hashes: each equals the direct hash of its window") {
+    val s = "abcdefgh"
+    val w = 3
+    def direct(sub: String): Long = {
+      var h = 0L
+      sub.getBytes("UTF-8").foreach(b => h = h * RollingHashExpr.Base + (b & 0xff))
+      h
+    }
+    val got = Seq(s).toDF("text")
+      .select(RollingWindowHashExpr.rolling_hash_windows($"text", w).as("hs"))
+      .head().getSeq[Long](0)
+    val expect = (0 to s.length - w).map(i => direct(s.substring(i, i + w)))
+    assert(got == expect, "rolling recurrence must match per-window recompute")
+    // shorter than the window -> empty, never partial windows
+    val short = Seq("ab").toDF("text")
+      .select(RollingWindowHashExpr.rolling_hash_windows($"text", w).as("hs"))
+      .head().getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
+  test("hashed substring dedup groups the same spans as the literal form") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over"),
+      (2L, "a quick brown fox jumps high"),
+      (3L, "completely unrelated content."),
+      (4L, "the quick brown fox jumps over") // exact dup of 1
+    ).toDF("doc_id", "text")
+    import graft.operators.Dedup
+    val literal = Dedup.substringDupSpans(docs, width = 10)
+      .collect().map(r => r.getLong(1)).sorted.toSeq
+    val hashed = Dedup.substringDupSpansHashed(docs, width = 10)
+      .collect().map(r => r.getLong(1)).sorted.toSeq
+    assert(literal.nonEmpty, "fixture must actually share spans")
+    assert(hashed == literal,
+      "hash-keyed span groups must match literal substring groups")
+  }
+
   test("rolling_hash registers as a SQL function") {
     RollingHashExpr.register(spark)
     Seq("abc").toDF("text").createOrReplaceTempView("rh_t")
