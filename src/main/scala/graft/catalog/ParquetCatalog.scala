@@ -127,6 +127,26 @@ final class ParquetCatalog(val spark: SparkSession, val root: String) {
     */
   def loadBucketed(name: String): DataFrame = spark.table(name)
 
+  /** Replace a table with a plan that may READ that same table (the
+    * rewrite-in-place case, e.g. a streaming MERGE applying a batch onto
+    * current state): a direct overwrite would delete the files mid-scan.
+    * Writes to a staging directory first (no `.parquet` suffix, so
+    * listTables never sees it), then swaps via two FS metadata ops.
+    * Fully distributed — nothing funnels through the driver. Plain
+    * parquet has no commit log, so the delete+rename pair is not atomic
+    * under concurrent readers; a transactional table format supplies
+    * that, with this same read-merge-swap operator shape.
+    */
+  def replaceTable(name: String, df: DataFrame, sortCol: String = "date"): Unit = {
+    val staging = new Path(s"$root/$name.staging")
+    val out = if (df.columns.contains(sortCol)) df.sortWithinPartitions(sortCol) else df
+    out.write.mode("overwrite").parquet(staging.toString)
+    val target = new Path(tablePath(name))
+    if (fs.exists(target)) fs.delete(target, true)
+    require(fs.rename(staging, target), s"staging swap failed for $name")
+    ()
+  }
+
   private val interchangeFormats = Set("csv", "json")
 
   /** Ingest an external CSV/JSON dataset as a catalog table (converted to

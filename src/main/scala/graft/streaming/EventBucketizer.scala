@@ -113,4 +113,33 @@ object EventBucketizer {
       .option("checkpointLocation", checkpoint)
       .partitionBy("date")
       .start()
+
+  /** Continuous keyed upsert into a catalog table: each micro-batch is
+    * applied onto the current table state with [[graft.operators.Merge
+    * .upsert]] semantics (incoming batch wins per key) via `foreachBatch` —
+    * the plain-parquet stand-in for `MERGE INTO` on a transactional table
+    * format. The merge is one keyed window over base ∪ batch (dedups the
+    * batch against itself AND the table), written through the catalog's
+    * staging-swap (`replaceTable`) so the plan can read the table it
+    * replaces — fully distributed, nothing funnels through the driver.
+    * Table size grows with distinct keys, not stream length.
+    */
+  def upsertInto(
+      updates: DataFrame,
+      catalog: graft.catalog.ParquetCatalog,
+      tableName: String,
+      keys: Seq[String],
+      versionCols: Seq[String],
+      checkpoint: String) =
+    updates.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val base =
+          if (catalog.tableExists(tableName)) catalog.load(tableName)
+          else batch.limit(0)
+        val merged = graft.operators.Merge.upsert(base, batch, keys, versionCols)
+        catalog.replaceTable(tableName, merged, sortCol = keys.head)
+      }
+      .start()
 }

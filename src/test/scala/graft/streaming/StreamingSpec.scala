@@ -144,6 +144,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming upsert: micro-batches MERGE into the catalog table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graftupsert").toString
+    val cat = new graft.catalog.ParquetCatalog(spark, s"$tmp/cat")
+    val mem = MemoryStream[(String, Long, String)]
+    val updates = mem.toDF().toDF("k", "ver", "payload")
+    val q = EventBucketizer.upsertInto(updates, cat, "state",
+      keys = Seq("k"), versionCols = Seq("ver"), checkpoint = s"$tmp/ckpt")
+    try {
+      mem.addData(("a", 1L, "a1"), ("b", 1L, "b1"), ("a", 2L, "a2"))
+      q.processAllAvailable()
+      def snapshot() = cat.load("state").collect()
+        .map(r => r.getString(0) -> r.getString(2)).toMap
+      // within one batch, the higher version wins
+      assert(snapshot() == Map("a" -> "a2", "b" -> "b1"))
+      // a later batch updates existing keys (incoming wins) and inserts new
+      mem.addData(("b", 0L, "b-late"), ("c", 1L, "c1"))
+      q.processAllAvailable()
+      assert(snapshot() == Map("a" -> "a2", "b" -> "b-late", "c" -> "c1"),
+        "batch-over-table precedence must apply even for a lower version")
+      // key count == distinct keys, not rows seen
+      assert(cat.load("state").count() == 3)
+    } finally q.stop()
+  }
+
   test("runningUserTypeCounts accumulates state per (user, type)") {
     val events = Seq((1L, "click"), (1L, "click"), (1L, "view"), (2L, "click"))
       .toDS()
