@@ -17,14 +17,23 @@ class GraftExtensionsSpec extends SparkSpec {
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     try {
+      def direct(s: String): Long = {
+        var h = 0L
+        s.getBytes("UTF-8").foreach(b =>
+          h = h * graft.functions.RollingHashExpr.Base + (b & 0xff))
+        h
+      }
       val r = s2.sql(
-        "SELECT rolling_hash('abc') AS h, vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        "SELECT rolling_hash('abc') AS h, vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+          "rolling_hash_windows('abcd', 4) AS ws")
         .head()
-      var expect = 0L
-      "abc".getBytes("UTF-8").foreach(b =>
-        expect = expect * graft.functions.RollingHashExpr.Base + (b & 0xff))
-      assert(r.getLong(0) == expect)
+      assert(r.getLong(0) == direct("abc"))
       assert(r.getDouble(1) == 11.0)
+      // a full-width window's single hash equals the whole-string hash
+      assert(r.getSeq[Long](2) == Seq(direct("abcd")))
+      // a per-row (non-foldable) width is rejected at analysis time
+      intercept[Exception](
+        s2.sql("SELECT rolling_hash_windows('abc', c) FROM (VALUES (2)) t(c)").collect())
     } finally {
       prior match {
         case Some(p) =>
