@@ -85,6 +85,42 @@ object Multimodal {
       parsed.filter { case (w, h) => w > 0 && h > 0 }
     }
 
+    /** REAL audio-metadata parse from WAV container bytes — published
+      * layout only [public: RIFF/WAVE, Microsoft multimedia file format]:
+      * `RIFF <size> WAVE`, then chunks `<id> <size32le> <payload>`; the
+      * mandatory `fmt ` chunk carries channels at +2 (le16), sample rate
+      * at +4 (le32), bits/sample at +14 (le16). Returns None for
+      * non-WAV bytes or nonsense values (zero/negative rate or channels),
+      * mirroring imageDims' hostile-header posture.
+      */
+    def audioInfo(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+      def le16(off: Int): Int =
+        (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8)
+      def le32(off: Int): Int =
+        le16(off) | (le16(off + 2) << 16)
+      def tag(off: Int, s: String): Boolean =
+        payload.length >= off + 4 &&
+          s.getBytes("US-ASCII").zipWithIndex.forall { case (b, i) => payload(off + i) == b }
+      if (!(payload.length >= 12 && tag(0, "RIFF") && tag(8, "WAVE"))) None
+      else {
+        var i = 12
+        var found: Option[(Int, Int, Int)] = None
+        while (found.isEmpty && i + 8 <= payload.length) {
+          val size = le32(i + 4)
+          if (tag(i, "fmt ") && size >= 16 && i + 8 + 16 <= payload.length) {
+            val channels = le16(i + 8 + 2)
+            val rate = le32(i + 8 + 4)
+            val bits = le16(i + 8 + 14)
+            found = Some((rate, channels, bits))
+          } else {
+            if (size < 0) i = payload.length // malformed chunk: bail
+            else i += 8 + size + (size & 1)  // chunks are word-aligned
+          }
+        }
+        found.filter { case (r, c, b) => r > 0 && c > 0 && b > 0 }
+      }
+    }
+
     /** STUB decode: a real implementation would hand `payload` to an image
       * or audio codec here. The fake derives (width, height) and an
       * 8-bin byte histogram deterministically from the bytes, so plumbing
@@ -201,6 +237,35 @@ object Multimodal {
           val until = math.min(off + frameBytes, len)
           FrameSample(r.media_id, i, off,
             java.util.Arrays.copyOfRange(r.payload, from, until))
+        }
+      }
+  }
+
+  final case class AudioMeta(
+      media_id: Long,
+      sample_rate: Int,
+      n_channels: Int,
+      bits_per_sample: Int,
+      parsed: Boolean)
+
+  /** Audio-metadata extraction: REAL RIFF/WAV header parse
+    * ([[MediaDecoder.audioInfo]]) where the payload is a recognizable WAV,
+    * deterministic stub metadata otherwise (the fixture payloads are text
+    * bytes), with `parsed` flagging which path ran. Same partition-batched
+    * shape as [[extractFeatures]].
+    */
+  def audioMetadata(media: DataFrame): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("kind"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          MediaDecoder.audioInfo(r.payload) match {
+            case Some((rate, ch, bits)) =>
+              AudioMeta(r.media_id, rate, ch, bits, parsed = true)
+            case None =>
+              val (w, h, _) = MediaDecoder.decodeStub(r.payload)
+              AudioMeta(r.media_id, 8000 + w * 100, 1 + (h % 2), 16, parsed = false)
+          }
         }
       }
   }

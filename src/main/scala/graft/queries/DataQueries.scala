@@ -155,6 +155,17 @@ object DataQueries {
     * text-byte payloads; the aspect-fit arithmetic is the real part,
     * unit-tested against parsed PNG/JPEG headers in MultimodalSpec).
     */
+  /** Audio metadata over the media table (rows-only: fixture payloads are
+    * text bytes so every row takes the stub path with parsed=false; the
+    * REAL RIFF/WAV parse is exercised on golden bytes in MultimodalSpec).
+    */
+  def mmAudio(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaTable(table(spark, dir, "documents"), "doc_id", "text")
+    Multimodal.audioMetadata(media.filter(col("kind") === "audio"))
+      .toDF()
+      .orderBy("media_id")
+  }
+
   def mmResize(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaTable(table(spark, dir, "documents"), "doc_id", "text")
     Multimodal.resizeToFit(media, maxW = 48, maxH = 48)
@@ -300,6 +311,7 @@ object DataQueries {
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
+    "mm_audio" -> (mmAudio _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_hashkeyed" -> (dedupExactHashKeyed _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),

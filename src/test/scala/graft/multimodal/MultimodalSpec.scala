@@ -80,6 +80,45 @@ class MultimodalSpec extends SparkSpec {
     assert((wa, ha) == (16 + (0x89 & 0x3f), 16 + ('P' & 0x3f)))
   }
 
+  // golden 44100 Hz stereo 16-bit WAV prefix: RIFF/WAVE, a junk chunk
+  // FIRST (to prove chunk walking), then fmt
+  private val wavHeader: Array[Byte] = {
+    def le16(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff)
+    def le32(v: Int) = le16(v & 0xffff) ++ le16((v >> 16) & 0xffff)
+    ("RIFF".getBytes("US-ASCII").map(_.toInt).toSeq ++ le32(100) ++
+      "WAVE".getBytes("US-ASCII").map(_.toInt).toSeq ++
+      "JUNK".getBytes("US-ASCII").map(_.toInt).toSeq ++ le32(4) ++ Seq(0, 0, 0, 0) ++
+      "fmt ".getBytes("US-ASCII").map(_.toInt).toSeq ++ le32(16) ++
+      le16(1) ++ le16(2) ++ le32(44100) ++ le32(176400) ++ le16(4) ++ le16(16)
+    ).map(_.toByte).toArray
+  }
+
+  test("real audio header parse: WAV fmt chunk found past a junk chunk") {
+    assert(Multimodal.MediaDecoder.audioInfo(wavHeader).contains((44100, 2, 16)))
+    // non-WAV bytes and truncated prefixes fall back
+    assert(Multimodal.MediaDecoder.audioInfo("plain text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.MediaDecoder.audioInfo(wavHeader.take(10)).isEmpty)
+    // hostile header: zero sample rate must not parse
+    val zeroRate = wavHeader.clone()
+    val fmtOff = wavHeader.length - 16 // fmt payload start
+    (0 until 4).foreach(i => zeroRate(fmtOff + 4 + i) = 0)
+    assert(Multimodal.MediaDecoder.audioInfo(zeroRate).isEmpty)
+  }
+
+  test("audioMetadata: real parse flagged, stub fallback deterministic") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "audio", wavHeader),
+      (2L, "audio", "not a wav".getBytes("UTF-8"))
+    ).toDF("media_id", "kind", "payload")
+    val out = Multimodal.audioMetadata(media).collect().sortBy(_.media_id)
+    assert(out(0) == Multimodal.AudioMeta(1L, 44100, 2, 16, parsed = true))
+    assert(!out(1).parsed && out(1).sample_rate > 0 && out(1).n_channels > 0)
+    // stub is deterministic across runs
+    val again = Multimodal.audioMetadata(media).collect().sortBy(_.media_id)
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("extractFeatures carries real header dims through the Spark path") {
     import spark.implicits._
     val df = Seq(
