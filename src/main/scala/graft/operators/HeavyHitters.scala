@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact frequent-items ("heavy hitters") in two distributed passes —
+  * the Misra-Gries + recount construction [public: Misra & Gries 1982;
+  * the parallel-merge form in Agarwal et al. 2013 "Mergeable Summaries"]:
+  *
+  *   pass 1: each partition keeps a k-counter Misra-Gries summary
+  *           (k = ceil(1/minFraction)); an item with global frequency
+  *           >= minFraction * n must exceed n/(k+1) in at least one
+  *           partition (averaging), so the union of summaries is a
+  *           guaranteed SUPERSET of the true heavy hitters;
+  *   pass 2: exact recount restricted to those candidates (a broadcast
+  *           semi-join — candidates are bounded by partitions x k, never
+  *           corpus-sized), then the exact threshold filter.
+  *
+  * The result is therefore EXACT — identical to a full GROUP BY + HAVING —
+  * while the wide shuffle only ever carries candidate items: at 100 TB
+  * the full-vocabulary aggregate (hundreds of millions of group keys)
+  * never happens; the one full-data pass is map-side only. Output is
+  * deterministic regardless of partitioning, which is what makes this
+  * sketch operator oracle-checkable at the driver, unlike MinHash/HLL.
+  */
+object HeavyHitters {
+
+  /** Items of `itemCol` (cast to string) with frequency >=
+    * ceil(minFraction * total), with exact counts.
+    */
+  def frequentItems(
+      items: DataFrame,
+      itemCol: String,
+      minFraction: Double): DataFrame = {
+    require(minFraction > 0 && minFraction <= 1,
+      "minFraction must be in (0, 1]")
+    val k = math.ceil(1.0 / minFraction).toInt
+    import items.sparkSession.implicits._
+    val it = items.select(col(itemCol).cast("string").as("item"))
+    val candidates = it.as[String]
+      .mapPartitions { rows =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        rows.foreach { x =>
+          counters.get(x) match {
+            case Some(c) => counters(x) = c + 1
+            case None if counters.size < k => counters(x) = 1L
+            case None =>
+              // decrement-all; the incoming item is absorbed by the step
+              val dead = List.newBuilder[String]
+              counters.foreach { case (key, v) =>
+                if (v == 1) dead += key else counters(key) = v - 1
+              }
+              dead.result().foreach(counters.remove)
+          }
+        }
+        counters.keysIterator
+      }
+      .toDF("item")
+      .distinct()
+    val total = it.agg(count(lit(1)).as("total"))
+    it.join(broadcast(candidates), "item")
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(total))
+      .filter(col("freq") >= ceil(lit(minFraction) * col("total")))
+      .select(col("item"), col("freq"))
+  }
+}

@@ -168,7 +168,21 @@ object TextQueries {
       .orderBy("source", "rn")
   }
 
+  /** Corpus-frequent terms through the two-pass Misra-Gries operator
+    * ([[graft.operators.HeavyHitters]]). EXACT output (sketch only prunes
+    * the candidate space), so it carries a plain GROUP BY + HAVING oracle —
+    * the equivalence IS the test that the pruning pass loses nothing.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), "\\s+")).as("item"))
+      .filter(length(col("item")) > 0)
+    graft.operators.HeavyHitters.frequentItems(toks, "item", minFraction = 0.005)
+      .orderBy("item")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "heavy_hitters" -> (heavyHitters _),
     "pii_redact" -> (piiRedact _),
     "quality_gopher" -> (qualityGopher _),
     "domain_quota" -> (domainQuota _),
@@ -217,6 +231,13 @@ object TextQueries {
       s"/ GREATEST($tokCount, 1), 6)"
 
   val oracleSql: Map[String, String] = Map(
+    "heavy_hitters" ->
+      ("WITH toks AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS item " +
+        "FROM documents), " +
+        "clean AS (SELECT item FROM toks WHERE length(item) > 0), " +
+        "tot AS (SELECT COUNT(*) AS n FROM clean) " +
+        "SELECT item, COUNT(*) AS freq FROM clean, tot " +
+        "GROUP BY item, n HAVING COUNT(*) >= CEIL(0.005 * n) ORDER BY item"),
     "pii_redact" ->
       (s"WITH salted AS (SELECT doc_id, $saltedExpr AS s FROM documents) " +
         "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(s, " +
