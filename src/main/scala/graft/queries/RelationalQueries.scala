@@ -484,7 +484,29 @@ object RelationalQueries {
         sum(when(col("o_orderstatus").isNull, 1).otherwise(0)).cast("long")
           .as("n_null_status"))
 
+  /** RANGE-frame moving sum: the last-7-CALENDAR-days window, not the
+    * last 7 ROWS — on sparse/gappy series the two differ (a rows frame
+    * silently stretches over gaps). Ordering on the integer epoch-day
+    * keeps the frame arithmetic exact in both engines.
+    */
+  def movingSumRange(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      // thin the series deliberately so rows- and range-frames diverge:
+      // keep only days with an above-median daily volume
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 2).as("daily_value"))
+      .filter(col("daily_value") > 300)
+      .withColumn("epoch_day", datediff(col("d"), lit("1970-01-01")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("sum7d", round(sum(col("daily_value")).over(w), 2))
+      .select(col("event_type"), col("d"), col("daily_value"), col("sum7d"))
+      .orderBy("event_type", "d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "moving_sum_range" -> (movingSumRange _),
     "json_extract" -> (jsonExtract _),
     "table_stats" -> (tableStats _),
     "funnel_steps" -> (funnelSteps _),
@@ -517,6 +539,15 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "moving_sum_range" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, " +
+        "ROUND(SUM(value), 2) AS daily_value FROM events GROUP BY 1, 2), " +
+        "thin AS (SELECT *, CAST(d - DATE '1970-01-01' AS BIGINT) AS epoch_day " +
+        "FROM daily WHERE daily_value > 300) " +
+        "SELECT event_type, d, daily_value, " +
+        "ROUND(SUM(daily_value) OVER (PARTITION BY event_type ORDER BY epoch_day " +
+        "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS sum7d " +
+        "FROM thin ORDER BY event_type, d"),
     "json_extract" ->
       ("SELECT event_type, COUNT(*) AS n, " +
         "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum, " +

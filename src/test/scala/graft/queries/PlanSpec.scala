@@ -106,6 +106,14 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 4, s"packing pipeline grew extra shuffles: $exchanges\n$p")
   }
 
+  test("heavy_hitters: candidate semi-join broadcasts, full data stays map-side") {
+    val p = plan("heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bounded candidate set must broadcast — a shuffled join would " +
+        "re-shuffle the full token stream on the item key")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("window_functions: a single sort-window pass over one key shuffle") {
     val p = plan("window_functions")
     val windows = "Window \\(".r.findAllIn(p).length
