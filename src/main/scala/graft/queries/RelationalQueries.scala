@@ -282,10 +282,19 @@ object RelationalQueries {
     * both engines regardless of summation order — safe to compare
     * strictly without an epsilon.)
     */
+  /** Correlated "above the group mean" — expressed as a per-key window
+    * average rather than the textbook self-join: ONE scan of lineitem and
+    * ONE shuffle on l_partkey (the window sort), where the agg+join form
+    * scans the fact table twice and shuffles it twice. At 100 TB the
+    * second full scan is the dominant cost; the oracle keeps the
+    * self-join formulation, so the hash match also pins the equivalence
+    * of the two shapes.
+    */
   def aboveAvgQty(spark: SparkSession, dir: String): DataFrame = {
-    val li = table(spark, dir, "lineitem")
-    val avgQ = li.groupBy(col("l_partkey")).agg(avg(col("l_quantity")).as("avg_qty"))
-    li.join(avgQ, "l_partkey")
+    val w = Window.partitionBy(col("l_partkey"))
+    table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .withColumn("avg_qty", avg(col("l_quantity")).over(w))
       .filter(col("l_quantity") > col("avg_qty") * 1.2)
       .groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n_above"),
