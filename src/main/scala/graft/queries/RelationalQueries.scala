@@ -514,7 +514,34 @@ object RelationalQueries {
       .orderBy("event_type", "d")
   }
 
+  /** Malformed-input quarantine: every 7th row's JSON is deterministically
+    * corrupted, then parsed with from_json — bad rows surface as NULL
+    * structs and are COUNTED, never dropped silently (the ingest contract
+    * for untrusted data: quarantine totals are part of the output).
+    */
+  def jsonQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val salted = table(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        // corrupt the PREFIX: a trailing-garbage corruption would still
+        // parse in Spark (Jackson stops after the first valid object)
+        // while failing DuckDB's json_valid — leading garbage fails both
+        when(pmod(col("event_id"), lit(7)) === 0,
+          concat(lit("broken{"), col("props"))).otherwise(col("props")).as("props"))
+    salted
+      .withColumn("parsed",
+        from_json(col("props"), "STRUCT<k: BIGINT>",
+          java.util.Collections.emptyMap[String, String]()))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("parsed").isNull || col("parsed.k").isNull, 1).otherwise(0))
+          .cast("long").as("n_quarantined"),
+        sum(when(col("parsed.k").isNotNull, col("parsed.k"))).as("k_sum"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "json_quarantine" -> (jsonQuarantine _),
     "moving_sum_range" -> (movingSumRange _),
     "json_extract" -> (jsonExtract _),
     "table_stats" -> (tableStats _),
@@ -548,6 +575,17 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "json_quarantine" ->
+      ("WITH salted AS (SELECT event_id, event_type, " +
+        "CASE WHEN event_id % 7 = 0 THEN 'broken{' || props ELSE props END AS props " +
+        "FROM events) " +
+        "SELECT event_type, COUNT(*) AS n, " +
+        "CAST(SUM(CASE WHEN NOT json_valid(props) " +
+        "OR json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_quarantined, " +
+        "CAST(SUM(CASE WHEN json_valid(props) " +
+        "THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS BIGINT) AS k_sum " +
+        "FROM salted GROUP BY event_type ORDER BY event_type"),
     "moving_sum_range" ->
       ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, " +
         "ROUND(SUM(value), 2) AS daily_value FROM events GROUP BY 1, 2), " +

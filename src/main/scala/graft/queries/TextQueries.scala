@@ -69,7 +69,10 @@ object TextQueries {
     */
   def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val survivors = Dedup.exact(docs).select("doc_id")
+    // hash-keyed exact dedup: the corpus-wide exchange carries 8-byte
+    // text hashes, not document bodies (same survivors as Dedup.exact —
+    // both forms hash-match the same oracle in their standalone queries)
+    val survivors = Dedup.exactHashKeyed(docs).select("doc_id")
     docs
       .join(survivors, Seq("doc_id"), "left_semi")
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
