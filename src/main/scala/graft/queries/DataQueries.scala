@@ -82,6 +82,19 @@ object DataQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Top-k through Johnson-Lindenstrauss random projection (coarse scan
+    * in 32d + exact re-rank on the original 64d vectors). Rows-only like
+    * the other seeded sketches. NOTE: the fixtures' small neighbor margins
+    * are below the JL error at this rDim, so this query demonstrates the
+    * plumbing; SimilaritySpec pins recall >= 0.9 in the high-margin
+    * regime (planted near-dups) where RP is the right tool.
+    */
+  def annTopkRp(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    Similarity.rpTopK(emb, emb.filter(col("vec_id") < 10), dim = 64, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   def annTopkIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -323,6 +336,7 @@ object DataQueries {
     "ann_topk" -> (annTopk _),
     "ann_topk_int8" -> (annTopkInt8 _),
     "ann_topk_lsh" -> (annTopkLsh _),
+    "ann_topk_rp" -> (annTopkRp _),
     "ann_topk_ivf" -> (annTopkIvf _),
     "ann_topk_ivf_refined" -> (annTopkIvfRefined _)
   )

@@ -540,7 +540,23 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** The SQL front door ([[graft.sources.Fixtures.registerAll]]): the same
+    * engine driven by SQL TEXT over registered views — the interaction
+    * model the reference's users have. Catalyst plans the view-based query
+    * identically to the DataFrame form (PlanSpec pins that the shipdate
+    * filter still reaches the parquet scan through the view).
+    */
+  def sqlFrontDoor(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.Fixtures.registerAll(spark, dir)
+    spark.sql(
+      "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '1998-09-01' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_front_door" -> (sqlFrontDoor _),
     "json_quarantine" -> (jsonQuarantine _),
     "moving_sum_range" -> (movingSumRange _),
     "json_extract" -> (jsonExtract _),
@@ -575,6 +591,11 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sql_front_door" ->
+      ("SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '1998-09-01' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
     "json_quarantine" ->
       ("WITH salted AS (SELECT event_id, event_type, " +
         "CASE WHEN event_id % 7 = 0 THEN 'broken{' || props ELSE props END AS props " +

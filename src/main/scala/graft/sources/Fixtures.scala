@@ -32,4 +32,17 @@ object Fixtures {
       else d
     }
   }
+
+  /** Every fixture table of `dir`. */
+  val TableNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** SQL front door: register every fixture table as a temp view (through
+    * the same nanos-decoding reader), so users can drive the engine with
+    * `spark.sql("SELECT ... FROM lineitem JOIN orders ...")` — the
+    * interaction model the reference's ClickHouse users already have.
+    * Temp views are lazy: registration reads only parquet footers.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    TableNames.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
 }

@@ -106,6 +106,13 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 4, s"packing pipeline grew extra shuffles: $exchanges\n$p")
   }
 
+  test("sql_front_door: pushdown survives the temp-view indirection") {
+    val p = plan("sql_front_door")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      "the shipdate filter must reach the parquet scan through the view")
+    assert(!p.contains("l_orderkey"), "unused columns must be pruned")
+  }
+
   test("heavy_hitters: candidate semi-join broadcasts, full data stays map-side") {
     val p = plan("heavy_hitters")
     assert(p.contains("BroadcastHashJoin"),
