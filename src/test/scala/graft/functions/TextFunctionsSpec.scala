@@ -66,6 +66,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(withNull.count(_.isNullAt(0)) == 1)
   }
 
+  test("redactPii: typed placeholders, email before ip, clean text untouched") {
+    def red(s: String) = one(TextFunctions.redactPii($"text"), s)
+    assert(red("mail me at jo.doe+x@sub.example.org today") ==
+      "mail me at <EMAIL> today")
+    assert(red("server 192.168.0.1 responded") == "server <IP> responded")
+    assert(red("call +1-555-0123-4567 now") == "call <PHONE> now")
+    // an email whose local part is digits-and-dots must NOT be bitten by
+    // the IP pattern first (ordering contract)
+    assert(red("from 10.0.0.1@example.com sent") == "from <EMAIL> sent")
+    // all three in one string
+    assert(red("a@b.co 1.2.3.4 +49-030-1234") == "<EMAIL> <IP> <PHONE>")
+    // no PII -> byte-identical passthrough
+    val clean = "the quick brown fox, 42 words."
+    assert(red(clean) == clean)
+  }
+
+  test("symbolRatio: counts non-alphanumeric non-space chars only") {
+    assert(one(TextFunctions.symbolRatio($"text"), "abc def1") == 0.0)
+    assert(one(TextFunctions.symbolRatio($"text"), "a!b@") == 0.5)
+    assert(one(TextFunctions.symbolRatio($"text"), "") == 0.0)
+  }
+
   test("rolling window hashes: each equals the direct hash of its window") {
     val s = "abcdefgh"
     val w = 3

@@ -42,6 +42,14 @@ class MergeSpec extends SparkSpec {
     assert(out.select("k").distinct().count() == 4)
   }
 
+  test("idempotent: re-applying the same update batch changes nothing") {
+    val once = Merge.upsert(base, updates, Seq("k"), Seq("v"))
+    val twice = Merge.upsert(once, updates, Seq("k"), Seq("v"))
+    val a = once.collect().map(_.toSeq).toSet
+    val b = twice.collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("reserved internal names are rejected") {
     val bad = base.withColumn("__src", $"v")
     intercept[IllegalArgumentException](
