@@ -184,7 +184,33 @@ object TextQueries {
       .orderBy("item")
   }
 
+  /** Blocked fuzzy match: candidate pairs from length buckets (each doc
+    * probes its own bucket ± 1, so no true pair can escape across a
+    * boundary), verified by Levenshtein distance on the 64-char prefix.
+    * The block join is a plain equi-join on the bucket id — never
+    * all-pairs: candidates scale with bucket occupancy, the edit-distance
+    * O(64^2) verify runs only on them. The standard shape for typo-level
+    * entity resolution at scale.
+    */
+  def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 64).as("t"),
+        expr("CAST(length(text) AS BIGINT) DIV 32").as("bucket"))
+    val probes = d
+      .select(col("doc_id").as("doc_a"), col("t").as("ta"),
+        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("probe"))
+    val right = d
+      .select(col("doc_id").as("doc_b"), col("t").as("tb"), col("bucket"))
+    probes
+      .join(right, col("probe") === col("bucket") && col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb")))
+      .filter(col("dist") <= 20)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fuzzy_match" -> (fuzzyMatch _),
     "heavy_hitters" -> (heavyHitters _),
     "pii_redact" -> (piiRedact _),
     "quality_gopher" -> (qualityGopher _),
@@ -234,6 +260,15 @@ object TextQueries {
       s"/ GREATEST($tokCount, 1), 6)"
 
   val oracleSql: Map[String, String] = Map(
+    "fuzzy_match" ->
+      ("WITH d AS (SELECT doc_id, substr(text, 1, 64) AS t, " +
+        "CAST(length(text) // 32 AS BIGINT) AS bucket FROM documents), " +
+        "a AS (SELECT doc_id AS doc_a, t AS ta, " +
+        "unnest([bucket - 1, bucket, bucket + 1]) AS probe FROM d), " +
+        "b AS (SELECT doc_id AS doc_b, t AS tb, bucket FROM d) " +
+        "SELECT doc_a, doc_b, levenshtein(ta, tb) AS dist " +
+        "FROM a JOIN b ON probe = bucket AND doc_a < doc_b " +
+        "WHERE levenshtein(ta, tb) <= 20 ORDER BY doc_a, doc_b"),
     "heavy_hitters" ->
       ("WITH toks AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS item " +
         "FROM documents), " +
