@@ -1,0 +1,62 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.{HashingTF, IDF, Tokenizer}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MLlib-pipeline surface (BASELINE.json "MLlib pipelines + SparkSQL
+  * aggregations"; SURVEY.md §7.5d): the places where the stock
+  * distributed estimators are the right tool rather than a custom
+  * operator. Both entry points are seeded and return plain DataFrames so
+  * they compose with the rest of the query surface.
+  *
+  * Where this repo deliberately does NOT use MLlib, the reasons are
+  * recorded at the site: ProphetLike needs a bespoke design matrix and
+  * closed-form MAP solve (no MLlib equivalent), and the IVF coarse
+  * quantizer keeps a hand-rolled Lloyd step because its codebook must
+  * stay joinable mid-plan ([[graft.operators.Similarity.refineCentroids]]).
+  */
+object MlPipelines {
+
+  /** Distributed k-means over the embeddings table: assembles the float
+    * array into an ML vector, fits seeded KMeans (k-means|| init), and
+    * returns per-vector cluster assignments. The fit is a handful of
+    * treeAggregate passes over the corpus — each O(n x k x dim) map-side
+    * work with a k x dim reduce payload, the textbook cluster-scalable
+    * shape. Cluster IDs are arbitrary labels: stable for a fixed seed and
+    * partitioning, but queries should aggregate to partition-independent
+    * facts (sizes, inertia) rather than hash raw labels.
+    */
+  def kmeansAssign(emb: DataFrame, k: Int, seed: Long = 7L): DataFrame = {
+    val feats = emb.select(col("vec_id"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
+      .fit(feats)
+    model.transform(feats).select(col("vec_id"), col("prediction").as("cluster"))
+  }
+
+  /** The classic Tokenizer -> HashingTF -> IDF text-featurization
+    * Pipeline. HashingTF is stateless (feature index = murmur3 of the
+    * term — no vocabulary to collect or broadcast, the property that
+    * makes it the 100 TB featurizer); IDF's fit is one aggregate over
+    * document frequencies. Returns (doc_id, n_terms, tfidf_norm) — the
+    * vector itself stays internal, the projection is what downstream
+    * aggregations consume.
+    */
+  def tfidfFeatures(docs: DataFrame, numFeatures: Int = 1 << 12): DataFrame = {
+    val pipeline = new Pipeline().setStages(Array(
+      new Tokenizer().setInputCol("text").setOutputCol("terms"),
+      new HashingTF().setInputCol("terms").setOutputCol("tf")
+        .setNumFeatures(numFeatures),
+      new IDF().setInputCol("tf").setOutputCol("tfidf")))
+    val model = pipeline.fit(docs.select(col("doc_id"), col("text")))
+    val normUdf = udf((v: org.apache.spark.ml.linalg.Vector) =>
+      math.sqrt(v.toArray.foldLeft(0.0)((a, x) => a + x * x)))
+    model.transform(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), size(col("terms")).as("n_terms"),
+        round(normUdf(col("tfidf")), 6).as("tfidf_norm"))
+  }
+}

@@ -311,7 +311,33 @@ object DataQueries {
     Dedup.substringDupSpansHashed(table(spark, dir, "documents"), width = 24)
       .orderBy("span_hash")
 
+  /** MLlib KMeans over embeddings, reported as partition-independent
+    * cluster-size facts (label ids are arbitrary, so the query aggregates
+    * sizes and sorts them — stable for the fixed seed). Rows-only.
+    */
+  def clusterKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = graft.ml.MlPipelines
+      .kmeansAssign(table(spark, dir, "embeddings"), k = 8)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_vecs"))
+      .select(col("n_vecs"))
+    sizes.withColumn("size_rank",
+        row_number().over(Window.orderBy(col("n_vecs").desc)))
+      .select(col("size_rank"), col("n_vecs"))
+      .orderBy("size_rank")
+  }
+
+  /** MLlib Tokenizer -> HashingTF -> IDF pipeline features. Rows-only
+    * (hashed feature indices aren't SQL-reproducible); MlPipelinesSpec
+    * pins determinism and norm sanity.
+    */
+  def tfidfMllib(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.MlPipelines.tfidfFeatures(table(spark, dir, "documents"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cluster_kmeans" -> (clusterKmeans _),
+    "tfidf_mllib" -> (tfidfMllib _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_substring_hashed" -> (dedupSubstringHashed _),
     "pack_batches" -> (packBatches _),
