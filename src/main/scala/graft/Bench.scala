@@ -96,8 +96,11 @@ object Bench {
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    // compact driver-facing line, kept under the tail-capture budget
-    val MaxLineChars = 1800
+    // compact driver-facing line, kept under the tail-capture budget:
+    // 2000-char tail minus sbt's trailing "[success] Total time ..." line
+    // (~75 chars) leaves ~1925; 1900 keeps margin while letting the full
+    // 86-query map fit at 1 decimal (measured 1847) instead of halving
+    val MaxLineChars = 1900
     def line(decimals: Int, keep: Int): String = {
       val kept = results.sortBy(-_._2).take(keep).sortBy(_._1)
       val qs = kept.map { case (k, v, _) =>
