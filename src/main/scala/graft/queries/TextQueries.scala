@@ -216,7 +216,27 @@ object TextQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Deterministic per-group sample: 3 docs per (lang, source), chosen by
+    * md5-of-id order — the distributed stand-in for per-group reservoir
+    * sampling. Hash order is a fixed pseudo-random permutation, so the
+    * sample is reproducible across runs, partitionings, and engines
+    * (md5 of the decimal id string is engine-independent — which is what
+    * lets a "random" sample carry a full DuckDB oracle). One windowed
+    * row_number per group, same scale shape as domain_quota.
+    */
+  def sampleReservoir(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("lang", "source", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_reservoir" -> (sampleReservoir _),
     "fuzzy_match" -> (fuzzyMatch _),
     "heavy_hitters" -> (heavyHitters _),
     "pii_redact" -> (piiRedact _),
@@ -267,6 +287,12 @@ object TextQueries {
       s"/ GREATEST($tokCount, 1), 6)"
 
   val oracleSql: Map[String, String] = Map(
+    "sample_reservoir" ->
+      ("SELECT doc_id, lang, source, rn FROM (" +
+        "SELECT doc_id, lang, source, ROW_NUMBER() OVER (" +
+        "PARTITION BY lang, source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) " +
+        "WHERE rn <= 3 ORDER BY lang, source, rn"),
     "fuzzy_match" ->
       ("WITH d AS (SELECT doc_id, substr(text, 1, 64) AS t, " +
         "substr(text, 1, 8) AS p8, " +

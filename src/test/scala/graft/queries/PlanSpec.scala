@@ -106,6 +106,12 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 4, s"packing pipeline grew extra shuffles: $exchanges\n$p")
   }
 
+  test("fuzzy_match: blocking is an equi-join on both keys, never a nested loop") {
+    val p = plan("fuzzy_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must equi-join on (bucket, prefix)")
+  }
+
   test("sql_front_door: pushdown survives the temp-view indirection") {
     val p = plan("sql_front_door")
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
