@@ -45,4 +45,17 @@ class DedupPropertySpec extends SparkSpec {
         plain.size == distinctTexts
     })
   }
+
+  test("property: hashed substring spans == literal substring spans on any corpus") {
+    // small windows over short random texts maximize shared-span odds;
+    // the hashed form must group EXACTLY the spans the literal form does
+    // (a rolling-recurrence bug or hash collision would break equality)
+    check(Prop.forAll(corpusGen) { corpus =>
+      val df = corpus.toDF("doc_id", "text")
+      def groups(out: org.apache.spark.sql.DataFrame) =
+        out.collect().map(_.getLong(1)).sorted.toSeq
+      groups(Dedup.substringDupSpans(df, width = 3)) ==
+        groups(Dedup.substringDupSpansHashed(df, width = 3))
+    }, minTests = 6)
+  }
 }
