@@ -64,7 +64,7 @@ object Bench {
       val err: Option[String] =
         try {
           val df = fn(spark, sfDir)
-          df.select(xxhash64(df.columns.map(c => col(s"`$c`")): _*).as("h"))
+          df.select(xxhash64(df.columns.toIndexedSeq.map(c => col(s"`$c`")): _*).as("h"))
             .agg(bit_xor(col("h"))).collect()
           None
         } catch { case e: Throwable =>

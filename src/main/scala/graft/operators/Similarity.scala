@@ -48,7 +48,7 @@ object Similarity {
   }
 
   private def planeDotSign(v: Column, plane: Array[Double]): Column = {
-    val planeCol = array(plane.map(lit): _*)
+    val planeCol = array(plane.toIndexedSeq.map(lit): _*)
     when(VectorFunctions.dot(v, planeCol) >= 0, 1L).otherwise(0L)
   }
 
@@ -204,7 +204,7 @@ object Similarity {
     val mat = IndexedSeq.fill(rDim)(
       Array.fill(dim)(rng.nextGaussian() / math.sqrt(rDim.toDouble)))
     val comps = mat.map(row =>
-      VectorFunctions.dot(col("embedding"), array(row.map(lit): _*)).cast("float"))
+      VectorFunctions.dot(col("embedding"), array(row.toIndexedSeq.map(lit): _*)).cast("float"))
     emb.select(col("vec_id"), array(comps: _*).as("embedding"))
   }
 
