@@ -147,14 +147,16 @@ final class ParquetCatalog(val spark: SparkSession, val root: String) {
     ()
   }
 
-  private val interchangeFormats = Set("csv", "json")
+  private val interchangeFormats = Set("csv", "json", "orc")
 
-  /** Ingest an external CSV/JSON dataset as a catalog table (converted to
-    * parquet — the interchange format never becomes the storage format).
-    * The schema is REQUIRED, not inferred: inference costs a full extra
-    * pass over the input (ruinous at ingest scale) and silently mistypes
-    * sparse or all-null columns; an explicit schema also makes malformed
-    * rows surface as nulls/errors instead of schema drift.
+  /** Ingest an external CSV/JSON/ORC dataset as a catalog table (converted
+    * to parquet — the interchange format never becomes the storage
+    * format). The schema is REQUIRED, not inferred: for text formats
+    * inference costs a full extra pass over the input (ruinous at ingest
+    * scale) and silently mistypes sparse or all-null columns; for ORC the
+    * declared schema acts as a drift guard against whatever the files
+    * claim. An explicit schema also makes malformed rows surface as
+    * nulls/errors instead of schema drift.
     */
   def importTable(
       name: String,
@@ -168,9 +170,9 @@ final class ParquetCatalog(val spark: SparkSession, val root: String) {
       .write.mode("overwrite").parquet(tablePath(name))
   }
 
-  /** Export a catalog table to CSV/JSON for downstream consumers that
-    * can't read parquet. Partition count carries over from the table —
-    * coalesce upstream if a single file is required.
+  /** Export a catalog table to CSV/JSON/ORC for downstream consumers
+    * that can't read parquet. Partition count carries over from the
+    * table — coalesce upstream if a single file is required.
     */
   def exportTable(
       name: String,

@@ -235,7 +235,28 @@ object TextQueries {
       .orderBy("lang", "source", "rn")
   }
 
+  /** Quality-decile profile: ntile(10) over the quality score, per-decile
+    * doc counts and score ranges — the report a curator reads before
+    * choosing the "drop the bottom N deciles" threshold. One global-order
+    * window; at 100 TB you'd swap ntile for approx quantile boundaries
+    * (documented trade: ntile is exact but single-ordering).
+    */
+  def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = table(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q"))
+    scored
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("q"), col("doc_id"))).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("q")), 6).as("q_min"),
+        round(max(col("q")), 6).as("q_max"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_deciles" -> (qualityDeciles _),
     "sample_reservoir" -> (sampleReservoir _),
     "fuzzy_match" -> (fuzzyMatch _),
     "heavy_hitters" -> (heavyHitters _),
@@ -287,6 +308,12 @@ object TextQueries {
       s"/ GREATEST($tokCount, 1), 6)"
 
   val oracleSql: Map[String, String] = Map(
+    "quality_deciles" ->
+      (s"WITH scored AS (SELECT doc_id, $qualityExpr AS q FROM documents) " +
+        "SELECT decile, COUNT(*) AS n_docs, ROUND(MIN(q), 6) AS q_min, " +
+        "ROUND(MAX(q), 6) AS q_max FROM (" +
+        "SELECT q, NTILE(10) OVER (ORDER BY q, doc_id) AS decile FROM scored) " +
+        "GROUP BY decile ORDER BY decile"),
     "sample_reservoir" ->
       ("SELECT doc_id, lang, source, rn FROM (" +
         "SELECT doc_id, lang, source, ROW_NUMBER() OVER (" +

@@ -104,10 +104,15 @@ class CatalogSpec extends SparkSpec {
     val back = spark.read.schema(schema).json(s"$tmp/out_json")
     assert(back.count() == 3)
     assert(back.where("name = 'beta'").head().getDouble(2) == 1.25)
+    // ORC round-trips too (self-describing; the schema is a drift guard)
+    cat.exportTable("scores", s"$tmp/out_orc", "orc")
+    cat.importTable("scores_back", s"$tmp/out_orc", "orc", schema)
+    assert(cat.load("scores_back").count() == 3)
+    assert(cat.schemaOf("scores_back") == schema)
     // unsupported interchange format is rejected
     intercept[IllegalArgumentException](
       cat.importTable("x", s"$tmp/in_csv", "parquet", schema))
-    intercept[IllegalArgumentException](cat.exportTable("scores", s"$tmp/o", "orc"))
+    intercept[IllegalArgumentException](cat.exportTable("scores", s"$tmp/o", "avro"))
   }
 
   test("writeTable overwrite + drop round-trip") {
