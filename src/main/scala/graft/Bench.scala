@@ -111,8 +111,11 @@ object Bench {
         if (failed == 0) ""
         else "," + "\"errors\":" + results.collect { case (k, _, Some(e)) =>
           "\"" + k + "\":\"" + esc(e.take(80)) + "\"" }.take(5).mkString("{", ",", "}")
+      // basename only: every char spent here is a char a query entry
+      // can't use (full path is in BENCH_DETAIL.json)
+      val sfShort = sfDir.split('/').last
       s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs""" +
-        omitted + errs + s""","failed":$failed,"sf":"$sfDir"}"""
+        omitted + errs + s""","failed":$failed,"sf":"$sfShort"}"""
     }
     val candidates =
       Seq(3, 2, 1).map(d => line(d, results.size)) ++
