@@ -133,17 +133,37 @@ final class ParquetCatalog(val spark: SparkSession, val root: String) {
     * Writes to a staging directory first (no `.parquet` suffix, so
     * listTables never sees it), then swaps via two FS metadata ops.
     * Fully distributed — nothing funnels through the driver. Plain
-    * parquet has no commit log, so the delete+rename pair is not atomic
-    * under concurrent readers; a transactional table format supplies
-    * that, with this same read-merge-swap operator shape.
+    * parquet has no commit log, so the rename pair is not atomic under
+    * concurrent readers; a transactional table format supplies that,
+    * with this same read-merge-swap operator shape.
+    *
+    * Durability: the live table is never deleted before its replacement
+    * is in place. The swap renames current -> `<name>.old`, staging ->
+    * target, then deletes the aside copy; if the second rename fails the
+    * original is renamed back, and if the process dies mid-swap both the
+    * staging and aside copies survive on disk for manual recovery (a
+    * delete-then-rename swap would leave NO live copy on a failed
+    * rename — and upsertInto calls this on every micro-batch).
     */
   def replaceTable(name: String, df: DataFrame, sortCol: String = "date"): Unit = {
     val staging = new Path(s"$root/$name.staging")
     val out = if (df.columns.contains(sortCol)) df.sortWithinPartitions(sortCol) else df
     out.write.mode("overwrite").parquet(staging.toString)
     val target = new Path(tablePath(name))
-    if (fs.exists(target)) fs.delete(target, true)
-    require(fs.rename(staging, target), s"staging swap failed for $name")
+    val aside = new Path(s"$root/$name.old")
+    if (fs.exists(aside)) fs.delete(aside, true) // leftover from a prior crash
+    val hadTarget = fs.exists(target)
+    if (hadTarget)
+      require(fs.rename(target, aside), s"aside rename failed for $name")
+    val swapped =
+      try fs.rename(staging, target)
+      catch { case _: Throwable => false }
+    if (!swapped) {
+      if (hadTarget) fs.rename(aside, target) // roll the original back in
+      throw new IllegalStateException(
+        s"staging swap failed for $name; original table restored")
+    }
+    if (hadTarget) fs.delete(aside, true)
     ()
   }
 

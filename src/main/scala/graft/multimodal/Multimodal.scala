@@ -103,19 +103,21 @@ object Multimodal {
           s.getBytes("US-ASCII").zipWithIndex.forall { case (b, i) => payload(off + i) == b }
       if (!(payload.length >= 12 && tag(0, "RIFF") && tag(8, "WAVE"))) None
       else {
-        var i = 12
+        // Offsets are tracked as Long: the chunk size is attacker-controlled
+        // le32 data, and Int arithmetic on a size near 2^31 wraps `i`
+        // negative while `i + 8 <= length` still passes — indexing the
+        // array at a negative offset instead of returning None.
+        var i = 12L
         var found: Option[(Int, Int, Int)] = None
         while (found.isEmpty && i + 8 <= payload.length) {
-          val size = le32(i + 4)
-          if (tag(i, "fmt ") && size >= 16 && i + 8 + 16 <= payload.length) {
-            val channels = le16(i + 8 + 2)
-            val rate = le32(i + 8 + 4)
-            val bits = le16(i + 8 + 14)
+          val off = i.toInt // safe: i + 8 <= length <= Int.MaxValue
+          val size = le32(off + 4) & 0xffffffffL // unsigned on the wire
+          if (tag(off, "fmt ") && size >= 16 && i + 8 + 16 <= payload.length) {
+            val channels = le16(off + 8 + 2)
+            val rate = le32(off + 8 + 4)
+            val bits = le16(off + 8 + 14)
             found = Some((rate, channels, bits))
-          } else {
-            if (size < 0) i = payload.length // malformed chunk: bail
-            else i += 8 + size + (size & 1)  // chunks are word-aligned
-          }
+          } else i += 8L + size + (size & 1L) // word-aligned; oversize jumps past EOF -> None
         }
         found.filter { case (r, c, b) => r > 0 && c > 0 && b > 0 }
       }

@@ -58,11 +58,17 @@ object HeavyHitters {
       .toDF("item")
       .distinct()
     val total = it.agg(count(lit(1)).as("total"))
+    // Threshold in exact decimal arithmetic: a double product can overshoot
+    // an exact integer (0.07 * 100 = 7.000000000000001) and ceil() would
+    // then silently drop items at exactly minFraction * n — breaking both
+    // the GROUP BY + HAVING equivalence and oracle parity (DuckDB computes
+    // the same threshold in DECIMAL).
+    val minFracDec = new java.math.BigDecimal(minFraction.toString)
     it.join(broadcast(candidates), "item")
       .groupBy(col("item"))
       .agg(count(lit(1)).as("freq"))
       .crossJoin(broadcast(total))
-      .filter(col("freq") >= ceil(lit(minFraction) * col("total")))
+      .filter(col("freq") >= ceil(lit(minFracDec) * col("total")))
       .select(col("item"), col("freq"))
   }
 }
