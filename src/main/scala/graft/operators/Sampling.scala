@@ -19,6 +19,31 @@ object Sampling {
   private def unit(idCol: String, seed: Long): Column =
     pmod(xxhash64(col(idCol), lit(seed)), lit(1000000000L)).cast("double") / 1e9
 
+  /** Engine-independent uniform [0, 1) draw: the first 6 hex digits of
+    * md5 over the DECIMAL string of the id. Any engine with md5 (DuckDB,
+    * ClickHouse, Trino, ...) reproduces the exact membership, which makes
+    * split assignment auditable outside Spark — the cross-engine parity
+    * story a shared 100 TB corpus needs. xxhash64 (the default draw) is
+    * faster but Spark-specific.
+    */
+  private def unitMd5(idCol: String): Column =
+    conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
+      .cast("double") / lit((1 << 24).toDouble)
+
+  /** Nested whens over the cumulative weight bounds; the last label is the
+    * unconditional fallback so float edge cases can't drop a row.
+    */
+  private def labelFor(u: Column, weights: Seq[(String, Double)]): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be non-empty and positive")
+    val total = weights.map(_._2).sum
+    val cumHi = weights.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
+    weights.map(_._1).zip(cumHi).init.reverse
+      .foldLeft(lit(weights.last._1): Column) { case (acc, (name, hi)) =>
+        when(u < lit(hi), lit(name)).otherwise(acc)
+      }
+  }
+
   /** Adds a `split` label column distributing rows across `weights`
     * (label -> positive weight, normalized internally) by hash bucket.
     * Deterministic, disjoint, and exhaustive: every row gets exactly one
@@ -28,20 +53,17 @@ object Sampling {
       df: DataFrame,
       idCol: String,
       weights: Seq[(String, Double)],
-      seed: Long = 7L): DataFrame = {
-    require(weights.nonEmpty && weights.forall(_._2 > 0),
-      "weights must be non-empty and positive")
-    val total = weights.map(_._2).sum
-    val cumHi = weights.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
-    val u = unit(idCol, seed)
-    // nested whens over the cumulative bounds; the last label is the
-    // unconditional fallback so float edge cases can't drop a row
-    val label = weights.map(_._1).zip(cumHi).init.reverse
-      .foldLeft(lit(weights.last._1): Column) { case (acc, (name, hi)) =>
-        when(u < lit(hi), lit(name)).otherwise(acc)
-      }
-    df.withColumn("split", label)
-  }
+      seed: Long = 7L): DataFrame =
+    df.withColumn("split", labelFor(unit(idCol, seed), weights))
+
+  /** [[splitLabel]] with the engine-independent md5 draw (no seed — the
+    * draw is a pure function of the id, reproducible in any SQL engine).
+    */
+  def splitLabelMd5(
+      df: DataFrame,
+      idCol: String,
+      weights: Seq[(String, Double)]): DataFrame =
+    df.withColumn("split", labelFor(unitMd5(idCol), weights))
 
   /** Deterministic per-stratum downsampling: keeps ~`fractions(stratum)`
     * of each stratum (0.0 for strata absent from the map unless

@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+import graft.queries.CoreQueries.table
+
+/** ClickHouse-flavored analytics surface: the aggregate-combinator family a
+  * user of the reference's ClickHouse deployment reaches for daily —
+  * argMax/argMin, countIf/sumIf/avgIf, groupArray, runningDifference,
+  * histogram, uniqExact over several dimensions, statistical moments,
+  * calendar rollups — each re-expressed as codegen'd Spark built-ins with a
+  * DuckDB oracle. Scale posture: every query is scan -> (optional window or
+  * single hash-agg shuffle on the group key) -> small output; nothing here
+  * materializes per-row state on the driver.
+  */
+object AnalyticsQueries {
+
+  /** argMax/argMin (ClickHouse `argMax(arg, val)`) via Spark's codegen'd
+    * max_by/min_by. Keyed on event_id (unique) so the answer is
+    * deterministic — argMax on a non-unique key is engine-defined tie
+    * order, which no oracle can pin. One hash agg, shuffle on user_id.
+    */
+  def argMinMax(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        min_by(col("event_type"), col("event_id")).as("first_type"),
+        max_by(col("event_type"), col("event_id")).as("last_type"),
+        max(col("event_id")).as("last_event_id"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
+  /** countIf/sumIf/avgIf (ClickHouse `-If` combinators) as conditional
+    * aggregates: count/sum/avg over `when(cond)` — one pass, one shuffle,
+    * no self-join. SQL's FILTER clause compiles to the same plan.
+    */
+  def conditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val big = col("value") > 100
+    table(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(when(big, 1)).as("n_big"),
+        round(sum(when(big, col("value"))), 2).as("sum_big"),
+        round(avg(when(!big, col("value"))), 4).as("avg_small"),
+        round(count(when(big, 1)).cast("double") / count(lit(1)), 4).as("big_ratio"))
+      .orderBy("event_type")
+  }
+
+  /** Statistical moments per group: corr / covar_samp / stddev_samp /
+    * var_samp — single-pass streaming aggregates in both engines (no
+    * second centered pass), so they scale as one shuffle regardless of
+    * group cardinality.
+    */
+  def statsMoments(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 5).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 3).as("covar_qty_price"),
+        round(stddev_samp(col("l_quantity")), 5).as("stddev_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Calendar rollup: month-grain revenue (ClickHouse toStartOfMonth).
+    * date_trunc is a codegen'd scalar, so partition pruning on a
+    * date-partitioned warehouse layout still applies upstream.
+    */
+  def monthlyRevenue(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"),
+        round(avg(col("o_totalprice")), 3).as("avg_price"))
+      .orderBy("month")
+
+  /** runningDifference (ClickHouse) done right: lag over an EXPLICIT
+    * (partition, total order) window — the ClickHouse original depends on
+    * block order, which doesn't survive a distributed shuffle. (ts,
+    * event_id) makes the order total, so the diff is deterministic.
+    */
+  def runningDiff(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_id"), round(col("value"), 2).as("value"),
+        round(col("value") - lag(col("value"), 1).over(w), 3).as("diff"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** groupArray (ClickHouse) with deterministic content: collect_list is
+    * unordered in a distributed engine, so sort the array before joining
+    * to a string. Bounded per group (orders per customer), so no single
+    * group can blow an executor.
+    */
+  def groupArray(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .groupBy(col("o_custkey"))
+      .agg(
+        array_join(array_sort(collect_list(col("o_orderstatus"))), ",").as("statuses"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+
+  /** Fixed-width histogram: floor-bucket then one hash agg. The binning is
+    * a projection, so the same plan at 100 TB is scan -> partial agg ->
+    * one small shuffle (bucket count ~ range/width, not row count).
+    */
+  def histogramValues(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(floor(col("value") / 50).cast("long").as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("avg_value"),
+        round(min(col("value")), 2).as("min_value"),
+        round(max(col("value")), 2).as("max_value"))
+      .orderBy("bucket")
+
+  /** uniqExact over several dimensions in one pass (ClickHouse uniqExact):
+    * two count-distincts + a plain count — Catalyst expands to a single
+    * multi-distinct aggregate, not three scans.
+    */
+  def uniqCounts(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("uniq_users"),
+        countDistinct(to_date(col("ts"))).as("active_days"),
+        round(count(lit(1)).cast("double") / countDistinct(col("user_id")), 4)
+          .as("events_per_user"))
+      .orderBy("event_type")
+
+  /** Per-label embedding centroid norm: posexplode -> per-(label, dim)
+    * mean -> L2 norm of the mean vector. Explode multiplies rows by the
+    * dimension (64x) but stays narrow (3 cols), and both aggs shuffle on
+    * small keys — the distributed shape for "how tight is each cluster"
+    * over billions of vectors.
+    */
+  def embeddingCentroid(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(avg(col("x").cast("double")).as("m"))
+      .groupBy(col("label"))
+      .agg(
+        round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"),
+        count(lit(1)).as("dims"))
+      .orderBy("label")
+
+  /** Deterministic train/val/test split via [[Sampling.splitLabelMd5]] —
+    * the engine-independent draw, so the EXACT membership (not just the
+    * proportions) is pinned by the DuckDB oracle. The xxhash64 production
+    * path (`sample_split`) keeps its rows-only check.
+    */
+  def sampleSplitMd5(spark: SparkSession, dir: String): DataFrame =
+    Sampling
+      .splitLabelMd5(table(spark, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), round(avg(col("n_chars")), 2).as("avg_chars"))
+      .orderBy("split")
+
+  /** Corpus-level top bigrams. Formulated as an ARRAY transform (adjacent
+    * pairs zipped inside the row) + one explode + one hash agg — not the
+    * tokenize->explode->per-doc-window shape, which would shuffle every
+    * token on doc_id before counting. Here the only shuffle is the final
+    * (partial-agg'd) bigram count. Ties broken by bigram text so the
+    * top-k is deterministic.
+    */
+  def textTopBigrams(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .withColumn("t", split(col("text"), " "))
+      .select(explode(when(size(col("t")) >= 2,
+        expr("transform(sequence(0, size(t) - 2), k -> concat(t[k], ' ', t[k + 1]))"))
+        .otherwise(array())).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(10)
+
+  /** sumMap (ClickHouse): per-key map of event_type -> summed value.
+    * Serialized as a SORTED "k:v" string (cents, so the value is an exact
+    * integer in both engines) because map columns have no cross-engine
+    * stable representation. Two hash aggs, both on small keys; the map
+    * payload per user is bounded by the event-type cardinality.
+    */
+  def sumMap(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .filter(col("user_id") < 20)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("value")).as("v"))
+      .select(col("user_id"),
+        concat(col("event_type"), lit(":"),
+          round(col("v") * 100).cast("long").cast("string")).as("kv"))
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(array_sort(collect_list(col("kv"))), ",").as("type_sums"),
+        count(lit(1)).as("n_types"))
+      .orderBy("user_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_top_bigrams" -> (textTopBigrams _),
+    "sum_map" -> (sumMap _),
+    "arg_minmax" -> (argMinMax _),
+    "conditional_agg" -> (conditionalAgg _),
+    "stats_moments" -> (statsMoments _),
+    "monthly_revenue" -> (monthlyRevenue _),
+    "running_diff" -> (runningDiff _),
+    "group_array" -> (groupArray _),
+    "histogram_values" -> (histogramValues _),
+    "uniq_counts" -> (uniqCounts _),
+    "embedding_centroid" -> (embeddingCentroid _),
+    "sample_split_md5" -> (sampleSplitMd5 _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_top_bigrams" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w, " +
+        "generate_subscripts(string_split(text, ' '), 1) AS i FROM documents), " +
+        "bg AS (SELECT w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS bigram " +
+        "FROM toks) " +
+        "SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM bg WHERE bigram IS NOT NULL " +
+        "GROUP BY bigram ORDER BY n DESC, bigram LIMIT 10"),
+    "sum_map" ->
+      ("SELECT user_id, string_agg(kv, ',' ORDER BY kv) AS type_sums, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_types FROM (" +
+        "SELECT user_id, event_type || ':' || " +
+        "CAST(CAST(ROUND(SUM(value) * 100) AS BIGINT) AS VARCHAR) AS kv " +
+        "FROM events WHERE user_id < 20 GROUP BY user_id, event_type) " +
+        "GROUP BY user_id ORDER BY user_id"),
+    "arg_minmax" ->
+      ("SELECT user_id, arg_min(event_type, event_id) AS first_type, " +
+        "arg_max(event_type, event_id) AS last_type, " +
+        "max(event_id) AS last_event_id, CAST(COUNT(*) AS BIGINT) AS n_events " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+    "conditional_agg" ->
+      ("SELECT event_type, CAST(COUNT(*) FILTER (value > 100) AS BIGINT) AS n_big, " +
+        "ROUND(SUM(value) FILTER (value > 100), 2) AS sum_big, " +
+        "ROUND(AVG(value) FILTER (NOT value > 100), 4) AS avg_small, " +
+        "ROUND(CAST(COUNT(*) FILTER (value > 100) AS DOUBLE) / COUNT(*), 4) AS big_ratio " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "stats_moments" ->
+      ("SELECT l_returnflag, ROUND(corr(l_quantity, l_extendedprice), 5) AS corr_qty_price, " +
+        "ROUND(covar_samp(l_quantity, l_extendedprice), 3) AS covar_qty_price, " +
+        "ROUND(stddev_samp(l_quantity), 5) AS stddev_qty, " +
+        "ROUND(var_samp(l_quantity), 4) AS var_qty, " +
+        "CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "monthly_revenue" ->
+      ("SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+        "ROUND(SUM(o_totalprice), 2) AS revenue, ROUND(AVG(o_totalprice), 3) AS avg_price " +
+        "FROM orders GROUP BY 1 ORDER BY 1"),
+    "running_diff" ->
+      ("SELECT user_id, event_id, ROUND(value, 2) AS value, " +
+        "ROUND(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 3) AS diff " +
+        "FROM events WHERE user_id < 50 ORDER BY user_id, event_id"),
+    "group_array" ->
+      ("SELECT o_custkey, string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_orders " +
+        "FROM orders WHERE o_custkey < 100 GROUP BY o_custkey ORDER BY o_custkey"),
+    "histogram_values" ->
+      ("SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "ROUND(AVG(value), 4) AS avg_value, " +
+        "ROUND(MIN(value), 2) AS min_value, ROUND(MAX(value), 2) AS max_value " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+    "uniq_counts" ->
+      ("SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_users, " +
+        "CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days, " +
+        "ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT user_id), 4) AS events_per_user " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "embedding_centroid" ->
+      ("SELECT label, ROUND(sqrt(SUM(m * m)), 4) AS centroid_norm, " +
+        "CAST(COUNT(*) AS BIGINT) AS dims FROM (" +
+        "SELECT label, i, AVG(CAST(x AS DOUBLE)) AS m FROM (" +
+        "SELECT label, unnest(embedding) AS x, " +
+        "generate_subscripts(embedding, 1) - 1 AS i FROM embeddings) " +
+        "GROUP BY label, i) GROUP BY label ORDER BY label"),
+    "sample_split_md5" ->
+      ("WITH u AS (SELECT n_chars, " +
+        "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS INTEGER) AS DOUBLE) " +
+        "/ 16777216.0 AS u FROM documents) " +
+        "SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, ROUND(AVG(n_chars), 2) AS avg_chars " +
+        "FROM u GROUP BY 1 ORDER BY 1")
+  )
+}

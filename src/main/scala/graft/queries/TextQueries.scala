@@ -255,8 +255,36 @@ object TextQueries {
       .orderBy("decile")
   }
 
+  /** The 100 TB formulation of [[qualityDeciles]]: decile BOUNDARIES from
+    * one approx_percentile aggregate (t-digest-style sketch, map-side
+    * combinable), broadcast back as a single row, then a plain hash agg —
+    * no global-order window, so no single-partition sort anywhere. Rows
+    * whose score ties a boundary all land in the same decile (ntile would
+    * split them by the tiebreak), and bucket populations are approximate
+    * within the sketch's rank error — the documented trade vs the exact
+    * variant. Rows-only check by design: the sketch's boundaries are
+    * engine-specific; TextQueriesSpec pins the approx-vs-exact agreement.
+    */
+  def qualityDecilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    val scored = table(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q"))
+    val bounds = scored.agg(
+      percentile_approx(col("q"),
+        array((1 to 9).map(d => lit(d / 10.0)): _*), lit(10000)).as("b"))
+    scored
+      .crossJoin(broadcast(bounds))
+      .select(col("q"),
+        (size(filter(col("b"), x => x < col("q"))) + 1).cast("long").as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("q")), 6).as("q_min"),
+        round(max(col("q")), 6).as("q_max"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_deciles" -> (qualityDeciles _),
+    "quality_deciles_approx" -> (qualityDecilesApprox _),
     "sample_reservoir" -> (sampleReservoir _),
     "fuzzy_match" -> (fuzzyMatch _),
     "heavy_hitters" -> (heavyHitters _),

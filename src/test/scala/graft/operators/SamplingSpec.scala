@@ -55,6 +55,23 @@ class SamplingSpec extends SparkSpec {
       out.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("splitLabelMd5: disjoint, exhaustive, stable, and seedless-deterministic") {
+    val n = docs.count()
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Sampling.splitLabelMd5(df, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val base = assign(docs)
+    assert(base.size == n, "every row labeled exactly once")
+    assert(base.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(assign(docs.repartition(13)) == base, "stable under repartition")
+    // the draw is md5 of the DECIMAL id string: pin one known assignment
+    // so an accidental hash/format change can't slip through (md5("0")
+    // = cfcd2084..., 0xcfcd20 / 2^24 = 0.8117 -> 'val' under 0.8/0.1/0.1)
+    assert(base(0L) == "val", s"doc 0 drew ${base(0L)}")
+  }
+
   test("splitLabel plans as a pure projection: no shuffle") {
     val p = Sampling.splitLabel(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.5))
       .queryExecution.executedPlan.toString

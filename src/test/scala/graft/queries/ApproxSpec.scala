@@ -27,6 +27,25 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("approx decile boundaries agree with the exact ntile deciles") {
+    val approx = TextQueries.qualityDecilesApprox(spark, sf001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val exact = TextQueries.qualityDeciles(spark, sf001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(approx.keySet == (1L to 10L).toSet, s"all deciles present: ${approx.keySet}")
+    val n = exact.values.map(_._1).sum
+    (1L to 10L).foreach { d =>
+      // populations within 20% of the exact decile (sketch rank error +
+      // boundary-tie policy are the only divergence sources)
+      assert(math.abs(approx(d)._1 - exact(d)._1).toDouble / (n / 10.0) < 0.2,
+        s"decile $d: ${approx(d)._1} vs ${exact(d)._1}")
+      // score ranges must be ordered and near the exact decile's range
+      if (d > 1L) assert(approx(d)._2 >= approx(d - 1)._3, s"decile $d overlaps $d-1")
+      assert(math.abs(approx(d)._3 - exact(d)._3) < 0.05,
+        s"decile $d q_max: ${approx(d)._3} vs ${exact(d)._3}")
+    }
+  }
+
   test("unioned daily HLL sketches estimate range reach within 5% of exact") {
     val events = Fixtures.table(spark, sf001, "events")
     val merged = RelationalQueries.hllReach(spark, sf001)

@@ -170,6 +170,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel stages match the batch funnel counts across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingFunnel.FunnelEvent
+    val steps = Seq("view", "click", "purchase")
+    val all = Fixtures.table(spark, sf0001, "events")
+      .select($"user_id", $"event_type", $"ts")
+      .as[FunnelEvent].collect().sortBy(_.ts.getTime)
+    // two TIME-ORDERED micro-batches: no cross-batch late data, so the
+    // monotone streaming state must agree with the batch rerun exactly
+    val (first, second) = all.splitAt(all.length / 2)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    val q = StreamingFunnel.stages(mem.toDS(), steps).writeStream
+      .outputMode("update").format("memory").queryName("funnel_out").start()
+    try {
+      mem.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      // max stage per user -> cumulative user counts per step
+      val maxStage = spark.table("funnel_out")
+        .groupBy("user_id").agg(max($"stage").as("s")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val got = (1 to steps.size)
+        .map(k => k.toLong -> maxStage.values.count(_ >= k).toLong).toMap
+      val want = graft.queries.RelationalQueries.funnelSteps(spark, sf0001)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == want, s"streaming $got vs batch $want")
+    } finally q.stop()
+  }
+
+  test("streaming funnel state is monotone: a late earlier-stage event cannot regress it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingFunnel.FunnelEvent
+    def ev(u: Long, t: String, sec: Int) =
+      FunnelEvent(u, t, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    val q = StreamingFunnel.stages(mem.toDS(), Seq("view", "click")).writeStream
+      .outputMode("update").format("memory").queryName("funnel_mono").start()
+    try {
+      mem.addData(ev(1, "view", 10), ev(1, "click", 20))
+      q.processAllAvailable()
+      // late duplicate view + an out-of-order click: both must be no-ops
+      mem.addData(ev(1, "view", 5), ev(1, "click", 15))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_mono")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(rows.sorted == Seq((1L, 1), (1L, 2)), rows.toString)
+    } finally q.stop()
+  }
+
   test("runningUserTypeCounts accumulates state per (user, type)") {
     val events = Seq((1L, "click"), (1L, "click"), (1L, "view"), (2L, "click"))
       .toDS()
