@@ -134,4 +134,47 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("LessThan(o_custkey"),
       "customer filter must reach the parquet scan")
   }
+
+  test("text_top_bigrams: pair-building is an array transform — no Window, no doc_id shuffle") {
+    val p = plan("text_top_bigrams")
+    assert(!p.contains("Window ("),
+      "bigrams must come from an in-row array transform, not a per-doc window")
+    // only shuffles: the bigram partial->final agg; top-k is TakeOrdered
+    val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected <=1 exchange, got $exchanges\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")
+    assert(!p.contains("doc_id"), "doc_id must be pruned — pairs never leave the row")
+  }
+
+  test("uniq_counts: both distincts fold into one Expand-based aggregate pass") {
+    val p = plan("uniq_counts")
+    assert(p.contains("Expand"),
+      "multi-distinct must compile to one Expand aggregate, not per-distinct scans")
+    // tree form only ("Scan parquet  (1)"); the details section repeats
+    // each node as "(1) Scan parquet"
+    val scans = """Scan parquet\s+\(\d+\)""".r.findAllIn(p).length
+    assert(scans == 1, s"expected a single events scan, got $scans")
+  }
+
+  test("quality_deciles_approx: no global-order window; boundary row broadcast") {
+    val p = plan("quality_deciles_approx")
+    assert(!p.contains("Window ("), "the approx variant must not ntile-sort globally")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row boundary frame must broadcast, not shuffle")
+  }
+
+  test("sample_split_md5 aggregation: split label is a projection (no pre-agg shuffle)") {
+    val p = plan("sample_split_md5")
+    val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).length
+    // one partial->final agg on split + the orderBy's range exchange
+    assert(exchanges <= 2, s"label assignment must not shuffle\n$p")
+  }
+
+  test("embedding_centroid: explode stays narrow (vec_id pruned before posexplode)") {
+    val p = plan("embedding_centroid")
+    assert(!p.contains("vec_id"), "vec_id must be pruned from the read")
+    val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).length
+    // (label, i) agg + label agg + final sort
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges\n$p")
+  }
 }
