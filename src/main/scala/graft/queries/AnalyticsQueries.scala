@@ -202,9 +202,60 @@ object AnalyticsQueries {
         count(lit(1)).as("n_types"))
       .orderBy("user_id")
 
+  /** sequenceMatch (ClickHouse): per-user ordered event-path string,
+    * matched against a regex. The per-group state is the user's own event
+    * list (collect_list + array_sort — sequence semantics inherently need
+    * the user's full ordered history), so group memory is bounded by
+    * per-user activity, never corpus size; one shuffle on user_id, then a
+    * tiny agg on the matched flag. The pattern is RE2-safe and shared
+    * VERBATIM with the oracle. Event-type names are substring-free of
+    * each other, so the unanchored match is unambiguous.
+    */
+  def sequenceMatch(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          e => e.getField("event_type")), ">").as("path"))
+      .select(col("path").rlike("view>click>purchase").cast("int").as("matched"),
+        col("path"))
+      .groupBy(col("matched"))
+      .agg(count(lit(1)).as("n_users"),
+        round(avg(length(col("path"))), 2).as("avg_path_len"))
+      .orderBy("matched")
+
+  /** windowFunnel with a TIME WINDOW (ClickHouse `windowFunnel(window)`):
+    * like funnel_steps, but every later step must land within `3 days` of
+    * the user's step-1 time — the semantics product analytics actually
+    * wants ("converted within N days"). Same scale shape as the plain
+    * funnel: per-step min-ts aggs keyed on user_id, each step's frame
+    * shrinking, joined on user_id only.
+    */
+  def funnelStepsWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val win = expr("INTERVAL 3 DAYS")
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + win)
+      .groupBy("user_id").agg(min(col("ts")).as("t2"), max(col("t1")).as("t1"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("t1") + win)
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    def cnt(df: DataFrame, step: Int, label: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).cast("long").as("step"), lit(label).as("event_type"),
+          col("n_users"))
+    cnt(s1, 1, "view").union(cnt(s2, 2, "click")).union(cnt(s3, 3, "purchase"))
+      .orderBy("step")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_top_bigrams" -> (textTopBigrams _),
     "sum_map" -> (sumMap _),
+    "sequence_match" -> (sequenceMatch _),
+    "funnel_steps_windowed" -> (funnelStepsWindowed _),
     "arg_minmax" -> (argMinMax _),
     "conditional_agg" -> (conditionalAgg _),
     "stats_moments" -> (statsMoments _),
@@ -218,6 +269,28 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sequence_match" ->
+      ("WITH paths AS (SELECT user_id, " +
+        "string_agg(event_type, '>' ORDER BY ts, event_id) AS path " +
+        "FROM events GROUP BY user_id) " +
+        "SELECT CAST(regexp_matches(path, 'view>click>purchase') AS INT) AS matched, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_users, " +
+        "ROUND(AVG(length(path)), 2) AS avg_path_len " +
+        "FROM paths GROUP BY 1 ORDER BY 1"),
+    "funnel_steps_windowed" ->
+      ("WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events " +
+        "WHERE event_type = 'view' GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t2, max(s1.t1) AS t1 FROM events e " +
+        "JOIN s1 ON e.user_id = s1.user_id WHERE e.event_type = 'click' " +
+        "AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 3 DAY GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e " +
+        "JOIN s2 ON e.user_id = s2.user_id WHERE e.event_type = 'purchase' " +
+        "AND e.ts > s2.t2 AND e.ts <= s2.t1 + INTERVAL 3 DAY GROUP BY e.user_id) " +
+        "SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, " +
+        "CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users " +
+        "UNION ALL SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT) " +
+        "UNION ALL SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT) " +
+        "ORDER BY step"),
     "text_top_bigrams" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w, " +
         "generate_subscripts(string_split(text, ' '), 1) AS i FROM documents), " +
