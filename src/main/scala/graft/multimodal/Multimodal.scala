@@ -123,6 +123,109 @@ object Multimodal {
       }
     }
 
+    /** REAL full-pixel decode for binary netpbm [public: netpbm formats,
+      * pgm(5)/ppm(5) man pages]: magic `P5` (grayscale) / `P6` (RGB),
+      * then ASCII decimal width, height, maxval separated by whitespace
+      * (with `#`-to-newline comments), ONE whitespace byte, then
+      * width*height*(1|3) raw 8-bit samples. The one image family
+      * decodable with zero codec dependencies, which makes it the
+      * end-to-end REAL pixel path — PNG/JPEG stop at the header parse.
+      * 8-bit only (maxval < 256); anything malformed (bad magic,
+      * non-positive dims, overflowing sizes, truncated pixel data)
+      * returns None and falls back like any other opaque payload.
+      */
+    def pnmDecode(payload: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+      if (payload.length < 2 || payload(0) != 'P' ||
+          (payload(1) != '5' && payload(1) != '6')) None
+      else {
+        val channels = if (payload(1) == '6') 3 else 1
+        var i = 2
+        def skipWs(): Unit = {
+          var go = true
+          while (go && i < payload.length) {
+            val c = payload(i) & 0xff
+            if (c == '#') { while (i < payload.length && payload(i) != '\n') i += 1 }
+            else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') i += 1
+            else go = false
+          }
+        }
+        def readInt(): Int = { // -1 = malformed
+          skipWs()
+          var v = 0L
+          var any = false
+          while (i < payload.length && payload(i) >= '0' && payload(i) <= '9' &&
+              v <= Int.MaxValue) {
+            v = v * 10 + (payload(i) - '0'); any = true; i += 1
+          }
+          if (any && v <= Int.MaxValue) v.toInt else -1
+        }
+        val w = readInt()
+        val h = readInt()
+        val maxv = readInt()
+        i += 1 // exactly ONE whitespace byte after maxval, then raw samples
+        val n = if (w > 0 && h > 0) w.toLong * h * channels else -1L
+        if (w <= 0 || h <= 0 || maxv <= 0 || maxv >= 256 ||
+            n > payload.length - i) None
+        else Some((w, h, channels,
+          java.util.Arrays.copyOfRange(payload, i, i + n.toInt)))
+      }
+    }
+
+    /** 8-bin LUMINANCE histogram over real decoded pixels (integer-mean
+      * luma for RGB — deterministic, no float rounding surface).
+      */
+    def pixelHistogram(pixels: Array[Byte], channels: Int): Array[Float] = {
+      val hist = new Array[Float](FeatureDim)
+      val nPix = pixels.length / channels
+      var p = 0
+      while (p < nPix) {
+        var lum = 0
+        var c = 0
+        while (c < channels) { lum += pixels(p * channels + c) & 0xff; c += 1 }
+        hist((lum / channels) * FeatureDim / 256) += 1f
+        p += 1
+      }
+      val n = math.max(1, nPix).toFloat
+      hist.map(_ / n)
+    }
+
+    /** Binary netpbm encode — the inverse of [[pnmDecode]], used by the
+      * real resample path.
+      */
+    def pnmEncode(w: Int, h: Int, channels: Int, pixels: Array[Byte]): Array[Byte] = {
+      val header = s"P${if (channels == 3) '6' else '5'}\n$w $h\n255\n"
+        .getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + pixels.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(pixels, 0, out, header.length, pixels.length)
+      out
+    }
+
+    /** REAL nearest-neighbor pixel resample for netpbm payloads: each
+      * output pixel reads source (x*w/ow, y*h/oh) — exact integer
+      * arithmetic, deterministic across JVMs.
+      */
+    def pnmResize(w: Int, h: Int, channels: Int, pixels: Array[Byte],
+        ow: Int, oh: Int): Array[Byte] = {
+      val out = new Array[Byte](ow * oh * channels)
+      var y = 0
+      while (y < oh) {
+        val sy = (y.toLong * h / oh).toInt
+        var x = 0
+        while (x < ow) {
+          val sx = (x.toLong * w / ow).toInt
+          var c = 0
+          while (c < channels) {
+            out((y * ow + x) * channels + c) = pixels((sy * w + sx) * channels + c)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      pnmEncode(ow, oh, channels, out)
+    }
+
     /** STUB decode: a real implementation would hand `payload` to an image
       * or audio codec here. The fake derives (width, height) and an
       * 8-bin byte histogram deterministically from the bytes, so plumbing
@@ -141,16 +244,21 @@ object Multimodal {
       hist.map(_ / n)
     }
 
-    /** Per-kind dispatch: images get the real header parse when the
-      * payload is a recognizable PNG/JPEG (falling back to the stub for
-      * opaque bytes — the fixture payloads are utf-8 text); audio/video
+    /** Per-kind dispatch: images get the real netpbm FULL decode (real
+      * pixels -> real luminance features) when the payload is P5/P6, else
+      * the real PNG/JPEG header parse (real dims, byte-level features),
+      * else the stub (the fixture payloads are utf-8 text); audio/video
       * stay on the stub until real codecs exist.
       */
     def decode(kind: String, payload: Array[Byte]): (Int, Int, Array[Float]) =
       if (kind == "image")
-        imageDims(payload) match {
-          case Some((w, h)) => (w, h, byteHistogram(payload))
-          case None => decodeStub(payload)
+        pnmDecode(payload) match {
+          case Some((w, h, ch, pix)) => (w, h, pixelHistogram(pix, ch))
+          case None =>
+            imageDims(payload) match {
+              case Some((w, h)) => (w, h, byteHistogram(payload))
+              case None => decodeStub(payload)
+            }
         }
       else decodeStub(payload)
   }
@@ -175,14 +283,15 @@ object Multimodal {
       out_height: Int,
       payload: Array[Byte])
 
-  /** Aspect-preserving resize planning: computes each image's output
-    * dimensions for a bounding box (the REAL part — parsed source dims
-    * via [[MediaDecoder.imageDims]] where the payload is a recognizable
-    * PNG/JPEG, stub dims otherwise; fit math is exact integer
-    * arithmetic, never upscaling). The pixel resample itself would run
-    * here per partition with a codec; payload passes through unchanged
-    * as the documented stub. Output is the (metadata, payload) shape a
-    * batched GPU/codec stage consumes.
+  /** Aspect-preserving resize: computes each image's output dimensions
+    * for a bounding box (parsed source dims via the real decoders, stub
+    * dims otherwise; fit math is exact integer arithmetic, never
+    * upscaling). For netpbm payloads the pixel resample actually RUNS
+    * ([[MediaDecoder.pnmResize]], nearest-neighbor) and the emitted
+    * payload is the resized image; for other formats the resample would
+    * need a codec, so the payload passes through unchanged (documented
+    * stub). Output is the (metadata, payload) shape a batched GPU/codec
+    * stage consumes.
     */
   def resizeToFit(media: DataFrame, maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
     require(maxW >= 1 && maxH >= 1)
@@ -200,7 +309,15 @@ object Multimodal {
               val fit = if (byW._2 <= maxH) byW else byH
               (fit._1.toInt, fit._2.toInt)
             }
-          ResizedMedia(r.media_id, r.kind, w, h, ow, oh, r.payload)
+          val outPayload =
+            if (r.kind == "image" && (ow != w || oh != h))
+              MediaDecoder.pnmDecode(r.payload) match {
+                case Some((pw, ph, ch, pix)) =>
+                  MediaDecoder.pnmResize(pw, ph, ch, pix, ow, oh)
+                case None => r.payload // non-netpbm: resample needs a codec
+              }
+            else r.payload
+          ResizedMedia(r.media_id, r.kind, w, h, ow, oh, outPayload)
         }
       }
   }

@@ -37,6 +37,44 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.sum == 1.0f)
   }
 
+  test("netpbm FULL pixel decode: P5/P6 golden images, comments, luminance features") {
+    import Multimodal.MediaDecoder
+    // P5 4x2 grayscale ramp: one pixel per luminance bin
+    val p5 = "P5\n4 2\n255\n".getBytes("US-ASCII") ++
+      Array(0, 32, 64, 96, 128, 160, 192, 224).map(_.toByte)
+    val (w, h, feats) = MediaDecoder.decode("image", p5)
+    assert((w, h) == (4, 2), "real header dims")
+    assert(feats.toSeq == Seq.fill(8)(0.125f), s"one pixel per bin: ${feats.toSeq}")
+    // P6 RGB, with a header comment: integer-mean luma buckets
+    val p6 = "P6\n# golden\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array(10, 20, 30, 100, 110, 120, 200, 210, 220, 250, 250, 250).map(_.toByte)
+    val (w6, h6, f6) = MediaDecoder.decode("image", p6)
+    assert((w6, h6) == (2, 2))
+    assert(f6(0) == 0.25f && f6(3) == 0.25f && f6(6) == 0.25f && f6(7) == 0.25f, f6.toSeq)
+    // truncated pixel data must NOT decode (falls through to the stub)
+    val truncated = "P5\n4 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    assert(MediaDecoder.pnmDecode(truncated).isEmpty)
+    // 16-bit maxval is out of scope and must be rejected, not misread
+    val deep = "P5\n1 1\n65535\n".getBytes("US-ASCII") ++ Array[Byte](0, 0)
+    assert(MediaDecoder.pnmDecode(deep).isEmpty)
+  }
+
+  test("netpbm real resample: nearest-neighbor bytes, payload re-encoded") {
+    import Multimodal.MediaDecoder
+    val p5 = "P5\n4 2\n255\n".getBytes("US-ASCII") ++
+      Array(0, 32, 64, 96, 128, 160, 192, 224).map(_.toByte)
+    import spark.implicits._
+    val media = Seq((1L, "image", p5)).toDF("media_id", "kind", "payload")
+    val out = Multimodal.resizeToFit(media, 2, 1).collect().head
+    assert((out.width, out.height) == (4, 2) && (out.out_width, out.out_height) == (2, 1))
+    // nearest-neighbor: rows sample sy = y*h/oh = 0, cols sx = x*w/ow -> 0, 2
+    val expected = "P5\n2 1\n255\n".getBytes("US-ASCII") ++ Array(0, 64).map(_.toByte)
+    assert(out.payload.toSeq == expected.toSeq,
+      s"resampled payload ${out.payload.toSeq} vs $expected")
+    // round-trip: the resized payload decodes again (it IS a valid P5)
+    assert(MediaDecoder.pnmDecode(out.payload).map(d => (d._1, d._2)) == Some((2, 1)))
+  }
+
   // golden 640x480 PNG prefix: signature + IHDR chunk header + dims
   private val pngHeader: Array[Byte] = (
     Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a) ++ // signature
