@@ -251,7 +251,74 @@ object AnalyticsQueries {
       .orderBy("step")
   }
 
+  /** groupBitAnd/Or/Xor (ClickHouse): bitwise aggregates — one hash agg,
+    * fully map-side-combinable (each is associative+commutative).
+    */
+  def bitwiseAgg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        bit_and(col("event_id")).as("id_bit_and"),
+        bit_or(col("event_id")).as("id_bit_or"),
+        bit_xor(col("event_id")).as("id_bit_xor"))
+      .orderBy("event_type")
+
+  /** Shannon entropy of the per-source language mix (ClickHouse
+    * `entropy`) — the label-diversity report a curation pipeline reads
+    * before balancing a corpus. Written from raw counts (-sum p log2 p)
+    * so both engines compute the IDENTICAL formula rather than relying
+    * on builtin entropy definitions. Shape: one (source, lang) count agg,
+    * a source-partition window for the totals (source cardinality is the
+    * small key), then the final source agg.
+    */
+  def sourceEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = table(spark, dir, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val tot = Window.partitionBy(col("source"))
+    val p = col("n") / sum(col("n")).over(tot)
+    counts
+      .select(col("source"), col("n"), p.as("p"))
+      .groupBy(col("source"))
+      .agg(
+        round(-sum(col("p") * log2(col("p"))), 6).as("lang_entropy"),
+        sum(col("n")).cast("long").as("n_docs"))
+      .orderBy("source")
+  }
+
+  /** Population skewness/kurtosis from RAW power sums (avg x, avg x^2,
+    * avg x^3, avg x^4) — engines disagree on builtin skewness/kurtosis
+    * definitions (sample-corrected vs population), so both sides compute
+    * the same explicit moment arithmetic. Still one streaming pass: four
+    * plain avg aggregates, no centered second pass.
+    */
+  private def momentCols: Seq[org.apache.spark.sql.Column] = {
+    val m1 = col("m1"); val m2r = col("m2r"); val m3r = col("m3r"); val m4r = col("m4r")
+    val v = m2r - m1 * m1 // population variance
+    val m3 = m3r - lit(3) * m1 * m2r + lit(2) * m1 * m1 * m1
+    val m4 = m4r - lit(4) * m1 * m3r + lit(6) * m1 * m1 * m2r -
+      lit(3) * m1 * m1 * m1 * m1
+    Seq(col("l_returnflag"), col("n"),
+      round(m3 / pow(v, 1.5), 5).as("skew_pop"),
+      round(m4 / (v * v) - lit(3), 5).as("kurt_excess_pop"))
+  }
+
+  def higherMoments(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity")
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        avg(x).as("m1"), avg(x * x).as("m2r"),
+        avg(x * x * x).as("m3r"), avg(x * x * x * x).as("m4r"),
+        count(lit(1)).as("n"))
+      .select(momentCols: _*)
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bitwise_agg" -> (bitwiseAgg _),
+    "source_entropy" -> (sourceEntropy _),
+    "higher_moments" -> (higherMoments _),
     "text_top_bigrams" -> (textTopBigrams _),
     "sum_map" -> (sumMap _),
     "sequence_match" -> (sequenceMatch _),
@@ -269,6 +336,29 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "bitwise_agg" ->
+      ("SELECT event_type, bit_and(event_id) AS id_bit_and, " +
+        "bit_or(event_id) AS id_bit_or, bit_xor(event_id) AS id_bit_xor " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "source_entropy" ->
+      ("WITH c AS (SELECT source, lang, CAST(COUNT(*) AS DOUBLE) AS n " +
+        "FROM documents GROUP BY 1, 2), " +
+        "t AS (SELECT source, SUM(n) AS tot FROM c GROUP BY 1) " +
+        "SELECT c.source, ROUND(-SUM((n / tot) * log2(n / tot)), 6) AS lang_entropy, " +
+        "CAST(SUM(n) AS BIGINT) AS n_docs " +
+        "FROM c JOIN t ON c.source = t.source GROUP BY c.source ORDER BY c.source"),
+    "higher_moments" ->
+      ("WITH m AS (SELECT l_returnflag, AVG(l_quantity) AS m1, " +
+        "AVG(l_quantity * l_quantity) AS m2r, " +
+        "AVG(l_quantity * l_quantity * l_quantity) AS m3r, " +
+        "AVG(l_quantity * l_quantity * l_quantity * l_quantity) AS m4r, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1) " +
+        "SELECT l_returnflag, n, " +
+        "ROUND((m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1) / " +
+        "POW(m2r - m1 * m1, 1.5), 5) AS skew_pop, " +
+        "ROUND((m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * m1 * m1 * m1 * m1) / " +
+        "POW(m2r - m1 * m1, 2) - 3, 5) AS kurt_excess_pop " +
+        "FROM m ORDER BY l_returnflag"),
     "sequence_match" ->
       ("WITH paths AS (SELECT user_id, " +
         "string_agg(event_type, '>' ORDER BY ts, event_id) AS path " +
