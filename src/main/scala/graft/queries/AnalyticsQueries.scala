@@ -315,7 +315,27 @@ object AnalyticsQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Trailing 7-day distinct-user reach per day, EXACT, without a
+    * quadratic day x events self-join: dedup to (user, day) once, then
+    * each pair contributes to the 7 trailing windows it belongs to
+    * (explode of a 7-element date sequence), then one distinct-count per
+    * day. Shuffle volume = 7 x (user, day) pairs — linear, bounded by the
+    * window width, the exact-reach shape that holds until reach itself
+    * justifies HLL sketches (hll_reach is that path). Overhang days past
+    * the corpus end are kept (both engines produce them identically).
+    */
+  def slidingReach(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+      .select(col("user_id"),
+        explode(sequence(col("d"), date_add(col("d"), 6))).as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("reach_7d"))
+      .orderBy("day")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sliding_reach" -> (slidingReach _),
     "bitwise_agg" -> (bitwiseAgg _),
     "source_entropy" -> (sourceEntropy _),
     "higher_moments" -> (higherMoments _),
@@ -336,6 +356,12 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sliding_reach" ->
+      ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), " +
+        "days AS (SELECT user_id, d + CAST(x AS INTEGER) AS day " +
+        "FROM ud, unnest(generate_series(0, 6)) t(x)) " +
+        "SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS reach_7d " +
+        "FROM days GROUP BY day ORDER BY day"),
     "bitwise_agg" ->
       ("SELECT event_type, bit_and(event_id) AS id_bit_and, " +
         "bit_or(event_id) AS id_bit_or, bit_xor(event_id) AS id_bit_xor " +

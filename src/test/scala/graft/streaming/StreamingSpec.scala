@@ -222,6 +222,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming top-k: Space-Saving eviction semantics on a known sequence") {
+    import StreamingTopK.KeyedItem
+    // capacity 2: items 1,1,2 fill/serve; item 3 evicts the min (2, count 1)
+    // and inherits its count as error -> est 2, max_error 1
+    val seq = Seq(1L, 1L, 2L, 3L).map(KeyedItem("g", _)).toDS()
+    val out = StreamingTopK.topK(seq, capacity = 2, k = 2).collect()
+      .map(e => e.item -> ((e.est_count, e.max_error))).toMap
+    assert(out == Map(1L -> ((2L, 0L)), 3L -> ((2L, 1L))), out.toString)
+  }
+
+  test("streaming top-k: heavy items survive across micro-batches within the SS bound") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingTopK.KeyedItem
+    // skewed synthetic stream: heavy items 1, 2, 3 (60/40/20 arrivals),
+    // 200 distinct light items (1 each) churning the counter map
+    val heavy = Seq.fill(60)(1L) ++ Seq.fill(40)(2L) ++ Seq.fill(20)(3L)
+    val light = (100L until 300L).toSeq
+    // deterministic interleave, split into two time-ordered batches
+    val all = (heavy ++ light).sorted.zipWithIndex
+      .sortBy { case (item, idx) => (idx * 7919 + item) % 997 }
+      .map(_._1)
+    val (b1, b2) = all.splitAt(all.length / 2)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KeyedItem]
+    val q = StreamingTopK.topK(mem.toDS(), capacity = 50, k = 10).writeStream
+      .outputMode("update").format("memory").queryName("topk_out").start()
+    try {
+      mem.addData(b1.map(KeyedItem("g", _)))
+      q.processAllAvailable()
+      mem.addData(b2.map(KeyedItem("g", _)))
+      q.processAllAvailable()
+      // counts are monotone, so max(est) per item = the latest emission
+      val latest = spark.table("topk_out")
+        .groupBy("item").agg(max($"est_count").as("est"), max($"max_error").as("err"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val n = all.length
+      val truth = Map(1L -> 60L, 2L -> 40L, 3L -> 20L)
+      truth.foreach { case (item, c) =>
+        // every item with true count > n/capacity must be tracked
+        assert(c > n / 50, "test setup: items must clear the SS guarantee bar")
+        val (est, err) = latest.getOrElse(item, sys.error(s"heavy item $item lost"))
+        assert(est >= c && est <= c + err, s"item $item: est $est err $err true $c")
+        assert(err <= n.toLong / 50, s"item $item error ${err} above n/capacity")
+      }
+    } finally q.stop()
+  }
+
   test("runningUserTypeCounts accumulates state per (user, type)") {
     val events = Seq((1L, "click"), (1L, "click"), (1L, "view"), (2L, "click"))
       .toDS()
