@@ -66,6 +66,20 @@ object EventBucketizer {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("value_sum"))
 
+  /** Trailing 7-day reach, streaming: SLIDING event-time windows (7-day
+    * width, 1-day slide — each event lands in its 7 trailing windows,
+    * the same 7x fan-out the batch `sliding_reach` query materializes
+    * with an explode) + `approx_count_distinct`, because exact sliding
+    * distinct would need per-window user sets in state; the batch twin
+    * stays exact and `hll_reach` pins the sketch's accuracy against it.
+    */
+  def slidingReach(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "7 days", "1 day").as("w"))
+      .agg(approx_count_distinct(col("user_id")).as("reach_7d"))
+      .select(to_date(col("w.end")).as("window_end"), col("reach_7d"))
+
   /** Stream-static enrichment: per-micro-batch broadcast hash join of a
     * streaming frame against a static dimension — the standard pattern
     * for attaching slowly-changing metadata (user tier, source catalog)

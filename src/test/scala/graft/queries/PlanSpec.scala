@@ -170,6 +170,29 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"label assignment must not shuffle\n$p")
   }
 
+  test("sliding_reach: dedup -> window explode -> one distinct count, no self-join") {
+    val p = plan("sliding_reach")
+    assert(!p.contains("Join"), "reach must come from the explode fan-out, not a day x events join")
+    assert(p.contains("Generate") || p.contains("Explode"), "7-day fan-out must be an explode")
+    assert(!p.contains("event_type"), "unused columns pruned from the read")
+  }
+
+  test("sequence_match: one user-keyed shuffle feeds the path aggregation") {
+    val p = plan("sequence_match")
+    val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).length
+    // user_id agg + matched agg + final sort
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges\n$p")
+    assert(!p.contains("Window ("), "path ordering lives in array_sort, not a window")
+  }
+
+  test("higher_moments: raw power sums in ONE aggregate pass (no centered re-scan)") {
+    val p = plan("higher_moments")
+    val scans = """Scan parquet\s+\(\d+\)""".r.findAllIn(p).length
+    assert(scans == 1, s"expected a single lineitem scan, got $scans")
+    val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).length
+    assert(exchanges <= 2, s"one partial->final agg + sort, got $exchanges\n$p")
+  }
+
   test("embedding_centroid: explode stays narrow (vec_id pruned before posexplode)") {
     val p = plan("embedding_centroid")
     assert(!p.contains("vec_id"), "vec_id must be pruned from the read")

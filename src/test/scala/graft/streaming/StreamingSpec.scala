@@ -170,6 +170,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding reach tracks the exact batch trailing-window reach") {
+    val src = java.nio.file.Files.createTempDirectory("graftreach").toString
+    val batch = Fixtures.table(spark, sf0001, "events")
+    batch.write.mode("overwrite").parquet(s"$src/events")
+    val stream = spark.readStream.schema(batch.schema).parquet(s"$src/events")
+    val q = EventBucketizer.slidingReach(stream).writeStream
+      .outputMode("append").format("memory").queryName("reach_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("reach_out").collect()
+        .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      // batch day X counts users over [X-6, X]; the streaming window with
+      // end = X+1 (exclusive) covers the same span
+      val want = graft.queries.AnalyticsQueries.slidingReach(spark, sf0001)
+        .collect().map(r => r.getDate(0).toLocalDate.plusDays(1).toString -> r.getLong(1))
+        .toMap
+      assert(got.nonEmpty, "stream emitted closed windows")
+      got.foreach { case (d, approx) =>
+        val exact = want.getOrElse(d, 0L)
+        assert(exact > 0, s"window-end $d missing from the batch truth")
+        assert(math.abs(approx - exact).toDouble / exact < 0.05,
+          s"window-end $d: approx $approx vs exact $exact")
+      }
+    } finally q.stop()
+  }
+
   test("streaming funnel stages match the batch funnel counts across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import StreamingFunnel.FunnelEvent
