@@ -69,14 +69,16 @@ object DedupClusters {
     while (changed > 0 && i < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nbr"))
+      // carry the previous label through the checkpoint so the convergence
+      // check is a filter over already-materialized rows, not another join
       val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"),
+          col("cluster").as("old"))
         .localCheckpoint(true)
-      changed = next.join(labels.select(col("id"), col("cluster").as("old")), "id")
-        .filter(col("cluster") =!= col("old")).count()
+      changed = next.filter(col("cluster") =!= col("old")).count()
       labels.unpersist()
-      labels = next
+      labels = next.select("id", "cluster")
       i += 1
     }
     edges.unpersist()
