@@ -334,7 +334,27 @@ object AnalyticsQueries {
       .agg(countDistinct(col("user_id")).as("reach_7d"))
       .orderBy("day")
 
+  /** Multi-aggregate pivot: per month, (count, avg price) per order
+    * status as columns — the two-measure crosstab shape. Explicit pivot
+    * value list (no distinct pre-scan job); counts for absent
+    * (month, status) cells are coalesced to 0 because a pivoted count
+    * yields NULL for an empty cell while SQL's `COUNT(*) FILTER` yields 0
+    * — averages stay NULL in both engines.
+    */
+  def pivotMultiAgg(spark: SparkSession, dir: String): DataFrame = {
+    val statuses = Seq("F", "O", "P")
+    val base = table(spark, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .pivot("o_orderstatus", statuses)
+      .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg"))
+    val cols = col("month") +: statuses.flatMap(s => Seq(
+      coalesce(col(s"${s}_n"), lit(0L)).as(s"${s}_n"),
+      col(s"${s}_avg")))
+    base.select(cols: _*).orderBy("month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pivot_multi_agg" -> (pivotMultiAgg _),
     "sliding_reach" -> (slidingReach _),
     "bitwise_agg" -> (bitwiseAgg _),
     "source_entropy" -> (sourceEntropy _),
@@ -356,6 +376,15 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "pivot_multi_agg" ->
+      ("SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month, " +
+        "CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS \"F_n\", " +
+        "ROUND(AVG(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS \"F_avg\", " +
+        "CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS \"O_n\", " +
+        "ROUND(AVG(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS \"O_avg\", " +
+        "CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS \"P_n\", " +
+        "ROUND(AVG(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS \"P_avg\" " +
+        "FROM orders GROUP BY 1 ORDER BY 1"),
     "sliding_reach" ->
       ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), " +
         "days AS (SELECT user_id, d + CAST(x AS INTEGER) AS day " +
