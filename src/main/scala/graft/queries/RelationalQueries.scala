@@ -112,6 +112,31 @@ object RelationalQueries {
     custsIn(1995).intersect(custsIn(1996)).orderBy("o_custkey")
   }
 
+  /** MULTISET set ops (INTERSECT ALL / EXCEPT ALL): per-custkey order
+    * counts as bags — a customer with 3 orders in 1995 and 1 in 1996
+    * survives intersectAll once and exceptAll twice; the DISTINCT forms
+    * above can't express that. Spark plans both as a counted aggregate +
+    * generate (no join explosion); the result is re-aggregated so the
+    * oracle compare is order-free.
+    */
+  def setIntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    def custsIn(y: Int) = table(spark, dir, "orders")
+      .filter(year(to_date(col("o_orderdate"))) === y)
+      .select(col("o_custkey"))
+    custsIn(1995).intersectAll(custsIn(1996))
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .orderBy("o_custkey")
+  }
+
+  def setExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    def custsIn(y: Int) = table(spark, dir, "orders")
+      .filter(year(to_date(col("o_orderdate"))) === y)
+      .select(col("o_custkey"))
+    custsIn(1995).exceptAll(custsIn(1996))
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .orderBy("o_custkey")
+  }
+
   /** Semi join: customers with at least one >300k order — EXISTS in SQL,
     * left_semi in Spark (no row multiplication, build side broadcast).
     */
@@ -583,6 +608,8 @@ object RelationalQueries {
     "agg_rollup" -> (aggRollup _),
     "set_except" -> (setExcept _),
     "set_intersect" -> (setIntersect _),
+    "set_intersect_all" -> (setIntersectAll _),
+    "set_except_all" -> (setExceptAll _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "scalar_functions" -> (scalarFunctions _),
@@ -772,6 +799,18 @@ object RelationalQueries {
         "INTERSECT " +
         "SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996 " +
         "ORDER BY o_custkey"),
+    "set_intersect_all" ->
+      ("SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n FROM (" +
+        "SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995 " +
+        "INTERSECT ALL " +
+        "SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996) " +
+        "GROUP BY o_custkey ORDER BY o_custkey"),
+    "set_except_all" ->
+      ("SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n FROM (" +
+        "SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995 " +
+        "EXCEPT ALL " +
+        "SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996) " +
+        "GROUP BY o_custkey ORDER BY o_custkey"),
     "join_semi" ->
       ("SELECT c_custkey, c_name FROM customer WHERE EXISTS (" +
         "SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000) " +
