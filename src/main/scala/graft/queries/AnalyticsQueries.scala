@@ -353,7 +353,24 @@ object AnalyticsQueries {
     base.select(cols: _*).orderBy("month")
   }
 
+  /** Second scalar-function batch beyond `scalar_functions`: regex
+    * extraction, edit distance, reverse/repeat/position — all codegen'd
+    * built-ins, pure projection, no shuffle except the output sort. The
+    * regex is RE2-safe and shared verbatim with the oracle.
+    */
+  def stringFunctionsExt(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("type_head"),
+        levenshtein(col("p_brand"), lit("Brand#10")).as("brand_dist"),
+        reverse(col("p_name")).as("name_rev"),
+        repeat(substring(col("p_brand"), 1, 2), 2).as("brand_echo"),
+        instr(col("p_name"), "a").cast("int").as("first_a"))
+      .orderBy("p_partkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "string_functions_ext" -> (stringFunctionsExt _),
     "pivot_multi_agg" -> (pivotMultiAgg _),
     "sliding_reach" -> (slidingReach _),
     "bitwise_agg" -> (bitwiseAgg _),
@@ -376,6 +393,13 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "string_functions_ext" ->
+      ("SELECT p_partkey, regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head, " +
+        "levenshtein(p_brand, 'Brand#10') AS brand_dist, " +
+        "reverse(p_name) AS name_rev, " +
+        "repeat(left(p_brand, 2), 2) AS brand_echo, " +
+        "CAST(strpos(p_name, 'a') AS INT) AS first_a " +
+        "FROM part ORDER BY p_partkey"),
     "pivot_multi_agg" ->
       ("SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month, " +
         "CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS \"F_n\", " +
