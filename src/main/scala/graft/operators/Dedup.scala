@@ -83,6 +83,35 @@ object Dedup {
     singles.unionByName(dups)
   }
 
+  /** df-caps an exploded (doc_id, n_sh?, shingle) inverted index: shingles
+    * whose document frequency exceeds `maxShingleDf` are dropped BEFORE any
+    * self-join. Skew-safe by construction: df comes from a map-side
+    * combinable `groupBy(shingle).count()` (partial aggregation bounds any
+    * one task's state by its distinct-shingle count, not by the hottest
+    * shingle's row count), and the over-cap set — tiny by construction,
+    * since only shingles with df > cap qualify — is broadcast and removed
+    * with a `left_anti` probe. The earlier `count over (partition by
+    * shingle)` window formulation put every occurrence of a stop-shingle
+    * into ONE task's window buffer before the filter dropped them — a
+    * straggler/spill on the hottest task at corpus scale.
+    *
+    * Both the raw index and the returned capped index are PERSISTED: the
+    * raw one because the df aggregate and the anti probe would otherwise
+    * re-derive the tokenize/explode subtree (measured 53.8s vs ~5s warm at
+    * sf0.1 in round 2), the capped one because it feeds both sides of the
+    * caller's self-join, whose aliasing renews attribute ids so
+    * ReuseExchange can't dedup the scans. Session drivers (Bench, Verify)
+    * clearCache between queries (standard cache-scope policy here).
+    */
+  def dfCappedShingleIndex(exploded: DataFrame, maxShingleDf: Int): DataFrame = {
+    val ex = exploded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .select(col("shingle"))
+    ex.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** Exact n-gram Jaccard near-dup pairs at `threshold`, candidates =
     * pairs sharing >= 1 shingle. The inverted-index join means work is
     * proportional to sum over shingles of df^2, not docs^2 — so a single
@@ -107,24 +136,9 @@ object Dedup {
     val exploded = docs
       .select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
-    // df cap: one extra aggregate + join, both keyed on `shingle` — the
-    // same key the self-join shuffles on, so no new partitioning is paid
-    // df cap via a count-over-window on the SAME shingle key the
-    // self-join shuffles on: one pass over `exploded`, one shuffle —
-    // no separate df-aggregate + semi-join re-deriving the tokenize/
-    // explode subtree.
-    // PERSISTED (mirrors minhashPairs' signature persist): the capped
-    // index feeds both sides of the self-join, whose aliasing renews
-    // attribute ids so ReuseExchange can't dedup the two scans — without
-    // the persist the whole subtree runs twice per side (measured 53.8s
-    // vs ~5s warm at sf0.1 in round 2). Callers running many queries in
-    // one session should clearCache between them (Bench/Verify do).
-    val wsh = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
-    val sh = exploded
-      .withColumn("df", count(lit(1)).over(wsh))
-      .filter(col("df") <= maxShingleDf)
-      .drop("df")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // df cap + persists via the shared skew-safe helper (see
+    // [[dfCappedShingleIndex]] for why it is NOT a count-over-window).
+    val sh = dfCappedShingleIndex(exploded, maxShingleDf)
     sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

@@ -242,14 +242,10 @@ object DataQueries {
     * ngramJaccardPairs: both split sides filter one cached subtree.
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = table(spark, dir, "documents")
     val exploded = docs.select(col("doc_id"),
       explode(Dedup.wordShingles(col("text"), 3)).as("shingle"))
-    val sh = exploded
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= 1000).drop("df")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = Dedup.dfCappedShingleIndex(exploded, 1000)
     val te = sh.filter(pmod(col("doc_id"), lit(5)) === 4)
       .select(col("doc_id").as("test_id"), col("shingle"))
     val tr = sh.filter(pmod(col("doc_id"), lit(5)) =!= 4)

@@ -48,14 +48,26 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 7, s"shuffle explosion: $exchanges exchanges\n$p")
   }
 
-  test("dedup_ngram_jaccard: capped index persisted once, df-cap is one window pass") {
+  test("dedup_ngram_jaccard: index persisted, df-cap is a broadcast anti-join, NO shingle window") {
     val p = plan("dedup_ngram_jaccard")
     assert(p.contains("InMemoryRelation"),
       "the capped inverted index must be persisted — without it the " +
         "tokenize/explode subtree recomputes on both sides of the self-join")
-    assert("Window".r.findAllIn(p).nonEmpty,
-      "df cap must be a count-over-window on the join key, not a " +
-        "separate aggregate + semi-join re-deriving the explode")
+    assert(!p.contains("Window ("),
+      "df cap must NOT be a count-over-window partitioned by shingle — " +
+        "every occurrence of a stop-shingle lands in one task's window " +
+        "buffer (hot-shingle straggler/spill at 100 TB)")
+    assert(p.contains("LeftAnti"),
+      "over-cap shingles must be removed by a broadcast left_anti probe " +
+        "against the (tiny) hot set")
+  }
+
+  test("decontaminate: df-cap is a broadcast anti-join, NO shingle window") {
+    val p = plan("decontaminate")
+    assert(!p.contains("Window ("),
+      "df cap must NOT be a count-over-window partitioned by shingle")
+    assert(p.contains("LeftAnti"), "hot shingles must anti-join out")
+    assert(p.contains("InMemoryRelation"), "exploded index must be persisted")
   }
 
   test("dedup_embedding_lsh: candidate distinct shuffles ids only, buckets persisted") {
