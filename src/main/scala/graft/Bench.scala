@@ -103,7 +103,9 @@ object Bench {
       case (name, sec, None) if sec > threshold =>
         val (sec2, err2) = runOnce(name, SparkEntry.queries(name))
         val best = if (err2.isEmpty) math.min(sec, sec2) else sec
-        reruns += name -> (sec, sec2)
+        // a FAILED rerun's wall-clock is not a timing — record -1 so a
+        // reader can't mistake it for one (the first-pass time is kept)
+        reruns += name -> (sec, if (err2.isEmpty) sec2 else -1.0)
         System.err.println(f"[bench] $name%-28s rerun $sec2%8.2fs -> keeping $best%8.2fs")
         (name, best, None: Option[String])
       case r => r

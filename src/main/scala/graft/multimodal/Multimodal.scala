@@ -162,9 +162,16 @@ object Multimodal {
         val w = readInt()
         val h = readInt()
         val maxv = readInt()
-        i += 1 // exactly ONE whitespace byte after maxval, then raw samples
+        // exactly ONE whitespace byte after maxval, then raw samples — and
+        // it must actually BE whitespace, else the header is malformed and
+        // pixel data would silently shift by one byte
+        val delimOk = i < payload.length && {
+          val c = payload(i) & 0xff
+          c == ' ' || c == '\t' || c == '\r' || c == '\n'
+        }
+        i += 1
         val n = if (w > 0 && h > 0) w.toLong * h * channels else -1L
-        if (w <= 0 || h <= 0 || maxv <= 0 || maxv >= 256 ||
+        if (!delimOk || w <= 0 || h <= 0 || maxv <= 0 || maxv >= 256 ||
             n > payload.length - i) None
         else Some((w, h, channels,
           java.util.Arrays.copyOfRange(payload, i, i + n.toInt)))
@@ -175,14 +182,17 @@ object Multimodal {
       * luma for RGB — deterministic, no float rounding surface).
       */
     def pixelHistogram(pixels: Array[Byte], channels: Int): Array[Float] = {
-      val hist = new Array[Float](FeatureDim)
+      // integer bin counts: a Float accumulator stops incrementing once a
+      // bin passes 2^24 pixels (a ~4096x4096 uniform image), silently
+      // corrupting the histogram — Long counts are exact at any size
+      val hist = new Array[Long](FeatureDim)
       val nPix = pixels.length / channels
       var p = 0
       while (p < nPix) {
         var lum = 0
         var c = 0
         while (c < channels) { lum += pixels(p * channels + c) & 0xff; c += 1 }
-        hist((lum / channels) * FeatureDim / 256) += 1f
+        hist((lum / channels) * FeatureDim / 256) += 1L
         p += 1
       }
       val n = math.max(1, nPix).toFloat

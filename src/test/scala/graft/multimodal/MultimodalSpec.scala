@@ -57,6 +57,10 @@ class MultimodalSpec extends SparkSpec {
     // 16-bit maxval is out of scope and must be rejected, not misread
     val deep = "P5\n1 1\n65535\n".getBytes("US-ASCII") ++ Array[Byte](0, 0)
     assert(MediaDecoder.pnmDecode(deep).isEmpty)
+    // a non-whitespace byte after maxval is a malformed header, NOT a
+    // one-byte pixel shift: must be rejected outright
+    val badDelim = "P5\n2 1\n255X".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    assert(MediaDecoder.pnmDecode(badDelim).isEmpty)
   }
 
   test("netpbm real resample: nearest-neighbor bytes, payload re-encoded") {
