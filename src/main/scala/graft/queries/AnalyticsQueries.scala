@@ -209,8 +209,13 @@ object AnalyticsQueries {
     * per-user activity, never corpus size; one shuffle on user_id, then a
     * tiny agg on the matched flag. The pattern is RE2-safe and shared
     * VERBATIM with the oracle. Event-type names are substring-free of
-    * each other, so the unanchored match is unambiguous.
+    * each other, so the unanchored match is unambiguous. The `(>[^>]+)*`
+    * gaps make the match condition-skipping, like ClickHouse's
+    * sequenceMatch: events between the chain steps are ignored
+    * ('view, other, click, purchase' matches), not chain-breaking.
     */
+  private val seqPattern = "view(>[^>]+)*>click(>[^>]+)*>purchase"
+
   def sequenceMatch(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
       .groupBy(col("user_id"))
@@ -218,7 +223,7 @@ object AnalyticsQueries {
         transform(
           array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
           e => e.getField("event_type")), ">").as("path"))
-      .select(col("path").rlike("view>click>purchase").cast("int").as("matched"),
+      .select(col("path").rlike(seqPattern).cast("int").as("matched"),
         col("path"))
       .groupBy(col("matched"))
       .agg(count(lit(1)).as("n_users"),
@@ -249,6 +254,179 @@ object AnalyticsQueries {
           col("n_users"))
     cnt(s1, 1, "view").union(cnt(s2, 2, "click")).union(cnt(s3, 3, "purchase"))
       .orderBy("step")
+  }
+
+  /** windowFunnel `strict_order` mode (ClickHouse): the chain breaks on
+    * ANY intervening event — level k is reached only if k pattern steps
+    * occur as CONSECUTIVE events in the user's full (ts, event_id)-ordered
+    * stream, with the last step inside the 3-day window of the chain's
+    * first step (ClickHouse's own example: A->B->D->C stops at D with
+    * level 2). One lead() window pass per user, then a per-user max and a
+    * 3-value unpivot — a single user-keyed shuffle regardless of corpus
+    * size, the same scale shape as the base funnel.
+    */
+  def funnelStrictOrder(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val win = expr("INTERVAL 3 DAYS")
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("nt1", lead(col("event_type"), 1).over(w))
+      .withColumn("ts1", lead(col("ts"), 1).over(w))
+      .withColumn("nt2", lead(col("event_type"), 2).over(w))
+      .withColumn("ts2", lead(col("ts"), 2).over(w))
+    val lv = ev.groupBy(col("user_id")).agg(
+      max(when(col("event_type") === "view", 1).otherwise(0)).as("l1"),
+      max(when(col("event_type") === "view" && col("nt1") === "click" &&
+        col("ts1") <= col("ts") + win, 1).otherwise(0)).as("l2"),
+      max(when(col("event_type") === "view" && col("nt1") === "click" &&
+        col("nt2") === "purchase" && col("ts2") <= col("ts") + win, 1)
+        .otherwise(0)).as("l3"))
+    lv.agg(sum(col("l1")).as("n1"), sum(col("l2")).as("n2"), sum(col("l3")).as("n3"))
+      .select(explode(array(
+        struct(lit(1L).as("step"), lit("view").as("event_type"),
+          col("n1").cast("long").as("n_users")),
+        struct(lit(2L).as("step"), lit("click").as("event_type"),
+          col("n2").cast("long").as("n_users")),
+        struct(lit(3L).as("step"), lit("purchase").as("event_type"),
+          col("n3").cast("long").as("n_users")))).as("s"))
+      .select(col("s.step").as("step"), col("s.event_type").as("event_type"),
+        col("s.n_users").as("n_users"))
+      .orderBy("step")
+  }
+
+  /** windowFunnel `strict_dedup` mode (ClickHouse): an event matching an
+    * ALREADY-MATCHED condition interrupts the chain — after view at t1,
+    * a second view before the first click kills the chain; after click at
+    * t2, a repeat view OR click before the purchase kills it. Documented
+    * divergence from ClickHouse: the chain is anchored greedily at the
+    * user's EARLIEST view (ClickHouse retries from every view and takes
+    * the max level); the greedy anchor makes every step a min-ts
+    * aggregate + anti-join — all equi-keyed on user_id, no per-user state
+    * beyond three timestamps.
+    */
+  def funnelStrictDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val win = expr("INTERVAL 3 DAYS")
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val c2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + win)
+      .groupBy("user_id").agg(min(col("ts")).as("t2"), max(col("t1")).as("t1"))
+    val repView = ev.filter(col("event_type") === "view").join(c2, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") < col("t2"))
+      .select(col("user_id")).distinct()
+    val s2 = c2.join(repView, Seq("user_id"), "left_anti")
+    val p3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("t1") + win)
+      .groupBy("user_id").agg(min(col("ts")).as("t3"), max(col("t2")).as("t2"))
+    val rep3 = ev.filter(col("event_type").isin("view", "click")).join(p3, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") < col("t3"))
+      .select(col("user_id")).distinct()
+    val s3 = p3.join(rep3, Seq("user_id"), "left_anti")
+    def cnt(df: DataFrame, step: Int, label: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).cast("long").as("step"), lit(label).as("event_type"),
+          col("n_users"))
+    cnt(s1, 1, "view").union(cnt(s2, 2, "click")).union(cnt(s3, 3, "purchase"))
+      .orderBy("step")
+  }
+
+  /** exponentialMovingAverage + deltaSum (ClickHouse time-decay family)
+    * in ONE user-keyed window pass. EMA uses the closed form
+    * ema_i = sum_j y_j * 2^(-(t_i - t_j)/halflife)
+    *       = 2^(-(t_i - t0)/hl) * cumsum_j(y_j * 2^((t_j - t0)/hl))
+    * — a plain cumulative sum over the ordered frame, O(1) per row, no
+    * per-row rescan. Normalizing t against the partition's first second
+    * (t0) keeps the 2^x factors inside double range for any absolute
+    * epoch. deltaSum = sum of positive steps of consecutive values,
+    * computed on integer cents so the aggregate is exact under any
+    * partial-aggregation order. Timestamps are truncated to whole epoch
+    * seconds on BOTH engines (Spark unix_timestamp / DuckDB
+    * floor(epoch)); the EMA is rounded to 4 decimals because cumulative
+    * double sums and pow() may differ in the last ulp across engines.
+    */
+  def timeDecayAgg(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wAll = Window.partitionBy(col("user_id"))
+    val wRev = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val hl = 86400.0 // 1-day halflife
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        unix_timestamp(col("ts")).cast("double").as("tsec"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("xx", (col("tsec") - min(col("tsec")).over(wAll)) / hl)
+    ev
+      .withColumn("wsum", sum(col("value") * pow(lit(2.0), col("xx"))).over(wOrd))
+      .withColumn("d", col("cents") - coalesce(lag(col("cents"), 1).over(wOrd), col("cents")))
+      .withColumn("rn", row_number().over(wRev))
+      .groupBy(col("user_id"))
+      .agg(
+        round(max(when(col("rn") === 1,
+          col("wsum") * pow(lit(2.0), -col("xx")))), 4).as("ema_last"),
+        round(sum(when(col("d") > 0, col("d")).otherwise(0L)) / 100.0, 2).as("delta_sum"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** LTTB downsampling (largestTriangleThreeBuckets — the dashboard
+    * decimation ClickHouse ships) per event_type series, threshold 20:
+    * first + last point always kept, the 18 interior buckets each keep
+    * the point maximizing the triangle area against the NEIGHBOR BUCKETS'
+    * average points. Documented divergence from Steinarsson's sequential
+    * LTTB (which anchors on the previously SELECTED point): the
+    * fixed-average anchor makes every bucket independent — the standard
+    * parallelization, one window pass + one tiny bucket-average aggregate
+    * + a broadcast join, no sequential driver loop. Coordinates are
+    * integer-valued (whole epoch seconds offset from the series start,
+    * value cents), so bucket averages are exact-sum/count in both engines
+    * and the area argmax is reproducible; ties break on (ts, event_id).
+    * Assumes series length >= threshold (every interior bucket nonempty)
+    * — true for the fixtures and any real dashboard series.
+    */
+  def lttbDownsample(spark: SparkSession, dir: String): DataFrame = {
+    val nb = 18 // interior buckets; threshold = nb + 2 including endpoints
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val pts = table(spark, dir, "events")
+      .select(col("event_type"), col("ts"), col("event_id"),
+        unix_timestamp(col("ts")).as("xs"),
+        round(col("value") * 100).cast("long").as("yc"))
+      .withColumn("r", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("x", (col("xs") - min(col("xs")).over(wAll)).cast("double"))
+      .withColumn("y", col("yc").cast("double"))
+      .withColumn("bucket",
+        when(col("r") === 1, lit(0))
+          .when(col("r") === col("n"), lit(nb + 1))
+          .otherwise(floor((col("r") - 2) * nb / (col("n") - 2)).cast("int") + 1))
+      // feeds the bucket-average aggregate AND the scoring join — persist
+      // so the window pass over the corpus runs once (Bench/Verify
+      // clearCache between queries)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = pts.groupBy(col("event_type"), col("bucket"))
+      .agg(avg(col("x")).as("ax"), avg(col("y")).as("ay"))
+    val left = b.select(col("event_type"), (col("bucket") + 1).as("bucket"),
+      col("ax").as("lx"), col("ay").as("ly"))
+    val right = b.select(col("event_type"), (col("bucket") - 1).as("bucket"),
+      col("ax").as("rx"), col("ay").as("ry"))
+    val wSel = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("area2").desc, col("ts"), col("event_id"))
+    val chosen = pts.filter(col("bucket") >= 1 && col("bucket") <= nb)
+      .join(broadcast(left), Seq("event_type", "bucket"))
+      .join(broadcast(right), Seq("event_type", "bucket"))
+      .withColumn("area2",
+        abs((col("lx") - col("rx")) * (col("y") - col("ly")) -
+          (col("lx") - col("x")) * (col("ry") - col("ly"))))
+      .withColumn("sel", row_number().over(wSel))
+      .filter(col("sel") === 1)
+    val ends = pts.filter(col("bucket") === 0 || col("bucket") === nb + 1)
+    chosen.select(col("event_type"), col("bucket"), col("x").cast("long").as("x_s"),
+        round(col("y") / 100, 2).as("value"))
+      .unionByName(ends.select(col("event_type"), col("bucket"),
+        col("x").cast("long").as("x_s"), round(col("y") / 100, 2).as("value")))
+      .orderBy("event_type", "bucket")
   }
 
   /** groupBitAnd/Or/Xor (ClickHouse): bitwise aggregates — one hash agg,
@@ -380,6 +558,10 @@ object AnalyticsQueries {
     "sum_map" -> (sumMap _),
     "sequence_match" -> (sequenceMatch _),
     "funnel_steps_windowed" -> (funnelStepsWindowed _),
+    "funnel_strict_order" -> (funnelStrictOrder _),
+    "funnel_strict_dedup" -> (funnelStrictDedup _),
+    "time_decay_agg" -> (timeDecayAgg _),
+    "lttb_downsample" -> (lttbDownsample _),
     "arg_minmax" -> (argMinMax _),
     "conditional_agg" -> (conditionalAgg _),
     "stats_moments" -> (statsMoments _),
@@ -442,7 +624,7 @@ object AnalyticsQueries {
       ("WITH paths AS (SELECT user_id, " +
         "string_agg(event_type, '>' ORDER BY ts, event_id) AS path " +
         "FROM events GROUP BY user_id) " +
-        "SELECT CAST(regexp_matches(path, 'view>click>purchase') AS INT) AS matched, " +
+        "SELECT CAST(regexp_matches(path, 'view(>[^>]+)*>click(>[^>]+)*>purchase') AS INT) AS matched, " +
         "CAST(COUNT(*) AS BIGINT) AS n_users, " +
         "ROUND(AVG(length(path)), 2) AS avg_path_len " +
         "FROM paths GROUP BY 1 ORDER BY 1"),
@@ -460,6 +642,88 @@ object AnalyticsQueries {
         "UNION ALL SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT) " +
         "UNION ALL SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT) " +
         "ORDER BY step"),
+    "funnel_strict_order" ->
+      ("WITH ev AS (SELECT user_id, ts, event_id, event_type, " +
+        "LEAD(event_type, 1) OVER w AS nt1, LEAD(ts, 1) OVER w AS ts1, " +
+        "LEAD(event_type, 2) OVER w AS nt2, LEAD(ts, 2) OVER w AS ts2 " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "lv AS (SELECT user_id, " +
+        "MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS l1, " +
+        "MAX(CASE WHEN event_type = 'view' AND nt1 = 'click' " +
+        "AND ts1 <= ts + INTERVAL 3 DAY THEN 1 ELSE 0 END) AS l2, " +
+        "MAX(CASE WHEN event_type = 'view' AND nt1 = 'click' AND nt2 = 'purchase' " +
+        "AND ts2 <= ts + INTERVAL 3 DAY THEN 1 ELSE 0 END) AS l3 " +
+        "FROM ev GROUP BY user_id) " +
+        "SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, " +
+        "CAST(SUM(l1) AS BIGINT) AS n_users FROM lv " +
+        "UNION ALL SELECT 2, 'click', CAST(SUM(l2) AS BIGINT) FROM lv " +
+        "UNION ALL SELECT 3, 'purchase', CAST(SUM(l3) AS BIGINT) FROM lv " +
+        "ORDER BY step"),
+    "funnel_strict_dedup" ->
+      ("WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events " +
+        "WHERE event_type = 'view' GROUP BY 1), " +
+        "c2 AS (SELECT e.user_id, MIN(e.ts) AS t2, MAX(s1.t1) AS t1 FROM events e " +
+        "JOIN s1 USING (user_id) WHERE e.event_type = 'click' " +
+        "AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 3 DAY GROUP BY 1), " +
+        "s2 AS (SELECT * FROM c2 WHERE NOT EXISTS (SELECT 1 FROM events v " +
+        "WHERE v.user_id = c2.user_id AND v.event_type = 'view' " +
+        "AND v.ts > c2.t1 AND v.ts < c2.t2)), " +
+        "p3 AS (SELECT e.user_id, MIN(e.ts) AS t3, MAX(s2.t2) AS t2 FROM events e " +
+        "JOIN s2 USING (user_id) WHERE e.event_type = 'purchase' " +
+        "AND e.ts > s2.t2 AND e.ts <= s2.t1 + INTERVAL 3 DAY GROUP BY 1), " +
+        "s3 AS (SELECT * FROM p3 WHERE NOT EXISTS (SELECT 1 FROM events i " +
+        "WHERE i.user_id = p3.user_id AND i.event_type IN ('view', 'click') " +
+        "AND i.ts > p3.t2 AND i.ts < p3.t3)) " +
+        "SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, " +
+        "CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users " +
+        "UNION ALL SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT) " +
+        "UNION ALL SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT) " +
+        "ORDER BY step"),
+    "time_decay_agg" ->
+      ("WITH ev AS (SELECT user_id, ts, event_id, value, " +
+        "CAST(floor(epoch(ts)) AS DOUBLE) AS tsec, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+        "e2 AS (SELECT *, (tsec - MIN(tsec) OVER (PARTITION BY user_id)) / 86400.0 " +
+        "AS xx FROM ev), " +
+        "e3 AS (SELECT user_id, xx, cents, " +
+        "SUM(value * POW(2.0, xx)) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS wsum, " +
+        "cents - COALESCE(LAG(cents) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id), cents) AS d, " +
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) " +
+        "AS rn FROM e2) " +
+        "SELECT user_id, " +
+        "ROUND(MAX(CASE WHEN rn = 1 THEN wsum * POW(2.0, -xx) END), 4) AS ema_last, " +
+        "ROUND(SUM(CASE WHEN d > 0 THEN d ELSE 0 END) / 100.0, 2) AS delta_sum, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_events " +
+        "FROM e3 GROUP BY user_id ORDER BY user_id"),
+    "lttb_downsample" ->
+      ("WITH pts AS (SELECT event_type, ts, event_id, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) AS xs, " +
+        "CAST(round(value * 100) AS BIGINT) AS yc, " +
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS r, " +
+        "COUNT(*) OVER (PARTITION BY event_type) AS n, " +
+        "MIN(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY event_type) AS x0 " +
+        "FROM events), " +
+        "p AS (SELECT event_type, ts, event_id, CAST(xs - x0 AS DOUBLE) AS x, " +
+        "CAST(yc AS DOUBLE) AS y, " +
+        "CASE WHEN r = 1 THEN 0 WHEN r = n THEN 19 " +
+        "ELSE CAST(floor((r - 2) * 18 / (n - 2)) AS INT) + 1 END AS bucket FROM pts), " +
+        "b AS (SELECT event_type, bucket, AVG(x) AS ax, AVG(y) AS ay " +
+        "FROM p GROUP BY 1, 2), " +
+        "sc AS (SELECT p.event_type, p.bucket, p.ts, p.event_id, p.x, p.y, " +
+        "ABS((l.ax - rg.ax) * (p.y - l.ay) - (l.ax - p.x) * (rg.ay - l.ay)) AS area2 " +
+        "FROM p JOIN b l ON l.event_type = p.event_type AND l.bucket = p.bucket - 1 " +
+        "JOIN b rg ON rg.event_type = p.event_type AND rg.bucket = p.bucket + 1 " +
+        "WHERE p.bucket BETWEEN 1 AND 18), " +
+        "sel AS (SELECT event_type, bucket, x, y, " +
+        "ROW_NUMBER() OVER (PARTITION BY event_type, bucket " +
+        "ORDER BY area2 DESC, ts, event_id) AS rn FROM sc) " +
+        "SELECT event_type, CAST(bucket AS INT) AS bucket, CAST(x AS BIGINT) AS x_s, " +
+        "ROUND(y / 100, 2) AS value FROM sel WHERE rn = 1 " +
+        "UNION ALL SELECT event_type, CAST(bucket AS INT), CAST(x AS BIGINT), " +
+        "ROUND(y / 100, 2) FROM p WHERE bucket IN (0, 19) " +
+        "ORDER BY event_type, bucket"),
     "text_top_bigrams" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w, " +
         "generate_subscripts(string_split(text, ' '), 1) AS i FROM documents), " +

@@ -197,6 +197,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window ("), "path ordering lives in array_sort, not a window")
   }
 
+  test("time_decay_agg: one user-keyed shuffle feeds cumsum, lag, rank and the agg") {
+    val p = plan("time_decay_agg")
+    val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).length
+    // user_id hash shuffle (shared by all three window specs + the final
+    // agg, which Catalyst recognizes as already-partitioned) + orderBy
+    assert(exchanges <= 3, s"EMA must be one keyed pass, got $exchanges\n$p")
+    val scans = """Scan parquet\s+\(\d+\)""".r.findAllIn(p).length
+    assert(scans == 1, s"closed-form EMA needs a single events scan, got $scans")
+  }
+
+  test("lttb_downsample: bucket anchors broadcast, no cartesian, single corpus window pass") {
+    val p = plan("lttb_downsample")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the tiny bucket-average frame must broadcast to the points")
+    assert(p.contains("InMemoryRelation"),
+      "the ranked points feed both the anchor agg and the scoring join — must persist")
+  }
+
+  test("funnel_strict_order: one lead-window pass, no joins at all") {
+    val p = plan("funnel_strict_order")
+    assert(!p.contains("Join"), "strict_order is adjacency in ONE ordered stream — no join")
+    val windows = "Window \\(".r.findAllIn(p).length
+    assert(windows <= 1, s"all four leads must share one Window operator\n$p")
+  }
+
+  test("funnel_strict_dedup: equi-joins on user_id only, never cross") {
+    val p = plan("funnel_strict_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "every stage (candidates + interrupt anti-joins) must key on user_id")
+  }
+
   test("higher_moments: raw power sums in ONE aggregate pass (no centered re-scan)") {
     val p = plan("higher_moments")
     val scans = """Scan parquet\s+\(\d+\)""".r.findAllIn(p).length
