@@ -317,6 +317,83 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Bloom-broadcast decontamination — the 100 TB twin of the exact
+    * train/test shingle-overlap join ([[graft.queries.DataQueries
+    * .decontaminate]]): at real scale nobody joins 100 TB of train
+    * shingles against the test split; the standard shape is a Bloom
+    * filter of the (small) TEST split's shingle hashes broadcast to every
+    * task and probed in ONE scan over train — no join, no train-side
+    * shuffle beyond the final per-doc count. Output: train documents
+    * carrying >= `minHits` shingles that (probably) occur somewhere in
+    * the test split — the set a pipeline drops before training.
+    *
+    * One-sided error by construction: the Bloom filter has NO false
+    * negatives, so every truly contaminated train doc is flagged
+    * (superset of the exact semi-join answer); false positives inflate a
+    * doc's hit count with probability `fpp` per probe, so a clean doc
+    * needs >= minHits independent FPs to be wrongly flagged (~fpp^minHits
+    * — vanishing). DedupSpec pins both bounds against the exact twin.
+    *
+    * Two bounded driver-side actions, the KMeans-codebook precedent: a
+    * count() of distinct test-shingle hashes (sizes the filter) and the
+    * treeAggregate inside `stat.bloomFilter` (ships one ~n*10-bit filter,
+    * KBs-MBs for any plausible test split — test splits are small by
+    * definition). The probe is Spark's own codegen'd
+    * `BloomFilterMightContain` over a binary literal, so the train scan
+    * stays inside whole-stage codegen; filter hashes are built with
+    * putLong over xxhash64(shingle) and probed with the same hash.
+    */
+  def decontaminateBloom(
+      docs: DataFrame,
+      n: Int = 3,
+      minHits: Int = 5,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    val exploded = docs.select(col("doc_id"),
+      explode(wordShingles(col("text"), n)).as("shingle"))
+    val testHashes = exploded.filter(pmod(col("doc_id"), lit(5)) === 4)
+      .select(xxhash64(col("shingle")).as("h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bf = testHashes.stat.bloomFilter("h", math.max(1000L, testHashes.count()), fpp)
+    testHashes.unpersist()
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      ColumnBridge.expression(xxhash64(col("shingle")))))
+    exploded.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      .filter(mightContain)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_test_shingles"))
+      .filter(col("n_test_shingles") >= minHits)
+      .select(col("doc_id").as("train_id"), col("n_test_shingles"))
+  }
+
+  /** The exact answer [[decontaminateBloom]] approximates, for the
+    * agreement bound: train docs whose distinct-shingle overlap with the
+    * test split's shingle UNION reaches `minHits`, via a semi-join
+    * against the test shingle set. (Distinct from
+    * [[graft.queries.DataQueries.decontaminate]], which attributes
+    * overlap per (test, train) PAIR.)
+    */
+  def decontaminateTrainExact(docs: DataFrame, n: Int = 3, minHits: Int = 5): DataFrame = {
+    val exploded = docs.select(col("doc_id"),
+      explode(wordShingles(col("text"), n)).as("shingle"))
+    val te = exploded.filter(pmod(col("doc_id"), lit(5)) === 4)
+      .select(col("shingle")).distinct()
+    exploded.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      .join(te, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_test_shingles"))
+      .filter(col("n_test_shingles") >= minHits)
+      .select(col("doc_id").as("train_id"), col("n_test_shingles"))
+  }
+
   /** Substring-level duplication [public: Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better" — exact-substring dedup]:
     * every `width`-char window shared by at least `minDocs` DISTINCT

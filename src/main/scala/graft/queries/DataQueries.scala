@@ -260,6 +260,17 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** Bloom-broadcast decontamination scale twin ([[graft.operators.Dedup
+    * .decontaminateBloom]]): test-split shingles -> broadcast Bloom ->
+    * ONE probe scan over train, no join. Rows-only: the filter bits
+    * derive from xxhash64, which DuckDB cannot reproduce; DedupSpec pins
+    * the superset + no-false-flag agreement bounds against the exact
+    * semi-join twin. Deterministic for the fixed (n, minHits, fpp).
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame =
+    Dedup.decontaminateBloom(table(spark, dir, "documents"))
+      .orderBy("train_id")
+
   /** dedup_canonicalize_exact through the DataFrame-native CC instead of
     * GraphX — hash-checked against the SAME recursive-CTE oracle, so the
     * two component implementations are cross-validated at the driver.
@@ -273,12 +284,14 @@ object DataQueries {
   }
 
   /** Greedy token-budget batch packing ([[graft.operators.Packing]]):
-    * per-(partition, batch) summaries for the sequence-packing stage in
-    * front of a trainer. Rows-only — greedy packing is an inherently
-    * sequential per-partition scan, not SQL-expressible — but fully
-    * deterministic for the fixed (budget, numPartitions): PackingSpec pins
-    * the invariants (every doc exactly once, budget respected, stable
-    * across runs).
+    * per-(group, batch) summaries for the sequence-packing stage in front
+    * of a trainer. The packing scan itself is an inherently sequential
+    * per-group loop (mapPartitions, not SQL), but the group assignment
+    * (doc_id mod 8) and the next-fit recurrence are engine-independent,
+    * so a DuckDB RECURSIVE CTE replays the exact packing doc-by-doc —
+    * promoting this from rows-only to a full hash-checked oracle.
+    * PackingSpec additionally pins the invariants (every doc exactly
+    * once, budget respected, stable across runs and input orderings).
     */
   def packBatches(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
@@ -351,6 +364,7 @@ object DataQueries {
     "dedup_exact_hashkeyed" -> (dedupExactHashKeyed _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "decontaminate" -> (decontaminate _),
+    "decontaminate_bloom" -> (decontaminateBloom _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -403,6 +417,24 @@ object DataQueries {
       "ORDER BY d.doc_id"
 
   val oracleSql: Map[String, String] = Map(
+    // replays packGreedy's next-fit recurrence exactly: same group label
+    // (doc_id % 8), same id order, same BPE-ish token weights (the
+    // text_bpe_tokens expression), advancing one doc per group per
+    // recursion step
+    "pack_batches" ->
+      ("WITH RECURSIVE d AS (SELECT CAST(doc_id % 8 AS INT) AS part_id, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) " +
+        "AS BIGINT) AS w, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS INT) AS r " +
+        "FROM documents), " +
+        "st AS (SELECT part_id, r, w, 0 AS batch, w AS acc FROM d WHERE r = 1 " +
+        "UNION ALL SELECT d.part_id, d.r, d.w, " +
+        "CASE WHEN s.acc + d.w > 2000 THEN s.batch + 1 ELSE s.batch END, " +
+        "CASE WHEN s.acc + d.w > 2000 THEN d.w ELSE s.acc + d.w END " +
+        "FROM st s JOIN d ON d.part_id = s.part_id AND d.r = s.r + 1) " +
+        "SELECT part_id, CAST(batch AS INT) AS batch_idx, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(w) AS BIGINT) AS token_sum " +
+        "FROM st GROUP BY 1, 2 ORDER BY 1, 2"),
     "dedup_substring" ->
       ("SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM (" +
         "SELECT doc_id, substr(text, CAST(i AS INT), 24) AS span FROM (" +

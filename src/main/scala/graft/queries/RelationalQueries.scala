@@ -254,35 +254,58 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
-  /** Sketch aggregates (HLL distinct + approximate quantiles): rows-only —
-    * Spark's HLL++/KLL sketches are implementation-defined and cannot
-    * hash-match DuckDB's — accuracy is asserted against exact answers in
-    * ApproxSpec instead.
+  /** Sketch aggregates (HLL++ distinct + approximate quantiles). The
+    * sketch VALUES are implementation-defined and cannot hash-match
+    * DuckDB, but their accuracy CONTRACT can (the hll_reach pattern): the
+    * output carries the exact answers plus flags asserting the HLL++
+    * estimate within 15% (3 sigma at the default rsd=0.05) and the
+    * percentile_approx within 5% of the interpolated exact median — the
+    * oracle computes the exact values and expects both flags TRUE.
+    * ApproxSpec additionally bounds the estimates in isolation.
     */
   def approxStats(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        round(percentile_approx(col("value"), lit(0.5), lit(1000)), 2).as("approx_p50"))
+        countDistinct(col("user_id")).as("users_exact"),
+        round(percentile(col("value"), lit(0.5)), 2).as("p50_exact"),
+        approx_count_distinct(col("user_id")).as("au"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("ap"))
+      .select(col("event_type"), col("users_exact"), col("p50_exact"),
+        (abs(col("au") - col("users_exact")) <= col("users_exact") * 0.15)
+          .as("users_within_15pct"),
+        (abs(col("ap") - col("p50_exact")) <= col("p50_exact") * 0.05)
+          .as("p50_within_5pct"))
       .orderBy("event_type")
 
   /** Mergeable-sketch rollup: one HLL sketch of user reach per (type,
     * day), then per-type range reach by UNIONING the daily sketches —
     * the incremental pattern that makes distinct-count maintenance
     * feasible at 100 TB (store small daily sketches, merge for any date
-    * range; never rescan raw events). Rows-only: DuckDB's approx
-    * algorithm differs; ApproxSpec bounds the estimate against exact
-    * countDistinct instead.
+    * range; never rescan raw events). DuckDB cannot reproduce the sketch
+    * VALUE, but it can check the sketch's accuracy CONTRACT: the output
+    * carries the exact reach plus a `within_5pct` flag comparing the
+    * merged-sketch estimate against it, and the oracle asserts the same
+    * exact values with the flag TRUE — so a sketch drifting out of
+    * tolerance (or a broken union) fails the hash compare. ApproxSpec
+    * additionally bounds the estimate in isolation.
     */
-  def hllReach(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
+  def hllReach(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val est = ev
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
       .groupBy(col("event_type"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("reach"),
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("reach_est"),
         count(lit(1)).as("n_days"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("reach_exact"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("reach_exact"), col("n_days"),
+        (abs(col("reach_est") - col("reach_exact")) <=
+          col("reach_exact") * 0.05).as("within_5pct"))
       .orderBy("event_type")
+  }
 
   /** Greatest-per-group: priciest part per brand. Spark expresses the
     * TPC-H-Q2-style correlated max subquery as one window pass (no
@@ -618,6 +641,18 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the sketch estimate is engine-specific; the CHECKED surface is the
+    // exact reach + the sketch-accuracy flag, which must come out TRUE
+    "hll_reach" ->
+      ("SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS reach_exact, " +
+        "CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days, " +
+        "TRUE AS within_5pct " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "approx_stats" ->
+      ("SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_exact, " +
+        "ROUND(quantile_cont(value, 0.5), 2) AS p50_exact, " +
+        "TRUE AS users_within_15pct, TRUE AS p50_within_5pct " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "sql_front_door" ->
       ("SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
         "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue " +

@@ -75,6 +75,24 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("bloom decontamination: superset of exact, no spurious flags, counts only inflate") {
+    val exact = Dedup.decontaminateTrainExact(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Dedup.decontaminateBloom(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty, "fixtures contain cross-split shingle overlap")
+    // no false negatives: every truly contaminated train doc is flagged,
+    // with a hit count at least the true overlap (FPs can only add)
+    exact.foreach { case (id, n) =>
+      assert(bloom.contains(id), s"bloom missed contaminated train doc $id")
+      assert(bloom(id) >= n, s"bloom under-counted doc $id: ${bloom(id)} < $n")
+    }
+    // false flags need >= minHits independent fpp-probability probes to
+    // fire in one clean doc — allow a whisker, expect none at fpp=0.01
+    assert(bloom.size <= exact.size + math.max(2, exact.size / 20),
+      s"bloom flagged ${bloom.size - exact.size} extra docs over ${exact.size} exact")
+  }
+
   test("embedding cosine pairs: symmetric-free, above threshold, deterministic") {
     val emb = Fixtures.table(spark, sf0001, "embeddings")
     val pairs = Dedup.embeddingCosinePairs(emb, 0.45).collect()

@@ -10,9 +10,18 @@ import graft.sources.Fixtures
   */
 class ApproxSpec extends SparkSpec {
 
-  test("approx_count_distinct within 5% and approx median within 10% of exact") {
+  test("approx_stats: accuracy flags all true; raw sketches bounded vs exact") {
     val events = Fixtures.table(spark, sf001, "events")
-    val approx = RelationalQueries.approxStats(spark, sf001)
+    val out = RelationalQueries.approxStats(spark, sf001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(3), s"${r.getString(0)}: users_within_15pct false")
+      assert(r.getBoolean(4), s"${r.getString(0)}: p50_within_5pct false")
+    }
+    // independent, tighter bound on the raw sketches than the query flags
+    val approx = events.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("au"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("ap"))
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     val exact = events.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("u"),
