@@ -282,25 +282,42 @@ object Dedup {
     * bucket with probability (1 - theta/pi)^bits per table; recall is
     * tuned with numTables (union over tables). Defaults are sized for
     * recall >= 0.95 at cos ~ 0.45 (theta ~ 62 deg -> per-bit collision
-    * ~0.65, per-table 0.65^3 ~ 0.28, miss over 16 tables ~ 0.005); for a
-    * higher threshold (true near-dups, cos >= 0.9) raise bitsPerTable to
-    * shrink buckets — occupancy scales corpus/2^bits.
+    * ~0.65, per-table 0.65^3 ~ 0.28, miss over 16 tables ~ 0.005) at
+    * small-corpus bucket occupancy.
+    *
+    * bitsPerTable = -1 (the default) AUTO-SIZES to
+    * max(3, ceil(log2(n / 250))): per-bucket occupancy stays ~bounded as
+    * the corpus grows, so the bucket self-join's cost scales ~linearly
+    * with n instead of quadratically in occupancy (a fixed 3 bits = 8
+    * buckets/table measured 36x time for 10x vectors on the x10 scaling
+    * replica — exactly the documented occupancy trade). The price is
+    * per-table collision probability p^bits: at a fixed 16 tables,
+    * low-threshold recall falls as bits grow (raise numTables for
+    * low-cos sweeps), while true near-dup recall (cos >= 0.9, p ~ 0.86)
+    * stays > 0.99 through bits ~ 9. Sizing costs one count() action —
+    * bounded, the Bloom/KMeans-codebook precedent.
     */
   def embeddingCosinePairsLsh(
       emb: DataFrame,
       threshold: Double,
       dim: Int,
       numTables: Int = 16,
-      bitsPerTable: Int = 3,
+      bitsPerTable: Int = -1,
       seed: Long = 7L): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"))
+    val bits =
+      if (bitsPerTable > 0) bitsPerTable
+      else {
+        val n = e.count()
+        math.max(3, math.ceil(math.log(math.max(1.0, n / 250.0)) / math.log(2.0)).toInt)
+      }
     // PERSISTED: the self-join aliasing renews attribute ids, so without
     // it the bucket assignment (numTables x bitsPerTable dot products per
     // vector) is computed twice. Dropping the embedding before distinct()
     // keeps the candidate shuffle at two longs per pair instead of
     // 2 x dim doubles; the vectors are re-joined only for the (much
     // smaller) post-distinct verify stage.
-    val b = Similarity.lshBuckets(e, dim, numTables, bitsPerTable, seed)
+    val b = Similarity.lshBuckets(e, dim, numTables, bits, seed)
       .select(col("vec_id"), col("tbl"), col("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = b.as("a")
