@@ -429,6 +429,108 @@ object AnalyticsQueries {
       .orderBy("event_type", "bucket")
   }
 
+  /** retention (ClickHouse): per user, flag r_k = "active on day d0 + k"
+    * ANDed with the base condition r_0 = "active on d0" (d0 = the user's
+    * first event day), rolled up to cohort counts and rates for
+    * k = 1, 3, 7. Shape: dedup to (user, day) once, one user-keyed min
+    * aggregate for d0, then a single conditional-agg pass — no per-k
+    * rescans, no join wider than (user, day).
+    */
+  def retentionDays(spark: SparkSession, dir: String): DataFrame = {
+    val ud = table(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val d0 = ud.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+    val flags = ud.join(d0, "user_id")
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("d") === date_add(col("d0"), 1), 1).otherwise(0)).as("r1"),
+        max(when(col("d") === date_add(col("d0"), 3), 1).otherwise(0)).as("r3"),
+        max(when(col("d") === date_add(col("d0"), 7), 1).otherwise(0)).as("r7"))
+    flags.agg(
+      count(lit(1)).as("n_users"),
+      sum(col("r1")).cast("long").as("day1"),
+      sum(col("r3")).cast("long").as("day3"),
+      sum(col("r7")).cast("long").as("day7"),
+      round(avg(col("r1")), 4).as("day1_rate"),
+      round(avg(col("r3")), 4).as("day3_rate"),
+      round(avg(col("r7")), 4).as("day7_rate"))
+  }
+
+  /** uniqUpTo(N) (ClickHouse): distinct count reported exactly up to N
+    * and saturating at N+1 — the "more than N distinct?" gate that lets
+    * an engine stop tracking a group's set once it passes the threshold.
+    * Spark has no early-stopping distinct, so this is the semantic
+    * equivalent (least(countDistinct, N+1)); the plan is still one
+    * Expand-based multi-distinct pass.
+    */
+  def uniqUpto(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        least(countDistinct(col("user_id")), lit(11L)).as("users_upto_10"),
+        least(countDistinct(to_date(col("ts"))), lit(6L)).as("days_upto_5"))
+      .orderBy("event_type")
+
+  /** quantilesExact (ClickHouse's multi-quantile combinator): several
+    * exact interpolated quantiles of one column in a single aggregation
+    * pass (Spark evaluates the percentile set over one sorted buffer per
+    * group rather than re-scanning per quantile).
+    */
+  def quantilesExact(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.25)), 2).as("p25"),
+        round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.75)), 2).as("p75"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 2).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** sequenceCount (ClickHouse): how many NON-OVERLAPPING
+    * view->click->purchase chains each user completes, gap-tolerant like
+    * [[sequenceMatch]] but with LAZY gaps — a greedy `(>[^>]+)*` would
+    * swallow later chains and always report at most one. Both engines
+    * use leftmost non-overlapping match semantics, so the counts agree.
+    */
+  def sequenceCount(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          e => e.getField("event_type")), ">").as("path"))
+      .select(regexp_count(col("path"),
+        lit("view(>[^>]+)*?>click(>[^>]+)*?>purchase")).as("n_chains"))
+      .groupBy(col("n_chains"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("n_chains")
+
+  /** Funnel conversion latency: distribution of (purchase - first view)
+    * for users completing the 3-day windowed funnel — the "how fast do
+    * converters convert" follow-up to [[funnelStepsWindowed]]. Seconds
+    * are whole-epoch-truncated on both engines; percentiles are exact
+    * interpolated over those integers.
+    */
+  def funnelConversionTime(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val win = expr("INTERVAL 3 DAYS")
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + win)
+      .groupBy("user_id").agg(min(col("ts")).as("t2"), max(col("t1")).as("t1"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("t1") + win)
+      .groupBy("user_id").agg(min(col("ts")).as("t3"), max(col("t1")).as("t1"))
+    s3.select((unix_timestamp(col("t3")) - unix_timestamp(col("t1"))).as("sec"))
+      .agg(
+        count(lit(1)).as("n_converted"),
+        round(percentile(col("sec"), lit(0.5)), 2).as("p50_sec"),
+        round(percentile(col("sec"), lit(0.9)), 2).as("p90_sec"),
+        round(avg(col("sec")), 2).as("avg_sec"))
+  }
+
   /** groupBitAnd/Or/Xor (ClickHouse): bitwise aggregates — one hash agg,
     * fully map-side-combinable (each is associative+commutative).
     */
@@ -562,6 +664,11 @@ object AnalyticsQueries {
     "funnel_strict_dedup" -> (funnelStrictDedup _),
     "time_decay_agg" -> (timeDecayAgg _),
     "lttb_downsample" -> (lttbDownsample _),
+    "retention_days" -> (retentionDays _),
+    "uniq_upto" -> (uniqUpto _),
+    "quantiles_exact" -> (quantilesExact _),
+    "sequence_count" -> (sequenceCount _),
+    "funnel_conversion_time" -> (funnelConversionTime _),
     "arg_minmax" -> (argMinMax _),
     "conditional_agg" -> (conditionalAgg _),
     "stats_moments" -> (statsMoments _),
@@ -642,6 +749,55 @@ object AnalyticsQueries {
         "UNION ALL SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT) " +
         "UNION ALL SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT) " +
         "ORDER BY step"),
+    "retention_days" ->
+      ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), " +
+        "d0 AS (SELECT user_id, MIN(d) AS d0 FROM ud GROUP BY 1), " +
+        "f AS (SELECT ud.user_id, " +
+        "MAX(CASE WHEN d = d0 + 1 THEN 1 ELSE 0 END) AS r1, " +
+        "MAX(CASE WHEN d = d0 + 3 THEN 1 ELSE 0 END) AS r3, " +
+        "MAX(CASE WHEN d = d0 + 7 THEN 1 ELSE 0 END) AS r7 " +
+        "FROM ud JOIN d0 USING (user_id) GROUP BY 1) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_users, " +
+        "CAST(SUM(r1) AS BIGINT) AS day1, CAST(SUM(r3) AS BIGINT) AS day3, " +
+        "CAST(SUM(r7) AS BIGINT) AS day7, " +
+        "ROUND(AVG(r1), 4) AS day1_rate, ROUND(AVG(r3), 4) AS day3_rate, " +
+        "ROUND(AVG(r7), 4) AS day7_rate FROM f"),
+    "uniq_upto" ->
+      ("SELECT event_type, " +
+        "CAST(LEAST(COUNT(DISTINCT user_id), 11) AS BIGINT) AS users_upto_10, " +
+        "CAST(LEAST(COUNT(DISTINCT CAST(ts AS DATE)), 6) AS BIGINT) AS days_upto_5 " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "quantiles_exact" ->
+      ("SELECT l_returnflag, " +
+        "ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25, " +
+        "ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50, " +
+        "ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75, " +
+        "ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90, " +
+        "CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "sequence_count" ->
+      ("WITH paths AS (SELECT user_id, " +
+        "string_agg(event_type, '>' ORDER BY ts, event_id) AS path " +
+        "FROM events GROUP BY user_id) " +
+        "SELECT CAST(len(regexp_extract_all(path, " +
+        "'view(>[^>]+)*?>click(>[^>]+)*?>purchase')) AS INT) AS n_chains, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_users FROM paths " +
+        "GROUP BY 1 ORDER BY 1"),
+    "funnel_conversion_time" ->
+      ("WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events " +
+        "WHERE event_type = 'view' GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t2, max(s1.t1) AS t1 FROM events e " +
+        "JOIN s1 ON e.user_id = s1.user_id WHERE e.event_type = 'click' " +
+        "AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 3 DAY GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id, min(e.ts) AS t3, max(s2.t1) AS t1 FROM events e " +
+        "JOIN s2 ON e.user_id = s2.user_id WHERE e.event_type = 'purchase' " +
+        "AND e.ts > s2.t2 AND e.ts <= s2.t1 + INTERVAL 3 DAY GROUP BY e.user_id) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_converted, " +
+        "ROUND(quantile_cont(sec, 0.5), 2) AS p50_sec, " +
+        "ROUND(quantile_cont(sec, 0.9), 2) AS p90_sec, " +
+        "ROUND(AVG(sec), 2) AS avg_sec FROM (" +
+        "SELECT CAST(floor(epoch(t3)) AS BIGINT) - " +
+        "CAST(floor(epoch(t1)) AS BIGINT) AS sec FROM s3)"),
     "funnel_strict_order" ->
       ("WITH ev AS (SELECT user_id, ts, event_id, event_type, " +
         "LEAD(event_type, 1) OVER w AS nt1, LEAD(ts, 1) OVER w AS ts1, " +
