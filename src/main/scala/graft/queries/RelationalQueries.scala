@@ -67,6 +67,39 @@ object RelationalQueries {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q7 shape (volume shipping): bidirectional supplier/customer
+    * nation pair, revenue by ship year. Join plan: the two fact tables
+    * (lineitem, orders) shuffle-join on orderkey; supplier and customer
+    * arrive PRE-JOINED with their (2-row) nation names and broadcast, so
+    * the nation-pair filter never touches the fact shuffle — the
+    * dimension-reduction-before-broadcast pattern Q7 exists to test.
+    */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val nat = table(spark, dir, "nation")
+      .filter(col("n_name").isin("NATION_11", "NATION_18", "NATION_19", "NATION_20"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = table(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .join(nat.select(col("n_nationkey").as("s_nationkey"),
+        col("n_name").as("supp_nation")), "s_nationkey")
+      .select("s_suppkey", "supp_nation")
+    val cust = table(spark, dir, "customer").select("c_custkey", "c_nationkey")
+      .join(nat.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name").as("cust_nation")), "c_nationkey")
+      .select("c_custkey", "cust_nation")
+    val ord = table(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(to_date(col("l_shipdate"))).as("l_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(round(sum(col("volume")), 2).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** Window: top-3 orders by totalprice per priority class (row_number with
     * a deterministic (price DESC, orderkey) frame), plus a running rank.
     */
@@ -627,6 +660,7 @@ object RelationalQueries {
     "asof_join" -> (asofJoin _),
     "q3_join_topk" -> (q3JoinTopk _),
     "q5_region_revenue" -> (q5RegionRevenue _),
+    "q7_nation_volume" -> (q7NationVolume _),
     "window_topk" -> (windowTopk _),
     "agg_rollup" -> (aggRollup _),
     "set_except" -> (setExcept _),
@@ -804,6 +838,20 @@ object RelationalQueries {
         "WHERE c_mktsegment = 'BUILDING' AND CAST(o_orderdate AS DATE) < DATE '1998-01-01' " +
         "AND CAST(l_shipdate AS DATE) > DATE '1998-01-01' " +
         "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    "q7_nation_volume" ->
+      ("SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue " +
+        "FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+        "CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS l_year, " +
+        "l_extendedprice * (1 - l_discount) AS volume " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+        "WHERE n1.n_name IN ('NATION_11', 'NATION_18', 'NATION_19', 'NATION_20') " +
+        "AND n2.n_name IN ('NATION_11', 'NATION_18', 'NATION_19', 'NATION_20') " +
+        "AND n1.n_name <> n2.n_name) " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
     "q5_region_revenue" ->
       ("SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +

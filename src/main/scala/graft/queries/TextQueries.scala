@@ -50,6 +50,30 @@ object TextQueries {
         TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Within-document repetition signals (the Gopher repetition rules'
+    * n-gram family): duplicate-word fraction and duplicate-3-gram
+    * fraction per doc — high values flag boilerplate/spam before
+    * training. Pure projection (the shingle set is built in-row by
+    * [[graft.operators.Dedup.wordShingles]]), no shuffle beyond the
+    * output sort, so the 100 TB plan is a single scan.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nWords = size(words)
+    val nShTotal = greatest(nWords - 2, lit(0))
+    val nShDistinct = size(Dedup.wordShingles(col("text"), 3))
+    table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        round(lit(1.0) - size(array_distinct(words)).cast("double") /
+          greatest(nWords, lit(1)), 6).as("dup_word_ratio"),
+        round(when(nShTotal > 0,
+          lit(1.0) - nShDistinct.cast("double") / nShTotal).otherwise(0.0), 6)
+          .as("dup_3gram_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus rollup: doc counts + mean length + token volume per
     * (lang, source) — the curation dashboard staple. */
   def langSourceAgg(spark: SparkSession, dir: String): DataFrame =
@@ -293,6 +317,7 @@ object TextQueries {
     "domain_quota" -> (domainQuota _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "text_stats" -> (textStats _),
+    "text_repetition" -> (textRepetition _),
     "text_bpe_tokens" -> (textBpeTokens _),
     "corpus_curate" -> (corpusCurate _),
     "text_langid" -> (textLangid _),
@@ -405,6 +430,18 @@ object TextQueries {
         "ORDER BY tf.tf * ln(CAST(n_docs AS DOUBLE) / df) DESC, tf.term) AS rn " +
         "FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n " +
         "WHERE tf.doc_id < 50) WHERE rn <= 3 ORDER BY doc_id, rn"),
+    "text_repetition" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "s AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_uniq, " +
+        "GREATEST(len(w) - 2, 0) AS n_sh, " +
+        "CASE WHEN len(w) < 3 THEN 0 ELSE len(list_distinct(list_transform(" +
+        "generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) " +
+        "END AS n_sh_uniq FROM t) " +
+        "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, " +
+        "ROUND(1 - CAST(n_uniq AS DOUBLE) / GREATEST(n_words, 1), 6) AS dup_word_ratio, " +
+        "ROUND(CASE WHEN n_sh > 0 THEN 1 - CAST(n_sh_uniq AS DOUBLE) / n_sh " +
+        "ELSE 0 END, 6) AS dup_3gram_ratio " +
+        "FROM s ORDER BY doc_id"),
     "text_stats" ->
       (s"SELECT doc_id, $tokCount AS n_tokens, " +
         "ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) " +

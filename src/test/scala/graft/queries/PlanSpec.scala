@@ -229,6 +229,21 @@ class PlanSpec extends SparkSpec {
       "every stage (candidates + interrupt anti-joins) must key on user_id")
   }
 
+  test("q7_nation_volume: fact-fact shuffle join only; nation-reduced dims broadcast") {
+    val p = plan("q7_nation_volume")
+    assert(!p.contains("CartesianProduct"))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3,
+      s"supplier/customer (pre-joined with nation) must broadcast, got $broadcasts")
+  }
+
+  test("text_repetition: pure projection — no shuffle except the output sort") {
+    val p = plan("text_repetition")
+    assert(!p.contains("Join") && !p.contains("Window ("))
+    val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).length
+    assert(exchanges <= 1, s"repetition ratios must be in-row, got $exchanges exchanges\n$p")
+  }
+
   test("higher_moments: raw power sums in ONE aggregate pass (no centered re-scan)") {
     val p = plan("higher_moments")
     val scans = """Scan parquet\s+\(\d+\)""".r.findAllIn(p).length
