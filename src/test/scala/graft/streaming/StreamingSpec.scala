@@ -248,6 +248,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EMA/deltaSum tracks the batch time_decay_agg across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingDecay.ValueEvent
+    val ev = Fixtures.table(spark, sf0001, "events")
+      .select($"user_id", $"ts", $"event_id", $"value").as[ValueEvent]
+      .collect().sortBy(r => (r.ts.getTime, r.event_id))
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ValueEvent]
+    val q = StreamingDecay.emaDeltaSum(mem.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("decay_out").start()
+    try {
+      mem.addData(b1.toSeq)
+      q.processAllAvailable()
+      mem.addData(b2.toSeq)
+      q.processAllAvailable()
+      // n_events is monotone per user, so max(struct(n, ...)) = the
+      // latest emission
+      val got = spark.table("decay_out")
+        .groupBy($"user_id")
+        .agg(max(struct($"n_events", $"ema_last", $"delta_sum")).as("s"))
+        .select($"user_id", $"s.n_events", $"s.ema_last", $"s.delta_sum")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+      val want = graft.queries.AnalyticsQueries.timeDecayAgg(spark, sf0001)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(1), r.getDouble(2))))
+        .toMap
+      assert(got.keySet == want.keySet, "every user reported")
+      want.foreach { case (u, (n, ema, ds)) =>
+        val (gn, gema, gds) = got(u)
+        assert(gn == n, s"user $u event count")
+        assert(gds == ds, s"user $u deltaSum: $gds vs $ds (integer cents — exact)")
+        // recurrence vs closed-form cumsum: same algebra, different fp
+        // association; batch additionally rounds to 4 decimals
+        assert(math.abs(gema - ema) < 1e-3, s"user $u ema: $gema vs $ema")
+      }
+    } finally q.stop()
+  }
+
   test("streaming top-k: Space-Saving eviction semantics on a known sequence") {
     import StreamingTopK.KeyedItem
     // capacity 2: items 1,1,2 fill/serve; item 3 evicts the min (2, count 1)
