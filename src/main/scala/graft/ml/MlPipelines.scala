@@ -2,7 +2,7 @@ package graft.ml
 
 import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.feature.{HashingTF, IDF, Tokenizer}
+import org.apache.spark.ml.feature.{HashingTF, IDF, MinHashLSH, Tokenizer}
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -36,6 +36,42 @@ object MlPipelines {
     val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
       .fit(feats)
     model.transform(feats).select(col("vec_id"), col("prediction").as("cluster"))
+  }
+
+  /** Near-dup pairs via MLlib's MinHashLSH over hashed-shingle binary
+    * vectors — the STOCK-ESTIMATOR twin of the hand-rolled
+    * [[graft.operators.Dedup.minhashPairs]], registered so the two
+    * independent MinHash implementations cross-validate at the driver
+    * (the GraphX-vs-DataFrame CC precedent). `approxSimilarityJoin`
+    * generates candidates from LSH bucket collisions (OR over
+    * numTables), then its distance column is the EXACT Jaccard distance
+    * between the candidate pair's feature vectors, so the output
+    * threshold is exact-on-hashed-shingles (binary HashingTF at 2^18
+    * bins — feature-hash collisions can merge shingles with probability
+    * ~|shingles|/2^18 per doc). DedupSpec bounds recall against the
+    * df-capped exact operator.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      jaccardMin: Double = 0.5,
+      numTables: Int = 8,
+      seed: Long = 7L): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"),
+        graft.operators.Dedup.wordShingles(col("text"), 3).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val feat = new HashingTF().setInputCol("shingles").setOutputCol("features")
+      .setBinary(true).setNumFeatures(1 << 18)
+      .transform(sh)
+      .select(col("doc_id"), col("features"))
+    val model = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numTables).setSeed(seed)
+      .fit(feat)
+    model.approxSimilarityJoin(feat, feat, 1.0 - jaccardMin, "dist")
+      .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
+      .select(col("datasetA.doc_id").as("doc_a"),
+        col("datasetB.doc_id").as("doc_b"),
+        round(lit(1.0) - col("dist"), 6).as("jaccard_hashed"))
   }
 
   /** The classic Tokenizer -> HashingTF -> IDF text-featurization

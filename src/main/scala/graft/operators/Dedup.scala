@@ -433,6 +433,55 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Per-document duplicated-byte coverage from exact substring dedup
+    * [public: Lee et al. 2022 report dup tokens/bytes per corpus]: all
+    * `width`-char window START POSITIONS whose window occurs in >=
+    * `minDocs` distinct docs, merged per doc into maximal overlapping/
+    * adjacent islands (classic gaps-and-islands: a window starting at i
+    * joins the current island iff i <= running-max-end + 1), then
+    * summed to covered bytes and a per-doc duplicated fraction — the
+    * number a curation pipeline thresholds to drop boilerplate-heavy
+    * docs. Shapes: the position explode and span-keyed join are exactly
+    * [[substringDupSpans]]'s (swap in rolling hashes at corpus scale);
+    * the island merge is one doc-keyed window pass with two integer
+    * running aggregates.
+    */
+  def substringDupCoverage(docs: DataFrame, width: Int = 24, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(width >= 1 && minDocs >= 1)
+    val pos = docs
+      .filter(length(col("text")) >= width)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (width - 1))).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("i"), col("text").substr(col("i"), lit(width)).as("span"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupSpans = pos.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("span"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = pos.join(dupSpans, "span")
+      .select(col("doc_id"), col("i"))
+      .withColumn("pmax", max(col("i") + (width - 1)).over(wPrev))
+      .withColumn("island",
+        sum(when(col("pmax").isNull || col("i") > col("pmax") + 1, 1).otherwise(0))
+          .over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(count(lit(1)).as("nw"),
+        (max(col("i") + (width - 1)) - min(col("i")) + 1).as("bytes"))
+    islands
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nw")).cast("long").as("n_dup_windows"),
+        sum(col("bytes")).cast("long").as("dup_bytes"))
+      .join(docs.select(col("doc_id"), length(col("text")).as("len")), "doc_id")
+      .select(col("doc_id"), col("n_dup_windows"), col("dup_bytes"),
+        round(col("dup_bytes").cast("double") / col("len"), 6).as("dup_fraction"))
+  }
+
   /** The 100 TB form of [[substringDupSpans]]: one linear pass per doc
     * computes ALL window hashes via the rolling-hash codegen Expression
     * (O(1) per position), then the explode/group pipeline runs on 8-byte

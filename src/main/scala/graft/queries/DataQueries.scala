@@ -312,6 +312,16 @@ object DataQueries {
     Dedup.substringDupSpans(table(spark, dir, "documents"), width = 24)
       .orderBy("span")
 
+  /** Per-doc duplicated-byte coverage from the exact substring windows
+    * ([[graft.operators.Dedup.substringDupCoverage]]) — the doc-level
+    * filter signal (what fraction of this doc is boilerplate shared
+    * with other docs). Fully SQL-expressible: gaps-and-islands over
+    * integer window positions.
+    */
+  def dedupSpanCoverage(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringDupCoverage(table(spark, dir, "documents"), width = 24)
+      .orderBy("doc_id")
+
   /** Same spans through the rolling-hash scale path (8-byte group keys).
     * Rows-only: the hash isn't reproducible in DuckDB SQL; RollingHashSpec
     * pins agreement with dedup_substring's literal grouping.
@@ -336,6 +346,16 @@ object DataQueries {
       .orderBy("size_rank")
   }
 
+  /** MLlib MinHashLSH near-dup pairs ([[graft.ml.MlPipelines
+    * .minhashLshPairs]]) — the stock-estimator cross-check of the
+    * hand-rolled dedup_minhash. Rows-only (MLlib's hash family and the
+    * feature hashing aren't SQL-reproducible); DedupSpec bounds recall
+    * vs the exact Jaccard pairs.
+    */
+  def dedupMinhashMllib(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.MlPipelines.minhashLshPairs(table(spark, dir, "documents"))
+      .orderBy("doc_a", "doc_b")
+
   /** MLlib Tokenizer -> HashingTF -> IDF pipeline features. Rows-only
     * (hashed feature indices aren't SQL-reproducible); MlPipelinesSpec
     * pins determinism and norm sanity.
@@ -348,6 +368,7 @@ object DataQueries {
     "cluster_kmeans" -> (clusterKmeans _),
     "tfidf_mllib" -> (tfidfMllib _),
     "dedup_substring" -> (dedupSubstring _),
+    "dedup_span_coverage" -> (dedupSpanCoverage _),
     "dedup_substring_hashed" -> (dedupSubstringHashed _),
     "pack_batches" -> (packBatches _),
     "salted_agg" -> (saltedAgg _),
@@ -366,6 +387,7 @@ object DataQueries {
     "decontaminate" -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_minhash_mllib" -> (dedupMinhashMllib _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
@@ -435,6 +457,27 @@ object DataQueries {
         "SELECT part_id, CAST(batch AS INT) AS batch_idx, " +
         "CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(w) AS BIGINT) AS token_sum " +
         "FROM st GROUP BY 1, 2 ORDER BY 1, 2"),
+    "dedup_span_coverage" ->
+      ("WITH pos AS (SELECT doc_id, CAST(i AS BIGINT) AS i, " +
+        "substr(text, CAST(i AS INT), 24) AS span FROM (" +
+        "SELECT doc_id, text, unnest(generate_series(1, length(text) - 23)) AS i " +
+        "FROM documents WHERE length(text) >= 24)), " +
+        "ds AS (SELECT span FROM pos GROUP BY span " +
+        "HAVING COUNT(DISTINCT doc_id) >= 2), " +
+        "dp AS (SELECT doc_id, i FROM pos JOIN ds USING (span)), " +
+        "m AS (SELECT doc_id, i, MAX(i + 23) OVER (PARTITION BY doc_id ORDER BY i " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM dp), " +
+        "isl AS (SELECT doc_id, i, SUM(CASE WHEN pmax IS NULL OR i > pmax + 1 " +
+        "THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY i " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m), " +
+        "cov AS (SELECT doc_id, island, COUNT(*) AS nw, " +
+        "MAX(i + 23) - MIN(i) + 1 AS bytes FROM isl GROUP BY 1, 2) " +
+        "SELECT c.doc_id, CAST(SUM(nw) AS BIGINT) AS n_dup_windows, " +
+        "CAST(SUM(bytes) AS BIGINT) AS dup_bytes, " +
+        "ROUND(CAST(SUM(bytes) AS DOUBLE) / ANY_VALUE(length(d.text)), 6) " +
+        "AS dup_fraction " +
+        "FROM cov c JOIN documents d ON c.doc_id = d.doc_id " +
+        "GROUP BY c.doc_id ORDER BY c.doc_id"),
     "dedup_substring" ->
       ("SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM (" +
         "SELECT doc_id, substr(text, CAST(i AS INT), 24) AS span FROM (" +

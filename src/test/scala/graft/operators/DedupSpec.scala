@@ -52,6 +52,16 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"minhash recall $recall over ${truth.size} true pairs")
   }
 
+  test("MLlib MinHashLSH twin recovers the true jaccard pairs (recall vs exact)") {
+    val truth = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mllib = graft.ml.MlPipelines.minhashLshPairs(docs, jaccardMin = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val recall = truth.count(mllib.contains).toDouble / truth.size
+    assert(recall >= 0.8, s"MLlib MinHashLSH recall $recall over ${truth.size} true pairs")
+  }
+
   test("minhash estimate is deterministic across runs") {
     val a = Dedup.minhashPairs(docs).orderBy("doc_a", "doc_b").collect().toSeq
     val b = Dedup.minhashPairs(docs).orderBy("doc_a", "doc_b").collect().toSeq
