@@ -179,6 +179,21 @@ object DataQueries {
       .orderBy("media_id")
   }
 
+  /** Audio DSP features (RMS + zero-crossing rate) over the media table
+    * (rows-only: fixture payloads are text bytes so every row takes the
+    * deterministic byte-stats stub; the REAL PCM decode + DSP path is
+    * exercised on golden square-wave WAV bytes in MultimodalSpec with
+    * exact expected rms/zcr).
+    */
+  def mmAudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaTable(table(spark, dir, "documents"), "doc_id", "text")
+    Multimodal.audioFeatureStats(media.filter(col("kind") === "audio"))
+      .toDF()
+      .select(col("media_id"), col("parsed"), col("n_samples"), col("duration_ms"),
+        round(col("rms"), 6).as("rms"), round(col("zcr"), 6).as("zcr"))
+      .orderBy("media_id")
+  }
+
   def mmResize(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaTable(table(spark, dir, "documents"), "doc_id", "text")
     Multimodal.resizeToFit(media, maxW = 48, maxH = 48)
@@ -381,6 +396,7 @@ object DataQueries {
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
     "mm_audio" -> (mmAudio _),
+    "mm_audio_features" -> (mmAudioFeatures _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_hashkeyed" -> (dedupExactHashKeyed _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),

@@ -161,6 +161,48 @@ class MultimodalSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  // golden MONO 16-bit 8000 Hz WAV with a real data chunk: a square wave
+  // of period 8 at half amplitude — rms exactly 0.5, one sign flip every
+  // 4 samples
+  private def monoWav(nSamples: Int): Array[Byte] = {
+    def le16(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff)
+    def le32(v: Int) = le16(v & 0xffff) ++ le16((v >> 16) & 0xffff)
+    val samples = (0 until nSamples).flatMap { i =>
+      le16(if ((i / 4) % 2 == 0) 16384 else -16384 & 0xffff)
+    }
+    ("RIFF".getBytes("US-ASCII").map(_.toInt).toSeq ++ le32(36 + nSamples * 2) ++
+      "WAVE".getBytes("US-ASCII").map(_.toInt).toSeq ++
+      "fmt ".getBytes("US-ASCII").map(_.toInt).toSeq ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII").map(_.toInt).toSeq ++ le32(nSamples * 2) ++
+      samples).map(_.toByte).toArray
+  }
+
+  test("real PCM decode + audio features: square-wave rms/zcr exact, truncation clamps") {
+    import Multimodal.MediaDecoder
+    val wav = monoWav(64)
+    val Some((rate, ch, xs)) = MediaDecoder.pcmSamples(wav)
+    assert((rate, ch, xs.length) == (8000, 1, 64))
+    assert(xs.forall(x => math.abs(math.abs(x) - 0.5) < 1e-9), "half-amplitude square")
+    // features through the Spark path
+    import spark.implicits._
+    val media = Seq(
+      (1L, "audio", wav),
+      (2L, "audio", "not a wav".getBytes("UTF-8"))).toDF("media_id", "kind", "payload")
+    val out = Multimodal.audioFeatureStats(media).collect().sortBy(_.media_id)
+    assert(out(0).parsed && out(0).n_samples == 64 && out(0).duration_ms == 8)
+    assert(math.abs(out(0).rms - 0.5) < 1e-9, s"rms ${out(0).rms}")
+    // sign flips at every multiple of 4 except 0 -> 15 crossings / 63 gaps
+    assert(math.abs(out(0).zcr - 15.0 / 63) < 1e-9, s"zcr ${out(0).zcr}")
+    assert(!out(1).parsed && out(1).n_samples == 9)
+    // truncated data chunk: decode what exists, never throw
+    val cut = wav.take(wav.length - 7)
+    val Some((_, _, cutXs)) = MediaDecoder.pcmSamples(cut)
+    assert(cutXs.length == 60, s"61 samples declared, ${cutXs.length} decodable")
+    // stereo header from the shared prefix has no data chunk -> None
+    assert(MediaDecoder.pcmSamples(wavHeader).isEmpty)
+  }
+
   test("extractFeatures carries real header dims through the Spark path") {
     import spark.implicits._
     val df = Seq(

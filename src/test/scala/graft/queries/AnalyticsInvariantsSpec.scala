@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Fixtures
+
+/** Invariants for the round-7 analytics additions, beyond the DuckDB
+  * hash checks: structural properties that must hold on ANY input, not
+  * just the fixture values.
+  */
+class AnalyticsInvariantsSpec extends SparkSpec {
+
+  test("lttb: exactly threshold points per series, endpoints kept, all points real") {
+    val out = AnalyticsQueries.lttbDownsample(spark, sf001).collect()
+    val bySeries = out.groupBy(_.getString(0))
+    assert(bySeries.nonEmpty)
+    bySeries.foreach { case (et, rows) =>
+      assert(rows.length == 20, s"$et: ${rows.length} points, want threshold=20")
+      val buckets = rows.map(_.getInt(1)).sorted.toSeq
+      assert(buckets == (0 to 19), s"$et buckets: $buckets")
+      // endpoints: bucket 0 is the series start (x_s = 0 by normalization)
+      assert(rows.find(_.getInt(1) == 0).get.getLong(2) == 0L, s"$et first point")
+    }
+    // every selected (series, x, value) is a real input point
+    val pts = Fixtures.table(spark, sf001, "events")
+      .select(col("event_type"),
+        (unix_timestamp(col("ts")) -
+          min(unix_timestamp(col("ts"))).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+          .as("x_s"),
+        round(round(col("value") * 100) / 100, 2).as("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    out.foreach { r =>
+      assert(pts.contains((r.getString(0), r.getLong(2), r.getDouble(3))),
+        s"selected point not in input: $r")
+    }
+  }
+
+  test("time_decay_agg EMA matches a brute-force O(n^2) reference per user") {
+    val got = AnalyticsQueries.timeDecayAgg(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ev = Fixtures.table(spark, sf0001, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(got.keySet == ev.keySet)
+    ev.foreach { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val tLast = sorted.last._2.toDouble
+      val brute = sorted.map { case (_, t, _, y) =>
+        y * math.pow(2.0, -(tLast - t) / 86400.0)
+      }.sum
+      assert(math.abs(got(u) - brute) < 1e-3, s"user $u: ${got(u)} vs brute $brute")
+    }
+  }
+
+  test("strict funnel step counts are monotone non-increasing and bounded by base l1") {
+    def steps(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().sortBy(_.getLong(0)).map(_.getLong(2)).toSeq
+    val so = steps(AnalyticsQueries.funnelStrictOrder(spark, sf001))
+    val sd = steps(AnalyticsQueries.funnelStrictDedup(spark, sf001))
+    assert(so.length == 3 && sd.length == 3)
+    assert(so(0) >= so(1) && so(1) >= so(2), s"strict_order not monotone: $so")
+    assert(sd(0) >= sd(1) && sd(1) >= sd(2), s"strict_dedup not monotone: $sd")
+    // step 1 is "has a view" in every mode — all three funnels agree there
+    val base = steps(AnalyticsQueries.funnelStepsWindowed(spark, sf001))
+    assert(so(0) == base(0) && sd(0) == base(0))
+    // strict_dedup's click stage is the windowed stage minus interrupted
+    // chains — never more
+    assert(sd(1) <= base(1), s"dedup step2 ${sd(1)} > base ${base(1)}")
+  }
+}
