@@ -71,4 +71,59 @@ object HeavyHitters {
       .filter(col("freq") >= ceil(lit(minFracDec) * col("total")))
       .select(col("item"), col("freq"))
   }
+
+  /** Weighted heavy hitters (ClickHouse `topKWeighted`'s exact cousin):
+    * items whose WEIGHT SUM reaches `minFraction` of the total weight,
+    * with exact sums — same two-pass construction as [[frequentItems]]
+    * with the weighted Misra-Gries step [public: Misra & Gries 1982
+    * generalizes: on overflow, decrement every counter by
+    * d = min(incoming weight, min counter) and credit the incoming item
+    * the remainder; an item with global weight > total/(k+1) still
+    * survives some partition's summary, so the candidate union stays a
+    * guaranteed superset]. Weights must be non-negative integers
+    * (callers convert money to cents etc. — integer weights keep the
+    * exact-recount threshold in decimal arithmetic, the
+    * [[frequentItems]] precedent).
+    */
+  def frequentItemsWeighted(
+      items: DataFrame,
+      itemCol: String,
+      weightCol: String,
+      minFraction: Double): DataFrame = {
+    require(minFraction > 0 && minFraction <= 1,
+      "minFraction must be in (0, 1]")
+    val k = math.ceil(1.0 / minFraction).toInt
+    import items.sparkSession.implicits._
+    val it = items.select(col(itemCol).cast("string").as("item"),
+      col(weightCol).cast("long").as("wt"))
+    val candidates = it.as[(String, Long)]
+      .mapPartitions { rows =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        rows.foreach { case (x, w) =>
+          if (w > 0) counters.get(x) match {
+            case Some(c) => counters(x) = c + w
+            case None if counters.size < k => counters(x) = w
+            case None =>
+              val d = math.min(w, counters.values.min)
+              val dead = List.newBuilder[String]
+              counters.foreach { case (key, v) =>
+                if (v == d) dead += key else counters(key) = v - d
+              }
+              dead.result().foreach(counters.remove)
+              if (w > d) counters(x) = w - d
+          }
+        }
+        counters.keysIterator
+      }
+      .toDF("item")
+      .distinct()
+    val total = it.agg(sum(col("wt")).as("total"))
+    val minFracDec = new java.math.BigDecimal(minFraction.toString)
+    it.join(broadcast(candidates), "item")
+      .groupBy(col("item"))
+      .agg(sum(col("wt")).as("weight"))
+      .crossJoin(broadcast(total))
+      .filter(col("weight") >= ceil(lit(minFracDec) * col("total")))
+      .select(col("item"), col("weight"))
+  }
 }

@@ -208,6 +208,22 @@ object TextQueries {
       .orderBy("item")
   }
 
+  /** Top revenue contributors through the WEIGHTED Misra-Gries operator
+    * ([[graft.operators.HeavyHitters.frequentItemsWeighted]] — the
+    * exact topKWeighted shape): users whose summed event value reaches
+    * 0.5% of total revenue, weights in integer cents. EXACT like the
+    * unweighted form, so the oracle is a plain weighted GROUP BY +
+    * HAVING.
+    */
+  def heavyHittersWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val w = table(spark, dir, "events")
+      .select(col("user_id").as("item"),
+        round(col("value") * 100).cast("long").as("wt"))
+    graft.operators.HeavyHitters
+      .frequentItemsWeighted(w, "item", "wt", minFraction = 0.005)
+      .orderBy("item")
+  }
+
   /** Blocked fuzzy match: candidate pairs must agree on BOTH blocking
     * keys — the 8-char exact prefix AND a text-length bucket (probing
     * bucket ± 1 so no pair escapes a boundary) — then the O(64^2)
@@ -312,6 +328,7 @@ object TextQueries {
     "sample_reservoir" -> (sampleReservoir _),
     "fuzzy_match" -> (fuzzyMatch _),
     "heavy_hitters" -> (heavyHitters _),
+    "heavy_hitters_weighted" -> (heavyHittersWeighted _),
     "pii_redact" -> (piiRedact _),
     "quality_gopher" -> (qualityGopher _),
     "domain_quota" -> (domainQuota _),
@@ -383,6 +400,12 @@ object TextQueries {
         "SELECT doc_a, doc_b, levenshtein(ta, tb) AS dist " +
         "FROM a JOIN b ON probe = bucket AND p8 = p8_b AND doc_a < doc_b " +
         "WHERE levenshtein(ta, tb) <= 20 ORDER BY doc_a, doc_b"),
+    "heavy_hitters_weighted" ->
+      ("WITH w AS (SELECT CAST(user_id AS VARCHAR) AS item, " +
+        "CAST(ROUND(value * 100) AS BIGINT) AS wt FROM events), " +
+        "tot AS (SELECT SUM(wt) AS n FROM w) " +
+        "SELECT item, CAST(SUM(wt) AS BIGINT) AS weight FROM w, tot " +
+        "GROUP BY item, n HAVING SUM(wt) >= CEIL(0.005 * n) ORDER BY item"),
     "heavy_hitters" ->
       ("WITH toks AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS item " +
         "FROM documents), " +

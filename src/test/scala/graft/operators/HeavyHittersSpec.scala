@@ -44,6 +44,33 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got == Map("hot" -> 100L))
   }
 
+  test("weighted variant matches the exact weighted GROUP BY + HAVING on skewed data") {
+    // item i carries total weight ~ 50000/i spread over 1000/i rows of
+    // weight ~50 each — heavy MASS, not heavy count
+    val rows = (1 to 50).flatMap(i =>
+      (0 until math.max(1, 1000 / i)).map(j => (s"t$i", 40L + (i * 7 + j) % 20)))
+    val df = rows.toDF("item", "wt").repartition(8)
+    val got = HeavyHitters.frequentItemsWeighted(df, "item", "wt", 0.02)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = rows.map(_._2).sum
+    val want = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .filter { case (_, w) => w >= math.ceil(0.02 * total) }.toMap
+    assert(want.nonEmpty, "fixture must have weighted heavy hitters")
+    assert(got == want)
+  }
+
+  test("weighted variant independent of partitioning; zero weights ignored") {
+    val rows = (1 to 30).flatMap(i => Seq.fill(60 / i)((s"x$i", (31 - i).toLong))) ++
+      Seq(("zero", 0L))
+    val df = rows.toDF("item", "wt")
+    val a = HeavyHitters.frequentItemsWeighted(df.repartition(2), "item", "wt", 0.05)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = HeavyHitters.frequentItemsWeighted(df.repartition(16), "item", "wt", 0.05)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b && a.nonEmpty)
+    assert(!a.exists(_._1 == "zero"))
+  }
+
   test("rejects a non-positive or >1 fraction") {
     val df = Seq("a").toDF("item")
     intercept[IllegalArgumentException](HeavyHitters.frequentItems(df, "item", 0.0))
