@@ -482,6 +482,51 @@ object Dedup {
         round(col("dup_bytes").cast("double") / col("len"), 6).as("dup_fraction"))
   }
 
+  /** The 100 TB form of [[substringDupCoverage]]: window positions come
+    * from the rolling-hash codegen Expression (one linear pass per doc)
+    * and the duplicate-window join groups on 8-byte hashes instead of
+    * width-byte strings — the same shuffle-width win as
+    * [[substringDupSpansHashed]]. The OUTPUT carries no hashes (only
+    * per-doc counts and fractions), so it shares the literal form's
+    * DuckDB oracle: a hash collision merging two distinct spans would
+    * perturb the counts, but at p ~ n_windows^2 / 2^65 (~1e-8 at sf0.01)
+    * that is far below any other source of flake; the literal form
+    * remains the defining semantics.
+    */
+  def substringDupCoverageHashed(docs: DataFrame, width: Int = 24, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(width >= 1 && minDocs >= 1)
+    val pos = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.RollingWindowHashExpr
+          .rolling_hash_windows(col("text"), width)).as(Seq("p", "h")))
+      .select(col("doc_id"), (col("p") + 1).as("i"), col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = pos.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pos.join(dup, "h")
+      .select(col("doc_id"), col("i"))
+      .withColumn("pmax", max(col("i") + (width - 1)).over(wPrev))
+      .withColumn("island",
+        sum(when(col("pmax").isNull || col("i") > col("pmax") + 1, 1).otherwise(0))
+          .over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(count(lit(1)).as("nw"),
+        (max(col("i") + (width - 1)) - min(col("i")) + 1).as("bytes"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nw")).cast("long").as("n_dup_windows"),
+        sum(col("bytes")).cast("long").as("dup_bytes"))
+      .join(docs.select(col("doc_id"), length(col("text")).as("len")), "doc_id")
+      .select(col("doc_id"), col("n_dup_windows"), col("dup_bytes"),
+        round(col("dup_bytes").cast("double") / col("len"), 6).as("dup_fraction"))
+  }
+
   /** The 100 TB form of [[substringDupSpans]]: one linear pass per doc
     * computes ALL window hashes via the rolling-hash codegen Expression
     * (O(1) per position), then the explode/group pipeline runs on 8-byte

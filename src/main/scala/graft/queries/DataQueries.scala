@@ -337,6 +337,16 @@ object DataQueries {
     Dedup.substringDupCoverage(table(spark, dir, "documents"), width = 24)
       .orderBy("doc_id")
 
+  /** Same coverage through the rolling-hash scale path (8-byte join
+    * keys). The output carries no hashes, so it shares the literal
+    * form's oracle — collision risk ~n_windows^2/2^65, documented at
+    * the operator; DedupPropertySpec pins literal ≡ hashed on arbitrary
+    * ASCII corpora.
+    */
+  def dedupSpanCoverageHashed(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringDupCoverageHashed(table(spark, dir, "documents"), width = 24)
+      .orderBy("doc_id")
+
   /** Same spans through the rolling-hash scale path (8-byte group keys).
     * Rows-only: the hash isn't reproducible in DuckDB SQL; RollingHashSpec
     * pins agreement with dedup_substring's literal grouping.
@@ -384,6 +394,7 @@ object DataQueries {
     "tfidf_mllib" -> (tfidfMllib _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_span_coverage" -> (dedupSpanCoverage _),
+    "dedup_span_coverage_hashed" -> (dedupSpanCoverageHashed _),
     "dedup_substring_hashed" -> (dedupSubstringHashed _),
     "pack_batches" -> (packBatches _),
     "salted_agg" -> (saltedAgg _),
@@ -454,6 +465,28 @@ object DataQueries {
       "WHERE d.doc_id = COALESCE(c.cluster_id, d.doc_id) " +
       "ORDER BY d.doc_id"
 
+  private val spanCoverageOracle =
+    "WITH pos AS (SELECT doc_id, CAST(i AS BIGINT) AS i, " +
+      "substr(text, CAST(i AS INT), 24) AS span FROM (" +
+      "SELECT doc_id, text, unnest(generate_series(1, length(text) - 23)) AS i " +
+      "FROM documents WHERE length(text) >= 24)), " +
+      "ds AS (SELECT span FROM pos GROUP BY span " +
+      "HAVING COUNT(DISTINCT doc_id) >= 2), " +
+      "dp AS (SELECT doc_id, i FROM pos JOIN ds USING (span)), " +
+      "m AS (SELECT doc_id, i, MAX(i + 23) OVER (PARTITION BY doc_id ORDER BY i " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM dp), " +
+      "isl AS (SELECT doc_id, i, SUM(CASE WHEN pmax IS NULL OR i > pmax + 1 " +
+      "THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY i " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m), " +
+      "cov AS (SELECT doc_id, island, COUNT(*) AS nw, " +
+      "MAX(i + 23) - MIN(i) + 1 AS bytes FROM isl GROUP BY 1, 2) " +
+      "SELECT c.doc_id, CAST(SUM(nw) AS BIGINT) AS n_dup_windows, " +
+      "CAST(SUM(bytes) AS BIGINT) AS dup_bytes, " +
+      "ROUND(CAST(SUM(bytes) AS DOUBLE) / ANY_VALUE(length(d.text)), 6) " +
+      "AS dup_fraction " +
+      "FROM cov c JOIN documents d ON c.doc_id = d.doc_id " +
+      "GROUP BY c.doc_id ORDER BY c.doc_id"
+
   val oracleSql: Map[String, String] = Map(
     // replays packGreedy's next-fit recurrence exactly: same group label
     // (doc_id % 8), same id order, same BPE-ish token weights (the
@@ -473,27 +506,10 @@ object DataQueries {
         "SELECT part_id, CAST(batch AS INT) AS batch_idx, " +
         "CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(w) AS BIGINT) AS token_sum " +
         "FROM st GROUP BY 1, 2 ORDER BY 1, 2"),
-    "dedup_span_coverage" ->
-      ("WITH pos AS (SELECT doc_id, CAST(i AS BIGINT) AS i, " +
-        "substr(text, CAST(i AS INT), 24) AS span FROM (" +
-        "SELECT doc_id, text, unnest(generate_series(1, length(text) - 23)) AS i " +
-        "FROM documents WHERE length(text) >= 24)), " +
-        "ds AS (SELECT span FROM pos GROUP BY span " +
-        "HAVING COUNT(DISTINCT doc_id) >= 2), " +
-        "dp AS (SELECT doc_id, i FROM pos JOIN ds USING (span)), " +
-        "m AS (SELECT doc_id, i, MAX(i + 23) OVER (PARTITION BY doc_id ORDER BY i " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM dp), " +
-        "isl AS (SELECT doc_id, i, SUM(CASE WHEN pmax IS NULL OR i > pmax + 1 " +
-        "THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY i " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m), " +
-        "cov AS (SELECT doc_id, island, COUNT(*) AS nw, " +
-        "MAX(i + 23) - MIN(i) + 1 AS bytes FROM isl GROUP BY 1, 2) " +
-        "SELECT c.doc_id, CAST(SUM(nw) AS BIGINT) AS n_dup_windows, " +
-        "CAST(SUM(bytes) AS BIGINT) AS dup_bytes, " +
-        "ROUND(CAST(SUM(bytes) AS DOUBLE) / ANY_VALUE(length(d.text)), 6) " +
-        "AS dup_fraction " +
-        "FROM cov c JOIN documents d ON c.doc_id = d.doc_id " +
-        "GROUP BY c.doc_id ORDER BY c.doc_id"),
+    // the hashed twin outputs no hashes, so the SAME oracle checks it
+    // (collision risk ~n_windows^2/2^65 — see substringDupCoverageHashed)
+    "dedup_span_coverage_hashed" -> spanCoverageOracle,
+    "dedup_span_coverage" -> spanCoverageOracle,
     "dedup_substring" ->
       ("SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM (" +
         "SELECT doc_id, substr(text, CAST(i AS INT), 24) AS span FROM (" +

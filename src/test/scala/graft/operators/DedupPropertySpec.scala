@@ -58,4 +58,18 @@ class DedupPropertySpec extends SparkSpec {
         groups(Dedup.substringDupSpansHashed(df, width = 3))
     }, minTests = 6)
   }
+
+  test("property: hashed span coverage == literal span coverage on any corpus") {
+    // the hashed twin shares the literal form's driver oracle, so their
+    // row-level equality on arbitrary corpora is load-bearing
+    check(Prop.forAll(corpusGen) { corpus =>
+      val df = corpus.toDF("doc_id", "text")
+      def rows(out: org.apache.spark.sql.DataFrame) =
+        out.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .sorted.toSeq
+      rows(Dedup.substringDupCoverage(df, width = 3)) ==
+        rows(Dedup.substringDupCoverageHashed(df, width = 3))
+    }, minTests = 6)
+  }
 }
