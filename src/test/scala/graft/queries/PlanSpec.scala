@@ -131,6 +131,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_orderkey"), "unused columns must be pruned")
   }
 
+  test("decontaminate_bloom: the train probe is a pure scan — NO join anywhere") {
+    val p = plan("decontaminate_bloom")
+    assert(!p.contains("Join"),
+      "the Bloom twin exists to decontaminate WITHOUT a join: the test-set " +
+        "filter ships as a broadcast binary literal probed in the train scan")
+    assert(p.contains("might_contain") || p.contains("BloomFilterMightContain"),
+      s"probe must be the native bloom expression\n$p")
+  }
+
+  test("heavy_hitters_weighted: candidate semi-join broadcasts like the unweighted form") {
+    val p = plan("heavy_hitters_weighted")
+    assert(p.contains("BroadcastHashJoin"), "bounded candidates must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("heavy_hitters: candidate semi-join broadcasts, full data stays map-side") {
     val p = plan("heavy_hitters")
     assert(p.contains("BroadcastHashJoin"),
