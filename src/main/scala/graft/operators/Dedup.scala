@@ -83,6 +83,23 @@ object Dedup {
     singles.unionByName(dups)
   }
 
+  /** Exact dedup after TEXT NORMALIZATION — lowercase, collapse every
+    * non-alphanumeric run to one space, trim — so trivially-reformatted
+    * copies (case, punctuation, whitespace) merge where [[exact]] keeps
+    * them apart. Same one-shuffle shape as [[exact]], keyed on the
+    * normalized text; normalization is a pure codegen'd projection, so
+    * the hash-keyed scale variant composes the same way ([[exactHashKeyed]]
+    * with `xxhash64(norm)`). Output: canonical (lowest) doc_id per
+    * normalized class + multiplicity.
+    */
+  def exactNormalized(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("norm"))
+      .groupBy(col("norm"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
   /** df-caps an exploded (doc_id, n_sh?, shingle) inverted index: shingles
     * whose document frequency exceeds `maxShingleDf` are dropped BEFORE any
     * self-join. Skew-safe by construction: df comes from a map-side

@@ -85,4 +85,26 @@ object Sampling {
     }
     df.filter(unit(idCol, seed) < frac)
   }
+
+  /** EXACT k-per-stratum quota sample: the first `k` rows of each stratum
+    * in engine-independent md5 order ("exactly 20 audit docs per
+    * language"), with the id as tiebreak so the selection is total-ordered
+    * and reproducible anywhere. Unlike [[stratifiedSample]] this
+    * guarantees the count, which costs a per-stratum top-k: Spark plans
+    * the `row_number <= k` filter as WindowGroupLimit, so each task keeps
+    * only its local top-k per stratum BEFORE the exchange — the shuffle
+    * carries at most k rows per (task, stratum), never the full stratum,
+    * which survives a Zipfian stratum mix at corpus scale.
+    */
+  def stratifiedExact(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
 }

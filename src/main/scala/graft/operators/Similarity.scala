@@ -241,6 +241,184 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
   }
 
+  // ---------------------------------------------------------------- PQ
+
+  /** Product quantization [public: Jégou/Douze/Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search"]: split each L2-normalized
+    * vector into `m` subvectors of dim/m components, quantize every
+    * subvector to its nearest of `ksub` per-subspace centroids, and store
+    * only the m code bytes — at (m=8, ksub=16) a 64-dim float vector
+    * compresses 64x (256 B -> 4 B + shared codebook). Search scans the
+    * CODES with asymmetric distance (ADC): the query precomputes an
+    * (m x ksub) table of exact subspace distances, so each candidate
+    * costs m table lookups instead of dim multiplies, and the corpus at
+    * rest is small enough to stay in memory at scales where raw floats
+    * spill. On unit vectors squared L2 is 2 - 2 cos, so ascending ADC
+    * approximates descending cosine; an exact re-rank of the oversampled
+    * head makes the final cosines exact (PQ error costs recall only).
+    */
+  /** L2-normalize an embedding column once per row (norm computed once,
+    * not per element). PQ trains/encodes on the normalized vectors.
+    */
+  private def normalize(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+      VectorFunctions.norm(col("embedding")).as("nrm"), col("embedding"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") / col("nrm")).as("embedding"))
+
+  /** Per-subspace codebooks, trained on a deterministic hash-sample of
+    * the corpus (codebook quality needs a representative sample, not the
+    * full 100 TB — the sample rate is the scale lever). Each subspace is
+    * an independent [[centroidsOf]] + [[refineCentroids]] run over the
+    * sliced subvectors; only the codebooks (m x ksub x dim/m doubles —
+    * ~8 KB at the defaults) ever reach the driver, the MLlib-KMeans
+    * shape. Returned indexed [subspace][centroid][component].
+    */
+  def pqCodebooks(corpus: DataFrame, dim: Int, m: Int = 8, ksub: Int = 16,
+      refineIters: Int = 1, sampleMod: Int = 4): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val dsub = dim / m
+    val train = normalize(corpus)
+      .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+    (0 until m).map { j =>
+      val sliced = train.select(col("vec_id"),
+        slice(col("embedding"), j * dsub + 1, dsub).as("embedding"))
+      val seedBook = centroidsOf(sliced, ksub)
+      val refined =
+        if (refineIters > 0) refineCentroids(sliced, seedBook, refineIters) else seedBook
+      refined.orderBy("centroid_id").collect()
+        .map(_.getSeq[Double](1).toArray)
+    }.toArray
+  }
+
+  /** Squared L2 from a column subvector to a literal centroid, expanded
+    * as ss - 2<sub,c> + |c|^2 so the data-side reduction (`ss`, computed
+    * once per subspace) and the codegen'd [[VectorFunctions.dot]] kernel
+    * do all the work.
+    */
+  private def subDist(sub: Column, ss: Column, cent: Array[Double]): Column = {
+    val centCol = array(cent.toIndexedSeq.map(lit): _*)
+    ss - lit(2.0) * VectorFunctions.dot(sub, centCol) +
+      lit(cent.map(x => x * x).sum)
+  }
+
+  /** (vec_id, codes array<int>): nearest subspace centroid per slice.
+    * Pure projection over broadcast-free literal codebooks — encoding is
+    * one codegen'd scan, no shuffle; ties break to the lowest centroid id
+    * (array_position returns the first minimum).
+    */
+  def pqEncode(df: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val norm = normalize(df)
+    val codes = (0 until m).map { j =>
+      val sub = slice(col("embedding"), j * dsub + 1, dsub)
+      val ss = VectorFunctions.dot(sub, sub)
+      val dists = array(codebooks(j).indices.map(c =>
+        subDist(sub, ss, codebooks(j)(c))): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    norm.select(col("vec_id"), array(codes: _*).as("codes"))
+  }
+
+  /** Query-side ADC tables: (query_id, qe original embedding, qtab — the
+    * m x ksub exact subspace distances flattened to one array so the
+    * candidate lookup is element_at arithmetic).
+    */
+  def pqQueryTables(queries: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val norm = normalize(queries)
+      .withColumnRenamed("embedding", "qn")
+      .join(queries.select(col("vec_id"), col("embedding").as("qe")), "vec_id")
+    val entries = (0 until m).flatMap { j =>
+      val sub = slice(col("qn"), j * dsub + 1, dsub)
+      val ss = VectorFunctions.dot(sub, sub)
+      codebooks(j).indices.map(c => subDist(sub, ss, codebooks(j)(c)))
+    }
+    norm.select(col("vec_id").as("query_id"), col("qe"), array(entries: _*).as("qtab"))
+  }
+
+  private def adcScore(m: Int, ksub: Int): Column =
+    (0 until m).map(j =>
+      element_at(col("qtab"), lit(j * ksub + 1) + element_at(col("codes"), j + 1)))
+      .reduce(_ + _)
+
+  /** Exact cosine re-rank of an oversampled (query_id, vec_id) candidate
+    * head — shared by the PQ paths; the approximation never touches the
+    * reported cosines, only which candidates get ranked.
+    */
+  private def rerankExact(cand: DataFrame, corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos", VectorFunctions.cosine(col("embedding"), col("qe")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Flat-PQ ANN top-k: ADC scan over the 4-byte codes (the compressed
+    * twin of [[bruteForceTopK]] — same all-pairs shape, m lookups and 4 B
+    * of memory traffic per pair instead of dim multiplies over 256 B),
+    * then exact re-rank of the k x oversample head. For pruned fan-out
+    * at cluster scale compose with IVF — [[ivfPqTopK]].
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+      m: Int = 8, ksub: Int = 16, oversample: Int = 8,
+      refineIters: Int = 1): DataFrame = {
+    val books = pqCodebooks(corpus, dim, m, ksub, refineIters)
+    val codes = pqEncode(corpus, books)
+    val qt = pqQueryTables(queries, books)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("vec_id"))
+    val cand = codes
+      .join(broadcast(qt), col("vec_id") =!= col("query_id"))
+      .withColumn("adc", adcScore(m, ksub))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k * oversample)
+      .select(col("query_id"), col("vec_id"))
+    rerankExact(cand, corpus, queries, k)
+  }
+
+  /** IVF-PQ [public: the FAISS IVFPQ composition]: IVF cells bound the
+    * candidate fan-out (nprobe cells per query instead of the corpus),
+    * PQ codes bound the bytes scanned per candidate — the standard
+    * billion-scale ANN layout. Candidates are (cell ∩ probe) pairs scored
+    * by ADC, then exactly re-ranked; both prunings only cost recall,
+    * never final-cosine accuracy.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      oversample: Int = 8, refineIters: Int = 1): DataFrame = {
+    val centroids = centroidsOf(corpus, nCentroids).cache()
+    val assign = ivfAssignTo(corpus, centroids)
+    val books = pqCodebooks(corpus, dim, m, ksub, refineIters)
+    val codes = pqEncode(corpus, books).join(assign, "vec_id")
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("centroid_id"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe0"))
+      .join(broadcast(centroids))
+      .withColumn("dist", lit(-2.0) * VectorFunctions.dot(col("qe0"), col("ce")) +
+        VectorFunctions.dot(col("ce"), col("ce")))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("centroid_id"))
+    val qt = pqQueryTables(queries, books)
+      .join(probes, "query_id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("vec_id"))
+    val cand = codes
+      .join(broadcast(qt), col("centroid_id") === qt("centroid_id") &&
+        col("vec_id") =!= col("query_id"))
+      .withColumn("adc", adcScore(m, ksub))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k * oversample)
+      .select(col("query_id"), col("vec_id"))
+    rerankExact(cand, corpus, queries, k)
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
       numTables: Int = 16, bitsPerTable: Int = 4, seed: Long = 7L): DataFrame = {
     val cb = lshBuckets(corpus, dim, numTables, bitsPerTable, seed)

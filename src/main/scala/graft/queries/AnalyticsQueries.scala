@@ -656,7 +656,141 @@ object AnalyticsQueries {
         instr(col("p_name"), "a").cast("int").as("first_a"))
       .orderBy("p_partkey")
 
+  /** intervalLengthSum (ClickHouse): total length of the UNION of
+    * per-user intervals, overlaps counted once. Each event opens a
+    * 30-minute activity interval; the union length is "seconds active".
+    * Classic island detection: running max of interval-end over the
+    * PRECEDING frame marks island starts, a running sum of start flags
+    * numbers the islands, one agg per island, one per user — three
+    * passes over the SAME user-keyed ordering, so Spark plans a single
+    * Exchange on user_id and sorts once. Per-row window state is O(1)
+    * (running max / running sum), never the user's full history.
+    */
+  def intervalLengthSum(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+    val iv = table(spark, dir, "events")
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts"))).cast("long").as("s"))
+      .withColumn("e", col("s") + lit(1800L))
+    iv
+      .withColumn("prev_max",
+        max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_start",
+        when(col("prev_max").isNull || col("s") > col("prev_max"), 1).otherwise(0))
+      .withColumn("island",
+        sum(col("is_start")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg((max(col("e")) - min(col("s"))).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).cast("long").as("active_sec"),
+        count(lit(1)).as("n_islands"))
+      .orderBy("user_id")
+  }
+
+  /** sequenceNextNode (ClickHouse): the event type that immediately
+    * follows each user's FIRST 'view', aggregated into a next-step
+    * distribution ('(end)' when the view is the user's last event).
+    * Both windows share the (user_id | ts, event_id) partitioning, so
+    * one Exchange + one sort serves lead() and the per-type row_number;
+    * the final agg is on a 6-value key.
+    */
+  def sequenceNextNode(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .withColumn("rn_type", row_number().over(wType))
+      .filter(col("event_type") === "view" && col("rn_type") === 1)
+      .groupBy(coalesce(col("nxt"), lit("(end)")).as("next_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("next_type")
+  }
+
+  /** boundingRatio (ClickHouse): slope between the first and last point
+    * of a (x, y) series per group — (y_last - y_first)/(x_last - x_first).
+    * x is event_id (unique by construction), not raw ts: argMax on a
+    * non-unique ordering key is engine-defined tie order, which no oracle
+    * can pin (same reasoning as arg_minmax). Single hash agg — max_by/
+    * min_by are streaming one-pass aggregates in both engines.
+    */
+  def boundingRatio(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(min_by(col("value"), col("event_id")), 2).as("first_value"),
+        round(max_by(col("value"), col("event_id")), 2).as("last_value"),
+        round((max_by(col("value"), col("event_id")) -
+          min_by(col("value"), col("event_id"))) /
+          (max(col("event_id")) - min(col("event_id"))), 8).as("bounding_ratio"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** minMap/maxMap (ClickHouse map combinators): per-key map of
+    * event_type -> (min, max) value. Same serialization discipline as
+    * sum_map: a SORTED "k:min:max" string on exact integer cents, because
+    * map columns have no cross-engine stable representation. Two hash
+    * aggs; per-user payload bounded by event-type cardinality.
+    */
+  def minmaxMap(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .filter(col("user_id") < 20)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(round(min(col("value")) * 100).cast("long").as("mn"),
+        round(max(col("value")) * 100).cast("long").as("mx"))
+      .select(col("user_id"),
+        concat(col("event_type"), lit(":"), col("mn").cast("string"),
+          lit(":"), col("mx").cast("string")).as("kv"))
+      .groupBy(col("user_id"))
+      .agg(array_join(array_sort(collect_list(col("kv"))), ",").as("type_minmax"),
+        count(lit(1)).as("n_types"))
+      .orderBy("user_id")
+
+  /** Linear gap interpolation over a per-series daily spine — the
+    * timeSeries*ToGrid / interpolate-fill shape (and the LOCF twin of
+    * series_gapfill). Sparse series by construction: per-user purchase
+    * days (~1/3 of the span present). Spine = explode(sequence(lo, hi))
+    * per user; previous/next anchors via last(ignoreNulls) over the
+    * ascending frame and first(ignoreNulls) over the descending frame —
+    * BOTH windows share one (user_id | day) Exchange+sort, and per-row
+    * state is O(1). Daily values are rounded to cents BEFORE
+    * interpolation so both engines interpolate identical doubles with
+    * the same operation order (same-ulp results).
+    */
+  def seriesInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .filter(col("event_type") === "purchase" && col("user_id") < 10)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 2).as("v"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("d"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val asc = w.rowsBetween(Window.unboundedPreceding, 0)
+    val desc = w.rowsBetween(0, Window.unboundedFollowing)
+    spine.join(daily, Seq("user_id", "d"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(asc))
+      .withColumn("pd", last(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(asc))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(desc))
+      .withColumn("nd", first(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(desc))
+      .select(col("user_id"), col("d").as("day"),
+        round(coalesce(col("v"),
+          when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              datediff(col("d"), col("pd")) / datediff(col("nd"), col("pd")))), 2)
+          .as("v_filled"),
+        when(col("v").isNull, 1).otherwise(0).cast("int").as("interpolated"))
+      .orderBy("user_id", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "interval_length_sum" -> (intervalLengthSum _),
+    "sequence_next_node" -> (sequenceNextNode _),
+    "bounding_ratio" -> (boundingRatio _),
+    "minmax_map" -> (minmaxMap _),
+    "series_interpolate" -> (seriesInterpolate _),
     "string_functions_ext" -> (stringFunctionsExt _),
     "pivot_multi_agg" -> (pivotMultiAgg _),
     "sliding_reach" -> (slidingReach _),
@@ -689,6 +823,75 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "interval_length_sum" ->
+      ("WITH iv AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS e FROM events), " +
+        "m AS (SELECT user_id, s, e, MAX(e) OVER (PARTITION BY user_id " +
+        "ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
+        "AS prev_max FROM iv), " +
+        "isl AS (SELECT user_id, s, e, " +
+        "SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY s, e) AS island FROM m), " +
+        "g AS (SELECT user_id, island, MAX(e) - MIN(s) AS len " +
+        "FROM isl GROUP BY 1, 2) " +
+        "SELECT user_id, CAST(SUM(len) AS BIGINT) AS active_sec, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_islands " +
+        "FROM g GROUP BY user_id ORDER BY user_id"),
+    "sequence_next_node" ->
+      ("WITH ev AS (SELECT user_id, event_type, " +
+        "LEAD(event_type) OVER w AS nxt, " +
+        "ROW_NUMBER() OVER (PARTITION BY user_id, event_type " +
+        "ORDER BY ts, event_id) AS rn_type " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "SELECT COALESCE(nxt, '(end)') AS next_type, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_users " +
+        "FROM ev WHERE event_type = 'view' AND rn_type = 1 " +
+        "GROUP BY 1 ORDER BY 1"),
+    "bounding_ratio" ->
+      ("SELECT event_type, " +
+        "ROUND(arg_min(value, event_id), 2) AS first_value, " +
+        "ROUND(arg_max(value, event_id), 2) AS last_value, " +
+        "ROUND((arg_max(value, event_id) - arg_min(value, event_id)) / " +
+        "(MAX(event_id) - MIN(event_id)), 8) AS bounding_ratio, " +
+        "CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "minmax_map" ->
+      ("WITH g AS (SELECT user_id, event_type, " +
+        "CAST(round(MIN(value) * 100) AS BIGINT) AS mn, " +
+        "CAST(round(MAX(value) * 100) AS BIGINT) AS mx " +
+        "FROM events WHERE user_id < 20 GROUP BY 1, 2) " +
+        "SELECT user_id, array_to_string(list_sort(list(" +
+        "event_type || ':' || CAST(mn AS VARCHAR) || ':' || CAST(mx AS VARCHAR)" +
+        ")), ',') AS type_minmax, CAST(COUNT(*) AS BIGINT) AS n_types " +
+        "FROM g GROUP BY user_id ORDER BY user_id"),
+    "series_interpolate" ->
+      ("WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, " +
+        "ROUND(SUM(value), 2) AS v FROM events " +
+        "WHERE event_type = 'purchase' AND user_id < 10 GROUP BY 1, 2), " +
+        "bounds AS (SELECT user_id, MIN(d) AS lo, MAX(d) AS hi " +
+        "FROM daily GROUP BY 1), " +
+        "spine AS (SELECT user_id, CAST(lo + CAST(x AS INTEGER) AS DATE) AS d " +
+        "FROM bounds, unnest(generate_series(0, CAST(hi - lo AS INTEGER))) t(x)), " +
+        "j AS (SELECT s.user_id, s.d, daily.v FROM spine s " +
+        "LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d), " +
+        "w AS (SELECT user_id, d, v, " +
+        "LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv, " +
+        "LAST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY d " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd, " +
+        "FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv, " +
+        "FIRST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY d " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd FROM j) " +
+        "SELECT user_id, d AS day, " +
+        "ROUND(COALESCE(v, CASE WHEN pv IS NULL THEN nv " +
+        "WHEN nv IS NULL THEN pv " +
+        "ELSE pv + (nv - pv) * CAST(d - pd AS INTEGER) / CAST(nd - pd AS INTEGER) " +
+        "END), 2) AS v_filled, " +
+        "CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INT) AS interpolated " +
+        "FROM w ORDER BY user_id, day"),
     "string_functions_ext" ->
       ("SELECT p_partkey, regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head, " +
         "levenshtein(p_brand, 'Brand#10') AS brand_dist, " +

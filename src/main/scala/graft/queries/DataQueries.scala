@@ -389,7 +389,27 @@ object DataQueries {
     graft.ml.MlPipelines.tfidfFeatures(table(spark, dir, "documents"))
       .orderBy("doc_id")
 
+  /** Exact 20-docs-per-language quota sample in engine-independent md5
+    * order — see [[Sampling.stratifiedExact]] for the WindowGroupLimit
+    * scale argument (PlanSpec pins the pushed partial limit).
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedExact(
+      table(spark, dir, "documents").select("doc_id", "lang", "source"),
+      idCol = "doc_id", strataCol = "lang", k = 20)
+      .select(col("lang"), col("rn").cast("long").as("rn"),
+        col("doc_id"), col("source"))
+      .orderBy("lang", "rn")
+
+  /** Normalization-aware exact dedup (case/punctuation/whitespace
+    * invariant) — [[graft.operators.Dedup.exactNormalized]].
+    */
+  def dedupExactNormalized(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactNormalized(table(spark, dir, "documents")).orderBy("keep_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> (sampleStratified _),
+    "dedup_exact_normalized" -> (dedupExactNormalized _),
     "cluster_kmeans" -> (clusterKmeans _),
     "tfidf_mllib" -> (tfidfMllib _),
     "dedup_substring" -> (dedupSubstring _),
@@ -488,6 +508,18 @@ object DataQueries {
       "GROUP BY c.doc_id ORDER BY c.doc_id"
 
   val oracleSql: Map[String, String] = Map(
+    "sample_stratified" ->
+      ("WITH r AS (SELECT doc_id, lang, source, " +
+        "ROW_NUMBER() OVER (PARTITION BY lang " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) " +
+        "SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, source " +
+        "FROM r WHERE rn <= 20 ORDER BY lang, rn"),
+    "dedup_exact_normalized" ->
+      ("WITH n AS (SELECT doc_id, " +
+        "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm " +
+        "FROM documents) " +
+        "SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies " +
+        "FROM n GROUP BY norm ORDER BY keep_id"),
     // replays packGreedy's next-fit recurrence exactly: same group label
     // (doc_id % 8), same id order, same BPE-ish token weights (the
     // text_bpe_tokens expression), advancing one doc per group per

@@ -36,6 +36,17 @@ class DedupSpec extends SparkSpec {
     assert(rows(Dedup.exactHashKeyed(docs)) == rows(Dedup.exact(docs)))
   }
 
+  test("normalized exact dedup merges case/punct/whitespace variants exact() keeps apart") {
+    val df = Seq(
+      (10L, "Hello,  World!"), (3L, "hello world"), (5L, "HELLO-WORLD"),
+      (7L, "a different doc")).toDF("doc_id", "text")
+    assert(Dedup.exact(df).count() == 4, "raw texts are all distinct")
+    val out = Dedup.exactNormalized(df).orderBy("keep_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((3L, 3L), (7L, 1L)),
+      s"three variants collapse to doc 3, got $out")
+  }
+
   test("ngram jaccard finds the planted near-dup pairs, none below threshold") {
     val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5).collect()
     assert(pairs.nonEmpty, "fixtures contain planted near-dups")

@@ -55,6 +55,26 @@ class SamplingSpec extends SparkSpec {
       out.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("stratifiedExact: exactly min(k, stratum size) rows per stratum, stable membership") {
+    val out = Sampling.stratifiedExact(docs, "doc_id", "lang", k = 7)
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == sizes.keySet, "every stratum represented")
+    sizes.foreach { case (lang, n) =>
+      assert(got(lang) == math.min(7L, n), s"$lang: got ${got(lang)} of $n")
+    }
+    // membership is a pure function of the ids — layout-independent
+    val again = Sampling.stratifiedExact(docs.repartition(13), "doc_id", "lang", k = 7)
+    assert(again.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      out.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // rn is 1..k dense within each stratum
+    val rns = out.filter(col("lang") === sizes.keys.head)
+      .select("rn").collect().map(_.getInt(0)).sorted
+    assert(rns.sameElements(1 to rns.length))
+  }
+
   test("splitLabelMd5: disjoint, exhaustive, stable, and seedless-deterministic") {
     val n = docs.count()
     def assign(df: org.apache.spark.sql.DataFrame) =

@@ -274,4 +274,53 @@ class PlanSpec extends SparkSpec {
     // (label, i) agg + label agg + final sort
     assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges\n$p")
   }
+
+  test("sample_stratified: rank filter pushes a partial per-stratum limit below the exchange") {
+    val p = plan("sample_stratified")
+    assert(p.contains("WindowGroupLimit"),
+      "row_number <= k must plan as WindowGroupLimit so each task keeps " +
+        "only its local top-k per stratum before the shuffle — without it " +
+        "the exchange carries every row of the hottest stratum")
+    val limits = """WindowGroupLimit \(\d+\)""".r.findAllIn(p).length
+    assert(limits >= 2, s"expected partial AND final group limits, got $limits\n$p")
+  }
+
+  test("interval_length_sum: running max/sum windows and both aggs share ONE user exchange") {
+    val p = plan("interval_length_sum")
+    assert(!p.contains("Join"))
+    val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).length
+    // user_id exchange (windows + (user, island) agg + user agg all
+    // co-partition on it) + final sort
+    assert(exchanges <= 2, s"island detection must reuse the user partitioning, got $exchanges\n$p")
+  }
+
+  test("sequence_next_node: lead and per-type row_number share the user sort; one agg shuffle") {
+    val p = plan("sequence_next_node")
+    assert(!p.contains("Join"))
+    val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).length
+    // user exchange (both windows) + next_type agg + output sort
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges\n$p")
+  }
+
+  test("bounding_ratio: single one-pass aggregate (max_by/min_by are streaming aggs)") {
+    val p = plan("bounding_ratio")
+    val scans = """Scan parquet\s+\(\d+\)""".r.findAllIn(p).length
+    assert(scans == 1, s"expected a single events scan, got $scans")
+    val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).length
+    assert(exchanges <= 2, s"partial->final agg + sort, got $exchanges\n$p")
+  }
+
+  test("series_interpolate: prev/next anchor windows share one user exchange each side") {
+    val p = plan("series_interpolate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "spine join must stay an equi-join on (user_id, d)")
+    // Catalyst may keep the anchor windows as separate stacked nodes, but
+    // they must SHARE one (user_id | d) sort — a second Sort or an
+    // Exchange between windows means the ordering was lost and re-derived
+    val sorts = """Sort \(\d+\)""".r.findAllIn(p).length
+    assert(sorts <= 2, s"window sort + output sort only, got $sorts\n$p")
+    val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).length
+    // daily agg + spine agg (+ its broadcast) + output sort
+    assert(exchanges <= 4, s"expected <=4 exchanges, got $exchanges\n$p")
+  }
 }
