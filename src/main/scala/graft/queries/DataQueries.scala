@@ -114,6 +114,25 @@ object DataQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Flat product quantization: ADC scan over 4-byte codes + exact
+    * re-rank (rows-only like the other seeded sketches; SimilaritySpec
+    * pins recall vs the brute-force oracle).
+    */
+  def annTopkPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), dim = 64, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-PQ composition — cell-pruned fan-out AND compressed candidate
+    * scan, the billion-scale ANN layout.
+    */
+  def annTopkIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), dim = 64, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** Multimodal plumbing end to end (rows-only: the decode step is a
     * documented stub; see graft.multimodal.Multimodal). Deterministic
     * fake features over binary payloads derived from document text.
@@ -443,7 +462,9 @@ object DataQueries {
     "ann_topk_lsh" -> (annTopkLsh _),
     "ann_topk_rp" -> (annTopkRp _),
     "ann_topk_ivf" -> (annTopkIvf _),
-    "ann_topk_ivf_refined" -> (annTopkIvfRefined _)
+    "ann_topk_ivf_refined" -> (annTopkIvfRefined _),
+    "ann_topk_pq" -> (annTopkPq _),
+    "ann_topk_ivf_pq" -> (annTopkIvfPq _)
   )
 
   // mirrors Dedup.ngramJaccardPairs including the maxShingleDf=1000 cap:

@@ -154,6 +154,45 @@ class SimilaritySpec extends SparkSpec {
       r1b.orderBy("centroid_id").collect().toSeq)
   }
 
+  test("pq topk: recall vs brute force; adc cosines exact after re-rank; ivf-pq bounded below flat pq") {
+    val truth = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Similarity.pqTopK(emb, queries, dim = 64, k = 5)
+    val pqPairs = pq.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = truth.count(pqPairs.contains).toDouble / truth.size
+    // measured 0.90 at the defaults (m=16, ksub=16, oversample=16, 2
+    // Lloyd rounds) on the small-margin fixtures; deterministic
+    assert(recall >= 0.85, s"flat-PQ recall $recall at defaults")
+    // the re-rank reports EXACT cosines: every returned pair matches brute force
+    val bruteCos = Similarity.bruteForceTopK(emb, queries, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    pq.collect().foreach { r =>
+      bruteCos.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(math.abs(c - r.getDouble(3)) < 1e-9)
+      }
+    }
+    // IVF pruning costs recall vs flat PQ but must stay usable
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, dim = 64, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfRecall = truth.count(ivfpq.contains).toDouble / truth.size
+    assert(ivfRecall >= 0.4, s"ivf-pq recall collapsed: $ivfRecall")
+    assert(ivfRecall <= recall + 1e-9,
+      "cell pruning cannot ADD recall over the flat ADC scan")
+  }
+
+  test("pq encode: codes in range, deterministic, and ADC orders true neighbors first") {
+    val books = Similarity.pqCodebooks(emb, dim = 64, m = 8, ksub = 16)
+    assert(books.length == 8 && books.forall(_.length == 16) &&
+      books.forall(_.forall(_.length == 8)))
+    val codes = Similarity.pqEncode(emb, books)
+    val rows = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(rows.forall(_._2.forall(c => c >= 0 && c < 16)), "codes within ksub")
+    assert(rows.forall(_._2.length == 8), "one code per subspace (m=8 here)")
+    val again = Similarity.pqEncode(emb, books).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(rows.sortBy(_._1).sameElements(again.sortBy(_._1)), "encoding deterministic")
+  }
+
   test("lsh topk: recall >= 0.8 vs brute-force ground truth") {
     val truth = Similarity.bruteForceTopK(emb, queries, 5).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
