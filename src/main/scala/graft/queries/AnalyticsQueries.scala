@@ -785,7 +785,52 @@ object AnalyticsQueries {
       .orderBy("user_id", "day")
   }
 
+  /** quantileExactWeighted (ClickHouse): weighted p25/p50/p75 of extended
+    * price, weight = quantity. The crossing rule (smallest v whose
+    * cumulative weight reaches q x total) runs as ONE ordered window pass
+    * with the default RANGE frame, so tied values share a cumulative sum
+    * and the result is independent of tie order in both engines;
+    * quantities are integral doubles, so the cumulative sums are EXACT
+    * (no last-ulp cross-engine drift at the threshold compare). Per-group
+    * state is O(1); one shuffle on the group key.
+    */
+  def quantileWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val cum = byFlag.orderBy(col("l_extendedprice"))
+    table(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"),
+        sum(col("l_quantity")).over(cum).as("cw"),
+        sum(col("l_quantity")).over(byFlag).as("tot"))
+      .groupBy(col("flag"))
+      .agg(
+        round(min(when(col("cw") >= lit(0.25) * col("tot"), col("v"))), 2).as("p25_w"),
+        round(min(when(col("cw") >= lit(0.5) * col("tot"), col("v"))), 2).as("p50_w"),
+        round(min(when(col("cw") >= lit(0.75) * col("tot"), col("v"))), 2).as("p75_w"),
+        count(lit(1)).as("n"))
+      .orderBy("flag")
+  }
+
+  /** Deterministic per-key mode (ClickHouse anyHeavy/topK(1), pinned):
+    * the most frequent event_type per user, ties broken alphabetically so
+    * an oracle can check it. Count-then-rank: the heavy lifting is a
+    * map-side-combinable (user, type) count; the rank window runs over at
+    * most |event types| rows per user.
+    */
+  def modePerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("n").desc, col("event_type"))
+    table(spark, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("modal_type"),
+        col("n").as("n_modal"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quantile_weighted" -> (quantileWeighted _),
+    "mode_per_group" -> (modePerGroup _),
     "interval_length_sum" -> (intervalLengthSum _),
     "sequence_next_node" -> (sequenceNextNode _),
     "bounding_ratio" -> (boundingRatio _),
@@ -823,6 +868,24 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "quantile_weighted" ->
+      ("WITH c AS (SELECT l_returnflag AS flag, l_extendedprice AS v, " +
+        "SUM(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS cw, " +
+        "SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tot FROM lineitem) " +
+        "SELECT flag, " +
+        "ROUND(MIN(CASE WHEN cw >= 0.25 * tot THEN v END), 2) AS p25_w, " +
+        "ROUND(MIN(CASE WHEN cw >= 0.5 * tot THEN v END), 2) AS p50_w, " +
+        "ROUND(MIN(CASE WHEN cw >= 0.75 * tot THEN v END), 2) AS p75_w, " +
+        "CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM c GROUP BY flag ORDER BY flag"),
+    "mode_per_group" ->
+      ("WITH c AS (SELECT user_id, event_type, COUNT(*) AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT user_id, event_type, n, " +
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk " +
+        "FROM c) " +
+        "SELECT user_id, event_type AS modal_type, CAST(n AS BIGINT) AS n_modal " +
+        "FROM r WHERE rk = 1 ORDER BY user_id"),
     "interval_length_sum" ->
       ("WITH iv AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, " +
         "CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS e FROM events), " +

@@ -100,6 +100,48 @@ object RelationalQueries {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q8-style market share: NATION_11 suppliers' share of PROMO-part
+    * volume sold to EUROPE customers, per order year. The two fact-fact
+    * joins (lineitem-orders on orderkey, then part) stay shuffled; every
+    * dimension chain (part filtered to one type, customer pre-reduced to
+    * the EUROPE region via nation+region, supplier pre-joined with its
+    * nation name) is broadcast — the classic star-join plan where the
+    * selective dimension filters cut the probe side before the fact
+    * shuffle. Share arithmetic is a conditional sum over one aggregate
+    * pass, no self-join.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val eur = table(spark, dir, "region").filter(col("r_name") === "EUROPE")
+      .select("r_regionkey")
+    val custEur = table(spark, dir, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(table(spark, dir, "nation")
+          .join(broadcast(eur), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("c_nationkey"))),
+        "c_nationkey")
+      .select("c_custkey")
+    val supNation = table(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .join(broadcast(table(spark, dir, "nation")
+          .select(col("n_nationkey").as("s_nationkey"), col("n_name").as("supp_nation"))),
+        "s_nationkey")
+      .select("s_suppkey", "supp_nation")
+    val promo = table(spark, dir, "part").filter(col("p_type") === "PROMO")
+      .select("p_partkey")
+    table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+      .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+      .join(table(spark, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custEur), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(to_date(col("o_orderdate"))).cast("long").as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_11", col("volume")).otherwise(0.0)) /
+          sum(col("volume")), 6).as("mkt_share"),
+        round(sum(col("volume")), 2).as("total_volume"))
+      .orderBy("o_year")
+  }
+
   /** Window: top-3 orders by totalprice per priority class (row_number with
     * a deterministic (price DESC, orderkey) frame), plus a running rank.
     */
@@ -661,6 +703,7 @@ object RelationalQueries {
     "q3_join_topk" -> (q3JoinTopk _),
     "q5_region_revenue" -> (q5RegionRevenue _),
     "q7_nation_volume" -> (q7NationVolume _),
+    "q8_market_share" -> (q8MarketShare _),
     "window_topk" -> (windowTopk _),
     "agg_rollup" -> (aggRollup _),
     "set_except" -> (setExcept _),
@@ -838,6 +881,23 @@ object RelationalQueries {
         "WHERE c_mktsegment = 'BUILDING' AND CAST(o_orderdate AS DATE) < DATE '1998-01-01' " +
         "AND CAST(l_shipdate AS DATE) > DATE '1998-01-01' " +
         "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    "q8_market_share" ->
+      ("WITH vol AS (SELECT year(CAST(o.o_orderdate AS DATE)) AS o_year, " +
+        "l.l_extendedprice * (1 - l.l_discount) AS volume, " +
+        "sn.n_name AS supp_nation " +
+        "FROM lineitem l " +
+        "JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO' " +
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "JOIN nation cn ON c.c_nationkey = cn.n_nationkey " +
+        "JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE' " +
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+        "JOIN nation sn ON s.s_nationkey = sn.n_nationkey) " +
+        "SELECT CAST(o_year AS BIGINT) AS o_year, " +
+        "ROUND(SUM(CASE WHEN supp_nation = 'NATION_11' THEN volume ELSE 0 END) / " +
+        "SUM(volume), 6) AS mkt_share, " +
+        "ROUND(SUM(volume), 2) AS total_volume " +
+        "FROM vol GROUP BY o_year ORDER BY o_year"),
     "q7_nation_volume" ->
       ("SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue " +
         "FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +

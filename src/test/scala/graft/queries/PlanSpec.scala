@@ -275,6 +275,23 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges\n$p")
   }
 
+  test("q8_market_share: dimension chains broadcast; only fact-fact joins shuffle") {
+    val p = plan("q8_market_share")
+    assert(!p.contains("CartesianProduct"))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 5,
+      s"part/customer-region/supplier-nation chains must broadcast, got $broadcasts")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(p_type,PROMO)"),
+      "the part-type filter must reach the part scan")
+  }
+
+  test("quantile_weighted: cumulative and total weight share ONE flag-keyed window pass") {
+    val p = plan("quantile_weighted")
+    assert(!p.contains("Join"), "weighted quantile must not self-join")
+    val sorts = """Sort \(\d+\)""".r.findAllIn(p).length
+    assert(sorts <= 2, s"one window sort + output sort, got $sorts\n$p")
+  }
+
   test("sample_stratified: rank filter pushes a partial per-stratum limit below the exchange") {
     val p = plan("sample_stratified")
     assert(p.contains("WindowGroupLimit"),
