@@ -828,7 +828,57 @@ object AnalyticsQueries {
       .orderBy("user_id")
   }
 
+  /** runningConcurrency (ClickHouse): peak number of simultaneously open
+    * intervals per user, each event opening a 4-hour interval. Sweep
+    * line: every interval contributes a +1 at start and a -1 at its
+    * EXCLUSIVE end; the running sum over (t, d) — ends sorting before
+    * starts at ties, so back-to-back intervals don't count as overlap —
+    * is the concurrency. One union (no join), one user-keyed window with
+    * O(1) running state, one agg on the same key.
+    */
+  def runningConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "events")
+      .select(col("user_id"), floor(unix_timestamp(col("ts"))).cast("long").as("s"))
+    val pts = base.select(col("user_id"), col("s").as("t"), lit(1).as("d"))
+      .unionByName(base.select(col("user_id"),
+        (col("s") + lit(14400L)).as("t"), lit(-1).as("d")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("d"))
+    pts
+      .withColumn("conc", sum(col("d")).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("conc")).cast("long").as("peak_concurrency"),
+        count(when(col("d") === 1, 1)).as("n_intervals"))
+      .orderBy("user_id")
+  }
+
+  /** groupBitmap-style behavior segmentation (ClickHouse groupBitmapOr /
+    * bitmapToArray workflows): each user's early-window event-type SET as
+    * a bitmask, histogrammed over the power set — "how many users did
+    * views AND purchases but never signed up". Two map-side-combinable
+    * hash aggs (8 bytes of state per user, then per mask). The date
+    * filter applies post-decode (the fixtures' int64-nanos ts blocks
+    * parquet predicate pushdown); on a date-partitioned warehouse layout
+    * the same predicate prunes partitions.
+    */
+  def userTypeMask(spark: SparkSession, dir: String): DataFrame = {
+    val bit = when(col("event_type") === "view", 1L)
+      .when(col("event_type") === "click", 2L)
+      .when(col("event_type") === "purchase", 4L)
+      .when(col("event_type") === "signup", 8L)
+      .when(col("event_type") === "error", 16L)
+      .otherwise(0L)
+    table(spark, dir, "events")
+      .filter(to_date(col("ts")) <= lit("2024-01-02").cast("date"))
+      .groupBy(col("user_id"))
+      .agg(bit_or(bit).as("type_mask"))
+      .groupBy(col("type_mask"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("type_mask")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "running_concurrency" -> (runningConcurrency _),
+    "user_type_mask" -> (userTypeMask _),
     "quantile_weighted" -> (quantileWeighted _),
     "mode_per_group" -> (modePerGroup _),
     "interval_length_sum" -> (intervalLengthSum _),
@@ -868,6 +918,26 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "running_concurrency" ->
+      ("WITH pts AS (" +
+        "SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, 1 AS d FROM events " +
+        "UNION ALL " +
+        "SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) + 14400 AS t, -1 AS d " +
+        "FROM events), " +
+        "c AS (SELECT user_id, t, d, " +
+        "SUM(d) OVER (PARTITION BY user_id ORDER BY t, d) AS conc FROM pts) " +
+        "SELECT user_id, CAST(MAX(conc) AS BIGINT) AS peak_concurrency, " +
+        "CAST(COUNT(*) FILTER (d = 1) AS BIGINT) AS n_intervals " +
+        "FROM c GROUP BY user_id ORDER BY user_id"),
+    "user_type_mask" ->
+      ("WITH m AS (SELECT user_id, bit_or(CASE event_type " +
+        "WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'purchase' THEN 4 " +
+        "WHEN 'signup' THEN 8 WHEN 'error' THEN 16 ELSE 0 END) AS mask " +
+        "FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-02' " +
+        "GROUP BY user_id) " +
+        "SELECT CAST(mask AS BIGINT) AS type_mask, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_users " +
+        "FROM m GROUP BY mask ORDER BY mask"),
     "quantile_weighted" ->
       ("WITH c AS (SELECT l_returnflag AS flag, l_extendedprice AS v, " +
         "SUM(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS cw, " +
