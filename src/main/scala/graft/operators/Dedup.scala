@@ -100,6 +100,27 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
+  /** Exact dedup with a KEEP-BEST policy: within each normalized-text
+    * class keep the row maximizing `scoreCol` (ties to the lowest doc_id)
+    * instead of [[exactNormalized]]'s lowest-id canonical — the
+    * "keep the longest/highest-quality copy" curation rule. One shuffle
+    * on the normalized key; the winner is a one-row window, per-group
+    * state O(1).
+    */
+  def exactKeepBest(docs: DataFrame, scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("norm"))
+      .orderBy(col(scoreCol).desc, col("doc_id"))
+    docs
+      .select(col("doc_id"), col(scoreCol),
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("norm"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_copies", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("norm"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id").as("keep_id"), col(scoreCol), col("n_copies"))
+  }
+
   /** df-caps an exploded (doc_id, n_sh?, shingle) inverted index: shingles
     * whose document frequency exceeds `maxShingleDf` are dropped BEFORE any
     * self-join. Skew-safe by construction: df comes from a map-side

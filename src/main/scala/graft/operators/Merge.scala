@@ -45,4 +45,39 @@ object Merge {
       .filter(col("__rn") === 1)
       .drop("__src", "__rn")
   }
+
+  /** CDC MERGE — [[upsert]] plus WHEN MATCHED ... DELETE: `changes` rows
+    * carry an `opCol` ('d' = delete the key, anything else = upsert).
+    * The LATEST change per key (by `versionCols`, change-batch beating
+    * base) decides: if it is a delete the key disappears, else it
+    * replaces the base row — i.e. a delete followed by a later re-insert
+    * correctly survives. Same single keyed shuffle + one-row window as
+    * [[upsert]] (the delete is a post-window filter, not a second join);
+    * an out-of-band tombstone join would cost the same exchange and lose
+    * the within-batch ordering semantics.
+    */
+  def applyChanges(
+      base: DataFrame,
+      changes: DataFrame,
+      keys: Seq[String],
+      versionCols: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    require(keys.nonEmpty, "applyChanges needs >= 1 key column")
+    require(versionCols.nonEmpty,
+      "applyChanges needs >= 1 version column (end with a unique id for determinism)")
+    val reserved = Set("__src", "__rn", "__op")
+    val clashes = (base.columns ++ changes.columns.filterNot(_ == opCol)).filter(reserved)
+    require(clashes.isEmpty,
+      s"reserved internal column name(s) in input: ${clashes.distinct.mkString(", ")}")
+    val b = base.withColumn("__src", lit(0)).withColumn("__op", lit("u"))
+    val u = changes.withColumn("__op", col(opCol)).drop(opCol)
+      .withColumn("__src", lit(1))
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__src").desc +: versionCols.map(col(_).desc): _*)
+    b.unionByName(u)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("__op") =!= "d")
+      .drop("__src", "__rn", "__op")
+  }
 }

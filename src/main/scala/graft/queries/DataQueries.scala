@@ -426,9 +426,18 @@ object DataQueries {
   def dedupExactNormalized(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactNormalized(table(spark, dir, "documents")).orderBy("keep_id")
 
+  /** Keep-best canonical selection: within each normalized dup class keep
+    * the LONGEST copy (n_chars score, ties to lowest id) — the curation
+    * policy twin of dedup_exact_normalized's keep-lowest-id.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactKeepBest(table(spark, dir, "documents"), scoreCol = "n_chars")
+      .orderBy("keep_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleStratified _),
     "dedup_exact_normalized" -> (dedupExactNormalized _),
+    "dedup_keep_best" -> (dedupKeepBest _),
     "cluster_kmeans" -> (clusterKmeans _),
     "tfidf_mllib" -> (tfidfMllib _),
     "dedup_substring" -> (dedupSubstring _),
@@ -535,6 +544,16 @@ object DataQueries {
         "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) " +
         "SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, source " +
         "FROM r WHERE rn <= 20 ORDER BY lang, rn"),
+    "dedup_keep_best" ->
+      ("WITH n AS (SELECT doc_id, n_chars, " +
+        "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm " +
+        "FROM documents), " +
+        "r AS (SELECT doc_id, n_chars, norm, " +
+        "ROW_NUMBER() OVER (PARTITION BY norm ORDER BY n_chars DESC, doc_id) AS rk, " +
+        "COUNT(*) OVER (PARTITION BY norm) AS n_copies FROM n) " +
+        "SELECT doc_id AS keep_id, CAST(n_chars AS BIGINT) AS n_chars, " +
+        "CAST(n_copies AS BIGINT) AS n_copies " +
+        "FROM r WHERE rk = 1 ORDER BY keep_id"),
     "dedup_exact_normalized" ->
       ("WITH n AS (SELECT doc_id, " +
         "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm " +

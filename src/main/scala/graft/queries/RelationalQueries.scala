@@ -587,6 +587,26 @@ object RelationalQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** CDC MERGE with deletes — [[graft.operators.Merge.applyChanges]]:
+    * the change batch marks low-value rows as tombstones; a key survives
+    * iff its LATEST change is an upsert (a delete overridden by a later
+    * re-insert correctly survives). Same single-shuffle shape as
+    * merge_upsert.
+    */
+  def mergeCdc(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        round(col("value"), 2).as("value"))
+    val base = ev.filter(to_date(col("ts")) < lit("2024-01-16"))
+    val changes = ev.filter(to_date(col("ts")) >= lit("2024-01-10"))
+      .withColumn("op", when(col("value") < 50, "d").otherwise("u"))
+    Merge.applyChanges(base, changes, keys = Seq("user_id", "event_type"),
+        versionCols = Seq("ts", "event_id"))
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("d"),
+        col("event_id"), col("value"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** Semi-structured extraction: pull a typed field out of the JSON props
     * column and aggregate on it — `get_json_object` stays inside codegen
     * (no UDF), and the extraction happens after the scan so only the
@@ -687,6 +707,7 @@ object RelationalQueries {
     "funnel_steps" -> (funnelSteps _),
     "cohort_retention" -> (cohortRetention _),
     "merge_upsert" -> (mergeUpsert _),
+    "merge_cdc" -> (mergeCdc _),
     "window_functions" -> (windowFunctions _),
     "set_union" -> (setUnion _),
     "join_full_outer" -> (joinFullOuter _),
@@ -790,6 +811,19 @@ object RelationalQueries {
         "CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users " +
         "FROM weeks w JOIN cohort c ON w.user_id = c.user_id " +
         "GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset"),
+    "merge_cdc" ->
+      ("WITH ev AS (SELECT user_id, event_type, ts, event_id, " +
+        "ROUND(value, 2) AS value FROM events), " +
+        "m AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type " +
+        "ORDER BY src DESC, ts DESC, event_id DESC) AS rn FROM (" +
+        "SELECT user_id, event_type, ts, event_id, value, 0 AS src, 'u' AS op " +
+        "FROM ev WHERE CAST(ts AS DATE) < DATE '2024-01-16' " +
+        "UNION ALL " +
+        "SELECT user_id, event_type, ts, event_id, value, 1 AS src, " +
+        "CASE WHEN value < 50 THEN 'd' ELSE 'u' END AS op FROM ev " +
+        "WHERE CAST(ts AS DATE) >= DATE '2024-01-10')) " +
+        "SELECT user_id, event_type, CAST(ts AS DATE) AS d, event_id, value " +
+        "FROM m WHERE rn = 1 AND op <> 'd' ORDER BY user_id, event_type"),
     "merge_upsert" ->
       ("WITH ev AS (SELECT user_id, event_type, ts, event_id, " +
         "ROUND(value, 2) AS value FROM events), " +

@@ -57,4 +57,30 @@ class MergeSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Merge.upsert(base, updates.withColumn("__rn", $"v"), Seq("k"), Seq("v")))
   }
+
+  test("applyChanges: latest change decides — delete removes, later re-insert survives") {
+    val changes = Seq(
+      ("k1", 6L, "x", "d"),        // delete k1 (newer than base)
+      ("k2", 2L, "re-ins", "u"),   // plain update
+      ("k3", 5L, "x", "d"),        // delete k3 at v=5 ...
+      ("k3", 8L, "back", "u"),     // ... but re-inserted at v=8 -> survives
+      ("k5", 1L, "x", "d")         // delete of an absent key -> no row
+    ).toDF("k", "v", "payload", "op")
+    val out = Merge.applyChanges(base, changes, Seq("k"), Seq("v"))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out == Map(
+      "k2" -> "re-ins",
+      "k3" -> "back"))
+    assert(!out.contains("k1"), "deleted key must disappear")
+    assert(!out.contains("k5"), "tombstone for an absent key adds nothing")
+  }
+
+  test("applyChanges with no deletes degenerates to upsert") {
+    val ch = updates.withColumn("op", org.apache.spark.sql.functions.lit("u"))
+    val a = Merge.applyChanges(base, ch, Seq("k"), Seq("v"))
+      .collect().map(_.toSeq).toSet
+    val b = Merge.upsert(base, updates, Seq("k"), Seq("v"))
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }
