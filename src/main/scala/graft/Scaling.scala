@@ -36,8 +36,11 @@ object Scaling {
     "dedup_substring_hashed", "dedup_canonicalize",
     "dedup_canonicalize_exact", "dedup_canonicalize_df",
     "decontaminate", "decontaminate_bloom", "dedup_embedding_lsh",
-    "ann_topk", "ann_topk_lsh", "ann_topk_ivf",
-    "sliding_reach", "time_decay_agg", "lttb_downsample", "pack_batches")
+    "dedup_exact_normalized", "dedup_keep_best",
+    "ann_topk", "ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq",
+    "sliding_reach", "time_decay_agg", "lttb_downsample", "pack_batches",
+    "interval_length_sum", "running_concurrency", "sample_stratified",
+    "merge_cdc")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
