@@ -115,6 +115,36 @@ object EventBucketizer {
       .dropDuplicatesWithinWatermark("text_hash", "text_len")
       .drop("text_hash", "text_len")
 
+  /** Stream-stream interval join — the funnel edge as a JOIN rather than
+    * a state machine: each view pairs with the same user's clicks in
+    * (view_ts, view_ts + maxGap]. Both sides are watermarked and the
+    * join condition bounds click_ts relative to view_ts from BOTH sides,
+    * which is what lets Structured Streaming evict buffered rows: a view
+    * older than watermark - maxGap can never match a future click, so
+    * state scales with (event rate x maxGap + lateness horizon), not
+    * stream length. Equi-key on user_id keeps the state store hash-
+    * partitioned; inner join so no null-side buffering. The batch twin
+    * is the identical expression on static frames (stream ≡ batch
+    * tested) — the plan differs only in state management.
+    */
+  def viewClickPairs(views: DataFrame, clicks: DataFrame,
+      maxGap: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", watermark)
+    val c = clicks
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    v.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") > col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $maxGap"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Continuous writer: append daily buckets as date-partitioned parquet —
     * the streaming twin of ParquetCatalog.writeTable. Returns the started
     * query; caller owns lifecycle.

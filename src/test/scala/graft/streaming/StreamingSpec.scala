@@ -94,6 +94,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join emits exactly the batch view-click pairs") {
+    val src = java.nio.file.Files.createTempDirectory("graftssj").toString
+    val batch = Fixtures.table(spark, sf0001, "events")
+    val views = batch.filter($"event_type" === "view")
+    val clicks = batch.filter($"event_type" === "click")
+    views.write.mode("overwrite").parquet(s"$src/views")
+    clicks.write.mode("overwrite").parquet(s"$src/clicks")
+    val vs = spark.readStream.schema(views.schema).parquet(s"$src/views")
+    val cs = spark.readStream.schema(clicks.schema).parquet(s"$src/clicks")
+    val q = EventBucketizer.viewClickPairs(vs, cs).writeStream
+      .outputMode("append").format("memory").queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("view_id", "click_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = pairs(spark.table("ssj_out"))
+      // batch truth: the same expression on the static frames
+      val want = pairs(EventBucketizer.viewClickPairs(views, clicks))
+      assert(want.nonEmpty, "fixture must contain view->click pairs inside the gap")
+      // inner interval join: append mode emits matches as both sides
+      // arrive; with a finite input every pair is emitted exactly once
+      assert(got == want,
+        s"stream emitted ${got.size} pairs, batch ${want.size}; " +
+          s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment matches the batch join") {
     val src = java.nio.file.Files.createTempDirectory("graftenrich").toString
     val batch = Fixtures.table(spark, sf0001, "events")
