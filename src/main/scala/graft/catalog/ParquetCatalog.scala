@@ -167,6 +167,29 @@ final class ParquetCatalog(val spark: SparkSession, val root: String) {
     ()
   }
 
+  /** Small-files compaction: rewrite a table into ~`targetRowsPerFile`
+    * chunks through the same crash-safe staging swap as [[replaceTable]].
+    * Streaming appends and over-parallel writes leave thousands of tiny
+    * parquet files; at warehouse scale that's a name-node/listing tax and
+    * a per-file open cost on every scan, and row groups too small for
+    * effective column-stats pruning. One distributed job: count, then a
+    * round-robin `repartition(ceil(n / target))` (even output sizes
+    * regardless of input skew), sorted within partitions on `sortCol` to
+    * restore min/max clustering. Returns the new file count.
+    */
+  def compactTable(
+      name: String,
+      targetRowsPerFile: Long = 1000000L,
+      sortCol: String = "date"): Int = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val df = load(name)
+    val n = df.count()
+    val parts = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+    replaceTable(name, df.repartition(parts), sortCol)
+    fs.listStatus(new Path(tablePath(name)))
+      .count(s => s.getPath.getName.endsWith(".parquet"))
+  }
+
   private val interchangeFormats = Set("csv", "json", "orc")
 
   /** Ingest an external CSV/JSON/ORC dataset as a catalog table (converted

@@ -126,4 +126,28 @@ class CatalogSpec extends SparkSpec {
     cat.drop("t1")
     assert(!cat.tableExists("t1"))
   }
+
+  test("compactTable shrinks a fragmented table without changing its rows") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graftcompact").toString
+    val cat = new ParquetCatalog(spark, tmp)
+    // fragment: 64 partitions of ~8 rows each
+    cat.writeTable("frag", spark.range(500).toDF("n").repartition(64), sortCol = "n")
+    val dir = new java.io.File(cat.tablePath("frag"))
+    val before = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before > 30, s"fixture must start fragmented, got $before files")
+    val want = cat.load("frag").collect().map(_.getLong(0)).sorted.toSeq
+    val after = cat.compactTable("frag", targetRowsPerFile = 250, sortCol = "n")
+    assert(after <= 2, s"500 rows at 250/file must land in <=2 files, got $after")
+    assert(dir.listFiles().count(_.getName.endsWith(".parquet")) == after)
+    val got = cat.load("frag").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want, "compaction must be content-preserving")
+    // rows-per-file bound holds (round-robin repartition evens sizes)
+    val perFile = cat.load("frag")
+      .groupBy(org.apache.spark.sql.functions
+        .input_file_name().as("f"))
+      .count().collect().map(_.getLong(1))
+    assert(perFile.forall(_ <= 300), s"file sizes ${perFile.toSeq}")
+    assert(cat.load("frag").filter(col("n") < 0).isEmpty)
+  }
 }
