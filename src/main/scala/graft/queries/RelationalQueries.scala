@@ -607,6 +607,34 @@ object RelationalQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** Incremental rollup maintenance — [[graft.operators.Rollup]]: the
+    * Spark side BOOTSTRAPS a daily rollup from history (< 2024-01-20),
+    * folds the remaining days in as a delta merge, and reads the merged
+    * state out; the oracle is the plain one-shot aggregate over
+    * everything. A hash match IS the maintenance invariant
+    * (merge(daily(old), daily(delta)) == daily(all)) on the exact monoid
+    * columns; the HLL user sketch — merged through the same fold — is
+    * checked as exact-count + within-5% flag, the hll_reach promotion
+    * pattern.
+    */
+  def rollupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Rollup
+    val ev = table(spark, dir, "events")
+    val cut = lit("2024-01-20").cast("date")
+    val bootstrap = Rollup.daily(ev.filter(to_date(col("ts")) < cut))
+    val delta = Rollup.daily(ev.filter(to_date(col("ts")) >= cut))
+    val exact = ev.groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users_exact"))
+    Rollup.readout(Rollup.merge(bootstrap, delta))
+      .join(exact, Seq("d", "event_type"))
+      .select(col("d"), col("event_type"), col("n"), col("value_sum"),
+        col("value_avg"), col("value_min"), col("value_max"),
+        col("users_exact"),
+        (abs(col("users_est") - col("users_exact")) <=
+          col("users_exact") * 0.05).as("within_5pct"))
+      .orderBy("d", "event_type")
+  }
+
   /** Semi-structured extraction: pull a typed field out of the JSON props
     * column and aggregate on it — `get_json_object` stays inside codegen
     * (no UDF), and the extraction happens after the scan so only the
@@ -708,6 +736,7 @@ object RelationalQueries {
     "cohort_retention" -> (cohortRetention _),
     "merge_upsert" -> (mergeUpsert _),
     "merge_cdc" -> (mergeCdc _),
+    "rollup_incremental" -> (rollupIncremental _),
     "window_functions" -> (windowFunctions _),
     "set_union" -> (setUnion _),
     "join_full_outer" -> (joinFullOuter _),
@@ -811,6 +840,21 @@ object RelationalQueries {
         "CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users " +
         "FROM weeks w JOIN cohort c ON w.user_id = c.user_id " +
         "GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset"),
+    "rollup_incremental" ->
+      ("WITH r AS (SELECT CAST(ts AS DATE) AS d, event_type, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        "SUM(CAST(round(value * 100) AS BIGINT)) AS cents, " +
+        "MIN(CAST(round(value * 100) AS BIGINT)) AS mn, " +
+        "MAX(CAST(round(value * 100) AS BIGINT)) AS mx, " +
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_exact " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT d, event_type, n, " +
+        "ROUND(cents / 100.0, 2) AS value_sum, " +
+        "ROUND(cents / 100.0 / n, 4) AS value_avg, " +
+        "ROUND(mn / 100.0, 2) AS value_min, " +
+        "ROUND(mx / 100.0, 2) AS value_max, " +
+        "users_exact, TRUE AS within_5pct " +
+        "FROM r ORDER BY d, event_type"),
     "merge_cdc" ->
       ("WITH ev AS (SELECT user_id, event_type, ts, event_id, " +
         "ROUND(value, 2) AS value FROM events), " +

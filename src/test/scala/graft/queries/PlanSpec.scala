@@ -275,6 +275,30 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges\n$p")
   }
 
+  test("merge_cdc: one keyed window pass, no tombstone join") {
+    val p = plan("merge_cdc")
+    assert(!p.contains("Join"), "delete handling must be a post-window filter")
+    val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).length
+    // union of two scans -> one (user, type) exchange + output sort
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges\n$p")
+  }
+
+  test("dedup_keep_best: winner selection is a group limit on the norm exchange") {
+    val p = plan("dedup_keep_best")
+    assert(!p.contains("Join"))
+    val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).length
+    // one norm-keyed exchange shared by the rank and count windows + sort
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges\n$p")
+  }
+
+  test("mode_per_group: map-side combinable count below the rank window") {
+    val p = plan("mode_per_group")
+    assert(p.contains("WindowGroupLimit"),
+      "rk = 1 must plan as a group limit so the exchange after the count " +
+        "carries at most |event types| rows per user")
+    assert(!p.contains("Join"))
+  }
+
   test("q8_market_share: dimension chains broadcast; only fact-fact joins shuffle") {
     val p = plan("q8_market_share")
     assert(!p.contains("CartesianProduct"))
