@@ -145,6 +145,37 @@ object EventBucketizer {
         col("view_ts"), col("click_ts"))
   }
 
+  /** LEFT OUTER variant of [[viewClickPairs]]: views that never click
+    * within `maxGap` emit with a NULL click side — but only once the
+    * watermark passes `view_ts + maxGap`, because until then a matching
+    * click could still arrive. That deferred-emission semantic is the
+    * streaming-correct version of "conversion failed", and it's why the
+    * outer side needs BOTH the watermark and the two-sided time bound:
+    * without the bound the engine could never prove a view unmatched
+    * and would buffer it forever. With a finite test input the tail of
+    * unmatched views (watermark never advances past the last event)
+    * legitimately stays open — the spec asserts exactly that subset
+    * relationship against the batch truth.
+    */
+  def viewClickPairsOuter(views: DataFrame, clicks: DataFrame,
+      maxGap: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", watermark)
+    val c = clicks
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    v.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") > col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $maxGap"),
+      "left_outer")
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Continuous writer: append daily buckets as date-partitioned parquet —
     * the streaming twin of ParquetCatalog.writeTable. Returns the started
     * query; caller owns lifecycle.

@@ -122,6 +122,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("outer stream-stream join: matches = inner truth; null-side rows emit only past the watermark") {
+    val src = java.nio.file.Files.createTempDirectory("graftssjo").toString
+    val batch = Fixtures.table(spark, sf0001, "events")
+    val views = batch.filter($"event_type" === "view")
+    val clicks = batch.filter($"event_type" === "click")
+    views.write.mode("overwrite").parquet(s"$src/views")
+    clicks.write.mode("overwrite").parquet(s"$src/clicks")
+    val vs = spark.readStream.schema(views.schema).parquet(s"$src/views")
+    val cs = spark.readStream.schema(clicks.schema).parquet(s"$src/clicks")
+    val q = EventBucketizer.viewClickPairsOuter(vs, cs).writeStream
+      .outputMode("append").format("memory").queryName("ssjo_out").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("ssjo_out").collect()
+      val gotMatched = out.filter(!_.isNullAt(2))
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      val gotUnmatched = out.filter(_.isNullAt(2)).map(_.getLong(1)).toSet
+      val truth = EventBucketizer.viewClickPairs(views, clicks)
+      val wantMatched = truth.select("view_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val wantUnmatched = views.select($"event_id").collect().map(_.getLong(0)).toSet --
+        wantMatched.map(_._1)
+      // matched pairs are exactly the inner-join truth
+      assert(gotMatched == wantMatched)
+      // null-side emissions are TRUE non-converters only (no false
+      // negatives), and only those the final watermark could prove —
+      // the tail of the finite input legitimately stays buffered
+      assert(gotUnmatched.subsetOf(wantUnmatched),
+        s"false unmatched: ${(gotUnmatched -- wantUnmatched).take(3)}")
+      assert(gotUnmatched.nonEmpty,
+        "watermark must close and emit early unmatched views")
+      // no view emitted both matched and unmatched
+      assert((gotUnmatched & gotMatched.map(_._1)).isEmpty)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment matches the batch join") {
     val src = java.nio.file.Files.createTempDirectory("graftenrich").toString
     val batch = Fixtures.table(spark, sf0001, "events")
