@@ -145,10 +145,12 @@ final class ParquetCatalog(val spark: SparkSession, val root: String) {
     * delete-then-rename swap would leave NO live copy on a failed
     * rename — and upsertInto calls this on every micro-batch).
     */
-  def replaceTable(name: String, df: DataFrame, sortCol: String = "date"): Unit = {
+  def replaceTable(name: String, df: DataFrame, sortCol: String = "date",
+      partitionCol: Option[String] = None): Unit = {
     val staging = new Path(s"$root/$name.staging")
     val out = if (df.columns.contains(sortCol)) df.sortWithinPartitions(sortCol) else df
-    out.write.mode("overwrite").parquet(staging.toString)
+    val writer = out.write.mode("overwrite")
+    partitionCol.fold(writer)(p => writer.partitionBy(p)).parquet(staging.toString)
     val target = new Path(tablePath(name))
     val aside = new Path(s"$root/$name.old")
     if (fs.exists(aside)) fs.delete(aside, true) // leftover from a prior crash
@@ -175,19 +177,39 @@ final class ParquetCatalog(val spark: SparkSession, val root: String) {
     * effective column-stats pruning. One distributed job: count, then a
     * round-robin `repartition(ceil(n / target))` (even output sizes
     * regardless of input skew), sorted within partitions on `sortCol` to
-    * restore min/max clustering. Returns the new file count.
+    * restore min/max clustering. Hive-partitioned tables MUST pass their
+    * `partitionCol`: the layout is re-applied on rewrite (shuffling on
+    * the partition column so each directory compacts to whole files) —
+    * without it the rewrite would silently flatten the directory layout
+    * and lose partition pruning, so a partitioned-looking table with no
+    * partitionCol is refused. Returns the new data-file count.
     */
   def compactTable(
       name: String,
       targetRowsPerFile: Long = 1000000L,
-      sortCol: String = "date"): Int = {
+      sortCol: String = "date",
+      partitionCol: Option[String] = None): Int = {
     require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val looksPartitioned = fs.listStatus(new Path(tablePath(name)))
+      .exists(s => s.isDirectory && s.getPath.getName.contains("="))
+    require(partitionCol.nonEmpty || !looksPartitioned,
+      s"$name has a hive-partitioned layout; pass partitionCol to preserve " +
+        "it (compacting without it would flatten the directories and lose " +
+        "partition pruning)")
     val df = load(name)
     val n = df.count()
     val parts = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
-    replaceTable(name, df.repartition(parts), sortCol)
-    fs.listStatus(new Path(tablePath(name)))
-      .count(s => s.getPath.getName.endsWith(".parquet"))
+    val shaped = partitionCol match {
+      case Some(p) => df.repartition(parts, org.apache.spark.sql.functions.col(p))
+      case None    => df.repartition(parts)
+    }
+    replaceTable(name, shaped, sortCol, partitionCol)
+    def dataFiles(p: Path): Int = {
+      val st = fs.listStatus(p)
+      st.count(s => s.isFile && s.getPath.getName.endsWith(".parquet")) +
+        st.filter(_.isDirectory).map(s => dataFiles(s.getPath)).sum
+    }
+    dataFiles(new Path(tablePath(name)))
   }
 
   private val interchangeFormats = Set("csv", "json", "orc")

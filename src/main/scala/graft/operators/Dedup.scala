@@ -92,10 +92,18 @@ object Dedup {
     * with `xxhash64(norm)`). Output: canonical (lowest) doc_id per
     * normalized class + multiplicity.
     */
+  /** The shared normalization: lowercase, collapse non-alphanumeric runs,
+    * trim. ONE definition for both normalized-dedup policies — the DuckDB
+    * oracles necessarily restate it in SQL, so a change here must land in
+    * dedup_exact_normalized/dedup_keep_best's oracle strings too (the
+    * driver hash compare fails loudly if they diverge).
+    */
+  private def normExpr: org.apache.spark.sql.Column =
+    trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+
   def exactNormalized(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"),
-        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("norm"))
+      .select(col("doc_id"), normExpr.as("norm"))
       .groupBy(col("norm"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
@@ -112,8 +120,7 @@ object Dedup {
       .partitionBy(col("norm"))
       .orderBy(col(scoreCol).desc, col("doc_id"))
     docs
-      .select(col("doc_id"), col(scoreCol),
-        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("norm"))
+      .select(col("doc_id"), col(scoreCol), normExpr.as("norm"))
       .withColumn("rk", row_number().over(w))
       .withColumn("n_copies", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("norm"))))

@@ -66,11 +66,15 @@ object Merge {
     require(versionCols.nonEmpty,
       "applyChanges needs >= 1 version column (end with a unique id for determinism)")
     val reserved = Set("__src", "__rn", "__op")
+    require(!reserved(opCol), s"opCol must not be a reserved internal name: $opCol")
     val clashes = (base.columns ++ changes.columns.filterNot(_ == opCol)).filter(reserved)
     require(clashes.isEmpty,
       s"reserved internal column name(s) in input: ${clashes.distinct.mkString(", ")}")
     val b = base.withColumn("__src", lit(0)).withColumn("__op", lit("u"))
-    val u = changes.withColumn("__op", col(opCol)).drop(opCol)
+    // NULL op = upsert, explicitly: a nullable CDC op column must not
+    // silently tombstone (col =!= "d" is null-valued for null ops, and a
+    // null filter predicate DROPS the row)
+    val u = changes.withColumn("__op", coalesce(col(opCol), lit("u"))).drop(opCol)
       .withColumn("__src", lit(1))
     val w = Window
       .partitionBy(keys.map(col): _*)

@@ -102,6 +102,8 @@ object Sampling {
       strataCol: String,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    require(!df.columns.contains("rn"),
+      "input already has an 'rn' column — stratifiedExact emits its rank there")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))

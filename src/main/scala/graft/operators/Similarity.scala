@@ -310,6 +310,9 @@ object Similarity {
       seed.groupBy(_.getInt(0)).foreach { case (sp, rows) =>
         arr(sp) = rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
       }
+      require(arr.forall(_.nonEmpty),
+        s"PQ training sample is empty (corpus too small for sampleMod=$sampleMod" +
+          " — lower sampleMod or train on the full corpus)")
       arr
     }
     for (_ <- 0 until refineIters) {
@@ -393,19 +396,25 @@ object Similarity {
     val dsub = codebooks(0)(0).length
     val norm = normalize(queries)
       .withColumnRenamed("embedding", "qn")
-      .join(queries.select(col("vec_id"), col("embedding").as("qe")), "vec_id")
     val entries = (0 until m).flatMap { j =>
       val sub = slice(col("qn"), j * dsub + 1, dsub)
       val ss = VectorFunctions.dot(sub, sub)
       codebooks(j).indices.map(c => subDist(sub, ss, codebooks(j)(c)))
     }
-    norm.select(col("vec_id").as("query_id"), col("qe"), array(entries: _*).as("qtab"))
+    norm.select(col("vec_id").as("query_id"), array(entries: _*).as("qtab"))
   }
 
-  private def adcScore(m: Int, ksub: Int): Column =
-    (0 until m).map(j =>
-      element_at(col("qtab"), lit(j * ksub + 1) + element_at(col("codes"), j + 1)))
+  /** ADC lookup with offsets derived from the ACTUAL per-subspace
+    * codebook sizes — a small training sample can yield fewer than ksub
+    * centroids, and a hardcoded ksub stride would then misalign every
+    * subspace after the first (reading a neighbor subspace's distances).
+    */
+  private def adcScore(codebooks: Array[Array[Array[Double]]]): Column = {
+    val offsets = codebooks.map(_.length).scanLeft(0)(_ + _)
+    codebooks.indices.map(j =>
+      element_at(col("qtab"), lit(offsets(j) + 1) + element_at(col("codes"), j + 1)))
       .reduce(_ + _)
+  }
 
   /** Exact cosine re-rank of an oversampled (query_id, vec_id) candidate
     * head — shared by the PQ paths; the approximation never touches the
@@ -439,7 +448,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("vec_id"))
     val cand = codes
       .join(broadcast(qt), col("vec_id") =!= col("query_id"))
-      .withColumn("adc", adcScore(m, ksub))
+      .withColumn("adc", adcScore(books))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k * oversample)
       .select(col("query_id"), col("vec_id"))
@@ -476,7 +485,7 @@ object Similarity {
     val cand = codes
       .join(broadcast(qt), col("centroid_id") === col("probe_cell") &&
         col("vec_id") =!= col("query_id"))
-      .withColumn("adc", adcScore(m, ksub))
+      .withColumn("adc", adcScore(books))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k * oversample)
       .select(col("query_id"), col("vec_id"))

@@ -128,7 +128,14 @@ object EventBucketizer {
     * tested) — the plan differs only in state management.
     */
   def viewClickPairs(views: DataFrame, clicks: DataFrame,
-      maxGap: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+      maxGap: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    intervalJoin(views, clicks, maxGap, watermark, "inner")
+
+  /** Shared body of the inner/outer interval joins — one place for the
+    * join condition and watermarks, so the two variants cannot drift.
+    */
+  private def intervalJoin(views: DataFrame, clicks: DataFrame,
+      maxGap: String, watermark: String, joinType: String): DataFrame = {
     val v = views
       .select(col("user_id"), col("ts").as("view_ts"),
         col("event_id").as("view_id"))
@@ -140,7 +147,8 @@ object EventBucketizer {
     v.join(c,
       col("user_id") === col("c_user_id") &&
         col("click_ts") > col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $maxGap"))
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $maxGap"),
+      joinType)
       .select(col("user_id"), col("view_id"), col("click_id"),
         col("view_ts"), col("click_ts"))
   }
@@ -158,23 +166,8 @@ object EventBucketizer {
     * relationship against the batch truth.
     */
   def viewClickPairsOuter(views: DataFrame, clicks: DataFrame,
-      maxGap: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
-    val v = views
-      .select(col("user_id"), col("ts").as("view_ts"),
-        col("event_id").as("view_id"))
-      .withWatermark("view_ts", watermark)
-    val c = clicks
-      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
-        col("event_id").as("click_id"))
-      .withWatermark("click_ts", watermark)
-    v.join(c,
-      col("user_id") === col("c_user_id") &&
-        col("click_ts") > col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $maxGap"),
-      "left_outer")
-      .select(col("user_id"), col("view_id"), col("click_id"),
-        col("view_ts"), col("click_ts"))
-  }
+      maxGap: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    intervalJoin(views, clicks, maxGap, watermark, "left_outer")
 
   /** Continuous writer: append daily buckets as date-partitioned parquet —
     * the streaming twin of ParquetCatalog.writeTable. Returns the started

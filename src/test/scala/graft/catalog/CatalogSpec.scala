@@ -150,4 +150,28 @@ class CatalogSpec extends SparkSpec {
     assert(perFile.forall(_ <= 300), s"file sizes ${perFile.toSeq}")
     assert(cat.load("frag").filter(col("n") < 0).isEmpty)
   }
+
+  test("compactTable preserves a hive-partitioned layout; refuses without partitionCol") {
+    import org.apache.spark.sql.functions.{col, pmod}
+    val tmp = java.nio.file.Files.createTempDirectory("graftcompactp").toString
+    val cat = new ParquetCatalog(spark, tmp)
+    val df = spark.range(400).toDF("n")
+      .withColumn("grp", pmod(col("n"), org.apache.spark.sql.functions.lit(4L)))
+      .repartition(32)
+    cat.writeTable("pt", df, sortCol = "n", partitionCol = Some("grp"))
+    // silent flattening is refused
+    intercept[IllegalArgumentException](cat.compactTable("pt"))
+    // NOTE: hive partition values come back through directory-name
+    // inference, so the partition column's TYPE may narrow (long ->
+    // int); compare values, not boxed types
+    def rows() = cat.load("pt").collect()
+      .map(r => (r.get(0).toString, r.get(1).toString)).sorted.toSeq
+    val want = rows()
+    cat.compactTable("pt", targetRowsPerFile = 100, sortCol = "n",
+      partitionCol = Some("grp"))
+    val dir = new java.io.File(cat.tablePath("pt"))
+    val partDirs = dir.listFiles().filter(f => f.isDirectory && f.getName.startsWith("grp="))
+    assert(partDirs.length == 4, s"hive layout preserved, got ${dir.list().toSeq}")
+    assert(rows() == want, "partitioned compaction must be content-preserving")
+  }
 }

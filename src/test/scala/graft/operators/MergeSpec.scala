@@ -75,6 +75,16 @@ class MergeSpec extends SparkSpec {
     assert(!out.contains("k5"), "tombstone for an absent key adds nothing")
   }
 
+  test("applyChanges: NULL op means upsert, never a silent tombstone") {
+    val changes = Seq(
+      ("k1", 9L, "null-op", null.asInstanceOf[String])
+    ).toDF("k", "v", "payload", "op")
+    val out = Merge.applyChanges(base, changes, Seq("k"), Seq("v"))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out("k1") == "null-op", s"null op must upsert, got $out")
+    assert(out.keySet == Set("k1", "k2", "k3"))
+  }
+
   test("applyChanges with no deletes degenerates to upsert") {
     val ch = updates.withColumn("op", org.apache.spark.sql.functions.lit("u"))
     val a = Merge.applyChanges(base, ch, Seq("k"), Seq("v"))

@@ -171,13 +171,14 @@ class SimilaritySpec extends SparkSpec {
         assert(math.abs(c - r.getDouble(3)) < 1e-9)
       }
     }
-    // IVF pruning costs recall vs flat PQ but must stay usable
+    // IVF pruning must stay usable. (No upper bound vs flat PQ: both
+    // paths truncate to a k x oversample ADC head before the exact
+    // re-rank, so a true neighbor outside the flat scan's global head
+    // can legitimately survive inside its probed cell's head.)
     val ivfpq = Similarity.ivfPqTopK(emb, queries, dim = 64, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val ivfRecall = truth.count(ivfpq.contains).toDouble / truth.size
     assert(ivfRecall >= 0.4, s"ivf-pq recall collapsed: $ivfRecall")
-    assert(ivfRecall <= recall + 1e-9,
-      "cell pruning cannot ADD recall over the flat ADC scan")
   }
 
   test("pq encode: codes in range, deterministic, and ADC orders true neighbors first") {
