@@ -379,6 +379,66 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** EMBEDDING-level decontamination — the semantic twin of the shingle
+    * overlap sweep: train vectors whose cosine to ANY test-split vector
+    * clears `threshold` (paraphrased test material that no n-gram match
+    * catches). Exact form: the (small) test split broadcasts and train
+    * scans once — one pass over train, work = |train| x |test|, the
+    * quarantined oracle/verify baseline exactly like
+    * [[embeddingCosinePairs]]. Output per flagged train vector: how many
+    * test vectors it collides with and the worst cosine.
+    */
+  def decontaminateEmbedding(
+      emb: DataFrame, threshold: Double, testMod: Int = 5): DataFrame = {
+    val test = emb.filter(pmod(col("vec_id"), lit(testMod)) === 0)
+      .select(col("vec_id").as("t_id"), col("embedding").as("te"),
+        VectorFunctions.norm(col("embedding")).as("tn"))
+    emb.filter(pmod(col("vec_id"), lit(testMod)) =!= 0)
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("nrm"))
+      .join(broadcast(test))
+      .withColumn("cos", VectorFunctions.cosineWithNorms(
+        col("embedding"), col("te"), col("nrm"), col("tn")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_test_hits"), round(max(col("cos")), 6).as("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  /** Scale path for [[decontaminateEmbedding]]: LSH buckets on BOTH
+    * splits, candidates = (train, test) pairs sharing >= 1 (table,
+    * bucket), exact-cosine verify — candidate volume scales with bucket
+    * occupancy, never |train| x |test|. Same one-sided caveat as every
+    * LSH front: no false positives (the verify is exact), recall < 1
+    * (DedupSpec bounds it against the exact twin); `n_test_hits` counts
+    * candidate hits only, so it can undercount a flagged vector's true
+    * collision count.
+    */
+  def decontaminateEmbeddingLsh(
+      emb: DataFrame, threshold: Double, dim: Int, testMod: Int = 5,
+      numTables: Int = 16, bitsPerTable: Int = 3, seed: Long = 7L): DataFrame = {
+    val b = Similarity.lshBuckets(
+        emb.select(col("vec_id"), col("embedding")), dim, numTables, bitsPerTable, seed)
+      .select(col("vec_id"), col("tbl"), col("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val isTest = (id: org.apache.spark.sql.Column) => pmod(id, lit(testMod)) === 0
+    val cand = b.filter(!isTest(col("vec_id"))).as("a")
+      .join(b.filter(isTest(col("vec_id")))
+          .select(col("vec_id").as("t_id"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .select(col("vec_id"), col("t_id"))
+      .distinct()
+    val e = emb.select(col("vec_id"), col("embedding"))
+    cand
+      .join(e, "vec_id")
+      .join(e.select(col("vec_id").as("t_id"), col("embedding").as("te")), "t_id")
+      .withColumn("cos", VectorFunctions.cosine(col("embedding"), col("te")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_test_hits"), round(max(col("cos")), 6).as("max_cos"))
+      .orderBy("vec_id")
+  }
+
   /** Bloom-broadcast decontamination — the 100 TB twin of the exact
     * train/test shingle-overlap join ([[graft.queries.DataQueries
     * .decontaminate]]): at real scale nobody joins 100 TB of train

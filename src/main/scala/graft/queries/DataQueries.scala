@@ -434,7 +434,22 @@ object DataQueries {
     Dedup.exactKeepBest(table(spark, dir, "documents"), scoreCol = "n_chars")
       .orderBy("keep_id")
 
+  /** Embedding-level decontamination, exact form (quarantined
+    * |train| x |test| oracle — [[Dedup.decontaminateEmbedding]]).
+    */
+  def decontaminateEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Dedup.decontaminateEmbedding(table(spark, dir, "embeddings"), threshold = 0.45)
+
+  /** LSH-fronted scale twin (rows-only; DedupSpec bounds recall vs the
+    * exact form).
+    */
+  def decontaminateEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.decontaminateEmbeddingLsh(table(spark, dir, "embeddings"),
+      threshold = 0.45, dim = 64)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontaminate_embedding" -> (decontaminateEmbedding _),
+    "decontaminate_embedding_lsh" -> (decontaminateEmbeddingLsh _),
     "sample_stratified" -> (sampleStratified _),
     "dedup_exact_normalized" -> (dedupExactNormalized _),
     "dedup_keep_best" -> (dedupKeepBest _),
@@ -544,6 +559,15 @@ object DataQueries {
         "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) " +
         "SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, source " +
         "FROM r WHERE rn <= 20 ORDER BY lang, rn"),
+    "decontaminate_embedding" ->
+      ("WITH p AS (SELECT tr.vec_id, " +
+        "list_cosine_similarity(CAST(tr.embedding AS DOUBLE[]), " +
+        "CAST(te.embedding AS DOUBLE[])) AS cs " +
+        "FROM (SELECT * FROM embeddings WHERE vec_id % 5 <> 0) tr " +
+        "JOIN (SELECT * FROM embeddings WHERE vec_id % 5 = 0) te ON true) " +
+        "SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_test_hits, " +
+        "ROUND(MAX(cs), 6) AS max_cos " +
+        "FROM p WHERE cs >= 0.45 GROUP BY vec_id ORDER BY vec_id"),
     "dedup_keep_best" ->
       ("WITH n AS (SELECT doc_id, n_chars, " +
         "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm " +

@@ -114,6 +114,23 @@ class DedupSpec extends SparkSpec {
       s"bloom flagged ${bloom.size - exact.size} extra docs over ${exact.size} exact")
   }
 
+  test("embedding decontamination: LSH twin has no false flags, recall >= 0.8, hits never inflate") {
+    val emb = Fixtures.table(spark, sf0001, "embeddings")
+    val exact = Dedup.decontaminateEmbedding(emb, 0.45)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Dedup.decontaminateEmbeddingLsh(emb, 0.45, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty, "fixtures contain cross-split near-dup embeddings")
+    // exact-cosine verify stage => no false positives, and a candidate
+    // subset can only UNDER-count a vector's true collisions
+    lsh.foreach { case (id, n) =>
+      assert(exact.contains(id), s"lsh flagged clean train vector $id")
+      assert(n <= exact(id), s"lsh over-counted $id: $n > ${exact(id)}")
+    }
+    val recall = exact.keys.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"lsh decontamination recall $recall over ${exact.size} flagged")
+  }
+
   test("embedding cosine pairs: symmetric-free, above threshold, deterministic") {
     val emb = Fixtures.table(spark, sf0001, "embeddings")
     val pairs = Dedup.embeddingCosinePairs(emb, 0.45).collect()
