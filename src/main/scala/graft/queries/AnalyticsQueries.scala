@@ -876,7 +876,37 @@ object AnalyticsQueries {
       .orderBy("type_mask")
   }
 
+  /** welchTTest (ClickHouse): two-sample t statistic with unequal
+    * variances (view vs purchase values) plus the Welch–Satterthwaite
+    * df. Both sides reduce to one-row (mean, var, n) aggregates — the
+    * only join is a broadcast of two single rows (the HeavyHitters
+    * one-row-crossJoin precedent); var_samp is a single-pass streaming
+    * aggregate in both engines, and the t arithmetic is closed-form, so
+    * the oracle shares it verbatim.
+    */
+  def welchTtest(spark: SparkSession, dir: String): DataFrame = {
+    val s = table(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(avg(col("value")).as("m"), var_samp(col("value")).as("v"),
+        count(lit(1)).cast("double").as("n"))
+    val a = s.filter(col("event_type") === "view")
+      .select(col("m").as("am"), col("v").as("av"), col("n").as("an"))
+    val b = s.filter(col("event_type") === "purchase")
+      .select(col("m").as("bm"), col("v").as("bv"), col("n").as("bn"))
+    val se2 = col("av") / col("an") + col("bv") / col("bn")
+    a.crossJoin(broadcast(b))
+      .select(
+        round(col("am") - col("bm"), 4).as("mean_diff"),
+        round((col("am") - col("bm")) / sqrt(se2), 5).as("t_stat"),
+        round(pow(se2, 2) /
+          (pow(col("av") / col("an"), 2) / (col("an") - 1) +
+            pow(col("bv") / col("bn"), 2) / (col("bn") - 1)), 2).as("df_welch"),
+        col("an").cast("long").as("n_a"), col("bn").cast("long").as("n_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "welch_ttest" -> (welchTtest _),
     "running_concurrency" -> (runningConcurrency _),
     "user_type_mask" -> (userTypeMask _),
     "quantile_weighted" -> (quantileWeighted _),
@@ -918,6 +948,18 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "welch_ttest" ->
+      ("WITH s AS (SELECT event_type, AVG(value) AS m, VAR_SAMP(value) AS v, " +
+        "CAST(COUNT(*) AS DOUBLE) AS n FROM events " +
+        "WHERE event_type IN ('view', 'purchase') GROUP BY 1), " +
+        "a AS (SELECT m, v, n FROM s WHERE event_type = 'view'), " +
+        "b AS (SELECT m, v, n FROM s WHERE event_type = 'purchase') " +
+        "SELECT ROUND(a.m - b.m, 4) AS mean_diff, " +
+        "ROUND((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 5) AS t_stat, " +
+        "ROUND(POW(a.v / a.n + b.v / b.n, 2) / " +
+        "(POW(a.v / a.n, 2) / (a.n - 1) + POW(b.v / b.n, 2) / (b.n - 1)), 2) " +
+        "AS df_welch, " +
+        "CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b FROM a, b"),
     "running_concurrency" ->
       ("WITH pts AS (" +
         "SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, 1 AS d FROM events " +

@@ -210,4 +210,33 @@ object EventBucketizer {
         catalog.replaceTable(tableName, merged, sortCol = keys.head)
       }
       .start()
+
+  /** Continuous incremental-rollup maintenance: each micro-batch of raw
+    * events folds into the persisted daily rollup through
+    * [[graft.operators.Rollup.merge]] — the streaming materialized-view
+    * loop. Every rollup column is a monoid (counts, exact cent sums,
+    * min/max, HLL sketch states), so per trigger the work is
+    * Rollup.daily(batch) over the BATCH only plus a merge shuffled on
+    * (day, type) — one row per touched key — never a rescan of history;
+    * the result lands through the catalog's crash-safe staging swap.
+    * RollupSpec pins the fold algebra; StreamingSpec pins stream ≡ batch
+    * on the final table.
+    */
+  def rollupInto(
+      events: DataFrame,
+      catalog: graft.catalog.ParquetCatalog,
+      tableName: String,
+      checkpoint: String) =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = graft.operators.Rollup.daily(batch)
+        val merged =
+          if (catalog.tableExists(tableName))
+            graft.operators.Rollup.merge(catalog.load(tableName), delta)
+          else delta
+        catalog.replaceTable(tableName, merged, sortCol = "d")
+      }
+      .start()
 }

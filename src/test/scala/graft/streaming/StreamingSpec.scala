@@ -234,6 +234,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rollup maintenance: the folded table equals the one-shot batch rollup") {
+    val src = java.nio.file.Files.createTempDirectory("graftroll").toString
+    val batch = Fixtures.table(spark, sf0001, "events")
+    // split the fixture into two file-drops so several micro-batches fold
+    batch.filter($"event_id" % 2 === 0).write.parquet(s"$src/in")
+    val cat = new graft.catalog.ParquetCatalog(spark, s"$src/cat")
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$src/in")
+    val q = EventBucketizer.rollupInto(stream, cat, "daily", s"$src/ckpt")
+    try {
+      q.processAllAvailable()
+      batch.filter($"event_id" % 2 === 1).write.mode("append").parquet(s"$src/in")
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Rollup.readout(df)
+          .select("d", "event_type", "n", "value_sum", "value_min", "value_max")
+          .collect().map(_.toSeq).toSet
+      assert(rows(cat.load("daily")) == rows(graft.operators.Rollup.daily(batch)),
+        "incrementally folded rollup must equal the one-shot batch rollup")
+      // sketch survives the fold: estimates within 5% of exact per cell
+      val exact = batch.groupBy(to_date($"ts").as("d"), $"event_type")
+        .agg(countDistinct($"user_id").as("ex"))
+      val bad = graft.operators.Rollup.readout(cat.load("daily"))
+        .join(exact, Seq("d", "event_type"))
+        .filter(abs($"users_est" - $"ex") > $"ex" * 0.05).count()
+      assert(bad == 0, s"$bad cells drifted past 5% after the streaming fold")
+    } finally q.stop()
+  }
+
   test("streaming sliding reach tracks the exact batch trailing-window reach") {
     val src = java.nio.file.Files.createTempDirectory("graftreach").toString
     val batch = Fixtures.table(spark, sf0001, "events")
