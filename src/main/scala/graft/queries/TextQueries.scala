@@ -322,7 +322,48 @@ object TextQueries {
       .orderBy("decile")
   }
 
+  /** CCNet-style perplexity filtering [public: Wenzek et al. 2020], with
+    * the LM trained ON the corpus itself so the whole query is
+    * deterministic and oracle-able: a Laplace-smoothed bigram model
+    * (p = (c12 + 1) / (c1 + |V|)) scores each document's mean log2
+    * probability; high-ppl outliers are the quality-filter drop set.
+    * Plan shape: bigrams come from one doc-keyed lead() window (the
+    * oracle's positional self-join, minus a join); the count tables are
+    * map-side-combinable aggregates; scoring joins are keyed on the
+    * bigram/unigram — at a bounded vocabulary the LM sides broadcast,
+    * and an open-domain corpus caps the vocab first (heavy_hitters is
+    * that operator). avg(log2) is reassociated under partial
+    * aggregation, hence the 4-decimal round shared with the oracle.
+    */
+  def textPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val bg = toks
+      .withColumn("w2", lead(col("tok"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("tok").as("w1"), col("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("double").as("c12"))
+    val c1 = bg.groupBy(col("w1"))
+      .agg(count(lit(1)).cast("double").as("c1"))
+    val vocab = toks.agg(countDistinct(col("tok")).cast("double").as("vocab"))
+    bg
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        log2((col("c12") + 1) / (col("c1") + col("vocab"))).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("lp")), 4).as("avg_log2p"),
+        round(pow(lit(2.0), -avg(col("lp"))), 2).as("ppl_proxy"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_perplexity" -> (textPerplexity _),
     "quality_deciles" -> (qualityDeciles _),
     "quality_deciles_approx" -> (qualityDecilesApprox _),
     "sample_reservoir" -> (sampleReservoir _),
@@ -378,6 +419,23 @@ object TextQueries {
       s"/ GREATEST($tokCount, 1), 6)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_perplexity" ->
+      ("WITH toks AS (SELECT doc_id, u.tok, u.pos FROM documents, " +
+        "(SELECT unnest(string_split(text, ' ')) AS tok, " +
+        "generate_subscripts(string_split(text, ' '), 1) AS pos) u), " +
+        "bg AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2 FROM toks a " +
+        "JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), " +
+        "c12 AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c " +
+        "FROM bg GROUP BY 1, 2), " +
+        "c1 AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c FROM bg GROUP BY 1), " +
+        "v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS vocab FROM toks), " +
+        "scored AS (SELECT bg.doc_id, " +
+        "log2((c12.c + 1) / (c1.c + v.vocab)) AS lp " +
+        "FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, " +
+        "ROUND(AVG(lp), 4) AS avg_log2p, " +
+        "ROUND(POW(2.0, -AVG(lp)), 2) AS ppl_proxy " +
+        "FROM scored GROUP BY doc_id ORDER BY doc_id"),
     "quality_deciles" ->
       (s"WITH scored AS (SELECT doc_id, $qualityExpr AS q FROM documents) " +
         "SELECT decile, COUNT(*) AS n_docs, ROUND(MIN(q), 6) AS q_min, " +
