@@ -275,6 +275,26 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges\n$p")
   }
 
+  test("text_perplexity: bigrams via window (no positional self-join); counts keyed on the bigram") {
+    val p = plan("text_perplexity")
+    val scans = """Scan parquet\s+\(\d+\)""".r.findAllIn(p).length
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop join allowed is the 1-row vocab broadcast
+    // (tree-form match only — the details section repeats each node)
+    val bnlj = """BroadcastNestedLoopJoin \w+ \w+ \(\d+\)""".r.findAllIn(p).length
+    assert(bnlj <= 1, s"only the vocab crossJoin may nest-loop, got $bnlj\n$p")
+    assert(p.contains("Window ("), "bigram pairing must be a lead() window")
+    assert(scans <= 6, s"token explode re-scans bounded, got $scans\n$p")
+  }
+
+  test("rollup_incremental: merge shuffles partial states on (d, type), never re-scans history twice") {
+    val p = plan("rollup_incremental")
+    assert(!p.contains("CartesianProduct"))
+    val scans = """Scan parquet\s+\(\d+\)""".r.findAllIn(p).length
+    // bootstrap + delta + the exact-users check = 3 reads of events
+    assert(scans <= 3, s"expected <=3 events scans, got $scans\n$p")
+  }
+
   test("merge_cdc: one keyed window pass, no tombstone join") {
     val p = plan("merge_cdc")
     assert(!p.contains("Join"), "delete handling must be a post-window filter")
