@@ -759,29 +759,39 @@ object AnalyticsQueries {
     * the same operation order (same-ulp results).
     */
   def seriesInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    // The ENTIRE value path is integer cents until the final /100.0:
+    // daily sums as exact cent longs (order-independent under partial
+    // aggregation) and the interpolation itself as integer arithmetic
+    // with an explicit half-up floor — float rounding never enters.
+    // Discovered at sf0.1: double daily sums plus round(x, 2) disagreed
+    // across engines on .005-boundary values (Spark's round goes through
+    // shortest-decimal-string conversion, DuckDB rounds the raw binary),
+    // so three interpolated cells flipped by a cent.
     val daily = table(spark, dir, "events")
       .filter(col("event_type") === "purchase" && col("user_id") < 10)
       .groupBy(col("user_id"), to_date(col("ts")).as("d"))
-      .agg(round(sum(col("value")), 2).as("v"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("vc"))
     val spine = daily.groupBy(col("user_id"))
       .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
       .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("d"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
     val asc = w.rowsBetween(Window.unboundedPreceding, 0)
     val desc = w.rowsBetween(0, Window.unboundedFollowing)
+    val k = datediff(col("d"), col("pd")).cast("long")
+    val m = datediff(col("nd"), col("pd")).cast("long")
+    val interpC = col("pv") +
+      floor(((col("nv") - col("pv")) * k * 2 + m) / (m * 2)).cast("long")
     spine.join(daily, Seq("user_id", "d"), "left")
-      .withColumn("pv", last(col("v"), ignoreNulls = true).over(asc))
-      .withColumn("pd", last(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(asc))
-      .withColumn("nv", first(col("v"), ignoreNulls = true).over(desc))
-      .withColumn("nd", first(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(desc))
+      .withColumn("pv", last(col("vc"), ignoreNulls = true).over(asc))
+      .withColumn("pd", last(when(col("vc").isNotNull, col("d")), ignoreNulls = true).over(asc))
+      .withColumn("nv", first(col("vc"), ignoreNulls = true).over(desc))
+      .withColumn("nd", first(when(col("vc").isNotNull, col("d")), ignoreNulls = true).over(desc))
       .select(col("user_id"), col("d").as("day"),
-        round(coalesce(col("v"),
+        (coalesce(col("vc"),
           when(col("pv").isNull, col("nv"))
             .when(col("nv").isNull, col("pv"))
-            .otherwise(col("pv") + (col("nv") - col("pv")) *
-              datediff(col("d"), col("pd")) / datediff(col("nd"), col("pd")))), 2)
-          .as("v_filled"),
-        when(col("v").isNull, 1).otherwise(0).cast("int").as("interpolated"))
+            .otherwise(interpC)) / 100.0).as("v_filled"),
+        when(col("vc").isNull, 1).otherwise(0).cast("int").as("interpolated"))
       .orderBy("user_id", "day")
   }
 
@@ -905,7 +915,37 @@ object AnalyticsQueries {
         col("an").cast("long").as("n_a"), col("bn").cast("long").as("n_b"))
   }
 
+  /** mannWhitneyUTest (ClickHouse): rank-sum test with average ranks at
+    * ties (exact under duplicate values) and the normal-approximation z.
+    * The ranking needs ONE global ordering — inherent to a rank
+    * statistic, the quality_deciles precedent: O(1) running-window
+    * state, a single output row, and at corpora where a global sort of
+    * the two samples is unaffordable the standard move is testing on a
+    * deterministic hash-sample upstream (Sampling.splitLabel).
+    */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val s = table(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"), col("value"))
+    val ar = rank().over(Window.orderBy(col("value"))) +
+      (count(lit(1)).over(Window.partitionBy(col("value"))) - 1) / 2.0
+    val isA = col("event_type") === "view"
+    val agg = s.withColumn("ar", ar)
+      .agg(
+        sum(when(isA, col("ar")).otherwise(0.0)).as("r1"),
+        sum(when(isA, 1).otherwise(0)).cast("double").as("n1"),
+        sum(when(!isA, 1).otherwise(0)).cast("double").as("n2"))
+    val u = col("r1") - col("n1") * (col("n1") + 1) / 2
+    agg.select(
+      round(u, 1).as("u_stat"),
+      round((u - col("n1") * col("n2") / 2) /
+        sqrt(col("n1") * col("n2") * (col("n1") + col("n2") + 1) / 12), 5)
+        .as("z_score"),
+      col("n1").cast("long").as("n_a"), col("n2").cast("long").as("n_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mann_whitney" -> (mannWhitney _),
     "welch_ttest" -> (welchTtest _),
     "running_concurrency" -> (runningConcurrency _),
     "user_type_mask" -> (userTypeMask _),
@@ -948,6 +988,20 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "mann_whitney" ->
+      ("WITH s AS (SELECT event_type, value FROM events " +
+        "WHERE event_type IN ('view', 'purchase')), " +
+        "r AS (SELECT event_type, RANK() OVER (ORDER BY value) + " +
+        "(COUNT(*) OVER (PARTITION BY value) - 1) / 2.0 AS ar FROM s), " +
+        "agg AS (SELECT " +
+        "SUM(CASE WHEN event_type = 'view' THEN ar ELSE 0 END) AS r1, " +
+        "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE) AS n1, " +
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS n2 " +
+        "FROM r) " +
+        "SELECT ROUND(r1 - n1 * (n1 + 1) / 2, 1) AS u_stat, " +
+        "ROUND((r1 - n1 * (n1 + 1) / 2 - n1 * n2 / 2) / " +
+        "sqrt(n1 * n2 * (n1 + n2 + 1) / 12), 5) AS z_score, " +
+        "CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b FROM agg"),
     "welch_ttest" ->
       ("WITH s AS (SELECT event_type, AVG(value) AS m, VAR_SAMP(value) AS v, " +
         "CAST(COUNT(*) AS DOUBLE) AS n FROM events " +
@@ -1039,33 +1093,35 @@ object AnalyticsQueries {
         "event_type || ':' || CAST(mn AS VARCHAR) || ':' || CAST(mx AS VARCHAR)" +
         ")), ',') AS type_minmax, CAST(COUNT(*) AS BIGINT) AS n_types " +
         "FROM g GROUP BY user_id ORDER BY user_id"),
+    // mirrors the all-integer-cents interpolation (see seriesInterpolate):
+    // no float rounding anywhere, /100.0 only on the final cent value
     "series_interpolate" ->
       ("WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, " +
-        "ROUND(SUM(value), 2) AS v FROM events " +
+        "SUM(CAST(round(value * 100) AS BIGINT)) AS vc FROM events " +
         "WHERE event_type = 'purchase' AND user_id < 10 GROUP BY 1, 2), " +
         "bounds AS (SELECT user_id, MIN(d) AS lo, MAX(d) AS hi " +
         "FROM daily GROUP BY 1), " +
         "spine AS (SELECT user_id, CAST(lo + CAST(x AS INTEGER) AS DATE) AS d " +
         "FROM bounds, unnest(generate_series(0, CAST(hi - lo AS INTEGER))) t(x)), " +
-        "j AS (SELECT s.user_id, s.d, daily.v FROM spine s " +
+        "j AS (SELECT s.user_id, s.d, daily.vc FROM spine s " +
         "LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d), " +
-        "w AS (SELECT user_id, d, v, " +
-        "LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d " +
+        "w AS (SELECT user_id, d, vc, " +
+        "LAST_VALUE(vc IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv, " +
-        "LAST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) " +
+        "LAST_VALUE(CASE WHEN vc IS NOT NULL THEN d END IGNORE NULLS) " +
         "OVER (PARTITION BY user_id ORDER BY d " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd, " +
-        "FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d " +
+        "FIRST_VALUE(vc IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d " +
         "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv, " +
-        "FIRST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) " +
+        "FIRST_VALUE(CASE WHEN vc IS NOT NULL THEN d END IGNORE NULLS) " +
         "OVER (PARTITION BY user_id ORDER BY d " +
         "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd FROM j) " +
         "SELECT user_id, d AS day, " +
-        "ROUND(COALESCE(v, CASE WHEN pv IS NULL THEN nv " +
-        "WHEN nv IS NULL THEN pv " +
-        "ELSE pv + (nv - pv) * CAST(d - pd AS INTEGER) / CAST(nd - pd AS INTEGER) " +
-        "END), 2) AS v_filled, " +
-        "CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INT) AS interpolated " +
+        "COALESCE(vc, CASE WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv " +
+        "ELSE pv + CAST(floor(((nv - pv) * CAST(d - pd AS BIGINT) * 2 + " +
+        "CAST(nd - pd AS BIGINT)) / (CAST(nd - pd AS BIGINT) * 2.0)) AS BIGINT) " +
+        "END) / 100.0 AS v_filled, " +
+        "CAST(CASE WHEN vc IS NULL THEN 1 ELSE 0 END AS INT) AS interpolated " +
         "FROM w ORDER BY user_id, day"),
     "string_functions_ext" ->
       ("SELECT p_partkey, regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head, " +

@@ -785,17 +785,27 @@ object RelationalQueries {
         "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
         "FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '1998-09-01' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    // json_extract must only ever see rows a WHERE json_valid filter has
+    // already passed: guarding it inside a CASE/OR is NOT short-circuit
+    // safe under DuckDB's vectorized evaluation (it errored on the
+    // malformed rows at sf0.1 while passing at sf0.01)
     "json_quarantine" ->
       ("WITH salted AS (SELECT event_id, event_type, " +
         "CASE WHEN event_id % 7 = 0 THEN 'broken{' || props ELSE props END AS props " +
-        "FROM events) " +
-        "SELECT event_type, COUNT(*) AS n, " +
-        "CAST(SUM(CASE WHEN NOT json_valid(props) " +
-        "OR json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
-        "AS n_quarantined, " +
-        "CAST(SUM(CASE WHEN json_valid(props) " +
-        "THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS BIGINT) AS k_sum " +
-        "FROM salted GROUP BY event_type ORDER BY event_type"),
+        "FROM events), " +
+        "flags AS (SELECT event_type, props, json_valid(props) AS ok FROM salted), " +
+        "good AS (SELECT event_type, " +
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
+        "FROM flags WHERE ok), " +
+        "base AS (SELECT event_type, COUNT(*) AS n, " +
+        "CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid " +
+        "FROM flags GROUP BY 1), " +
+        "g AS (SELECT event_type, " +
+        "CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k, " +
+        "CAST(SUM(k) AS BIGINT) AS k_sum FROM good GROUP BY 1) " +
+        "SELECT base.event_type, n, " +
+        "base.n_invalid + COALESCE(g.n_null_k, 0) AS n_quarantined, g.k_sum " +
+        "FROM base LEFT JOIN g USING (event_type) ORDER BY event_type"),
     "moving_sum_range" ->
       ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, " +
         "ROUND(SUM(value), 2) AS daily_value FROM events GROUP BY 1, 2), " +
