@@ -944,7 +944,68 @@ object AnalyticsQueries {
       col("n1").cast("long").as("n_a"), col("n2").cast("long").as("n_b"))
   }
 
+  /** cramersV (ClickHouse): categorical association between event type
+    * and day-of-week from the chi-squared statistic of the contingency
+    * table. The heavy pass is one map-side-combinable cell count
+    * (|types| x 7 rows); the marginal/total windows and the chi-squared
+    * fold run on that tiny frame. The dow LABELS differ across engines
+    * (Spark 1..7 vs DuckDB 0..6) — irrelevant, chi2 is invariant to
+    * category naming and the labels aggregate away.
+    */
+  def cramersV(spark: SparkSession, dir: String): DataFrame = {
+    val cells = table(spark, dir, "events")
+      .groupBy(col("event_type"), dayofweek(to_date(col("ts"))).as("dow"))
+      .agg(count(lit(1)).cast("double").as("o"))
+    val e = col("rt") * col("ct") / col("n")
+    cells
+      .withColumn("rt", sum(col("o")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("ct", sum(col("o")).over(Window.partitionBy(col("dow"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      .agg(
+        sum(pow(col("o") - e, 2) / e).as("chi2"),
+        first(col("n")).as("n"),
+        countDistinct(col("event_type")).cast("double").as("r"),
+        countDistinct(col("dow")).cast("double").as("c"))
+      .select(round(col("chi2"), 4).as("chi2"),
+        round(sqrt(col("chi2") / (col("n") * (least(col("r"), col("c")) - 1))), 6)
+          .as("cramers_v"),
+        ((col("r") - 1) * (col("c") - 1)).cast("long").as("dof"),
+        col("n").cast("long").as("n"))
+  }
+
+  /** kolmogorovSmirnovTest (ClickHouse, two-sample): D = max ECDF gap
+    * between the view and purchase value distributions, plus the
+    * sqrt(n1 n2 / (n1+n2))-normalized statistic. One global RANGE-framed
+    * cumulative window (ties share the cumulative, so the ECDF is
+    * well-defined under duplicates) — the quality_deciles/mann_whitney
+    * global-ordering precedent: O(1) window state, one output row,
+    * hash-sample upstream when a full sort is unaffordable.
+    */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    val s = table(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"), col("value"))
+    val cum = Window.orderBy(col("value"))
+    val all = Window.partitionBy()
+    val isA = when(col("event_type") === "view", 1).otherwise(0)
+    val isB = when(col("event_type") === "purchase", 1).otherwise(0)
+    val gap = abs(col("c1") / col("n1").cast("double") -
+      col("c2") / col("n2").cast("double"))
+    s.withColumn("c1", sum(isA).over(cum))
+      .withColumn("c2", sum(isB).over(cum))
+      .withColumn("n1", sum(isA).over(all))
+      .withColumn("n2", sum(isB).over(all))
+      .agg(
+        round(max(gap), 6).as("d_stat"),
+        round(max(gap) * sqrt((first(col("n1")) * first(col("n2"))).cast("double") /
+          (first(col("n1")) + first(col("n2")))), 5).as("ks_norm"),
+        first(col("n1")).cast("long").as("n_a"),
+        first(col("n2")).cast("long").as("n_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cramers_v" -> (cramersV _),
+    "ks_test" -> (ksTest _),
     "mann_whitney" -> (mannWhitney _),
     "welch_ttest" -> (welchTtest _),
     "running_concurrency" -> (runningConcurrency _),
@@ -988,6 +1049,39 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "cramers_v" ->
+      ("WITH cells AS (SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow, " +
+        "CAST(COUNT(*) AS DOUBLE) AS o FROM events GROUP BY 1, 2), " +
+        "tot AS (SELECT event_type, dow, o, " +
+        "SUM(o) OVER (PARTITION BY event_type) AS rt, " +
+        "SUM(o) OVER (PARTITION BY dow) AS ct, " +
+        "SUM(o) OVER () AS n FROM cells), " +
+        "chi AS (SELECT SUM(POW(o - rt * ct / n, 2) / (rt * ct / n)) AS chi2, " +
+        "ANY_VALUE(n) AS n, " +
+        "CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS r, " +
+        "CAST(COUNT(DISTINCT dow) AS DOUBLE) AS c FROM tot) " +
+        "SELECT ROUND(chi2, 4) AS chi2, " +
+        "ROUND(sqrt(chi2 / (n * (LEAST(r, c) - 1))), 6) AS cramers_v, " +
+        "CAST((r - 1) * (c - 1) AS BIGINT) AS dof, CAST(n AS BIGINT) AS n " +
+        "FROM chi"),
+    "ks_test" ->
+      ("WITH s AS (SELECT value, event_type FROM events " +
+        "WHERE event_type IN ('view', 'purchase')), " +
+        "c AS (SELECT value, " +
+        "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) " +
+        "OVER (ORDER BY value) AS c1, " +
+        "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "OVER (ORDER BY value) AS c2, " +
+        "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER () AS n1, " +
+        "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER () AS n2 " +
+        "FROM s) " +
+        "SELECT ROUND(MAX(ABS(c1 / CAST(n1 AS DOUBLE) - c2 / CAST(n2 AS DOUBLE))), 6) " +
+        "AS d_stat, " +
+        "ROUND(MAX(ABS(c1 / CAST(n1 AS DOUBLE) - c2 / CAST(n2 AS DOUBLE))) * " +
+        "sqrt(CAST(ANY_VALUE(n1) * ANY_VALUE(n2) AS DOUBLE) / " +
+        "(ANY_VALUE(n1) + ANY_VALUE(n2))), 5) AS ks_norm, " +
+        "CAST(ANY_VALUE(n1) AS BIGINT) AS n_a, CAST(ANY_VALUE(n2) AS BIGINT) AS n_b " +
+        "FROM c"),
     "mann_whitney" ->
       ("WITH s AS (SELECT event_type, value FROM events " +
         "WHERE event_type IN ('view', 'purchase')), " +
