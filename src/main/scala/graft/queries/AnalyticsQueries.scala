@@ -1003,9 +1003,82 @@ object AnalyticsQueries {
         first(col("n2")).cast("long").as("n_b"))
   }
 
+  /** rankCorr (ClickHouse): Spearman rank correlation with average ranks
+    * at ties — here between per-user activity (event count) and per-user
+    * total value. The heavy pass is the map-side-combinable per-user
+    * aggregate; the rank windows run on the per-user frame (|users| rows,
+    * orders of magnitude below |events|), then Pearson corr of the ranks.
+    * Same global-ordering caveat as [[mannWhitney]]: a rank statistic
+    * needs one total order, O(1) window state, one output row.
+    */
+  def rankCorr(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = table(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("double").as("x"), sum(col("value")).as("y"))
+    def avgRank(c: String) =
+      rank().over(Window.orderBy(col(c))) +
+        (count(lit(1)).over(Window.partitionBy(col(c))) - 1) / 2.0
+    perUser
+      .withColumn("rx", avgRank("x"))
+      .withColumn("ry", avgRank("y"))
+      .agg(round(corr(col("rx"), col("ry")), 6).as("spearman_rho"),
+        count(lit(1)).as("n_keys"))
+  }
+
+  /** theilsU (ClickHouse): the uncertainty coefficient
+    * U(X|Y) = (H(X) - H(X|Y)) / H(X) for X = event type, Y = day of week.
+    * Both entropies fold over the contingency cells in ONE aggregate
+    * (sum over cells of c/n ln(cx/n) telescopes to the marginal entropy,
+    * so no distinct-marginal pass is needed); the only shuffle is the
+    * map-side-combinable cell count. Label-naming invariant, so the
+    * engines' different dow numbering is irrelevant.
+    */
+  def theilsU(spark: SparkSession, dir: String): DataFrame = {
+    val cells = table(spark, dir, "events")
+      .groupBy(col("event_type").as("x"), dayofweek(to_date(col("ts"))).as("y"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val hx = -sum(col("c") / col("n") * log(col("cx") / col("n")))
+    val hxy = -sum(col("c") / col("n") * log(col("c") / col("cy")))
+    cells
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+      .withColumn("cx", sum(col("c")).over(Window.partitionBy(col("x"))))
+      .withColumn("cy", sum(col("c")).over(Window.partitionBy(col("y"))))
+      .agg(round(hx, 6).as("h_x"), round(hxy, 6).as("h_x_given_y"),
+        round((hx - hxy) / hx, 6).as("theils_u"),
+        count(lit(1)).as("n_cells"))
+  }
+
+  /** simpleLinearRegression (ClickHouse): per-event-type least-squares
+    * value ~ time fit from the population covariance/variance moments —
+    * one map-side-combinable aggregate, no window, no second pass.
+    * slope = covar_pop(y,x)/var_pop(x) — DuckDB REGR_SLOPE's arithmetic.
+    * Reported as per-DAY slope plus the fitted value at a reference
+    * date inside the data range: the classic epoch-0 intercept
+    * amplifies any 1-ulp slope difference by mean(x) ~ 1.7e9 s, whereas
+    * |x_ref - mean(x)| is bounded by the data span, so both outputs are
+    * stable to far below the rounding grain across engines.
+    */
+  def linregSimple(spark: SparkSession, dir: String): DataFrame = {
+    val xRef = 1705276800d // 2024-01-15, mid-range of the events fixture
+    val x = col("ts").cast("double") // fractional epoch seconds
+    val slope = col("cxy") / col("vx")
+    table(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(covar_pop(col("value"), x).as("cxy"), var_pop(x).as("vx"),
+        avg(col("value")).as("my"), avg(x).as("mx"), count(lit(1)).as("n"))
+      .select(col("event_type"),
+        round(slope * 86400d, 6).as("slope_per_day"),
+        round(col("my") + slope * (lit(xRef) - col("mx")), 4).as("fit_at_ref"),
+        col("n"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cramers_v" -> (cramersV _),
     "ks_test" -> (ksTest _),
+    "linreg_simple" -> (linregSimple _),
+    "rank_corr" -> (rankCorr _),
+    "theils_u" -> (theilsU _),
     "mann_whitney" -> (mannWhitney _),
     "welch_ttest" -> (welchTtest _),
     "running_concurrency" -> (runningConcurrency _),
@@ -1049,6 +1122,33 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rank_corr" ->
+      ("WITH per_user AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS x, " +
+        "SUM(value) AS y FROM events GROUP BY 1), " +
+        "ranked AS (SELECT " +
+        "RANK() OVER (ORDER BY x) + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx, " +
+        "RANK() OVER (ORDER BY y) + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry " +
+        "FROM per_user) " +
+        "SELECT ROUND(CORR(rx, ry), 6) AS spearman_rho, COUNT(*) AS n_keys " +
+        "FROM ranked"),
+    "theils_u" ->
+      ("WITH cells AS (SELECT event_type AS x, dayofweek(CAST(ts AS DATE)) AS y, " +
+        "CAST(COUNT(*) AS DOUBLE) AS c FROM events GROUP BY 1, 2), " +
+        "tot AS (SELECT x, y, c, SUM(c) OVER () AS n, " +
+        "SUM(c) OVER (PARTITION BY x) AS cx, " +
+        "SUM(c) OVER (PARTITION BY y) AS cy FROM cells) " +
+        "SELECT ROUND(-SUM(c / n * LN(cx / n)), 6) AS h_x, " +
+        "ROUND(-SUM(c / n * LN(c / cy)), 6) AS h_x_given_y, " +
+        "ROUND((-SUM(c / n * LN(cx / n)) + SUM(c / n * LN(c / cy))) / " +
+        "(-SUM(c / n * LN(cx / n))), 6) AS theils_u, " +
+        "COUNT(*) AS n_cells FROM tot"),
+    "linreg_simple" ->
+      ("SELECT event_type, " +
+        "ROUND(REGR_SLOPE(value, EPOCH(ts)) * 86400, 6) AS slope_per_day, " +
+        "ROUND(AVG(value) + REGR_SLOPE(value, EPOCH(ts)) * " +
+        "(1705276800 - AVG(EPOCH(ts))), 4) AS fit_at_ref, " +
+        "COUNT(*) AS n " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
     "cramers_v" ->
       ("WITH cells AS (SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow, " +
         "CAST(COUNT(*) AS DOUBLE) AS o FROM events GROUP BY 1, 2), " +

@@ -362,7 +362,34 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Sliding-window document chunking — the step between curation and
+    * tokenization in an LLM data pipeline: split each document into
+    * window-of-64-tokens chunks with stride 48 (16-token overlap), the
+    * shape context-window packing consumes. Pure narrow pipeline: split +
+    * sequence + explode + slice — NO shuffle, no per-doc state beyond the
+    * token array, output linear in corpus tokens. At 100 TB this runs
+    * embarrassingly parallel per input split; the orderBy exists only for
+    * the deterministic oracle hash.
+    */
+  def docChunk(spark: SparkSession, dir: String): DataFrame = {
+    val win = 64
+    val stride = 48
+    val nChunks = // index of the last window start: ceil(max(n - win, 0) / stride)
+      ceil(greatest(col("n") - win, lit(0)).cast("double") / stride).cast("long")
+    table(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .withColumn("n", size(col("t")))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), nChunks)))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("t"), (col("chunk_idx") * stride + 1).cast("int"), lit(win)).as("ct"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ct")).cast("long").as("chunk_tokens"),
+        array_join(col("ct"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_chunk" -> (docChunk _),
     "text_perplexity" -> (textPerplexity _),
     "quality_deciles" -> (qualityDeciles _),
     "quality_deciles_approx" -> (qualityDecilesApprox _),
@@ -419,6 +446,17 @@ object TextQueries {
       s"/ GREATEST($tokCount, 1), 6)"
 
   val oracleSql: Map[String, String] = Map(
+    "doc_chunk" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t " +
+        "FROM documents), " +
+        "sized AS (SELECT doc_id, t, len(t) AS n FROM toks), " +
+        "chunks AS (SELECT doc_id, g.i AS chunk_idx, " +
+        "t[(g.i * 48 + 1):(LEAST(g.i * 48 + 64, n))] AS ct FROM sized, " +
+        "LATERAL (SELECT UNNEST(generate_series(0, " +
+        "CAST(CEIL(GREATEST(n - 64, 0) / 48.0) AS BIGINT))) AS i) g) " +
+        "SELECT doc_id, chunk_idx, CAST(len(ct) AS BIGINT) AS chunk_tokens, " +
+        "array_to_string(ct, ' ') AS chunk_text " +
+        "FROM chunks ORDER BY 1, 2"),
     "text_perplexity" ->
       ("WITH toks AS (SELECT doc_id, u.tok, u.pos FROM documents, " +
         "(SELECT unnest(string_split(text, ' ')) AS tok, " +

@@ -72,4 +72,68 @@ class AnalyticsInvariantsSpec extends SparkSpec {
     // chains — never more
     assert(sd(1) <= base(1), s"dedup step2 ${sd(1)} > base ${base(1)}")
   }
+
+  test("rank_corr: rho bounded, n_keys = distinct users") {
+    val r = AnalyticsQueries.rankCorr(spark, sf001).collect().head
+    val rho = r.getDouble(0)
+    assert(rho >= -1.0 && rho <= 1.0, s"rho out of range: $rho")
+    val users = Fixtures.table(spark, sf001, "events")
+      .select(countDistinct(col("user_id"))).collect().head.getLong(0)
+    assert(r.getLong(1) == users)
+  }
+
+  test("theils_u: bounded by [0,1], conditioning cannot add entropy") {
+    val r = AnalyticsQueries.theilsU(spark, sf001).collect().head
+    val (hx, hxy, u) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(hx > 0 && hxy >= 0)
+    assert(hxy <= hx + 1e-9, s"H(X|Y)=$hxy > H(X)=$hx")
+    assert(u >= 0.0 && u <= 1.0, s"U out of range: $u")
+    assert(math.abs(u - (hx - hxy) / hx) < 1e-5)
+  }
+
+  test("linreg_simple matches a brute-force least-squares fit per type") {
+    val got = AnalyticsQueries.linregSimple(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val pts = Fixtures.table(spark, sf001, "events")
+      .select(col("event_type"), col("ts").cast("double"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .groupBy(_._1)
+    assert(got.keySet == pts.keySet)
+    pts.foreach { case (et, rows) =>
+      val n = rows.length.toDouble
+      val mx = rows.map(_._2).sum / n
+      val my = rows.map(_._3).sum / n
+      val slope = rows.map(r => (r._2 - mx) * (r._3 - my)).sum /
+        rows.map(r => (r._2 - mx) * (r._2 - mx)).sum
+      val (gs, gf) = got(et)
+      assert(math.abs(gs - slope * 86400.0) < 1e-4, s"$et slope $gs vs ${slope * 86400}")
+      assert(math.abs(gf - (my + slope * (1705276800d - mx))) < 1e-2,
+        s"$et fit $gf vs ${my + slope * (1705276800d - mx)}")
+    }
+  }
+
+  test("doc_chunk: stride-48/window-64 tiling exactly reconstructs every document") {
+    val chunks = TextQueries.docChunk(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val docs = Fixtures.table(spark, sf001, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(chunks.keySet == docs.keySet)
+    docs.foreach { case (id, toks) =>
+      val cs = chunks(id).sortBy(_._2)
+      val n = toks.length
+      val expect = math.ceil(math.max(n - 64, 0) / 48.0).toLong + 1
+      assert(cs.length == expect, s"doc $id: ${cs.length} chunks, want $expect")
+      cs.zipWithIndex.foreach { case ((_, idx, nTok, text), i) =>
+        assert(idx == i)
+        val want = toks.slice(i * 48, i * 48 + 64)
+        assert(nTok == want.length, s"doc $id chunk $i size")
+        assert(text == want.mkString(" "), s"doc $id chunk $i text")
+      }
+      // coverage: the union of chunk spans is the whole token list
+      assert(cs.init.forall(_._3 == 64) || n <= 64)
+      assert((cs.length - 1) * 48 + cs.last._3 == n, s"doc $id tail coverage")
+    }
+  }
 }

@@ -384,4 +384,47 @@ class PlanSpec extends SparkSpec {
     // daily agg + spine agg (+ its broadcast) + output sort
     assert(exchanges <= 4, s"expected <=4 exchanges, got $exchanges\n$p")
   }
+
+  test("doc_chunk: shuffle-free generation — only the output sort exchanges") {
+    val p = plan("doc_chunk")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"chunking must be a narrow pipeline\n$p")
+    assert(p.contains("Generate"), "explode must stay a Generate, not a join")
+    val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).length
+    assert(exchanges <= 1, s"only the deterministic output sort may exchange, got $exchanges\n$p")
+    // only the two consumed source columns are read
+    assert(!p.contains("lang") && !p.contains("source"),
+      "unused document columns must be pruned from the scan")
+  }
+
+  test("linreg_simple: one map-side-combinable aggregate, no window pass") {
+    val p = plan("linreg_simple")
+    assert(!p.contains("Window"), s"moment fit must not need a window\n$p")
+    assert(p.contains("partial_covar_pop") || p.contains("HashAggregate"),
+      "moments must partial-aggregate map-side")
+    val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).length
+    assert(exchanges <= 2, s"agg shuffle + output sort only, got $exchanges\n$p")
+  }
+
+  test("rank_corr/theils_u: global windows run on the aggregated frame, not raw events") {
+    for (q <- Seq("rank_corr", "theils_u")) {
+      val p = plan(q)
+      // the heavy pass is the partial-aggregated group-by; every Window
+      // node must sit ABOVE the aggregate in the plan (smaller id =
+      // later operator in formatted explain numbering)
+      val aggIdx = p.indexOf("HashAggregate")
+      assert(aggIdx >= 0, s"$q: missing hash aggregate\n$p")
+      assert(p.contains("Window"), s"$q: rank/marginal windows expected\n$p")
+      // one scan in the tree (the details section repeats the node name)
+      val scanCount = """[+:]- Scan parquet""".r.findAllIn(p).length
+      assert(scanCount == 1, s"$q: events must be scanned once, got $scanCount\n$p")
+      // the raw-events aggregate sits BELOW the first window: its tree
+      // line is deeper in the operator listing than every Window line
+      val tree = p.linesIterator.takeWhile(l => !l.contains("(1) Scan")).toSeq
+      val aggLine = tree.lastIndexWhere(_.contains("HashAggregate"))
+      val winLine = tree.indexWhere(_.contains("Window"))
+      assert(aggLine > winLine && winLine >= 0,
+        s"$q: windows must run above the aggregated frame\n$p")
+    }
+  }
 }
