@@ -969,8 +969,74 @@ object AnalyticsQueries {
       .select(round(col("chi2"), 4).as("chi2"),
         round(sqrt(col("chi2") / (col("n") * (least(col("r"), col("c")) - 1))), 6)
           .as("cramers_v"),
+        round(sqrt(cvPhi2Bc / (least(cvRBc, cvCBc) - 1)), 6).as("cramers_v_bc"),
+        round(sqrt(col("chi2") / (col("chi2") + col("n"))), 6).as("contingency"),
         ((col("r") - 1) * (col("c") - 1)).cast("long").as("dof"),
         col("n").cast("long").as("n"))
+  }
+
+  /** Bergsma's bias correction (ClickHouse cramersVBiasCorrected /
+    * contingency, sharing [[cramersV]]'s cell frame): phi2 and the
+    * table dims shrink by their chance expectation under independence.
+    */
+  private def cvPhi2Bc =
+    greatest(lit(0.0),
+      col("chi2") / col("n") -
+        (col("r") - 1) * (col("c") - 1) / (col("n") - 1))
+  private def cvRBc = col("r") - pow(col("r") - 1, 2) / (col("n") - 1)
+  private def cvCBc = col("c") - pow(col("c") - 1, 2) / (col("n") - 1)
+
+  /** arrayAUC (ClickHouse) / ROC-AUC: probability that a random positive
+    * (purchase) outranks a random negative (view) on the score (value) —
+    * computed via the rank identity AUC = (R_pos - n_pos(n_pos+1)/2) /
+    * (n_pos n_neg) with average ranks at ties, i.e. the Mann-Whitney U
+    * normalized. Same single-global-order caveat as [[mannWhitney]].
+    */
+  def rocAuc(spark: SparkSession, dir: String): DataFrame = {
+    val s = table(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"), col("value"))
+    val ar = rank().over(Window.orderBy(col("value"))) +
+      (count(lit(1)).over(Window.partitionBy(col("value"))) - 1) / 2.0
+    val isPos = col("event_type") === "purchase"
+    s.withColumn("ar", ar)
+      .agg(
+        sum(when(isPos, col("ar")).otherwise(0.0)).as("rp"),
+        sum(when(isPos, 1).otherwise(0)).cast("double").as("np"),
+        sum(when(!isPos, 1).otherwise(0)).cast("double").as("nn"))
+      .select(
+        round((col("rp") - col("np") * (col("np") + 1) / 2) /
+          (col("np") * col("nn")), 6).as("auc"),
+        col("np").cast("long").as("n_pos"), col("nn").cast("long").as("n_neg"))
+  }
+
+  /** seriesOutliersDetectTukey (ClickHouse): per-series Tukey-fence
+    * outlier counts — values outside [q1 - 1.5 IQR, q3 + 1.5 IQR].
+    * Exact interpolated quartiles per key (the quantiles_exact parity
+    * precedent), broadcast back over one more scan for the fence counts.
+    * The fence comparisons use the UNROUNDED quartiles on both sides so
+    * the rounding grain can't flip a count. At corpus scale the exact
+    * per-key percentile is the documented heavy piece — the
+    * approx_percentile twin (quality_deciles_approx precedent) is the
+    * drop-in when a sort-based exact quartile is unaffordable.
+    */
+  def seriesOutliersTukey(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events").select(col("event_type"), col("value"))
+    val q = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), array(lit(0.25), lit(0.75))).as("qs"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), element_at(col("qs"), 1).as("q1"),
+        element_at(col("qs"), 2).as("q3"), col("n"))
+    val lo = col("q1") - lit(1.5) * (col("q3") - col("q1"))
+    val hi = col("q3") + lit(1.5) * (col("q3") - col("q1"))
+    ev.join(broadcast(q), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        round(first(lo), 4).as("lo_fence"), round(first(hi), 4).as("hi_fence"),
+        sum(when(col("value") < lo, 1).otherwise(0)).as("n_low"),
+        sum(when(col("value") > hi, 1).otherwise(0)).as("n_high"),
+        first(col("n")).as("n"))
+      .orderBy("event_type")
   }
 
   /** kolmogorovSmirnovTest (ClickHouse, two-sample): D = max ECDF gap
@@ -1078,6 +1144,8 @@ object AnalyticsQueries {
     "ks_test" -> (ksTest _),
     "linreg_simple" -> (linregSimple _),
     "rank_corr" -> (rankCorr _),
+    "roc_auc" -> (rocAuc _),
+    "series_outliers_tukey" -> (seriesOutliersTukey _),
     "theils_u" -> (theilsU _),
     "mann_whitney" -> (mannWhitney _),
     "welch_ttest" -> (welchTtest _),
@@ -1162,8 +1230,37 @@ object AnalyticsQueries {
         "CAST(COUNT(DISTINCT dow) AS DOUBLE) AS c FROM tot) " +
         "SELECT ROUND(chi2, 4) AS chi2, " +
         "ROUND(sqrt(chi2 / (n * (LEAST(r, c) - 1))), 6) AS cramers_v, " +
+        "ROUND(sqrt(GREATEST(0, chi2 / n - (r - 1) * (c - 1) / (n - 1)) / " +
+        "(LEAST(r - POW(r - 1, 2) / (n - 1), c - POW(c - 1, 2) / (n - 1)) - 1)), 6) " +
+        "AS cramers_v_bc, " +
+        "ROUND(sqrt(chi2 / (chi2 + n)), 6) AS contingency, " +
         "CAST((r - 1) * (c - 1) AS BIGINT) AS dof, CAST(n AS BIGINT) AS n " +
         "FROM chi"),
+    "roc_auc" ->
+      ("WITH s AS (SELECT event_type, value FROM events " +
+        "WHERE event_type IN ('view', 'purchase')), " +
+        "ranked AS (SELECT event_type, " +
+        "RANK() OVER (ORDER BY value) + (COUNT(*) OVER (PARTITION BY value) - 1) / 2.0 AS ar " +
+        "FROM s), " +
+        "agg AS (SELECT " +
+        "SUM(CASE WHEN event_type = 'purchase' THEN ar ELSE 0 END) AS rp, " +
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS np, " +
+        "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE) AS nn " +
+        "FROM ranked) " +
+        "SELECT ROUND((rp - np * (np + 1) / 2) / (np * nn), 6) AS auc, " +
+        "CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg FROM agg"),
+    "series_outliers_tukey" ->
+      ("WITH q AS (SELECT event_type, " +
+        "quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3, " +
+        "COUNT(*) AS n FROM events GROUP BY 1) " +
+        "SELECT e.event_type, " +
+        "ROUND(ANY_VALUE(q1 - 1.5 * (q3 - q1)), 4) AS lo_fence, " +
+        "ROUND(ANY_VALUE(q3 + 1.5 * (q3 - q1)), 4) AS hi_fence, " +
+        "CAST(SUM(CASE WHEN e.value < q1 - 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_low, " +
+        "CAST(SUM(CASE WHEN e.value > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_high, " +
+        "ANY_VALUE(q.n) AS n " +
+        "FROM events e JOIN q USING (event_type) " +
+        "GROUP BY e.event_type ORDER BY 1"),
     "ks_test" ->
       ("WITH s AS (SELECT value, event_type FROM events " +
         "WHERE event_type IN ('view', 'purchase')), " +

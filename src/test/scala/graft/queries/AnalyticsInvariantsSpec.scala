@@ -73,6 +73,51 @@ class AnalyticsInvariantsSpec extends SparkSpec {
     assert(sd(1) <= base(1), s"dedup step2 ${sd(1)} > base ${base(1)}")
   }
 
+  test("roc_auc equals 1 - U_view/(n1 n2): the Mann-Whitney rank identity") {
+    val auc = AnalyticsQueries.rocAuc(spark, sf001).collect().head
+    val mw = AnalyticsQueries.mannWhitney(spark, sf001).collect().head
+    assert(auc.getDouble(0) >= 0.0 && auc.getDouble(0) <= 1.0)
+    assert(auc.getLong(1) == mw.getLong(3) && auc.getLong(2) == mw.getLong(2))
+    val n1n2 = mw.getLong(2).toDouble * mw.getLong(3)
+    assert(math.abs(auc.getDouble(0) - (1.0 - mw.getDouble(0) / n1n2)) < 1e-5,
+      s"auc ${auc.getDouble(0)} vs 1 - U/n1n2 ${1.0 - mw.getDouble(0) / n1n2}")
+  }
+
+  test("series_outliers_tukey matches a brute-force fence count per type") {
+    val got = AnalyticsQueries.seriesOutliersTukey(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val vals = Fixtures.table(spark, sf001, "events")
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    assert(got.keySet == vals.keySet)
+    vals.foreach { case (et, rows) =>
+      val v = rows.map(_._2).sorted
+      def quantile(p: Double): Double = { // linear interpolation, R-7
+        val h = (v.length - 1) * p
+        val l = h.toInt
+        if (l + 1 < v.length) v(l) + (h - l) * (v(l + 1) - v(l)) else v(l)
+      }
+      val (q1, q3) = (quantile(0.25), quantile(0.75))
+      val (lo, hi) = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+      val (gLo, gHi, nLow, nHigh, n) = got(et)
+      assert(math.abs(gLo - lo) < 1e-3 && math.abs(gHi - hi) < 1e-3, s"$et fences")
+      assert(nLow == v.count(_ < lo).toLong, s"$et n_low")
+      assert(nHigh == v.count(_ > hi).toLong, s"$et n_high")
+      assert(n == v.length.toLong && nLow + nHigh < n)
+    }
+  }
+
+  test("cramers_v family: all three association measures bounded in [0,1]") {
+    val r = AnalyticsQueries.cramersV(spark, sf001).collect().head
+    val (v, vbc, cont) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    for ((x, nm) <- Seq((v, "cramers_v"), (vbc, "cramers_v_bc"), (cont, "contingency")))
+      assert(x >= 0.0 && x <= 1.0, s"$nm out of range: $x")
+    // the bias correction shrinks phi2 by its chance expectation — it
+    // can only reduce the reported association on this null-ish fixture
+    assert(vbc <= v + 1e-9, s"bc $vbc > raw $v")
+  }
+
   test("rank_corr: rho bounded, n_keys = distinct users") {
     val r = AnalyticsQueries.rankCorr(spark, sf001).collect().head
     val rho = r.getDouble(0)
