@@ -44,9 +44,14 @@ object Scaling {
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle-partition override for scale experiments: on a real cluster
+    // partition count grows with the data (or AQE coalesces from a high
+    // initial count); pinning it to core count on a replicated corpus
+    // conflates plan scaling with per-partition spill.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -89,6 +94,9 @@ object Scaling {
         gen(spark, args(1), args(2), args(3).toInt)
       case Some("bench") =>
         val dirs = args.drop(1).toSeq
+        val fam = sys.env.get("SPARK_GRAFT_ONLY")
+          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(family)
         def runOnce(name: String, dir: String): Double = {
           val t0 = System.nanoTime()
           val df = SparkEntry.queries(name)(spark, dir)
@@ -100,7 +108,7 @@ object Scaling {
         }
         val results = dirs.map { dir =>
           spark.read.parquet(s"$dir/documents.parquet").limit(100).count() // warm
-          dir -> family.map { q =>
+          dir -> fam.map { q =>
             val s1 = runOnce(q, dir)
             // Bench's outlier policy: one re-measure for slow queries, keep min
             val s = if (s1 > 3.0) math.min(s1, runOnce(q, dir)) else s1
