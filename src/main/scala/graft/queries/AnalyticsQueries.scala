@@ -986,6 +986,43 @@ object AnalyticsQueries {
   private def cvRBc = col("r") - pow(col("r") - 1, 2) / (col("n") - 1)
   private def cvCBc = col("c") - pow(col("c") - 1, 2) / (col("n") - 1)
 
+  /** seriesPeriodDetectFFT (ClickHouse): dominant-period detection per
+    * series. ClickHouse runs a pocketfft periodogram; the same statistic
+    * at a bounded candidate set is a plain Goertzel/DFT projection —
+    * power(p) = (Σ xc·cos(2πt/p))² + (Σ xc·sin(2πt/p))² — which Spark
+    * expresses as one crossJoin(broadcast(periods)) + keyed aggregate:
+    * fully distributed, |series|×|periods| aggregate rows, no FFT
+    * library, and (unlike an FFT) SQL-expressible for the DuckDB oracle.
+    * Period resolution is the candidate grid, which for
+    * calendar-seasonality detection (the forecasting use here) is the
+    * 2..14-day range; an FFT only wins when the grid must be dense.
+    */
+  def periodogram(daily: DataFrame, maxPeriod: Int = 14): DataFrame = {
+    val spark = daily.sparkSession
+    val centered = daily.withColumn("xc",
+      col("x") - avg(col("x")).over(Window.partitionBy(col("series"))))
+    val periods = spark.range(2, maxPeriod + 1L).select(col("id").as("p"))
+    val theta = lit(2 * math.Pi) * col("t") / col("p")
+    centered.crossJoin(broadcast(periods))
+      .groupBy(col("series"), col("p"))
+      .agg((pow(sum(col("xc") * cos(theta)), 2) +
+        pow(sum(col("xc") * sin(theta)), 2)).as("pw"))
+  }
+
+  def seriesPeriodDetect(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .groupBy(col("event_type").as("series"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("t"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    periodogram(daily)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("series")).orderBy(col("pw").desc, col("p"))))
+      .filter(col("rn") === 1)
+      .select(col("series").as("event_type"), col("p").as("best_period"),
+        round(col("pw"), 1).as("power"))
+      .orderBy("event_type")
+  }
+
   /** arrayAUC (ClickHouse) / ROC-AUC: probability that a random positive
     * (purchase) outranks a random negative (view) on the score (value) —
     * computed via the rank identity AUC = (R_pos - n_pos(n_pos+1)/2) /
@@ -1146,6 +1183,7 @@ object AnalyticsQueries {
     "rank_corr" -> (rankCorr _),
     "roc_auc" -> (rocAuc _),
     "series_outliers_tukey" -> (seriesOutliersTukey _),
+    "series_period_detect" -> (seriesPeriodDetect _),
     "theils_u" -> (theilsU _),
     "mann_whitney" -> (mannWhitney _),
     "welch_ttest" -> (welchTtest _),
@@ -1236,6 +1274,22 @@ object AnalyticsQueries {
         "ROUND(sqrt(chi2 / (chi2 + n)), 6) AS contingency, " +
         "CAST((r - 1) * (c - 1) AS BIGINT) AS dof, CAST(n AS BIGINT) AS n " +
         "FROM chi"),
+    "series_period_detect" ->
+      ("WITH daily AS (SELECT event_type AS series, " +
+        "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t, " +
+        "CAST(COUNT(*) AS DOUBLE) AS x FROM events GROUP BY 1, 2), " +
+        "centered AS (SELECT series, t, " +
+        "x - AVG(x) OVER (PARTITION BY series) AS xc FROM daily), " +
+        "power AS (SELECT series, p.p, " +
+        "POW(SUM(xc * COS(2 * PI() * t / p.p)), 2) + " +
+        "POW(SUM(xc * SIN(2 * PI() * t / p.p)), 2) AS pw " +
+        "FROM centered, (SELECT UNNEST(generate_series(2, 14)) AS p) p " +
+        "GROUP BY 1, 2), " +
+        "ranked AS (SELECT series, p, pw, " +
+        "ROW_NUMBER() OVER (PARTITION BY series ORDER BY pw DESC, p) AS rn " +
+        "FROM power) " +
+        "SELECT series AS event_type, p AS best_period, ROUND(pw, 1) AS power " +
+        "FROM ranked WHERE rn = 1 ORDER BY 1"),
     "roc_auc" ->
       ("WITH s AS (SELECT event_type, value FROM events " +
         "WHERE event_type IN ('view', 'purchase')), " +

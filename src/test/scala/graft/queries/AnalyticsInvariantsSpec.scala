@@ -73,6 +73,24 @@ class AnalyticsInvariantsSpec extends SparkSpec {
     assert(sd(1) <= base(1), s"dedup step2 ${sd(1)} > base ${base(1)}")
   }
 
+  test("periodogram recovers a planted weekly cycle and ignores a flat series") {
+    import spark.implicits._
+    val days = 0 until 56
+    val weekly = days.map(t =>
+      ("weekly", t, 100.0 + 40.0 * math.sin(2 * math.Pi * t / 7.0)))
+    val fourDay = days.map(t =>
+      ("four", t, 100.0 + 40.0 * math.cos(2 * math.Pi * t / 4.0)))
+    val flat = days.map(t => ("flat", t, 100.0))
+    val daily = (weekly ++ fourDay ++ flat).toDF("series", "t", "x")
+    val pw = AnalyticsQueries.periodogram(daily).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def best(s: String) = pw.filter(_._1 == s).maxBy(_._3)._2
+    assert(best("weekly") == 7L, s"weekly series detected as ${best("weekly")}")
+    assert(best("four") == 4L, s"4-day series detected as ${best("four")}")
+    // a constant series has zero centered power at EVERY period
+    assert(pw.filter(_._1 == "flat").forall(_._3 < 1e-6), "flat series must have ~0 power")
+  }
+
   test("roc_auc equals 1 - U_view/(n1 n2): the Mann-Whitney rank identity") {
     val auc = AnalyticsQueries.rocAuc(spark, sf001).collect().head
     val mw = AnalyticsQueries.mannWhitney(spark, sf001).collect().head
