@@ -1023,6 +1023,58 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** retention (ClickHouse): condition-anchored retention — per user,
+    * flag[1] = cond1 fired, flag[i>1] = cond1 AND condi both fired; the
+    * report is the per-flag user count. Anchor = signup, retained
+    * conditions = view / purchase after the user's first signup. One
+    * user-keyed aggregate then a single fold — no joins, no windows.
+    */
+  def retentionConditions(spark: SparkSession, dir: String): DataFrame = {
+    // "at/after first signup" folds into ONE aggregate via conditional
+    // min/max — a view/purchase retains iff its MAX ts >= the first
+    // signup ts — so no second scan and no join.
+    val perUser = table(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t0"),
+        max(when(col("event_type") === "view", col("ts"))).as("tv"),
+        max(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+    perUser.agg(
+      sum(when(col("t0").isNotNull, 1).otherwise(0)).as("r1_signup"),
+      sum(when(col("t0").isNotNull && col("tv") >= col("t0"), 1).otherwise(0))
+        .as("r2_viewed"),
+      sum(when(col("t0").isNotNull && col("tp") >= col("t0"), 1).otherwise(0))
+        .as("r3_purchased"),
+      count(lit(1)).as("n_users"))
+  }
+
+  /** corrMatrix / covarSampMatrix (ClickHouse): pairwise Pearson
+    * correlation and sample covariance over the lineitem numeric columns
+    * in ONE aggregate pass (all 6 pairs as parallel corr/covar_samp
+    * aggregates — each is a streaming moment fold), unpivoted to the
+    * long (col_x, col_y, corr, covar) form the matrix functions return.
+    */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.flatMap { case (a, b) =>
+      Seq(corr(col(a), col(b)).as(s"corr_${a}_$b"),
+        covar_samp(col(a), col(b)).as(s"cov_${a}_$b"))
+    }
+    table(spark, dir, "lineitem")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("col_x"), lit(b).as("col_y"),
+          (round(col(s"corr_${a}_$b"), 6) + lit(0.0)).as("corr"),
+          (round(col(s"cov_${a}_$b"), 4) + lit(0.0)).as("covar"))
+      }: _*)).as("s"))
+      .select(col("s.col_x").as("col_x"), col("s.col_y").as("col_y"),
+        col("s.corr").as("corr"), col("s.covar").as("covar"))
+      .orderBy("col_x", "col_y")
+  }
+
   /** arrayAUC (ClickHouse) / ROC-AUC: probability that a random positive
     * (purchase) outranks a random negative (view) on the score (value) —
     * computed via the rank identity AUC = (R_pos - n_pos(n_pos+1)/2) /
@@ -1181,6 +1233,8 @@ object AnalyticsQueries {
     "ks_test" -> (ksTest _),
     "linreg_simple" -> (linregSimple _),
     "rank_corr" -> (rankCorr _),
+    "retention_conditions" -> (retentionConditions _),
+    "corr_matrix" -> (corrMatrix _),
     "roc_auc" -> (rocAuc _),
     "series_outliers_tukey" -> (seriesOutliersTukey _),
     "series_period_detect" -> (seriesPeriodDetect _),
@@ -1274,6 +1328,35 @@ object AnalyticsQueries {
         "ROUND(sqrt(chi2 / (chi2 + n)), 6) AS contingency, " +
         "CAST((r - 1) * (c - 1) AS BIGINT) AS dof, CAST(n AS BIGINT) AS n " +
         "FROM chi"),
+    "retention_conditions" ->
+      ("WITH per_user AS (SELECT user_id, " +
+        "MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0, " +
+        "MAX(CASE WHEN event_type = 'view' THEN ts END) AS tv, " +
+        "MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS tp " +
+        "FROM events GROUP BY 1) " +
+        "SELECT " +
+        "CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS r1_signup, " +
+        "CAST(SUM(CASE WHEN t0 IS NOT NULL AND tv >= t0 THEN 1 ELSE 0 END) AS BIGINT) AS r2_viewed, " +
+        "CAST(SUM(CASE WHEN t0 IS NOT NULL AND tp >= t0 THEN 1 ELSE 0 END) AS BIGINT) AS r3_purchased, " +
+        "COUNT(*) AS n_users FROM per_user"),
+    "corr_matrix" ->
+      ("WITH pairs AS (SELECT " +
+        "CORR(l_quantity, l_extendedprice) AS c12, COVAR_SAMP(l_quantity, l_extendedprice) AS v12, " +
+        "CORR(l_quantity, l_discount) AS c13, COVAR_SAMP(l_quantity, l_discount) AS v13, " +
+        "CORR(l_quantity, l_tax) AS c14, COVAR_SAMP(l_quantity, l_tax) AS v14, " +
+        "CORR(l_extendedprice, l_discount) AS c23, COVAR_SAMP(l_extendedprice, l_discount) AS v23, " +
+        "CORR(l_extendedprice, l_tax) AS c24, COVAR_SAMP(l_extendedprice, l_tax) AS v24, " +
+        "CORR(l_discount, l_tax) AS c34, COVAR_SAMP(l_discount, l_tax) AS v34 " +
+        "FROM lineitem) " +
+        "SELECT u.col_x, u.col_y, ROUND(u.c, 6) + 0.0 AS corr, ROUND(u.v, 4) + 0.0 AS covar " +
+        "FROM pairs, LATERAL (VALUES " +
+        "('l_quantity', 'l_extendedprice', c12, v12), " +
+        "('l_quantity', 'l_discount', c13, v13), " +
+        "('l_quantity', 'l_tax', c14, v14), " +
+        "('l_extendedprice', 'l_discount', c23, v23), " +
+        "('l_extendedprice', 'l_tax', c24, v24), " +
+        "('l_discount', 'l_tax', c34, v34)) AS u(col_x, col_y, c, v) " +
+        "ORDER BY 1, 2"),
     "series_period_detect" ->
       ("WITH daily AS (SELECT event_type AS series, " +
         "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t, " +

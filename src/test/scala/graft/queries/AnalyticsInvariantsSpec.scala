@@ -73,6 +73,23 @@ class AnalyticsInvariantsSpec extends SparkSpec {
     assert(sd(1) <= base(1), s"dedup step2 ${sd(1)} > base ${base(1)}")
   }
 
+  test("retention_conditions: retained counts are subsets of the anchor count") {
+    val r = AnalyticsQueries.retentionConditions(spark, sf001).collect().head
+    val (r1, r2, r3, n) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(r1 <= n && r2 <= r1 && r3 <= r1, s"not nested: $r1 $r2 $r3 / $n")
+    assert(r1 > 0, "fixture has signups")
+  }
+
+  test("corr_matrix: bounded correlations, covar sign agrees, symmetric pair count") {
+    val rows = AnalyticsQueries.corrMatrix(spark, sf001).collect()
+    assert(rows.length == 6, "4 columns -> 6 unordered pairs")
+    rows.foreach { r =>
+      val (c, v) = (r.getDouble(2), r.getDouble(3))
+      assert(c >= -1.0 && c <= 1.0, s"corr out of range: $r")
+      assert(c == 0.0 || v == 0.0 || (c > 0) == (v > 0), s"sign mismatch: $r")
+    }
+  }
+
   test("periodogram recovers a planted weekly cycle and ignores a flat series") {
     import spark.implicits._
     val days = 0 until 56
