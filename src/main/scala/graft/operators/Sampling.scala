@@ -30,6 +30,21 @@ object Sampling {
     conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
       .cast("double") / lit((1 << 24).toDouble)
 
+  /** Efraimidis–Spirakis A-Res weighted-sampling key [public: Efraimidis
+    * & Spirakis, IPL 2006]: each row draws u in (0,1) and the k rows with
+    * the largest u^(1/w) form an exact weighted sample without
+    * replacement. `ln(u)/w` is the same ordering without the pow; u is
+    * the md5 unit draw shifted by +0.5/2^24 so it stays strictly inside
+    * (0,1) and ln() is always finite. Membership is reproducible in any
+    * engine with md5 — the same cross-engine auditability as
+    * [[splitLabelMd5]]. Selecting top-k over this key compiles to a
+    * distributed TakeOrdered (per-partition heaps + driver merge of k),
+    * not a global sort. `weightCol` must be strictly positive.
+    */
+  def weightedKeyMd5(idCol: String, weightCol: String): Column =
+    log((conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
+      .cast("double") + lit(0.5)) / lit((1 << 24).toDouble)) / col(weightCol)
+
   /** Nested whens over the cumulative weight bounds; the last label is the
     * unconditional fallback so float edge cases can't drop a row.
     */

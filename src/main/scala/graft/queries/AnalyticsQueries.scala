@@ -1228,7 +1228,231 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** ClickHouse URL-function family (`protocol` / `domain` /
+    * `topLevelDomain` / `path` / `extractURLParameter`) exercised
+    * end-to-end: the fixtures carry no URL column, so a deterministic URL
+    * is synthesized per document, parsed back with the same regexes both
+    * engines run, and rolled up. Construction AND parsing are codegen'd
+    * projections; the only shuffle is the final (protocol, tld) hash agg.
+    */
+  def urlFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat_ws("",
+      when(col("doc_id") % 2 === 0, lit("https")).otherwise(lit("http")),
+      lit("://"), col("source"), lit(".example"),
+      element_at(array(lit(".com"), lit(".org"), lit(".net")),
+        (col("doc_id") % 3 + 1).cast("int")),
+      lit("/docs/"), col("lang"), lit("/"), col("doc_id").cast("string"),
+      lit("?page="), (col("doc_id") % 7).cast("string"),
+      lit("&ref="), col("source"))
+    table(spark, dir, "documents")
+      .select(url.as("url"))
+      .select(
+        regexp_extract(col("url"), "^([a-z]+)://", 1).as("protocol"),
+        regexp_extract(col("url"), "^[a-z]+://([^/?#]+)", 1).as("domain"),
+        regexp_extract(col("url"), "^[a-z]+://[^/?#]+([^?#]*)", 1).as("path"),
+        regexp_extract(col("url"), "[?&]page=([^&]*)", 1).cast("long").as("page"))
+      .withColumn("tld", regexp_extract(col("domain"), "\\.([a-z]+)$", 1))
+      .groupBy(col("protocol"), col("tld"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("domain")).as("n_domains"),
+        countDistinct(col("path")).as("n_paths"),
+        sum(col("page")).as("sum_page"))
+      .orderBy("protocol", "tld")
+  }
+
+  /** First-order Markov transition matrix over per-user event paths —
+    * the "what happens after X" follow-up to [[sequenceNextNode]], as a
+    * full (prev, next) matrix with row-normalized probabilities. One
+    * user-keyed window pass for the lag; the matrix itself is
+    * |event_type|^2 rows, so the normalizing window is trivial.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wPrev = Window.partitionBy(col("prev_type"))
+    table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("next_type"))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob",
+        round(col("n").cast("double") / sum(col("n")).over(wPrev), 6))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** Autocorrelation function of the daily per-type event-count series at
+    * lags 1..7 — the seasonality diagnostic behind
+    * [[seriesPeriodDetect]], reported as the raw correlogram. The daily
+    * series is one hash agg; the lag alignment is a broadcast self-join
+    * of that (tiny) aggregate against its date-shifted self, so the raw
+    * events shuffle exactly once. Counts are integer-valued doubles, so
+    * corr() differs only in ulps across engines — rounded to 6.
+    */
+  def seriesAcf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("y"))
+    val prior = daily
+      .select(col("event_type"), col("d").as("d0"), col("y").as("y0"))
+    daily
+      .withColumn("lg", explode(sequence(lit(1), lit(7))))
+      .withColumn("d0", date_sub(col("d"), col("lg")))
+      .join(broadcast(prior), Seq("event_type", "d0"))
+      .groupBy(col("event_type"), col("lg"))
+      .agg(round(corr(col("y"), col("y0")), 6).as("acf"),
+        count(lit(1)).as("n_pairs"))
+      .select(col("event_type"), col("lg").cast("long").as("lg"),
+        col("acf"), col("n_pairs"))
+      .orderBy("event_type", "lg")
+  }
+
+  /** CUSUM changepoint scan per daily value series: the date maximizing
+    * |cumsum(x - mean)| is the classic single-changepoint estimate. The
+    * statistic is computed n-scaled on integer cents —
+    * S_t = n*cumsum(x) - t*total — so every intermediate is exact integer
+    * arithmetic under any aggregation order; only the final report
+    * divides back to currency units. One hash agg to days, one
+    * series-keyed window pass, top-1 per series.
+    */
+  def seriesCusum(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val wPick = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("s")).desc, col("d"))
+    table(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      .withColumn("t", row_number().over(wOrd))
+      .withColumn("cum", sum(col("x")).over(wOrd))
+      .withColumn("tot", sum(col("x")).over(wAll))
+      .withColumn("nd", count(lit(1)).over(wAll))
+      .withColumn("s", col("nd") * col("cum") - col("t") * col("tot"))
+      .withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("d").as("change_date"),
+        round(abs(col("s")).cast("double") /
+          (col("nd").cast("double") * 100.0), 2).as("cusum_stat"),
+        col("nd").as("n_days"))
+      .orderBy("event_type")
+  }
+
+  /** Additive seasonal decomposition of the daily count series: trend =
+    * centered 7-day moving average (full windows only), seasonal =
+    * day-of-week mean of the detrended series — the classical-
+    * decomposition seasonal estimate. Window frames are identical ROWS
+    * frames in both engines; the 7-point averages are exact (integer
+    * sums / 7), so only the final cross-day means carry float noise —
+    * rounded to 4.
+    */
+  def seriesDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val wMa = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-3, 3)
+    table(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("y"))
+      .withColumn("trend", avg(col("y")).over(wMa))
+      .withColumn("wn", count(lit(1)).over(wMa))
+      .filter(col("wn") === 7)
+      .withColumn("dow", dayofweek(col("d")).cast("long"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(
+        round(avg(col("y") - col("trend")), 4).as("seasonal"),
+        round(stddev_samp(col("y") - col("trend")), 4).as("detrended_sd"),
+        count(lit(1)).as("n_days"))
+      .orderBy("event_type", "dow")
+  }
+
+  /** Median absolute deviation per group — the robust dispersion measure
+    * (ClickHouse quantile-family territory). Two exact-median passes:
+    * per-group median, broadcast back (group cardinality is tiny), then
+    * the median of absolute deviations. Exact `percentile` buffers each
+    * group's values, which is the oracle-able form; at corpus scale the
+    * same shape runs on `approx_percentile` exactly as
+    * `quality_deciles_approx` twins `quality_deciles`.
+    */
+  def madPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val med = table(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    table(spark, dir, "events")
+      .join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(max(col("med")), 4).as("med"),
+        round(percentile(abs(col("value") - col("med")), lit(0.5)), 4).as("mad"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  /** Two-feature multiple linear regression by distributed normal
+    * equations: ONE scan accumulates the Gram-matrix sums (all
+    * map-side-combinable), and the 2x2 system solves in a projection on
+    * the single aggregate row via Cramer's rule — the
+    * stochasticLinearRegression use case without per-row iteration, and
+    * the textbook "model fit as aggregation" scale shape (the shuffle
+    * carries ten doubles total). Identical closed form on both engines;
+    * coefficients rounded to 4, R^2 to 6.
+    */
+  def multiLinreg(spark: SparkSession, dir: String): DataFrame = {
+    val b1 = (col("c1y") * col("c22") - col("c2y") * col("c12")) / col("det")
+    val b2 = (col("c11") * col("c2y") - col("c12") * col("c1y")) / col("det")
+    table(spark, dir, "lineitem")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("l_quantity")).as("s1"),
+        sum(col("l_discount")).as("s2"),
+        sum(col("l_extendedprice")).as("sy"),
+        sum(col("l_quantity") * col("l_quantity")).as("s11"),
+        sum(col("l_discount") * col("l_discount")).as("s22"),
+        sum(col("l_quantity") * col("l_discount")).as("s12"),
+        sum(col("l_quantity") * col("l_extendedprice")).as("s1y"),
+        sum(col("l_discount") * col("l_extendedprice")).as("s2y"),
+        sum(col("l_extendedprice") * col("l_extendedprice")).as("syy"))
+      .withColumn("c11", col("s11") - col("s1") * col("s1") / col("n"))
+      .withColumn("c22", col("s22") - col("s2") * col("s2") / col("n"))
+      .withColumn("c12", col("s12") - col("s1") * col("s2") / col("n"))
+      .withColumn("c1y", col("s1y") - col("s1") * col("sy") / col("n"))
+      .withColumn("c2y", col("s2y") - col("s2") * col("sy") / col("n"))
+      .withColumn("cyy", col("syy") - col("sy") * col("sy") / col("n"))
+      .withColumn("det", col("c11") * col("c22") - col("c12") * col("c12"))
+      .select(
+        round((col("sy") - b1 * col("s1") - b2 * col("s2")) / col("n"), 4).as("b0"),
+        round(b1, 4).as("b1"),
+        round(b2, 4).as("b2"),
+        round((b1 * col("c1y") + b2 * col("c2y")) / col("cyy"), 6).as("r2"),
+        col("n").cast("long").as("n"))
+  }
+
+  /** Weighted sampling without replacement ([[Sampling.weightedKeyMd5]],
+    * Efraimidis–Spirakis A-Res with the engine-independent md5 draw):
+    * top-100 documents by ln(u)/n_chars, so the EXACT membership — not
+    * just marginal inclusion rates — is pinned by the DuckDB oracle.
+    * Longer documents win proportionally more often: the "sample by
+    * token budget" curation draw. The key is a pure projection and the
+    * selection a distributed top-k; the key is reported ppm-scaled
+    * (values live in [-0.35, 0)) so the round keeps 4 significant
+    * decimals.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        Sampling.weightedKeyMd5("doc_id", "n_chars").as("wkey"))
+      .orderBy(col("wkey").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("n_chars"),
+        round(col("wkey") * 1e6, 4).as("wkey_ppm"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "url_functions" -> (urlFunctions _),
+    "event_transitions" -> (eventTransitions _),
+    "series_acf" -> (seriesAcf _),
+    "series_cusum" -> (seriesCusum _),
+    "series_decompose" -> (seriesDecompose _),
+    "mad_per_group" -> (madPerGroup _),
+    "multi_linreg" -> (multiLinreg _),
+    "sample_weighted" -> (sampleWeighted _),
     "cramers_v" -> (cramersV _),
     "ks_test" -> (ksTest _),
     "linreg_simple" -> (linregSimple _),
@@ -1282,6 +1506,108 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "url_functions" ->
+      ("WITH u AS (SELECT doc_id, " +
+        "(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://' || " +
+        "source || '.example' || " +
+        "(CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.org' ELSE '.net' END) || " +
+        "'/docs/' || lang || '/' || CAST(doc_id AS VARCHAR) || " +
+        "'?page=' || CAST(doc_id % 7 AS VARCHAR) || '&ref=' || source AS url " +
+        "FROM documents), " +
+        "p AS (SELECT regexp_extract(url, '^([a-z]+)://', 1) AS protocol, " +
+        "regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS domain, " +
+        "regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path, " +
+        "CAST(regexp_extract(url, '[?&]page=([^&]*)', 1) AS BIGINT) AS page " +
+        "FROM u), " +
+        "t AS (SELECT *, regexp_extract(domain, '\\.([a-z]+)$', 1) AS tld FROM p) " +
+        "SELECT protocol, tld, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(COUNT(DISTINCT domain) AS BIGINT) AS n_domains, " +
+        "CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths, " +
+        "CAST(SUM(page) AS BIGINT) AS sum_page " +
+        "FROM t GROUP BY 1, 2 ORDER BY 1, 2"),
+    "event_transitions" ->
+      ("WITH p AS (SELECT event_type AS next_type, " +
+        "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "AS prev_type FROM events), " +
+        "c AS (SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT prev_type, next_type, n, " +
+        "ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6) AS prob " +
+        "FROM c ORDER BY 1, 2"),
+    "series_acf" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, " +
+        "CAST(COUNT(*) AS DOUBLE) AS y FROM events GROUP BY 1, 2), " +
+        "lags AS (SELECT UNNEST(range(1, 8)) AS lg) " +
+        "SELECT a.event_type, l.lg, ROUND(CORR(a.y, b.y), 6) AS acf, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs " +
+        "FROM daily a CROSS JOIN lags l " +
+        "JOIN daily b ON b.event_type = a.event_type " +
+        "AND b.d = a.d - CAST(l.lg AS INTEGER) " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "series_cusum" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, " +
+        "SUM(CAST(round(value * 100) AS BIGINT)) AS x " +
+        "FROM events GROUP BY 1, 2), " +
+        "c AS (SELECT event_type, d, " +
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS t, " +
+        "SUM(x) OVER (PARTITION BY event_type ORDER BY d) AS cum, " +
+        "SUM(x) OVER (PARTITION BY event_type) AS tot, " +
+        "COUNT(*) OVER (PARTITION BY event_type) AS nd FROM daily), " +
+        "s AS (SELECT *, nd * cum - t * tot AS s FROM c), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type " +
+        "ORDER BY ABS(s) DESC, d) AS rk FROM s) " +
+        "SELECT event_type, d AS change_date, " +
+        "ROUND(CAST(ABS(s) AS DOUBLE) / (CAST(nd AS DOUBLE) * 100.0), 2) " +
+        "AS cusum_stat, CAST(nd AS BIGINT) AS n_days " +
+        "FROM r WHERE rk = 1 ORDER BY 1"),
+    "series_decompose" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, " +
+        "CAST(COUNT(*) AS DOUBLE) AS y FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT *, AVG(y) OVER (PARTITION BY event_type ORDER BY d " +
+        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend, " +
+        "COUNT(*) OVER (PARTITION BY event_type ORDER BY d " +
+        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn FROM daily) " +
+        "SELECT event_type, CAST(dayofweek(d) + 1 AS BIGINT) AS dow, " +
+        "ROUND(AVG(y - trend), 4) AS seasonal, " +
+        "ROUND(STDDEV_SAMP(y - trend), 4) AS detrended_sd, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_days " +
+        "FROM t WHERE wn = 7 GROUP BY 1, 2 ORDER BY 1, 2"),
+    "mad_per_group" ->
+      ("WITH m AS (SELECT event_type, MEDIAN(value) AS med " +
+        "FROM events GROUP BY 1) " +
+        "SELECT e.event_type, ROUND(MAX(m.med), 4) AS med, " +
+        "ROUND(MEDIAN(ABS(e.value - m.med)), 4) AS mad, " +
+        "CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM events e JOIN m ON e.event_type = m.event_type " +
+        "GROUP BY 1 ORDER BY 1"),
+    "multi_linreg" ->
+      ("WITH s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, " +
+        "SUM(l_quantity) AS s1, SUM(l_discount) AS s2, " +
+        "SUM(l_extendedprice) AS sy, " +
+        "SUM(l_quantity * l_quantity) AS s11, " +
+        "SUM(l_discount * l_discount) AS s22, " +
+        "SUM(l_quantity * l_discount) AS s12, " +
+        "SUM(l_quantity * l_extendedprice) AS s1y, " +
+        "SUM(l_discount * l_extendedprice) AS s2y, " +
+        "SUM(l_extendedprice * l_extendedprice) AS syy FROM lineitem), " +
+        "c AS (SELECT *, s11 - s1 * s1 / n AS c11, s22 - s2 * s2 / n AS c22, " +
+        "s12 - s1 * s2 / n AS c12, s1y - s1 * sy / n AS c1y, " +
+        "s2y - s2 * sy / n AS c2y, syy - sy * sy / n AS cyy FROM s), " +
+        "d AS (SELECT *, c11 * c22 - c12 * c12 AS det FROM c), " +
+        "b AS (SELECT *, (c1y * c22 - c2y * c12) / det AS b1, " +
+        "(c11 * c2y - c12 * c1y) / det AS b2 FROM d) " +
+        "SELECT ROUND((sy - b1 * s1 - b2 * s2) / n, 4) AS b0, " +
+        "ROUND(b1, 4) AS b1, ROUND(b2, 4) AS b2, " +
+        "ROUND((b1 * c1y + b2 * c2y) / cyy, 6) AS r2, " +
+        "CAST(n AS BIGINT) AS n FROM b"),
+    "sample_weighted" ->
+      ("WITH k AS (SELECT doc_id, n_chars, " +
+        "LN((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) " +
+        "AS INTEGER) AS DOUBLE) + 0.5) / 16777216.0) / n_chars AS wkey " +
+        "FROM documents), " +
+        "top AS (SELECT * FROM k ORDER BY wkey DESC, doc_id LIMIT 100) " +
+        "SELECT doc_id, n_chars, ROUND(wkey * 1e6, 4) AS wkey_ppm " +
+        "FROM top ORDER BY doc_id"),
     "rank_corr" ->
       ("WITH per_user AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS x, " +
         "SUM(value) AS y FROM events GROUP BY 1), " +

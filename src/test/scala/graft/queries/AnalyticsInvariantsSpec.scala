@@ -216,4 +216,148 @@ class AnalyticsInvariantsSpec extends SparkSpec {
       assert((cs.length - 1) * 48 + cs.last._3 == n, s"doc $id tail coverage")
     }
   }
+
+  test("event_transitions: rows sum to 1 per prev, total n = events - users") {
+    val rows = AnalyticsQueries.eventTransitions(spark, sf001).collect()
+    rows.groupBy(_.getString(0)).foreach { case (prev, rs) =>
+      val pSum = rs.map(_.getDouble(3)).sum
+      // each prob is rounded to 6, so the row sum is 1 +- 5e-6 per cell
+      assert(math.abs(pSum - 1.0) < 5e-6 * rs.length, s"$prev rows sum to $pSum")
+    }
+    val ev = Fixtures.table(spark, sf001, "events")
+    val total = ev.count()
+    val users = ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == total - users,
+      "every user's path contributes (len - 1) transitions")
+  }
+
+  test("series_acf: bounded, and pair counts shrink by one per lag on contiguous days") {
+    val rows = AnalyticsQueries.seriesAcf(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, lg, acf, _) =>
+      assert(acf.isNaN || (acf >= -1.0 && acf <= 1.0), s"$et lag $lg acf $acf")
+    }
+    // the sf0.01 fixture has every calendar day populated for every type,
+    // so lag-k alignment loses exactly k pairs
+    rows.groupBy(_._1).foreach { case (et, rs) =>
+      val n0 = rs.find(_._2 == 1L).get._4 + 1
+      rs.foreach { case (_, lg, _, np) =>
+        assert(np == n0 - lg, s"$et lag $lg pairs $np, want ${n0 - lg}")
+      }
+    }
+  }
+
+  test("series_cusum matches a brute-force changepoint scan per type") {
+    val got = AnalyticsQueries.seriesCusum(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getDate(1).toString, r.getDouble(2)))).toMap
+    val daily = Fixtures.table(spark, sf0001, "events")
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1)
+    daily.foreach { case (et, rows) =>
+      val byDay = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val xs = byDay.map(_._2)
+      val (n, tot) = (xs.length.toLong, xs.sum)
+      val s = xs.scanLeft(0L)(_ + _).tail.zipWithIndex.map { case (cum, i) =>
+        n * cum - (i + 1) * tot
+      }
+      val best = s.map(math.abs).max
+      val bestDay = byDay(s.map(math.abs).indexOf(best))._1
+      assert(got(et)._1 == bestDay, s"$et changepoint ${got(et)._1}, want $bestDay")
+      assert(math.abs(got(et)._2 - best.toDouble / (n * 100)) < 0.005 + 1e-9,
+        s"$et stat ${got(et)._2} vs ${best.toDouble / (n * 100)}")
+    }
+  }
+
+  test("series_decompose: full-window rows only, sd non-negative") {
+    val rows = AnalyticsQueries.seriesDecompose(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 7, s"dow out of range: $r")
+      assert(r.isNullAt(3) || r.getDouble(3) >= 0.0, s"negative sd: $r")
+    }
+    // trimming 3 days per series edge: per-series day counts sum to nd - 6
+    val nd = Fixtures.table(spark, sf001, "events")
+      .select(col("event_type"), to_date(col("ts")).as("d")).distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(0)).foreach { case (et, rs) =>
+      assert(rs.map(_.getLong(4)).sum == nd(et) - 6, s"$et day budget")
+    }
+  }
+
+  test("mad_per_group matches a brute-force median-of-deviations per type") {
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val got = AnalyticsQueries.madPerGroup(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val vals = Fixtures.table(spark, sf0001, "events")
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    vals.foreach { case (et, rows) =>
+      val xs = rows.map(_._2).toSeq
+      val m = median(xs)
+      assert(math.abs(got(et)._1 - m) < 1e-4 + 1e-9, s"$et median")
+      assert(math.abs(got(et)._2 - median(xs.map(x => math.abs(x - m)))) < 1e-4 + 1e-9,
+        s"$et mad")
+    }
+  }
+
+  test("multi_linreg matches a brute-force normal-equations solve") {
+    val r = AnalyticsQueries.multiLinreg(spark, sf0001).collect().head
+    val rows = Fixtures.table(spark, sf0001, "lineitem")
+      .select(col("l_quantity"), col("l_discount"), col("l_extendedprice"))
+      .collect().map(x => (x.getDouble(0), x.getDouble(1), x.getDouble(2)))
+    val n = rows.length.toDouble
+    def mean(f: ((Double, Double, Double)) => Double) = rows.map(f).sum / n
+    val (m1, m2, my) = (mean(_._1), mean(_._2), mean(_._3))
+    def c(f: ((Double, Double, Double)) => Double, mf: Double,
+        g: ((Double, Double, Double)) => Double, mg: Double) =
+      rows.map(t => (f(t) - mf) * (g(t) - mg)).sum
+    val (c11, c22, c12) = (c(_._1, m1, _._1, m1), c(_._2, m2, _._2, m2), c(_._1, m1, _._2, m2))
+    val (c1y, c2y, cyy) = (c(_._1, m1, _._3, my), c(_._2, m2, _._3, my), c(_._3, my, _._3, my))
+    val det = c11 * c22 - c12 * c12
+    val b1 = (c1y * c22 - c2y * c12) / det
+    val b2 = (c11 * c2y - c12 * c1y) / det
+    val b0 = my - b1 * m1 - b2 * m2
+    assert(math.abs(r.getDouble(0) - b0) < 1e-3, s"b0 ${r.getDouble(0)} vs $b0")
+    assert(math.abs(r.getDouble(1) - b1) < 1e-3, s"b1 ${r.getDouble(1)} vs $b1")
+    assert(math.abs(r.getDouble(2) - b2) < 1e-3, s"b2 ${r.getDouble(2)} vs $b2")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, s"r2 ${r.getDouble(3)}")
+    assert(r.getLong(4) == rows.length.toLong)
+  }
+
+  test("sample_weighted: exact size, valid members, longer docs overrepresented") {
+    val out = AnalyticsQueries.sampleWeighted(spark, sf001).collect()
+    assert(out.length == 100)
+    assert(out.map(_.getLong(0)).distinct.length == 100, "duplicate doc_ids")
+    val docs = Fixtures.table(spark, sf001, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(docs(r.getLong(0)) == r.getLong(1), s"forged row $r"))
+    // weight-proportional sampling must tilt the sample toward long docs
+    val corpusAvg = docs.values.sum.toDouble / docs.size
+    val sampleAvg = out.map(_.getLong(1)).sum.toDouble / out.length
+    assert(sampleAvg > corpusAvg,
+      s"weighted sample avg $sampleAvg not above corpus avg $corpusAvg")
+  }
+
+  test("url_functions: partitions the corpus, parses every synthesized shape") {
+    val rows = AnalyticsQueries.urlFunctions(spark, sf001).collect()
+    val total = Fixtures.table(spark, sf001, "documents").count()
+    assert(rows.map(_.getLong(2)).sum == total, "every doc lands in one cell")
+    assert(rows.map(_.getString(0)).toSet == Set("http", "https"))
+    assert(rows.map(_.getString(1)).toSet == Set("com", "org", "net"))
+    // each (source, tld) domain is distinct and each doc's path is unique
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(2), s"paths must be per-doc unique: $r")
+    }
+  }
 }

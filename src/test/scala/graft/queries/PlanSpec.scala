@@ -427,4 +427,33 @@ class PlanSpec extends SparkSpec {
         s"$q: windows must run above the aggregated frame\n$p")
     }
   }
+
+  test("sample_weighted: distributed top-k, not a global sort") {
+    val p = plan("sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 by key must be per-partition heaps + driver merge — a " +
+        s"global Sort+Limit shuffles the whole corpus\n$p")
+  }
+
+  test("series_acf: lag alignment joins the tiny daily aggregate broadcast-side") {
+    val p = plan("series_acf")
+    assert(p.contains("BroadcastHashJoin"),
+      s"daily-aggregate self-join must broadcast, not sort-merge\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("mad_per_group: per-group medians join back broadcast-side") {
+    val p = plan("mad_per_group")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |groups|-row median frame must broadcast\n$p")
+  }
+
+  test("multi_linreg: pure aggregation — no window, no join, one shuffle") {
+    val p = plan("multi_linreg")
+    assert(!p.contains("Window"), s"Gram sums must not need a window\n$p")
+    assert(!p.contains("Join"), s"single-scan aggregation only\n$p")
+    val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"ten partial-agg'd doubles to a single partition, got $exchanges\n$p")
+  }
 }
