@@ -1444,7 +1444,140 @@ object AnalyticsQueries {
         round(col("wkey") * 1e6, 4).as("wkey_ppm"))
       .orderBy("doc_id")
 
+  /** Pairwise audience overlap between event types (the ClickHouse
+    * `bitmapAndCardinality` use case: which behaviors share users) with
+    * Jaccard similarity. Pairs are generated THROUGH the user key — each
+    * user's distinct types self-join on user_id, so the work is
+    * users x |types|^2 (types is a small enum), never an all-pairs join
+    * of audiences. The distinct frame feeds both join sides and the
+    * totals, hence the persist; per-type totals broadcast back.
+    */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ut = table(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    ut.select(col("event_type").as("type_a"), col("user_id"))
+      .join(ut.select(col("event_type").as("type_b"), col("user_id")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(totals.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(totals.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"), col("n_b"),
+        round(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Gini coefficient of per-customer revenue — the inequality summary
+    * (ClickHouse-style analytic over a ranked aggregate). The global
+    * rank window runs on the per-customer AGGREGATE (customer
+    * cardinality), never the raw orders — the same aggregate-first
+    * discipline as rank_corr. Ties in revenue don't affect the result:
+    * sum(i * x) is invariant under permuting equal x.
+    */
+  def giniRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.orderBy(col("rev"), col("o_custkey"))
+    table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+      .withColumn("i", row_number().over(wOrd))
+      .agg(
+        round(lit(2.0) * sum(col("i") * col("rev")) /
+          (count(lit(1)) * sum(col("rev"))) -
+          (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"),
+        count(lit(1)).as("n_customers"),
+        round(sum(col("rev")), 2).as("total_revenue"))
+  }
+
+  /** ClickHouse IPv4 function family (IPv4NumToString / subnet rollup):
+    * a deterministic 10.0.0.0/12 address is synthesized per user (the
+    * fixtures carry no IP column), formatted dotted-quad, and rolled up
+    * by /16 subnet. All integer arithmetic + string assembly — exact on
+    * any engine; one hash agg on a 16-value key.
+    */
+  def ipFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val ip = lit(167772160L) + pmod(col("user_id") * 2654435761L, lit(1048576L))
+    table(spark, dir, "events")
+      .select(ip.as("ip"))
+      .select(col("ip"),
+        (floor(col("ip") / 65536).cast("long") % 256).as("o2"),
+        (floor(col("ip") / 256).cast("long") % 256).as("o3"),
+        (col("ip") % 256).as("o4"))
+      .select(col("ip"), col("o2"),
+        concat_ws(".", lit("10"), col("o2").cast("string"),
+          col("o3").cast("string"), col("o4").cast("string")).as("dotted"))
+      .groupBy(col("o2").as("subnet16"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("ip")).as("n_ips"),
+        min(col("dotted")).as("first_ip"),
+        max(col("dotted")).as("last_ip"))
+      .orderBy("subnet16")
+  }
+
+  /** ClickHouse `greatCircleDistance`: haversine distance from a
+    * per-user deterministic coordinate (no geo column in the fixtures)
+    * to the origin, aggregated per event type. Pure projection trig
+    * (identical closed form both engines, sin*sin instead of pow so no
+    * library-pow divergence) + one hash agg; km rounded to 2 absorbs
+    * any last-ulp libm difference.
+    */
+  def geoDistance(spark: SparkSession, dir: String): DataFrame = {
+    val rad = math.Pi / 180.0
+    val lat = (pmod(col("user_id") * 31L, lit(120L)).cast("double") - 60.0 + 0.5) * rad
+    val lon = (pmod(col("user_id") * 17L, lit(360L)).cast("double") - 180.0 + 0.5) * rad
+    val a = sin(lat / 2) * sin(lat / 2) +
+      cos(lat) * sin(lon / 2) * sin(lon / 2)
+    val dkm = lit(2 * 6371.0) * asin(sqrt(a))
+    table(spark, dir, "events")
+      .select(col("event_type"), dkm.as("dkm"))
+      .groupBy(col("event_type"))
+      .agg(round(avg(col("dkm")), 2).as("avg_km"),
+        round(min(col("dkm")), 2).as("min_km"),
+        round(max(col("dkm")), 2).as("max_km"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  /** Mutual information (bits) between event type and day-of-week, with
+    * both marginal entropies and the min-normalized MI — the dependence
+    * summary complementing [[theilsU]] (which reports the asymmetric
+    * uncertainty coefficient). Marginals come from windows over the
+    * |X|x|Y| CELL aggregate (sum of cell counts per x is the x
+    * marginal), so nothing beyond the first hash agg touches raw events.
+    */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    val wx = Window.partitionBy(col("x"))
+    val wy = Window.partitionBy(col("y"))
+    table(spark, dir, "events")
+      .groupBy(col("event_type").as("x"), dayofweek(to_date(col("ts"))).as("y"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("cx", sum(col("c")).over(wx))
+      .withColumn("cy", sum(col("c")).over(wy))
+      .agg(
+        round(sum(col("c") / col("n") *
+          log2(col("c") * col("n") / (col("cx") * col("cy")))), 6).as("mi_bits"),
+        round(-sum(col("c") / col("n") * log2(col("cx") / col("n"))), 6).as("h_x"),
+        round(-sum(col("c") / col("n") * log2(col("cy") / col("n"))), 6).as("h_y"),
+        round(sum(col("c") / col("n") *
+          log2(col("c") * col("n") / (col("cx") * col("cy")))) /
+          least(-sum(col("c") / col("n") * log2(col("cx") / col("n"))),
+            -sum(col("c") / col("n") * log2(col("cy") / col("n")))), 6).as("nmi"),
+        count(lit(1)).as("n_cells"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audience_overlap" -> (audienceOverlap _),
+    "gini_revenue" -> (giniRevenue _),
+    "ip_functions" -> (ipFunctions _),
+    "geo_distance" -> (geoDistance _),
+    "mutual_info" -> (mutualInfo _),
     "url_functions" -> (urlFunctions _),
     "event_transitions" -> (eventTransitions _),
     "series_acf" -> (seriesAcf _),
@@ -1506,6 +1639,60 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "audience_overlap" ->
+      ("WITH ut AS (SELECT DISTINCT event_type, user_id FROM events), " +
+        "t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1), " +
+        "p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_both FROM ut a JOIN ut b " +
+        "ON a.user_id = b.user_id AND a.event_type < b.event_type GROUP BY 1, 2) " +
+        "SELECT type_a, type_b, n_both, ta.n AS n_a, tb.n AS n_b, " +
+        "ROUND(CAST(n_both AS DOUBLE) / (ta.n + tb.n - n_both), 6) AS jaccard " +
+        "FROM p JOIN t ta ON ta.event_type = type_a " +
+        "JOIN t tb ON tb.event_type = type_b ORDER BY 1, 2"),
+    "gini_revenue" ->
+      ("WITH r AS (SELECT o_custkey, SUM(o_totalprice) AS rev " +
+        "FROM orders GROUP BY 1), " +
+        "k AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i, " +
+        "COUNT(*) OVER () AS n, SUM(rev) OVER () AS tot FROM r) " +
+        "SELECT ROUND(2.0 * SUM(i * rev) / (MAX(n) * MAX(tot)) - " +
+        "(MAX(n) + 1.0) / MAX(n), 6) AS gini, " +
+        "CAST(MAX(n) AS BIGINT) AS n_customers, " +
+        "ROUND(MAX(tot), 2) AS total_revenue FROM k"),
+    "ip_functions" ->
+      ("WITH ips AS (SELECT 167772160 + (user_id * 2654435761) % 1048576 AS ip " +
+        "FROM events), " +
+        "o AS (SELECT ip, (ip // 65536) % 256 AS o2, (ip // 256) % 256 AS o3, " +
+        "ip % 256 AS o4 FROM ips), " +
+        "d AS (SELECT ip, o2, '10.' || CAST(o2 AS VARCHAR) || '.' || " +
+        "CAST(o3 AS VARCHAR) || '.' || CAST(o4 AS VARCHAR) AS dotted FROM o) " +
+        "SELECT CAST(o2 AS BIGINT) AS subnet16, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "CAST(COUNT(DISTINCT ip) AS BIGINT) AS n_ips, " +
+        "MIN(dotted) AS first_ip, MAX(dotted) AS last_ip " +
+        "FROM d GROUP BY 1 ORDER BY 1"),
+    "geo_distance" ->
+      ("WITH c AS (SELECT event_type, " +
+        "(CAST((user_id * 31) % 120 AS DOUBLE) - 60.0 + 0.5) * PI() / 180.0 AS lat, " +
+        "(CAST((user_id * 17) % 360 AS DOUBLE) - 180.0 + 0.5) * PI() / 180.0 AS lon " +
+        "FROM events), " +
+        "h AS (SELECT event_type, 2 * 6371.0 * ASIN(SQRT(" +
+        "SIN(lat / 2) * SIN(lat / 2) + " +
+        "COS(lat) * SIN(lon / 2) * SIN(lon / 2))) AS dkm FROM c) " +
+        "SELECT event_type, ROUND(AVG(dkm), 2) AS avg_km, " +
+        "ROUND(MIN(dkm), 2) AS min_km, ROUND(MAX(dkm), 2) AS max_km, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1 ORDER BY 1"),
+    "mutual_info" ->
+      ("WITH cells AS (SELECT event_type AS x, " +
+        "dayofweek(CAST(ts AS DATE)) AS y, CAST(COUNT(*) AS DOUBLE) AS c " +
+        "FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT x, y, c, SUM(c) OVER () AS n, " +
+        "SUM(c) OVER (PARTITION BY x) AS cx, " +
+        "SUM(c) OVER (PARTITION BY y) AS cy FROM cells) " +
+        "SELECT ROUND(SUM(c / n * LOG2(c * n / (cx * cy))), 6) AS mi_bits, " +
+        "ROUND(-SUM(c / n * LOG2(cx / n)), 6) AS h_x, " +
+        "ROUND(-SUM(c / n * LOG2(cy / n)), 6) AS h_y, " +
+        "ROUND(SUM(c / n * LOG2(c * n / (cx * cy))) / " +
+        "LEAST(-SUM(c / n * LOG2(cx / n)), -SUM(c / n * LOG2(cy / n))), 6) AS nmi, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_cells FROM m"),
     "url_functions" ->
       ("WITH u AS (SELECT doc_id, " +
         "(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://' || " +

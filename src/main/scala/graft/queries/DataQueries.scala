@@ -447,7 +447,20 @@ object DataQueries {
     Dedup.decontaminateEmbeddingLsh(table(spark, dir, "embeddings"),
       threshold = 0.45, dim = 64)
 
+  /** Size distribution of exact normalized-dup clusters — the corpus
+    * health report read before tuning near-dup thresholds (how much
+    * exact duplication, in how large families?). Composes
+    * [[Dedup.exactNormalized]]: its n_copies IS the cluster size, so
+    * this adds one tiny hash agg over the dedup output.
+    */
+  def dedupClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactNormalized(table(spark, dir, "documents"))
+      .groupBy(col("n_copies").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster_sizes" -> (dedupClusterSizes _),
     "decontaminate_embedding" -> (decontaminateEmbedding _),
     "decontaminate_embedding_lsh" -> (decontaminateEmbeddingLsh _),
     "sample_stratified" -> (sampleStratified _),
@@ -578,6 +591,13 @@ object DataQueries {
         "SELECT doc_id AS keep_id, CAST(n_chars AS BIGINT) AS n_chars, " +
         "CAST(n_copies AS BIGINT) AS n_copies " +
         "FROM r WHERE rk = 1 ORDER BY keep_id"),
+    "dedup_cluster_sizes" ->
+      ("WITH n AS (SELECT doc_id, " +
+        "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm " +
+        "FROM documents), " +
+        "c AS (SELECT COUNT(*) AS cluster_size FROM n GROUP BY norm) " +
+        "SELECT CAST(cluster_size AS BIGINT) AS cluster_size, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_clusters FROM c GROUP BY 1 ORDER BY 1"),
     "dedup_exact_normalized" ->
       ("WITH n AS (SELECT doc_id, " +
         "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm " +

@@ -349,6 +349,80 @@ class AnalyticsInvariantsSpec extends SparkSpec {
       s"weighted sample avg $sampleAvg not above corpus avg $corpusAvg")
   }
 
+  test("audience_overlap: all unordered pairs, intersections bounded, jaccard consistent") {
+    val rows = AnalyticsQueries.audienceOverlap(spark, sf001).collect()
+    assert(rows.length == 10, "5 event types -> 10 unordered pairs")
+    rows.foreach { r =>
+      val (both, na, nb, j) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(r.getString(0) < r.getString(1), s"pair not canonical: $r")
+      assert(both <= math.min(na, nb), s"intersection exceeds a side: $r")
+      assert(math.abs(j - both.toDouble / (na + nb - both)) < 1e-6, s"jaccard: $r")
+    }
+  }
+
+  test("gini_revenue: bounded in [0, 1), matches brute force") {
+    val r = AnalyticsQueries.giniRevenue(spark, sf0001).collect().head
+    val rev = Fixtures.table(spark, sf0001, "orders")
+      .groupBy("o_custkey").sum("o_totalprice").collect()
+      .map(_.getDouble(1)).sorted
+    val n = rev.length.toDouble
+    val gini = 2.0 * rev.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum /
+      (n * rev.sum) - (n + 1) / n
+    assert(math.abs(r.getDouble(0) - gini) < 1e-5, s"${r.getDouble(0)} vs $gini")
+    assert(r.getDouble(0) >= 0.0 && r.getDouble(0) < 1.0)
+    assert(r.getLong(1) == rev.length.toLong)
+  }
+
+  test("ip_functions: subnets partition the events, addresses stay in 10.0.0.0/12") {
+    val rows = AnalyticsQueries.ipFunctions(spark, sf001).collect()
+    val total = Fixtures.table(spark, sf001, "events").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 15, s"subnet out of /12: $r")
+      assert(r.getString(3).startsWith(s"10.${r.getLong(0)}."), s"first_ip: $r")
+      assert(r.getString(4).startsWith(s"10.${r.getLong(0)}."), s"last_ip: $r")
+      assert(r.getLong(2) <= r.getLong(1), "distinct ips bounded by events")
+    }
+  }
+
+  test("geo_distance: distances within the sphere's bounds") {
+    val rows = AnalyticsQueries.geoDistance(spark, sf001).collect()
+    val halfCircumf = math.Pi * 6371.0
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0, s"negative min: $r")
+      assert(r.getDouble(3) <= halfCircumf + 0.01, s"beyond antipode: $r")
+      assert(r.getDouble(1) >= r.getDouble(2) && r.getDouble(1) <= r.getDouble(3),
+        s"avg outside [min, max]: $r")
+    }
+  }
+
+  test("mutual_info: information inequalities hold") {
+    val r = AnalyticsQueries.mutualInfo(spark, sf001).collect().head
+    val (mi, hx, hy, nmi) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(mi >= -1e-9, s"MI must be non-negative: $mi")
+    assert(mi <= math.min(hx, hy) + 1e-9, s"MI exceeds a marginal entropy: $r")
+    assert(nmi >= -1e-9 && nmi <= 1.0 + 1e-9, s"nmi out of [0,1]: $nmi")
+    assert(hx > 0 && hy > 0, "fixture has multiple types and days")
+  }
+
+  test("dedup_cluster_sizes: sizes weighted by cluster count cover the corpus") {
+    val rows = DataQueries.dedupClusterSizes(spark, sf001).collect()
+    val total = Fixtures.table(spark, sf001, "documents").count()
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum == total,
+      "sum(size * clusters) must equal doc count")
+    // synthetic corpus with known duplication: 3 copies of A, 2 of B, 1 of C
+    import spark.implicits._
+    val docs = Seq((1L, "Alpha text!"), (2L, "alpha  TEXT"), (3L, "alpha text"),
+      (4L, "beta"), (5L, "BETA."), (6L, "gamma"))
+      .toDF("doc_id", "text")
+    val dist = graft.operators.Dedup.exactNormalized(docs)
+      .groupBy("n_copies").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == Map(3L -> 1L, 2L -> 1L, 1L -> 1L), s"got $dist")
+  }
+
   test("url_functions: partitions the corpus, parses every synthesized shape") {
     val rows = AnalyticsQueries.urlFunctions(spark, sf001).collect()
     val total = Fixtures.table(spark, sf001, "documents").count()
