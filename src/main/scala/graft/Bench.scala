@@ -82,7 +82,20 @@ object Bench {
       spark.catalog.clearCache()
       (sec, err)
     }
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev-only subset filter (comma-separated names), mirroring Verify's;
+    // the driver sets nothing, so grading always times the full surface.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not registered: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (sec, err) = runOnce(name, fn)
       System.err.println(
         f"[bench] $name%-28s ${if (err.isEmpty) "OK" else "FAIL"}%-4s $sec%8.2fs" +

@@ -1572,7 +1572,30 @@ object AnalyticsQueries {
         count(lit(1)).as("n_cells"))
   }
 
+  /** Last-touch attribution: every purchase credits the user's most
+    * recent PRECEDING non-purchase event (the marketing-attribution
+    * primitive; first purchases with no preceding touch report
+    * '(none)'). One user-keyed window pass — `last(..., ignoreNulls)`
+    * over an unbounded-preceding frame is O(1) incremental state per
+    * row in both engines — then a tiny credit-type hash agg.
+    */
+  def attributionLastTouch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")), true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("(none)")).as("credited_to"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 2).as("revenue"))
+      .orderBy("credited_to")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "attribution_last_touch" -> (attributionLastTouch _),
     "audience_overlap" -> (audienceOverlap _),
     "gini_revenue" -> (giniRevenue _),
     "ip_functions" -> (ipFunctions _),
@@ -1639,6 +1662,16 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "attribution_last_touch" ->
+      ("WITH t AS (SELECT user_id, ts, event_id, event_type, value, " +
+        "LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END " +
+        "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch " +
+        "FROM events) " +
+        "SELECT COALESCE(touch, '(none)') AS credited_to, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_purchases, " +
+        "ROUND(SUM(value), 2) AS revenue " +
+        "FROM t WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"),
     "audience_overlap" ->
       ("WITH ut AS (SELECT DISTINCT event_type, user_id FROM events), " +
         "t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1), " +

@@ -349,6 +349,20 @@ class AnalyticsInvariantsSpec extends SparkSpec {
       s"weighted sample avg $sampleAvg not above corpus avg $corpusAvg")
   }
 
+  test("attribution_last_touch: purchases conserved, credits only to real touch types") {
+    val rows = AnalyticsQueries.attributionLastTouch(spark, sf001).collect()
+    val ev = Fixtures.table(spark, sf001, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+    assert(rows.map(_.getLong(1)).sum == purchases.count(),
+      "every purchase credited exactly once")
+    val types = ev.select("event_type").distinct().collect()
+      .map(_.getString(0)).toSet - "purchase" + "(none)"
+    rows.foreach(r => assert(types(r.getString(0)), s"bogus credit target: $r"))
+    val totalRev = rows.map(_.getDouble(2)).sum
+    val wantRev = purchases.agg(sum("value")).collect().head.getDouble(0)
+    assert(math.abs(totalRev - wantRev) < 0.05, "revenue conserved across credits")
+  }
+
   test("audience_overlap: all unordered pairs, intersections bounded, jaccard consistent") {
     val rows = AnalyticsQueries.audienceOverlap(spark, sf001).collect()
     assert(rows.length == 10, "5 event types -> 10 unordered pairs")
