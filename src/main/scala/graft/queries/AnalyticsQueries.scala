@@ -1594,7 +1594,49 @@ object AnalyticsQueries {
       .orderBy("credited_to")
   }
 
+  /** Morton (Z-order) layout key over (user_id, value) — the multi-column
+    * clustering key behind `OPTIMIZE ZORDER BY` style re-layouts (see
+    * [[graft.operators.ZOrder]] for the row-group-pruning rationale). The
+    * key derivation is a pure codegen'd projection (cast/floor/shift/
+    * mask/or); the per-column bounds come from one tiny min/max aggregate
+    * (4 doubles to the driver). The oracle replays the identical IEEE
+    * arithmetic — bucket doubles then integer bit-interleave — so the
+    * whole key path is hash-checked, making the layout sort key itself a
+    * verified operator rather than a trust-me transform.
+    */
+  def zorderKey(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ZOrder
+    val ev = table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val bs = ZOrder.bounds(ev, Seq("user_id", "value"))
+    val buckets = bs.map { case (c, lo, hi) => ZOrder.unitBucket(col(c), lo, hi, 8) }
+    ev.select(col("event_id"), ZOrder.mortonKey(buckets, 8).as("zkey"))
+      .orderBy("event_id")
+  }
+
+  /** DuckDB replay of [[zorderKey]]: same bucket formula (double math in
+    * the same association order, same MIN_NORMAL span floor, same clamp)
+    * and the 8-bit x 2-column interleave unrolled as 16 shift/mask terms.
+    */
+  private def zorderOracle: String = {
+    val bits = 8
+    val mx = (1 << bits) - 1
+    def bucket(c: String, lo: String, hi: String): String = {
+      val span = s"GREATEST($hi - $lo, 2.2250738585072014e-308)"
+      s"LEAST($mx, GREATEST(0, CAST(FLOOR((CAST($c AS DOUBLE) - $lo) / $span * ${1 << bits}) AS BIGINT)))"
+    }
+    val terms = for (i <- 0 until bits; j <- 0 until 2)
+      yield s"(((b$j >> $i) & 1) << ${i * 2 + j})"
+    "WITH b AS (SELECT CAST(MIN(user_id) AS DOUBLE) AS lo0, " +
+      "CAST(MAX(user_id) AS DOUBLE) AS hi0, CAST(MIN(value) AS DOUBLE) AS lo1, " +
+      "CAST(MAX(value) AS DOUBLE) AS hi1 FROM events), " +
+      s"q AS (SELECT event_id, ${bucket("user_id", "b.lo0", "b.hi0")} AS b0, " +
+      s"${bucket("value", "b.lo1", "b.hi1")} AS b1 FROM events, b) " +
+      s"SELECT event_id, (${terms.mkString(" | ")}) AS zkey FROM q ORDER BY event_id"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zorder_key" -> (zorderKey _),
     "attribution_last_touch" -> (attributionLastTouch _),
     "audience_overlap" -> (audienceOverlap _),
     "gini_revenue" -> (giniRevenue _),
@@ -1662,6 +1704,7 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "zorder_key" -> zorderOracle,
     "attribution_last_touch" ->
       ("WITH t AS (SELECT user_id, ts, event_id, event_type, value, " +
         "LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END " +

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mortonRef(vals: Seq[Long], bits: Int): Long = {
+    var key = 0L
+    val k = vals.length
+    for (i <- 0 until bits; j <- 0 until k)
+      key |= ((vals(j) >> i) & 1L) << (i * k + j)
+    key
+  }
+
+  test("mortonKey matches the scalar bit-interleave reference") {
+    val rows = (0 until 500).map { i =>
+      (((i * 2654435761L) % 1024), ((i * 40503L) % 1024), ((i * 97L) % 1024))
+    }
+    val df = rows.toDF("a", "b", "c")
+    val got2 = df.select(
+      ZOrder.mortonKey(Seq(col("a"), col("b")), 10).as("z")).collect().map(_.getLong(0))
+    rows.map(r => mortonRef(Seq(r._1, r._2), 10)).zip(got2).foreach {
+      case (want, got) => assert(want == got)
+    }
+    val got3 = df.select(
+      ZOrder.mortonKey(Seq(col("a"), col("b"), col("c")), 10).as("z"))
+      .collect().map(_.getLong(0))
+    rows.map(r => mortonRef(Seq(r._1, r._2, r._3), 10)).zip(got3).foreach {
+      case (want, got) => assert(want == got)
+    }
+  }
+
+  test("unitBucket clamps out-of-bounds values instead of corrupting the key") {
+    val df = Seq(-5.0, 0.0, 50.0, 100.0, 500.0).toDF("x")
+    val got = df.select(ZOrder.unitBucket(col("x"), 0.0, 100.0, 4).as("b"))
+      .collect().map(_.getLong(0))
+    assert(got.forall(b => b >= 0 && b <= 15), got.mkString(","))
+    assert(got(0) == 0L && got(4) == 15L, "clamped to edge buckets")
+    assert(got(2) == 8L, "midpoint lands mid-range")
+  }
+
+  test("z-order layout bounds BOTH columns' per-partition ranges; x-sort does not") {
+    // deterministic pseudo-uniform 2-d points (no RNG — reproducible)
+    val pts = (0 until 20000).map { i =>
+      (((i * 2654435761L) % 4096).toDouble, ((i * 40503L + 17) % 4096).toDouble)
+    }
+    val df = pts.toDF("x", "y")
+    val parts = 16
+
+    def meanArea(laid: org.apache.spark.sql.DataFrame): Double = {
+      val spans = laid
+        .select(spark_partition_id().as("p"), col("x"), col("y"))
+        .groupBy("p")
+        .agg(((max("x") - min("x")) * (max("y") - min("y"))).as("area"))
+        .collect().map(_.getDouble(1))
+      spans.sum / spans.length
+    }
+
+    val total = 4096.0 * 4096.0
+    val zArea = meanArea(ZOrder.layout(df, Seq("x", "y"), parts, bits = 12))
+    val xArea = meanArea(
+      df.repartitionByRange(parts, col("x")).sortWithinPartitions(col("x")))
+
+    // x-only sort: x-range shrinks ~16x but y stays full-domain, so the
+    // per-partition area stays ~1/16 of the total. Z-order splits the
+    // shrinkage across both axes: same ~1/16 area, but now BOTH
+    // predicates prune. The discriminating metric is the per-axis span.
+    val zSpans = ZOrder.layout(df, Seq("x", "y"), parts, bits = 12)
+      .select(spark_partition_id().as("p"), col("x"), col("y"))
+      .groupBy("p").agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .collect()
+    val meanSy = zSpans.map(_.getDouble(2)).sum / zSpans.length
+    assert(meanSy < 4096.0 * 0.6,
+      f"z-order mean y-span $meanSy%.0f: y predicates would prune nothing")
+    // sanity cap with slack: repartitionByRange samples boundaries, so
+    // the mean area sits right at ~1/8 of the domain and wobbles a few
+    // permille run-to-run — the discriminating assertion is the y-span
+    assert(zArea <= total / 6,
+      f"z-order mean partition area ${zArea / total}%.3f of domain — want <= 1/6")
+    assert(xArea > total / 32, "sanity: x-sort can't shrink the 2-d area below ~1/16")
+  }
+
+  test("bounds computes one min/max pair per column") {
+    val df = Seq((1.0, 10.0), (5.0, -2.0), (3.0, 4.0)).toDF("a", "b")
+    assert(ZOrder.bounds(df, Seq("a", "b")) ==
+      Seq(("a", 1.0, 5.0), ("b", -2.0, 10.0)))
+  }
+}
