@@ -726,7 +726,136 @@ object RelationalQueries {
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")
   }
 
+  /** Weighted PageRank over the symmetrized customer–supplier bipartite
+    * graph (edge weight = lineitem count through orders) — the
+    * "importance in the co-purchase graph" analytics ClickHouse users
+    * bolt on externally. 5 fixed power iterations via
+    * [[graft.operators.PageRank.run]]; the oracle unrolls the identical
+    * arithmetic as chained CTEs, so this is a HASH-CHECKED iterative
+    * graph computation. Node ids: customer c -> 2c, supplier s -> 2s+1.
+    * Symmetrization guarantees every node has out-edges (no dangling
+    * mass, see the operator doc).
+    */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(table(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("w"))
+    val edges = e0
+      .select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"),
+        col("w").cast("double").as("w"))
+      .union(e0.select(col("s") * 2 + 1, col("c") * 2, col("w").cast("double")))
+    graft.operators.PageRank.run(edges, iters = 5)
+  }
+
+  /** Distribution-drift report between two time slices of a feature —
+    * PSI (population stability index), per-bin KL, and Jensen-Shannon
+    * terms over FIXED-width bins with Laplace smoothing [public: PSI is
+    * the standard credit-scoring / ML-monitoring drift metric]. Fixed
+    * bin edges (not quantiles) keep the query one scan per slice + a
+    * 10-row join — no global sort, no percentile pass; the smoothing
+    * `(n+1)/(N+bins)` makes every log finite without dropping empty
+    * bins. The reference slice is orders before 1998, the current slice
+    * the rest.
+    */
+  def driftPsi(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+      .select(col("o_totalprice"), to_date(col("o_orderdate")).as("d"))
+    val bin = least(lit(9L), greatest(lit(0L),
+      floor(col("o_totalprice") / lit(50000.0)).cast("long"))).as("bin")
+    val p = o.filter(col("d") < lit("1998-01-01"))
+      .groupBy(bin).agg(count(lit(1)).as("n_ref"))
+    val q = o.filter(col("d") >= lit("1998-01-01"))
+      .groupBy(bin).agg(count(lit(1)).as("n_cur"))
+    val tot = p.agg(sum(col("n_ref")).as("np"))
+      .crossJoin(q.agg(sum(col("n_cur")).as("nq")))
+    val bins = spark.range(10).select(col("id").as("bin"))
+    val sm = bins.crossJoin(broadcast(tot))
+      .join(p, Seq("bin"), "left").join(q, Seq("bin"), "left")
+      .select(col("bin"),
+        ((coalesce(col("n_ref"), lit(0L)) + lit(1L)) / (col("np") + lit(10.0))).as("pp"),
+        ((coalesce(col("n_cur"), lit(0L)) + lit(1L)) / (col("nq") + lit(10.0))).as("qq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val psiTerm = (col("qq") - col("pp")) * log(col("qq") / col("pp"))
+    sm.select(col("bin"),
+      round(col("pp"), 6).as("p_ref"), round(col("qq"), 6).as("p_cur"),
+      round(psiTerm, 6).as("psi_term"),
+      round(col("qq") * log(col("qq") / col("pp")), 6).as("kl_term"),
+      round(lit(0.5) * col("pp") * log(col("pp") / ((col("pp") + col("qq")) / lit(2))) +
+        lit(0.5) * col("qq") * log(col("qq") / ((col("pp") + col("qq")) / lit(2))), 6)
+        .as("js_term"),
+      round(sum(psiTerm).over(w), 6).as("psi_total"))
+      .orderBy("bin")
+  }
+
+  /** HITS hubs/authorities on the weighted customer–supplier bipartite
+    * graph (see [[graft.operators.Hits]]): 3 unrolled rounds, both score
+    * vectors in one role-tagged frame, hash-checked against the
+    * identically-unrolled DuckDB CTE chain.
+    */
+  def graphHits(spark: SparkSession, dir: String): DataFrame = {
+    val edges = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(table(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).cast("double").as("w"))
+    graft.operators.Hits.run(edges, iters = 3)
+  }
+
+  /** Exact triangle census of the repeat-co-purchase part graph (edge =
+    * two parts co-ordered in >= 2 distinct orders — the support
+    * threshold that keeps a co-occurrence graph sparse), by
+    * DEGREE-ORDERED wedge counting [public: Suri & Vassilvitskii 2011;
+    * Schank & Wagner 2005]: orient every edge from its lower-(degree,
+    * id) endpoint, enumerate wedges only at each triangle's lowest-rank
+    * vertex, close against the id-canonical edge list with a pure
+    * equi-join. Orientation bounds per-vertex wedge fan-out by
+    * out-degree <= sqrt(|E|)-ish instead of raw degree — THE classic
+    * fix for hub vertices that makes the naive wedge count explode
+    * quadratically on skewed graphs. All-integer arithmetic; one
+    * summary row.
+    */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(countDistinct(col("a.l_orderkey")).as("supp"))
+      .filter(col("supp") >= 2)
+      .select(col("p1"), col("p2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.select(col("p1").as("v")).union(edges.select(col("p2")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val lt = col("d1") < col("d2") ||
+      (col("d1") === col("d2") && col("p1") < col("p2"))
+    val ori = edges
+      .join(deg.select(col("v").as("p1"), col("d").as("d1")), Seq("p1"))
+      .join(deg.select(col("v").as("p2"), col("d").as("d2")), Seq("p2"))
+      .select(when(lt, col("p1")).otherwise(col("p2")).as("u"),
+        when(lt, col("p2")).otherwise(col("p1")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedge = ori.as("w1")
+      .join(ori.as("w2"), col("w1.u") === col("w2.u") && col("w1.v") < col("w2.v"))
+      .select(least(col("w1.v"), col("w2.v")).as("b"),
+        greatest(col("w1.v"), col("w2.v")).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(wedge.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(wedge.join(edges, col("b") === col("p1") && col("c") === col("p2"))
+        .agg(count(lit(1)).as("n_triangles")))
+      .crossJoin(deg.agg(max(col("d")).as("max_degree")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_hits" -> (graphHits _),
+    "graph_triangles" -> (graphTriangles _),
+    "graph_pagerank" -> (graphPagerank _),
+    "drift_psi" -> (driftPsi _),
     "sql_front_door" -> (sqlFrontDoor _),
     "json_quarantine" -> (jsonQuarantine _),
     "moving_sum_range" -> (movingSumRange _),
@@ -768,6 +897,55 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "graph_hits" -> graft.operators.Hits.oracleSql(
+      "edges AS (SELECT o_custkey AS c, l_suppkey AS s, " +
+        "CAST(COUNT(*) AS DOUBLE) AS w FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2)",
+      iters = 3),
+    "graph_triangles" ->
+      ("WITH pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, " +
+        "COUNT(DISTINCT a.l_orderkey) AS supp FROM lineitem a " +
+        "JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_partkey < b.l_partkey GROUP BY 1, 2), " +
+        "edges AS (SELECT p1, p2 FROM pairs WHERE supp >= 2), " +
+        "deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM " +
+        "(SELECT p1 AS v FROM edges UNION ALL SELECT p2 FROM edges) GROUP BY 1), " +
+        "ori AS (SELECT CASE WHEN (da.d, e.p1) < (db.d, e.p2) THEN e.p1 ELSE e.p2 END AS u, " +
+        "CASE WHEN (da.d, e.p1) < (db.d, e.p2) THEN e.p2 ELSE e.p1 END AS v " +
+        "FROM edges e JOIN deg da ON da.v = e.p1 JOIN deg db ON db.v = e.p2), " +
+        "wedge AS (SELECT LEAST(w1.v, w2.v) AS b, GREATEST(w1.v, w2.v) AS c " +
+        "FROM ori w1 JOIN ori w2 ON w1.u = w2.u AND w1.v < w2.v) " +
+        "SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges, " +
+        "CAST((SELECT COUNT(*) FROM wedge) AS BIGINT) AS n_wedges, " +
+        "CAST((SELECT COUNT(*) FROM wedge w JOIN edges e " +
+        "ON w.b = e.p1 AND w.c = e.p2) AS BIGINT) AS n_triangles, " +
+        "(SELECT MAX(d) FROM deg) AS max_degree"),
+    "graph_pagerank" -> graft.operators.PageRank.oracleSql(
+      "e0 AS (SELECT o_custkey AS c, l_suppkey AS s, COUNT(*) AS w FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2), " +
+        "edges AS (SELECT 2*c AS src, 2*s+1 AS dst, CAST(w AS DOUBLE) AS w FROM e0 " +
+        "UNION ALL SELECT 2*s+1, 2*c, CAST(w AS DOUBLE) FROM e0)",
+      iters = 5),
+    "drift_psi" ->
+      ("WITH p AS (SELECT LEAST(9, GREATEST(0, CAST(FLOOR(o_totalprice / 50000.0) " +
+        "AS BIGINT))) AS bin, COUNT(*) AS n FROM orders " +
+        "WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1), " +
+        "q AS (SELECT LEAST(9, GREATEST(0, CAST(FLOOR(o_totalprice / 50000.0) " +
+        "AS BIGINT))) AS bin, COUNT(*) AS n FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1), " +
+        "bins AS (SELECT UNNEST(generate_series(0, 9)) AS bin), " +
+        "tot AS (SELECT (SELECT SUM(n) FROM p) AS np, (SELECT SUM(n) FROM q) AS nq), " +
+        "sm AS (SELECT b.bin, (COALESCE(p.n, 0) + 1) / (t.np + 10.0) AS pp, " +
+        "(COALESCE(q.n, 0) + 1) / (t.nq + 10.0) AS qq " +
+        "FROM bins b CROSS JOIN tot t LEFT JOIN p ON p.bin = b.bin " +
+        "LEFT JOIN q ON q.bin = b.bin) " +
+        "SELECT bin, ROUND(pp, 6) AS p_ref, ROUND(qq, 6) AS p_cur, " +
+        "ROUND((qq - pp) * LN(qq / pp), 6) AS psi_term, " +
+        "ROUND(qq * LN(qq / pp), 6) AS kl_term, " +
+        "ROUND(0.5 * pp * LN(pp / ((pp + qq) / 2)) + " +
+        "0.5 * qq * LN(qq / ((pp + qq) / 2)), 6) AS js_term, " +
+        "ROUND(SUM((qq - pp) * LN(qq / pp)) OVER (), 6) AS psi_total " +
+        "FROM sm ORDER BY bin"),
     // the sketch estimate is engine-specific; the CHECKED surface is the
     // exact reach + the sketch-accuracy flag, which must come out TRUE
     "hll_reach" ->

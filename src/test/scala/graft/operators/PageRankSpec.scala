@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long, Double)], iters: Int): Map[Long, Double] =
+    PageRank.run(edges.toDF("src", "dst", "w"), iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("symmetric two-node graph is the fixed point: every rank stays 1.0") {
+    val got = ranks(Seq((1L, 2L, 3.0), (2L, 1L, 3.0)), iters = 5)
+    assert(got == Map(1L -> 1.0, 2L -> 1.0))
+  }
+
+  test("matches a scalar replay of the recurrence on an asymmetric graph") {
+    // A(1) -> B,C; B -> A; C -> A,B — weights deliberately uneven
+    val edges = Seq(
+      (1L, 2L, 2.0), (1L, 3L, 1.0),
+      (2L, 1L, 1.0),
+      (3L, 1L, 1.0), (3L, 2L, 3.0))
+    val outW = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var r = Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0)
+    for (_ <- 1 to 5) {
+      val contrib = edges
+        .groupBy(_._2)
+        .map { case (d, es) =>
+          d -> es.map { case (s, _, w) => r(s) * w / outW(s) }.sum
+        }
+      r = r.keys.map(n => n -> (0.15 + 0.85 * contrib.getOrElse(n, 0.0))).toMap
+    }
+    val got = ranks(edges, iters = 5)
+    r.foreach { case (n, want) =>
+      assert(math.abs(got(n) - want) < 1e-6, s"node $n: got ${got(n)}, want $want")
+    }
+  }
+
+  test("no-dangling graphs conserve total rank at |V|") {
+    // ring of 6 with a chord, all nodes have out-edges
+    val edges = (0L until 6L).map(i => (i, (i + 1) % 6, 1.0 + i)) :+ (0L, 3L, 2.0)
+    val got = ranks(edges, iters = 5)
+    assert(got.size == 6)
+    assert(math.abs(got.values.sum - 6.0) < 1e-4, s"sum ${got.values.sum}")
+  }
+
+  test("dangling sink keeps (1-d) source rank and stops propagating") {
+    // 1 -> 2 only: node 2 has no out-edges; after the first round node 1
+    // receives nothing (r=0.15) and node 2 converges to 0.15 + 0.85*0.15
+    val got = ranks(Seq((1L, 2L, 1.0)), iters = 5)
+    assert(got(1L) == 0.15)
+    assert(math.abs(got(2L) - (0.15 + 0.85 * 0.15)) < 1e-9, s"got ${got(2L)}")
+  }
+}
