@@ -196,6 +196,42 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: c(A in B) = |A∩B| / |A| —
+    * the "is A substantially a subset of B" test that Jaccard misses
+    * (a paragraph quoted whole inside a long document has tiny Jaccard
+    * but containment ~1) [public: Broder 1997's containment measure].
+    * Same inverted-index candidate shape and df cap as
+    * [[ngramJaccardPairs]] (one capped self-join, work ~ sum df^2);
+    * emits BOTH directions of each candidate pair that clear
+    * `threshold`, as (doc_sub contained-in doc_sup).
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxShingleDf: Int = 1000): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+    val sh = dfCappedShingleIndex(exploded, maxShingleDf)
+    val com = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"),
+        max(col("a.n_sh")).as("n_a"), max(col("b.n_sh")).as("n_b"))
+    // |A| and |B| ride along from the UNCAPPED per-doc set size (n_sh is
+    // computed before capping), so containment is exact-over-capped-common
+    // — same "common can only shrink" semantics as the Jaccard cap
+    com
+      .select(col("doc_a").as("doc_sub"), col("doc_b").as("doc_sup"),
+        (col("common").cast("double") / col("n_a")).as("cont"))
+      .union(com.select(col("doc_b"), col("doc_a"),
+        col("common").cast("double") / col("n_b")))
+      .filter(col("cont") >= threshold)
+      .select(col("doc_sub"), col("doc_sup"), round(col("cont"), 6).as("containment"))
+  }
+
   /** MinHash signature + banded LSH near-dup pairs.
     *
     * Hash family: minhash_i = min over shingles of xxhash64(i, shingle) —
@@ -315,6 +351,63 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(col("cos"), 6).as("cos"))
+  }
+
+  /** SemDeDup: cluster embeddings, then near-dup ONLY within each cluster
+    * [public: Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"]. The cluster pass turns
+    * the all-pairs cosine problem into sum-over-cells of |cell|^2 — the
+    * published trick that made semantic dedup tractable on LAION-scale
+    * corpora. Cells come from [[Similarity.ivfAssign]] (deterministic
+    * hash-seeded centroids, distributed assignment against the broadcast
+    * codebook); the within-cell self-join is keyed on the cell id, so
+    * shuffle volume is the corpus once and per-task state is bounded by
+    * the largest cell (tune nCells so corpus/nCells fits a task).
+    *
+    * Keep policy: a vector is REMOVED if it has cosine >= threshold with
+    * any LOWER-id vector in its cell; the output reports each removed
+    * vector with its lowest-id witness and the best cosine over its
+    * within-cell matches — the lowest-id-canonical convention of
+    * [[exactNormalized]].
+    *
+    * One-sided vs [[embeddingCosinePairs]]: the cosine test is exact, so
+    * no false removals; pairs split across cell boundaries are missed
+    * (DedupSpec bounds the recall on the fixture corpus). Rows-only at
+    * the driver — the centroid seed is xxhash64, which DuckDB can't
+    * replay.
+    */
+  def semDedup(emb: DataFrame, nCells: Int, threshold: Double,
+      nprobe: Int = 3): DataFrame = {
+    // cluster DIRECTIONS, not magnitudes: the dedup criterion is cosine,
+    // so assignment runs on L2-normalized vectors (the paper's spherical
+    // k-means; L2 on unit vectors is monotone in cosine) — clustering raw
+    // vectors splits same-direction, different-norm pairs across cells.
+    // nprobe > 1 assigns each vector to its nprobe nearest cells so pairs
+    // straddling one cell boundary still meet (candidate volume scales by
+    // nprobe^2, still sum-of-cell^2, never corpus^2).
+    val unit = emb
+      .select(col("vec_id"), col("embedding"),
+        greatest(VectorFunctions.norm(col("embedding")),
+          lit(java.lang.Double.MIN_NORMAL)).as("nrm"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x / col("nrm")).as("embedding"))
+    val cells = Similarity.ivfAssignTo(unit,
+      Similarity.centroidsOf(unit, nCells), nprobe)
+    val e = emb
+      .join(cells, Seq("vec_id"))
+      .select(col("vec_id"), col("centroid_id").as("cell"), col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.as("a")
+      .join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+      .withColumn("cos", VectorFunctions.cosineWithNorms(
+        col("a.embedding"), col("b.embedding"), col("a.nrm"), col("b.nrm")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("a.vec_id").as("removed_id"))
+      .agg(min(col("b.vec_id")).as("kept_id"),
+        round(max(col("cos")), 6).as("max_cos"))
+      .orderBy("removed_id")
   }
 
   /** Scale path for embedding near-dup: candidate pairs share >= 1

@@ -125,9 +125,14 @@ object Similarity {
   }
 
   /** Assignment against a precomputed broadcast codebook — callers that
-    * also probe (ivfTopK) compute centroids once and reuse.
+    * also probe (ivfTopK) compute centroids once and reuse. `nprobe` > 1
+    * emits each vector's `nprobe` nearest cells (one row per probe) —
+    * the index-side analog of query-time nprobe, used by [[Dedup
+    * .semDedup]] to recover neighbor pairs that straddle a cell boundary
+    * at the cost of nprobe x the downstream candidate volume.
     */
-  def ivfAssignTo(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+  def ivfAssignTo(corpus: DataFrame, centroids: DataFrame,
+      nprobe: Int = 1): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("centroid_id"))
     corpus
       .join(broadcast(centroids))
@@ -136,7 +141,7 @@ object Similarity {
           VectorFunctions.dot(col("ce"), col("ce")) -
           lit(2.0) * VectorFunctions.dot(col("embedding"), col("ce")))
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+      .filter(col("rk") <= nprobe)
       .select(col("vec_id"), col("centroid_id"))
   }
 
@@ -509,5 +514,57 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Maximal-marginal-relevance re-rank [public: Carbonell & Goldstein
+    * 1998]: pick k results that are RELEVANT to the query but mutually
+    * DIVERSE — pick_i = argmax over remaining candidates of
+    * lambda * cos(query, d) - (1 - lambda) * max over selected s of
+    * cos(d, s). The greedy selection is inherently sequential, so the
+    * split is: the HEAVY stage (score the whole corpus, keep the top
+    * `nCandidates` per query) runs distributed via [[bruteForceTopK]]'s
+    * window top-k, and only the nCandidates x dim candidate block — the
+    * same bounded driver residency as an IVF codebook — is collected for
+    * the O(k * nCandidates) greedy loop. Deterministic: ties break on
+    * lowest vec_id at every argmax.
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCandidates: Int, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && nCandidates >= k, s"need nCandidates >= k >= 1")
+    val spark = corpus.sparkSession
+    val cand = bruteForceTopK(corpus, queries, nCandidates)
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("cos"), col("embedding"))
+      .collect()
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na) / math.sqrt(nb)
+    }
+    val picked = cand.groupBy(_.getLong(0)).toSeq.flatMap { case (qid, rows) =>
+      val docs = rows.map(r => (r.getLong(1), r.getDouble(2),
+        r.getSeq[Float](3).toArray)).sortBy(_._1)
+      val selected = scala.collection.mutable.ArrayBuffer[(Long, Double, Array[Float])]()
+      val remaining = scala.collection.mutable.ArrayBuffer(docs: _*)
+      (1 to math.min(k, docs.length)).map { rank =>
+        // remaining is id-sorted and the tuple key is (score, -id), so
+        // score ties resolve to the lowest vec_id
+        val (score, _, best) = remaining.map { case d @ (id, rel, emb) =>
+          val nearestSel =
+            if (selected.isEmpty) 0.0
+            else selected.map(s => cosine(emb, s._3)).max
+          (lambda * rel - (1 - lambda) * nearestSel, -id, d)
+        }.maxBy(t => (t._1, t._2))
+        selected += best
+        remaining -= best
+        (qid, rank, best._1, math.rint(score * 1e6) / 1e6)
+      }
+    }
+    import spark.implicits._
+    picked.toDF("query_id", "rank", "vec_id", "mmr_score")
+      .orderBy("query_id", "rank")
   }
 }

@@ -459,7 +459,37 @@ object DataQueries {
       .agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
 
+  /** Asymmetric containment near-dup (quoted-inside / subset docs) —
+    * see [[Dedup.containmentPairs]]; the oracle mirrors the df cap the
+    * same way dedup_ngram_jaccard's does.
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(table(spark, dir, "documents"), n = 3, threshold = 0.8)
+      .orderBy("doc_sub", "doc_sup")
+
+  /** SemDeDup cluster-then-dedup ([[Dedup.semDedup]]) — rows-only (the
+    * centroid seeding is xxhash64); DedupSpec pins no-false-removals
+    * (every witness pair re-verifies >= threshold exactly) and bounds
+    * within-cell recall against the exact pair set.
+    */
+  def semdedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semDedup(table(spark, dir, "embeddings"), nCells = 16, threshold = 0.45)
+
+  /** MMR-diversified top-k ([[Similarity.mmrTopK]]): distributed top-50
+    * relevance stage, bounded-candidate greedy diversity re-rank.
+    * Rows-only (the greedy recurrence is not SQL-expressible);
+    * SimilaritySpec pins determinism, the first-pick = top-cosine
+    * identity, and the diversity property vs plain top-k.
+    */
+  def annMmr(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 10), k = 5, nCandidates = 50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_mmr" -> (annMmr _),
+    "dedup_containment" -> (dedupContainment _),
+    "semdedup" -> (semdedup _),
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
     "decontaminate_embedding" -> (decontaminateEmbedding _),
     "decontaminate_embedding_lsh" -> (decontaminateEmbeddingLsh _),
@@ -566,6 +596,18 @@ object DataQueries {
       "GROUP BY c.doc_id ORDER BY c.doc_id"
 
   val oracleSql: Map[String, String] = Map(
+    // same capped inverted index as dedup_ngram_jaccard; containment
+    // denominators come from the UNCAPPED per-doc sizes, matching the
+    // n_sh carried through Dedup.containmentPairs
+    "dedup_containment" ->
+      ("WITH " + shingleCte +
+        ", dirs AS (SELECT com.doc_a AS doc_sub, com.doc_b AS doc_sup, " +
+        "CAST(c AS DOUBLE) / sa.n_sh AS cont " +
+        "FROM com JOIN sizes sa ON sa.doc_id = com.doc_a " +
+        "UNION ALL SELECT com.doc_b, com.doc_a, CAST(c AS DOUBLE) / sb.n_sh " +
+        "FROM com JOIN sizes sb ON sb.doc_id = com.doc_b) " +
+        "SELECT doc_sub, doc_sup, ROUND(cont, 6) AS containment " +
+        "FROM dirs WHERE cont >= 0.8 ORDER BY doc_sub, doc_sup"),
     "sample_stratified" ->
       ("WITH r AS (SELECT doc_id, lang, source, " +
         "ROW_NUMBER() OVER (PARTITION BY lang " +

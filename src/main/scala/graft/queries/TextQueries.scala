@@ -388,7 +388,68 @@ object TextQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Temperature-based corpus mixture weights [public: the alpha-sampling
+    * of multilingual pretraining — Devlin et al. 2019 (mBERT), Conneau
+    * et al. 2020 (XLM-R), alpha = 0.7]: per-language sampling probability
+    * proportional to p^alpha, which upsamples tail languages relative to
+    * their raw share. Output is the mixture plan a curation pipeline
+    * executes — raw share, tempered share, and the target doc count at
+    * the current corpus size. One tiny hash agg + a 5-row window; the
+    * scan dominates at any scale.
+    */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = table(spark, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val t = c.agg(sum(col("n")).as("total"))
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    c.crossJoin(broadcast(t))
+      .select(col("lang"), col("n"), col("total"),
+        (col("n") / col("total")).as("p"),
+        pow(col("n") / col("total"), lit(0.7)).as("wgt"))
+      .select(col("lang"), col("n").as("n_docs"),
+        round(col("p"), 6).as("p_raw"),
+        round(col("wgt") / sum(col("wgt")).over(w), 6).as("p_sampled"),
+        round(col("wgt") / sum(col("wgt")).over(w) * col("total"), 0)
+          .cast("long").as("target_docs"))
+      .orderBy("lang")
+  }
+
+  /** Multi-pass-ready sorted-neighborhood entity resolution [public:
+    * Hernandez & Stolfo 1995]: sort records by a blocking key, compare
+    * only rank-adjacent records inside a sliding window — O(n·w) pair
+    * candidates instead of O(n^2). The classic method's single global
+    * sort is a scale anti-pattern (one task owns the order), so this is
+    * the BLOCKED variant: an 8-char normalized prefix partitions the
+    * window (distributed, skew bounded by block size), ranks order by a
+    * 24-char sort key within each block, and candidates are pairs within
+    * rank distance 3, verified by Levenshtein on a 64-char probe.
+    * Cross-block neighbors are missed by construction — the published
+    * mitigation is multiple passes with different blocking keys (this
+    * pairs with [[fuzzyMatch]]'s length-bucket blocking as pass two).
+    */
+  def erSortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nrm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    val kd = table(spark, dir, "documents")
+      .select(col("doc_id"), substring(nrm, 1, 8).as("block"),
+        substring(nrm, 1, 24).as("sortkey"), substring(nrm, 1, 64).as("probe"))
+    val w = Window.partitionBy(col("block")).orderBy(col("sortkey"), col("doc_id"))
+    val rk = kd.withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("block"), col("probe"), col("rn"))
+    rk.as("a")
+      .join(rk.as("b"), col("a.block") === col("b.block") &&
+        (col("b.rn") - col("a.rn")).between(1, 3))
+      .withColumn("dist", levenshtein(col("a.probe"), col("b.probe")))
+      .filter(col("dist") <= 20)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_temperature" -> (mixTemperature _),
+    "er_sorted_neighborhood" -> (erSortedNeighborhood _),
     "doc_chunk" -> (docChunk _),
     "text_perplexity" -> (textPerplexity _),
     "quality_deciles" -> (qualityDeciles _),
@@ -446,6 +507,26 @@ object TextQueries {
       s"/ GREATEST($tokCount, 1), 6)"
 
   val oracleSql: Map[String, String] = Map(
+    "mix_temperature" ->
+      ("WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1), " +
+        "t AS (SELECT SUM(n) AS total FROM c), " +
+        "w AS (SELECT lang, n, n / t.total AS p, POW(n / t.total, 0.7) AS wgt " +
+        "FROM c CROSS JOIN t) " +
+        "SELECT lang, n AS n_docs, ROUND(p, 6) AS p_raw, " +
+        "ROUND(wgt / SUM(wgt) OVER (), 6) AS p_sampled, " +
+        "CAST(ROUND(wgt / SUM(wgt) OVER () * (SELECT total FROM t), 0) AS BIGINT) " +
+        "AS target_docs FROM w ORDER BY lang"),
+    "er_sorted_neighborhood" ->
+      ("WITH nrm AS (SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), " +
+        "'[^a-z0-9]+', ' ', 'g')) AS norm FROM documents), " +
+        "kd AS (SELECT doc_id, SUBSTRING(norm, 1, 8) AS block, " +
+        "SUBSTRING(norm, 1, 24) AS sortkey, SUBSTRING(norm, 1, 64) AS probe FROM nrm), " +
+        "rk AS (SELECT doc_id, block, probe, ROW_NUMBER() OVER " +
+        "(PARTITION BY block ORDER BY sortkey, doc_id) AS rn FROM kd) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "levenshtein(a.probe, b.probe) AS dist " +
+        "FROM rk a JOIN rk b ON a.block = b.block AND b.rn - a.rn BETWEEN 1 AND 3 " +
+        "WHERE levenshtein(a.probe, b.probe) <= 20 ORDER BY doc_a, doc_b"),
     "doc_chunk" ->
       ("WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t " +
         "FROM documents), " +

@@ -138,6 +138,53 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1) && r.getDouble(2) >= 0.45))
   }
 
+  test("containment: whole-doc quote scores ~1 one-way where jaccard stays low") {
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quoted = (1 to 12).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, quoted), (2L, big), (3L, "unrelated words entirely about other things"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(df, n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // doc 1's 10 shingles all appear among doc 2's 58 -> containment 1.0
+    assert(cont((1L, 2L)) == 1.0)
+    // the reverse direction is 10/58 — far below threshold, not emitted
+    assert(!cont.contains((2L, 1L)))
+    assert(cont.keys.forall(p => !p.productIterator.contains(3L)))
+    // jaccard misses this pair entirely at any near-dup threshold
+    val jac = Dedup.ngramJaccardPairs(df, 3, 0.5).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("containment on fixtures: no false directions, values in (0,1]") {
+    val rows = Dedup.containmentPairs(docs, 3, 0.8).collect()
+    assert(rows.nonEmpty, "fixtures contain planted subset/near-dup docs")
+    assert(rows.forall(r => r.getDouble(2) >= 0.8 && r.getDouble(2) <= 1.0))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
+  test("semdedup: no false removals; within-cell recall vs exact pairs") {
+    val emb = Fixtures.table(spark, sf0001, "embeddings")
+    val truth = Dedup.embeddingCosinePairs(emb, 0.45)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val removable = truth.map(_._2) // has a lower-id partner >= threshold
+    val out = Dedup.semDedup(emb, nCells = 16, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty, "fixtures contain planted high-cosine pairs")
+    out.foreach { case (removed, kept, maxCos) =>
+      // the witness pair must be a TRUE >= threshold pair (cosine verify
+      // is exact, cells only restrict candidates)
+      assert(kept < removed, s"witness $kept not lower than removed $removed")
+      assert(truth.contains((kept, removed)),
+        s"semdedup removed $removed on witness $kept not in the exact pair set")
+      assert(maxCos >= 0.45)
+    }
+    val removedSet = out.map(_._1).toSet
+    assert(removedSet.subsetOf(removable))
+    val recall = removable.count(removedSet.contains).toDouble / removable.size
+    assert(recall >= 0.6,
+      s"semdedup removed $recall of ${removable.size} exact-removable vectors")
+  }
+
   test("embedding LSH pairs: recall >= 0.85 vs exact cosine pairs, no false positives") {
     val emb = Fixtures.table(spark, sf0001, "embeddings")
     val truth = Dedup.embeddingCosinePairs(emb, 0.45)

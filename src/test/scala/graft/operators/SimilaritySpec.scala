@@ -204,6 +204,52 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"lsh topk recall $recall over ${truth.size} true (query,neighbor) pairs")
   }
 
+  test("mmr topk: first pick is top-cosine; deterministic; diversity not below plain topk") {
+    val k = 5
+    val plain = Similarity.bruteForceTopK(emb, queries, k).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getDouble(3)))
+      }
+    val mmr = Similarity.mmrTopK(emb, queries, k, nCandidates = 50).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getDouble(3)))
+      }
+    assert(mmr.keySet == plain.keySet)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / math.sqrt(a.map(x => x.toDouble * x).sum) /
+        math.sqrt(b.map(x => x.toDouble * x).sum)
+    }
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.length)
+        yield cos(vecs(ids(i)), vecs(ids(j)))
+      ps.sum / ps.length
+    }
+    mmr.foreach { case (q, picks) =>
+      assert(picks.length == k)
+      // rank 1 is pure relevance: identical to brute-force rank 1, and
+      // its mmr score is lambda * cos
+      assert(picks.head._1 == plain(q).head._1,
+        s"query $q: first MMR pick must be the top-cosine neighbor")
+      assert(math.abs(picks.head._2 - 0.7 * plain(q).head._2) < 1e-5)
+    }
+    // across the query set, MMR selections are no LESS diverse than the
+    // plain top-k (strictly more diverse for at least one query)
+    val deltas = mmr.keys.toSeq.map { q =>
+      meanPairSim(plain(q).map(_._1).toSeq) - meanPairSim(mmr(q).map(_._1).toSeq)
+    }
+    assert(deltas.forall(_ > -1e-9), s"MMR reduced diversity somewhere: $deltas")
+    assert(deltas.exists(_ > 1e-4), "MMR never diversified any query")
+    // determinism
+    val again = Similarity.mmrTopK(emb, queries, k, nCandidates = 50).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(again == mmr.toSeq.flatMap { case (q, ps) =>
+      ps.zipWithIndex.map { case ((id, s), i) => (q, i + 1, id, s) }
+    }.toSet)
+  }
+
   test("random-projection topk: recall >= 0.9 where RP applies (high-margin neighbors)") {
     // JL inner-product error is ~1/sqrt(rDim); RP is the right tool when
     // the neighbor-vs-bulk cosine gap exceeds it. Build that regime

@@ -456,4 +456,51 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1,
       s"ten partial-agg'd doubles to a single partition, got $exchanges\n$p")
   }
+
+  test("er_sorted_neighborhood: window is block-partitioned, candidates equi-join") {
+    val p = plan("er_sorted_neighborhood")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Window ("), s"rank window expected\n$p")
+    assert("windowspecdefinition\\(block#".r.findFirstIn(p).nonEmpty,
+      s"the SNM rank window must partition by the block key — an " +
+        s"empty-partition global sort owns the whole corpus in one task\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"rank-adjacency candidates must come from an equi-join on block\n$p")
+  }
+
+  test("graph_pagerank: lineage truncated per round; no cartesian anywhere") {
+    val p = plan("graph_pagerank")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"the final rank vector must read from a localCheckpoint — " +
+        s"without per-round truncation the plan is 5 joins deep\n$p")
+  }
+
+  test("dedup_containment: same skew-safe df-cap shape as the jaccard path") {
+    val p = plan("dedup_containment")
+    assert(p.contains("InMemoryRelation"), s"capped index must be persisted\n$p")
+    assert(!p.contains("Window ("),
+      s"df cap must stay a broadcast anti-join, not a shingle window\n$p")
+    assert(p.contains("LeftAnti"), s"hot-shingle removal must be anti-join\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("zorder_key: the morton key is a pure projection — no agg, one sort exchange") {
+    val p = plan("zorder_key")
+    assert(!p.contains("HashAggregate"),
+      s"key derivation must not aggregate (bounds are a separate tiny query)\n$p")
+    assert(!p.contains("Join"), s"projection only\n$p")
+    val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).length
+    assert(exchanges <= 1, s"only the output sort may exchange, got $exchanges\n$p")
+  }
+
+  test("semdedup: codebook broadcast; within-cell self-join is keyed, not all-pairs") {
+    val p = plan("semdedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid assignment scans corpus x broadcast codebook (the MLlib " +
+        s"KMeans shape — the only unconditioned join here)\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"the candidate self-join must be an equi-join on the cell id\n$p")
+  }
 }
