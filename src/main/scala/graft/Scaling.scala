@@ -40,7 +40,12 @@ object Scaling {
     "ann_topk", "ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq",
     "sliding_reach", "time_decay_agg", "lttb_downsample", "pack_batches",
     "interval_length_sum", "running_concurrency", "sample_stratified",
-    "merge_cdc")
+    "merge_cdc",
+    // round 7 additions: graph ops, containment/semantic dedup, SNM ER,
+    // MMR, layout key, drift
+    "graph_pagerank", "graph_hits", "graph_triangles",
+    "dedup_containment", "semdedup", "er_sorted_neighborhood",
+    "ann_mmr", "zorder_key", "drift_psi")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -84,6 +89,25 @@ object Scaling {
         .withColumn("user_id", col("user_id") + lit(k * 1000000L)))
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+    // fact tables for the graph/drift family: every key column shifts by
+    // k * 10^8, so each copy is a DISJOINT subgraph with identical
+    // intra-copy join structure — graph work (edges, wedges, rank rows)
+    // grows linearly in the copy count, with no cross-copy edges
+    // manufacturing density artifacts
+    val li = Fixtures.table(spark, src, "lineitem")
+    val ord = Fixtures.table(spark, src, "orders")
+    val shift = 100000000L
+    (0 until copies).map(k => li
+        .withColumn("l_orderkey", col("l_orderkey") + lit(k * shift))
+        .withColumn("l_partkey", col("l_partkey") + lit(k * shift))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(k * shift)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    (0 until copies).map(k => ord
+        .withColumn("o_orderkey", col("o_orderkey") + lit(k * shift))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * shift)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
     System.err.println(s"[scaling] wrote ${copies}x replica of $src to $out")
   }
 
@@ -120,7 +144,10 @@ object Scaling {
           "\"" + dir.split('/').last + "\":{" +
             qs.map { case (q, s) => "\"" + q + "\":" + f"$s%.3f" }.mkString(",") + "}"
         }.mkString("{", ",", "}")
-        java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.json"),
+        // dev runs of a query subset write elsewhere so the committed
+        // full-family SCALING.json is not clobbered
+        val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING.json")
+        java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
           (json + "\n").getBytes("UTF-8"))
         println(json)
       case _ =>
