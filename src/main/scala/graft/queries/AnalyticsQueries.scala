@@ -1635,7 +1635,36 @@ object AnalyticsQueries {
       s"SELECT event_id, (${terms.mkString(" | ")}) AS zkey FROM q ORDER BY event_id"
   }
 
+  /** Robust per-series anomaly flags: hourly value sums whose
+    * median/MAD robust z-score exceeds 3.5 (the Iglewicz-Hoaglin
+    * cutoff; 1.4826 scales MAD to sigma under normality). The
+    * distribution-free twin of the model-based `forecast_anomalies` —
+    * and unlike it, fully oracle-checkable: exact interpolated medians
+    * on both engines (the mad_per_group precedent). Scale shape: the
+    * hourly rollup is the only big shuffle; medians reduce per
+    * event_type and join back broadcast-side.
+    */
+  def seriesAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = table(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(round(sum(col("value")), 2).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = hourly.groupBy(col("event_type"))
+      .agg(percentile(col("v"), lit(0.5)).as("med"))
+    val md = hourly.join(broadcast(m), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(percentile(abs(col("v") - col("med")), lit(0.5)).as("mad"))
+    val z = (col("v") - col("med")) / (lit(1.4826) * col("mad"))
+    hourly
+      .join(broadcast(m), Seq("event_type"))
+      .join(broadcast(md), Seq("event_type"))
+      .filter(col("mad") > 0 && abs(z) > 3.5)
+      .select(col("event_type"), col("h"), col("v"), round(z, 4).as("robust_z"))
+      .orderBy("event_type", "h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "series_anomaly_mad" -> (seriesAnomalyMad _),
     "zorder_key" -> (zorderKey _),
     "attribution_last_touch" -> (attributionLastTouch _),
     "audience_overlap" -> (audienceOverlap _),
@@ -1704,6 +1733,17 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "series_anomaly_mad" ->
+      ("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, " +
+        "ROUND(SUM(value), 2) AS v FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT event_type, MEDIAN(v) AS med FROM hourly GROUP BY 1), " +
+        "md AS (SELECT hourly.event_type, MEDIAN(ABS(v - med)) AS mad " +
+        "FROM hourly JOIN m USING (event_type) GROUP BY 1) " +
+        "SELECT hourly.event_type, h, v, " +
+        "ROUND((v - med) / (1.4826 * mad), 4) AS robust_z " +
+        "FROM hourly JOIN m USING (event_type) JOIN md USING (event_type) " +
+        "WHERE mad > 0 AND ABS((v - med) / (1.4826 * mad)) > 3.5 " +
+        "ORDER BY 1, 2"),
     "zorder_key" -> zorderOracle,
     "attribution_last_touch" ->
       ("WITH t AS (SELECT user_id, ts, event_id, event_type, value, " +

@@ -851,7 +851,105 @@ object RelationalQueries {
       .crossJoin(deg.agg(max(col("d")).as("max_degree")))
   }
 
+  /** Adamic–Adar link prediction on the repeat-co-purchase part graph
+    * (same thresholded edges as [[graphTriangles]]) [public: Adamic &
+    * Adar 2003]: score non-adjacent pairs by their common neighbors,
+    * each weighted 1/ln(degree) so promiscuous hubs count less. The
+    * wedge enumeration is the triangle census's candidate shape (join
+    * adjacency to itself on the shared endpoint — work ~ sum deg^2 on
+    * the SPARSE thresholded graph), existing edges drop via one
+    * left_anti, and the top 20 predictions order by (rounded score,
+    * ids) so the cut is deterministic on both engines despite heavy
+    * score ties (1/ln(2) pairs). Degree-1 middles can't connect two
+    * distinct neighbors, so ln(d) >= ln 2 — no zero division by
+    * construction.
+    */
+  def adamicAdar(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(countDistinct(col("a.l_orderkey")).as("supp"))
+      .filter(col("supp") >= 2)
+      .select(col("p1"), col("p2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = edges.select(col("p1").as("u"), col("p2").as("v"))
+      .union(edges.select(col("p2"), col("p1")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    adj.as("a")
+      .join(adj.as("c"), col("a.u") === col("c.u") && col("a.v") < col("c.v"))
+      .select(col("a.v").as("x"), col("c.v").as("y"), col("a.u").as("b"))
+      .join(edges, col("x") === col("p1") && col("y") === col("p2"), "left_anti")
+      .join(deg.select(col("u").as("b"), col("d")), Seq("b"))
+      .groupBy(col("x"), col("y"))
+      .agg(round(sum(lit(1.0) / log(col("d"))), 6).as("adamic_adar"),
+        count(lit(1)).as("common_neighbors"))
+      .select(col("x").as("part_a"), col("y").as("part_b"),
+        col("adamic_adar"), col("common_neighbors"))
+      .orderBy(col("adamic_adar").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  /** Synchronous label-propagation communities [public: Raghavan et al.
+    * 2007] on the thresholded part graph: every node starts as its own
+    * label; each round adopts the most frequent neighbor label, ties to
+    * the SMALLEST label — the deterministic variant (asynchronous LPA's
+    * random order would kill both reproducibility and the oracle). 3
+    * fixed rounds; each is one neighbor-join + count + per-node argmax
+    * window (partitioned by node — bounded by degree, never global),
+    * localCheckpointed like every iterative op here. The oracle unrolls
+    * the same rounds; all-integer, so the hash compare is exact.
+    */
+  def graphCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(countDistinct(col("a.l_orderkey")).as("supp"))
+      .filter(col("supp") >= 2)
+      .select(col("p1"), col("p2"))
+    val adj = edges.select(col("p1").as("u"), col("p2").as("v"))
+      .union(edges.select(col("p2"), col("p1")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var lab = adj.select(col("u").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    for (_ <- 1 to 3) {
+      val counts = adj
+        .join(lab.select(col("node").as("v"), col("lab")), Seq("v"))
+        .groupBy(col("u").as("node"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("node")).orderBy(col("c").desc, col("lab"))
+      lab = counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("node"), col("lab"))
+        .localCheckpoint(true)
+    }
+    lab.orderBy("node")
+  }
+
+  private def lpaOracle: String = {
+    val base = "pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, " +
+      "COUNT(DISTINCT a.l_orderkey) AS supp FROM lineitem a " +
+      "JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
+      "AND a.l_partkey < b.l_partkey GROUP BY 1, 2), " +
+      "edges AS (SELECT p1, p2 FROM pairs WHERE supp >= 2), " +
+      "adj AS (SELECT p1 AS u, p2 AS v FROM edges UNION ALL SELECT p2, p1 FROM edges), " +
+      "l0 AS (SELECT DISTINCT u AS node, u AS lab FROM adj)"
+    val rounds = (1 to 3).map { i =>
+      s", lc$i AS (SELECT a.u AS node, l.lab, COUNT(*) AS c FROM adj a" +
+        s" JOIN l${i - 1} l ON l.node = a.v GROUP BY 1, 2)" +
+        s", l$i AS (SELECT node, lab FROM (SELECT node, lab, ROW_NUMBER() OVER" +
+        s" (PARTITION BY node ORDER BY c DESC, lab) AS rk FROM lc$i) WHERE rk = 1)"
+    }.mkString
+    s"WITH $base$rounds SELECT node, lab FROM l3 ORDER BY node"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_communities" -> (graphCommunities _),
+    "graph_adamic_adar" -> (adamicAdar _),
     "graph_hits" -> (graphHits _),
     "graph_triangles" -> (graphTriangles _),
     "graph_pagerank" -> (graphPagerank _),
@@ -897,6 +995,24 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "graph_communities" -> lpaOracle,
+    "graph_adamic_adar" ->
+      ("WITH pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, " +
+        "COUNT(DISTINCT a.l_orderkey) AS supp FROM lineitem a " +
+        "JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_partkey < b.l_partkey GROUP BY 1, 2), " +
+        "edges AS (SELECT p1, p2 FROM pairs WHERE supp >= 2), " +
+        "adj AS (SELECT p1 AS u, p2 AS v FROM edges UNION ALL SELECT p2, p1 FROM edges), " +
+        "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1), " +
+        "cand AS (SELECT a.v AS x, c.v AS y, a.u AS b FROM adj a " +
+        "JOIN adj c ON a.u = c.u AND a.v < c.v), " +
+        "nonedge AS (SELECT x, y, b FROM cand WHERE NOT EXISTS " +
+        "(SELECT 1 FROM edges e WHERE e.p1 = cand.x AND e.p2 = cand.y)), " +
+        "scored AS (SELECT x, y, ROUND(SUM(1.0 / LN(d)), 6) AS adamic_adar, " +
+        "CAST(COUNT(*) AS BIGINT) AS common_neighbors " +
+        "FROM nonedge JOIN deg ON b = u GROUP BY 1, 2) " +
+        "SELECT x AS part_a, y AS part_b, adamic_adar, common_neighbors " +
+        "FROM scored ORDER BY adamic_adar DESC, part_a, part_b LIMIT 20"),
     "graph_hits" -> graft.operators.Hits.oracleSql(
       "edges AS (SELECT o_custkey AS c, l_suppkey AS s, " +
         "CAST(COUNT(*) AS DOUBLE) AS w FROM lineitem " +

@@ -438,12 +438,20 @@ object TextQueries {
     val w = Window.partitionBy(col("block")).orderBy(col("sortkey"), col("doc_id"))
     val rk = kd.withColumn("rn", row_number().over(w))
       .select(col("doc_id"), col("block"), col("probe"), col("rn"))
-    rk.as("a")
-      .join(rk.as("b"), col("a.block") === col("b.block") &&
-        (col("b.rn") - col("a.rn")).between(1, 3))
-      .withColumn("dist", levenshtein(col("a.probe"), col("b.probe")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidates via EXPLODED probe ranks so the join key is (block, rn)
+    // — a join on block alone with the rank distance as a post-filter
+    // materializes |block|^2 pairs first, which the x10 scaling run
+    // measured as a 59x blowup on 10x data (SCALING.md round 7); this
+    // form emits exactly the w=3 rank-adjacent candidates
+    val probes = rk.select(col("doc_id").as("doc_a"), col("block"),
+      col("probe").as("probe_a"),
+      explode(array((1 to 3).map(d => col("rn") + d): _*)).as("rn"))
+    probes
+      .join(rk, Seq("block", "rn"))
+      .withColumn("dist", levenshtein(col("probe_a"), col("probe")))
       .filter(col("dist") <= 20)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("dist"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"), col("dist"))
       .orderBy("doc_a", "doc_b")
   }
 

@@ -436,4 +436,50 @@ class StreamingSpec extends SparkSpec {
       .map(u => (u.user_id, u.event_type) -> u.n).toMap
     assert(out == Map((1L, "click") -> 2L, (1L, "view") -> 1L, (2L, "click") -> 1L))
   }
+
+  test("streaming PSI drift matches the batch windowed PSI across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingDrift.ValuePoint
+    val ref = Seq.fill(10)(0.1) // drift measured against uniform
+    val pts = Fixtures.table(spark, sf0001, "events")
+      .select($"ts", $"value").as[ValuePoint]
+      .collect().sortBy(_.ts.getTime)
+    val (b1, b2) = pts.splitAt(pts.length / 2)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ValuePoint]
+    val q = StreamingDrift.psi(mem.toDS(), ref, binWidth = 50.0).writeStream
+      .outputMode("update").format("memory").queryName("drift_out").start()
+    try {
+      mem.addData(b1.toSeq)
+      q.processAllAvailable()
+      mem.addData(b2.toSeq)
+      q.processAllAvailable()
+      // update mode re-emits a window whenever it absorbs rows; the final
+      // state per window is the emission with the max (monotone) count
+      val got = spark.table("drift_out")
+        .groupBy($"window_start")
+        .agg(max(struct($"n", $"psi")).as("s"))
+        .select($"window_start", $"s.n", $"s.psi")
+        .collect()
+        .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      // the SAME code path runs in batch (watermark degenerates) — the
+      // stream must agree window-for-window once all rows are absorbed
+      val want = StreamingDrift.psi(
+        spark.createDataset(pts.toIndexedSeq), ref, binWidth = 50.0)
+        .collect()
+        .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      assert(got.keySet == want.keySet, s"windows differ: " +
+        s"stream-only ${got.keySet -- want.keySet}, batch-only ${want.keySet -- got.keySet}")
+      want.foreach { case (w, (n, psi)) =>
+        assert(got(w)._1 == n, s"window $w count: ${got(w)._1} vs $n")
+        assert(got(w)._2 == psi, s"window $w psi: ${got(w)._2} vs $psi " +
+          "(identical expression tree both sides — exact)")
+      }
+      // sanity: the fixture's value distribution is nowhere near uniform
+      // over [0, 500), so drift must actually register
+      assert(want.values.exists(_._2 > 0.1), s"expected real drift, got $want")
+    } finally q.stop()
+  }
 }
