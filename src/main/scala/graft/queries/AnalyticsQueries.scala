@@ -1663,7 +1663,194 @@ object AnalyticsQueries {
       .orderBy("event_type", "h")
   }
 
+  /** Kendall rank correlation tau-b (ClickHouse `kendallTau`,
+    * `rankCorr`'s sibling) between value and event time per series.
+    * Spark side runs Knight's O(n log n) algorithm [public: Knight 1966,
+    * JASA — the merge-sort inversion count scipy.stats.kendalltau uses]
+    * per group via groupByKey.mapGroups: sort by (x, y), count discordant
+    * pairs as strict y-inversions, tie-correct with the tau-b denominator.
+    * The oracle replays the O(n²) pair-count definition — tractable at
+    * oracle SF, and a genuinely independent derivation of the same
+    * statistic. Per-group state is the series itself (the ForecastEngine
+    * in-group-collect precedent: inherent to rank statistics, parallel
+    * ACROSS series); counts stay in Long (exact to n ~ 4B rows/group).
+    */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "events")
+      .select(col("event_type"), col("value").as("x"),
+        col("ts").cast("double").as("y"))
+      .as[(String, Double, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (et: String, it: Iterator[(String, Double, Double)]) =>
+        val a = it.map(t => (t._2, t._3)).toArray
+        scala.util.Sorting.stableSort(a,
+          (p: (Double, Double), q: (Double, Double)) =>
+            p._1 < q._1 || (p._1 == q._1 && p._2 < q._2))
+        val n = a.length.toLong
+        val tot = n * (n - 1) / 2
+        var n1 = 0L; var n3 = 0L // x-ties, joint ties
+        var i = 0
+        while (i < a.length) {
+          var j = i
+          while (j < a.length && a(j)._1 == a(i)._1) j += 1
+          val g = (j - i).toLong
+          n1 += g * (g - 1) / 2
+          var k = i
+          while (k < j) {
+            var l = k
+            while (l < j && a(l)._2 == a(k)._2) l += 1
+            val h = (l - k).toLong
+            n3 += h * (h - 1) / 2
+            k = l
+          }
+          i = j
+        }
+        val ys = a.map(_._2)
+        val swaps = countInversions(ys) // = discordant pairs: equal-x runs
+        // are y-sorted (contribute 0) and equal-y pairs are not strict
+        val sortedY = ys.sorted
+        var n2 = 0L
+        i = 0
+        while (i < sortedY.length) {
+          var j = i
+          while (j < sortedY.length && sortedY(j) == sortedY(i)) j += 1
+          val g = (j - i).toLong
+          n2 += g * (g - 1) / 2
+          i = j
+        }
+        // c + d = tot - n1 - n2 + n3, d = swaps  =>  c - d:
+        val conMinusDis = tot - n1 - n2 + n3 - 2 * swaps
+        val denom = math.sqrt((tot - n1).toDouble * (tot - n2).toDouble)
+        val tau = if (denom == 0) 0.0
+          else math.rint(conMinusDis / denom * 1e6) / 1e6
+        (et, n, tau)
+      }
+      .toDF("event_type", "n", "tau_b")
+      .orderBy("event_type")
+  }
+
+  /** Merge-sort count of strict inversions (pairs i < j with y(i) > y(j)).
+    * O(n log n), allocation bounded by one scratch array.
+    */
+  private def countInversions(ys: Array[Double]): Long = {
+    val buf = new Array[Double](ys.length)
+    def go(lo: Int, hi: Int): Long = { // [lo, hi)
+      if (hi - lo < 2) 0L
+      else {
+        val mid = (lo + hi) >>> 1
+        var inv = go(lo, mid) + go(mid, hi)
+        var i = lo; var j = mid; var k = lo
+        while (i < mid && j < hi) {
+          if (ys(i) <= ys(j)) { buf(k) = ys(i); i += 1 }
+          else { buf(k) = ys(j); j += 1; inv += mid - i }
+          k += 1
+        }
+        while (i < mid) { buf(k) = ys(i); i += 1; k += 1 }
+        while (j < hi) { buf(k) = ys(j); j += 1; k += 1 }
+        System.arraycopy(buf, lo, ys, lo, hi - lo)
+        inv
+      }
+    }
+    go(0, ys.length)
+  }
+
+  /** Weight-of-evidence / Information Value per category (ClickHouse
+    * `categoricalInformationValue`): the credit-scoring feature screen —
+    * WoE = ln(P(cat|event)/P(cat|non-event)), IV term = (Pe - Pn) * WoE,
+    * Laplace-smoothed (+0.5) so empty cells don't produce infinities.
+    * Event = order status 'F' keyed by priority. One hash agg + a
+    * broadcast one-row total — the conditionalAgg scale shape.
+    */
+  def categoricalIv(spark: SparkSession, dir: String): DataFrame = {
+    val b = table(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("cat"))
+      .agg(sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("ev"),
+        sum(when(col("o_orderstatus") === "F", 0).otherwise(1)).as("nev"))
+    val t = b.agg(sum(col("ev")).as("tev"), sum(col("nev")).as("tnev"))
+    val pe = (col("ev") + lit(0.5)) / (col("tev") + lit(0.5))
+    val pn = (col("nev") + lit(0.5)) / (col("tnev") + lit(0.5))
+    val woe = log(pe / pn)
+    b.crossJoin(broadcast(t))
+      .select(col("cat"), col("ev").cast("long").as("n_event"),
+        col("nev").cast("long").as("n_nonevent"),
+        round(woe, 6).as("woe"),
+        round((pe - pn) * woe, 6).as("iv_term"))
+      .orderBy("cat")
+  }
+
+  /** RFM segmentation — recency/frequency/monetary quintile labels, the
+    * standard CRM cut. The three ntile(5) windows are GLOBAL sorts by
+    * design (a quintile label is a total-order statistic), but they run
+    * over the aggregated CUSTOMER grain, not the fact table — millions of
+    * narrow rows at 100 TB of orders, one sort each; the documented
+    * approx path for a larger dimension is percentile_approx boundaries
+    * (the quality_deciles / quality_deciles_approx pairing). Ties order
+    * by customer key so the quintile cut is deterministic on both engines.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val mx = o.agg(max(col("o_orderdate")).as("maxd"))
+    val c = o.crossJoin(broadcast(mx))
+      .groupBy(col("o_custkey"))
+      .agg(datediff(max(col("maxd")), max(col("o_orderdate"))).as("recency"),
+        count(lit(1)).as("freq"),
+        round(sum(col("o_totalprice")), 2).as("monetary"))
+    val s = c
+      .withColumn("r", ntile(5).over(
+        Window.orderBy(col("recency").desc, col("o_custkey"))))
+      .withColumn("f", ntile(5).over(
+        Window.orderBy(col("freq"), col("o_custkey"))))
+      .withColumn("m", ntile(5).over(
+        Window.orderBy(col("monetary"), col("o_custkey"))))
+    s.groupBy(concat(col("r"), col("f"), col("m")).as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg(col("monetary")), 2).as("avg_monetary"))
+      .orderBy("segment")
+  }
+
+  /** Terminal sparkline per series (ClickHouse `sparkbar(16)`): 16
+    * event-time buckets per event_type, bucket counts scaled to the
+    * eighth-block glyphs U+2581..U+2588, empty buckets rendered as a
+    * space. Deterministic (ceil scaling, per-group max), so the bar
+    * STRING itself hash-checks against the oracle. Scale shape: one
+    * keyed agg to (group, bucket), then a per-group map rebuild — the
+    * output is |groups| rows of 16 chars.
+    */
+  def sparkbar(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("event_type"), col("ts").cast("double").as("s"))
+    val rng = ev.groupBy("event_type")
+      .agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+    val bk = ev.join(broadcast(rng), Seq("event_type"))
+      .withColumn("bucket", least(lit(15),
+        floor(lit(16) * (col("s") - col("mn")) / (col("mx") - col("mn") + 1))
+          .cast("int")))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    bk.groupBy(col("event_type"))
+      .agg(max(col("cnt")).as("mc"),
+        map_from_entries(collect_list(struct(col("bucket"), col("cnt"))))
+          .as("m"))
+      .select(col("event_type"),
+        array_join(transform(sequence(lit(0), lit(15)), i =>
+          // Spark's chr() is mod-256 ASCII, so the block glyphs go
+          // through a literal lookup: index 1 = space, 2..9 = U+2581..88
+          element_at(
+            array((" " +: (0x2581 to 0x2588).map(c =>
+              new String(Character.toChars(c)))).map(lit): _*),
+            when(element_at(col("m"), i).isNull, lit(1))
+              .otherwise(greatest(lit(1), ceil(lit(8.0) *
+                element_at(col("m"), i) / col("mc"))).cast("int") + lit(1)))), "")
+          .as("bar"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kendall_tau" -> (kendallTau _),
+    "categorical_iv" -> (categoricalIv _),
+    "rfm_segments" -> (rfmSegments _),
+    "sparkbar" -> (sparkbar _),
     "series_anomaly_mad" -> (seriesAnomalyMad _),
     "zorder_key" -> (zorderKey _),
     "attribution_last_touch" -> (attributionLastTouch _),
@@ -1733,6 +1920,63 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "kendall_tau" ->
+      ("WITH e AS (SELECT event_id, event_type, value AS x, epoch(ts) AS y " +
+        "FROM events), " +
+        "g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1), " +
+        "p AS (SELECT a.event_type, " +
+        "SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END) AS c, " +
+        "SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END) AS d, " +
+        "SUM(CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 ELSE 0 END) AS tx, " +
+        "SUM(CASE WHEN a.y = b.y AND a.x <> b.x THEN 1 ELSE 0 END) AS ty " +
+        "FROM e a JOIN e b ON a.event_type = b.event_type " +
+        "AND a.event_id < b.event_id GROUP BY 1) " +
+        "SELECT p.event_type, g.n, " +
+        "ROUND((c - d) / SQRT((c + d + tx) * (c + d + ty)), 6) AS tau_b " +
+        "FROM p JOIN g ON p.event_type = g.event_type ORDER BY 1"),
+    "categorical_iv" ->
+      ("WITH b AS (SELECT o_orderpriority AS cat, " +
+        "SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ev, " +
+        "SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS nev " +
+        "FROM orders GROUP BY 1), " +
+        "t AS (SELECT SUM(ev) AS tev, SUM(nev) AS tnev FROM b) " +
+        "SELECT cat, CAST(ev AS BIGINT) AS n_event, " +
+        "CAST(nev AS BIGINT) AS n_nonevent, " +
+        "ROUND(LN(((ev + 0.5) / (tev + 0.5)) / ((nev + 0.5) / (tnev + 0.5))), 6) AS woe, " +
+        "ROUND(((ev + 0.5) / (tev + 0.5) - (nev + 0.5) / (tnev + 0.5)) * " +
+        "LN(((ev + 0.5) / (tev + 0.5)) / ((nev + 0.5) / (tnev + 0.5))), 6) AS iv_term " +
+        "FROM b, t ORDER BY 1"),
+    "rfm_segments" ->
+      ("WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders), " +
+        "c AS (SELECT o_custkey, " +
+        "date_diff('day', MAX(o_orderdate), maxd) AS recency, " +
+        "COUNT(*) AS freq, ROUND(SUM(o_totalprice), 2) AS monetary " +
+        "FROM orders, mx GROUP BY 1, maxd), " +
+        "s AS (SELECT o_custkey, " +
+        "NTILE(5) OVER (ORDER BY recency DESC, o_custkey) AS r, " +
+        "NTILE(5) OVER (ORDER BY freq, o_custkey) AS f, " +
+        "NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m, " +
+        "monetary FROM c) " +
+        "SELECT r || f || m AS segment, CAST(COUNT(*) AS BIGINT) AS n_customers, " +
+        "ROUND(AVG(monetary), 2) AS avg_monetary " +
+        "FROM s GROUP BY 1 ORDER BY 1"),
+    "sparkbar" ->
+      ("WITH rng AS (SELECT event_type, MIN(epoch(ts)) AS mn, " +
+        "MAX(epoch(ts)) AS mx FROM events GROUP BY 1), " +
+        "bk AS (SELECT e.event_type, LEAST(15, CAST(FLOOR(16 * (epoch(ts) - mn) " +
+        "/ (mx - mn + 1)) AS INT)) AS bucket, COUNT(*) AS cnt " +
+        "FROM events e JOIN rng USING (event_type) GROUP BY 1, 2), " +
+        "mxc AS (SELECT event_type, MAX(cnt) AS mc FROM bk GROUP BY 1), " +
+        "grid AS (SELECT r.event_type, g.i AS bucket " +
+        "FROM rng r, generate_series(0, 15) AS g(i)), " +
+        "lv AS (SELECT grid.event_type, grid.bucket, " +
+        "CASE WHEN cnt IS NULL THEN ' ' ELSE chr(CAST(9600 + GREATEST(1, " +
+        "CAST(CEIL(8.0 * cnt / mc) AS INT)) AS INT)) END AS ch " +
+        "FROM grid LEFT JOIN bk ON grid.event_type = bk.event_type " +
+        "AND grid.bucket = bk.bucket " +
+        "JOIN mxc ON mxc.event_type = grid.event_type) " +
+        "SELECT event_type, string_agg(ch, '' ORDER BY bucket) AS bar " +
+        "FROM lv GROUP BY 1 ORDER BY 1"),
     "series_anomaly_mad" ->
       ("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, " +
         "ROUND(SUM(value), 2) AS v FROM events GROUP BY 1, 2), " +

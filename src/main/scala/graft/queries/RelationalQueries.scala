@@ -947,7 +947,43 @@ object RelationalQueries {
     s"WITH $base$rounds SELECT node, lab FROM l3 ORDER BY node"
   }
 
+  /** Market-basket association rules [public: Agrawal & Srikant 1994,
+    * the Apriori measures]: for every ordered co-purchase pair in
+    * lineitem, support = P(both), confidence = P(consequent|antecedent),
+    * lift = confidence / P(consequent); top 30 by lift with id
+    * tiebreaks. Both the ORDER BY and the LIMIT cut compare the ROUNDED
+    * lift so the cut is identical on both engines. Scale shape: the
+    * pair enumeration is the graph family's order-keyed self-join
+    * (work ~ sum basket²), item supports are dimension-sized and
+    * broadcast to the scored pairs; no global structure beyond the
+    * final top-k.
+    */
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val n = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val items = li.groupBy(col("l_partkey").as("item"))
+      .agg(countDistinct(col("l_orderkey")).as("n_item"))
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") =!= col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
+      .agg(countDistinct(col("a.l_orderkey")).as("n_xy"))
+      .filter(col("n_xy") >= 2)
+    pairs.crossJoin(broadcast(n))
+      .join(broadcast(items.select(col("item").as("x"), col("n_item").as("n_x"))), Seq("x"))
+      .join(broadcast(items.select(col("item").as("y"), col("n_item").as("n_y"))), Seq("y"))
+      .select(col("x").as("antecedent"), col("y").as("consequent"),
+        col("n_xy").cast("long").as("n_both"),
+        round(col("n_xy") / col("n_orders"), 6).as("support"),
+        round(col("n_xy") / col("n_x"), 6).as("confidence"),
+        round(col("n_xy") * col("n_orders") / (col("n_x") * col("n_y")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "assoc_rules" -> (assocRules _),
     "graph_communities" -> (graphCommunities _),
     "graph_adamic_adar" -> (adamicAdar _),
     "graph_hits" -> (graphHits _),
@@ -995,6 +1031,21 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "assoc_rules" ->
+      ("WITH n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem), " +
+        "items AS (SELECT l_partkey AS item, COUNT(DISTINCT l_orderkey) AS n_item " +
+        "FROM lineitem GROUP BY 1), " +
+        "pairs AS (SELECT a.l_partkey AS x, b.l_partkey AS y, " +
+        "COUNT(DISTINCT a.l_orderkey) AS n_xy FROM lineitem a " +
+        "JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_partkey <> b.l_partkey " +
+        "GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2) " +
+        "SELECT x AS antecedent, y AS consequent, CAST(n_xy AS BIGINT) AS n_both, " +
+        "ROUND(n_xy / n_orders, 6) AS support, " +
+        "ROUND(n_xy / ix.n_item, 6) AS confidence, " +
+        "ROUND(n_xy * n_orders / (ix.n_item * iy.n_item), 6) AS lift " +
+        "FROM pairs, n JOIN items ix ON ix.item = x JOIN items iy ON iy.item = y " +
+        "ORDER BY lift DESC, antecedent, consequent LIMIT 30"),
     "graph_communities" -> lpaOracle,
     "graph_adamic_adar" ->
       ("WITH pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, " +

@@ -455,7 +455,32 @@ object TextQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Higher-order array-function battery (ClickHouse arrayMap/arrayFilter/
+    * arraySort/arrayDistinct family) over tokenized documents: every
+    * derived column is a codegen'd Spark collection function —
+    * `transform`, `aggregate`, `array_sort`, `array_distinct`, `slice`,
+    * `array_join` — with the DuckDB list_* equivalents as the oracle.
+    * Pure projection after the scan: no shuffle, no UDF, whole-stage
+    * codegen end to end (the lambda functions stay in the plan as
+    * expressions, not closures).
+    */
+  def arrayFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"),
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x))
+          .as("total_chars"),
+        array_max(transform(toks, x => length(x))).cast("long")
+          .as("longest_token"),
+        array_join(slice(array_sort(toks), 1, 3), ",").as("first3_sorted"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "array_functions" -> (arrayFunctions _),
     "mix_temperature" -> (mixTemperature _),
     "er_sorted_neighborhood" -> (erSortedNeighborhood _),
     "doc_chunk" -> (docChunk _),
@@ -515,6 +540,14 @@ object TextQueries {
       s"/ GREATEST($tokCount, 1), 6)"
 
   val oracleSql: Map[String, String] = Map(
+    "array_functions" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) " +
+        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq, " +
+        "CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_chars, " +
+        "CAST(list_max(list_transform(toks, x -> length(x))) AS BIGINT) AS longest_token, " +
+        "array_to_string(list_sort(toks)[1:3], ',') AS first3_sorted " +
+        "FROM d ORDER BY doc_id"),
     "mix_temperature" ->
       ("WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1), " +
         "t AS (SELECT SUM(n) AS total FROM c), " +

@@ -466,6 +466,15 @@ class PlanSpec extends SparkSpec {
         s"empty-partition global sort owns the whole corpus in one task\n$p")
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
       s"rank-adjacency candidates must come from an equi-join on block\n$p")
+    // the x10 scaling run measured a 59x blowup when the join keyed on
+    // block alone with the rank distance as a post-filter (|block|^2
+    // pairs materialized); the fix explodes the 3 probe ranks so the
+    // join key is (block, rn) and only w=3 candidates ever exist
+    assert(p.contains("Generate"),
+      s"probe ranks must be exploded into the join key\n$p")
+    assert("Left keys \\[2\\]".r.findFirstIn(p).nonEmpty ||
+      "\\[block#\\d+L?, rn#\\d+".r.findFirstIn(p).nonEmpty,
+      s"candidate join must key on BOTH block and rank\n$p")
   }
 
   test("graph_pagerank: lineage truncated per round; no cartesian anywhere") {
@@ -502,5 +511,33 @@ class PlanSpec extends SparkSpec {
         s"KMeans shape — the only unconditioned join here)\n$p")
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
       s"the candidate self-join must be an equi-join on the cell id\n$p")
+  }
+
+  test("kendall_tau: per-series Knight pass is a grouped map, one keyed exchange") {
+    val p = plan("kendall_tau")
+    assert(p.contains("MapGroups"),
+      s"the O(n log n) tau pass must be a grouped map over series\n$p")
+    val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).length
+    assert(exchanges <= 2, s"tau needs only the group keying + output sort, " +
+      s"got $exchanges exchanges\n$p")
+  }
+
+  test("assoc_rules: item supports broadcast to scored pairs; pair join keyed on order") {
+    val p = plan("assoc_rules")
+    assert(!p.contains("CartesianProduct"))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 2,
+      s"both item-support joins must broadcast the dimension side\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-30 by lift must be a distributed top-k, not a global sort\n$p")
+  }
+
+  test("array_functions: pure projection — no shuffle except the output sort") {
+    val p = plan("array_functions")
+    val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"the battery is per-row; only the ORDER BY may exchange, got $exchanges\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("SQLAppUDF"),
+      "higher-order functions must stay native expressions")
   }
 }

@@ -482,4 +482,5 @@ class StreamingSpec extends SparkSpec {
       assert(want.values.exists(_._2 > 0.1), s"expected real drift, got $want")
     } finally q.stop()
   }
+
 }
