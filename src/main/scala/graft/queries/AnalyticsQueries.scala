@@ -1803,9 +1803,15 @@ object AnalyticsQueries {
         Window.orderBy(col("freq"), col("o_custkey"))))
       .withColumn("m", ntile(5).over(
         Window.orderBy(col("monetary"), col("o_custkey"))))
-    s.groupBy(concat(col("r"), col("f"), col("m")).as("segment"))
+    // segment average in exact integer cents: summing the rounded
+    // per-customer doubles directly is order-dependent in the last bit,
+    // which flipped a .005 rounding edge at sf0.1 — integer sums are
+    // associative, so the division input is identical on both engines
+    s.withColumn("cents", round(col("monetary") * 100, 0).cast("long"))
+      .groupBy(concat(col("r"), col("f"), col("m")).as("segment"))
       .agg(count(lit(1)).as("n_customers"),
-        round(avg(col("monetary")), 2).as("avg_monetary"))
+        round(sum(col("cents")) / lit(100.0) / count(lit(1)), 2)
+          .as("avg_monetary"))
       .orderBy("segment")
   }
 
@@ -1846,7 +1852,27 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** ClickHouse `deltaSum`: the sum of POSITIVE deltas of an ordered
+    * series — counter-reset-tolerant throughput from a gauge (the
+    * Prometheus `increase()` semantics). Ordered by (ts, event_id) so
+    * the lag is deterministic under timestamp ties. One keyed window
+    * pass + one hash agg; per-row window state is a single value.
+    */
+  def deltaSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(
+        round(sum(when(col("value") > col("prev"),
+          col("value") - col("prev")).otherwise(0.0)), 2).as("delta_sum"),
+        sum(when(col("value") < col("prev"), 1L).otherwise(0L)).as("n_resets"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "delta_sum" -> (deltaSum _),
     "kendall_tau" -> (kendallTau _),
     "categorical_iv" -> (categoricalIv _),
     "rfm_segments" -> (rfmSegments _),
@@ -1920,6 +1946,14 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "delta_sum" ->
+      ("WITH d AS (SELECT event_type, value, " +
+        "LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev " +
+        "FROM events) " +
+        "SELECT event_type, " +
+        "ROUND(SUM(CASE WHEN value > prev THEN value - prev ELSE 0 END), 2) AS delta_sum, " +
+        "CAST(SUM(CASE WHEN value < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_resets " +
+        "FROM d GROUP BY 1 ORDER BY 1"),
     "kendall_tau" ->
       ("WITH e AS (SELECT event_id, event_type, value AS x, epoch(ts) AS y " +
         "FROM events), " +
@@ -1956,9 +1990,9 @@ object AnalyticsQueries {
         "NTILE(5) OVER (ORDER BY recency DESC, o_custkey) AS r, " +
         "NTILE(5) OVER (ORDER BY freq, o_custkey) AS f, " +
         "NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m, " +
-        "monetary FROM c) " +
+        "CAST(ROUND(monetary * 100, 0) AS BIGINT) AS cents FROM c) " +
         "SELECT r || f || m AS segment, CAST(COUNT(*) AS BIGINT) AS n_customers, " +
-        "ROUND(AVG(monetary), 2) AS avg_monetary " +
+        "ROUND(SUM(cents) / 100.0 / COUNT(*), 2) AS avg_monetary " +
         "FROM s GROUP BY 1 ORDER BY 1"),
     "sparkbar" ->
       ("WITH rng AS (SELECT event_type, MIN(epoch(ts)) AS mn, " +

@@ -479,7 +479,64 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Multinomial Naive Bayes language classifier, trained and scored
+    * entirely relationally [public: the McCallum & Nigam 1998 event
+    * model]: fit on the `doc_id % 5 != 0` split, predict the held-out
+    * fifth. The log-likelihood decomposes so that zero-count (token,
+    * class) pairs contribute log(0+1) = 0 — an INNER join on observed
+    * counts plus a per-class normalizer `m_d * ln(N_c + |V|)` is exact
+    * Laplace smoothing with no dense (vocab x class) materialization.
+    * Out-of-vocabulary test tokens drop at the vocab join (standard NB
+    * practice); test docs with zero in-vocab tokens drop with them.
+    * Scale shape: token counts are one (class, token) hash agg; scoring
+    * shuffles on token (skew bounded — a hot token fans out to at most
+    * |classes| count rows); class constants broadcast. The oracle
+    * replays the same algebra in SQL — scores rounded to 6 BEFORE the
+    * argmax rank on both engines so the winner is identical.
+    */
+  def naiveBayesLang(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val tr = train
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val te = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val cls = train.groupBy(col("lang").as("c"))
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val tot = train.agg(count(lit(1)).cast("double").as("n_train"))
+    val vocabToks = tr.select("tok").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = vocabToks.agg(count(lit(1)).cast("double").as("v"))
+    val nc = tr.groupBy(col("lang").as("c"))
+      .agg(count(lit(1)).cast("double").as("n_tok"))
+    val cnt = tr.groupBy(col("lang").as("c"), col("tok"))
+      .agg(count(lit(1)).as("k"))
+    val tev = te.join(vocabToks, "tok").select("doc_id", "tok")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val md = tev.groupBy("doc_id").agg(count(lit(1)).cast("double").as("m"))
+    val grid = md.crossJoin(broadcast(cls.join(nc, "c")))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(vocab))
+    val contrib = tev.join(cnt, "tok")
+      .groupBy(col("doc_id"), col("c"))
+      .agg(sum(log(col("k") + lit(1.0))).as("s"))
+    val score = grid.join(contrib, Seq("doc_id", "c"), "left")
+      .select(col("doc_id"), col("c"),
+        round(log(col("n_docs") / col("n_train")) +
+          coalesce(col("s"), lit(0.0)) -
+          col("m") * log(col("n_tok") + col("v")), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("c"))
+    score.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .join(docs.select(col("doc_id"), col("lang").as("actual")), "doc_id")
+      .select(col("doc_id"), col("c").as("predicted"), col("actual"),
+        when(col("c") === col("actual"), 1L).otherwise(0L).as("correct"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "naive_bayes_lang" -> (naiveBayesLang _),
     "array_functions" -> (arrayFunctions _),
     "mix_temperature" -> (mixTemperature _),
     "er_sorted_neighborhood" -> (erSortedNeighborhood _),
@@ -540,6 +597,37 @@ object TextQueries {
       s"/ GREATEST($tokCount, 1), 6)"
 
   val oracleSql: Map[String, String] = Map(
+    "naive_bayes_lang" ->
+      ("WITH tr AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents WHERE doc_id % 5 <> 0), " +
+        "te AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents WHERE doc_id % 5 = 0), " +
+        "cls AS (SELECT lang AS c, CAST(COUNT(*) AS DOUBLE) AS n_docs " +
+        "FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1), " +
+        "tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_train FROM documents " +
+        "WHERE doc_id % 5 <> 0), " +
+        "vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM tr), " +
+        "nc AS (SELECT lang AS c, CAST(COUNT(*) AS DOUBLE) AS n_tok FROM tr GROUP BY 1), " +
+        "cnt AS (SELECT lang AS c, tok, COUNT(*) AS k FROM tr GROUP BY 1, 2), " +
+        "tev AS (SELECT te.doc_id, te.tok FROM te " +
+        "JOIN (SELECT DISTINCT tok FROM tr) vt ON vt.tok = te.tok), " +
+        "md AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS m FROM tev GROUP BY 1), " +
+        "grid AS (SELECT md.doc_id, md.m, cls.c, cls.n_docs, nc.n_tok, " +
+        "tot.n_train, vocab.v FROM md CROSS JOIN cls " +
+        "JOIN nc ON nc.c = cls.c CROSS JOIN tot CROSS JOIN vocab), " +
+        "contrib AS (SELECT tev.doc_id, cnt.c, SUM(LN(cnt.k + 1.0)) AS s " +
+        "FROM tev JOIN cnt ON cnt.tok = tev.tok GROUP BY 1, 2), " +
+        "score AS (SELECT grid.doc_id, grid.c, " +
+        "ROUND(LN(n_docs / n_train) + COALESCE(contrib.s, 0) " +
+        "- m * LN(n_tok + v), 6) AS score FROM grid " +
+        "LEFT JOIN contrib ON contrib.doc_id = grid.doc_id AND contrib.c = grid.c), " +
+        "pred AS (SELECT doc_id, c, " +
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS rk " +
+        "FROM score) " +
+        "SELECT p.doc_id, p.c AS predicted, d.lang AS actual, " +
+        "CAST(CASE WHEN p.c = d.lang THEN 1 ELSE 0 END AS BIGINT) AS correct " +
+        "FROM pred p JOIN documents d ON d.doc_id = p.doc_id " +
+        "WHERE rk = 1 ORDER BY p.doc_id"),
     "array_functions" ->
       ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) " +
         "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +

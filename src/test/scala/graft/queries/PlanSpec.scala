@@ -532,6 +532,27 @@ class PlanSpec extends SparkSpec {
       s"top-30 by lift must be a distributed top-k, not a global sort\n$p")
   }
 
+  test("naive_bayes_lang: class constants broadcast; token scoring join is keyed") {
+    val p = plan("naive_bayes_lang")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"the (test token x class count) scoring join must be an equi-join on tok\n$p")
+    val bnlj = """BroadcastNestedLoopJoin \(\d+\)""".r.findAllIn(p).length
+    // the doc x class grid and the 1-row constants are the only
+    // unconditioned joins, and every one must be broadcast
+    assert(bnlj <= 3, s"grid/constant joins must broadcast, got $bnlj\n$p")
+    assert(p.contains("InMemoryRelation"),
+      "the tokenized train split feeds vocab + counts + normalizers — persist it")
+  }
+
+  test("delta_sum: one keyed window pass, no self-join") {
+    val p = plan("delta_sum")
+    val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"lag + agg share the event_type keying; got $exchanges exchanges\n$p")
+    assert(!p.contains("Join"), s"deltas come from lag(), not a self-join\n$p")
+  }
+
   test("array_functions: pure projection — no shuffle except the output sort") {
     val p = plan("array_functions")
     val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).length
