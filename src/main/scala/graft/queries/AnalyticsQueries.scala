@@ -915,6 +915,63 @@ object AnalyticsQueries {
         col("an").cast("long").as("n_a"), col("bn").cast("long").as("n_b"))
   }
 
+  /** studentTTest (ClickHouse): the POOLED-variance two-sample t —
+    * companion to [[welchTtest]] (which does not assume equal
+    * variances). Same scale shape: one keyed agg to a 2-row moments
+    * frame, then a broadcast cross of two 1-row sides; nothing beyond
+    * (mean, var, n) per sample ever leaves the executors.
+    */
+  def studentTtest(spark: SparkSession, dir: String): DataFrame = {
+    val s = table(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(avg(col("value")).as("m"), var_samp(col("value")).as("v"),
+        count(lit(1)).cast("double").as("n"))
+    val a = s.filter(col("event_type") === "view")
+      .select(col("m").as("am"), col("v").as("av"), col("n").as("an"))
+    val b = s.filter(col("event_type") === "purchase")
+      .select(col("m").as("bm"), col("v").as("bv"), col("n").as("bn"))
+    val df = col("an") + col("bn") - 2
+    val sp2 = ((col("an") - 1) * col("av") + (col("bn") - 1) * col("bv")) / df
+    a.crossJoin(broadcast(b))
+      .select(
+        round(col("am") - col("bm"), 4).as("mean_diff"),
+        round((col("am") - col("bm")) /
+          sqrt(sp2 * (lit(1.0) / col("an") + lit(1.0) / col("bn"))), 5)
+          .as("t_stat"),
+        df.cast("long").as("df"),
+        round(sqrt(sp2), 4).as("pooled_sd"),
+        col("an").cast("long").as("n_a"), col("bn").cast("long").as("n_b"))
+  }
+
+  /** One-way ANOVA F across ALL event types on `value`. Decomposed so
+    * nothing global is needed: one hash agg to a k-row
+    * (n, mean, var) frame, then the grand mean and both sums of squares
+    * fold over those k rows (SSB from the group means, SSW from the
+    * group variances — the within-group squared deviations never
+    * re-cross the network). Output is a single row.
+    */
+  def anovaOneway(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        avg(col("value")).as("m"), var_samp(col("value")).as("v"))
+      .agg(
+        count(lit(1)).cast("double").as("k"),
+        sum(col("n")).as("ntot"),
+        (sum(col("n") * col("m")) / sum(col("n"))).as("gm"),
+        sum(col("n") * col("m") * col("m")).as("snm2"),
+        sum((col("n") - 1) * col("v")).as("ssw"))
+      .select(
+        col("k").cast("long").as("k_groups"),
+        col("ntot").cast("long").as("n_total"),
+        round((col("snm2") - col("ntot") * col("gm") * col("gm")) /
+          (col("k") - 1), 4).as("ms_between"),
+        round(col("ssw") / (col("ntot") - col("k")), 4).as("ms_within"),
+        round(((col("snm2") - col("ntot") * col("gm") * col("gm")) /
+          (col("k") - 1)) / (col("ssw") / (col("ntot") - col("k"))), 5)
+          .as("f_stat"))
+
   /** mannWhitneyUTest (ClickHouse): rank-sum test with average ranks at
     * ties (exact under duplicate values) and the normal-approximation z.
     * The ranking needs ONE global ordering — inherent to a rank
@@ -1905,6 +1962,8 @@ object AnalyticsQueries {
     "theils_u" -> (theilsU _),
     "mann_whitney" -> (mannWhitney _),
     "welch_ttest" -> (welchTtest _),
+    "student_ttest" -> (studentTtest _),
+    "anova_oneway" -> (anovaOneway _),
     "running_concurrency" -> (runningConcurrency _),
     "user_type_mask" -> (userTypeMask _),
     "quantile_weighted" -> (quantileWeighted _),
@@ -2349,6 +2408,31 @@ object AnalyticsQueries {
         "(POW(a.v / a.n, 2) / (a.n - 1) + POW(b.v / b.n, 2) / (b.n - 1)), 2) " +
         "AS df_welch, " +
         "CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b FROM a, b"),
+    "student_ttest" ->
+      ("WITH s AS (SELECT event_type, AVG(value) AS m, VAR_SAMP(value) AS v, " +
+        "CAST(COUNT(*) AS DOUBLE) AS n FROM events " +
+        "WHERE event_type IN ('view', 'purchase') GROUP BY 1), " +
+        "a AS (SELECT m, v, n FROM s WHERE event_type = 'view'), " +
+        "b AS (SELECT m, v, n FROM s WHERE event_type = 'purchase'), " +
+        "p AS (SELECT a.m AS am, b.m AS bm, a.n AS an, b.n AS bn, " +
+        "((a.n - 1) * a.v + (b.n - 1) * b.v) / (a.n + b.n - 2) AS sp2 " +
+        "FROM a, b) " +
+        "SELECT ROUND(am - bm, 4) AS mean_diff, " +
+        "ROUND((am - bm) / sqrt(sp2 * (1.0 / an + 1.0 / bn)), 5) AS t_stat, " +
+        "CAST(an + bn - 2 AS BIGINT) AS df, " +
+        "ROUND(sqrt(sp2), 4) AS pooled_sd, " +
+        "CAST(an AS BIGINT) AS n_a, CAST(bn AS BIGINT) AS n_b FROM p"),
+    "anova_oneway" ->
+      ("WITH g AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n, " +
+        "AVG(value) AS m, VAR_SAMP(value) AS v FROM events GROUP BY 1), " +
+        "t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(n) AS ntot, " +
+        "SUM(n * m) / SUM(n) AS gm, SUM(n * m * m) AS snm2, " +
+        "SUM((n - 1) * v) AS ssw FROM g) " +
+        "SELECT CAST(k AS BIGINT) AS k_groups, CAST(ntot AS BIGINT) AS n_total, " +
+        "ROUND((snm2 - ntot * gm * gm) / (k - 1), 4) AS ms_between, " +
+        "ROUND(ssw / (ntot - k), 4) AS ms_within, " +
+        "ROUND(((snm2 - ntot * gm * gm) / (k - 1)) / (ssw / (ntot - k)), 5) " +
+        "AS f_stat FROM t"),
     "running_concurrency" ->
       ("WITH pts AS (" +
         "SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, 1 AS d FROM events " +
