@@ -52,6 +52,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // size-adaptive shuffle partitions (see Tuning): cores at sf0.1,
+    // growing with input bytes on replicated corpora; env-overridable
+    val parts = Tuning.shufflePartitionsFor(sfDir, cpus.toInt)
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    System.err.println(s"[bench] shuffle.partitions=$parts for $sfDir")
     // warm the JVM + filesystem once so the first measured query doesn't
     // absorb executor startup and parquet footer costs
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()

@@ -32,6 +32,7 @@ object Scaling {
     */
   val family: Seq[String] = Seq(
     "dedup_exact", "dedup_exact_hashkeyed", "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_banded",
     "dedup_minhash", "dedup_simhash", "dedup_substring",
     "dedup_substring_hashed", "dedup_canonicalize",
     "dedup_canonicalize_exact", "dedup_canonicalize_df",
@@ -49,14 +50,9 @@ object Scaling {
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Shuffle-partition override for scale experiments: on a real cluster
-    // partition count grows with the data (or AQE coalesces from a high
-    // initial count); pinning it to core count on a replicated corpus
-    // conflates plan scaling with per-partition spill.
-    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -64,6 +60,25 @@ object Scaling {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Per-copy deterministic sign-flip of the embedding coordinates — a
+    * diagonal orthogonal transform. Within a copy EVERY pairwise inner
+    * product and norm is preserved EXACTLY (same signs applied to both
+    * vectors of a pair), so each copy's true near-dup pair set is
+    * identical to copy 0's: the corpus-wide pair count grows LINEARLY in
+    * the copy count. Across copies the signs decorrelate
+    * (cos(v, s_k ⊙ v) = Σ s_k(i) v_i² / |v|² ≈ 0 for balanced random
+    * signs), so replicas of the same base vector are NOT near-dups —
+    * unlike the previous identical-copy generator, whose cross-copy
+    * identity pairs made the true pair set quadratic and conflated every
+    * embedding operator's x30 number with an output-size artifact
+    * (round-7 verdict, "Scaling generator artifact"). Copy 0 is the
+    * identity, so copy-0-only query sets (`vec_id < 10`) are unchanged.
+    */
+  def perturbEmbedding(e: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    if (k == 0) e
+    else transform(e, (x, i) =>
+      when(pmod(xxhash64(lit(k), i), lit(2)) === 0, x).otherwise(-x))
 
   def gen(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
     import graft.sources.Fixtures
@@ -81,7 +96,9 @@ object Scaling {
     }
     (0 until copies).map(replicated).reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    (0 until copies).map(k => emb.withColumn("vec_id", col("vec_id") + lit(k * 10000000L)))
+    (0 until copies).map(k => emb
+        .withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
+        .withColumn("embedding", perturbEmbedding(col("embedding"), k)))
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     (0 until copies).map(k => ev
@@ -131,6 +148,13 @@ object Scaling {
           sec
         }
         val results = dirs.map { dir =>
+          // size-adaptive shuffle partitions per corpus dir (see Tuning):
+          // a replicated x30 corpus gets ~4x the partitions of x10, the
+          // way a real cluster's partition count follows the data
+          val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+          val parts = Tuning.shufflePartitionsFor(dir, cpus)
+          spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+          System.err.println(s"[scaling] shuffle.partitions=$parts for $dir")
           spark.read.parquet(s"$dir/documents.parquet").limit(100).count() // warm
           dir -> fam.map { q =>
             val s1 = runOnce(q, dir)

@@ -289,6 +289,66 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
 
+  /** MinHash-banded candidates -> EXACT n-gram Jaccard verify: the
+    * registered 100 TB form of [[ngramJaccardPairs]], as the Dedup header
+    * prescribes. Candidate volume scales with docs x bands (banding), not
+    * sum-over-shingles of df^2 (inverted-index self-join) — the x30 study
+    * measured the df^2 path at 7.2x cost for 3x data; banding stays
+    * linear. The verify stage re-joins the candidates to the full shingle
+    * SETS and computes |A∩B| / |A∪B| exactly, so a reported pair's score
+    * is identical to the uncapped exact operator's — banding only costs
+    * RECALL, never precision or score accuracy.
+    *
+    * Banding defaults differ from [[minhashPairs]] (16 bands x 4 rows,
+    * tuned as an ESTIMATOR): candidate generation for a >= 0.5 final
+    * threshold wants 32 bands x 2 rows, where a true pair at j >= 0.5
+    * collides in >= 1 band with probability 1 - (1 - j^2)^32 >= 0.99990
+    * — misses are one-in-ten-thousand at the threshold boundary and
+    * vanish above it (j = 0.6 -> 5e-7). DedupSpec asserts exact agreement
+    * with the uncapped exact pair set on the fixtures.
+    */
+  def ngramJaccardPairsBanded(
+      docs: DataFrame,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      numHashes: Int = 64,
+      numBands: Int = 32): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val rowsPerBand = numHashes / numBands
+    // PERSISTED: the shingle sets feed the signature aggregation and both
+    // sides of the verify join (Bench/Verify clearCache between queries)
+    val sets = docs
+      .select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until numBands).map { b =>
+      xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
+        col(s"mh${b * rowsPerBand + r}"))): _*).as(s"bh$b")
+    }
+    val banded = sig.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), explode(array((0 until numBands).map(b =>
+        struct(lit(b).as("band"), col(s"bh$b").as("bh"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** 64-bit SimHash over word tokens (token multiplicity counts): bit i of
     * the fingerprint is the sign of the sum of +/-1 votes from each token
     * hash's bit i [public: Charikar 2002].
@@ -434,6 +494,20 @@ object Dedup {
     * low-cos sweeps), while true near-dup recall (cos >= 0.9, p ~ 0.86)
     * stays > 0.99 through bits ~ 9. Sizing costs one count() action —
     * bounded, the Bloom/KMeans-codebook precedent.
+    *
+    * `maxBucket` caps the OVERFLOW bucket pathology: a bucket holding s
+    * copies of (near-)identical vectors emits s^2/2 candidate pairs, and
+    * no amount of extra hyperplanes splits identical vectors apart. A
+    * bucket with s > maxBucket members is salted into ceil(s/maxBucket)
+    * deterministic groups (xxhash64(tbl, vec_id) mod nsalt) and pairs
+    * form only WITHIN a group — per-bucket candidate volume drops from
+    * O(s^2) to O(s x maxBucket), linear in occupancy (the df-cap
+    * discipline of [[ngramJaccardPairs]], adapted to LSH). Recall on a
+    * salted bucket's pairs is 1/nsalt per TABLE, but salts are
+    * independent across the numTables union (tbl is a hash input), so a
+    * same-bucket-everywhere pair still surfaces with probability
+    * 1 - (1 - 1/nsalt)^numTables. Buckets at or under the cap are
+    * untouched (nsalt = 1), so fixture-scale results are unchanged.
     */
   def embeddingCosinePairsLsh(
       emb: DataFrame,
@@ -441,7 +515,9 @@ object Dedup {
       dim: Int,
       numTables: Int = 16,
       bitsPerTable: Int = -1,
-      seed: Long = 7L): DataFrame = {
+      seed: Long = 7L,
+      maxBucket: Int = 1000): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1: $maxBucket")
     val e = emb.select(col("vec_id"), col("embedding"))
     val bits =
       if (bitsPerTable > 0) bitsPerTable
@@ -455,12 +531,24 @@ object Dedup {
     // keeps the candidate shuffle at two longs per pair instead of
     // 2 x dim doubles; the vectors are re-joined only for the (much
     // smaller) post-distinct verify stage.
-    val b = Similarity.lshBuckets(e, dim, numTables, bits, seed)
+    val buckets = Similarity.lshBuckets(e, dim, numTables, bits, seed)
       .select(col("vec_id"), col("tbl"), col("bucket"))
+    // per-(tbl, bucket) occupancy rides back on the bucket key (tiny
+    // frame: numTables x 2^bits rows), then the salt splits only the
+    // oversized buckets
+    val sizes = buckets.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("occ"))
+    val b = buckets
+      .join(sizes, Seq("tbl", "bucket"))
+      .withColumn("nsalt",
+        ceil(col("occ").cast("double") / lit(maxBucket)).cast("long"))
+      .withColumn("salt", pmod(xxhash64(col("tbl"), col("vec_id")), col("nsalt")))
+      .select(col("vec_id"), col("tbl"), col("bucket"), col("salt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = b.as("a")
       .join(b.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.salt") === col("b.salt") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()

@@ -55,15 +55,14 @@ object DedupClusters {
       pairs: DataFrame,
       a: String = "doc_a",
       b: String = "doc_b",
-      maxIter: Int = 25): DataFrame = {
-    val edges = pairs
+      maxIter: Int = 25,
+      reliable: Boolean = false): DataFrame = {
+    val edges = Checkpoints.truncate(pairs
       .select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
       .union(pairs.select(col(b).cast("long").as("src"), col(a).cast("long").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
+      .distinct(), reliable)
+    var labels = Checkpoints.truncate(edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")), reliable)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -71,11 +70,11 @@ object DedupClusters {
         .groupBy(col("src")).agg(min(col("cluster")).as("nbr"))
       // carry the previous label through the checkpoint so the convergence
       // check is a filter over already-materialized rows, not another join
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"),
-          col("cluster").as("old"))
-        .localCheckpoint(true)
+      val next = Checkpoints.truncate(
+        labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"),
+            col("cluster").as("old")), reliable)
       changed = next.filter(col("cluster") =!= col("old")).count()
       labels.unpersist()
       labels = next.select("id", "cluster")

@@ -28,24 +28,30 @@ object Hits {
     * weight. Returns (role: 'hub'|'auth', node, score) with score
     * rounded to 6 decimals; roles keep both sides in one frame.
     */
-  def run(edges: DataFrame, iters: Int): DataFrame = {
+  def run(edges: DataFrame, iters: Int, reliable: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Guarded normalizer: an all-zero (or empty-after-filter) edge frame
+    // would otherwise divide by 0 and propagate NaN differently across
+    // engines; clamping at MIN_NORMAL is identity for any real input.
+    val minNorm = java.lang.Double.MIN_NORMAL
     var hub = e.select(col("c")).distinct().withColumn("h", lit(1.0))
-    var auth: DataFrame = null
+    // Overwritten on the first (require-guaranteed) iteration; the init
+    // value only exists so the frame is never null.
+    var auth = e.select(col("s")).distinct().withColumn("a", lit(1.0))
     for (_ <- 1 to iters) {
       val ar = e.join(hub, Seq("c"))
         .groupBy(col("s")).agg(sum(col("h") * col("w")).as("a"))
-      auth = ar
+      auth = Checkpoints.truncate(ar
         .crossJoin(broadcast(ar.agg(sqrt(sum(col("a") * col("a"))).as("z"))))
-        .select(col("s"), (col("a") / col("z")).as("a"))
-        .localCheckpoint(true)
+        .select(col("s"), (col("a") / greatest(col("z"), lit(minNorm))).as("a")),
+        reliable)
       val hr = e.join(auth, Seq("s"))
         .groupBy(col("c")).agg(sum(col("a") * col("w")).as("h"))
-      hub = hr
+      hub = Checkpoints.truncate(hr
         .crossJoin(broadcast(hr.agg(sqrt(sum(col("h") * col("h"))).as("z"))))
-        .select(col("c"), (col("h") / col("z")).as("h"))
-        .localCheckpoint(true)
+        .select(col("c"), (col("h") / greatest(col("z"), lit(minNorm))).as("h")),
+        reliable)
     }
     hub.select(lit("hub").as("role"), col("c").as("node"),
         round(col("h"), 6).as("score"))
@@ -62,11 +68,11 @@ object Hits {
     val rounds = (1 to iters).map { i =>
       s", ar$i AS (SELECT s, SUM(h.h * e.w) AS a FROM edges e" +
         s" JOIN h${i - 1} h USING (c) GROUP BY s)" +
-        s", a$i AS (SELECT s, a / z.z AS a FROM ar$i CROSS JOIN" +
+        s", a$i AS (SELECT s, a / GREATEST(z.z, 2.2250738585072014e-308) AS a FROM ar$i CROSS JOIN" +
         s" (SELECT SQRT(SUM(a * a)) AS z FROM ar$i) z)" +
         s", hr$i AS (SELECT c, SUM(a.a * e.w) AS h FROM edges e" +
         s" JOIN a$i a USING (s) GROUP BY c)" +
-        s", h$i AS (SELECT c, h / z.z AS h FROM hr$i CROSS JOIN" +
+        s", h$i AS (SELECT c, h / GREATEST(z.z, 2.2250738585072014e-308) AS h FROM hr$i CROSS JOIN" +
         s" (SELECT SQRT(SUM(h * h)) AS z FROM hr$i) z)"
     }.mkString
     s"WITH $base$rounds " +

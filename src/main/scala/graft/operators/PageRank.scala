@@ -38,8 +38,11 @@ object PageRank {
 
   /** edges: (src: long, dst: long, w: double). Returns (node, pr) with
     * `pr` rounded to 6 decimals (cross-engine float-sum tolerance).
+    * `reliable` selects the lineage-truncation mode (see [[Checkpoints]]):
+    * default executor-local; true = FS-backed, surviving executor loss.
     */
-  def run(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+  def run(edges: DataFrame, iters: Int, damping: Double = 0.85,
+      reliable: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
@@ -59,7 +62,7 @@ object PageRank {
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("c"), lit(0.0))).as("r"))
-        .localCheckpoint(true)
+      r = Checkpoints.truncate(r, reliable)
     }
     r.select(col("node"), round(col("r"), 6).as("pr")).orderBy("node")
   }

@@ -429,8 +429,14 @@ object Similarity {
       k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    cand
-      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+    // BROADCAST the candidate list: it is bounded by construction
+    // (|queries| x k x oversample two-long rows), while the corpus side is
+    // the full vector table — a shuffle join here would re-exchange every
+    // corpus vector to meet a few hundred candidates (the x30 study's
+    // ann_topk_pq superlinearity), where the broadcast streams the corpus
+    // scan once with no exchange.
+    corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cand), "vec_id")
       .join(broadcast(q), "query_id")
       .withColumn("cos", VectorFunctions.cosine(col("embedding"), col("qe")))
       .withColumn("rank", row_number().over(w))
@@ -450,12 +456,25 @@ object Similarity {
     val books = pqCodebooks(corpus, dim, m, ksub, refineIters)
     val codes = pqEncode(corpus, books)
     val qt = pqQueryTables(queries, books)
+    val keep = k * oversample
+    // TWO-PHASE top-k: a single per-query window over the n x |queries|
+    // scored rows sorts the whole corpus inside |queries| partitions —
+    // at 10 queries that is 10-way parallelism regardless of cluster
+    // size, the x30 study's ann_topk_pq skew. Phase 1 takes the local
+    // top-`keep` within (query, 64-way vec_id salt) — full parallelism,
+    // per-group sort of n/64 rows; phase 2's global window then ranks
+    // only the <= 64 x keep survivors per query.
+    val wLocal = Window.partitionBy(col("query_id"), col("slice"))
+      .orderBy(col("adc").asc, col("vec_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("vec_id"))
     val cand = codes
       .join(broadcast(qt), col("vec_id") =!= col("query_id"))
       .withColumn("adc", adcScore(books))
+      .withColumn("slice", pmod(xxhash64(col("vec_id")), lit(64)))
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter(col("lrk") <= keep)
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k * oversample)
+      .filter(col("rk") <= keep)
       .select(col("query_id"), col("vec_id"))
     rerankExact(cand, corpus, queries, k)
   }
@@ -528,9 +547,20 @@ object Similarity {
     * the O(k * nCandidates) greedy loop. Deterministic: ties break on
     * lowest vec_id at every argmax.
     */
+  /** DRIVER RESIDENCY: |queries| x nCandidates rows (one embedding each)
+    * are collected for the greedy loop — bounded by `maxDriverRows`
+    * (fail-fast count, not an OOM). Large query sets should be chunked
+    * by the caller or routed to a non-diverse top-k.
+    */
   def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCandidates: Int, lambda: Double = 0.7): DataFrame = {
+      nCandidates: Int, lambda: Double = 0.7,
+      maxDriverRows: Long = 1000000L): DataFrame = {
     require(k >= 1 && nCandidates >= k, s"need nCandidates >= k >= 1")
+    val nQueries = queries.count()
+    require(nQueries * nCandidates <= maxDriverRows,
+      s"mmrTopK would collect $nQueries x $nCandidates = " +
+        s"${nQueries * nCandidates} rows to the driver (cap $maxDriverRows); " +
+        "chunk the queries frame or raise maxDriverRows explicitly")
     val spark = corpus.sparkSession
     val cand = bruteForceTopK(corpus, queries, nCandidates)
       .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))

@@ -56,6 +56,9 @@ object ZOrder {
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val row = df.agg(aggs.head, aggs.tail: _*).collect().head
     cols.zipWithIndex.map { case (c, i) =>
+      require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+        s"ZOrder.bounds: column '$c' has no non-null values " +
+          "(empty input or all-null column) — supply bounds explicitly")
       (c, row.getDouble(2 * i), row.getDouble(2 * i + 1))
     }
   }

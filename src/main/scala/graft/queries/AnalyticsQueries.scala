@@ -1779,8 +1779,11 @@ object AnalyticsQueries {
         // c + d = tot - n1 - n2 + n3, d = swaps  =>  c - d:
         val conMinusDis = tot - n1 - n2 + n3 - 2 * swaps
         val denom = math.sqrt((tot - n1).toDouble * (tot - n2).toDouble)
+        // HALF_UP, matching DuckDB ROUND and every other hash-checked
+        // query (math.rint is half-to-even and could flip a 5e-7 boundary)
         val tau = if (denom == 0) 0.0
-          else math.rint(conMinusDis / denom * 1e6) / 1e6
+          else BigDecimal(conMinusDis / denom)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         (et, n, tau)
       }
       .toDF("event_type", "n", "tau_b")
@@ -2135,7 +2138,7 @@ object AnalyticsQueries {
         "CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1 ORDER BY 1"),
     "mutual_info" ->
       ("WITH cells AS (SELECT event_type AS x, " +
-        "dayofweek(CAST(ts AS DATE)) AS y, CAST(COUNT(*) AS DOUBLE) AS c " +
+        "dayofweek(CAST(ts AS DATE)) + 1 AS y, CAST(COUNT(*) AS DOUBLE) AS c " +
         "FROM events GROUP BY 1, 2), " +
         "m AS (SELECT x, y, c, SUM(c) OVER () AS n, " +
         "SUM(c) OVER (PARTITION BY x) AS cx, " +
@@ -2258,7 +2261,7 @@ object AnalyticsQueries {
         "SELECT ROUND(CORR(rx, ry), 6) AS spearman_rho, COUNT(*) AS n_keys " +
         "FROM ranked"),
     "theils_u" ->
-      ("WITH cells AS (SELECT event_type AS x, dayofweek(CAST(ts AS DATE)) AS y, " +
+      ("WITH cells AS (SELECT event_type AS x, dayofweek(CAST(ts AS DATE)) + 1 AS y, " +
         "CAST(COUNT(*) AS DOUBLE) AS c FROM events GROUP BY 1, 2), " +
         "tot AS (SELECT x, y, c, SUM(c) OVER () AS n, " +
         "SUM(c) OVER (PARTITION BY x) AS cx, " +
@@ -2276,7 +2279,7 @@ object AnalyticsQueries {
         "COUNT(*) AS n " +
         "FROM events GROUP BY 1 ORDER BY 1"),
     "cramers_v" ->
-      ("WITH cells AS (SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow, " +
+      ("WITH cells AS (SELECT event_type, dayofweek(CAST(ts AS DATE)) + 1 AS dow, " +
         "CAST(COUNT(*) AS DOUBLE) AS o FROM events GROUP BY 1, 2), " +
         "tot AS (SELECT event_type, dow, o, " +
         "SUM(o) OVER (PARTITION BY event_type) AS rt, " +

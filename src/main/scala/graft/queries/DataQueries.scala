@@ -35,6 +35,19 @@ object DataQueries {
     Dedup.ngramJaccardPairs(table(spark, dir, "documents"), n = 3, threshold = 0.5)
       .orderBy("doc_a", "doc_b")
 
+  /** The registered 100 TB form of dedup_ngram_jaccard: MinHash-banded
+    * candidate generation (docs x bands shuffle, never sum-df^2) with an
+    * EXACT Jaccard verify on candidates only — see
+    * [[Dedup.ngramJaccardPairsBanded]]. Scores of reported pairs are
+    * identical to the exact operator's; the banding miss probability at
+    * the j = 0.5 boundary is <= 1e-4 per pair and deterministic
+    * (xxhash64), so the fixture pair set matches the exact oracle
+    * (DedupSpec pins the agreement).
+    */
+  def dedupNgramJaccardBanded(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairsBanded(table(spark, dir, "documents"), n = 3, threshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(table(spark, dir, "documents"))
       .orderBy("doc_a", "doc_b")
@@ -517,6 +530,7 @@ object DataQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_hashkeyed" -> (dedupExactHashKeyed _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_ngram_jaccard_banded" -> (dedupNgramJaccardBanded _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -690,6 +704,27 @@ object DataQueries {
         "GROUP BY text ORDER BY doc_id"),
     "dedup_ngram_jaccard" ->
       ("WITH " + shingleCte +
+        "SELECT doc_a, doc_b, ROUND(jc, 6) AS jaccard FROM (" +
+        "SELECT doc_a, doc_b, " +
+        "CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) AS jc " +
+        "FROM com JOIN sizes sa ON doc_a = sa.doc_id " +
+        "JOIN sizes sb ON doc_b = sb.doc_id) WHERE jc >= 0.5 " +
+        "ORDER BY doc_a, doc_b"),
+    // UNCAPPED exact Jaccard (the banded path's verify computes true
+    // |A∩B| from the full shingle sets — no df cap): pairs sharing >= 1
+    // shingle with true jaccard >= 0.5. Banding recall at the threshold
+    // is 1 - (1 - j^2)^32 >= 0.9999 per pair and DETERMINISTIC
+    // (xxhash64), so the fixture result is stable; DedupSpec pins exact
+    // agreement with the uncapped operator on the same data.
+    "dedup_ngram_jaccard_banded" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN []::VARCHAR[] " +
+        "ELSE list_distinct(list_transform(generate_series(1, len(w) - 2), " +
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END) AS shingle FROM toks), " +
+        "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id), " +
+        "com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c " +
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2) " +
         "SELECT doc_a, doc_b, ROUND(jc, 6) AS jaccard FROM (" +
         "SELECT doc_a, doc_b, " +
         "CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) AS jc " +

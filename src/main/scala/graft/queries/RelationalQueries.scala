@@ -902,7 +902,13 @@ object RelationalQueries {
     * localCheckpointed like every iterative op here. The oracle unrolls
     * the same rounds; all-integer, so the hash compare is exact.
     */
-  def graphCommunities(spark: SparkSession, dir: String): DataFrame = {
+  def graphCommunities(spark: SparkSession, dir: String): DataFrame =
+    graphCommunities(spark, dir, reliable = false)
+
+  /** `reliable` selects the lineage-truncation mode per LPA round (see
+    * [[graft.operators.Checkpoints]]).
+    */
+  def graphCommunities(spark: SparkSession, dir: String, reliable: Boolean): DataFrame = {
     val li = table(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
     val edges = li.as("a")
       .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
@@ -922,10 +928,10 @@ object RelationalQueries {
         .groupBy(col("u").as("node"), col("lab"))
         .agg(count(lit(1)).as("c"))
       val w = Window.partitionBy(col("node")).orderBy(col("c").desc, col("lab"))
-      lab = counts.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("node"), col("lab"))
-        .localCheckpoint(true)
+      lab = graft.operators.Checkpoints.truncate(
+        counts.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("node"), col("lab")), reliable)
     }
     lab.orderBy("node")
   }

@@ -198,4 +198,45 @@ class DedupSpec extends SparkSpec {
     // invent ones below threshold
     assert(lsh.subsetOf(truth), "LSH emitted a pair the exact operator did not")
   }
+
+  test("banded jaccard agrees exactly with the uncapped exact operator on the fixtures") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    // uncapped exact: the df cap is a scale guard, not semantics — the
+    // banded verify computes TRUE jaccard, so compare against maxShingleDf
+    // large enough to never bind
+    val exact = rows(Dedup.ngramJaccardPairs(docs, 3, 0.5, maxShingleDf = Int.MaxValue))
+    val banded = rows(Dedup.ngramJaccardPairsBanded(docs, 3, 0.5))
+    assert(exact.nonEmpty, "fixtures contain planted near-dups")
+    assert(banded == exact,
+      s"banded (${banded.size} pairs) != exact (${exact.size} pairs)")
+  }
+
+  test("LSH bucket cap: identical-vector pile-up is salted, multi-table recall survives") {
+    // 300 copies of one vector + 20 distinct others: without the cap the
+    // identical pile emits C(300,2) pairs from EVERY table's same bucket
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val piles = (0L until 300L).map(id => (id, base))
+    val others = (1000L until 1020L).map(id =>
+      (id, Array.tabulate(64)(i => math.cos(3.0 * (i + 1) * (id - 999)).toFloat)))
+    val emb = (piles ++ others).toDF("vec_id", "embedding")
+    val all = 300L * 299L / 2
+    val uncapped = Dedup.embeddingCosinePairsLsh(emb, 0.99, dim = 64).count()
+    assert(uncapped == all, s"uncapped finds every identical pair, got $uncapped")
+    val capped = Dedup.embeddingCosinePairsLsh(emb, 0.99, dim = 64, maxBucket = 30).count()
+    // per table a pair survives salting with p ~ 1/10; over 16 tables the
+    // union recovers ~1-0.9^16 ~ 0.81 of pairs — strictly capped below
+    // the quadratic full set, far above a single-table 1/nsalt
+    assert(capped < all, s"cap must drop some identical-pile pairs, got $capped of $all")
+    assert(capped >= (all * 0.5).toLong,
+      s"multi-table union should keep >= half the pairs, got $capped of $all")
+    // fixture-scale buckets sit far under the default cap: capped run is
+    // identical to the uncapped operator there
+    val fixEmb = Fixtures.table(spark, sf0001, "embeddings")
+    val a = Dedup.embeddingCosinePairsLsh(fixEmb, 0.45, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Dedup.embeddingCosinePairsLsh(fixEmb, 0.45, dim = 64, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b, "default cap must not change fixture-scale results")
+  }
 }

@@ -250,6 +250,13 @@ class SimilaritySpec extends SparkSpec {
     }.toSet)
   }
 
+  test("mmr topk: driver-residency bound fails fast instead of collecting unbounded rows") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(emb, emb, k = 5, nCandidates = 50, maxDriverRows = 100L)
+    }
+    assert(e.getMessage.contains("driver"))
+  }
+
   test("random-projection topk: recall >= 0.9 where RP applies (high-margin neighbors)") {
     // JL inner-product error is ~1/sqrt(rDim); RP is the right tool when
     // the neighbor-vs-bulk cosine gap exceeds it. Build that regime

@@ -88,4 +88,14 @@ class ZOrderSpec extends SparkSpec {
     assert(ZOrder.bounds(df, Seq("a", "b")) ==
       Seq(("a", 1.0, 5.0), ("b", -2.0, 10.0)))
   }
+
+  test("bounds fails with a clear message on empty input and all-null columns") {
+    val empty = Seq.empty[(Double, Double)].toDF("a", "b")
+    val e1 = intercept[IllegalArgumentException] { ZOrder.bounds(empty, Seq("a")) }
+    assert(e1.getMessage.contains("no non-null values"))
+    val nulls = Seq((Some(1.0), Option.empty[Double]),
+      (Some(2.0), Option.empty[Double])).toDF("a", "b")
+    val e2 = intercept[IllegalArgumentException] { ZOrder.bounds(nulls, Seq("a", "b")) }
+    assert(e2.getMessage.contains("'b'"))
+  }
 }
