@@ -55,7 +55,8 @@ object ForecastEngine {
       long: DataFrame,
       interval: Int,
       onlyFuture: Boolean,
-      band: Band = AnalyticBand): Dataset[ForecastRow] = {
+      band: Band = AnalyticBand,
+      holidays: Map[String, Array[Long]] = Map.empty): Dataset[ForecastRow] = {
     val spark = long.sparkSession
     import spark.implicits._
     require(interval >= 0, s"interval must be >= 0, got $interval")
@@ -74,7 +75,7 @@ object ForecastEngine {
       .groupByKey(p => (p.table, p.metric))
       .flatMapGroups { (key: (String, String), it: Iterator[LongPoint]) =>
         val pts = it.map(p => (p.ds.toLocalDate.toEpochDay, p.y)).toArray
-        forecastSeries(key._1, key._2, pts, interval, onlyFuture, band)
+        forecastSeries(key._1, key._2, pts, interval, onlyFuture, band, holidays)
       }
   }
 
@@ -87,9 +88,10 @@ object ForecastEngine {
       points: Array[(Long, Double)],
       interval: Int,
       onlyFuture: Boolean,
-      band: Band = AnalyticBand): Iterator[ForecastRow] =
+      band: Band = AnalyticBand,
+      holidays: Map[String, Array[Long]] = Map.empty): Iterator[ForecastRow] =
     Try {
-      val params = ProphetLike.fit(points)
+      val params = ProphetLike.fit(points, holidays)
       val histDays = points.map(_._1).distinct.sorted
       val last = histDays.last
       // make_future_dataframe(periods=interval) includes history by

@@ -21,7 +21,9 @@ final case class ProphetParams(
     tEndDay: Long,
     spanDays: Double,
     yScale: Double,
-    /** coefficient vector: [intercept, slope, hinge_1..hinge_n, weekly(6), yearly(20)] */
+    /** coefficient vector: [intercept, slope, hinge_1..hinge_n, weekly(6),
+      * yearly(20), holiday_1..holiday_h (name-sorted)]
+      */
     beta: Array[Double],
     /** changepoint locations in scaled time (0,1) */
     changepoints: Array[Double],
@@ -30,7 +32,13 @@ final case class ProphetParams(
     /** residual std in standardized-y space */
     sigma: Double,
     /** rms changepoint-delta magnitude, drives future band growth */
-    deltaScale: Double)
+    deltaScale: Double,
+    /** holiday indicator regressors [public: Prophet's holidays frame]:
+      * (name, SORTED epoch-days where the indicator fires — window
+      * expansion already applied), name-sorted so the feature order is
+      * deterministic. One additive coefficient each.
+      */
+    holidays: Array[(String, Array[Long])] = Array.empty)
 
 object ProphetLike {
 
@@ -60,24 +68,33 @@ object ProphetLike {
     out
   }
 
-  /** One design-matrix row for epoch-day `d` given trend/seasonality config. */
+  /** One design-matrix row for epoch-day `d` given trend/seasonality/
+    * holiday config. Holiday membership is a binary search over each
+    * holiday's sorted day array — O(h log k) per row, h and k both tiny.
+    */
   private def featureRow(
       d: Long,
       tStart: Long,
       span: Double,
       cps: Array[Double],
       weekly: Boolean,
-      yearly: Boolean): Array[Double] = {
+      yearly: Boolean,
+      holidays: Array[(String, Array[Long])]): Array[Double] = {
     val t = (d - tStart) / span
     val row = Array.newBuilder[Double]
     row.sizeHint(2 + cps.length + (if (weekly) 2 * WeeklyOrder else 0) +
-      (if (yearly) 2 * YearlyOrder else 0))
+      (if (yearly) 2 * YearlyOrder else 0) + holidays.length)
     row += 1.0
     row += t
     var j = 0
     while (j < cps.length) { row += math.max(0.0, t - cps(j)); j += 1 }
     if (weekly) row ++= fourier(d, 7.0, WeeklyOrder)
     if (yearly) row ++= fourier(d, YearDays, YearlyOrder)
+    j = 0
+    while (j < holidays.length) {
+      row += (if (java.util.Arrays.binarySearch(holidays(j)._2, d) >= 0) 1.0 else 0.0)
+      j += 1
+    }
     row.result()
   }
 
@@ -86,8 +103,25 @@ object ProphetLike {
     * single `mapGroups` task (the per-group collect the reference does on
     * the driver, pushed to executors; SURVEY.md §2.5 A2).
     */
-  def fit(points: Array[(Long, Double)]): ProphetParams = {
+  def fit(points: Array[(Long, Double)]): ProphetParams =
+    fit(points, Map.empty[String, Array[Long]])
+
+  /** As [[fit]], with additive holiday indicator regressors [public:
+    * Prophet's `holidays` frame semantics — one 0/1 column per holiday,
+    * Normal(0, 10)-like prior, shared across history and future]. Callers
+    * pass each holiday's epoch-days with any lower/upper window already
+    * expanded; days are deduped + sorted here, names sorted for a
+    * deterministic feature order. Holidays never observed in-history
+    * still get a column (coefficient shrinks to ~0 under the prior),
+    * matching Prophet.
+    */
+  def fit(points: Array[(Long, Double)],
+      holidayDays: Map[String, Array[Long]]): ProphetParams = {
     require(points.nonEmpty, "cannot fit an empty series")
+    val holidays: Array[(String, Array[Long])] =
+      holidayDays.toArray.sortBy(_._1).map { case (nm, ds) =>
+        (nm, ds.distinct.sorted)
+      }
     val sorted = points.sortBy(_._1)
     val days = sorted.map(_._1)
     val ys = sorted.map(_._2)
@@ -117,11 +151,11 @@ object ProphetLike {
         }.distinct.filter(_ > 0.0)
 
     val p = 2 + cps.length + (if (weekly) 2 * WeeklyOrder else 0) +
-      (if (yearly) 2 * YearlyOrder else 0)
+      (if (yearly) 2 * YearlyOrder else 0) + holidays.length
     val x = DenseMatrix.zeros[Double](n, p)
     var i = 0
     while (i < n) {
-      val row = featureRow(days(i), tStart, span, cps, weekly, yearly)
+      val row = featureRow(days(i), tStart, span, cps, weekly, yearly, holidays)
       var j = 0
       while (j < p) { x(i, j) = row(j); j += 1 }
       i += 1
@@ -151,7 +185,7 @@ object ProphetLike {
       else math.sqrt(deltas.map(d => d * d).sum / deltas.length)
 
     ProphetParams(tStart, tEnd, span, yScale, beta.toArray, cps, weekly, yearly,
-      sigma, deltaScale)
+      sigma, deltaScale, holidays)
   }
 
   /** Prophet-parity uncertainty band via seeded trend simulation [public:
@@ -227,7 +261,8 @@ object ProphetLike {
     val beta = DenseVector(params.beta)
     days.map { d =>
       val row = DenseVector(featureRow(d, params.tStartDay, params.spanDays,
-        params.changepoints, params.weeklyEnabled, params.yearlyEnabled))
+        params.changepoints, params.weeklyEnabled, params.yearlyEnabled,
+        params.holidays))
       val yhat = (row dot beta) * params.yScale
       val dt = math.max(0.0, (d - params.tEndDay) / params.spanDays)
       val sd = math.sqrt(params.sigma * params.sigma +

@@ -145,6 +145,26 @@ object CoreQueries {
       .orderBy("metric", "date")
   }
 
+  /** Holiday-regressor variant [public: Prophet's `holidays` frame]:
+    * same pipeline as forecastEvents with a deterministic month-start
+    * calendar (the 1st of every month in 2024-2025, window +/- 0 days)
+    * as one additive indicator regressor. Rows-only (the fit is not
+    * SQL-expressible); the holiday-effect recovery property lives in
+    * ForecastPropertySpec. Deterministic: fixed calendar, closed-form
+    * solve, analytic band.
+    */
+  def forecastEventsHolidays(spark: SparkSession, dir: String): DataFrame = {
+    val monthStarts = (for {
+      y <- 2024 to 2025
+      m <- 1 to 12
+    } yield java.time.LocalDate.of(y, m, 1).toEpochDay).toArray
+    val bucket = Bucketize.events(table(spark, dir, "events"))
+    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false,
+      holidays = Map("month_start" -> monthStarts))
+    ForecastOutput.toWide(fc, eventMetrics).orderBy("date")
+  }
+
   /** --only-future path (fs:176 strict >): exactly `interval` rows per
     * metric, all strictly after the last history date. Rows-only. */
   def forecastEventsFuture(spark: SparkSession, dir: String): DataFrame = {
@@ -156,6 +176,7 @@ object CoreQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "forecast_events" -> (forecastEvents _),
+    "forecast_events_holidays" -> (forecastEventsHolidays _),
     "forecast_events_future" -> (forecastEventsFuture _),
     "forecast_events_simband" -> (forecastEventsSimband _),
     "forecast_anomalies" -> (forecastAnomalies _),

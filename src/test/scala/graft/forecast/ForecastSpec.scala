@@ -35,6 +35,37 @@ class ProphetLikeSpec extends SparkSpec {
     assert(rmse < 1.0, s"rmse $rmse")
   }
 
+  test("holiday regressor: planted effect recovered in-sample AND on future holidays") {
+    val start = java.time.LocalDate.parse("2023-01-01").toEpochDay
+    val holidayDays = (0 until 10).map(k => start + 15 + 30L * k).toArray // ~monthly
+    val inHistory = holidayDays.filter(_ < start + 180)
+    val lift = 25.0
+    val pts = series(180)(i =>
+      40.0 + 0.3 * i + (if (inHistory.contains(start + i)) lift else 0.0))
+    val p = ProphetLike.fit(pts, Map("payday" -> holidayDays))
+    assert(p.holidays.length == 1 && p.holidays.head._1 == "payday")
+    // in-sample: holiday days predicted near actual (effect absorbed by
+    // the indicator, not the residual)
+    val preds = ProphetLike.predict(p, pts.map(_._1)).map(t => t._1 -> t._2).toMap
+    inHistory.foreach { d =>
+      val actual = 40.0 + 0.3 * (d - start) + lift
+      assert(math.abs(preds(d) - actual) < 5.0,
+        s"holiday day $d: got ${preds(d)}, want ~$actual")
+    }
+    // future: the first out-of-history holiday day carries the lift, the
+    // day before it does not
+    val futureHoliday = holidayDays.find(_ > pts.last._1).get
+    val Array((_, yHol, _, _)) = ProphetLike.predict(p, Array(futureHoliday))
+    val Array((_, yPre, _, _)) = ProphetLike.predict(p, Array(futureHoliday - 1))
+    val gap = yHol - (yPre + 0.3) // remove one day of trend
+    assert(math.abs(gap - lift) < 5.0, s"future holiday lift $gap, want ~$lift")
+    // a fit WITHOUT the holiday frame misses the future lift entirely
+    val p0 = ProphetLike.fit(pts)
+    val Array((_, y0, _, _)) = ProphetLike.predict(p0, Array(futureHoliday))
+    assert(yHol - y0 > lift / 2,
+      s"holiday fit must out-predict the plain fit on a future holiday ($yHol vs $y0)")
+  }
+
   test("yearly enabled only at >= 730 days span (Prophet auto rule)") {
     val short = ProphetLike.fit(series(200)(i => i.toDouble))
     val long = ProphetLike.fit(series(800)(i => i.toDouble))
