@@ -8,14 +8,19 @@ package graft
   * On a real cluster the partition count grows with the data (or AQE
   * coalesces down from a high initial count); the harness mirrors that by
   * deriving the count from the input's on-disk bytes: one shuffle
-  * partition per ~32 MB of input, floored at the core count (never fewer
-  * tasks than cores), capped at 1024 (scheduling overhead dominates
-  * beyond that in a single JVM). `SPARK_GRAFT_PARTS` still overrides for
-  * controlled experiments.
+  * partition per ~4 MB of PARQUET bytes — snappy parquet decompresses
+  * and then explodes (shingles, candidate pairs) to roughly 8x its
+  * on-disk size in the dedup/text family, so 4 MB on disk ~ the 32 MB
+  * in-flight partition you actually want — floored at the core count
+  * (never fewer tasks than cores), capped at 1024 (scheduling overhead
+  * dominates beyond that in a single JVM). The x30 replica (458 MB on
+  * disk) lands at ~115 partitions, squarely in the regime the round-7
+  * parts-128 experiment measured as the fix. `SPARK_GRAFT_PARTS` still
+  * overrides for controlled experiments.
   */
 object Tuning {
 
-  val TargetPartitionBytes: Long = 32L * 1024 * 1024
+  val TargetPartitionBytes: Long = 4L * 1024 * 1024
 
   def dirBytes(f: java.io.File): Long =
     if (f.isFile) f.length

@@ -29,11 +29,29 @@ object Similarity {
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos",
         VectorFunctions.cosineWithNorms(col("embedding"), col("qe"), col("nrm"), col("qnrm")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    twoPhaseRank(scored, Seq(col("cos").desc, col("vec_id")), k)
       .select(col("query_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** LOSSLESS two-phase per-query top-`keep`: a single per-query window
+    * sorts the whole scored set inside |queries| partitions — 10 queries
+    * = 10-way parallelism no matter the cluster (the x30 study's ANN
+    * skew). Phase 1 ranks within (query_id, 64-way vec_id salt) at full
+    * parallelism; phase 2's global window then ranks only the <= 64 x
+    * keep survivors per query. Lossless because any row in the global
+    * top-`keep` necessarily ranks <= keep inside its own slice under the
+    * same total order, so phase 1 can never drop a final-answer row.
+    */
+  private def twoPhaseRank(scored: DataFrame, order: Seq[Column], keep: Int): DataFrame = {
+    val wLocal = Window.partitionBy(col("query_id"), col("slice")).orderBy(order: _*)
+    val w = Window.partitionBy(col("query_id")).orderBy(order: _*)
+    scored
+      .withColumn("slice", pmod(xxhash64(col("vec_id")), lit(64)))
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter(col("lrk") <= keep)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= keep)
+      .drop("slice", "lrk")
   }
 
   /** Deterministic random hyperplanes: `numTables` tables x `bitsPerTable`
@@ -457,24 +475,12 @@ object Similarity {
     val codes = pqEncode(corpus, books)
     val qt = pqQueryTables(queries, books)
     val keep = k * oversample
-    // TWO-PHASE top-k: a single per-query window over the n x |queries|
-    // scored rows sorts the whole corpus inside |queries| partitions —
-    // at 10 queries that is 10-way parallelism regardless of cluster
-    // size, the x30 study's ann_topk_pq skew. Phase 1 takes the local
-    // top-`keep` within (query, 64-way vec_id salt) — full parallelism,
-    // per-group sort of n/64 rows; phase 2's global window then ranks
-    // only the <= 64 x keep survivors per query.
-    val wLocal = Window.partitionBy(col("query_id"), col("slice"))
-      .orderBy(col("adc").asc, col("vec_id"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("vec_id"))
-    val cand = codes
+    // two-phase ADC top-keep (see [[twoPhaseRank]]): removes the
+    // per-query window skew the x30 study measured on ann_topk_pq
+    val scored = codes
       .join(broadcast(qt), col("vec_id") =!= col("query_id"))
       .withColumn("adc", adcScore(books))
-      .withColumn("slice", pmod(xxhash64(col("vec_id")), lit(64)))
-      .withColumn("lrk", row_number().over(wLocal))
-      .filter(col("lrk") <= keep)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= keep)
+    val cand = twoPhaseRank(scored, Seq(col("adc").asc, col("vec_id")), keep)
       .select(col("query_id"), col("vec_id"))
     rerankExact(cand, corpus, queries, k)
   }
@@ -527,11 +533,9 @@ object Similarity {
           col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("embedding"), col("qe"))
       .distinct()
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    cand
+    val scored = cand
       .withColumn("cos", VectorFunctions.cosine(col("embedding"), col("qe")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    twoPhaseRank(scored, Seq(col("cos").desc, col("vec_id")), k)
       .select(col("query_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
   }
 
