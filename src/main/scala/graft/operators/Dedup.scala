@@ -445,6 +445,22 @@ object Dedup {
     // nprobe > 1 assigns each vector to its nprobe nearest cells so pairs
     // straddling one cell boundary still meet (candidate volume scales by
     // nprobe^2, still sum-of-cell^2, never corpus^2).
+    //
+    // nCells <= 0 AUTO-SIZES to ~n/250 cells (floor 16, cap 2^16): a
+    // FIXED cell count makes |cell| grow linearly with the corpus and the
+    // within-cell join sum-of-cell^2 quadratic — the x30 replica measured
+    // 7.4x time for 3x data at nCells = 16. Growing the cell count with n
+    // keeps occupancy ~constant, so the join cost is ~linear (the paper
+    // sizes k the same way for LAION). The codebook broadcast is
+    // nCells x dim doubles — 32 MB at the 2^16 cap with dim 64; beyond
+    // that shard the corpus or raise the occupancy target. Sizing costs
+    // one count() action (the Bloom/codebook precedent).
+    val cellCount =
+      if (nCells > 0) nCells
+      else {
+        val n = emb.count()
+        math.max(16L, math.min(1L << 16, n / 250L)).toInt
+      }
     val unit = emb
       .select(col("vec_id"), col("embedding"),
         greatest(VectorFunctions.norm(col("embedding")),
@@ -452,7 +468,7 @@ object Dedup {
       .select(col("vec_id"),
         transform(col("embedding"), x => x / col("nrm")).as("embedding"))
     val cells = Similarity.ivfAssignTo(unit,
-      Similarity.centroidsOf(unit, nCells), nprobe)
+      Similarity.centroidsOf(unit, cellCount), nprobe)
     val e = emb
       .join(cells, Seq("vec_id"))
       .select(col("vec_id"), col("centroid_id").as("cell"), col("embedding"),
@@ -508,6 +524,19 @@ object Dedup {
     * same-bucket-everywhere pair still surfaces with probability
     * 1 - (1 - 1/nsalt)^numTables. Buckets at or under the cap are
     * untouched (nsalt = 1), so fixture-scale results are unchanged.
+    *
+    * VERIFY-IN-JOIN (the round-8 shuffle fix): the exact cosine is
+    * computed INSIDE the bucket self-join — embeddings and precomputed
+    * norms ride the (tbl, bucket, salt) shuffle, candidate pairs are
+    * scored as the join streams, and only pairs that clear `threshold`
+    * reach the final distinct(). The previous shape (pairs-only join ->
+    * distinct -> re-join vectors twice) shuffled the O(n x occ x tables)
+    * candidate set THREE times at 16 B/row; this shape shuffles the
+    * corpus once per table at dim floats/row (n x tables x dim bytes vs
+    * 3 x n x occ x tables x 16 B — ~10x lighter at occupancy ~250) and
+    * never materializes a pair row that fails the threshold. A pair
+    * colliding in m tables pays m cosines (dim mul-adds, codegen'd) —
+    * cheap against a shuffle row.
     */
   def embeddingCosinePairsLsh(
       emb: DataFrame,
@@ -527,12 +556,10 @@ object Dedup {
       }
     // PERSISTED: the self-join aliasing renews attribute ids, so without
     // it the bucket assignment (numTables x bitsPerTable dot products per
-    // vector) is computed twice. Dropping the embedding before distinct()
-    // keeps the candidate shuffle at two longs per pair instead of
-    // 2 x dim doubles; the vectors are re-joined only for the (much
-    // smaller) post-distinct verify stage.
+    // vector) is computed twice per side.
     val buckets = Similarity.lshBuckets(e, dim, numTables, bits, seed)
-      .select(col("vec_id"), col("tbl"), col("bucket"))
+      .select(col("vec_id"), col("tbl"), col("bucket"), col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("nrm"))
     // per-(tbl, bucket) occupancy rides back on the bucket key (tiny
     // frame: numTables x 2^bits rows), then the salt splits only the
     // oversized buckets
@@ -543,21 +570,20 @@ object Dedup {
       .withColumn("nsalt",
         ceil(col("occ").cast("double") / lit(maxBucket)).cast("long"))
       .withColumn("salt", pmod(xxhash64(col("tbl"), col("vec_id")), col("nsalt")))
-      .select(col("vec_id"), col("tbl"), col("bucket"), col("salt"))
+      .select(col("vec_id"), col("tbl"), col("bucket"), col("salt"),
+        col("embedding"), col("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = b.as("a")
+    b.as("a")
       .join(b.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.salt") === col("b.salt") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
-    candidates
-      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
-      .withColumn("cos", VectorFunctions.cosine(col("ea"), col("eb")))
+      .withColumn("cos", VectorFunctions.cosineWithNorms(
+        col("a.embedding"), col("b.embedding"), col("a.nrm"), col("b.nrm")))
       .filter(col("cos") >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cos"), 6).as("cos"))
+      .distinct()
   }
 
   /** EMBEDDING-level decontamination — the semantic twin of the shingle

@@ -486,7 +486,7 @@ object DataQueries {
     * within-cell recall against the exact pair set.
     */
   def semdedup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.semDedup(table(spark, dir, "embeddings"), nCells = 16, threshold = 0.45)
+    Dedup.semDedup(table(spark, dir, "embeddings"), nCells = -1, threshold = 0.45)
 
   /** MMR-diversified top-k ([[Similarity.mmrTopK]]): distributed top-50
     * relevance stage, bounded-candidate greedy diversity re-rank.

@@ -185,6 +185,29 @@ class DedupSpec extends SparkSpec {
       s"semdedup removed $recall of ${removable.size} exact-removable vectors")
   }
 
+  test("semdedup auto cell count: ~n/250 floored at 16, fixture results unchanged") {
+    val emb = Fixtures.table(spark, sf0001, "embeddings")
+    def rows(nCells: Int) = Dedup.semDedup(emb, nCells, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // 500 fixture vectors -> auto floor of 16 cells, so the auto run must
+    // be bit-identical to the explicit-16 run
+    assert(rows(-1) == rows(16), "auto sizing must resolve to 16 cells at fixture scale")
+    // a 10k synthetic corpus auto-sizes to 40 cells: verify the no-false-
+    // removals invariant survives a >floor cell count (every witness pair
+    // re-verifies >= threshold exactly)
+    val big = spark.range(10000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        i => sin(col("id") * 0.37 + i.cast("double"))).as("embedding"))
+    val out = Dedup.semDedup(big, nCells = -1, threshold = 0.95)
+    val exact = Dedup.embeddingCosinePairs(big, 0.95)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = out.collect().map(r => (r.getLong(1), r.getLong(0)))
+    got.foreach { case (kept, removed) =>
+      assert(exact.contains((kept, removed)),
+        s"auto-sized semdedup removed $removed on witness $kept not in the exact set")
+    }
+  }
+
   test("embedding LSH pairs: recall >= 0.85 vs exact cosine pairs, no false positives") {
     val emb = Fixtures.table(spark, sf0001, "embeddings")
     val truth = Dedup.embeddingCosinePairs(emb, 0.45)

@@ -70,15 +70,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryRelation"), "exploded index must be persisted")
   }
 
-  test("dedup_embedding_lsh: candidate distinct shuffles ids only, buckets persisted") {
+  test("dedup_embedding_lsh: verify-in-join, distinct sees only surviving pairs") {
     val p = plan("dedup_embedding_lsh")
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("InMemoryRelation"),
       "LSH buckets must be persisted across the self-join's renewed attribute ids")
-    // the distinct() aggregate must key on the two id columns alone — an
-    // embedding column here widens the candidate shuffle by 2 x dim doubles
-    assert("""Keys \[2\]: \[vec_a#\d+L, vec_b#\d+L\]""".r.findAllIn(p).nonEmpty,
-      s"candidate distinct must key on (vec_a, vec_b) only\n$p")
+    // the exact-cosine threshold must be applied INSIDE/below the bucket
+    // self-join so candidate pairs that fail it are never shuffled — the
+    // round-8 rewrite that took the x30 replica from 65 s to 12.5 s
+    // (the old shape shuffled the full candidate set three times: pair
+    // distinct + two vector re-joins)
+    assert(p.contains(">= 0.45"),
+      s"cosine threshold must filter the join output before any later shuffle\n$p")
+    // the final distinct keys on (vec_a, vec_b, cos) alone — no embedding
+    // column may survive into the post-verify exchange
+    assert("""Keys \[3\]: \[vec_a#\d+L, vec_b#\d+L, """.r.findAllIn(p).nonEmpty,
+      s"distinct must key on (vec_a, vec_b, cos) only\n$p")
+    assert("""hashpartitioning\(vec_a#\d+L, vec_b#\d+L, cos#\d+,""".r.findAllIn(p).nonEmpty,
+      s"the distinct exchange must carry exactly (vec_a, vec_b, cos)\n$p")
   }
 
   test("ann_topk_lsh: bucket join keyed, no cartesian, single re-rank window") {
