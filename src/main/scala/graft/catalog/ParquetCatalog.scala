@@ -235,6 +235,60 @@ final class ParquetCatalog(val spark: SparkSession, val root: String) {
       .write.mode("overwrite").parquet(tablePath(name))
   }
 
+  /** Ingest an external JDBC table as a catalog parquet table — the
+    * Spark-native transport for what the reference pulls over
+    * clickhouse-connect HTTP (forecast_script.py:82-94: one client, one
+    * `SELECT *` per source table). Spark-first shape:
+    *
+    *  - With `partitionColumn`, the scan is split into `numPartitions`
+    *    range predicates executed IN PARALLEL — each executor opens its
+    *    own connection and reads one slice, so ingest bandwidth scales
+    *    with the cluster instead of a single driver-side cursor (the
+    *    reference's shape). Bounds default to one bounded min/max probe
+    *    query (a single row to the driver).
+    *  - Without it, the read is a single partition — correct but serial;
+    *    fine for dimension-sized tables, wrong for fact tables.
+    *  - `fetchsize` batches rows per round-trip (vendor default is often
+    *    1 row — ruinous); forwarded via `options`, defaulted to 10k here.
+    *
+    * The JDBC source pushes projection and (for the partitioned form)
+    * the range predicates down to the remote engine; anything heavier
+    * (joins, aggregation) belongs on the Spark side after ingest, against
+    * the columnar parquet copy, not the row-store wire format.
+    */
+  def importJdbc(
+      name: String,
+      url: String,
+      dbTable: String,
+      options: Map[String, String] = Map.empty,
+      partitionColumn: Option[String] = None,
+      bounds: Option[(Long, Long)] = None,
+      numPartitions: Int = 8): Unit = {
+    val base = Map("url" -> url, "dbtable" -> dbTable, "fetchsize" -> "10000") ++ options
+    val df = partitionColumn match {
+      case Some(pc) =>
+        val (lo, hi) = bounds.getOrElse {
+          val b = spark.read.format("jdbc")
+            .options(base + ("dbtable" ->
+              s"(SELECT MIN($pc) AS plo, MAX($pc) AS phi FROM $dbTable) pb"))
+            .load().collect().head
+          require(!b.isNullAt(0) && !b.isNullAt(1),
+            s"importJdbc: cannot derive bounds for '$pc' on empty/all-null $dbTable" +
+              " — pass bounds explicitly")
+          (b.getAs[Number](0).longValue, b.getAs[Number](1).longValue)
+        }
+        spark.read.format("jdbc")
+          .options(base)
+          .option("partitionColumn", pc)
+          .option("lowerBound", lo.toString)
+          .option("upperBound", hi.toString)
+          .option("numPartitions", numPartitions.toString)
+          .load()
+      case None => spark.read.format("jdbc").options(base).load()
+    }
+    df.write.mode("overwrite").parquet(tablePath(name))
+  }
+
   /** Export a catalog table to CSV/JSON/ORC for downstream consumers
     * that can't read parquet. Partition count carries over from the
     * table — coalesce upstream if a single file is required.
