@@ -750,6 +750,25 @@ object RelationalQueries {
     graft.operators.PageRank.run(edges, iters = 5)
   }
 
+  /** The DIRECTED customer->supplier graph keeps suppliers out-degree 0,
+    * so rank mass parks on them — the rank-sink case the symmetrized
+    * query can't exercise. Runs [[graft.operators.PageRank.run]]'s
+    * strict redistribute-dangling variant (one broadcast scalar per
+    * round); the oracle unrolls the identical dangling-mass arithmetic
+    * per iteration, so the variant is HASH-CHECKED like the base form.
+    */
+  def graphPagerankDangling(spark: SparkSession, dir: String): DataFrame = {
+    val edges = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(table(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("w"))
+      .select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"),
+        col("w").cast("double").as("w"))
+    graft.operators.PageRank.run(edges, iters = 5, redistributeDangling = true)
+  }
+
   /** Distribution-drift report between two time slices of a feature —
     * PSI (population stability index), per-bin KL, and Jensen-Shannon
     * terms over FIXED-width bins with Laplace smoothing [public: PSI is
@@ -995,6 +1014,7 @@ object RelationalQueries {
     "graph_hits" -> (graphHits _),
     "graph_triangles" -> (graphTriangles _),
     "graph_pagerank" -> (graphPagerank _),
+    "graph_pagerank_dangling" -> (graphPagerankDangling _),
     "drift_psi" -> (driftPsi _),
     "sql_front_door" -> (sqlFrontDoor _),
     "json_quarantine" -> (jsonQuarantine _),
@@ -1099,6 +1119,11 @@ object RelationalQueries {
         "edges AS (SELECT 2*c AS src, 2*s+1 AS dst, CAST(w AS DOUBLE) AS w FROM e0 " +
         "UNION ALL SELECT 2*s+1, 2*c, CAST(w AS DOUBLE) FROM e0)",
       iters = 5),
+    "graph_pagerank_dangling" -> graft.operators.PageRank.oracleSql(
+      "e0 AS (SELECT o_custkey AS c, l_suppkey AS s, COUNT(*) AS w FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2), " +
+        "edges AS (SELECT 2*c AS src, 2*s+1 AS dst, CAST(w AS DOUBLE) AS w FROM e0)",
+      iters = 5, redistributeDangling = true),
     "drift_psi" ->
       ("WITH p AS (SELECT LEAST(9, GREATEST(0, CAST(FLOOR(o_totalprice / 50000.0) " +
         "AS BIGINT))) AS bin, COUNT(*) AS n FROM orders " +

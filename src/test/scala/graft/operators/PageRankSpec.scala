@@ -51,4 +51,28 @@ class PageRankSpec extends SparkSpec {
     assert(got(1L) == 0.15)
     assert(math.abs(got(2L) - (0.15 + 0.85 * 0.15)) < 1e-9, s"got ${got(2L)}")
   }
+
+  test("redistributeDangling conserves total rank at |V| on a sink graph") {
+    // 1 -> 2, 1 -> 3: nodes 2 and 3 are sinks; without redistribution the
+    // default variant leaks their mass each round, with it the total stays
+    // |V| = 3 (the Page et al. rank-sink fix)
+    val edges = Seq((1L, 2L, 1.0), (1L, 3L, 2.0)).toDF("src", "dst", "w")
+    val strict = PageRank.run(edges, iters = 8, redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(strict.values.sum - 3.0) < 1e-4, s"sum ${strict.values.sum}")
+    val leaky = PageRank.run(edges, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(leaky.values.sum < 3.0 - 0.1, "default variant must leak sink mass")
+    // weight asymmetry must survive redistribution: node 3 gets 2/3 of
+    // node 1's propagated mass, node 2 gets 1/3
+    assert(strict(3L) > strict(2L))
+  }
+
+  test("redistributeDangling on a no-dangling graph equals the default variant") {
+    val edges = ((0L until 6L).map(i => (i, (i + 1) % 6, 1.0 + i)) :+ (0L, 3L, 2.0))
+      .toDF("src", "dst", "w")
+    val a = PageRank.run(edges, iters = 5).collect().toSeq
+    val b = PageRank.run(edges, iters = 5, redistributeDangling = true).collect().toSeq
+    assert(a == b, "no dangling nodes -> dm = 0 every round -> identical ranks")
+  }
 }
