@@ -56,7 +56,8 @@ object ForecastEngine {
       interval: Int,
       onlyFuture: Boolean,
       band: Band = AnalyticBand,
-      holidays: Map[String, Array[Long]] = Map.empty): Dataset[ForecastRow] = {
+      holidays: Map[String, Array[Long]] = Map.empty,
+      growth: ProphetLike.GrowthConfig = ProphetLike.GrowthConfig()): Dataset[ForecastRow] = {
     val spark = long.sparkSession
     import spark.implicits._
     require(interval >= 0, s"interval must be >= 0, got $interval")
@@ -75,7 +76,7 @@ object ForecastEngine {
       .groupByKey(p => (p.table, p.metric))
       .flatMapGroups { (key: (String, String), it: Iterator[LongPoint]) =>
         val pts = it.map(p => (p.ds.toLocalDate.toEpochDay, p.y)).toArray
-        forecastSeries(key._1, key._2, pts, interval, onlyFuture, band, holidays)
+        forecastSeries(key._1, key._2, pts, interval, onlyFuture, band, holidays, growth)
       }
   }
 
@@ -89,9 +90,10 @@ object ForecastEngine {
       interval: Int,
       onlyFuture: Boolean,
       band: Band = AnalyticBand,
-      holidays: Map[String, Array[Long]] = Map.empty): Iterator[ForecastRow] =
+      holidays: Map[String, Array[Long]] = Map.empty,
+      growth: ProphetLike.GrowthConfig = ProphetLike.GrowthConfig()): Iterator[ForecastRow] =
     Try {
-      val params = ProphetLike.fit(points, holidays)
+      val params = ProphetLike.fit(points, holidays, growth)
       val histDays = points.map(_._1).distinct.sorted
       val last = histDays.last
       // make_future_dataframe(periods=interval) includes history by

@@ -38,7 +38,23 @@ final case class ProphetParams(
       * expansion already applied), name-sorted so the feature order is
       * deterministic. One additive coefficient each.
       */
-    holidays: Array[(String, Array[Long])] = Array.empty)
+    holidays: Array[(String, Array[Long])] = Array.empty,
+    /** "linear" (default) or "logistic" [public: Prophet's saturating
+      * growth]. Logistic fits the SAME design matrix on
+      * logit((y - floor) / (cap - floor)) and maps predictions back
+      * through the sigmoid — a logit-link GLM stand-in for Prophet's
+      * Stan-fitted saturating trend (divergence documented at
+      * [[ProphetLike.fit]]) that keeps the closed-form solve and
+      * guarantees forecasts respect cap/floor at any horizon.
+      */
+    growth: String = "linear",
+    cap: Double = Double.NaN,
+    floor: Double = 0.0,
+    /** Prophet's multiplicative seasonality mode [public]:
+      * y = trend * (1 + s(t)) instead of trend + s(t); seasonal swing
+      * scales with the trend level.
+      */
+    multiplicative: Boolean = false)
 
 object ProphetLike {
 
@@ -188,6 +204,163 @@ object ProphetLike {
       sigma, deltaScale, holidays)
   }
 
+  /** Saturating / multiplicative fit config [public: Prophet's `growth`,
+    * `cap`/`floor`, `seasonality_mode` surface]. `growth = "logistic"`
+    * requires `cap > floor` (Prophet's user-supplied capacity; it never
+    * infers one).
+    */
+  final case class GrowthConfig(
+      growth: String = "linear",
+      cap: Double = Double.NaN,
+      floor: Double = 0.0,
+      multiplicativeSeasonality: Boolean = false)
+
+  /** As [[fit]], with Prophet's growth/seasonality-mode surface:
+    *
+    *  - `growth = "logistic"`: fit the piecewise-linear + seasonal model
+    *    on z = logit((y - floor) / (cap - floor)) and invert through the
+    *    sigmoid at predict time. DIVERGENCE from Prophet (documented, as
+    *    with the M2 ridge fit): Prophet fits
+    *    cap / (1 + exp(-k(t - m))) directly in Stan; the logit-link form
+    *    is the closed-form GLM analog — same saturation behavior, same
+    *    cap/floor guarantees (the sigmoid maps ALL of R into
+    *    (floor, cap)), seasonality acts on the log-odds scale. History
+    *    outside (floor, cap) is clamped to a 1e-6 margin before the
+    *    logit (Prophet errors instead; clamping keeps per-metric fault
+    *    isolation alive for a single bad row).
+    *  - `multiplicativeSeasonality = true` (linear growth only): a
+    *    two-stage closed-form fit — trend-only ridge first, then
+    *    seasonal/holiday coefficients on the detrended RATIO
+    *    y / g(t) - 1, so yhat = g(t) * (1 + s(t)) and the seasonal swing
+    *    scales with the trend level like Prophet's multiplicative mode.
+    *    Guard: trend values within 1e-8 of zero contribute no ratio
+    *    rows (a zero-crossing trend makes the ratio unbounded).
+    *
+    * The two modes compose with holidays; logistic + multiplicative is
+    * rejected (on the log-odds scale seasonality is already
+    * level-relative — Prophet's combo has no closed-form analog here).
+    */
+  def fit(points: Array[(Long, Double)],
+      holidayDays: Map[String, Array[Long]],
+      cfg: GrowthConfig): ProphetParams = cfg.growth match {
+    case "logistic" =>
+      require(!cfg.multiplicativeSeasonality,
+        "logistic growth already scales seasonality with level (log-odds); " +
+          "multiplicative seasonality is linear-growth-only")
+      require(!cfg.cap.isNaN && cfg.cap > cfg.floor,
+        s"logistic growth needs cap > floor, got cap=${cfg.cap} floor=${cfg.floor}")
+      val width = cfg.cap - cfg.floor
+      val zs = points.map { case (d, y) =>
+        val ratio = math.min(1.0 - 1e-6, math.max(1e-6, (y - cfg.floor) / width))
+        (d, math.log(ratio / (1.0 - ratio)))
+      }
+      fit(zs, holidayDays).copy(growth = "logistic", cap = cfg.cap, floor = cfg.floor)
+    case "linear" if cfg.multiplicativeSeasonality =>
+      fitMultiplicative(points, holidayDays)
+    case "linear" => fit(points, holidayDays)
+    case other => throw new IllegalArgumentException(
+      s"growth must be 'linear' or 'logistic', got '$other'")
+  }
+
+  /** Two-stage multiplicative fit (see [[fit]] with [[GrowthConfig]]).
+    * Stage 1 estimates the trend alone; stage 2 regresses the detrended
+    * ratio on the seasonal + holiday columns. Both stages reuse the
+    * ridge penalties of the additive path; beta keeps the SAME layout
+    * ([trend | seasonal | holiday]), with `multiplicative = true`
+    * telling predict to combine the halves as g * (1 + s).
+    */
+  private def fitMultiplicative(points: Array[(Long, Double)],
+      holidayDays: Map[String, Array[Long]]): ProphetParams = {
+    require(points.nonEmpty, "cannot fit an empty series")
+    val holidays: Array[(String, Array[Long])] =
+      holidayDays.toArray.sortBy(_._1).map { case (nm, ds) => (nm, ds.distinct.sorted) }
+    val sorted = points.sortBy(_._1)
+    val days = sorted.map(_._1)
+    val ys = sorted.map(_._2)
+    val tStart = days.head
+    val tEnd = days.last
+    val span = math.max(1.0, (tEnd - tStart).toDouble)
+    val yScale = math.max(1e-12, ys.map(math.abs).max)
+    val n = sorted.length
+    val weekly = n >= 3 && weeklyEnabled(span)
+    val yearly = n >= 3 && yearlyEnabled(span)
+    val nCp = if (n < 8) 0 else math.min(MaxChangepoints, (n - 4) / 2)
+    val histSize = math.floor(ChangepointRange * n).toInt
+    val cps: Array[Double] =
+      if (nCp == 0 || histSize < 2) Array.empty
+      else Array.tabulate(nCp) { j =>
+        val idx = math.round((j + 1).toDouble * (histSize - 1) / nCp).toInt
+        (days(math.min(idx, n - 1)) - tStart) / span
+      }.distinct.filter(_ > 0.0)
+
+    val pTrend = 2 + cps.length
+    val pSeas = (if (weekly) 2 * WeeklyOrder else 0) +
+      (if (yearly) 2 * YearlyOrder else 0) + holidays.length
+
+    // stage 1: trend-only ridge on standardized y
+    val xt = DenseMatrix.zeros[Double](n, pTrend)
+    var i = 0
+    while (i < n) {
+      val row = featureRow(days(i), tStart, span, cps, weekly = false,
+        yearly = false, Array.empty)
+      var j = 0
+      while (j < pTrend) { xt(i, j) = row(j); j += 1 }
+      i += 1
+    }
+    val yv = DenseVector(ys.map(_ / yScale))
+    val lamT = DenseVector.zeros[Double](pTrend)
+    lamT(0) = 1e-6; lamT(1) = 1e-6
+    val lamCp = 1.0 + 0.05 * n
+    var j = 2
+    while (j < pTrend) { lamT(j) = lamCp; j += 1 }
+    val betaT = (xt.t * xt + diag(lamT)) \ (xt.t * yv)
+    val g = xt * betaT
+
+    // stage 2: seasonal/holiday ridge on the detrended ratio y/g - 1,
+    // weighted implicitly by dropping near-zero-trend rows
+    val betaS =
+      if (pSeas == 0) DenseVector.zeros[Double](0)
+      else {
+        val keep = (0 until n).filter(i => math.abs(g(i)) > 1e-8)
+        val xs = DenseMatrix.zeros[Double](keep.length, pSeas)
+        val rs = DenseVector.zeros[Double](keep.length)
+        var r = 0
+        while (r < keep.length) {
+          val i = keep(r)
+          val full = featureRow(days(i), tStart, span, cps, weekly, yearly, holidays)
+          var j = 0
+          while (j < pSeas) { xs(r, j) = full(pTrend + j); j += 1 }
+          rs(r) = yv(i) / g(i) - 1.0
+          r += 1
+        }
+        val lamS = DenseVector.fill(pSeas)(1.0)
+        (xs.t * xs + diag(lamS)) \ (xs.t * rs)
+      }
+
+    val beta = DenseVector.vertcat(betaT, betaS)
+    // final residuals in standardized-y space, against the COMBINED model
+    var sse = 0.0
+    i = 0
+    while (i < n) {
+      val full = featureRow(days(i), tStart, span, cps, weekly, yearly, holidays)
+      var s = 0.0
+      var j = 0
+      while (j < pSeas) { s += full(pTrend + j) * betaS(j); j += 1 }
+      val yhat = g(i) * (1.0 + s)
+      val e = yv(i) - yhat
+      sse += e * e
+      i += 1
+    }
+    val p = pTrend + pSeas
+    val sigma = math.sqrt(sse / math.max(1, n - p))
+    val deltas = betaT.toArray.slice(2, pTrend)
+    val deltaScale =
+      if (deltas.isEmpty) 0.0
+      else math.sqrt(deltas.map(d => d * d).sum / deltas.length)
+    ProphetParams(tStart, tEnd, span, yScale, beta.toArray, cps, weekly, yearly,
+      sigma, deltaScale, holidays, multiplicative = true)
+  }
+
   /** Prophet-parity uncertainty band via seeded trend simulation [public:
     * Prophet's predictive_samples]: future changepoints arrive as a
     * Bernoulli-per-day process matching the historical changepoint rate,
@@ -203,6 +376,13 @@ object ProphetLike {
       days: Array[Long],
       seed: Long,
       nSims: Int = 300): Array[(Long, Double, Double, Double)] = {
+    // deviations are simulated additively in standardized-y space; for
+    // logistic growth the band must instead be transformed through the
+    // sigmoid (predict does exactly that) — simulating there would need
+    // log-odds-space paths, which Prophet itself doesn't do either
+    require(params.growth == "linear",
+      "predictSimulatedBand supports linear growth; logistic bands come " +
+        "from predict's monotone-transformed analytic band")
     val rng = new scala.util.Random(seed)
     val sortedFuture = days.filter(_ > params.tEndDay).sorted
     val nFut = sortedFuture.length
@@ -256,19 +436,46 @@ object ProphetLike {
     * distance past the end of history — an analytic proxy for Prophet's
     * simulated future-changepoint trend uncertainty [public]. For closer
     * Prophet parity use [[predictSimulatedBand]].
+    *
+    * Growth/seasonality modes: multiplicative combines the beta halves as
+    * g * (1 + s) (band still additive in standardized y); logistic maps
+    * the standardized linear predictor AND its band endpoints through
+    * floor + (cap - floor) * sigmoid — a monotone transform, so the
+    * mapped endpoints are exactly the transformed quantiles and every
+    * output lies inside (floor, cap).
     */
   def predict(params: ProphetParams, days: Array[Long]): Array[(Long, Double, Double, Double)] = {
     val beta = DenseVector(params.beta)
+    val pTrend = 2 + params.changepoints.length
     days.map { d =>
-      val row = DenseVector(featureRow(d, params.tStartDay, params.spanDays,
+      val rowArr = featureRow(d, params.tStartDay, params.spanDays,
         params.changepoints, params.weeklyEnabled, params.yearlyEnabled,
-        params.holidays))
-      val yhat = (row dot beta) * params.yScale
+        params.holidays)
+      val row = DenseVector(rowArr)
+      val std =
+        if (!params.multiplicative) row dot beta
+        else {
+          var g = 0.0
+          var j = 0
+          while (j < pTrend) { g += rowArr(j) * params.beta(j); j += 1 }
+          var s = 0.0
+          while (j < rowArr.length) { s += rowArr(j) * params.beta(j); j += 1 }
+          g * (1.0 + s)
+        }
       val dt = math.max(0.0, (d - params.tEndDay) / params.spanDays)
       val sd = math.sqrt(params.sigma * params.sigma +
-        math.pow(params.deltaScale * dt, 2)) * params.yScale
+        math.pow(params.deltaScale * dt, 2))
       val half = Z80 * sd
-      (d, yhat, yhat - half, yhat + half)
+      if (params.growth == "logistic") {
+        val width = params.cap - params.floor
+        def toY(z: Double): Double =
+          params.floor + width / (1.0 + math.exp(-z * params.yScale))
+        (d, toY(std), toY(std - half), toY(std + half))
+      } else {
+        val yhat = std * params.yScale
+        val h = half * params.yScale
+        (d, yhat, yhat - h, yhat + h)
+      }
     }
   }
 }

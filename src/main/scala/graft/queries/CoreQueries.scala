@@ -165,6 +165,36 @@ object CoreQueries {
     ForecastOutput.toWide(fc, eventMetrics).orderBy("date")
   }
 
+  /** Saturating-growth path: every metric fit on the logit scale toward a
+    * data-derived capacity (1.5x the observed global max — ONE one-row
+    * agg to the driver, the codebook-style bounded residency), so no
+    * forecast can run past cap or under 0 at any horizon. Rows-only (the
+    * logit-link fit is not SQL-expressible); saturation/bounds
+    * properties live in ForecastPropertySpec.
+    */
+  def forecastEventsLogistic(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = Bucketize.events(table(spark, dir, "events"))
+    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val cap = long.agg(max(col("y").cast("double"))).collect().head.getDouble(0) * 1.5
+    val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false,
+      growth = graft.forecast.ProphetLike.GrowthConfig(
+        growth = "logistic", cap = cap, floor = 0.0))
+    ForecastOutput.toWide(fc, eventMetrics).orderBy("date")
+  }
+
+  /** Multiplicative-seasonality path (Prophet's seasonality_mode):
+    * seasonal swing scales with trend level via the two-stage detrended-
+    * ratio fit. Rows-only; the mode's amplitude-tracking property is
+    * pinned in ForecastPropertySpec.
+    */
+  def forecastEventsMultiplicative(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = Bucketize.events(table(spark, dir, "events"))
+    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false,
+      growth = graft.forecast.ProphetLike.GrowthConfig(multiplicativeSeasonality = true))
+    ForecastOutput.toWide(fc, eventMetrics).orderBy("date")
+  }
+
   /** --only-future path (fs:176 strict >): exactly `interval` rows per
     * metric, all strictly after the last history date. Rows-only. */
   def forecastEventsFuture(spark: SparkSession, dir: String): DataFrame = {
@@ -177,6 +207,8 @@ object CoreQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "forecast_events" -> (forecastEvents _),
     "forecast_events_holidays" -> (forecastEventsHolidays _),
+    "forecast_events_logistic" -> (forecastEventsLogistic _),
+    "forecast_events_multiplicative" -> (forecastEventsMultiplicative _),
     "forecast_events_future" -> (forecastEventsFuture _),
     "forecast_events_simband" -> (forecastEventsSimband _),
     "forecast_anomalies" -> (forecastAnomalies _),

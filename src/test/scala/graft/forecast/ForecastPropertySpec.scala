@@ -83,4 +83,82 @@ class ForecastPropertySpec extends AnyFunSuite {
         rmse / scale < 0.05
     })
   }
+
+  test("logistic growth: saturating curve recovered, every output inside (floor, cap)") {
+    check(Prop.forAll(Gen.choose(80, 300), Gen.choose(50.0, 500.0),
+      Gen.choose(0.03, 0.15)) { (len, cap, rate) =>
+      val start = java.time.LocalDate.of(2021, 1, 1).toEpochDay
+      // clean logistic adoption curve toward cap, midpoint mid-history
+      val pts = Array.tabulate(len)(i =>
+        (start + i, cap / (1.0 + math.exp(-rate * (i - len / 2.0)))))
+      val cfg = ProphetLike.GrowthConfig(growth = "logistic", cap = cap, floor = 0.0)
+      val params = ProphetLike.fit(pts, Map.empty[String, Array[Long]], cfg)
+      val horizon = pts.map(_._1) ++ Array.tabulate(120)(i => start + len + i.toLong)
+      val preds = ProphetLike.predict(params, horizon)
+      val inBounds = preds.forall { case (_, yh, lo, hi) =>
+        lo > 0.0 && hi < cap && lo <= yh && yh <= hi
+      }
+      val rmse = math.sqrt(preds.take(len).zip(pts).map { case ((_, yh, _, _), (_, y)) =>
+        (yh - y) * (yh - y)
+      }.sum / len)
+      // far-future forecasts must saturate NEAR cap, never overshoot —
+      // the linear model extrapolates through it, logistic cannot
+      val far = preds.last._2
+      inBounds && rmse / cap < 0.05 && far <= cap && far > cap * 0.5
+    })
+  }
+
+  test("multiplicative seasonality: level-scaled swing beats additive fit") {
+    check(Prop.forAll(Gen.choose(120, 400), Gen.choose(0.1, 0.5),
+      Gen.choose(0.15, 0.4)) { (len, slope, relAmp) =>
+      val start = java.time.LocalDate.of(2020, 1, 1).toEpochDay
+      // seasonal amplitude PROPORTIONAL to a rising trend — the textbook
+      // multiplicative series (additive fits a constant-amplitude wave)
+      val pts = Array.tabulate(len) { i =>
+        val trend = 20.0 + slope * i
+        (start + i, trend * (1.0 + relAmp * math.sin(2 * math.Pi * i / 7.0)))
+      }
+      def rmse(preds: Array[(Long, Double, Double, Double)]): Double =
+        math.sqrt(preds.zip(pts).map { case ((_, yh, _, _), (_, y)) =>
+          (yh - y) * (yh - y)
+        }.sum / len)
+      val mult = ProphetLike.fit(pts, Map.empty[String, Array[Long]],
+        ProphetLike.GrowthConfig(multiplicativeSeasonality = true))
+      val add = ProphetLike.fit(pts)
+      val mRmse = rmse(ProphetLike.predict(mult, pts.map(_._1)))
+      val aRmse = rmse(ProphetLike.predict(add, pts.map(_._1)))
+      val scale = pts.map(p => math.abs(p._2)).max
+      // multiplicative must fit well absolutely AND beat additive where
+      // the amplitude growth is material
+      mRmse / scale < 0.05 && mRmse <= aRmse * 1.05
+    })
+  }
+
+  test("growth config: determinism, bad configs rejected, linear default identical") {
+    val start = java.time.LocalDate.of(2022, 1, 1).toEpochDay
+    val pts = Array.tabulate(100)(i => (start + i, 5.0 + 0.1 * i))
+    val a = ProphetLike.fit(pts, Map.empty[String, Array[Long]],
+      ProphetLike.GrowthConfig())
+    val b = ProphetLike.fit(pts)
+    assert(a.beta.sameElements(b.beta) && a.sigma == b.sigma &&
+      a.growth == b.growth && !a.multiplicative,
+      "default GrowthConfig must be the plain additive fit")
+    intercept[IllegalArgumentException] {
+      ProphetLike.fit(pts, Map.empty[String, Array[Long]],
+        ProphetLike.GrowthConfig(growth = "logistic")) // NaN cap
+    }
+    intercept[IllegalArgumentException] {
+      ProphetLike.fit(pts, Map.empty[String, Array[Long]],
+        ProphetLike.GrowthConfig(growth = "logistic", cap = 1.0, floor = 2.0))
+    }
+    intercept[IllegalArgumentException] {
+      ProphetLike.fit(pts, Map.empty[String, Array[Long]],
+        ProphetLike.GrowthConfig(growth = "logistic", cap = 10.0,
+          multiplicativeSeasonality = true))
+    }
+    intercept[IllegalArgumentException] {
+      ProphetLike.fit(pts, Map.empty[String, Array[Long]],
+        ProphetLike.GrowthConfig(growth = "exponential"))
+    }
+  }
 }
