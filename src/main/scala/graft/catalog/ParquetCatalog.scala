@@ -40,6 +40,8 @@ object TableNames {
   */
 final class ParquetCatalog(val spark: SparkSession, val root: String) {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private val suffix = ".parquet"
 
   private def fs: FileSystem = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -263,9 +265,44 @@ final class ParquetCatalog(val spark: SparkSession, val root: String) {
       options: Map[String, String] = Map.empty,
       partitionColumn: Option[String] = None,
       bounds: Option[(Long, Long)] = None,
-      numPartitions: Int = 8): Unit = {
+      numPartitions: Int = 8,
+      skipTypes: Set[String] = ParquetCatalog.DefaultSkipTypes,
+      keepColumns: Set[String] = Set("date")): Unit = {
     val base = Map("url" -> url, "dbtable" -> dbTable, "fetchsize" -> "10000") ++ options
-    val df = partitionColumn match {
+    // SKIP_DATA_TYPES port (forecast_script.py:68,112): probe the remote
+    // schema (the JDBC analog of the reference's DESCRIBE TABLE — a
+    // zero-row prepared statement, one driver-side round trip) and drop
+    // columns whose VENDOR type string contains any skip token,
+    // case-insensitively. `date` (fs:112's always-keep) and the partition
+    // column survive regardless. Pruning happens as a projection on the
+    // Spark JDBC read, so the remote engine never ships the dropped
+    // columns over the wire.
+    val keptColumns: Option[Seq[String]] =
+      if (skipTypes.isEmpty) None
+      else {
+        val keep = (keepColumns ++ partitionColumn).map(_.toLowerCase)
+        val skipLower = skipTypes.map(_.toLowerCase)
+        val conn = java.sql.DriverManager.getConnection(url,
+          options.getOrElse("user", ""), options.getOrElse("password", ""))
+        try {
+          val probe = conn.prepareStatement(s"SELECT * FROM $dbTable WHERE 1=0")
+          try {
+            val md = probe.getMetaData
+            val cols = (1 to md.getColumnCount).map { i =>
+              (md.getColumnName(i), md.getColumnTypeName(i))
+            }
+            val (skipped, kept) = cols.partition { case (c, t) =>
+              !keep.contains(c.toLowerCase) &&
+                skipLower.exists(t.toLowerCase.contains)
+            }
+            skipped.foreach { case (c, t) =>
+              log.info(s"importJdbc $name: skipping column with excluded data type: $c: $t")
+            }
+            if (skipped.isEmpty) None else Some(kept.map(_._1))
+          } finally probe.close()
+        } finally conn.close()
+      }
+    val df0 = partitionColumn match {
       case Some(pc) =>
         val (lo, hi) = bounds.getOrElse {
           val b = spark.read.format("jdbc")
@@ -286,6 +323,14 @@ final class ParquetCatalog(val spark: SparkSession, val root: String) {
           .load()
       case None => spark.read.format("jdbc").options(base).load()
     }
+    val df = keptColumns match {
+      case Some(cols) =>
+        // match the probe's names against the scan schema case-insensitively
+        // (Derby upper-cases, ClickHouse preserves, Spark keeps the wire name)
+        val byLower = df0.columns.map(c => c.toLowerCase -> c).toMap
+        df0.select(cols.flatMap(c => byLower.get(c.toLowerCase)).map(df0.col): _*)
+      case None => df0
+    }
     df.write.mode("overwrite").parquet(tablePath(name))
   }
 
@@ -302,4 +347,21 @@ final class ParquetCatalog(val spark: SparkSession, val root: String) {
       s"exportTable supports ${interchangeFormats.mkString("/")}, got '$format'")
     load(name).write.mode("overwrite").options(options).format(format).save(destPath)
   }
+}
+
+object ParquetCatalog {
+
+  /** SKIP_DATA_TYPES (forecast_script.py:68): type-name tokens whose
+    * columns are dropped at JDBC ingest, by substring containment against
+    * the vendor type string — so `Nullable(String)` and `Enum8('a'=1)`
+    * are caught by `String`/`Enum` exactly as in the reference. The
+    * reference's tokens are ClickHouse spellings; the standard-SQL/JDBC
+    * spellings of the same families (CHAR/VARCHAR via `Char`, CLOB via
+    * `Clob`, BOOL via `Bool`, XML) are appended so the filter bites on
+    * any JDBC vendor, matched case-insensitively.
+    */
+  val DefaultSkipTypes: Set[String] = Set(
+    "String", "Text", "Enum", "Boolean", "Blob", "Binary", "Array", "JSON",
+    "UUID", // reference set, fs:68
+    "Char", "Clob", "Bool", "Xml") // standard-SQL spellings, same families
 }

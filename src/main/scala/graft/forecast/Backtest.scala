@@ -1,0 +1,138 @@
+package graft.forecast
+
+import java.time.LocalDate
+
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Per-cutoff backtest metrics for one (table, metric) series. */
+final case class BacktestRow(
+    table: String,
+    metric: String,
+    cutoff: java.sql.Date,
+    n: Long,
+    mae: Double,
+    rmse: Double,
+    coverage: Double,
+    mae_naive: Double)
+
+/** Rolling-origin forecast evaluation — the capability Prophet users get
+  * from `cross_validation` + `performance_metrics` [public: prophet v1.x
+  * diagnostics docs], which the reference pipeline (a Prophet consumer,
+  * forecast_script.py:169-198) therefore has available but never wires up.
+  *
+  * Semantics, mirroring Prophet's `cross_validation(horizon, period,
+  * initial)`:
+  *  - cutoffs start at `last_history_day - horizon` and step back by
+  *    `period` while the training span up to the cutoff still covers at
+  *    least `initial` days;
+  *  - for each cutoff the model is fit ONLY on points with ds <= cutoff
+  *    and scored on actual history points in (cutoff, cutoff + horizon];
+  *  - per cutoff we emit MAE, RMSE, and 80%-band coverage
+  *    (`performance_metrics` parity), plus a seasonal-naive baseline MAE
+  *    (y(d-7), falling back to the last training value) so callers can
+  *    judge skill, not just error magnitude.
+  *
+  * Distribution shape: one `flatMapGroups` over (table, metric) — the SAME
+  * key the forecast fit shuffles on, so a backtest sweep costs one
+  * shuffle; each group fits |cutoffs| models sequentially over a bounded
+  * daily series (years of history is still only thousands of points).
+  * Cutoff count scales the per-task CPU, series count scales across the
+  * cluster, nothing is collected to the driver.
+  */
+object Backtest {
+
+  /** `long` must have columns (table, metric, ds, y) like
+    * [[ForecastEngine.forecast]]. Fault isolation matches the engine: a
+    * (series, cutoff) whose fit throws contributes no row.
+    */
+  def crossValidate(
+      long: DataFrame,
+      horizon: Int,
+      period: Int,
+      initial: Int,
+      band: ForecastEngine.Band = ForecastEngine.AnalyticBand,
+      holidays: Map[String, Array[Long]] = Map.empty,
+      growth: ProphetLike.GrowthConfig = ProphetLike.GrowthConfig()): Dataset[BacktestRow] = {
+    val spark = long.sparkSession
+    import spark.implicits._
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    require(period >= 1, s"period must be >= 1, got $period")
+    require(initial >= 1, s"initial must be >= 1, got $initial")
+
+    long
+      .select(
+        col("table").cast("string"),
+        col("metric").cast("string"),
+        col("ds").cast("date"),
+        col("y").cast("double"))
+      .filter(col("ds").isNotNull && col("y").isNotNull && !isnan(col("y")) &&
+        col("y").between(Double.MinValue, Double.MaxValue))
+      .as[LongPoint]
+      .groupByKey(p => (p.table, p.metric))
+      .flatMapGroups { (key: (String, String), it: Iterator[LongPoint]) =>
+        val pts = it.map(p => (p.ds.toLocalDate.toEpochDay, p.y)).toArray
+        backtestSeries(key._1, key._2, pts, horizon, period, initial, band,
+          holidays, growth)
+      }
+  }
+
+  /** Pure per-series rolling-origin evaluation, testable without Spark.
+    * Rounded to 6 decimals so partial-agg summation order can't leak into
+    * hash compares downstream.
+    */
+  def backtestSeries(
+      table: String,
+      metric: String,
+      points: Array[(Long, Double)],
+      horizon: Int,
+      period: Int,
+      initial: Int,
+      band: ForecastEngine.Band = ForecastEngine.AnalyticBand,
+      holidays: Map[String, Array[Long]] = Map.empty,
+      growth: ProphetLike.GrowthConfig = ProphetLike.GrowthConfig()): Iterator[BacktestRow] = {
+    if (points.isEmpty) return Iterator.empty
+    val sorted = points.sortBy(_._1)
+    val byDay = sorted.toMap
+    val first = sorted.head._1
+    val last = sorted.last._1
+    def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    // descending generation, ascending emission — Prophet's cutoff rule
+    val cutoffs = Iterator.iterate(last - horizon.toLong)(_ - period)
+      .takeWhile(c => c - first + 1 >= initial)
+      .toArray.reverse
+    cutoffs.iterator.flatMap { c =>
+      val train = sorted.filter(_._1 <= c)
+      val test = sorted.filter(p => p._1 > c && p._1 <= c + horizon)
+      if (train.length < 2 || test.isEmpty) Iterator.empty
+      else
+        Try {
+          val params = ProphetLike.fit(train, holidays, growth)
+          val days = test.map(_._1)
+          val preds = band match {
+            case ForecastEngine.AnalyticBand => ProphetLike.predict(params, days)
+            case ForecastEngine.SimulatedBand(nSims) =>
+              val seed = (table.hashCode.toLong << 32) ^ metric.hashCode.toLong
+              ProphetLike.predictSimulatedBand(params, days, seed, nSims)
+          }
+          val byPredDay = preds.map(p => p._1 -> p).toMap
+          var sae = 0.0; var sse = 0.0; var inBand = 0; var saeNaive = 0.0
+          val lastTrainY = train.last._2
+          test.foreach { case (d, y) =>
+            val (_, yh, lo, hi) = byPredDay(d)
+            val e = y - yh
+            sae += math.abs(e); sse += e * e
+            if (y >= lo && y <= hi) inBand += 1
+            saeNaive += math.abs(y - byDay.getOrElse(d - 7, lastTrainY))
+          }
+          val n = test.length
+          BacktestRow(table, metric,
+            java.sql.Date.valueOf(LocalDate.ofEpochDay(c)), n.toLong,
+            round6(sae / n), round6(math.sqrt(sse / n)),
+            round6(inBand.toDouble / n), round6(saeNaive / n))
+        }.toOption.iterator
+    }
+  }
+}

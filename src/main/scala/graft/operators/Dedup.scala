@@ -367,16 +367,65 @@ object Dedup {
     agg.select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** Deterministic-across-engines SimHash: same Charikar construction as
+    * [[simhash]], but the per-token bit votes come from arithmetic the
+    * DuckDB oracle can replay exactly — two 32-bit polynomial hashes over
+    * the token's code points (bases 31/131, seeds 17/29, mod 2^32)
+    * projected through 64 multiply-shift hash functions
+    * [public: Dietzfelbinger et al. 1997]: bit i votes +1 iff
+    * (a_i*h1 + b_i*h2 + c_i) mod 2^32 lands in the top half. All
+    * intermediates stay below 2^49 so DuckDB's non-wrapping BIGINT
+    * arithmetic reproduces Spark's Long math verbatim (the mulmod is
+    * decomposed into 16-bit limbs for exactly that reason). Prefer
+    * [[simhash]] (xxhash64, one hash per token instead of a char fold)
+    * when oracle replay isn't needed.
+    */
+  def simhashDeterministic(docs: DataFrame): DataFrame = {
+    val M32 = 4294967296L
+    // (a * h) mod 2^32 without exceeding 2^49: 16-bit limb decomposition
+    def mulMod32(a: Long, h: Column): Column =
+      pmod(lit(a) * h.bitwiseAND(lit(65535L)) +
+        pmod(lit(a) * shiftrightunsigned(h, 16), lit(65536L)) * 65536L, lit(M32))
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    def fold(base: Long, seed: Long): Column =
+      aggregate(split(col("tok"), ""), lit(seed),
+        (acc, c) => pmod(acc * base + ascii(c), lit(M32)))
+    val hashed = toks.select(col("doc_id"),
+      fold(31L, 17L).as("h1"), fold(131L, 29L).as("h2"))
+    val bitSums = (0 until 64).map { i =>
+      val a = (2654435761L * (2L * i + 3L)) % M32 // odd => bijective mod 2^32
+      val b = (2246822519L * (2L * i + 5L)) % M32
+      val c = (3266489917L * (i + 1L)) % M32
+      val g = pmod(mulMod32(a, col("h1")) + mulMod32(b, col("h2")) + c, lit(M32))
+      sum(when(g >= 2147483648L, 1).otherwise(-1)).as(s"b$i")
+    }
+    val agg = hashed.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
   /** SimHash near-dup pairs at Hamming distance <= maxHamming (default 3).
     * Candidate generation by the pigeonhole principle: split the 64-bit
     * fingerprint into maxHamming+1 chunks; any pair within distance
     * maxHamming agrees on >= 1 chunk, so the join key is (chunk_id,
     * chunk_value) — never all-pairs.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashPairsFrom(simhash(docs), maxHamming)
+
+  /** [[simhashPairs]] over the engine-replayable fingerprint — the
+    * oracle-checked face of the SimHash family (same pigeonhole shape).
+    */
+  def simhashPairsDeterministic(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashPairsFrom(simhashDeterministic(docs), maxHamming)
+
+  private def simhashPairsFrom(fp: DataFrame, maxHamming: Int): DataFrame = {
     val nChunks = maxHamming + 1
     val bitsPerChunk = 64 / nChunks
-    val fp = simhash(docs)
     val chunks = (0 until nChunks).map { c =>
       struct(lit(c).as("chunk"),
         shiftrightunsigned(col("simhash"), c * bitsPerChunk)

@@ -543,47 +543,39 @@ object Similarity {
     * 1998]: pick k results that are RELEVANT to the query but mutually
     * DIVERSE — pick_i = argmax over remaining candidates of
     * lambda * cos(query, d) - (1 - lambda) * max over selected s of
-    * cos(d, s). The greedy selection is inherently sequential, so the
-    * split is: the HEAVY stage (score the whole corpus, keep the top
-    * `nCandidates` per query) runs distributed via [[bruteForceTopK]]'s
-    * window top-k, and only the nCandidates x dim candidate block — the
-    * same bounded driver residency as an IVF codebook — is collected for
-    * the O(k * nCandidates) greedy loop. Deterministic: ties break on
-    * lowest vec_id at every argmax.
-    */
-  /** DRIVER RESIDENCY: |queries| x nCandidates rows (one embedding each)
-    * are collected for the greedy loop — bounded by `maxDriverRows`
-    * (fail-fast count, not an OOM). Large query sets should be chunked
-    * by the caller or routed to a non-diverse top-k.
+    * cos(d, s). The greedy selection is inherently sequential PER QUERY
+    * but embarrassingly parallel ACROSS queries, so the split is: the
+    * HEAVY stage (score the whole corpus, keep the top `nCandidates`
+    * per query) runs distributed via [[bruteForceTopK]]'s window top-k,
+    * then the O(k * nCandidates) greedy loop runs EXECUTOR-side as a
+    * per-query `flatMapGroups` — task state is one query's
+    * nCandidates x dim candidate block, nothing is collected to the
+    * driver, and query count scales with the cluster. Deterministic:
+    * candidates are id-sorted and ties break on lowest vec_id at every
+    * argmax.
     */
   def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCandidates: Int, lambda: Double = 0.7,
-      maxDriverRows: Long = 1000000L): DataFrame = {
+      nCandidates: Int, lambda: Double = 0.7): DataFrame = {
     require(k >= 1 && nCandidates >= k, s"need nCandidates >= k >= 1")
-    val nQueries = queries.count()
-    require(nQueries * nCandidates <= maxDriverRows,
-      s"mmrTopK would collect $nQueries x $nCandidates = " +
-        s"${nQueries * nCandidates} rows to the driver (cap $maxDriverRows); " +
-        "chunk the queries frame or raise maxDriverRows explicitly")
     val spark = corpus.sparkSession
+    import spark.implicits._
     val cand = bruteForceTopK(corpus, queries, nCandidates)
       .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(col("query_id"), col("vec_id"), col("cos"), col("embedding"))
-      .collect()
-    def cosine(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
-        nb += b(i).toDouble * b(i); i += 1
+      .as[(Long, Long, Double, Array[Float])]
+    val picked = cand.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      def cosine(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i); i += 1
+        }
+        if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na) / math.sqrt(nb)
       }
-      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na) / math.sqrt(nb)
-    }
-    val picked = cand.groupBy(_.getLong(0)).toSeq.flatMap { case (qid, rows) =>
-      val docs = rows.map(r => (r.getLong(1), r.getDouble(2),
-        r.getSeq[Float](3).toArray)).sortBy(_._1)
+      val docs = it.map(t => (t._2, t._3, t._4)).toArray.sortBy(_._1)
       val selected = scala.collection.mutable.ArrayBuffer[(Long, Double, Array[Float])]()
-      val remaining = scala.collection.mutable.ArrayBuffer(docs: _*)
-      (1 to math.min(k, docs.length)).map { rank =>
+      val remaining = scala.collection.mutable.ArrayBuffer(docs.toSeq: _*)
+      (1 to math.min(k, docs.length)).iterator.map { rank =>
         // remaining is id-sorted and the tuple key is (score, -id), so
         // score ties resolve to the lowest vec_id
         val (score, _, best) = remaining.map { case d @ (id, rel, emb) =>
@@ -597,7 +589,6 @@ object Similarity {
         (qid, rank, best._1, math.rint(score * 1e6) / 1e6)
       }
     }
-    import spark.implicits._
     picked.toDF("query_id", "rank", "vec_id", "mmr_score")
       .orderBy("query_id", "rank")
   }

@@ -1272,7 +1272,7 @@ object AnalyticsQueries {
     */
   def linregSimple(spark: SparkSession, dir: String): DataFrame = {
     val xRef = 1705276800d // 2024-01-15, mid-range of the events fixture
-    val x = col("ts").cast("double") // fractional epoch seconds
+    val x = (unix_micros(col("ts")) / lit(1e6)) // fractional epoch seconds, layout-proof
     val slope = col("cxy") / col("vx")
     table(spark, dir, "events")
       .groupBy(col("event_type"))
@@ -1736,7 +1736,7 @@ object AnalyticsQueries {
     import spark.implicits._
     table(spark, dir, "events")
       .select(col("event_type"), col("value").as("x"),
-        col("ts").cast("double").as("y"))
+        (unix_micros(col("ts")) / lit(1e6)).as("y"))
       .as[(String, Double, Double)]
       .groupByKey(_._1)
       .mapGroups { (et: String, it: Iterator[(String, Double, Double)]) =>
@@ -1885,7 +1885,7 @@ object AnalyticsQueries {
     */
   def sparkbar(spark: SparkSession, dir: String): DataFrame = {
     val ev = table(spark, dir, "events")
-      .select(col("event_type"), col("ts").cast("double").as("s"))
+      .select(col("event_type"), (unix_micros(col("ts")) / lit(1e6)).as("s"))
     val rng = ev.groupBy("event_type")
       .agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
     val bk = ev.join(broadcast(rng), Seq("event_type"))

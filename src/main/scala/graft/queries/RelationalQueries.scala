@@ -275,14 +275,15 @@ object RelationalQueries {
     table(spark, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"))
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-      // cast-to-double keeps fractional seconds — unix_timestamp truncates
-      // to whole seconds and would disagree with the oracle's EPOCH() on
-      // gaps that straddle the 1800s boundary by <1s. >= (not >) so a gap
-      // of exactly 1800s opens a new session, matching Structured
-      // Streaming's half-open session_window [start, start+gap).
+      // unix_micros keeps sub-second precision exactly (integer micros) —
+      // unix_timestamp truncates to whole seconds and would disagree with
+      // the oracle's EPOCH() on gaps that straddle the 1800s boundary by
+      // <1s. >= (not >) so a gap of exactly 1800s opens a new session,
+      // matching Structured Streaming's half-open session_window
+      // [start, start+gap).
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          col("ts").cast("double") - col("prev_ts").cast("double") >= 1800, 1)
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= 1800L * 1000000L, 1)
           .otherwise(0))
       .groupBy(col("user_id"))
       .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))

@@ -597,6 +597,18 @@ object TextQueries {
       s"/ GREATEST($tokCount, 1), 6)"
 
   val oracleSql: Map[String, String] = Map(
+    // Replays RollingHashExpr's mod-2^64 polynomial (h*1315423911 + byte)
+    // in HUGEINT space — DuckDB's BIGINT doesn't wrap, so the fold runs
+    // 128-bit with an explicit % 2^64 and a final two's-complement
+    // conversion back to signed BIGINT. Byte==codepoint holds because the
+    // documents fixture is ASCII (checked) and both engines then agree.
+    "text_rolling_hash" ->
+      ("SELECT doc_id, CAST(CASE WHEN v >= 9223372036854775808::HUGEINT " +
+        "THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) AS rhash " +
+        "FROM (SELECT doc_id, list_reduce(list_prepend(0::HUGEINT, " +
+        "list_transform(string_split(text, ''), c -> ord(c)::HUGEINT)), " +
+        "(a, b) -> (a * 1315423911 + b) % 18446744073709551616::HUGEINT) AS v " +
+        "FROM documents) ORDER BY doc_id"),
     "naive_bayes_lang" ->
       ("WITH tr AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok " +
         "FROM documents WHERE doc_id % 5 <> 0), " +

@@ -2,17 +2,32 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Fixture-table reader (TESTDATA.md).
   *
-  * Spark's parquet reader rejects INT64 TIMESTAMP(NANOS) columns
-  * ([PARQUET_TYPE_ILLEGAL]) — the `events.ts` fixture column is
-  * timestamp[ns]. The supported path is the `nanosAsLong` legacy conf,
-  * which surfaces the raw nanosecond count as LongType; we then decode it
-  * to a proper TimestampType column (micros precision, UTC session) so
-  * downstream date bucketing matches the DuckDB oracle's native
-  * nanosecond-timestamp reads.
+  * Timestamp-layout normalization: the fixture generator has shipped
+  * `events.ts` in two physical layouts over time, and this reader makes
+  * both look identical downstream (UTC-instant TimestampType):
+  *
+  *  - timestamp[ns]: Spark's parquet reader rejects INT64
+  *    TIMESTAMP(NANOS) ([PARQUET_TYPE_ILLEGAL]); the supported path is
+  *    the `nanosAsLong` legacy conf, which surfaces the raw nanosecond
+  *    count as LongType, decoded here to micros TimestampType.
+  *  - timestamp[us] with isAdjustedToUTC=false: Spark 4 infers
+  *    TIMESTAMP_NTZ, on which arithmetic casts (`CAST(ts AS DOUBLE)`)
+  *    throw DATATYPE_MISMATCH. Fixed at the SCAN, not per-column:
+  *    `spark.sql.parquet.inferTimestampNTZ.enabled=false` restores the
+  *    legacy read — stored micros surface directly as TimestampType UTC
+  *    instants — which matches both the old nanos decode and DuckDB's
+  *    naive-timestamp read of the same file. Doing it at the scan (rather
+  *    than wrapping each column in `to_utc_timestamp`) keeps predicate
+  *    pushdown alive: a wrapped column is a derived projection and its
+  *    filters stop reaching the parquet reader, which at 100 TB means a
+  *    full-table scan where a footer-pruned read should be.
+  *
+  * A per-column `to_utc_timestamp(cast(c))` fold remains as a safety net
+  * for NTZ columns arriving via schemas this conf doesn't govern.
   */
 object Fixtures {
 
@@ -22,14 +37,24 @@ object Fixtures {
   private val nanoColumns: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // Dynamic conf: set defensively so driver-owned sessions (Verify/smoke)
+    // Dynamic confs: set defensively so driver-owned sessions (Verify/smoke)
     // work without special builder flags.
     spark.conf.set(NanosConf, "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    nanoColumns.getOrElse(name, Seq.empty).foldLeft(df) { (d, c) =>
+    val nanoDecoded = nanoColumns.getOrElse(name, Seq.empty).foldLeft(df) { (d, c) =>
       if (d.schema.fieldNames.contains(c) && d.schema(c).dataType == LongType)
         d.withColumn(c, timestamp_micros(expr(s"$c DIV 1000")))
       else d
+    }
+    // Layout-proofing: any NTZ column (current generator layout) becomes a
+    // UTC-instant TimestampType column, session-tz-independent.
+    nanoDecoded.schema.fields.foldLeft(nanoDecoded) { (d, f) =>
+      f.dataType match {
+        case TimestampNTZType =>
+          d.withColumn(f.name, to_utc_timestamp(col(f.name).cast(TimestampType), "UTC"))
+        case _ => d
+      }
     }
   }
 

@@ -41,15 +41,49 @@ class JdbcImportSpec extends SparkSpec {
     st.close(); ps.close()
   }
 
-  test("serial import lands all rows with the declared schema") {
+  test("serial import lands all rows; VARCHAR column skipped by the reference type filter") {
     seed("items", 57)
     val cat = new ParquetCatalog(spark, freshRoot())
     cat.importJdbc("items", url, "items")
     val got = cat.load("items")
     assert(got.count() == 57)
-    assert(got.columns.map(_.toLowerCase).sorted.toSeq == Seq("id", "tag", "val"))
+    // SKIP_DATA_TYPES containment (fs:68,112): VARCHAR ⊃ "Char" → dropped
+    assert(got.columns.map(_.toLowerCase).sorted.toSeq == Seq("id", "val"))
     val s = got.selectExpr("sum(id)").collect().head.getLong(0)
     assert(s == 57L * 58 / 2)
+  }
+
+  test("skipTypes = empty imports every column unfiltered") {
+    seed("items_all", 12)
+    val cat = new ParquetCatalog(spark, freshRoot())
+    cat.importJdbc("items_all", url, "items_all", skipTypes = Set.empty)
+    assert(cat.load("items_all").columns.map(_.toLowerCase).sorted.toSeq ==
+      Seq("id", "tag", "val"))
+  }
+
+  test("CHAR and BLOB columns are skipped; keepColumns overrides the filter") {
+    withDb { c =>
+      val st = c.createStatement()
+      try st.execute("DROP TABLE mixed")
+      catch { case _: java.sql.SQLException => () }
+      st.execute("CREATE TABLE mixed (id BIGINT NOT NULL, score DOUBLE, " +
+        "code CHAR(4), payload BLOB, tag VARCHAR(8))")
+      val ps = c.prepareStatement("INSERT INTO mixed VALUES (?, ?, ?, ?, ?)")
+      (1 to 9).foreach { i =>
+        ps.setLong(1, i.toLong); ps.setDouble(2, i * 2.0)
+        ps.setString(3, f"c$i%03d"); ps.setBytes(4, Array[Byte](i.toByte))
+        ps.setString(5, s"t$i"); ps.addBatch()
+      }
+      ps.executeBatch(); st.close(); ps.close()
+    }
+    val cat = new ParquetCatalog(spark, freshRoot())
+    cat.importJdbc("mixed", url, "mixed")
+    assert(cat.load("mixed").columns.map(_.toLowerCase).sorted.toSeq ==
+      Seq("id", "score"), "CHAR/BLOB/VARCHAR must all be filtered")
+    // the always-keep set wins over the type filter (fs:112 keeps `date`)
+    cat.importJdbc("mixed_keep", url, "mixed", keepColumns = Set("date", "tag"))
+    assert(cat.load("mixed_keep").columns.map(_.toLowerCase).sorted.toSeq ==
+      Seq("id", "score", "tag"))
   }
 
   test("partitioned import: auto-discovered bounds, range slices union to the table") {

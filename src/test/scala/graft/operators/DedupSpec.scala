@@ -96,6 +96,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("deterministic simhash: same near-dup behavior as xxhash64 form, stable fingerprints") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again today"),
+      (4L, "completely different words about spark catalyst shuffles and parquet files")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.simhashDeterministic(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L), "identical texts must collide exactly")
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) <= 16)
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(4L)) > 16)
+    val pairs = Dedup.simhashPairsDeterministic(df, maxHamming = 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 4L)))
+    // bit-exact across runs (the property the DuckDB oracle depends on)
+    val again = Dedup.simhashDeterministic(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == fp)
+  }
+
   test("bloom decontamination: superset of exact, no spurious flags, counts only inflate") {
     val exact = Dedup.decontaminateTrainExact(docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

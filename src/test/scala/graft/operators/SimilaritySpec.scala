@@ -250,11 +250,13 @@ class SimilaritySpec extends SparkSpec {
     }.toSet)
   }
 
-  test("mmr topk: driver-residency bound fails fast instead of collecting unbounded rows") {
-    val e = intercept[IllegalArgumentException] {
-      Similarity.mmrTopK(emb, emb, k = 5, nCandidates = 50, maxDriverRows = 100L)
-    }
-    assert(e.getMessage.contains("driver"))
+  test("mmr topk: greedy selection runs executor-side (grouped map in the plan)") {
+    // The selection loop must be a per-query flatMapGroups, not a
+    // driver-side loop over collect() — pin the plan shape.
+    val plan = Similarity.mmrTopK(emb, queries, k = 5, nCandidates = 50)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("MapGroups"),
+      s"MMR selection must appear as a grouped map in the plan:\n$plan")
   }
 
   test("random-projection topk: recall >= 0.9 where RP applies (high-margin neighbors)") {
