@@ -22,6 +22,21 @@ private[forecast] final case class LongPoint(
     ds: java.sql.Date,
     y: Double)
 
+/** One sub-daily forecast output point for a (table, metric) series. */
+final case class ForecastTimeRow(
+    table: String,
+    metric: String,
+    ts: java.sql.Timestamp,
+    yhat: Double,
+    yhat_lower: Double,
+    yhat_upper: Double)
+
+private[forecast] final case class TimePoint(
+    table: String,
+    metric: String,
+    ts: java.sql.Timestamp,
+    y: Double)
+
 /** Distributed per-series fit/predict.
   *
   * The reference runs one cmdstan subprocess per metric, sequentially, on a
@@ -77,6 +92,52 @@ object ForecastEngine {
       .flatMapGroups { (key: (String, String), it: Iterator[LongPoint]) =>
         val pts = it.map(p => (p.ds.toLocalDate.toEpochDay, p.y)).toArray
         forecastSeries(key._1, key._2, pts, interval, onlyFuture, band, holidays, growth)
+      }
+  }
+
+  /** Sub-daily distributed forecast — the engine face of
+    * [[ProphetLike.fitTimes]]'s fractional time axis, where the daily
+    * order-4 Fourier block (Prophet's sub-daily auto-rule, fs:171
+    * [public]) can actually fire. `long` must have columns
+    * (table, metric, ts timestamp, y); each series fits on fractional
+    * epoch-days (unix micros / 86.4e9) and predicts `horizonSteps`
+    * future points spaced `stepDays` apart (1/24 = hourly) after the
+    * last observation. Same one-shuffle `flatMapGroups` shape and
+    * per-metric fault isolation as [[forecast]].
+    */
+  def forecastSubDaily(
+      long: DataFrame,
+      horizonSteps: Int,
+      stepDays: Double,
+      includeHistory: Boolean = true): Dataset[ForecastTimeRow] = {
+    val spark = long.sparkSession
+    import spark.implicits._
+    require(horizonSteps >= 0, s"horizonSteps must be >= 0, got $horizonSteps")
+    require(stepDays > 0, s"stepDays must be > 0, got $stepDays")
+    long
+      .select(
+        col("table").cast("string"),
+        col("metric").cast("string"),
+        col("ts").cast("timestamp"),
+        col("y").cast("double"))
+      .filter(col("ts").isNotNull && col("y").isNotNull && !isnan(col("y")) &&
+        col("y").between(Double.MinValue, Double.MaxValue))
+      .as[TimePoint]
+      .groupByKey(p => (p.table, p.metric))
+      .flatMapGroups { (key: (String, String), it: Iterator[TimePoint]) =>
+        val micros = it.map(p => (p.ts.getTime * 1000L, p.y)).toArray
+        Try {
+          val pts = micros.map { case (us, y) => (us / 86400e6, y) }
+          val params = ProphetLike.fitTimes(pts, Map.empty)
+          val histTimes = pts.map(_._1).distinct.sorted
+          val last = histTimes.last
+          val future = Array.tabulate(horizonSteps)(i => last + (i + 1) * stepDays)
+          val times = if (includeHistory) histTimes ++ future else future
+          ProphetLike.predictTimes(params, times).iterator.map { case (t, yh, lo, hi) =>
+            ForecastTimeRow(key._1, key._2,
+              new java.sql.Timestamp(math.rint(t * 86400e3).toLong), yh, lo, hi)
+          }
+        }.getOrElse(Iterator.empty)
       }
   }
 

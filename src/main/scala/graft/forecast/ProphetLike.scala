@@ -17,12 +17,17 @@ import breeze.linalg.{diag, DenseMatrix, DenseVector}
   * 1000-sample trend simulation.
   */
 final case class ProphetParams(
-    tStartDay: Long,
-    tEndDay: Long,
+    /** start/end of history in FRACTIONAL epoch days (integral for the
+      * daily pipelines; sub-daily fits carry the fraction — 2^53 double
+      * precision is exact far beyond any epoch-day magnitude)
+      */
+    tStartDay: Double,
+    tEndDay: Double,
     spanDays: Double,
     yScale: Double,
     /** coefficient vector: [intercept, slope, hinge_1..hinge_n, weekly(6),
-      * yearly(20), holiday_1..holiday_h (name-sorted)]
+      * yearly(20), daily(8, sub-daily fits only),
+      * holiday_1..holiday_h (name-sorted)]
       */
     beta: Array[Double],
     /** changepoint locations in scaled time (0,1) */
@@ -54,7 +59,13 @@ final case class ProphetParams(
       * y = trend * (1 + s(t)) instead of trend + s(t); seasonal swing
       * scales with the trend level.
       */
-    multiplicative: Boolean = false)
+    multiplicative: Boolean = false,
+    /** order-4 daily Fourier block present in beta — auto-enabled only
+      * for sub-daily series (Prophet's rule [public]; a daily-granular
+      * series can never fire it: sin/cos of integer cycles are
+      * constant).
+      */
+    dailyEnabled: Boolean = false)
 
 object ProphetLike {
 
@@ -66,13 +77,32 @@ object ProphetLike {
   val ChangepointRange = 0.8
   val WeeklyOrder = 3
   val YearlyOrder = 10
+  val DailyOrder = 4
   val YearDays = 365.25
   val Z80 = 1.2815515655446004
 
   def weeklyEnabled(spanDays: Double): Boolean = spanDays >= 14
   def yearlyEnabled(spanDays: Double): Boolean = spanDays >= 730
 
-  private def fourier(day: Long, period: Double, order: Int): Array[Double] = {
+  /** Prophet's daily-seasonality auto-rule (fs:171 [public]): order-4
+    * Fourier with period 1 day, enabled only when the series is actually
+    * SUB-daily (some consecutive spacing < 1 day) and spans >= 2 days —
+    * on integer-day series the daily features are constants (sin/cos of
+    * whole cycles) and Prophet leaves them off.
+    */
+  def dailyEnabled(sortedTimes: Array[Double]): Boolean = {
+    if (sortedTimes.length < 3) return false
+    val span = sortedTimes.last - sortedTimes.head
+    if (span < 2.0) return false
+    var i = 1
+    while (i < sortedTimes.length) {
+      if (sortedTimes(i) - sortedTimes(i - 1) < 1.0 - 1e-9) return true
+      i += 1
+    }
+    false
+  }
+
+  private def fourier(day: Double, period: Double, order: Int): Array[Double] = {
     val out = new Array[Double](2 * order)
     var k = 1
     while (k <= order) {
@@ -89,26 +119,31 @@ object ProphetLike {
     * holiday's sorted day array — O(h log k) per row, h and k both tiny.
     */
   private def featureRow(
-      d: Long,
-      tStart: Long,
+      d: Double,
+      tStart: Double,
       span: Double,
       cps: Array[Double],
       weekly: Boolean,
       yearly: Boolean,
-      holidays: Array[(String, Array[Long])]): Array[Double] = {
+      holidays: Array[(String, Array[Long])],
+      daily: Boolean = false): Array[Double] = {
     val t = (d - tStart) / span
     val row = Array.newBuilder[Double]
     row.sizeHint(2 + cps.length + (if (weekly) 2 * WeeklyOrder else 0) +
-      (if (yearly) 2 * YearlyOrder else 0) + holidays.length)
+      (if (yearly) 2 * YearlyOrder else 0) +
+      (if (daily) 2 * DailyOrder else 0) + holidays.length)
     row += 1.0
     row += t
     var j = 0
     while (j < cps.length) { row += math.max(0.0, t - cps(j)); j += 1 }
     if (weekly) row ++= fourier(d, 7.0, WeeklyOrder)
     if (yearly) row ++= fourier(d, YearDays, YearlyOrder)
+    if (daily) row ++= fourier(d, 1.0, DailyOrder)
     j = 0
     while (j < holidays.length) {
-      row += (if (java.util.Arrays.binarySearch(holidays(j)._2, d) >= 0) 1.0 else 0.0)
+      // holiday indicators fire for the calendar DAY containing t
+      val dayOf = math.floor(d).toLong
+      row += (if (java.util.Arrays.binarySearch(holidays(j)._2, dayOf) >= 0) 1.0 else 0.0)
       j += 1
     }
     row.result()
@@ -132,6 +167,16 @@ object ProphetLike {
     * matching Prophet.
     */
   def fit(points: Array[(Long, Double)],
+      holidayDays: Map[String, Array[Long]]): ProphetParams =
+    fitTimes(points.map(p => (p._1.toDouble, p._2)), holidayDays)
+
+  /** [[fit]] over FRACTIONAL epoch-day times — the sub-daily entry point
+    * (hourly data: t = epochSeconds / 86400.0). Identical arithmetic to
+    * the Long form on integral inputs (doubles are exact there); the only
+    * behavioral addition is Prophet's daily-seasonality auto-rule, which
+    * can only fire when some spacing is genuinely sub-daily.
+    */
+  def fitTimes(points: Array[(Double, Double)],
       holidayDays: Map[String, Array[Long]]): ProphetParams = {
     require(points.nonEmpty, "cannot fit an empty series")
     val holidays: Array[(String, Array[Long])] =
@@ -143,12 +188,13 @@ object ProphetLike {
     val ys = sorted.map(_._2)
     val tStart = days.head
     val tEnd = days.last
-    val span = math.max(1.0, (tEnd - tStart).toDouble)
+    val span = math.max(1.0, tEnd - tStart)
     val yScale = math.max(1e-12, ys.map(math.abs).max)
     val n = sorted.length
 
     val weekly = n >= 3 && weeklyEnabled(span)
     val yearly = n >= 3 && yearlyEnabled(span)
+    val daily = dailyEnabled(days)
     // Potential changepoints at observation quantiles over the first 80%
     // of DATA POINTS (Prophet's rule [public]: linspace over the ordered
     // history index, not uniform in time — the two differ on gappy
@@ -167,11 +213,12 @@ object ProphetLike {
         }.distinct.filter(_ > 0.0)
 
     val p = 2 + cps.length + (if (weekly) 2 * WeeklyOrder else 0) +
-      (if (yearly) 2 * YearlyOrder else 0) + holidays.length
+      (if (yearly) 2 * YearlyOrder else 0) +
+      (if (daily) 2 * DailyOrder else 0) + holidays.length
     val x = DenseMatrix.zeros[Double](n, p)
     var i = 0
     while (i < n) {
-      val row = featureRow(days(i), tStart, span, cps, weekly, yearly, holidays)
+      val row = featureRow(days(i), tStart, span, cps, weekly, yearly, holidays, daily)
       var j = 0
       while (j < p) { x(i, j) = row(j); j += 1 }
       i += 1
@@ -201,7 +248,7 @@ object ProphetLike {
       else math.sqrt(deltas.map(d => d * d).sum / deltas.length)
 
     ProphetParams(tStart, tEnd, span, yScale, beta.toArray, cps, weekly, yearly,
-      sigma, deltaScale, holidays)
+      sigma, deltaScale, holidays, dailyEnabled = daily)
   }
 
   /** Saturating / multiplicative fit config [public: Prophet's `growth`,
@@ -444,13 +491,20 @@ object ProphetLike {
     * mapped endpoints are exactly the transformed quantiles and every
     * output lies inside (floor, cap).
     */
-  def predict(params: ProphetParams, days: Array[Long]): Array[(Long, Double, Double, Double)] = {
+  def predict(params: ProphetParams, days: Array[Long]): Array[(Long, Double, Double, Double)] =
+    days.zip(predictTimes(params, days.map(_.toDouble))).map {
+      case (d, (_, yh, lo, hi)) => (d, yh, lo, hi)
+    }
+
+  /** [[predict]] at FRACTIONAL epoch-day times (sub-daily horizons). */
+  def predictTimes(params: ProphetParams,
+      times: Array[Double]): Array[(Double, Double, Double, Double)] = {
     val beta = DenseVector(params.beta)
     val pTrend = 2 + params.changepoints.length
-    days.map { d =>
+    times.map { d =>
       val rowArr = featureRow(d, params.tStartDay, params.spanDays,
         params.changepoints, params.weeklyEnabled, params.yearlyEnabled,
-        params.holidays)
+        params.holidays, params.dailyEnabled)
       val row = DenseVector(rowArr)
       val std =
         if (!params.multiplicative) row dot beta

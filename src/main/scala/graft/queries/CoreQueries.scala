@@ -238,7 +238,32 @@ object CoreQueries {
       .orderBy("metric", "cutoff")
   }
 
+  /** Sub-daily forecast over HOURLY event buckets — the path where
+    * Prophet's daily-seasonality auto-rule genuinely fires (720 hourly
+    * points, spacing 1/24 day): fits carry an order-4 daily Fourier
+    * block plus weekly, and predict 24 hourly steps ahead. Rows-only
+    * (model fit); ForecastSpec pins the daily block's auto-enable rule
+    * and recovery, StreamingSpec-style parity is in ForecastJobSpec's
+    * scope.
+    */
+  def forecastEventsHourly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = table(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("ts"))
+      .agg(count(lit(1)).cast("double").as("event_count"),
+        round(sum(col("value")), 2).as("value_sum"))
+    val long = hourly
+      .select(col("ts"), lit("bucket_events_hourly").as("table"),
+        expr("stack(2, 'event_count', event_count, 'value_sum', value_sum) AS (metric, y)"))
+    ForecastEngine.forecastSubDaily(long, horizonSteps = 24, stepDays = 1.0 / 24)
+      .toDF()
+      .select(col("metric"), col("ts"), round(col("yhat"), 4).as("yhat"),
+        round(col("yhat_lower"), 4).as("yhat_lower"),
+        round(col("yhat_upper"), 4).as("yhat_upper"))
+      .orderBy("metric", "ts")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "forecast_events_hourly" -> (forecastEventsHourly _),
     "forecast_backtest" -> (forecastBacktest _),
     "forecast_backtest_gate" -> (forecastBacktestGate _),
     "forecast_events" -> (forecastEvents _),

@@ -24,6 +24,54 @@ class ProphetLikeSpec extends SparkSpec {
     assert(math.abs(fut.head._2 - expected) < 3.0, s"got ${fut.head._2} want $expected")
   }
 
+  test("daily seasonality: auto-enables ONLY on sub-daily data and recovers an hourly pattern") {
+    // hourly series over 10 days: trend + a clean daily cycle
+    val start = java.time.LocalDate.parse("2023-01-01").toEpochDay.toDouble
+    val hourly = Array.tabulate(10 * 24) { i =>
+      val t = start + i / 24.0
+      (t, 100.0 + 0.5 * (i / 24.0) + 8.0 * math.sin(2 * math.Pi * (i % 24) / 24.0))
+    }
+    val p = ProphetLike.fitTimes(hourly, Map.empty)
+    assert(p.dailyEnabled, "sub-daily spacing must enable the daily block")
+    assert(!p.yearlyEnabled)
+    val preds = ProphetLike.predictTimes(p, hourly.map(_._1))
+    val rmse = math.sqrt(preds.zip(hourly).map { case ((_, yh, _, _), (_, y)) =>
+      (yh - y) * (yh - y)
+    }.sum / hourly.length)
+    assert(rmse < 2.0, s"in-sample rmse $rmse with daily Fourier block")
+    // a daily-granular series must NOT enable it (Prophet's rule), and the
+    // Long-day API stays bit-identical to the fractional form on integers
+    val dailyPts = series(30)(i => 10.0 + i)
+    val pd = ProphetLike.fit(dailyPts)
+    assert(!pd.dailyEnabled)
+    val pf = ProphetLike.fitTimes(dailyPts.map(p0 => (p0._1.toDouble, p0._2)), Map.empty)
+    assert(pd.beta.sameElements(pf.beta) && pd.sigma == pf.sigma &&
+      pd.tStartDay == pf.tStartDay && !pf.dailyEnabled)
+  }
+
+  test("forecastSubDaily: distributed hourly fit fires the daily block, grouped-map plan, bounded horizon") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (0 until 8 * 24).map { i =>
+      ("t", "m", new java.sql.Timestamp(base.getTime + i * 3600_000L),
+        50.0 + 6.0 * math.sin(2 * math.Pi * (i % 24) / 24.0))
+    }
+    val long = rows.toDF("table", "metric", "ts", "y")
+    val ds = ForecastEngine.forecastSubDaily(long, horizonSteps = 24, stepDays = 1.0 / 24)
+    assert(ds.queryExecution.optimizedPlan.toString.contains("MapGroups"))
+    val out = ds.collect().sortBy(_.ts.getTime)
+    assert(out.length == 8 * 24 + 24, "history + 24 hourly future points")
+    val lastHist = rows.last._3.getTime
+    val future = out.filter(_.ts.getTime > lastHist)
+    assert(future.length == 24)
+    assert(future.head.ts.getTime == lastHist + 3600_000L, "first step is +1h exactly")
+    // the fitted daily cycle must carry into the future: future peak-to-
+    // trough swing should reflect the planted amplitude, not collapse
+    val swing = future.map(_.yhat).max - future.map(_.yhat).min
+    assert(swing > 6.0, s"daily seasonality must survive extrapolation, swing $swing")
+    assert(out.forall(r => r.yhat_lower <= r.yhat && r.yhat <= r.yhat_upper))
+  }
+
   test("recovers weekly seasonality on trend+weekly signal") {
     val pts = series(140)(i => 50.0 + 0.2 * i + 5.0 * math.sin(2 * math.Pi * i / 7.0))
     val p = ProphetLike.fit(pts)
