@@ -46,7 +46,11 @@ object Scaling {
     // MMR, layout key, drift
     "graph_pagerank", "graph_hits", "graph_triangles",
     "dedup_containment", "semdedup", "er_sorted_neighborhood",
-    "ann_mmr", "zorder_key", "drift_psi")
+    "ann_mmr", "zorder_key", "drift_psi",
+    // round 9 additions: quality gates, backtest, sub-daily forecast,
+    // md5 split, quantized ANN
+    "ann_recall", "ann_topk_int8", "ann_topk_ivf_pq",
+    "forecast_backtest", "forecast_events_hourly", "sample_split")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -70,6 +70,36 @@ object Similarity {
     when(VectorFunctions.dot(v, planeCol) >= 0, 1L).otherwise(0L)
   }
 
+  /** The LSH hyperplane constants rendered as DuckDB VALUES rows
+    * `(tbl, bit, plane)` — oracle-side replay of [[lshBuckets]]'s seeded
+    * geometry. The planes are PLAN-TIME LITERALS (seeded JVM RNG baked
+    * into the Spark plan), so the oracle builder embeds the same doubles
+    * (shortest round-trip rendering, re-parsed to identical bits) and
+    * DuckDB reproduces every bucket bit, making the whole LSH query
+    * hash-checkable despite the "seeded sketch" provenance.
+    */
+  def lshPlanesSqlValues(dim: Int, numTables: Int, bitsPerTable: Int,
+      seed: Long): String = {
+    val ps = hyperplanes(dim, numTables, bitsPerTable, seed)
+    (for { t <- 0 until numTables; b <- 0 until bitsPerTable } yield
+      s"($t,$b,[${ps(t)(b).map(java.lang.Double.toString).mkString(",")}]::DOUBLE[])")
+      .mkString(",")
+  }
+
+  /** [[randomProject]]'s matrix rendered as DuckDB projection components
+    * over a DOUBLE[] column `v` — one float-narrowed inner product per
+    * projected dimension, exactly the Spark-side arithmetic.
+    */
+  def rpProjectionSql(dim: Int, rDim: Int, seed: Long): String = {
+    val rng = new scala.util.Random(seed)
+    val mat = IndexedSeq.fill(rDim)(
+      Array.fill(dim)(rng.nextGaussian() / math.sqrt(rDim.toDouble)))
+    mat.map(row =>
+      "CAST(list_inner_product(v, [" +
+        row.map(java.lang.Double.toString).mkString(",") +
+        "]::DOUBLE[]) AS REAL)").mkString(",")
+  }
+
   /** (vec_id, table, bucket) assignment — the shuffle key for candidate
     * generation. Bucket = sign-bit signature of the vector against that
     * table's hyperplanes.

@@ -97,6 +97,11 @@ object DataQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Oracle-checked despite the seeded sketch: the hyperplanes are
+    * plan-time literals, so the oracle SQL embeds the same constants
+    * ([[Similarity.lshPlanesSqlValues]]) and DuckDB replays buckets,
+    * candidates, and the exact-cosine rank bit-for-bit.
+    */
   def annTopkLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), dim = 64, k = 5)
@@ -108,7 +113,8 @@ object DataQueries {
     * the other seeded sketches. NOTE: the fixtures' small neighbor margins
     * are below the JL error at this rDim, so this query demonstrates the
     * plumbing; SimilaritySpec pins recall >= 0.9 in the high-margin
-    * regime (planted near-dups) where RP is the right tool.
+    * regime (planted near-dups) where RP is the right tool. Oracle-checked
+    * via the plan-time-literal replay ([[Similarity.rpProjectionSql]]).
     */
   def annTopkRp(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
@@ -192,13 +198,16 @@ object DataQueries {
       .select(col("event_type"), round(col("value_sum"), 2).as("value_sum"), col("n"))
       .orderBy("event_type")
 
-  /** Deterministic train/val/test assignment rolled up per (split, lang)
-    * — rows-only (xxhash64 bucketing is not reproducible in DuckDB);
-    * SamplingSpec pins disjointness, coverage, proportions, and
-    * stability under repartitioning.
+  /** Deterministic train/val/test assignment rolled up per (split, lang),
+    * through the ENGINE-INDEPENDENT md5 draw ([[Sampling.splitLabelMd5]])
+    * — the cross-engine auditability that operator exists for, now
+    * actually audited: DuckDB recomputes the exact membership and the
+    * driver hash-checks it. The xxhash64 form ([[Sampling.splitLabel]])
+    * stays the fast production path; SamplingSpec pins its
+    * disjointness, coverage, proportions, and repartition stability.
     */
   def sampleSplit(spark: SparkSession, dir: String): DataFrame =
-    Sampling.splitLabel(table(spark, dir, "documents"), "doc_id",
+    Sampling.splitLabelMd5(table(spark, dir, "documents"), "doc_id",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"))
@@ -903,6 +912,55 @@ object DataQueries {
         "THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) AS span_hash FROM h) " +
         "SELECT span_hash, COUNT(DISTINCT doc_id) AS n_docs FROM hs GROUP BY 1 " +
         "HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY span_hash"),
+    // lshBuckets replay: the seeded hyperplanes are plan-time literals,
+    // re-rendered into the SQL by Similarity.lshPlanesSqlValues, so
+    // DuckDB recomputes every bucket bit, the candidate join, and the
+    // exact-cosine rank. lshTopK defaults: 16 tables x 4 bits, seed 7.
+    "ann_topk_lsh" ->
+      ("WITH planes(tbl, bit, p) AS (VALUES " +
+        Similarity.lshPlanesSqlValues(64, 16, 4, 7L) + "), " +
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "bk AS (SELECT e.vec_id, pl.tbl, " +
+        "SUM(CASE WHEN list_inner_product(e.v, pl.p) >= 0 THEN (1 << bit) " +
+        "ELSE 0 END) AS bucket FROM e CROSS JOIN planes pl GROUP BY 1, 2), " +
+        "qb AS (SELECT vec_id AS query_id, tbl, bucket FROM bk WHERE vec_id < 10), " +
+        "cand AS (SELECT DISTINCT q.query_id, c.vec_id FROM bk c JOIN qb q " +
+        "ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.query_id), " +
+        "scored AS (SELECT cand.query_id, cand.vec_id, " +
+        "list_cosine_similarity(a.v, b.v) AS cs FROM cand " +
+        "JOIN e a ON a.vec_id = cand.query_id JOIN e b ON b.vec_id = cand.vec_id) " +
+        "SELECT query_id, rn AS rank, vec_id, ROUND(cs, 6) AS cos FROM (" +
+        "SELECT query_id, vec_id, cs, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY cs DESC, vec_id) AS rn FROM scored) " +
+        "WHERE rn <= 5 ORDER BY query_id, rank"),
+    // randomProject replay: same plan-time-literal trick for the JL
+    // matrix (seed 11, rDim 32), coarse top-40 in projected space, exact
+    // re-rank on the originals — rpTopK's exact shape.
+    "ann_topk_rp" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "proj AS (SELECT vec_id, CAST([" + Similarity.rpProjectionSql(64, 32, 11L) +
+        "] AS DOUBLE[]) AS p FROM e), " +
+        "coarse AS (SELECT query_id, vec_id FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_cosine_similarity(q.p, c.p) DESC, c.vec_id) AS rn " +
+        "FROM proj q JOIN proj c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10) " +
+        "WHERE rn <= 40), " +
+        "scored AS (SELECT coarse.query_id, coarse.vec_id, " +
+        "list_cosine_similarity(a.v, b.v) AS cs FROM coarse " +
+        "JOIN e a ON a.vec_id = coarse.query_id JOIN e b ON b.vec_id = coarse.vec_id) " +
+        "SELECT query_id, rn AS rank, vec_id, ROUND(cs, 6) AS cos FROM (" +
+        "SELECT query_id, vec_id, cs, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY cs DESC, vec_id) AS rn FROM scored) " +
+        "WHERE rn <= 5 ORDER BY query_id, rank"),
+    // splitLabelMd5 replay: u = first 6 md5 hex digits of the DECIMAL id
+    // string / 2^24; nested cumulative-bound labels, last label fallback.
+    "sample_split" ->
+      ("SELECT split, lang, COUNT(*) AS n_docs FROM (SELECT lang, CASE " +
+        "WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split " +
+        "FROM (SELECT lang, CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), " +
+        "1, 6)) AS BIGINT) / 16777216.0 AS u FROM documents)) " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     // quantizeInt8/dequantizeInt8 replay: scale = max|x|/127 in double,
     // codes = round(x/scale) (both engines round half away from zero),
     // reconstruction narrowed through FLOAT exactly like the Spark side,
