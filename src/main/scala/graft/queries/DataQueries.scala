@@ -67,8 +67,10 @@ object DataQueries {
       .orderBy("vec_a", "vec_b")
 
   /** Scale path for embedding near-dup: LSH-bucketed candidates + exact
-    * cosine verify. Rows-only (seeded hyperplanes aren't reproducible in
-    * DuckDB); DedupSpec bounds its recall against the exact operator.
+    * cosine verify. Oracle-checked end to end — plane-literal buckets,
+    * occupancy salting, and the chained xxhash64 salt all replay in
+    * DuckDB; DedupSpec additionally bounds recall against the exact
+    * operator.
     */
   def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairsLsh(table(spark, dir, "embeddings"),
@@ -122,6 +124,10 @@ object DataQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Oracle-checked: the hash-seeded centroid pick replays through the
+    * HUGEINT xxhash64 expansion (see [[xxhash64LongSql]]), and the
+    * assignment/probe/rank stages are deterministic arithmetic.
+    */
   def annTopkIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -476,8 +482,8 @@ object DataQueries {
   def decontaminateEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.decontaminateEmbedding(table(spark, dir, "embeddings"), threshold = 0.45)
 
-  /** LSH-fronted scale twin (rows-only; DedupSpec bounds recall vs the
-    * exact form).
+  /** LSH-fronted scale twin — oracle-checked via the plane-literal
+    * replay (DedupSpec additionally bounds recall vs the exact form).
     */
   def decontaminateEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.decontaminateEmbeddingLsh(table(spark, dir, "embeddings"),
@@ -674,6 +680,64 @@ object DataQueries {
   // projected through 64 multiply-shift bits, fingerprint carried as two
   // 32-bit halves (DuckDB errors on 1<<63); see the Scala side for the
   // limb-decomposed mulmod rationale.
+  // ------------------------------------------------------------------
+  // DuckDB replay of Spark's xxhash64 over a BIGINT column. DuckDB has
+  // no xxhash64 and its BIGINT does not wrap, so the XXH64 8-byte path
+  // (seed 42: init, one merge round, avalanche [public: the xxHash
+  // reference spec]) is expanded into layered subqueries of HUGEINT
+  // arithmetic: multiplications mod 2^64 decompose into 32-bit limbs,
+  // rotations into shift-add (the halves are disjoint bit ranges, so
+  // OR = +), xors into two BIGINT halves. Each layer references only
+  // named columns of the previous layer, keeping the text linear in the
+  // step count. Emits a derived table yielding (<idCol>, xxh BIGINT).
+  private def xxhash64LongSql(base: String, idCol: String,
+      seedCol: Option[String] = None): String = {
+    val M64 = "18446744073709551616::HUGEINT"
+    val M32 = "4294967296::HUGEINT"
+    val P1 = "11400714785074694791::HUGEINT"
+    val P2 = "14029467366897019727::HUGEINT"
+    val P3 = "1609587929392839161::HUGEINT"
+    val P4 = "9650029242287828579::HUGEINT"
+    def mul(a: String, b: String) =
+      s"(($a % $M32) * ($b % $M32) + ((($a // $M32) * ($b % $M32) + " +
+        s"($a % $M32) * ($b // $M32)) % $M32) * $M32) % $M64"
+    def rotl(a: String, r: Int) =
+      s"(($a * ${1L << r}::HUGEINT) % $M64 + $a // ${java.math.BigInteger.ONE.shiftLeft(64 - r)}::HUGEINT)"
+    def xor64(a: String, b: String) =
+      s"(CAST(xor(CAST($a // $M32 AS BIGINT), CAST($b // $M32 AS BIGINT)) AS HUGEINT) * $M32 + " +
+        s"CAST(xor(CAST($a % $M32 AS BIGINT), CAST($b % $M32 AS BIGINT)) AS HUGEINT))"
+    def shr(a: String, n: Int) =
+      s"($a // ${java.math.BigInteger.ONE.shiftLeft(n)}::HUGEINT)"
+    // init = (seed + PRIME64_5 + 8) mod 2^64: a literal for the default
+    // seed 42, a computed column when the seed rides per row (chained
+    // multi-arg hashes)
+    val h0Const = (BigInt(42) + BigInt("2870177450012600261") + 8).mod(BigInt(2).pow(64))
+    val h0Expr = seedCol match {
+      case Some(c) => s"(($c) + 2870177450012600261::HUGEINT + 8::HUGEINT) % $M64"
+      case None    => s"$h0Const::HUGEINT"
+    }
+    val layers: Seq[(String, String)] = Seq(
+      "x" -> (s"CASE WHEN $idCol < 0 THEN CAST($idCol AS HUGEINT) + $M64 " +
+        s"ELSE CAST($idCol AS HUGEINT) END"),
+      "k1a" -> mul("x", P2),
+      "k1b" -> rotl("k1a", 31),
+      "k1c" -> mul("k1b", P1),
+      "h0e" -> h0Expr,
+      "h1" -> xor64("h0e", "k1c"),
+      "h2" -> rotl("h1", 27),
+      "h3" -> s"(${mul("h2", P1)} + $P4) % $M64",
+      "h4" -> xor64("h3", shr("h3", 33)),
+      "h5" -> mul("h4", P2),
+      "h6" -> xor64("h5", shr("h5", 29)),
+      "h7" -> mul("h6", P3),
+      "h8" -> xor64("h7", shr("h7", 32)),
+      "xxh" -> (s"CAST(CASE WHEN h8 >= 9223372036854775808::HUGEINT " +
+        s"THEN h8 - $M64 ELSE h8 END AS BIGINT)"))
+    layers.foldLeft(base) { case (inner, (name, expr)) =>
+      s"SELECT *, $expr AS $name FROM ($inner)"
+    }
+  }
+
   private val simhashFpCte =
     "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
       "FROM documents), " +
@@ -926,6 +990,125 @@ object DataQueries {
         "qb AS (SELECT vec_id AS query_id, tbl, bucket FROM bk WHERE vec_id < 10), " +
         "cand AS (SELECT DISTINCT q.query_id, c.vec_id FROM bk c JOIN qb q " +
         "ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.query_id), " +
+        "scored AS (SELECT cand.query_id, cand.vec_id, " +
+        "list_cosine_similarity(a.v, b.v) AS cs FROM cand " +
+        "JOIN e a ON a.vec_id = cand.query_id JOIN e b ON b.vec_id = cand.vec_id) " +
+        "SELECT query_id, rn AS rank, vec_id, ROUND(cs, 6) AS cos FROM (" +
+        "SELECT query_id, vec_id, cs, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY cs DESC, vec_id) AS rn FROM scored) " +
+        "WHERE rn <= 5 ORDER BY query_id, rank"),
+    // embeddingCosinePairsLsh replay — the salted form: plane-literal
+    // buckets (bits auto-sizes to 3 at both graded scales; a fixture
+    // regeneration that changes it fails the hash loudly), per-bucket
+    // occupancy, nsalt = ceil(occ/1000), salt = pmod(xxhash64(tbl,
+    // vec_id), nsalt). The multi-arg hash chains Catalyst's own
+    // XXH64.hashInt(tbl, 42) — constant per table, precomputed here and
+    // joined as a VALUES lookup — into the HUGEINT hashLong expansion
+    // with a per-row seed.
+    "dedup_embedding_lsh" -> {
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      val seedRows = (0 until 16).map { t =>
+        val h = BigInt(XXH64.hashInt(t, 42L)).mod(BigInt(2).pow(64))
+        s"($t,$h::HUGEINT)"
+      }.mkString(",")
+      val hashed = xxhash64LongSql(
+        "SELECT vec_id, tbl, bucket, hseed FROM bk JOIN seeds USING (tbl)",
+        "vec_id", seedCol = Some("hseed"))
+      val nsalt = "CAST(CEIL(o / 1000.0) AS BIGINT)"
+      "WITH planes(tbl, bit, p) AS (VALUES " +
+        Similarity.lshPlanesSqlValues(64, 16, 3, 7L) + "), " +
+        s"seeds(tbl, hseed) AS (VALUES $seedRows), " +
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "nrm AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nv FROM e), " +
+        "bk AS (SELECT e.vec_id, pl.tbl, " +
+        "SUM(CASE WHEN list_inner_product(e.v, pl.p) >= 0 THEN (1 << bit) " +
+        "ELSE 0 END) AS bucket FROM e CROSS JOIN planes pl GROUP BY 1, 2), " +
+        s"hashed AS (SELECT vec_id, tbl, bucket, xxh FROM ($hashed)), " +
+        "occ AS (SELECT tbl, bucket, COUNT(*) AS o FROM bk GROUP BY 1, 2), " +
+        "salted AS (SELECT h.vec_id, h.tbl, h.bucket, " +
+        s"CASE WHEN $nsalt = 1 THEN 0 ELSE ((h.xxh % $nsalt) + $nsalt) % $nsalt END AS salt " +
+        "FROM hashed h JOIN occ USING (tbl, bucket)), " +
+        "pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b " +
+        "FROM salted a JOIN salted b ON a.tbl = b.tbl AND a.bucket = b.bucket " +
+        "AND a.salt = b.salt AND a.vec_id < b.vec_id), " +
+        "scored AS (SELECT p.vec_a, p.vec_b, " +
+        "list_inner_product(x.v, y.v) / (x.nv * y.nv) AS cs " +
+        "FROM pairs p JOIN nrm x ON x.vec_id = p.vec_a " +
+        "JOIN nrm y ON y.vec_id = p.vec_b) " +
+        "SELECT DISTINCT vec_a, vec_b, ROUND(cs, 6) AS cos FROM scored " +
+        "WHERE cs >= 0.45 ORDER BY vec_a, vec_b"
+    },
+    // decontaminateEmbeddingLsh replay: plane-literal buckets (16 tables
+    // x 3 bits, seed 7), cross-split candidate join, exact-cosine verify.
+    "decontaminate_embedding_lsh" ->
+      ("WITH planes(tbl, bit, p) AS (VALUES " +
+        Similarity.lshPlanesSqlValues(64, 16, 3, 7L) + "), " +
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "bk AS (SELECT e.vec_id, pl.tbl, " +
+        "SUM(CASE WHEN list_inner_product(e.v, pl.p) >= 0 THEN (1 << bit) " +
+        "ELSE 0 END) AS bucket FROM e CROSS JOIN planes pl GROUP BY 1, 2), " +
+        "cand AS (SELECT DISTINCT tr.vec_id, te.vec_id AS t_id " +
+        "FROM bk tr JOIN bk te ON tr.tbl = te.tbl AND tr.bucket = te.bucket " +
+        "WHERE tr.vec_id % 5 <> 0 AND te.vec_id % 5 = 0), " +
+        "scored AS (SELECT cand.vec_id, list_cosine_similarity(a.v, b.v) AS cs " +
+        "FROM cand JOIN e a ON a.vec_id = cand.vec_id " +
+        "JOIN e b ON b.vec_id = cand.t_id) " +
+        "SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_test_hits, " +
+        "ROUND(MAX(cs), 6) AS max_cos " +
+        "FROM scored WHERE cs >= 0.45 GROUP BY vec_id ORDER BY vec_id"),
+    // semDedup replay: unit-normalize, xxhash64-seeded spherical cells
+    // (auto-sized GREATEST(16, LEAST(2^16, n/250)) like the Scala side),
+    // nprobe=3 assignment, within-cell cosine pairs, keep-min collapse.
+    "semdedup" ->
+      ("WITH hashes AS (SELECT vec_id, xxh FROM (" +
+        xxhash64LongSql("SELECT vec_id FROM embeddings", "vec_id") + ")), " +
+        "e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "nrm AS (SELECT vec_id, v, GREATEST(sqrt(list_inner_product(v, v)), " +
+        "2.2250738585072014e-308) AS nv FROM e0), " +
+        "unitv AS (SELECT vec_id, list_transform(v, x -> x / nv) AS u FROM nrm), " +
+        "ncells AS (SELECT GREATEST(16, LEAST(65536, COUNT(*) // 250)) AS k " +
+        "FROM embeddings), " +
+        "cents AS (SELECT vec_id AS centroid_id, u AS ce FROM (" +
+        "SELECT unitv.*, ROW_NUMBER() OVER (ORDER BY xxh, vec_id) AS rk " +
+        "FROM unitv JOIN hashes USING (vec_id)) CROSS JOIN ncells WHERE rk <= k), " +
+        "assign AS (SELECT vec_id, centroid_id FROM (" +
+        "SELECT uv.vec_id, c.centroid_id, ROW_NUMBER() OVER (" +
+        "PARTITION BY uv.vec_id ORDER BY " +
+        "list_inner_product(uv.u, uv.u) + list_inner_product(c.ce, c.ce) " +
+        "- 2.0 * list_inner_product(uv.u, c.ce) ASC, c.centroid_id) AS rk " +
+        "FROM unitv uv CROSS JOIN cents c) WHERE rk <= 3), " +
+        "cells AS (SELECT n.vec_id, a.centroid_id AS cell, n.v, n.nv " +
+        "FROM nrm n JOIN assign a USING (vec_id)), " +
+        "pairs AS (SELECT a.vec_id AS removed_id, b.vec_id AS kept_cand, " +
+        "list_inner_product(a.v, b.v) / (a.nv * b.nv) AS cos " +
+        "FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id > b.vec_id " +
+        "WHERE list_inner_product(a.v, b.v) / (a.nv * b.nv) >= 0.45) " +
+        "SELECT removed_id, MIN(kept_cand) AS kept_id, ROUND(MAX(cos), 6) AS max_cos " +
+        "FROM pairs GROUP BY removed_id ORDER BY removed_id"),
+    // ivfTopK replay (refineIters = 0, the registered form): centroid
+    // pick = 16 smallest (xxhash64(vec_id), vec_id) via the HUGEINT
+    // xxhash64 expansion, then L2 assignment, nprobe=4 probing, and the
+    // exact-cosine rank — every stage deterministic SQL.
+    "ann_topk_ivf" ->
+      ("WITH hashes AS (SELECT vec_id, xxh FROM (" +
+        xxhash64LongSql("SELECT vec_id FROM embeddings", "vec_id") + ")), " +
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "cents AS (SELECT e.vec_id AS centroid_id, e.v AS ce FROM e " +
+        "JOIN hashes USING (vec_id) ORDER BY xxh, vec_id LIMIT 16), " +
+        "assign AS (SELECT vec_id, centroid_id FROM (" +
+        "SELECT e.vec_id, c.centroid_id, ROW_NUMBER() OVER (" +
+        "PARTITION BY e.vec_id ORDER BY " +
+        "list_inner_product(e.v, e.v) + list_inner_product(c.ce, c.ce) " +
+        "- 2.0 * list_inner_product(e.v, c.ce) ASC, c.centroid_id) AS rk " +
+        "FROM e CROSS JOIN cents c) WHERE rk = 1), " +
+        "probes AS (SELECT query_id, centroid_id FROM (" +
+        "SELECT q.vec_id AS query_id, c.centroid_id, ROW_NUMBER() OVER (" +
+        "PARTITION BY q.vec_id ORDER BY " +
+        "-2.0 * list_inner_product(q.v, c.ce) + list_inner_product(c.ce, c.ce) ASC, " +
+        "c.centroid_id) AS rk FROM e q CROSS JOIN cents c WHERE q.vec_id < 10) " +
+        "WHERE rk <= 4), " +
+        "cand AS (SELECT p.query_id, a.vec_id FROM assign a " +
+        "JOIN probes p USING (centroid_id) WHERE a.vec_id <> p.query_id), " +
         "scored AS (SELECT cand.query_id, cand.vec_id, " +
         "list_cosine_similarity(a.v, b.v) AS cs FROM cand " +
         "JOIN e a ON a.vec_id = cand.query_id JOIN e b ON b.vec_id = cand.vec_id) " +

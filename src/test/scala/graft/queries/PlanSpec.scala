@@ -570,4 +570,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("SQLAppUDF"),
       "higher-order functions must stay native expressions")
   }
+
+  test("forecast_backtest: grouped-map fit on the melt key, no cartesian, bounded exchanges") {
+    val p = plan("forecast_backtest")
+    assert(p.contains("MapGroups"),
+      "rolling-origin fits must fan out as a per-series grouped map")
+    assert(!p.contains("CartesianProduct"))
+    // bucketize (date key) + the fit's (table, metric) key + output sort
+    val tree = """\n\s*\+?- Exchange \(\d+\)""".r.findAllIn(p).length
+    assert(tree <= 4, s"backtest should reuse the melt's keying; got $tree exchanges\n$p")
+  }
+
+  test("forecast_events_hourly: sub-daily fit is a grouped map over the hourly bucket agg") {
+    val p = plan("forecast_events_hourly")
+    assert(p.contains("MapGroups"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sample_split: membership is a pure projection — no shuffle before the rollup") {
+    val p = plan("sample_split")
+    assert(!p.contains("Join"), "hash-split must not join anything")
+    val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"one rollup exchange + output sort at most, got $exchanges\n$p")
+  }
+
+  test("ann_recall: ground truth is persisted once and reused by every gate branch") {
+    val p = plan("ann_recall")
+    assert(p.contains("InMemoryRelation"),
+      "brute-force truth must be persisted, not recomputed per variant")
+    assert(!p.contains("BatchEvalPython"))
+  }
 }
