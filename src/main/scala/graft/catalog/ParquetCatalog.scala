@@ -19,13 +19,28 @@ import org.apache.spark.sql.types.StructType
   */
 object TableNames {
   val ForecastPrefix = "bucket_forecast_"
+  val BacktestPrefix = "bucket_backtest_"
 
   def forecastName(source: String): String = {
     val base = if (source.startsWith("bucket_")) source.substring(7) else source
     ForecastPrefix + base
   }
 
+  /** Output table for [[graft.job.ForecastJob.backtest]] — same
+    * prefix-strip rewrite as [[forecastName]].
+    */
+  def backtestName(source: String): String = {
+    val base = if (source.startsWith("bucket_")) source.substring(7) else source
+    BacktestPrefix + base
+  }
+
   def isForecastOutput(name: String): Boolean = name.startsWith(ForecastPrefix)
+
+  /** Any table this library's jobs write — excluded from job input scans
+    * so reruns never forecast a forecast (or backtest a backtest).
+    */
+  def isJobOutput(name: String): Boolean =
+    isForecastOutput(name) || name.startsWith(BacktestPrefix)
 }
 
 /** A "database" rooted at a directory of parquet tables, one table per

@@ -8,7 +8,7 @@ import graft.catalog.ParquetCatalog
   * (forecast_script.py:251-267, README.md:5-13):
   *
   *   graft.job.ForecastCli <db_dir> <interval> [specific_tables]
-  *       [--only-future] [--unioned] [--parity-types]
+  *       [--only-future] [--unioned] [--parity-types] [--backtest]
   *
   * `db_dir` is a directory of parquet tables (the "database");
   * `interval` is the forecast horizon in days; `specific_tables` is a
@@ -17,7 +17,12 @@ import graft.catalog.ParquetCatalog
   * strictly-after-history rows (fs:176); `--unioned` fits the whole
   * database in one grouped shuffle instead of one Spark job per table;
   * `--parity-types` casts forecast columns back to each metric's source
-  * type (the reference's fs:135 type re-use — truncating for int metrics).
+  * type (the reference's fs:135 type re-use — truncating for int metrics);
+  * `--backtest` (beyond-reference) runs rolling-origin cross-validation
+  * instead of forecasting, with Prophet's default cutoff spacing derived
+  * from the horizon (initial = 3 x horizon, period = horizon / 2
+  * [public: prophet diagnostics defaults]), writing
+  * `bucket_backtest_<t>` metric tables.
   *
   * Infra parity (SURVEY.md §2.8): I2 — the top-level catch mirrors the
   * reference's global excepthook (fs:76-79); I4 — wall-clock summary.
@@ -36,10 +41,11 @@ object ForecastCli {
       val dbDir = args(0)
       val interval = args(1).toInt
       val rest = args.drop(2)
-      val flags = Set("--only-future", "--unioned", "--parity-types")
+      val flags = Set("--only-future", "--unioned", "--parity-types", "--backtest")
       val onlyFuture = rest.contains("--only-future")
       val unioned = rest.contains("--unioned")
       val parityTypes = rest.contains("--parity-types")
+      val backtest = rest.contains("--backtest")
       val specific = rest.filterNot(flags).headOption
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
@@ -55,9 +61,14 @@ object ForecastCli {
           .getOrCreate()
       val job = new ForecastJob(new ParquetCatalog(spark, dbDir), interval, specific,
         onlyFuture, parityTypes)
-      val summary = if (unioned) job.runUnioned() else job.run()
+      val summary =
+        if (backtest)
+          job.backtest(horizon = interval,
+            period = math.max(1, interval / 2), initial = 3 * interval)
+        else if (unioned) job.runUnioned()
+        else job.run()
       println(
-        f"forecast run finished in ${summary.wallSeconds}%.1f s: " +
+        f"${if (backtest) "backtest" else "forecast"} run finished in ${summary.wallSeconds}%.1f s: " +
           s"successful=${summary.successful.size} created=${summary.created.size} " +
           s"updated=${summary.updated.size} skipped=${summary.skipped.size} " +
           s"failedSeries=${summary.failedSeries.size}")

@@ -66,7 +66,7 @@ final class ForecastJob(
 
     val eligible = catalog
       .listTables()
-      .filterNot(TableNames.isForecastOutput) // skip our own outputs (fs:234)
+      .filterNot(TableNames.isJobOutput) // skip our own outputs (fs:234)
       .filter(t => specificTables.forall(_.contains(t)))
     // `bucket_x` and `x` both map to bucket_forecast_x (the prefix-strip
     // rewrite, fs:121-124); run only the first and skip the rest instead
@@ -137,7 +137,7 @@ final class ForecastJob(
 
     val eligible = catalog
       .listTables()
-      .filterNot(TableNames.isForecastOutput)
+      .filterNot(TableNames.isJobOutput)
       .filter(t => specificTables.forall(_.contains(t)))
     val byOutput = eligible.groupBy(TableNames.forecastName)
     val candidates = eligible.filter(t => byOutput(TableNames.forecastName(t)).head == t)
@@ -200,6 +200,83 @@ final class ForecastJob(
           }
         }
       } finally fc.unpersist()
+    }
+    summarize(successful, created, updated, skipped, failedSeries, t0)
+  }
+
+  /** Rolling-origin evaluation across the whole catalog — the job-level
+    * face of [[graft.forecast.Backtest]]: for every eligible table,
+    * cross-validate each numeric metric and (re)write
+    * `bucket_backtest_<t>` with one row per (metric, cutoff) carrying
+    * MAE/RMSE/80%-band coverage and the seasonal-naive baseline MAE.
+    * Same eligibility, name-collision, and fault-isolation rules as
+    * [[run]]; a table whose history is too short for any cutoff is
+    * SKIPPED (with a reason), not failed.
+    */
+  def backtest(horizon: Int, period: Int, initial: Int): JobSummary = {
+    val t0 = System.nanoTime()
+    val successful = ArrayBuffer[String]()
+    val created = ArrayBuffer[String]()
+    val updated = ArrayBuffer[String]()
+    val skipped = ArrayBuffer[(String, String)]()
+    val failedSeries = ArrayBuffer[(String, String)]()
+
+    val eligible = catalog
+      .listTables()
+      .filterNot(TableNames.isJobOutput)
+      .filter(t => specificTables.forall(_.contains(t)))
+    val byOutput = eligible.groupBy(TableNames.backtestName)
+    val candidates = eligible.filter(t => byOutput(TableNames.backtestName(t)).head == t)
+    eligible.filterNot(candidates.contains).foreach { t =>
+      skipped += t -> s"output name collides with ${byOutput(TableNames.backtestName(t)).head}"
+    }
+
+    candidates.foreach { t =>
+      try {
+        val raw = catalog.load(t)
+        if (!raw.columns.contains("date")) {
+          skipped += t -> "no date column"
+        } else {
+          val df = SeriesOps.normalizeDate(raw)
+          val metrics = SeriesOps.numericMetricColumns(df.schema)
+          if (metrics.isEmpty) {
+            skipped += t -> "no numeric metric columns"
+          } else if (SeriesOps.isEmpty(df)) {
+            skipped += t -> "empty table"
+          } else {
+            val long = SeriesOps.melt(df, metrics).withColumn("table", lit(t))
+            val bt = graft.forecast.Backtest
+              .crossValidate(long, horizon, period, initial)
+              .toDF()
+              .select(col("metric"), col("cutoff"), col("n"),
+                round(col("mae"), 6).as("mae"),
+                round(col("rmse"), 6).as("rmse"),
+                round(col("coverage"), 6).as("coverage"),
+                round(col("mae_naive"), 6).as("mae_naive"))
+              .cache()
+            try {
+              val evaluated =
+                bt.select("metric").distinct().collect().map(_.getString(0)).toSet
+              if (evaluated.isEmpty) {
+                skipped += t -> s"history shorter than initial=$initial + horizon=$horizon"
+              } else {
+                metrics.filterNot(evaluated).foreach(m => failedSeries += t -> m)
+                val outName = TableNames.backtestName(t)
+                val existed = catalog.tableExists(outName)
+                catalog.writeTable(outName, bt, sortCol = "cutoff")
+                if (existed) updated += outName else created += outName
+                if (metrics.forall(evaluated)) successful += t
+                log.info(s"backtest $t -> $outName (${metrics.size} metrics, " +
+                  s"${evaluated.size} evaluated)")
+              }
+            } finally bt.unpersist()
+          }
+        }
+      } catch {
+        case NonFatal(e) =>
+          log.error(s"table $t backtest failed: ${e.getMessage}")
+          failedSeries += t -> "*"
+      }
     }
     summarize(successful, created, updated, skipped, failedSeries, t0)
   }

@@ -44,6 +44,34 @@ class ForecastJobSpec extends SparkSpec {
     assert(out.filter(col("value_sum_min") > col("value_sum")).count() == 0)
   }
 
+  test("backtest: writes bucket_backtest_<t> metrics tables, skips short/ineligible, reruns don't re-ingest outputs") {
+    val cat = seedCatalog()
+    val summary = new ForecastJob(cat, interval = 7)
+      .backtest(horizon = 7, period = 3, initial = 14)
+    assert(summary.created.toSet ==
+      Set("bucket_backtest_events", "bucket_backtest_plain_sales"))
+    assert(summary.successful.toSet == Set("bucket_events", "plain_sales"))
+    assert(summary.skipped.exists(_._1 == "bucket_names_only"))
+
+    val bt = cat.load("bucket_backtest_events")
+    assert(bt.columns.toSeq ==
+      Seq("metric", "cutoff", "n", "mae", "rmse", "coverage", "mae_naive"))
+    // 30-day fixture, horizon 7, period 3, initial 14 -> 4 cutoffs x 3 metrics
+    assert(bt.count() == 12, s"got ${bt.count()} rows")
+    assert(bt.filter(col("rmse") < col("mae")).count() == 0)
+    assert(bt.filter(col("coverage") < 0 || col("coverage") > 1).count() == 0)
+
+    // a second run must classify outputs as updates AND must not try to
+    // backtest the bucket_backtest_/bucket_forecast_ outputs themselves
+    new ForecastJob(cat, 7).run() // create forecast outputs too
+    val s2 = new ForecastJob(cat, 7).backtest(7, 3, 14)
+    assert(s2.created.isEmpty)
+    assert(s2.updated.toSet ==
+      Set("bucket_backtest_events", "bucket_backtest_plain_sales"))
+    assert(!s2.successful.exists(t =>
+      t.startsWith("bucket_backtest_") || t.startsWith("bucket_forecast_")))
+  }
+
   test("rerun overwrites: outputs land in updated, row counts stable") {
     val cat = seedCatalog()
     new ForecastJob(cat, 7).run()
