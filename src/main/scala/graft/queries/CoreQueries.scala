@@ -262,8 +262,30 @@ object CoreQueries {
       .orderBy("metric", "ts")
   }
 
+  /** Oracle-checkable face of the hourly forecast: DuckDB replays the
+    * hourly bucket calendar, so the claim "every observed hourly bucket
+    * got a fitted row, plus exactly 24 future steps, with a sane band"
+    * is a deterministic table — (metric, n_hist, n_future, bands_ok).
+    * A fit that drops buckets, emits wrong horizons, or produces an
+    * inverted band flips a value and fails the driver hash.
+    */
+  def forecastEventsHourlyGate(spark: SparkSession, dir: String): DataFrame = {
+    val fc = forecastEventsHourly(spark, dir)
+    val lastHist = table(spark, dir, "events")
+      .agg(max(date_trunc("hour", col("ts"))).as("m"))
+    fc.crossJoin(broadcast(lastHist))
+      .groupBy(col("metric"))
+      .agg(
+        sum(when(col("ts") <= col("m"), 1).otherwise(0)).as("n_hist"),
+        sum(when(col("ts") > col("m"), 1).otherwise(0)).as("n_future"),
+        min((col("yhat_lower") <= col("yhat") &&
+          col("yhat") <= col("yhat_upper")).cast("int")).as("bands_ok"))
+      .orderBy("metric")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "forecast_events_hourly" -> (forecastEventsHourly _),
+    "forecast_events_hourly_gate" -> (forecastEventsHourlyGate _),
     "forecast_backtest" -> (forecastBacktest _),
     "forecast_backtest_gate" -> (forecastBacktestGate _),
     "forecast_events" -> (forecastEvents _),
@@ -290,6 +312,13 @@ object CoreQueries {
       |FROM events GROUP BY 1""".stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
+    // DuckDB recomputes the hourly bucket count per metric; the horizon
+    // (24) and the band-sanity bit are expected constants.
+    "forecast_events_hourly_gate" ->
+      ("WITH h AS (SELECT COUNT(DISTINCT date_trunc('hour', ts)) AS n FROM events) " +
+        "SELECT m.metric, n AS n_hist, CAST(24 AS BIGINT) AS n_future, " +
+        "1 AS bands_ok FROM h CROSS JOIN (VALUES ('event_count'), " +
+        "('value_sum')) m(metric) ORDER BY metric"),
     // Replays the Prophet-style cutoff calendar (last-7 stepping back 3
     // while >= 14 training days) and per-cutoff test counts in pure SQL;
     // the model-skill bit is the expected constant 1 per row.
