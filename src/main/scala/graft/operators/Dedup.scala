@@ -382,23 +382,32 @@ object Dedup {
     */
   def simhashDeterministic(docs: DataFrame): DataFrame = {
     val M32 = 4294967296L
-    // (a * h) mod 2^32 without exceeding 2^49: 16-bit limb decomposition
-    def mulMod32(a: Long, h: Column): Column =
-      pmod(lit(a) * h.bitwiseAND(lit(65535L)) +
-        pmod(lit(a) * shiftrightunsigned(h, 16), lit(65536L)) * 65536L, lit(M32))
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
     def fold(base: Long, seed: Long): Column =
       aggregate(split(col("tok"), ""), lit(seed),
-        (acc, c) => pmod(acc * base + ascii(c), lit(M32)))
-    val hashed = toks.select(col("doc_id"),
-      fold(31L, 17L).as("h1"), fold(131L, 29L).as("h2"))
+        (acc, c) => (acc * base + ascii(c)) % M32)
+    // the 16-bit limbs of each token hash are shared by all 128 mulmods
+    // below — computed once per row instead of once per bit. Plain `%` is
+    // exact here: every operand is non-negative (hashes < 2^32, limb
+    // products < 2^49), so pmod's sign branch is dead weight in the hot
+    // projection.
+    val hashed = toks
+      .select(col("doc_id"), fold(31L, 17L).as("h1"), fold(131L, 29L).as("h2"))
+      .select(col("doc_id"),
+        col("h1").bitwiseAND(lit(65535L)).as("h1lo"),
+        shiftrightunsigned(col("h1"), 16).as("h1hi"),
+        col("h2").bitwiseAND(lit(65535L)).as("h2lo"),
+        shiftrightunsigned(col("h2"), 16).as("h2hi"))
+    def mulMod32(a: Long, lo: Column, hi: Column): Column =
+      (lit(a) * lo + (lit(a) * hi % 65536L) * 65536L) % M32
     val bitSums = (0 until 64).map { i =>
       val a = (2654435761L * (2L * i + 3L)) % M32 // odd => bijective mod 2^32
       val b = (2246822519L * (2L * i + 5L)) % M32
       val c = (3266489917L * (i + 1L)) % M32
-      val g = pmod(mulMod32(a, col("h1")) + mulMod32(b, col("h2")) + c, lit(M32))
+      val g = (mulMod32(a, col("h1lo"), col("h1hi")) +
+        mulMod32(b, col("h2lo"), col("h2hi")) + c) % M32
       sum(when(g >= 2147483648L, 1).otherwise(-1)).as(s"b$i")
     }
     val agg = hashed.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)

