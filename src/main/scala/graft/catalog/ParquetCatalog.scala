@@ -297,6 +297,10 @@ final class ParquetCatalog(val spark: SparkSession, val root: String) {
       else {
         val keep = (keepColumns ++ partitionColumn).map(_.toLowerCase)
         val skipLower = skipTypes.map(_.toLowerCase)
+        // Spark's JDBC source loads the driver class from the `driver`
+        // option itself; the raw DriverManager probe needs the same
+        // registration or it fails where the scan would succeed.
+        options.get("driver").foreach(Class.forName)
         val conn = java.sql.DriverManager.getConnection(url,
           options.getOrElse("user", ""), options.getOrElse("password", ""))
         try {

@@ -22,7 +22,8 @@ import graft.catalog.ParquetCatalog
   * instead of forecasting, with Prophet's default cutoff spacing derived
   * from the horizon (initial = 3 x horizon, period = horizon / 2
   * [public: prophet diagnostics defaults]), writing
-  * `bucket_backtest_<t>` metric tables.
+  * `bucket_backtest_<t>` metric tables; combined with `--unioned` the
+  * whole catalog cross-validates in one grouped shuffle.
   *
   * Infra parity (SURVEY.md §2.8): I2 — the top-level catch mirrors the
   * reference's global excepthook (fs:76-79); I4 — wall-clock summary.
@@ -62,7 +63,10 @@ object ForecastCli {
       val job = new ForecastJob(new ParquetCatalog(spark, dbDir), interval, specific,
         onlyFuture, parityTypes)
       val summary =
-        if (backtest)
+        if (backtest && unioned)
+          job.backtestUnioned(horizon = interval,
+            period = math.max(1, interval / 2), initial = 3 * interval)
+        else if (backtest)
           job.backtest(horizon = interval,
             period = math.max(1, interval / 2), initial = 3 * interval)
         else if (unioned) job.runUnioned()

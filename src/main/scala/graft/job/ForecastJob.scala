@@ -281,6 +281,98 @@ final class ForecastJob(
     summarize(successful, created, updated, skipped, failedSeries, t0)
   }
 
+  /** Whole-database unioned backtest — every (table, metric) series of
+    * every eligible table cross-validates in ONE grouped-fit shuffle
+    * (the same single-job shape [[runUnioned]] uses to dodge the
+    * reference's per-table scaling wall, SURVEY §3); writes still happen
+    * per table. Output-identical to [[backtest]] — ForecastJobSpec
+    * asserts the equality.
+    */
+  def backtestUnioned(horizon: Int, period: Int, initial: Int): JobSummary = {
+    import org.apache.spark.sql.DataFrame
+    val t0 = System.nanoTime()
+    val successful = ArrayBuffer[String]()
+    val created = ArrayBuffer[String]()
+    val updated = ArrayBuffer[String]()
+    val skipped = ArrayBuffer[(String, String)]()
+    val failedSeries = ArrayBuffer[(String, String)]()
+
+    val eligible = catalog
+      .listTables()
+      .filterNot(TableNames.isJobOutput)
+      .filter(t => specificTables.forall(_.contains(t)))
+    val byOutput = eligible.groupBy(TableNames.backtestName)
+    val candidates = eligible.filter(t => byOutput(TableNames.backtestName(t)).head == t)
+    eligible.filterNot(candidates.contains).foreach { t =>
+      skipped += t -> s"output name collides with ${byOutput(TableNames.backtestName(t)).head}"
+    }
+
+    val prepared: Seq[(String, Seq[String], DataFrame)] = candidates.flatMap { t =>
+      try {
+        val raw = catalog.load(t)
+        if (!raw.columns.contains("date")) { skipped += t -> "no date column"; None }
+        else {
+          val df = SeriesOps.normalizeDate(raw)
+          val metrics = SeriesOps.numericMetricColumns(df.schema)
+          if (metrics.isEmpty) { skipped += t -> "no numeric metric columns"; None }
+          else if (SeriesOps.isEmpty(df)) { skipped += t -> "empty table"; None }
+          else Some((t, metrics,
+            SeriesOps.melt(df, metrics).withColumn("table", lit(t))))
+        }
+      } catch {
+        case NonFatal(e) =>
+          log.error(s"table $t failed during prepare: ${e.getMessage}")
+          failedSeries += t -> "*"
+          None
+      }
+    }
+
+    if (prepared.nonEmpty) {
+      val all = prepared.map(_._3).reduce(_.unionByName(_))
+      val bt = graft.forecast.Backtest
+        .crossValidate(all, horizon, period, initial)
+        .toDF()
+        .select(col("table"), col("metric"), col("cutoff"), col("n"),
+          round(col("mae"), 6).as("mae"),
+          round(col("rmse"), 6).as("rmse"),
+          round(col("coverage"), 6).as("coverage"),
+          round(col("mae_naive"), 6).as("mae_naive"))
+        .cache()
+      try {
+        val evaluatedOpt =
+          try Some(bt.select("table", "metric").distinct().collect()
+            .map(r => (r.getString(0), r.getString(1))).toSet)
+          catch {
+            case NonFatal(e) =>
+              log.error(s"unioned backtest failed: ${e.getMessage}")
+              prepared.foreach { case (t, _, _) => failedSeries += t -> "*" }
+              None
+          }
+        for (evaluated <- evaluatedOpt) prepared.foreach { case (t, metrics, _) =>
+          try {
+            if (!metrics.exists(m => evaluated((t, m)))) {
+              skipped += t -> s"history shorter than initial=$initial + horizon=$horizon"
+            } else {
+              metrics.filterNot(m => evaluated((t, m)))
+                .foreach(m => failedSeries += t -> m)
+              val outName = TableNames.backtestName(t)
+              val existed = catalog.tableExists(outName)
+              catalog.writeTable(outName,
+                bt.filter(col("table") === t).drop("table"), sortCol = "cutoff")
+              if (existed) updated += outName else created += outName
+              if (metrics.forall(m => evaluated((t, m)))) successful += t
+            }
+          } catch {
+            case NonFatal(e) =>
+              log.error(s"table $t failed during backtest write: ${e.getMessage}")
+              failedSeries += t -> "*"
+          }
+        }
+      } finally bt.unpersist()
+    }
+    summarize(successful, created, updated, skipped, failedSeries, t0)
+  }
+
   private def summarize(
       successful: ArrayBuffer[String],
       created: ArrayBuffer[String],

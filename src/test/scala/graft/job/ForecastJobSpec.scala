@@ -72,6 +72,21 @@ class ForecastJobSpec extends SparkSpec {
       t.startsWith("bucket_backtest_") || t.startsWith("bucket_forecast_")))
   }
 
+  test("backtestUnioned: one grouped shuffle, outputs identical to the per-table form") {
+    val cat1 = seedCatalog()
+    val s1 = new ForecastJob(cat1, 7).backtest(7, 3, 14)
+    val cat2 = seedCatalog()
+    val s2 = new ForecastJob(cat2, 7).backtestUnioned(7, 3, 14)
+    assert(s2.created.toSet == s1.created.toSet)
+    assert(s2.successful.toSet == s1.successful.toSet)
+    assert(s2.failedSeries == s1.failedSeries)
+    for (t <- Seq("bucket_backtest_events", "bucket_backtest_plain_sales")) {
+      val a = cat1.load(t).orderBy("metric", "cutoff").collect().toSeq
+      val b = cat2.load(t).orderBy("metric", "cutoff").collect().toSeq
+      assert(a == b, s"$t diverges between per-table and unioned backtest")
+    }
+  }
+
   test("rerun overwrites: outputs land in updated, row counts stable") {
     val cat = seedCatalog()
     new ForecastJob(cat, 7).run()
