@@ -299,10 +299,22 @@ final class ParquetCatalog(val spark: SparkSession, val root: String) {
         val skipLower = skipTypes.map(_.toLowerCase)
         // Spark's JDBC source loads the driver class from the `driver`
         // option itself; the raw DriverManager probe needs the same
-        // registration or it fails where the scan would succeed.
+        // registration or it fails where the scan would succeed. The
+        // probe connection carries every non-Spark option (ssl, role,
+        // sessionInitStatement peers...) the scan would also send — a
+        // user/password-only probe can fail where the scan succeeds.
         options.get("driver").foreach(Class.forName)
-        val conn = java.sql.DriverManager.getConnection(url,
-          options.getOrElse("user", ""), options.getOrElse("password", ""))
+        val sparkOnly = Set("url", "dbtable", "query", "driver", "fetchsize",
+          "partitioncolumn", "lowerbound", "upperbound", "numpartitions",
+          "pushdownpredicate", "pushdownaggregate", "pushdownlimit",
+          "sessioninitstatement", "customschema", "querytimeout",
+          "batchsize", "isolationlevel", "truncate", "createtableoptions",
+          "createtablecolumntypes", "keytab", "principal", "refreshkrb5config")
+        val props = new java.util.Properties()
+        options.foreach { case (k, v) =>
+          if (!sparkOnly.contains(k.toLowerCase)) props.setProperty(k, v)
+        }
+        val conn = java.sql.DriverManager.getConnection(url, props)
         try {
           val probe = conn.prepareStatement(s"SELECT * FROM $dbTable WHERE 1=0")
           try {
@@ -317,6 +329,10 @@ final class ParquetCatalog(val spark: SparkSession, val root: String) {
             skipped.foreach { case (c, t) =>
               log.info(s"importJdbc $name: skipping column with excluded data type: $c: $t")
             }
+            require(kept.nonEmpty,
+              s"importJdbc $name: every column of $dbTable matches a skip type " +
+                s"(${skipped.map { case (c, t) => s"$c: $t" }.mkString(", ")}) — " +
+                "nothing to import; relax skipTypes or add keepColumns")
             if (skipped.isEmpty) None else Some(kept.map(_._1))
           } finally probe.close()
         } finally conn.close()

@@ -125,7 +125,14 @@ object Backtest {
             val e = y - yh
             sae += math.abs(e); sse += e * e
             if (y >= lo && y <= hi) inBand += 1
-            saeNaive += math.abs(y - byDay.getOrElse(d - 7, lastTrainY))
+            // multi-step seasonal naive y(d - 7*ceil((d-c)/7)): the lag
+            // steps back by whole weeks until it lands <= cutoff, so the
+            // baseline never reads an actual inside the evaluation window
+            // (with a plain d-7 lag, horizon > 7 leaked test data and
+            // biased mae_naive optimistic). Falls back to the last
+            // training value when the lagged day predates the series.
+            val lag = d - 7L * ((d - c + 6L) / 7L)
+            saeNaive += math.abs(y - byDay.getOrElse(lag, lastTrainY))
           }
           val n = test.length
           BacktestRow(table, metric,

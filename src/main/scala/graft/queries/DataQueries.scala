@@ -558,10 +558,23 @@ object DataQueries {
     * global agg — no collect, no cross join.
     */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
     val emb = table(spark, dir, "embeddings")
-    val queries = emb.filter(col("vec_id") < 10)
+    // Recall is ESTIMATED on a fixed-size hash-random corpus slice (the
+    // 256 smallest (xxhash64(vec_id), vec_id) — the centroidsOf pick rule,
+    // a distributed TakeOrderedAndProject), with a doubled probe set for
+    // statistical width. The previous full-corpus brute-force truth was
+    // linear-in-corpus forever (measured 3.5x under 30x data); the slice
+    // makes the gate's truth + variant cost CONSTANT in corpus size while
+    // still exercising every variant's real plan. Floors are re-derived
+    // on the sliced regime (measured at sf0.01 and sf0.1): collapse
+    // detectors, not aspirational targets — high-margin regimes live in
+    // SimilaritySpec.
+    val slice = emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(256)
+      .persist()
+    val queries = emb.filter(col("vec_id") < 20)
     val k = 5
-    val truth = Similarity.bruteForceTopK(emb, queries, k)
+    val truth = Similarity.bruteForceTopK(slice, queries, k)
       .select(col("query_id"), col("vec_id")).persist()
     def gate(variant: String, approx: DataFrame, floor: Double): DataFrame = {
       val a = approx.select(col("query_id"), col("vec_id"))
@@ -572,15 +585,28 @@ object DataQueries {
         .select(lit(variant).as("variant"), lit(k).as("k"),
           (col("recall") >= floor).cast("int").as("pass"))
     }
+    val int8Slice = slice.select(col("vec_id"), VectorFunctions.dequantizeInt8(
+      VectorFunctions.quantizeInt8(col("embedding"))).as("embedding"))
     val gates = Seq(
-      gate("int8", annTopkInt8(spark, dir), 0.9),
-      gate("lsh", annTopkLsh(spark, dir), 0.8),
-      gate("rp", annTopkRp(spark, dir), 0.3),
-      gate("ivf", annTopkIvf(spark, dir), 0.4),
-      gate("ivf_refined", annTopkIvfRefined(spark, dir), 0.4),
-      gate("pq", annTopkPq(spark, dir), 0.7),
-      gate("ivf_pq", annTopkIvfPq(spark, dir), 0.4))
-    gates.reduce(_.union(_)).orderBy("variant")
+      // floors: measured 0.99/0.91/0.74/0.50/0.61/0.98/0.50 at sf0.01 and
+      // 0.98/0.93/0.77/0.53/0.60/0.97/0.53 at sf0.1 on the sliced regime
+      gate("int8", Similarity.bruteForceTopK(int8Slice, queries, k), 0.9),
+      gate("lsh", Similarity.lshTopK(slice, queries, dim = 64, k = k), 0.8),
+      gate("rp", Similarity.rpTopK(slice, queries, dim = 64, k = k), 0.5),
+      gate("ivf", Similarity.ivfTopK(slice, queries, k = k), 0.4),
+      gate("ivf_refined",
+        Similarity.ivfTopK(slice, queries, k = k, refineIters = 2), 0.45),
+      gate("pq", Similarity.pqTopK(slice, queries, dim = 64, k = k), 0.8),
+      gate("ivf_pq", Similarity.ivfPqTopK(slice, queries, dim = 64, k = k), 0.4))
+    val out = gates.reduce(_.union(_)).orderBy("variant")
+    // 7-row gate: materialize eagerly so the slice/truth caches can be
+    // RELEASED here instead of leaking into the session (bench loops run
+    // queries repeatedly; an un-dropped cached RDD per call accumulates
+    // until executor storage evicts it).
+    val rows = out.collect()
+    truth.unpersist()
+    slice.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

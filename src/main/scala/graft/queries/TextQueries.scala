@@ -296,21 +296,28 @@ object TextQueries {
   }
 
   /** The 100 TB formulation of [[qualityDeciles]]: decile BOUNDARIES from
-    * one approx_percentile aggregate (t-digest-style sketch, map-side
-    * combinable), broadcast back as a single row, then a plain hash agg —
-    * no global-order window, so no single-partition sort anywhere. Rows
-    * whose score ties a boundary all land in the same decile (ntile would
-    * split them by the tiebreak), and bucket populations are approximate
-    * within the sketch's rank error — the documented trade vs the exact
-    * variant. Rows-only check by design: the sketch's boundaries are
-    * engine-specific; TextQueriesSpec pins the approx-vs-exact agreement.
+    * one percentile aggregate, broadcast back as a single row, then a
+    * plain hash agg — no global-order window, so no single-partition sort
+    * anywhere (that SHAPE, not the boundary estimator, is what survives
+    * the scale-up; at 100 TB swap `percentile` for `percentile_approx`'s
+    * map-side-combinable sketch, a one-expression change on the same
+    * plan). Rows whose score ties a boundary all land in the same decile
+    * (ntile would split them by the tiebreak) — so this is NOT
+    * row-identical to [[qualityDeciles]] at ties, deliberately.
+    * Oracle-checked: exact interpolated percentiles follow the standard
+    * rank rule (p*(n-1), linear interpolation) on both engines, and every
+    * boundary is strictly interior to its bracketing sample pair for
+    * non-degenerate n (499d/10 is never integral), so the `<` bucketing
+    * can't flip on last-ulp interpolation differences.
+    * TextQueriesSpec additionally pins the percentile_approx form's
+    * agreement with this one on the fixtures.
     */
   def qualityDecilesApprox(spark: SparkSession, dir: String): DataFrame = {
     val scored = table(spark, dir, "documents")
       .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q"))
     val bounds = scored.agg(
-      percentile_approx(col("q"),
-        array((1 to 9).map(d => lit(d / 10.0)): _*), lit(10000)).as("b"))
+      expr(s"percentile(q, array(${(1 to 9).map(_ / 10.0).mkString(",")}))")
+        .as("b"))
     scored
       .crossJoin(broadcast(bounds))
       .select(col("q"),
@@ -702,6 +709,16 @@ object TextQueries {
         "ROUND(MAX(q), 6) AS q_max FROM (" +
         "SELECT q, NTILE(10) OVER (ORDER BY q, doc_id) AS decile FROM scored) " +
         "GROUP BY decile ORDER BY decile"),
+    // quantile_cont = Spark's exact `percentile`: rank p*(n-1), linear
+    // interpolation; bucketing by count of boundaries strictly below q
+    "quality_deciles_approx" ->
+      (s"WITH scored AS (SELECT doc_id, $qualityExpr AS q FROM documents), " +
+        "b AS (SELECT quantile_cont(q, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) " +
+        "AS bs FROM scored) " +
+        "SELECT CAST(1 + len(list_filter(bs, x -> x < q)) AS BIGINT) AS decile, " +
+        "COUNT(*) AS n_docs, ROUND(MIN(q), 6) AS q_min, " +
+        "ROUND(MAX(q), 6) AS q_max FROM scored, b " +
+        "GROUP BY 1 ORDER BY 1"),
     "sample_reservoir" ->
       ("SELECT doc_id, lang, source, rn FROM (" +
         "SELECT doc_id, lang, source, ROW_NUMBER() OVER (" +

@@ -48,11 +48,17 @@ object Fixtures {
       else d
     }
     // Layout-proofing: any NTZ column (current generator layout) becomes a
-    // UTC-instant TimestampType column, session-tz-independent.
+    // UTC-instant TimestampType column, session-tz-independent. The cast
+    // interprets the NTZ wall clock in the SESSION time zone, so
+    // to_utc_timestamp must undo exactly that zone (a hardcoded "UTC"
+    // here is an identity shift and silently depends on the session being
+    // pinned to UTC — wrong under a driver-owned session in another tz).
+    val sessionTz = spark.conf.get("spark.sql.session.timeZone")
     nanoDecoded.schema.fields.foldLeft(nanoDecoded) { (d, f) =>
       f.dataType match {
         case TimestampNTZType =>
-          d.withColumn(f.name, to_utc_timestamp(col(f.name).cast(TimestampType), "UTC"))
+          d.withColumn(f.name,
+            to_utc_timestamp(col(f.name).cast(TimestampType), sessionTz))
         case _ => d
       }
     }

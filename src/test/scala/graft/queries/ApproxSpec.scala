@@ -55,6 +55,30 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("percentile_approx boundaries reproduce the exact-boundary deciles") {
+    // the registered query computes exact interpolated boundaries (the
+    // oracle-able form); the 100 TB swap is percentile_approx on the SAME
+    // plan — pin that the sketch boundaries land every row in the same
+    // decile on the fixtures (accuracy 10000 >> n, so rank error < 1)
+    import graft.functions.TextFunctions
+    val scored = Fixtures.table(spark, sf001, "documents")
+      .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q"))
+    val bounds = scored.agg(percentile_approx(col("q"),
+      array((1 to 9).map(d => lit(d / 10.0)): _*), lit(10000)).as("b"))
+    val approx = scored.crossJoin(broadcast(bounds))
+      .select((size(filter(col("b"), x => x < col("q"))) + 1).cast("long").as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("n_docs"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val registered = TextQueries.qualityDecilesApprox(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == registered.keySet)
+    val n = registered.values.sum
+    registered.foreach { case (d, cnt) =>
+      assert(math.abs(approx(d) - cnt).toDouble / (n / 10.0) < 0.2,
+        s"decile $d: sketch ${approx(d)} vs exact-boundary $cnt")
+    }
+  }
+
   test("unioned daily HLL sketches estimate range reach within 5% of exact") {
     val events = Fixtures.table(spark, sf001, "events")
     val merged = RelationalQueries.hllReach(spark, sf001)
