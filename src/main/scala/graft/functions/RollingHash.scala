@@ -109,6 +109,43 @@ object RollingWindowHashExpr {
     ColumnBridge.column(RollingWindowHashExpr(ColumnBridge.expression(c), width))
 }
 
+/** `a * h + b` over LongType with Java wrap semantics (mod 2^64). Spark 4's
+  * default ANSI mode makes the equivalent Column arithmetic THROW on
+  * overflow, but the multiply-shift MinHash perm family needs the wrap —
+  * so the two constants are baked into a codegen'd expression (one fused
+  * multiply-add per row, no boxing, stays in whole-stage codegen).
+  */
+case class MulAddWrapExpr(child: Expression, a: Long, b: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes() =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"mul_add_wrap needs a bigint argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    a * input.asInstanceOf[Long] + b
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"(${a}L * $c + ${b}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): MulAddWrapExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "mul_add_wrap"
+}
+
+object MulAddWrapExpr {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  def mul_add_wrap(c: Column, a: Long, b: Long): Column =
+    ColumnBridge.column(MulAddWrapExpr(ColumnBridge.expression(c), a, b))
+}
+
 object RollingHashExpr {
 
   /** JOAAT-style multiplier; Long arithmetic wraps (mod 2^64) by design. */

@@ -46,9 +46,16 @@ object MlPipelines {
     * generates candidates from LSH bucket collisions (OR over
     * numTables), then its distance column is the EXACT Jaccard distance
     * between the candidate pair's feature vectors, so the output
-    * threshold is exact-on-hashed-shingles (binary HashingTF at 2^18
+    * threshold is exact-on-hashed-shingles (binary features at 2^18
     * bins — feature-hash collisions can merge shingles with probability
-    * ~|shingles|/2^18 per doc). DedupSpec bounds recall against the
+    * ~|shingles|/2^18 per doc). Featurization is
+    * pmod(rolling_hash(shingle), 2^18) rather than HashingTF — equally
+    * stateless (no vocabulary to collect), but the polynomial fold
+    * replays in DuckDB where murmur3's Spark-internal byte path does
+    * not, and MinHashLSH's own hash family is a seeded scala.util.Random
+    * sequence the oracle builder regenerates in pure Scala — together
+    * they put the WHOLE stock-estimator path under the driver's hash
+    * compare. DedupSpec additionally bounds recall against the
     * df-capped exact operator.
     */
   def minhashLshPairs(
@@ -56,14 +63,20 @@ object MlPipelines {
       jaccardMin: Double = 0.5,
       numTables: Int = 8,
       seed: Long = 7L): DataFrame = {
+    import graft.functions.RollingHashExpr
+    val numFeatures = 1 << 18
     val sh = docs
       .select(col("doc_id"),
         graft.operators.Dedup.wordShingles(col("text"), 3).as("shingles"))
       .filter(size(col("shingles")) > 0)
-    val feat = new HashingTF().setInputCol("shingles").setOutputCol("features")
-      .setBinary(true).setNumFeatures(1 << 18)
-      .transform(sh)
-      .select(col("doc_id"), col("features"))
+    val idx = sh.select(col("doc_id"),
+      array_sort(array_distinct(transform(col("shingles"),
+        s => pmod(RollingHashExpr.rolling_hash(s), lit(numFeatures.toLong)))))
+        .as("idxs"))
+    val toVec = udf((idxs: Seq[Long]) =>
+      org.apache.spark.ml.linalg.Vectors.sparse(numFeatures,
+        idxs.map(_.toInt).toArray, Array.fill(idxs.length)(1.0)))
+    val feat = idx.select(col("doc_id"), toVec(col("idxs")).as("features"))
     val model = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numTables).setSeed(seed)
       .fit(feat)

@@ -246,7 +246,61 @@ object Dedup {
       n: Int = 3,
       numHashes: Int = 64,
       numBands: Int = 16,
+      threshold: Double = 0.35): DataFrame =
+    minhashPairsImpl(docs, n, numHashes, numBands, threshold,
+      i => min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
+
+  /** splitmix64 finalizer [public: Steele/Lea/Flood 2014, SplittableRandom]
+    * — stateless constant derivation both engines can state as literals.
+    */
+  private def splitmix64(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Multiply-shift perm constants for the deterministic MinHash family:
+    * perm_i(h) = A_i * h + B_i mod 2^64, A_i forced odd (a bijection, so
+    * min-rank statistics stay uniform). Exposed for the DuckDB oracle
+    * builder, which renders the same constants as HUGEINT literals.
+    */
+  private[graft] def minhashPermA(i: Int): Long = splitmix64(2L * i) | 1L
+  private[graft] def minhashPermB(i: Int): Long = splitmix64(2L * i + 1L)
+
+  /** Engine-replayable twin of [[minhashPairs]]: base hash = the codegen'd
+    * mod-2^64 polynomial string hash ([[graft.functions.RollingHashExpr]],
+    * one char fold per DISTINCT shingle), perm_i = A_i * base + B_i with
+    * Java wrap ([[graft.functions.MulAddWrapExpr]] — multiply-shift
+    * family, whose min is driven by the well-mixed high bits). Same
+    * banding and estimator as the xxhash64 form; DuckDB replays the fold,
+    * the perms (HUGEINT limb mulmod), band collisions (as direct
+    * signature-slice equality — a 64-bit band-hash collision between
+    * unequal slices is the only divergence, ~2^-64 per pair-band), and
+    * the k/64 estimator exactly (64 = 2^6, so round(k/64, 6) is lossless
+    * in both engines). Cost note vs the xxhash64 family: ONE char fold +
+    * 64 fused multiply-adds per shingle instead of 64 string hashes.
+    */
+  def minhashPairsDeterministic(
+      docs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 64,
+      numBands: Int = 16,
       threshold: Double = 0.35): DataFrame = {
+    import graft.functions.{MulAddWrapExpr, RollingHashExpr}
+    val base = RollingHashExpr.rolling_hash(col("shingle"))
+    minhashPairsImpl(docs, n, numHashes, numBands, threshold,
+      i => min(MulAddWrapExpr.mul_add_wrap(base, minhashPermA(i), minhashPermB(i)))
+        .as(s"mh$i"))
+  }
+
+  private def minhashPairsImpl(
+      docs: DataFrame,
+      n: Int,
+      numHashes: Int,
+      numBands: Int,
+      threshold: Double,
+      permAgg: Int => Column): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rowsPerBand = numHashes / numBands
     val sh = docs.select(col("doc_id"), explode(wordShingles(col("text"), n)).as("shingle"))
@@ -259,7 +313,7 @@ object Dedup {
     // cannot unpersist before the caller consumes it; session drivers
     // (Bench, Verify) call spark.catalog.clearCache() between queries.
     // (~numHashes longs per doc, tiny next to the corpus itself.)
-    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
+    val aggs = (0 until numHashes).map(permAgg)
     val sig = sh.groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),

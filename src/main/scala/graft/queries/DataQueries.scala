@@ -48,8 +48,15 @@ object DataQueries {
     Dedup.ngramJaccardPairsBanded(table(spark, dir, "documents"), n = 3, threshold = 0.5)
       .orderBy("doc_a", "doc_b")
 
+  /** Oracle-checked MinHash: the engine-replayable perm family
+    * ([[Dedup.minhashPairsDeterministic]] — polynomial base fold +
+    * multiply-shift perms) so DuckDB recomputes signatures, band
+    * collisions, and the k/64 estimator exactly. The xxhash64 family
+    * ([[Dedup.minhashPairs]]) keeps DedupSpec recall/determinism coverage
+    * — same banding, same estimator, different hash family.
+    */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashPairs(table(spark, dir, "documents"))
+    Dedup.minhashPairsDeterministic(table(spark, dir, "documents"))
       .orderBy("doc_a", "doc_b")
 
   /** Oracle-checked SimHash: the engine-replayable fingerprint
@@ -434,9 +441,11 @@ object DataQueries {
 
   /** MLlib MinHashLSH near-dup pairs ([[graft.ml.MlPipelines
     * .minhashLshPairs]]) — the stock-estimator cross-check of the
-    * hand-rolled dedup_minhash. Rows-only (MLlib's hash family and the
-    * feature hashing aren't SQL-reproducible); DedupSpec bounds recall
-    * vs the exact Jaccard pairs.
+    * hand-rolled dedup_minhash, oracle-checked end to end: replayable
+    * rolling-hash featurization + MinHashLSH's seeded coefficient draw
+    * regenerated in pure Scala by the oracle builder (see
+    * [[mllibMinhashOracle]]). DedupSpec additionally bounds recall vs
+    * the exact Jaccard pairs.
     */
   def dedupMinhashMllib(spark: SparkSession, dir: String): DataFrame =
     graft.ml.MlPipelines.minhashLshPairs(table(spark, dir, "documents"))
@@ -789,6 +798,88 @@ object DataQueries {
       "ELSE 0 END) AS lo, " +
       "SUM(CASE WHEN s > 0 AND i >= 32 THEN (1::BIGINT << CAST(i - 32 AS INTEGER)) " +
       "ELSE 0 END) AS hi FROM sums GROUP BY doc_id)"
+
+  // ------------------------------------------------------------------
+  // dedup_minhash replay: base fold (mod-2^64 polynomial over chars, the
+  // text_rolling_hash precedent), multiply-shift perms as HUGEINT limb
+  // mulmod with the SAME splitmix64-derived constants the Spark plan
+  // bakes in (Dedup.minhashPermA/B), min per (doc, perm), then band
+  // collisions restated as direct signature-slice equality (a 64-bit
+  // band-hash collision between unequal slices is the only divergence,
+  // ~2^-64 per pair-band) and the exact k/64 estimator.
+  private val minhashOracle: String = {
+    val M64 = "18446744073709551616::HUGEINT"
+    val m32 = BigInt(1) << 32
+    def u(x: Long): BigInt = BigInt(x) & ((BigInt(1) << 64) - 1)
+    val perms = (0 until 64).map { i =>
+      val a = u(Dedup.minhashPermA(i)); val b = u(Dedup.minhashPermB(i))
+      s"($i,${a / m32}::HUGEINT,${a % m32}::HUGEINT,$b::HUGEINT)"
+    }.mkString(",")
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "sh AS (SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN []::VARCHAR[] " +
+      "ELSE list_distinct(list_transform(generate_series(1, len(w) - 2), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END) AS shingle FROM toks), " +
+      "hb AS (SELECT doc_id, list_reduce(list_prepend(0::HUGEINT, " +
+      "list_transform(string_split(shingle, ''), c -> ord(c)::HUGEINT)), " +
+      s"(a, b) -> (a * 1315423911 + b) % $M64) AS h FROM sh), " +
+      s"perms AS (SELECT * FROM (VALUES $perms) p(i, ahi, alo, b)), " +
+      "pv AS (SELECT doc_id, i, ((alo * (h % 4294967296::HUGEINT) + " +
+      "((ahi * (h % 4294967296::HUGEINT) + alo * (h // 4294967296::HUGEINT)) " +
+      "% 4294967296::HUGEINT) * 4294967296::HUGEINT) " +
+      s"% $M64 + b) % $M64 AS v FROM hb CROSS JOIN perms), " +
+      "ph AS (SELECT doc_id, i, MIN(CAST(CASE WHEN v >= 9223372036854775808::HUGEINT " +
+      s"THEN v - $M64 ELSE v END AS BIGINT)) AS mh FROM pv GROUP BY 1, 2), " +
+      "sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM ph GROUP BY doc_id), " +
+      "pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb " +
+      "FROM sig a JOIN sig b ON a.doc_id < b.doc_id), " +
+      "est AS (SELECT doc_a, doc_b, " +
+      "CAST(len(list_filter(generate_series(1, 64), i -> sa[i] = sb[i])) AS DOUBLE) " +
+      "/ 64 AS ej, " +
+      "len(list_filter(generate_series(0, 15), bb -> sa[bb*4+1] = sb[bb*4+1] AND " +
+      "sa[bb*4+2] = sb[bb*4+2] AND sa[bb*4+3] = sb[bb*4+3] AND " +
+      "sa[bb*4+4] = sb[bb*4+4])) AS nb FROM pr) " +
+      "SELECT doc_a, doc_b, ROUND(ej, 6) AS est_jaccard FROM est " +
+      "WHERE nb > 0 AND ej >= 0.35 ORDER BY doc_a, doc_b"
+  }
+
+  // dedup_minhash_mllib replay: feature indices = pmod(rolling-hash, 2^18)
+  // (== unsigned fold % 2^18, since 2^64 is a multiple of 2^18), then
+  // MinHashLSH's hash family regenerated in pure Scala — the SAME
+  // scala.util.Random(seed) draw sequence MLlib's fit performs — as a
+  // VALUES literal; candidates are per-table min-hash collisions and the
+  // reported value is the exact Jaccard over index sets, written as the
+  // identical double expression chain (1 - (1 - c/u)) MLlib + the query
+  // compute.
+  private val mllibMinhashOracle: String = {
+    val HashPrime = 2038074743 // org.apache.spark.ml.feature.MinHashLSH.HASH_PRIME
+    val rand = new scala.util.Random(7L)
+    val coefs = Array.fill(8)((1 + rand.nextInt(HashPrime - 1), rand.nextInt(HashPrime - 1)))
+    val values = coefs.zipWithIndex
+      .map { case ((a, b), i) => s"($i,$a::BIGINT,$b::BIGINT)" }.mkString(",")
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "sh AS (SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN []::VARCHAR[] " +
+      "ELSE list_distinct(list_transform(generate_series(1, len(w) - 2), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END) AS shingle FROM toks), " +
+      "hb AS (SELECT doc_id, list_reduce(list_prepend(0::HUGEINT, " +
+      "list_transform(string_split(shingle, ''), c -> ord(c)::HUGEINT)), " +
+      "(a, b) -> (a * 1315423911 + b) % 18446744073709551616::HUGEINT) AS h FROM sh), " +
+      "idx AS (SELECT DISTINCT doc_id, CAST(h % 262144 AS BIGINT) AS idx FROM hb), " +
+      s"coefs AS (SELECT * FROM (VALUES $values) c(i, a, b)), " +
+      s"mh AS (SELECT doc_id, i, MIN(((1 + idx) * a + b) % $HashPrime) AS hv " +
+      "FROM idx CROSS JOIN coefs GROUP BY 1, 2), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM mh a JOIN mh b ON a.i = b.i AND a.hv = b.hv AND a.doc_id < b.doc_id), " +
+      "sizes AS (SELECT doc_id, COUNT(*) AS n FROM idx GROUP BY 1), " +
+      "com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c " +
+      "FROM idx a JOIN idx b ON a.idx = b.idx AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "j AS (SELECT cand.doc_a, cand.doc_b, " +
+      "1.0 - CAST(COALESCE(c, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(c, 0)) AS dist " +
+      "FROM cand LEFT JOIN com ON cand.doc_a = com.doc_a AND cand.doc_b = com.doc_b " +
+      "JOIN sizes sa ON cand.doc_a = sa.doc_id " +
+      "JOIN sizes sb ON cand.doc_b = sb.doc_id) " +
+      "SELECT doc_a, doc_b, ROUND(1.0 - dist, 6) AS jaccard_hashed FROM j " +
+      "WHERE dist < 0.5 ORDER BY doc_a, doc_b"
+  }
 
   private val spanCoverageOracle =
     "WITH pos AS (SELECT doc_id, CAST(i AS BIGINT) AS i, " +
@@ -1243,6 +1334,8 @@ object DataQueries {
         "FROM s4 UNION ALL SELECT query_id, 5, vec_id, score FROM s5) SELECT " +
         "query_id, rank, vec_id, ROUND(ROUND(score, 6), 4) AS mmr_score FROM " +
         "allp ORDER BY query_id, rank"),
+    "dedup_minhash" -> minhashOracle,
+    "dedup_minhash_mllib" -> mllibMinhashOracle,
     // The Spark side reduces each approximate variant to a thresholded
     // recall bit, so the oracle is the expected constant gate table: all
     // variants passing. Any sketch-quality regression flips a bit and

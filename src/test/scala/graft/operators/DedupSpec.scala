@@ -63,6 +63,17 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"minhash recall $recall over ${truth.size} true pairs")
   }
 
+  test("deterministic minhash family recovers the true jaccard pairs too") {
+    val truth = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val est = Dedup.minhashPairsDeterministic(docs, 3, 64, 16, threshold = 0.35)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val recall = truth.count(est.contains).toDouble / truth.size
+    assert(recall >= 0.9,
+      s"deterministic-family minhash recall $recall over ${truth.size} true pairs")
+  }
+
   test("MLlib MinHashLSH twin recovers the true jaccard pairs (recall vs exact)") {
     val truth = Dedup.ngramJaccardPairs(docs, 3, 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
