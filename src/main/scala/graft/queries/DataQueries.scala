@@ -173,22 +173,30 @@ object DataQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** Multimodal plumbing end to end (rows-only: the decode step is a
-    * documented stub; see graft.multimodal.Multimodal). Deterministic
-    * fake features over binary payloads derived from document text.
+  /** Multimodal plumbing end to end. The decode step is a documented stub
+    * (deterministic byte statistics — no codec libs in this container;
+    * see graft.multimodal.Multimodal), and on the text-byte fixture
+    * payloads that stub arithmetic is integer/float math DuckDB restates
+    * exactly — so the WHOLE Spark-side pipeline (binary cast, kind
+    * dispatch, mapPartitions batch, feature projection) is
+    * oracle-checked; the real PNG/JPEG/netpbm/WAV decode paths keep
+    * their golden-byte units in MultimodalSpec. feat0 goes through the
+    * float32 histogram division then widens to double, replayed as the
+    * identical REAL-narrowed expression.
     */
   def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaTable(table(spark, dir, "documents"), "doc_id", "text")
     Multimodal.extractFeatures(media)
       .toDF()
       .select(col("media_id"), col("kind"), col("n_bytes"), col("width"),
-        col("height"), round(element_at(col("features"), 1), 6).as("feat0"))
+        col("height"),
+        round(element_at(col("features"), 1).cast("double"), 6).as("feat0"))
       .orderBy("media_id")
   }
 
-  /** Frame-sampling fan-out for video payloads (rows-only: deterministic
-    * byte-window offsets; the per-frame shape a downstream embedding
-    * stage consumes).
+  /** Frame-sampling fan-out for video payloads: deterministic byte-window
+    * offsets — the per-frame shape a downstream embedding stage consumes.
+    * Oracle-checked: the offset/slicing arithmetic replays in DuckDB.
     */
   def mmFrames(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaTable(table(spark, dir, "documents"), "doc_id", "text")
@@ -226,13 +234,15 @@ object DataQueries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("split", "lang")
 
-  /** Resize planning over the media table (rows-only: stub dims for
-    * text-byte payloads; the aspect-fit arithmetic is the real part,
-    * unit-tested against parsed PNG/JPEG headers in MultimodalSpec).
+  /** Resize planning over the media table: stub dims for text-byte
+    * payloads; the aspect-fit integer arithmetic is the real part —
+    * oracle-checked here, and unit-tested against parsed PNG/JPEG
+    * headers in MultimodalSpec.
     */
-  /** Audio metadata over the media table (rows-only: fixture payloads are
-    * text bytes so every row takes the stub path with parsed=false; the
-    * REAL RIFF/WAV parse is exercised on golden bytes in MultimodalSpec).
+  /** Audio metadata over the media table: fixture payloads are text bytes
+    * so every row takes the stub path with parsed=false (oracle-checked);
+    * the REAL RIFF/WAV parse is exercised on golden bytes in
+    * MultimodalSpec.
     */
   def mmAudio(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaTable(table(spark, dir, "documents"), "doc_id", "text")
@@ -241,11 +251,12 @@ object DataQueries {
       .orderBy("media_id")
   }
 
-  /** Audio DSP features (RMS + zero-crossing rate) over the media table
-    * (rows-only: fixture payloads are text bytes so every row takes the
-    * deterministic byte-stats stub; the REAL PCM decode + DSP path is
-    * exercised on golden square-wave WAV bytes in MultimodalSpec with
-    * exact expected rms/zcr).
+  /** Audio DSP features (RMS + zero-crossing rate) over the media table:
+    * fixture payloads are text bytes so every row takes the deterministic
+    * byte-stats stub (oracle-checked — the squared-byte fold replays in
+    * the same order); the REAL PCM decode + DSP path is exercised on
+    * golden square-wave WAV bytes in MultimodalSpec with exact expected
+    * rms/zcr.
     */
   def mmAudioFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaTable(table(spark, dir, "documents"), "doc_id", "text")
@@ -800,6 +811,23 @@ object DataQueries {
       "ELSE 0 END) AS hi FROM sums GROUP BY doc_id)"
 
   // ------------------------------------------------------------------
+  // mm_* replay: the media table over `documents` (payload = utf-8 text
+  // bytes — verified pure ASCII, so per-char ord == per-byte value), the
+  // id-mod-3 kind cycle, and the deterministic stub decode's dims
+  // (16 + first/second byte % 64). Everything downstream of the stub is
+  // integer/float arithmetic restated exactly; the REAL decode paths
+  // (PNG/JPEG headers, netpbm pixels, WAV PCM) keep golden-byte units in
+  // MultimodalSpec because no fixture payload can reach them (no P5/P6/
+  // RIFF prefixes in the corpus).
+  private val mmStubCte: String =
+    "WITH m AS (SELECT doc_id AS media_id, CASE CAST(doc_id % 3 AS INT) " +
+      "WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
+      "text, length(text) AS n FROM documents), " +
+      "s AS (SELECT *, 16 + CASE WHEN n >= 1 THEN ord(substr(text, 1, 1)) % 64 " +
+      "ELSE 0 END AS w, 16 + CASE WHEN n >= 2 THEN ord(substr(text, 2, 1)) % 64 " +
+      "ELSE 0 END AS h FROM m) "
+
+  // ------------------------------------------------------------------
   // dedup_minhash replay: base fold (mod-2^64 polynomial over chars, the
   // text_rolling_hash precedent), multiply-shift perms as HUGEINT limb
   // mulmod with the SAME splitmix64-derived constants the Spark plan
@@ -1336,6 +1364,50 @@ object DataQueries {
         "allp ORDER BY query_id, rank"),
     "dedup_minhash" -> minhashOracle,
     "dedup_minhash_mllib" -> mllibMinhashOracle,
+    "mm_features" ->
+      (mmStubCte +
+        "SELECT media_id, kind, CAST(n AS INT) AS n_bytes, " +
+        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "ROUND(CAST(CAST(len(list_filter(string_split(text, ''), " +
+        "c -> ord(c) % 8 = 0)) AS REAL) / CAST(GREATEST(n, 1) AS REAL) " +
+        "AS DOUBLE), 6) AS feat0 FROM s ORDER BY media_id"),
+    "mm_resize" ->
+      (mmStubCte +
+        "SELECT media_id, kind, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CAST(CASE WHEN w <= 48 AND h <= 48 THEN w " +
+        "WHEN GREATEST(1, (h * 48) // w) <= 48 THEN 48 " +
+        "ELSE GREATEST(1, (w * 48) // h) END AS INT) AS out_width, " +
+        "CAST(CASE WHEN w <= 48 AND h <= 48 THEN h " +
+        "WHEN GREATEST(1, (h * 48) // w) <= 48 THEN GREATEST(1, (h * 48) // w) " +
+        "ELSE 48 END AS INT) AS out_height " +
+        "FROM s ORDER BY media_id"),
+    "mm_frames" ->
+      (mmStubCte +
+        ", f AS (SELECT media_id, CASE WHEN kind = 'video' THEN 4 ELSE 1 END " +
+        "AS nf, n FROM s), " +
+        "g AS (SELECT media_id, unnest(generate_series(0, nf - 1)) AS i, nf, n FROM f), " +
+        "o AS (SELECT media_id, i, CASE WHEN nf <= 1 OR n <= 64 THEN 0 " +
+        "ELSE ((n - 64) * i) // (nf - 1) END AS off, n FROM g) " +
+        "SELECT media_id, CAST(i AS INT) AS frame_idx, CAST(off AS INT) AS offset, " +
+        "CAST(LEAST(off + 64, n) - LEAST(off, n) AS INT) AS n_bytes " +
+        "FROM o ORDER BY media_id, frame_idx"),
+    "mm_audio" ->
+      (mmStubCte +
+        "SELECT media_id, CAST(8000 + w * 100 AS INT) AS sample_rate, " +
+        "CAST(1 + h % 2 AS INT) AS n_channels, 16 AS bits_per_sample, " +
+        "FALSE AS parsed FROM s WHERE kind = 'audio' ORDER BY media_id"),
+    "mm_audio_features" ->
+      (mmStubCte +
+        "SELECT media_id, FALSE AS parsed, CAST(n AS BIGINT) AS n_samples, " +
+        "CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms, " +
+        "ROUND(CASE WHEN n > 0 THEN sqrt(list_reduce(list_prepend(0.0, " +
+        "list_transform(string_split(text, ''), " +
+        "c -> ((ord(c) - 128) / 128.0) * ((ord(c) - 128) / 128.0))), " +
+        "(a, b) -> a + b) / n) ELSE 0.0 END, 6) AS rms, " +
+        "ROUND(CASE WHEN n > 1 THEN CAST(len(list_filter(generate_series(2, n), " +
+        "k -> (ord(text[k]) >= 128) <> (ord(text[k-1]) >= 128))) AS DOUBLE) " +
+        "/ (n - 1) ELSE 0.0 END, 6) AS zcr " +
+        "FROM s WHERE kind = 'audio' ORDER BY media_id"),
     // The Spark side reduces each approximate variant to a thresholded
     // recall bit, so the oracle is the expected constant gate table: all
     // variants passing. Any sketch-quality regression flips a bit and
