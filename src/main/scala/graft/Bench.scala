@@ -129,6 +129,12 @@ object Bench {
       case r => r
     }
     val failed = results.count(_._3.nonEmpty)
+    // Variance guardrail: a query whose two passes disagree >2x is flagged
+    // so a later reader chasing a "regression" can see it was host noise,
+    // not code (round 9 burned an advice cycle on exactly this pattern).
+    val varianceSuspect = reruns.collect {
+      case (k, (a, b)) if b > 0 && math.max(a, b) > 2 * math.min(a, b) => k
+    }.toSeq
     val total = results.map(_._2).sum
     val totalStr = f"$total%.2f"
     // full-fidelity detail for humans and the repo record (not the driver)
@@ -142,9 +148,10 @@ object Bench {
         "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
       val rr = reruns.map { case (k, (a, b)) => "\"" + k + "\":[" + a + "," + b + "]" }
         .mkString("{", ",", "}")
+      val vs = varianceSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,""" +
         s""""status":$status,"errors":$errors,"reruns":$rr,""" +
-        s""""failed":$failed,"sf":"$sfDir"}"""
+        s""""variance_suspect":$vs,"failed":$failed,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
@@ -168,8 +175,12 @@ object Bench {
       // basename only: every char spent here is a char a query entry
       // can't use (full path is in BENCH_DETAIL.json)
       val sfShort = sfDir.split('/').last
+      val vs =
+        if (varianceSuspect.isEmpty) ""
+        else ""","variance_suspect":""" +
+          varianceSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs""" +
-        omitted + errs + s""","failed":$failed,"sf":"$sfShort"}"""
+        omitted + errs + vs + s""","failed":$failed,"sf":"$sfShort"}"""
     }
     val candidates =
       Seq(3, 2, 1).map(d => line(d, results.size)) ++

@@ -238,6 +238,23 @@ object CoreQueries {
       .orderBy("metric", "cutoff")
   }
 
+  /** Model-independent slice of the backtest metrics, fully hash-checked:
+    * the per-cutoff test count and the seasonal-naive baseline MAE are
+    * pure date/abs-diff arithmetic DuckDB replays exactly (at horizon 7
+    * the multi-step lag is always d-7, inside training). Together with
+    * `forecast_backtest_gate` this pins every column of `forecast_backtest`
+    * except the model-dependent mae/rmse/coverage magnitudes, whose
+    * invariants live in BacktestSpec.
+    */
+  def forecastBacktestNaive(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = Bucketize.events(table(spark, dir, "events"))
+    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    Backtest.crossValidate(long, horizon = 7, period = 3, initial = 14)
+      .toDF()
+      .select(col("metric"), col("cutoff"), col("n"), col("mae_naive"))
+      .orderBy("metric", "cutoff")
+  }
+
   /** Sub-daily forecast over HOURLY event buckets — the path where
     * Prophet's daily-seasonality auto-rule genuinely fires (720 hourly
     * points, spacing 1/24 day): fits carry an order-4 daily Fourier
@@ -260,6 +277,100 @@ object CoreQueries {
         round(col("yhat_lower"), 4).as("yhat_lower"),
         round(col("yhat_upper"), 4).as("yhat_upper"))
       .orderBy("metric", "ts")
+  }
+
+  /** Shared oracle-checkable reduction of a daily forecast frame: per
+    * metric, (history-row count, future-row count, band-sanity bit)
+    * against a broadcast one-row last-history-date frame. DuckDB replays
+    * `n_hist` as the distinct source-day count and states the horizon and
+    * sanity bit as constants, so a fit that drops days, emits a wrong
+    * horizon, or inverts a band fails the driver hash.
+    */
+  private def dailyGate(fc: DataFrame, lastHist: DataFrame): DataFrame =
+    fc.crossJoin(broadcast(lastHist))
+      .groupBy(col("metric"))
+      .agg(
+        sum(when(col("date") <= col("m"), 1).otherwise(0)).as("n_hist"),
+        sum(when(col("date") > col("m"), 1).otherwise(0)).as("n_future"),
+        min((col("yhat_lower") <= col("yhat") &&
+          col("yhat") <= col("yhat_upper")).cast("int")).as("bands_ok"))
+      .orderBy("metric")
+
+  private def lastEventDay(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events").agg(max(to_date(col("ts"))).as("m"))
+
+  /** Oracle gate for the multiplicative-seasonality path: calendar counts
+    * + band sanity (the mode's amplitude-tracking property itself is
+    * pinned in ForecastPropertySpec). */
+  def forecastEventsMultiplicativeGate(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = Bucketize.events(table(spark, dir, "events"))
+    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false,
+      growth = graft.forecast.ProphetLike.GrowthConfig(multiplicativeSeasonality = true))
+    dailyGate(fc.toDF(), lastEventDay(spark, dir))
+  }
+
+  /** Oracle gate for the simulated-band path: the seeded simulation must
+    * still produce a complete calendar and an ordered band. */
+  def forecastEventsSimbandGate(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = Bucketize.events(table(spark, dir, "events"))
+    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false,
+      band = ForecastEngine.SimulatedBand())
+    dailyGate(fc.toDF(), lastEventDay(spark, dir))
+  }
+
+  /** Oracle gate for the logistic-growth path: calendar counts, band
+    * sanity, plus the saturation claim itself — every yhat must sit in
+    * [0, cap] (cap = 1.5x the observed global max, recomputed here the
+    * same way the query computes it). */
+  def forecastEventsLogisticGate(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = Bucketize.events(table(spark, dir, "events"))
+    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val cap = long.agg(max(col("y").cast("double"))).collect().head.getDouble(0) * 1.5
+    val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false,
+      growth = graft.forecast.ProphetLike.GrowthConfig(
+        growth = "logistic", cap = cap, floor = 0.0))
+    fc.toDF().crossJoin(broadcast(lastEventDay(spark, dir)))
+      .groupBy(col("metric"))
+      .agg(
+        sum(when(col("date") <= col("m"), 1).otherwise(0)).as("n_hist"),
+        sum(when(col("date") > col("m"), 1).otherwise(0)).as("n_future"),
+        min((col("yhat_lower") <= col("yhat") &&
+          col("yhat") <= col("yhat_upper")).cast("int")).as("bands_ok"),
+        min((col("yhat") >= 0.0 && col("yhat") <= cap).cast("int")).as("bounded_ok"))
+      .orderBy("metric")
+  }
+
+  /** Oracle gate for the long-history orders forecast: n_hist is the
+    * distinct-order-day count (DuckDB replays it from `orders` directly —
+    * the engine forecasts over observed days, not a gap-filled spine),
+    * horizon 30, band sanity. */
+  def forecastOrdersGate(spark: SparkSession, dir: String): DataFrame = {
+    val metrics = Seq("order_count", "revenue")
+    val bucket = Bucketize.orders(table(spark, dir, "orders"))
+    val long = SeriesOps.melt(bucket, metrics).withColumn("table", lit("bucket_orders"))
+    val fc = ForecastEngine.forecast(long, interval = 30, onlyFuture = false)
+    val lastDay = table(spark, dir, "orders").agg(max(to_date(col("o_orderdate"))).as("m"))
+    dailyGate(fc.toDF(), lastDay)
+  }
+
+  /** Oracle gate for in-sample anomaly detection: every (metric, day) got
+    * band-checked (`n_checked` = the replayable distinct-day count) and
+    * the 80% band flags at most half the history — a collapsed or inverted
+    * band would flag ~everything and flip the bit. */
+  def forecastAnomaliesGate(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = Bucketize.events(table(spark, dir, "events"))
+    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val fc = ForecastEngine.forecast(long, interval = 0, onlyFuture = false)
+    fc.toDF()
+      .join(long, fc("metric") === long("metric") && fc("date") === long("ds"))
+      .groupBy(fc("metric"))
+      .agg(
+        count(lit(1)).as("n_checked"),
+        (sum((col("y") < col("yhat_lower") || col("y") > col("yhat_upper")).cast("int")) * 2
+          <= count(lit(1))).cast("int").as("anom_rate_ok"))
+      .orderBy("metric")
   }
 
   /** Oracle-checkable face of the hourly forecast: DuckDB replays the
@@ -288,14 +399,20 @@ object CoreQueries {
     "forecast_events_hourly_gate" -> (forecastEventsHourlyGate _),
     "forecast_backtest" -> (forecastBacktest _),
     "forecast_backtest_gate" -> (forecastBacktestGate _),
+    "forecast_backtest_naive" -> (forecastBacktestNaive _),
     "forecast_events" -> (forecastEvents _),
     "forecast_events_holidays" -> (forecastEventsHolidays _),
     "forecast_events_logistic" -> (forecastEventsLogistic _),
+    "forecast_events_logistic_gate" -> (forecastEventsLogisticGate _),
     "forecast_events_multiplicative" -> (forecastEventsMultiplicative _),
+    "forecast_events_multiplicative_gate" -> (forecastEventsMultiplicativeGate _),
     "forecast_events_future" -> (forecastEventsFuture _),
     "forecast_events_simband" -> (forecastEventsSimband _),
+    "forecast_events_simband_gate" -> (forecastEventsSimbandGate _),
     "forecast_anomalies" -> (forecastAnomalies _),
+    "forecast_anomalies_gate" -> (forecastAnomaliesGate _),
     "forecast_orders" -> (forecastOrders _),
+    "forecast_orders_gate" -> (forecastOrdersGate _),
     "bucketize_events" -> (bucketizeEvents _),
     "max_date" -> (maxDate _),
     "series_melt" -> (seriesMelt _),
@@ -333,6 +450,55 @@ object CoreQueries {
         "SELECT m.metric, cutoff, n, 1 AS pass FROM cnt CROSS JOIN (VALUES " +
         "('active_users'), ('event_count'), ('value_sum')) m(metric) " +
         "ORDER BY metric, cutoff"),
+    // Replays the cutoff calendar, per-cutoff test counts, AND the
+    // seasonal-naive MAE (melt y per metric, |y(d) - y(d-7)| averaged per
+    // cutoff, round6 like backtestSeries) — the model-independent slice
+    // of the backtest metrics as a full hash check.
+    "forecast_backtest_naive" ->
+      (s"WITH b AS ($bucketizeSql), " +
+        "m AS (SELECT 'event_count' AS metric, date AS ds, " +
+        "CAST(event_count AS DOUBLE) AS y FROM b " +
+        "UNION ALL SELECT 'value_sum', date, value_sum FROM b " +
+        "UNION ALL SELECT 'active_users', date, CAST(active_users AS DOUBLE) FROM b), " +
+        "span AS (SELECT MIN(ds) AS first_d, MAX(ds) AS last_d FROM m), " +
+        "cuts AS (SELECT last_d - 7 - 3 * CAST(i AS INTEGER) AS cutoff FROM span " +
+        "CROSS JOIN generate_series(0, 1000) AS gs(i) " +
+        "WHERE (last_d - 7 - 3 * CAST(i AS INTEGER)) - first_d + 1 >= 14), " +
+        "test AS (SELECT t.metric, c.cutoff, t.ds, t.y FROM m t CROSS JOIN cuts c " +
+        "WHERE t.ds > c.cutoff AND t.ds <= c.cutoff + 7), " +
+        "lagd AS (SELECT t.metric, t.cutoff, t.y, l.y AS ylag FROM test t " +
+        "JOIN m l ON l.metric = t.metric AND l.ds = t.ds - 7) " +
+        "SELECT metric, cutoff, COUNT(*) AS n, " +
+        "ROUND(SUM(ABS(y - ylag)) / COUNT(*), 6) AS mae_naive " +
+        "FROM lagd GROUP BY 1, 2 ORDER BY metric, cutoff"),
+    // Daily-forecast gate replays: DuckDB recomputes the distinct source-
+    // day count per metric; horizon and sanity bits are expected constants.
+    "forecast_events_multiplicative_gate" ->
+      ("WITH h AS (SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n FROM events) " +
+        "SELECT m.metric, n AS n_hist, CAST(7 AS BIGINT) AS n_future, " +
+        "1 AS bands_ok FROM h CROSS JOIN (VALUES ('active_users'), " +
+        "('event_count'), ('value_sum')) m(metric) ORDER BY metric"),
+    "forecast_events_simband_gate" ->
+      ("WITH h AS (SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n FROM events) " +
+        "SELECT m.metric, n AS n_hist, CAST(7 AS BIGINT) AS n_future, " +
+        "1 AS bands_ok FROM h CROSS JOIN (VALUES ('active_users'), " +
+        "('event_count'), ('value_sum')) m(metric) ORDER BY metric"),
+    "forecast_events_logistic_gate" ->
+      ("WITH h AS (SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n FROM events) " +
+        "SELECT m.metric, n AS n_hist, CAST(7 AS BIGINT) AS n_future, " +
+        "1 AS bands_ok, 1 AS bounded_ok FROM h CROSS JOIN (VALUES " +
+        "('active_users'), ('event_count'), ('value_sum')) m(metric) " +
+        "ORDER BY metric"),
+    "forecast_orders_gate" ->
+      ("WITH h AS (SELECT COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n " +
+        "FROM orders) SELECT m.metric, n AS n_hist, CAST(30 AS BIGINT) AS " +
+        "n_future, 1 AS bands_ok FROM h CROSS JOIN (VALUES ('order_count'), " +
+        "('revenue')) m(metric) ORDER BY metric"),
+    "forecast_anomalies_gate" ->
+      ("WITH h AS (SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n FROM events) " +
+        "SELECT m.metric, n AS n_checked, 1 AS anom_rate_ok FROM h CROSS " +
+        "JOIN (VALUES ('active_users'), ('event_count'), ('value_sum')) " +
+        "m(metric) ORDER BY metric"),
     "bucketize_events" -> s"$bucketizeSql ORDER BY 1",
     "max_date" -> "SELECT MAX(CAST(ts AS DATE)) AS last_known_date FROM events",
     "series_melt" ->

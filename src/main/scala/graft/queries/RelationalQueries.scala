@@ -665,6 +665,58 @@ object RelationalQueries {
         sum(when(col("o_orderstatus").isNull, 1).otherwise(0)).cast("long")
           .as("n_null_status"))
 
+  /** The reference's whole front door (forecast_script.py:82-117) run end
+    * to end inside the correctness sweep: seed an embedded Derby table
+    * with numeric + CHAR/VARCHAR/BLOB/DATE columns over java.sql, ingest
+    * it through [[graft.catalog.ParquetCatalog.importJdbc]] (partitioned
+    * range scan + the SKIP_DATA_TYPES probe: Char/Blob columns dropped,
+    * DATE and the partition column kept), then audit the parquet copy —
+    * kept-column list, row count, and exact checksums over values chosen
+    * to be binary-exact (val = i/4). Every output cell is a constant
+    * DuckDB states literally, so a regression anywhere on the path
+    * (probe, skip filter, range partitioning, parquet write, catalog
+    * read-back) flips the driver hash. Derby is in-memory and re-seeded
+    * per call; the catalog root is a fresh temp dir (rerun-safe).
+    */
+  def jdbcImport(spark: SparkSession, dir: String): DataFrame = {
+    val url = "jdbc:derby:memory:graftsweep;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE metrics_src")
+      catch { case _: java.sql.SQLException => () } // first run: no table
+      st.execute("CREATE TABLE metrics_src (id BIGINT NOT NULL, " +
+        "val DOUBLE, d DATE, code CHAR(4), note VARCHAR(32), payload BLOB)")
+      val ps = conn.prepareStatement("INSERT INTO metrics_src VALUES (?, ?, ?, ?, ?, ?)")
+      (1 to 100).foreach { i =>
+        ps.setLong(1, i.toLong)
+        ps.setDouble(2, i / 4.0)
+        ps.setDate(3, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i % 30)))
+        ps.setString(4, f"c$i%03d")
+        ps.setString(5, s"note-$i")
+        ps.setBytes(6, Array[Byte](i.toByte, (i + 1).toByte))
+        ps.addBatch()
+      }
+      ps.executeBatch()
+      ps.close(); st.close()
+    } finally conn.close()
+    val root = java.nio.file.Files.createTempDirectory("jdbc_sweep").toFile
+    root.deleteOnExit()
+    val cat = new graft.catalog.ParquetCatalog(spark, root.getAbsolutePath)
+    cat.importJdbc("metrics", url, "metrics_src",
+      partitionColumn = Some("id"), numPartitions = 4)
+    val imported = cat.load("metrics")
+    val cols = imported.columns.map(_.toLowerCase).sorted.mkString(",")
+    imported.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("ID")).as("sum_id"),
+      sum(col("VAL")).as("sum_val"),
+      min(col("D")).as("d_min"),
+      max(col("D")).as("d_max"))
+      .select(lit("metrics").as("table_name"), lit(cols).as("kept_columns"),
+        col("n_rows"), col("sum_id"), col("sum_val"), col("d_min"), col("d_max"))
+  }
+
   /** RANGE-frame moving sum: the last-7-CALENDAR-days window, not the
     * last 7 ROWS — on sparse/gappy series the two differ (a rows frame
     * silently stretches over gaps). Ordering on the integer epoch-day
@@ -1022,6 +1074,7 @@ object RelationalQueries {
     "moving_sum_range" -> (movingSumRange _),
     "json_extract" -> (jsonExtract _),
     "table_stats" -> (tableStats _),
+    "jdbc_import" -> (jdbcImport _),
     "funnel_steps" -> (funnelSteps _),
     "cohort_retention" -> (cohortRetention _),
     "merge_upsert" -> (mergeUpsert _),
@@ -1197,6 +1250,15 @@ object RelationalQueries {
         "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum, " +
         "ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS k_avg " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    // jdbcImport's audit row is all constants by construction: 100 seeded
+    // rows, ids 1..100 (sum 5050), val = i/4 (binary-exact, sum 1262.5),
+    // dates Jan 1 + (i % 30); Char/Varchar/Blob columns dropped by the
+    // skip-type probe leave exactly (d, id, val).
+    "jdbc_import" ->
+      ("SELECT 'metrics' AS table_name, 'd,id,val' AS kept_columns, " +
+        "CAST(100 AS BIGINT) AS n_rows, CAST(5050 AS BIGINT) AS sum_id, " +
+        "CAST(1262.5 AS DOUBLE) AS sum_val, DATE '2024-01-01' AS d_min, " +
+        "DATE '2024-01-30' AS d_max"),
     "table_stats" ->
       ("SELECT COUNT(*) AS n_rows, " +
         "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs, " +
