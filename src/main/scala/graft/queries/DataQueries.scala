@@ -142,12 +142,10 @@ object DataQueries {
   }
 
   /** IVF with a Lloyd-refined codebook (2 distributed k-means rounds):
-    * tighter cells -> better low-nprobe recall. Stable row SHAPE (hash-rank
-    * seeded, fixed k and rank window), but not bitwise run-to-run: the
-    * refinement's per-cell avg() over doubles is summation-order dependent
-    * across partition layouts, so centroids — and probe assignments near
-    * centroid ties — can drift. Rows-only check by design; do not promote
-    * to a hash-compared oracle without making the mean order-insensitive. */
+    * tighter cells -> better low-nprobe recall. Oracle-checked since the
+    * refinement switched to [[Similarity.detMean]] (exact quantized
+    * integer sums — order-insensitive, so centroids are bitwise stable
+    * and DuckDB replays the whole training; see ivfRefinedSql). */
   def annTopkIvfRefined(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, refineIters = 2)
@@ -155,8 +153,9 @@ object DataQueries {
   }
 
   /** Flat product quantization: ADC scan over 4-byte codes + exact
-    * re-rank (rows-only like the other seeded sketches; SimilaritySpec
-    * pins recall vs the brute-force oracle).
+    * re-rank. Oracle-checked: detMean makes the trained codebook bitwise
+    * deterministic, so DuckDB replays training, encode, ADC, and re-rank
+    * (pqReplayCtes); SimilaritySpec additionally pins recall.
     */
   def annTopkPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
@@ -165,7 +164,8 @@ object DataQueries {
   }
 
   /** IVF-PQ composition — cell-pruned fan-out AND compressed candidate
-    * scan, the billion-scale ANN layout.
+    * scan, the billion-scale ANN layout. Oracle-checked like ann_topk_pq
+    * plus the hash-picked cell assignment/probe replay.
     */
   def annTopkIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
@@ -784,6 +784,143 @@ object DataQueries {
     }
   }
 
+  // ------------------------------------------------------------------
+  // PQ / refined-IVF replay: Lloyd k-means training restated in SQL.
+  // Made possible by Similarity.detMean — the centroid update sums
+  // 2^-30-quantized components as EXACT integers (decimal in Spark,
+  // HUGEINT here), so the trained codebook is bitwise identical across
+  // engines and partition layouts. Every other stage (hash-seeded picks,
+  // argmin assignment, ADC lookup, cosine re-rank) is deterministic
+  // double arithmetic replayed in the exact Spark operation order:
+  // assignment dist folds (ss + cs) - 2d, encode/query-table folds
+  // (ss - 2d) + cs, ADC sums subspace distances left-to-right in
+  // subspace order (list_reduce without a prepended zero).
+  private val MeanGrainSql = "1073741824.0"
+
+  /** CTE chain replaying [[graft.operators.Similarity.pqCodebooks]] at
+    * the registered defaults (m=16, dsub=4, ksub=16, sampleMod=4,
+    * refineIters=2) plus full-corpus encode (`codes`) and query distance
+    * tables (`qd`). Defines: hashes, e (raw doubles), un (normalized),
+    * subs (per-subspace slices), tr (hash-sampled train), bks0..bks2,
+    * codes, qd.
+    */
+  private def pqReplayCtes: String = {
+    val head =
+      "hashes AS MATERIALIZED (SELECT vec_id, xxh FROM (" +
+        xxhash64LongSql("SELECT vec_id FROM embeddings", "vec_id") + ")), " +
+        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "un AS MATERIALIZED (SELECT vec_id, list_transform(v, " +
+        "x -> x / sqrt(list_inner_product(v, v))) AS u FROM e), " +
+        "spn AS MATERIALIZED (SELECT CAST(i AS INT) AS sp FROM generate_series(0, 15) g(i)), " +
+        "ps AS MATERIALIZED (SELECT CAST(i AS INT) AS pos FROM generate_series(1, 4) g(i)), " +
+        "subs AS MATERIALIZED (SELECT u.vec_id, s.sp, " +
+        "list_slice(u.u, s.sp * 4 + 1, s.sp * 4 + 4) AS sv FROM un u CROSS JOIN spn s), " +
+        "tr AS MATERIALIZED (SELECT s.vec_id, s.sp, s.sv FROM subs s JOIN hashes h USING (vec_id) " +
+        "WHERE ((h.xxh % 4) + 4) % 4 = 0), " +
+        "bks0 AS MATERIALIZED (SELECT sp, CAST(rn - 1 AS INT) AS cid, sv AS ce FROM (" +
+        "SELECT t.sp, t.sv, ROW_NUMBER() OVER (PARTITION BY t.sp " +
+        "ORDER BY h.xxh, t.vec_id) AS rn " +
+        "FROM tr t JOIN hashes h USING (vec_id)) WHERE rn <= 16)"
+    val rounds = (1 to 2).map { r =>
+      s"a$r AS MATERIALIZED (SELECT sp, vec_id, cid, sv FROM (" +
+        "SELECT t.sp, t.vec_id, b.cid, t.sv, ROW_NUMBER() OVER (" +
+        "PARTITION BY t.sp, t.vec_id ORDER BY " +
+        "list_inner_product(t.sv, t.sv) + list_inner_product(b.ce, b.ce) " +
+        "- 2.0 * list_inner_product(t.sv, b.ce) ASC, b.cid) AS rk " +
+        s"FROM tr t JOIN bks${r - 1} b USING (sp)) WHERE rk = 1), " +
+        s"m$r AS MATERIALIZED (SELECT a.sp, a.cid, p.pos, " +
+        s"CAST(SUM(CAST(round(list_extract(a.sv, p.pos) * $MeanGrainSql) " +
+        "AS HUGEINT)) AS DOUBLE) " +
+        s"/ CAST(COUNT(*) AS DOUBLE) / $MeanGrainSql AS mu " +
+        s"FROM a$r a CROSS JOIN ps p GROUP BY 1, 2, 3), " +
+        s"bks$r AS MATERIALIZED (SELECT b.sp, b.cid, COALESCE(u2.ce2, b.ce) AS ce " +
+        s"FROM bks${r - 1} b " +
+        s"LEFT JOIN (SELECT sp, cid, list(mu ORDER BY pos) AS ce2 FROM m$r " +
+        "GROUP BY 1, 2) u2 ON u2.sp = b.sp AND u2.cid = b.cid)"
+    }.mkString(", ")
+    val tail =
+      "codes AS MATERIALIZED (SELECT sp, vec_id, cid AS code FROM (" +
+        "SELECT s.sp, s.vec_id, b.cid, ROW_NUMBER() OVER (" +
+        "PARTITION BY s.sp, s.vec_id ORDER BY " +
+        "(list_inner_product(s.sv, s.sv) - 2.0 * list_inner_product(s.sv, b.ce)) " +
+        "+ list_inner_product(b.ce, b.ce) ASC, b.cid) AS rk " +
+        "FROM subs s JOIN bks2 b USING (sp)) WHERE rk = 1), " +
+        "qd AS MATERIALIZED (SELECT s.vec_id AS query_id, s.sp, b.cid, " +
+        "(list_inner_product(s.sv, s.sv) - 2.0 * list_inner_product(s.sv, b.ce)) " +
+        "+ list_inner_product(b.ce, b.ce) AS d " +
+        "FROM subs s JOIN bks2 b USING (sp) WHERE s.vec_id < 10)"
+    head + ", " + rounds + ", " + tail
+  }
+
+  /** Shared PQ tail: top-80 ADC candidates -> exact-cosine top-5. */
+  private val pqRankTail: String =
+    "cand AS MATERIALIZED (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, " +
+      "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id) AS rn " +
+      "FROM adc) WHERE rn <= 80), " +
+      "scored AS MATERIALIZED (SELECT cand.query_id, cand.vec_id, " +
+      "list_cosine_similarity(a.v, b.v) AS cs " +
+      "FROM cand JOIN e a ON a.vec_id = cand.query_id " +
+      "JOIN e b ON b.vec_id = cand.vec_id) " +
+      "SELECT query_id, rn AS rank, vec_id, ROUND(cs, 6) AS cos FROM (" +
+      "SELECT query_id, vec_id, cs, ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY cs DESC, vec_id) AS rn FROM scored) WHERE rn <= 5 " +
+      "ORDER BY query_id, rank"
+
+  /** [[graft.operators.Similarity.refineCentroids]] replay over the full
+    * 64-dim corpus at ivfTopK(refineIters = 2) defaults: hash-seeded 16
+    * centroids, two Lloyd rounds (detMean update, empty-cell fallback),
+    * then the standard IVF assign/probe/rank tail.
+    */
+  private def ivfRefinedSql: String = {
+    val head =
+      "WITH hashes AS MATERIALIZED (SELECT vec_id, xxh FROM (" +
+        xxhash64LongSql("SELECT vec_id FROM embeddings", "vec_id") + ")), " +
+        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "ps AS MATERIALIZED (SELECT CAST(i AS INT) AS pos FROM generate_series(1, 64) g(i)), " +
+        "cents0 AS MATERIALIZED (SELECT e.vec_id AS centroid_id, e.v AS ce FROM e " +
+        "JOIN hashes USING (vec_id) ORDER BY xxh, vec_id LIMIT 16)"
+    val rounds = (1 to 2).map { r =>
+      s"ra$r AS MATERIALIZED (SELECT vec_id, centroid_id FROM (" +
+        "SELECT e.vec_id, c.centroid_id, ROW_NUMBER() OVER (" +
+        "PARTITION BY e.vec_id ORDER BY " +
+        "list_inner_product(e.v, e.v) + list_inner_product(c.ce, c.ce) " +
+        "- 2.0 * list_inner_product(e.v, c.ce) ASC, c.centroid_id) AS rk " +
+        s"FROM e CROSS JOIN cents${r - 1} c) WHERE rk = 1), " +
+        s"rm$r AS MATERIALIZED (SELECT a.centroid_id, p.pos, " +
+        s"CAST(SUM(CAST(round(list_extract(e.v, p.pos) * $MeanGrainSql) " +
+        "AS HUGEINT)) AS DOUBLE) " +
+        s"/ CAST(COUNT(*) AS DOUBLE) / $MeanGrainSql AS mu " +
+        s"FROM ra$r a JOIN e USING (vec_id) CROSS JOIN ps p GROUP BY 1, 2), " +
+        s"cents$r AS MATERIALIZED (SELECT c.centroid_id, COALESCE(u2.ce2, c.ce) AS ce " +
+        s"FROM cents${r - 1} c LEFT JOIN (SELECT centroid_id, " +
+        s"list(mu ORDER BY pos) AS ce2 FROM rm$r GROUP BY 1) u2 " +
+        "USING (centroid_id))"
+    }.mkString(", ")
+    val tail =
+      "assign AS MATERIALIZED (SELECT vec_id, centroid_id FROM (" +
+        "SELECT e.vec_id, c.centroid_id, ROW_NUMBER() OVER (" +
+        "PARTITION BY e.vec_id ORDER BY " +
+        "list_inner_product(e.v, e.v) + list_inner_product(c.ce, c.ce) " +
+        "- 2.0 * list_inner_product(e.v, c.ce) ASC, c.centroid_id) AS rk " +
+        "FROM e CROSS JOIN cents2 c) WHERE rk = 1), " +
+        "probes AS MATERIALIZED (SELECT query_id, centroid_id FROM (" +
+        "SELECT q.vec_id AS query_id, c.centroid_id, ROW_NUMBER() OVER (" +
+        "PARTITION BY q.vec_id ORDER BY " +
+        "-2.0 * list_inner_product(q.v, c.ce) + list_inner_product(c.ce, c.ce) ASC, " +
+        "c.centroid_id) AS rk FROM e q CROSS JOIN cents2 c WHERE q.vec_id < 10) " +
+        "WHERE rk <= 4), " +
+        "cand AS MATERIALIZED (SELECT p.query_id, a.vec_id FROM assign a " +
+        "JOIN probes p USING (centroid_id) WHERE a.vec_id <> p.query_id), " +
+        "scored AS MATERIALIZED (SELECT cand.query_id, cand.vec_id, " +
+        "list_cosine_similarity(a.v, b.v) AS cs FROM cand " +
+        "JOIN e a ON a.vec_id = cand.query_id JOIN e b ON b.vec_id = cand.vec_id) " +
+        "SELECT query_id, rn AS rank, vec_id, ROUND(cs, 6) AS cos FROM (" +
+        "SELECT query_id, vec_id, cs, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY cs DESC, vec_id) AS rn FROM scored) " +
+        "WHERE rn <= 5 ORDER BY query_id, rank"
+    head + ", " + rounds + ", " + tail
+  }
+
   private val simhashFpCte =
     "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
       "FROM documents), " +
@@ -1261,6 +1398,44 @@ object DataQueries {
         "SELECT query_id, vec_id, cs, ROW_NUMBER() OVER (PARTITION BY query_id " +
         "ORDER BY cs DESC, vec_id) AS rn FROM scored) " +
         "WHERE rn <= 5 ORDER BY query_id, rank"),
+    // pqTopK replay: detMean-deterministic Lloyd training (see
+    // pqReplayCtes), full-corpus encode, all-pairs ADC scan folded in
+    // subspace order, top-80 candidates, exact-cosine top-5. The
+    // twoPhaseRank salting on the Spark side is lossless, so a single
+    // global ADC rank replays it exactly.
+    "ann_topk_pq" ->
+      ("WITH " + pqReplayCtes + ", " +
+        "adc AS MATERIALIZED (SELECT q.query_id, c.vec_id, " +
+        "list_reduce(list(q.d ORDER BY q.sp), (x, y) -> x + y) AS adc " +
+        "FROM codes c JOIN qd q ON q.sp = c.sp AND q.cid = c.code " +
+        "AND c.vec_id <> q.query_id GROUP BY 1, 2), " + pqRankTail),
+    // ivfPqTopK replay: hash-picked IVF cells bound the candidate pairs
+    // (assign rk=1, probes rk<=4), then the same ADC fold and re-rank.
+    "ann_topk_ivf_pq" ->
+      ("WITH " + pqReplayCtes + ", " +
+        "cents AS MATERIALIZED (SELECT e.vec_id AS centroid_id, e.v AS ce FROM e " +
+        "JOIN hashes USING (vec_id) ORDER BY xxh, vec_id LIMIT 16), " +
+        "assign AS MATERIALIZED (SELECT vec_id, centroid_id FROM (" +
+        "SELECT e.vec_id, c.centroid_id, ROW_NUMBER() OVER (" +
+        "PARTITION BY e.vec_id ORDER BY " +
+        "list_inner_product(e.v, e.v) + list_inner_product(c.ce, c.ce) " +
+        "- 2.0 * list_inner_product(e.v, c.ce) ASC, c.centroid_id) AS rk " +
+        "FROM e CROSS JOIN cents c) WHERE rk = 1), " +
+        "probes AS MATERIALIZED (SELECT query_id, centroid_id FROM (" +
+        "SELECT q.vec_id AS query_id, c.centroid_id, ROW_NUMBER() OVER (" +
+        "PARTITION BY q.vec_id ORDER BY " +
+        "-2.0 * list_inner_product(q.v, c.ce) + list_inner_product(c.ce, c.ce) ASC, " +
+        "c.centroid_id) AS rk FROM e q CROSS JOIN cents c WHERE q.vec_id < 10) " +
+        "WHERE rk <= 4), " +
+        "pairs AS MATERIALIZED (SELECT p.query_id, a.vec_id FROM assign a " +
+        "JOIN probes p USING (centroid_id) WHERE a.vec_id <> p.query_id), " +
+        "adc AS MATERIALIZED (SELECT pr.query_id, pr.vec_id, " +
+        "list_reduce(list(q.d ORDER BY q.sp), (x, y) -> x + y) AS adc " +
+        "FROM pairs pr JOIN codes c ON c.vec_id = pr.vec_id " +
+        "JOIN qd q ON q.query_id = pr.query_id AND q.sp = c.sp " +
+        "AND q.cid = c.code GROUP BY 1, 2), " + pqRankTail),
+    // ivfTopK(refineIters=2) replay — see ivfRefinedSql.
+    "ann_topk_ivf_refined" -> ivfRefinedSql,
     // randomProject replay: same plan-time-literal trick for the JL
     // matrix (seed 11, rDim 32), coarse top-40 in projected space, exact
     // re-rank on the originals — rpTopK's exact shape.
