@@ -187,6 +187,31 @@ object Similarity {
     cents
   }
 
+  /** Deterministic distributed k-means: hash-seeded centroids
+    * ([[centroidsOf]]) refined by `iters` detMean Lloyd rounds, then a
+    * final assignment. Returns (vec_id, cluster, dist2) where `cluster`
+    * is the SEED vector's id — engine-independent labels, unlike MLlib
+    * KMeans' partition-dependent ints — and `dist2` the squared
+    * euclidean distance to the final centroid. Same scale shape as
+    * refined IVF: per-round broadcast assign plus one
+    * map-side-combinable (cell, dimension) mean; only the k x dim
+    * codebook ever touches the driver.
+    */
+  def kmeansDet(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val cents = refineCentroids(corpus, centroidsOf(corpus, k), iters)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("centroid_id"))
+    corpus.join(broadcast(cents))
+      .withColumn("dist",
+        VectorFunctions.dot(col("embedding"), col("embedding")) +
+          VectorFunctions.dot(col("ce"), col("ce")) -
+          lit(2.0) * VectorFunctions.dot(col("embedding"), col("ce")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("centroid_id").as("cluster"),
+        col("dist").as("dist2"))
+  }
+
   /** Assignment against a precomputed broadcast codebook — callers that
     * also probe (ivfTopK) compute centroids once and reuse. `nprobe` > 1
     * emits each vector's `nprobe` nearest cells (one row per probe) —

@@ -363,6 +363,40 @@ object DataQueries {
     Dedup.decontaminateBloom(table(spark, dir, "documents"))
       .orderBy("train_id")
 
+  /** Oracle gate for decontaminate_bloom — the forecast-gate pattern
+    * applied to a probabilistic operator. The bloom filter's one-sided
+    * error gives two engine-independent facts DuckDB can state as
+    * constants: (a) every exactly-contaminated train doc is flagged with
+    * a hit count >= its exact count (no false negatives -> superset_ok
+    * = 1), and (b) extra flags come only from docs whose exact overlap
+    * sits just under minHits plus a handful of fpp-probability probe
+    * FPs, so their count stays inside DedupSpec's whisker bound
+    * max(2, n_exact/20) -> fp_bound_ok = 1 (the raw FP count is NOT a
+    * constant — near-threshold docs cross with a single false probe).
+    * The exact flagged-doc count is replayed by the oracle's semi-join.
+    * A broken filter build, probe-hash mismatch, or threshold slip flips
+    * a value and fails the driver hash.
+    */
+  def decontaminateBloomGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val bloom = Dedup.decontaminateBloom(docs)
+      .select(col("train_id"), col("n_test_shingles").as("n_bloom"))
+    val exact = Dedup.decontaminateTrainExact(docs)
+      .select(col("train_id"), col("n_test_shingles").as("n_exact"))
+    exact.join(bloom, Seq("train_id"), "full")
+      .agg(
+        coalesce(sum(col("n_exact").isNotNull.cast("long")), lit(0L))
+          .as("n_exact_flagged"),
+        coalesce(min(when(col("n_exact").isNotNull,
+          (col("n_bloom").isNotNull && col("n_bloom") >= col("n_exact"))
+            .cast("int"))), lit(1)).as("superset_ok"),
+        coalesce(sum(col("n_exact").isNull.cast("long")), lit(0L))
+          .as("n_false"))
+      .select(col("n_exact_flagged"), col("superset_ok"),
+        (col("n_false") <= greatest(lit(2L), col("n_exact_flagged") / 20))
+          .cast("int").as("fp_bound_ok"))
+  }
+
   /** dedup_canonicalize_exact through the DataFrame-native CC instead of
     * GraphX — hash-checked against the SAME recursive-CTE oracle, so the
     * two component implementations are cross-validated at the driver.
@@ -449,6 +483,20 @@ object DataQueries {
       .select(col("size_rank"), col("n_vecs"))
       .orderBy("size_rank")
   }
+
+  /** Deterministic k-means twin of cluster_kmeans
+    * ([[graft.operators.Similarity.kmeansDet]]): hash-seeded centroids +
+    * 2 quantized-integer-mean Lloyd rounds make the WHOLE clustering —
+    * per-vector assignments, labels, distances — bitwise
+    * engine-independent, so unlike the MLlib row (rows-only by its
+    * partition-dependent labels) this one is a full hash-checked oracle
+    * row: DuckDB replays seeding, both Lloyd rounds, and the argmin
+    * assignment (kmeansDetSql).
+    */
+  def clusterKmeansDet(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansDet(table(spark, dir, "embeddings"), k = 8, iters = 2)
+      .select(col("vec_id"), col("cluster"), round(col("dist2"), 6).as("dist2"))
+      .orderBy("vec_id")
 
   /** MLlib MinHashLSH near-dup pairs ([[graft.ml.MlPipelines
     * .minhashLshPairs]]) — the stock-estimator cross-check of the
@@ -640,6 +688,7 @@ object DataQueries {
     "dedup_exact_normalized" -> (dedupExactNormalized _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "cluster_kmeans" -> (clusterKmeans _),
+    "cluster_kmeans_det" -> (clusterKmeansDet _),
     "tfidf_mllib" -> (tfidfMllib _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_span_coverage" -> (dedupSpanCoverage _),
@@ -663,6 +712,7 @@ object DataQueries {
     "dedup_ngram_jaccard_banded" -> (dedupNgramJaccardBanded _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),
+    "decontaminate_bloom_gate" -> (decontaminateBloomGate _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_minhash_mllib" -> (dedupMinhashMllib _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -871,14 +921,20 @@ object DataQueries {
     * centroids, two Lloyd rounds (detMean update, empty-cell fallback),
     * then the standard IVF assign/probe/rank tail.
     */
-  private def ivfRefinedSql: String = {
+  /** Shared Lloyd-training CTE chain over the full 64-dim corpus:
+    * hash-seeded `k` centroids (cents0), two detMean rounds with the
+    * empty-cell fallback (cents1, cents2) — the replay of
+    * [[graft.operators.Similarity.refineCentroids]] used by both the
+    * refined-IVF and deterministic-k-means oracles.
+    */
+  private def lloydCtes(k: Int): String = {
     val head =
       "WITH hashes AS MATERIALIZED (SELECT vec_id, xxh FROM (" +
         xxhash64LongSql("SELECT vec_id FROM embeddings", "vec_id") + ")), " +
         "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "ps AS MATERIALIZED (SELECT CAST(i AS INT) AS pos FROM generate_series(1, 64) g(i)), " +
         "cents0 AS MATERIALIZED (SELECT e.vec_id AS centroid_id, e.v AS ce FROM e " +
-        "JOIN hashes USING (vec_id) ORDER BY xxh, vec_id LIMIT 16)"
+        s"JOIN hashes USING (vec_id) ORDER BY xxh, vec_id LIMIT $k)"
     val rounds = (1 to 2).map { r =>
       s"ra$r AS MATERIALIZED (SELECT vec_id, centroid_id FROM (" +
         "SELECT e.vec_id, c.centroid_id, ROW_NUMBER() OVER (" +
@@ -896,6 +952,29 @@ object DataQueries {
         s"list(mu ORDER BY pos) AS ce2 FROM rm$r GROUP BY 1) u2 " +
         "USING (centroid_id))"
     }.mkString(", ")
+    head + ", " + rounds
+  }
+
+  /** [[graft.operators.Similarity.kmeansDet]] replay at the registered
+    * defaults (k=8, iters=2): Lloyd training then per-vector argmin
+    * assignment with squared distance.
+    */
+  private def kmeansDetSql: String =
+    lloydCtes(8) +
+      " SELECT vec_id, centroid_id AS cluster, ROUND(dist, 6) AS dist2 FROM (" +
+      "SELECT e.vec_id, c.centroid_id, " +
+      "list_inner_product(e.v, e.v) + list_inner_product(c.ce, c.ce) " +
+      "- 2.0 * list_inner_product(e.v, c.ce) AS dist, " +
+      "ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY " +
+      "list_inner_product(e.v, e.v) + list_inner_product(c.ce, c.ce) " +
+      "- 2.0 * list_inner_product(e.v, c.ce) ASC, c.centroid_id) AS rk " +
+      "FROM e CROSS JOIN cents2 c) WHERE rk = 1 ORDER BY vec_id"
+
+  /** [[graft.operators.Similarity.refineCentroids]] replay at
+    * ivfTopK(refineIters = 2) defaults (16 centroids via [[lloydCtes]]),
+    * then the standard IVF assign/probe/rank tail.
+    */
+  private def ivfRefinedSql: String = {
     val tail =
       "assign AS MATERIALIZED (SELECT vec_id, centroid_id FROM (" +
         "SELECT e.vec_id, c.centroid_id, ROW_NUMBER() OVER (" +
@@ -918,7 +997,7 @@ object DataQueries {
         "SELECT query_id, vec_id, cs, ROW_NUMBER() OVER (PARTITION BY query_id " +
         "ORDER BY cs DESC, vec_id) AS rn FROM scored) " +
         "WHERE rn <= 5 ORDER BY query_id, rank"
-    head + ", " + rounds + ", " + tail
+    lloydCtes(16) + ", " + tail
   }
 
   private val simhashFpCte =
@@ -1436,6 +1515,18 @@ object DataQueries {
         "AND q.cid = c.code GROUP BY 1, 2), " + pqRankTail),
     // ivfTopK(refineIters=2) replay — see ivfRefinedSql.
     "ann_topk_ivf_refined" -> ivfRefinedSql,
+    // kmeansDet replay — see kmeansDetSql (full per-vector assignment).
+    "cluster_kmeans_det" -> kmeansDetSql,
+    // Bloom-gate replay: the exact (uncapped) semi-join count is
+    // recomputed; superset_ok / fp_bound_ok are the bloom's one-sided-
+    // error guarantees stated as constants (see decontaminateBloomGate).
+    "decontaminate_bloom_gate" ->
+      ("WITH " + shingleCte +
+        ", teu AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 = 4), " +
+        "trx AS (SELECT doc_id FROM sh JOIN teu USING (shingle) " +
+        "WHERE doc_id % 5 <> 4 GROUP BY 1 HAVING COUNT(*) >= 5) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_flagged, " +
+        "1 AS superset_ok, 1 AS fp_bound_ok FROM trx"),
     // randomProject replay: same plan-time-literal trick for the JL
     // matrix (seed 11, rDim 32), coarse top-40 in projected space, exact
     // re-rank on the originals — rpTopK's exact shape.

@@ -154,6 +154,28 @@ class SimilaritySpec extends SparkSpec {
       r1b.orderBy("centroid_id").collect().toSeq)
   }
 
+  test("kmeans det: total partition, seed-id labels, deterministic, beats unrefined seeding") {
+    import graft.functions.VectorFunctions
+    val out = Similarity.kmeansDet(emb, k = 8, iters = 2)
+    val rows = out.collect()
+    assert(rows.length == emb.count(), "every vector assigned exactly once")
+    val labels = rows.map(_.getLong(1)).toSet
+    assert(labels.size <= 8 && labels.nonEmpty)
+    // labels are seed vec_ids, members of the corpus id space
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(labels.subsetOf(ids), "cluster labels are corpus seed ids")
+    assert(rows.forall(_.getDouble(2) >= 0.0), "squared distances non-negative")
+    // deterministic across invocations (the detMean guarantee)
+    val again = Similarity.kmeansDet(emb, k = 8, iters = 2).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+    // two Lloyd rounds beat the raw hash-pick seeding on mean dist2
+    val seeded = Similarity.kmeansDet(emb, k = 8, iters = 0)
+    val m2 = out.agg(avg("dist2")).head().getDouble(0)
+    val m0 = seeded.agg(avg("dist2")).head().getDouble(0)
+    assert(m2 < m0, s"refined inertia $m2 must beat seed inertia $m0")
+  }
+
   test("pq topk: recall vs brute force; adc cosines exact after re-rank; ivf-pq bounded below flat pq") {
     val truth = Similarity.bruteForceTopK(emb, queries, 5).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
