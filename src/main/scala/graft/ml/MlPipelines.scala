@@ -1,8 +1,7 @@
 package graft.ml
 
-import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.feature.{HashingTF, IDF, MinHashLSH, Tokenizer}
+import org.apache.spark.ml.feature.{IDF, MinHashLSH}
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -87,25 +86,42 @@ object MlPipelines {
         round(lit(1.0) - col("dist"), 6).as("jaccard_hashed"))
   }
 
-  /** The classic Tokenizer -> HashingTF -> IDF text-featurization
-    * Pipeline. HashingTF is stateless (feature index = murmur3 of the
-    * term — no vocabulary to collect or broadcast, the property that
-    * makes it the 100 TB featurizer); IDF's fit is one aggregate over
-    * document frequencies. Returns (doc_id, n_terms, tfidf_norm) — the
+  /** Hashed-TF -> stock IDF text featurization. The featurizer is
+    * STATELESS like HashingTF (feature index = hash of the term — no
+    * vocabulary to collect or broadcast, the property that makes it the
+    * 100 TB featurizer) but hashes with the repo's polynomial rolling
+    * hash instead of murmur3 — the same swap [[minhashLshPairs]] made,
+    * and for the same reason: the fold replays in DuckDB where Spark's
+    * internal murmur3 byte path does not, which puts the STOCK IDF
+    * estimator (fit = one document-frequency aggregate; transform =
+    * element-wise ln((m+1)/(df+1)) scaling) under the driver's hash
+    * compare end to end. Tokenization is split-on-space of the lowered
+    * text with empties dropped (replayable, unlike java split's
+    * trailing-empty trim). Returns (doc_id, n_terms, tfidf_norm) — the
     * vector itself stays internal, the projection is what downstream
-    * aggregations consume.
+    * aggregations consume; the norm folds the dense array in ascending
+    * index order so the oracle's ordered list_reduce matches bitwise.
     */
   def tfidfFeatures(docs: DataFrame, numFeatures: Int = 1 << 12): DataFrame = {
-    val pipeline = new Pipeline().setStages(Array(
-      new Tokenizer().setInputCol("text").setOutputCol("terms"),
-      new HashingTF().setInputCol("terms").setOutputCol("tf")
-        .setNumFeatures(numFeatures),
-      new IDF().setInputCol("tf").setOutputCol("tfidf")))
-    val model = pipeline.fit(docs.select(col("doc_id"), col("text")))
+    import graft.functions.RollingHashExpr
+    val terms = docs.select(col("doc_id"),
+      filter(split(lower(col("text")), " "), t => length(t) > 0).as("terms"))
+    val idx = terms.select(col("doc_id"), size(col("terms")).as("n_terms"),
+      transform(col("terms"),
+        t => pmod(RollingHashExpr.rolling_hash(t), lit(numFeatures.toLong))
+          .cast("int")).as("idxs"))
+    val toVec = udf((idxs: Seq[Int]) => {
+      val counts = scala.collection.immutable.TreeMap.empty[Int, Double] ++
+        idxs.groupBy(identity).map { case (i, xs) => i -> xs.size.toDouble }
+      org.apache.spark.ml.linalg.Vectors
+        .sparse(numFeatures, counts.keys.toArray, counts.values.toArray)
+    })
+    val feat = idx.select(col("doc_id"), col("n_terms"), toVec(col("idxs")).as("tf"))
+    val model = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(feat)
     val normUdf = udf((v: org.apache.spark.ml.linalg.Vector) =>
       math.sqrt(v.toArray.foldLeft(0.0)((a, x) => a + x * x)))
-    model.transform(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), size(col("terms")).as("n_terms"),
+    model.transform(feat)
+      .select(col("doc_id"), col("n_terms"),
         round(normUdf(col("tfidf")), 6).as("tfidf_norm"))
   }
 }

@@ -510,9 +510,13 @@ object DataQueries {
     graft.ml.MlPipelines.minhashLshPairs(table(spark, dir, "documents"))
       .orderBy("doc_a", "doc_b")
 
-  /** MLlib Tokenizer -> HashingTF -> IDF pipeline features. Rows-only
-    * (hashed feature indices aren't SQL-reproducible); MlPipelinesSpec
-    * pins determinism and norm sanity.
+  /** Hashed-TF -> stock MLlib IDF features ([[graft.ml.MlPipelines
+    * .tfidfFeatures]]). Oracle-checked since the featurizer switched to
+    * the replayable rolling hash (the minhashLshPairs move): DuckDB
+    * recomputes term hashing, per-doc TF, the IDF fit's document
+    * frequencies, the ln((m+1)/(df+1)) weights, and the ordered
+    * sum-of-squares norm. MlPipelinesSpec additionally pins determinism
+    * and norm sanity.
     */
   def tfidfMllib(spark: SparkSession, dir: String): DataFrame =
     graft.ml.MlPipelines.tfidfFeatures(table(spark, dir, "documents"))
@@ -1630,6 +1634,29 @@ object DataQueries {
         "allp ORDER BY query_id, rank"),
     "dedup_minhash" -> minhashOracle,
     "dedup_minhash_mllib" -> mllibMinhashOracle,
+    // tfidfFeatures replay: rolling-hash term indices mod 4096, per-doc
+    // TF, IDF's ln((m+1)/(df+1)) over document frequencies, then the
+    // norm as an ascending-index left fold of squares (matching the
+    // Spark side's dense-array foldLeft). Docs with no terms norm to 0.
+    "tfidf_mllib" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), " +
+        "t -> t <> '') AS w FROM documents), " +
+        "nd AS (SELECT COUNT(*) AS m FROM documents), " +
+        "tk AS (SELECT doc_id, unnest(w) AS tok FROM toks), " +
+        "hb AS (SELECT doc_id, CAST(list_reduce(list_prepend(0::HUGEINT, " +
+        "list_transform(string_split(tok, ''), c -> ord(c)::HUGEINT)), " +
+        "(a, b) -> (a * 1315423911 + b) % 18446744073709551616::HUGEINT) " +
+        "% 4096 AS BIGINT) AS idx FROM tk), " +
+        "tf AS (SELECT doc_id, idx, CAST(COUNT(*) AS DOUBLE) AS tf " +
+        "FROM hb GROUP BY 1, 2), " +
+        "df AS (SELECT idx, COUNT(*) AS df FROM tf GROUP BY 1), " +
+        "wgt AS (SELECT idx, ln((m + 1.0) / (df + 1.0)) AS w FROM df CROSS JOIN nd), " +
+        "nrm AS (SELECT tf.doc_id, sqrt(list_reduce(list_prepend(0.0, " +
+        "list((tf.tf * wgt.w) * (tf.tf * wgt.w) ORDER BY tf.idx)), " +
+        "(a, b) -> a + b)) AS norm FROM tf JOIN wgt USING (idx) GROUP BY 1) " +
+        "SELECT t.doc_id, len(t.w) AS n_terms, " +
+        "ROUND(COALESCE(n.norm, 0.0), 6) AS tfidf_norm " +
+        "FROM toks t LEFT JOIN nrm n USING (doc_id) ORDER BY doc_id"),
     "mm_features" ->
       (mmStubCte +
         "SELECT media_id, kind, CAST(n AS INT) AS n_bytes, " +
