@@ -299,6 +299,39 @@ object CoreQueries {
   private def lastEventDay(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events").agg(max(to_date(col("ts"))).as("m"))
 
+  /** Oracle gate for the flagship additive daily forecast: every source
+    * day fitted, exactly the 7-day horizon appended, band ordered. */
+  def forecastEventsGate(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = Bucketize.events(table(spark, dir, "events"))
+    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false)
+    dailyGate(fc.toDF(), lastEventDay(spark, dir))
+  }
+
+  /** Oracle gate for the --only-future path: the strict `>` filter claim
+    * becomes the constant n_hist = 0 with the full 7-step horizon. */
+  def forecastEventsFutureGate(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = Bucketize.events(table(spark, dir, "events"))
+    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = true)
+    dailyGate(fc.toDF(), lastEventDay(spark, dir))
+  }
+
+  /** Oracle gate for the holiday-regressor fit: the extra indicator
+    * column must not change the calendar or band ordering (the effect-
+    * recovery property itself is pinned in ForecastPropertySpec). */
+  def forecastEventsHolidaysGate(spark: SparkSession, dir: String): DataFrame = {
+    val monthStarts = (for {
+      y <- 2024 to 2025
+      m <- 1 to 12
+    } yield java.time.LocalDate.of(y, m, 1).toEpochDay).toArray
+    val bucket = Bucketize.events(table(spark, dir, "events"))
+    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false,
+      holidays = Map("month_start" -> monthStarts))
+    dailyGate(fc.toDF(), lastEventDay(spark, dir))
+  }
+
   /** Oracle gate for the multiplicative-seasonality path: calendar counts
     * + band sanity (the mode's amplitude-tracking property itself is
     * pinned in ForecastPropertySpec). */
@@ -401,12 +434,15 @@ object CoreQueries {
     "forecast_backtest_gate" -> (forecastBacktestGate _),
     "forecast_backtest_naive" -> (forecastBacktestNaive _),
     "forecast_events" -> (forecastEvents _),
+    "forecast_events_gate" -> (forecastEventsGate _),
     "forecast_events_holidays" -> (forecastEventsHolidays _),
+    "forecast_events_holidays_gate" -> (forecastEventsHolidaysGate _),
     "forecast_events_logistic" -> (forecastEventsLogistic _),
     "forecast_events_logistic_gate" -> (forecastEventsLogisticGate _),
     "forecast_events_multiplicative" -> (forecastEventsMultiplicative _),
     "forecast_events_multiplicative_gate" -> (forecastEventsMultiplicativeGate _),
     "forecast_events_future" -> (forecastEventsFuture _),
+    "forecast_events_future_gate" -> (forecastEventsFutureGate _),
     "forecast_events_simband" -> (forecastEventsSimband _),
     "forecast_events_simband_gate" -> (forecastEventsSimbandGate _),
     "forecast_anomalies" -> (forecastAnomalies _),
@@ -473,6 +509,21 @@ object CoreQueries {
         "FROM lagd GROUP BY 1, 2 ORDER BY metric, cutoff"),
     // Daily-forecast gate replays: DuckDB recomputes the distinct source-
     // day count per metric; horizon and sanity bits are expected constants.
+    "forecast_events_gate" ->
+      ("WITH h AS (SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n FROM events) " +
+        "SELECT m.metric, n AS n_hist, CAST(7 AS BIGINT) AS n_future, " +
+        "1 AS bands_ok FROM h CROSS JOIN (VALUES ('active_users'), " +
+        "('event_count'), ('value_sum')) m(metric) ORDER BY metric"),
+    "forecast_events_future_gate" ->
+      ("SELECT m.metric, CAST(0 AS BIGINT) AS n_hist, " +
+        "CAST(7 AS BIGINT) AS n_future, 1 AS bands_ok FROM (VALUES " +
+        "('active_users'), ('event_count'), ('value_sum')) m(metric) " +
+        "ORDER BY metric"),
+    "forecast_events_holidays_gate" ->
+      ("WITH h AS (SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n FROM events) " +
+        "SELECT m.metric, n AS n_hist, CAST(7 AS BIGINT) AS n_future, " +
+        "1 AS bands_ok FROM h CROSS JOIN (VALUES ('active_users'), " +
+        "('event_count'), ('value_sum')) m(metric) ORDER BY metric"),
     "forecast_events_multiplicative_gate" ->
       ("WITH h AS (SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n FROM events) " +
         "SELECT m.metric, n AS n_hist, CAST(7 AS BIGINT) AS n_future, " +
