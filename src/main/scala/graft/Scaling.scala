@@ -50,7 +50,11 @@ object Scaling {
     // round 9 additions: quality gates, backtest, sub-daily forecast,
     // md5 split, quantized ANN
     "ann_recall", "ann_topk_int8", "ann_topk_ivf_pq",
-    "forecast_backtest", "forecast_events_hourly", "sample_split")
+    "forecast_backtest", "forecast_events_hourly", "sample_split",
+    // round 10 additions: deterministic k-means, bloom gate (runs the
+    // bloom AND exact twins), replayable tf-idf, refined IVF
+    "cluster_kmeans_det", "decontaminate_bloom_gate", "tfidf_mllib",
+    "ann_topk_ivf_refined")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
