@@ -199,17 +199,17 @@ object Similarity {
     */
   def kmeansDet(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     val cents = refineCentroids(corpus, centroidsOf(corpus, k), iters)
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist").asc, col("centroid_id"))
+    // same map-side-combined argmin as ivfAssignTo's nprobe=1 path,
+    // carrying the winning distance out through the struct
     corpus.join(broadcast(cents))
       .withColumn("dist",
         VectorFunctions.dot(col("embedding"), col("embedding")) +
           VectorFunctions.dot(col("ce"), col("ce")) -
           lit(2.0) * VectorFunctions.dot(col("embedding"), col("ce")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("centroid_id").as("cluster"),
-        col("dist").as("dist2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("centroid_id"))).as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("cluster"),
+        col("best.dist").as("dist2"))
   }
 
   /** Assignment against a precomputed broadcast codebook — callers that
@@ -221,16 +221,30 @@ object Similarity {
     */
   def ivfAssignTo(corpus: DataFrame, centroids: DataFrame,
       nprobe: Int = 1): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("centroid_id"))
-    corpus
+    val scored = corpus
       .join(broadcast(centroids))
       .withColumn("dist",
         VectorFunctions.dot(col("embedding"), col("embedding")) +
           VectorFunctions.dot(col("ce"), col("ce")) -
           lit(2.0) * VectorFunctions.dot(col("embedding"), col("ce")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= nprobe)
-      .select(col("vec_id"), col("centroid_id"))
+    if (nprobe == 1) {
+      // argmin as an aggregate, not a window: min(struct(dist, cid)) has
+      // the identical dist-then-centroid_id tie-break, but the partial
+      // (map-side) min collapses the k rows per vector BEFORE the
+      // shuffle — k x less exchange volume and no per-vector sort. This
+      // is the inner loop of every Lloyd round, so it pays k x iters
+      // per training.
+      scored
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("centroid_id"))).as("best"))
+        .select(col("vec_id"), col("best.centroid_id").as("centroid_id"))
+    } else {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("centroid_id"))
+      scored
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= nprobe)
+        .select(col("vec_id"), col("centroid_id"))
+    }
   }
 
   /** IVF ANN top-k: queries probe their own cell plus the `nprobe`-1 next

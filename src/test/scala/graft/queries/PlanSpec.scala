@@ -201,6 +201,24 @@ class PlanSpec extends SparkSpec {
       "the 1-row boundary frame must broadcast, not shuffle")
   }
 
+  test("cluster_kmeans_det: codebook broadcast, assignment is a map-side-combined argmin, no window") {
+    val p = plan("cluster_kmeans_det")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the k-row codebook must broadcast against the corpus")
+    assert(!p.contains("Window ("),
+      "argmin must be min(struct(dist, cid)) — partial-aggregated before " +
+        "the shuffle — not a row_number window over k rows per vector")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      "assignment must partial-aggregate map-side")
+  }
+
+  test("decontaminate_bloom_gate: exact twin broadcasts the test-shingle set; split filters pushed") {
+    val p = plan("decontaminate_bloom_gate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "the exact semi-join must broadcast the distinct test shingles")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("sample_split_md5 aggregation: split label is a projection (no pre-agg shuffle)") {
     val p = plan("sample_split_md5")
     val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).length
