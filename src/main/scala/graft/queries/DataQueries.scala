@@ -681,7 +681,52 @@ object DataQueries {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** Quality gate for the near-dup sketch family — ann_recall's pattern
+    * applied to dedup: recall of every sketch's PAIR SET against the
+    * exact df-capped n-gram-Jaccard truth, reduced to a pass bit per
+    * variant. This is the only driver-visible check of the xxhash64
+    * variants (minhash_xxh, simhash_xxh — the registered 100 TB paths,
+    * whose own outputs are rows-only because DuckDB cannot replay
+    * variable-length xxhash64): their QUALITY becomes a hash-compared
+    * constant even though their rows cannot. Floors measured at both
+    * graded scales (sf0.01 / sf0.1): minhash family + banded Jaccard
+    * 1.00/1.00 -> floor 0.9; simhash 0.60-0.84/0.71-0.74 -> floor 0.5
+    * (collapse detector — hamming<=3 on 64-bit fingerprints
+    * intentionally under-recalls 0.5-Jaccard pairs; the high-margin
+    * regimes live in DedupSpec). n_truth is replayed by the oracle's
+    * capped-Jaccard CTE. A broken signature, band, or fingerprint drops
+    * a floor and flips a bit.
+    */
+  def dedupRecall(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val truth = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b")).persist()
+    def gate(variant: String, pairs: DataFrame, floor: Double): DataFrame = {
+      val a = pairs.select(col("doc_a"), col("doc_b")).withColumn("m", lit(1))
+      truth.join(a, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          (sum(coalesce(col("m"), lit(0))).cast("double") / count(lit(1)))
+            .as("recall"))
+        .select(lit(variant).as("variant"), col("n_truth"),
+          (col("recall") >= floor).cast("int").as("pass"))
+    }
+    val gates = Seq(
+      gate("banded", Dedup.ngramJaccardPairsBanded(docs, 3, 0.5), 0.9),
+      gate("minhash_det", Dedup.minhashPairsDeterministic(docs), 0.9),
+      gate("minhash_mllib", graft.ml.MlPipelines.minhashLshPairs(docs), 0.9),
+      gate("minhash_xxh", Dedup.minhashPairs(docs), 0.9),
+      gate("simhash_det", Dedup.simhashPairsDeterministic(docs, 3), 0.5),
+      gate("simhash_xxh", Dedup.simhashPairs(docs, 3), 0.5))
+    val out = gates.reduce(_.union(_)).orderBy("variant")
+    // 6-row gate: materialize eagerly so the truth cache is released
+    // (same hygiene as ann_recall)
+    val rows = out.collect()
+    truth.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_recall" -> (dedupRecall _),
     "ann_mmr" -> (annMmr _),
     "dedup_containment" -> (dedupContainment _),
     "semdedup" -> (semdedup _),
@@ -1634,6 +1679,15 @@ object DataQueries {
         "allp ORDER BY query_id, rank"),
     "dedup_minhash" -> minhashOracle,
     "dedup_minhash_mllib" -> mllibMinhashOracle,
+    // dedupRecall replay: n_truth from the capped-Jaccard pair CTE; the
+    // per-variant pass bits are the measured-floor constants.
+    "dedup_recall" ->
+      ("WITH " + jaccardPairsCte +
+        ", t AS (SELECT COUNT(*) AS n FROM pairs) " +
+        "SELECT v.variant, t.n AS n_truth, 1 AS pass FROM t CROSS JOIN " +
+        "(VALUES ('banded'), ('minhash_det'), ('minhash_mllib'), " +
+        "('minhash_xxh'), ('simhash_det'), ('simhash_xxh')) v(variant) " +
+        "ORDER BY variant"),
     // tfidfFeatures replay: rolling-hash term indices mod 4096, per-doc
     // TF, IDF's ln((m+1)/(df+1)) over document frequencies, then the
     // norm as an ascending-index left fold of squares (matching the

@@ -129,6 +129,16 @@ class DedupSpec extends SparkSpec {
     assert(again == fp)
   }
 
+  test("dedup_recall gate: six variants, truth count matches exact pairs, all floors hold") {
+    val out = graft.queries.DataQueries.dedupRecall(spark, sf0001).collect()
+    assert(out.length == 6)
+    assert(out.map(_.getString(0)).toSeq == Seq("banded", "minhash_det",
+      "minhash_mllib", "minhash_xxh", "simhash_det", "simhash_xxh"))
+    val nTruth = Dedup.ngramJaccardPairs(docs, 3, 0.5).count()
+    assert(out.forall(_.getLong(1) == nTruth), "n_truth must equal the exact pair count")
+    assert(out.forall(_.getInt(2) == 1), "every variant must clear its floor on fixtures")
+  }
+
   test("bloom decontamination: superset of exact, no spurious flags, counts only inflate") {
     val exact = Dedup.decontaminateTrainExact(docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
