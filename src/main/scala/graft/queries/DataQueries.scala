@@ -670,15 +670,24 @@ object DataQueries {
         Similarity.ivfTopK(slice, queries, k = k, refineIters = 2), 0.45),
       gate("pq", Similarity.pqTopK(slice, queries, dim = 64, k = k), 0.8),
       gate("ivf_pq", Similarity.ivfPqTopK(slice, queries, dim = 64, k = k), 0.4))
-    val out = gates.reduce(_.union(_)).orderBy("variant")
-    // 7-row gate: materialize eagerly so the slice/truth caches can be
+    // 7-row gate, materialized eagerly so the slice/truth caches can be
     // RELEASED here instead of leaking into the session (bench loops run
     // queries repeatedly; an un-dropped cached RDD per call accumulates
-    // until executor storage evicts it).
-    val rows = out.collect()
+    // until executor storage evicts it). The variants are independent,
+    // so their 1-row collects run as CONCURRENT jobs — the IVF/PQ
+    // variants' driver-coordinated training rounds overlap instead of
+    // serializing (dedup_recall's pattern). Shared caches are
+    // materialized first so concurrent readers hit populated blocks.
+    truth.count()
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val rows = Await.result(
+      Future.sequence(gates.map(g => Future(g.collect()))), Duration.Inf)
+      .flatten.sortBy(_.getString(0))
     truth.unpersist()
     slice.unpersist()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), gates.head.schema)
   }
 
   /** Quality gate for the near-dup sketch family — ann_recall's pattern
