@@ -54,7 +54,12 @@ object Scaling {
     // round 10 additions: deterministic k-means, bloom gate (runs the
     // bloom AND exact twins), replayable tf-idf, refined IVF
     "cluster_kmeans_det", "decontaminate_bloom_gate", "tfidf_mllib",
-    "ann_topk_ivf_refined")
+    "ann_topk_ivf_refined",
+    // round 10 additions: streaming parity gates (events-driven; cost =
+    // one staging write + the streaming aggregation itself). The
+    // interval join stays linear across copies because Scaling gen
+    // shifts user ids per copy — no cross-copy pairs.
+    "stream_bucketize", "stream_user_type_counts", "stream_interval_join")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

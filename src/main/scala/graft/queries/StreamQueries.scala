@@ -1,0 +1,228 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.Fixtures
+import graft.streaming.{EventBucketizer, StreamingDrift}
+
+/** Structured Streaming parity gates (SURVEY.md §2.7 / §7.5a).
+  *
+  * The streaming operators in [[graft.streaming]] were previously covered
+  * only by scalatest; these entries put the STREAMING execution path —
+  * file source, micro-batch triggers, state store, memory sink — into the
+  * DuckDB oracle sweep. Each gate runs a real `readStream` to completion
+  * (`processAllAvailable`) and returns the sink table, whose contents the
+  * driver hash-compares against plain batch SQL. Because the chosen
+  * semantics are exactly batch-replayable (complete-mode aggregations,
+  * no-timeout keyed state, single-batch joins), streaming-vs-batch
+  * equivalence is the correctness statement, not an approximation.
+  *
+  * Determinism notes baked into each gate:
+  *  - Aggregation gates run in COMPLETE output mode with a far-future
+  *    watermark, so no row is ever late-dropped and the final sink table
+  *    equals the batch aggregation regardless of file/batch order.
+  *  - The staged copy is split into several files read with
+  *    `maxFilesPerTrigger=1`, so state genuinely accumulates across
+  *    micro-batches (a single-batch run would not exercise the state
+  *    store's merge path).
+  *  - The stateful-counter gate ([[EventBucketizer.runningUserTypeCounts]],
+  *    update mode) emits a row per (key, batch); the final value per key
+  *    is the max — an order-insensitive reduction of the emission log.
+  *  - The stream-stream interval join and streaming dedup run under a
+  *    never-late watermark, so state is never evicted before a match and
+  *    no row is late-dropped — the full join/dedup result is exact and
+  *    batch-replayable even across micro-batches. (Real watermark
+  *    eviction behavior is covered by StreamingSpec, where exactness is
+  *    deliberately NOT the contract.)
+  *
+  * Scale: the memory sink holds only the AGGREGATED result (days,
+  * key-counts, survivors) — never the raw stream; at 100 TB these sinks
+  * become parquet/Kafka writers ([[EventBucketizer.writeDaily]]) and the
+  * state-store reasoning (bounded per-window/per-key state, watermark
+  * eviction) is unchanged.
+  */
+object StreamQueries {
+
+  /** Watermark delay long enough that no fixture row is ever late. */
+  private val NeverLate = "3650 days"
+
+  /** One staging write per (sfDir, label) per JVM: the decoded fixture is
+    * copied to a temp dir so `readStream` sees a plain parquet directory
+    * with the decoded schema (the raw fixture may carry nanos/NTZ
+    * variants that the batch reader normalizes — see [[Fixtures.table]]).
+    */
+  private val stagedDirs = TrieMap[(String, String), String]()
+  private val nameCtr = new AtomicInteger(0)
+
+  private def stage(spark: SparkSession, dir: String, label: String,
+      parts: Int)(build: => DataFrame): (String, StructType) = {
+    val df = build
+    val path = stagedDirs.getOrElseUpdate((dir, label), {
+      val tmp = Files.createTempDirectory(s"graft_stream_$label").toString
+      df.repartition(parts).write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+    (path, df.schema)
+  }
+
+  private def stagedEvents(spark: SparkSession, dir: String,
+      parts: Int): (String, StructType) =
+    stage(spark, dir, s"events$parts", parts)(Fixtures.table(spark, dir, "events"))
+
+  /** Documents with a synthetic event-time column (micros from doc_id,
+    * offset a year past the epoch) so watermark-bearing operators have a
+    * time axis; values are irrelevant to the dedup semantics. The offset
+    * matters: Spark's initial watermark is epoch 0 and rows AT or before
+    * the watermark are dropped as late, so `timestamp_micros(doc_id)`
+    * silently lost doc_id = 0.
+    */
+  private def stagedDocs(spark: SparkSession, dir: String): (String, StructType) =
+    stage(spark, dir, "documents_ts", 1)(
+      Fixtures.table(spark, dir, "documents")
+        .withColumn("ts",
+          timestamp_micros(col("doc_id") + lit(31536000000000L))))
+
+  /** Run `result` (a streaming DataFrame) to completion into a memory
+    * sink and return the sink table. Unique query names keep bench
+    * reruns and concurrent suites from colliding.
+    */
+  private def drain(result: DataFrame, mode: String, label: String): DataFrame = {
+    val spark = result.sparkSession
+    val qn = s"graft_stream_${label}_${nameCtr.incrementAndGet()}"
+    val q = result.writeStream.outputMode(mode).format("memory").queryName(qn).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(qn)
+  }
+
+  /** Daily tumbling-window bucketize, streamed — 4 micro-batches folding
+    * into complete-mode window state. `active_users` (an HLL sketch, not
+    * DuckDB-replayable) is computed but not emitted; the batch
+    * `bucketize_events` gate pins the exact-distinct column.
+    */
+  def streamBucketize(spark: SparkSession, dir: String): DataFrame = {
+    val (path, schema) = stagedEvents(spark, dir, parts = 4)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(path)
+    drain(EventBucketizer.dailyBuckets(stream, watermark = NeverLate),
+      "complete", "bucketize")
+      .select(col("date"), col("event_count"), col("value_sum"))
+  }
+
+  /** Exact trailing-7-day sliding-window counts, streamed: each event
+    * lands in its 7 trailing windows via the engine's sliding-window
+    * expansion (the same 7x fan-out the batch twin spells as an explode).
+    */
+  def streamSlidingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val (path, schema) = stagedEvents(spark, dir, parts = 4)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(path)
+    drain(EventBucketizer.slidingCounts(stream, watermark = NeverLate),
+      "complete", "sliding")
+  }
+
+  /** Keyed running counters via `mapGroupsWithState` across 4 real
+    * micro-batches; the sink's per-batch emission log reduces to final
+    * counts with `max`, which must equal the batch GROUP BY.
+    */
+  def streamUserTypeCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (path, schema) = stagedEvents(spark, dir, parts = 4)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(path)
+    val typed = stream.select(col("user_id"), col("event_type"))
+      .as[(Long, String)]
+    drain(EventBucketizer.runningUserTypeCounts(typed).toDF(), "update", "usertype")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n")).as("n"))
+  }
+
+  /** Streaming first-arrival dedup over documents: every distinct text
+    * emits exactly one survivor, so the emitted text multiset equals
+    * `SELECT DISTINCT text` (collision risk on (xxhash64, len) is the
+    * documented residual — see [[EventBucketizer.streamingDedup]]).
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (path, schema) = stagedDocs(spark, dir)
+    val stream = spark.readStream.schema(schema).parquet(path)
+    drain(EventBucketizer.streamingDedup(stream), "append", "dedup")
+      .select(col("text"))
+  }
+
+  /** Stream-stream interval join: views pair with same-user clicks within
+    * 1 hour. The never-late watermark makes the inner-join result total
+    * even across micro-batches — state is never evicted before a match
+    * and no row is late-dropped — hence SQL-replayable. Reuses the shared
+    * 4-file staging (one staging write serves all event gates).
+    */
+  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (path, schema) = stagedEvents(spark, dir, parts = 4)
+    def side(t: String) = spark.readStream.schema(schema).parquet(path)
+      .filter(col("event_type") === t)
+    drain(EventBucketizer.viewClickPairs(side("view"), side("click"),
+      maxGap = "1 hour", watermark = NeverLate), "append", "vclick")
+  }
+
+  /** Streaming PSI drift vs a uniform reference over 10 fixed-width value
+    * bins, per event-time day — the in-flight ML-ops monitor, complete
+    * mode so every day's smoothed histogram is final.
+    */
+  def streamDriftPsi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (path, schema) = stagedEvents(spark, dir, parts = 4)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(path)
+    val pts = stream.select(col("ts"), col("value"))
+      .as[StreamingDrift.ValuePoint]
+    drain(StreamingDrift.psi(pts, Seq.fill(10)(0.1), binWidth = 50.0,
+      nBins = 10, windowDur = "1 day", watermarkDelay = NeverLate),
+      "complete", "psi")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_bucketize" -> (streamBucketize _),
+    "stream_sliding_counts" -> (streamSlidingCounts _),
+    "stream_user_type_counts" -> (streamUserTypeCounts _),
+    "stream_dedup" -> (streamDedup _),
+    "stream_interval_join" -> (streamIntervalJoin _),
+    "stream_drift_psi" -> (streamDriftPsi _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "stream_bucketize" ->
+      ("SELECT CAST(ts AS DATE) AS date, COUNT(*) AS event_count, " +
+        "ROUND(SUM(value), 2) AS value_sum FROM events GROUP BY 1"),
+    "stream_sliding_counts" ->
+      ("SELECT CAST(ts AS DATE) + CAST(x AS INTEGER) AS day, " +
+        "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum " +
+        "FROM events, unnest(generate_series(0, 6)) t(x) GROUP BY 1"),
+    "stream_user_type_counts" ->
+      "SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2",
+    "stream_dedup" ->
+      "SELECT DISTINCT text AS text FROM documents",
+    "stream_interval_join" ->
+      ("SELECT v.user_id AS user_id, v.event_id AS view_id, " +
+        "c.event_id AS click_id, v.ts AS view_ts, c.ts AS click_ts " +
+        "FROM events v JOIN events c ON c.user_id = v.user_id " +
+        "AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR " +
+        "WHERE v.event_type = 'view' AND c.event_type = 'click'"),
+    "stream_drift_psi" ->
+      ("WITH b AS (SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS window_start, " +
+        "LEAST(9, GREATEST(0, CAST(FLOOR(value / 50.0) AS INTEGER))) AS bin FROM events), " +
+        "t AS (SELECT window_start, COUNT(*) AS n FROM b GROUP BY 1), " +
+        "c AS (SELECT window_start, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2), " +
+        "g AS (SELECT t.window_start, t.n, gs.bin, COALESCE(c.cnt, 0) AS cnt " +
+        "FROM t CROSS JOIN (SELECT UNNEST(generate_series(0, 9)) AS bin) gs " +
+        "LEFT JOIN c ON c.window_start = t.window_start AND c.bin = gs.bin) " +
+        "SELECT window_start, n, " +
+        "ROUND(SUM(((cnt + 1.0) / (n + 10.0) - 0.1) * LN(((cnt + 1.0) / (n + 10.0)) / 0.1)), 6) AS psi " +
+        "FROM g GROUP BY 1, 2")
+  )
+}

@@ -80,6 +80,20 @@ object EventBucketizer {
       .agg(approx_count_distinct(col("user_id")).as("reach_7d"))
       .select(to_date(col("w.end")).as("window_end"), col("reach_7d"))
 
+  /** Exact trailing-7-day event counts/sums: the deterministic sibling of
+    * [[slidingReach]] for the oracle gate — `count`/`sum` ARE exactly
+    * incrementally computable under sliding windows (unlike distinct), so
+    * this one needs no sketch. Label = last day the window covers
+    * (`w.end - 1 day`), matching the batch `sliding_reach` day convention.
+    */
+  def slidingCounts(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "7 days", "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("value_sum"))
+      .select(date_sub(to_date(col("w.end")), 1).as("day"),
+        col("n_events"), col("value_sum"))
+
   /** Stream-static enrichment: per-micro-batch broadcast hash join of a
     * streaming frame against a static dimension — the standard pattern
     * for attaching slowly-changing metadata (user tier, source catalog)
