@@ -57,10 +57,29 @@ object Bench {
     val parts = Tuning.shufflePartitionsFor(sfDir, cpus.toInt)
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     System.err.println(s"[bench] shuffle.partitions=$parts for $sfDir")
-    // warm the JVM + filesystem once so the first measured query doesn't
-    // absorb executor startup and parquet footer costs
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
-    catch { case _: Throwable => () }
+    // Warm the JVM once so the first measured queries don't absorb
+    // executor startup, parquet footer reads, and whole-stage-codegen JIT
+    // compilation (the alphabetically-first ann_* family measured ~2x its
+    // steady-state on the first pass purely from this). The warmup runs a
+    // representative mix — scan+agg, hash join, window — over LIMITed
+    // input, so it costs ~seconds and is NOT counted in any query's time;
+    // steady-state throughput is the honest metric (a real cluster's
+    // executors are warm).
+    try {
+      import org.apache.spark.sql.expressions.Window
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(20000)
+      li.groupBy(col("l_returnflag")).agg(bit_xor(xxhash64(col("l_quantity")))).collect()
+      val o = spark.read.parquet(s"$sfDir/orders.parquet").limit(20000)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(bit_xor(xxhash64(col("o_totalprice")))).collect()
+      o.select(org.apache.spark.sql.functions.row_number().over(
+          Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))).as("rn"))
+        .agg(bit_xor(xxhash64(col("rn")))).collect()
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(2000)
+        .agg(bit_xor(xxhash64(col("text")))).collect()
+      spark.read.parquet(s"$sfDir/embeddings.parquet").limit(2000)
+        .agg(bit_xor(xxhash64(col("vec_id")))).collect()
+    } catch { case _: Throwable => () }
     def esc(s: String): String = s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

@@ -40,18 +40,26 @@ object Hits {
     // value only exists so the frame is never null.
     var auth = e.select(col("s")).distinct().withColumn("a", lit(1.0))
     for (_ <- 1 to iters) {
-      val ar = e.join(hub, Seq("c"))
-        .groupBy(col("s")).agg(sum(col("h") * col("w")).as("a"))
-      auth = Checkpoints.truncate(ar
+      // truncate the edge-join AGGREGATE, not the normalized select: the
+      // raw scores feed both the main plan and the broadcast L2-norm
+      // subtree, so checkpointing here runs the expensive |E|-shuffle once
+      // per half-round instead of twice (the normalizer and the division
+      // then both read the |V|-row checkpoint; arithmetic is unchanged,
+      // so the DuckDB unroll still hash-matches).
+      val ar = Checkpoints.truncate(
+        e.join(hub, Seq("c"))
+          .groupBy(col("s")).agg(sum(col("h") * col("w")).as("a")),
+        reliable)
+      auth = ar
         .crossJoin(broadcast(ar.agg(sqrt(sum(col("a") * col("a"))).as("z"))))
-        .select(col("s"), (col("a") / greatest(col("z"), lit(minNorm))).as("a")),
+        .select(col("s"), (col("a") / greatest(col("z"), lit(minNorm))).as("a"))
+      val hr = Checkpoints.truncate(
+        e.join(auth, Seq("s"))
+          .groupBy(col("c")).agg(sum(col("a") * col("w")).as("h")),
         reliable)
-      val hr = e.join(auth, Seq("s"))
-        .groupBy(col("c")).agg(sum(col("a") * col("w")).as("h"))
-      hub = Checkpoints.truncate(hr
+      hub = hr
         .crossJoin(broadcast(hr.agg(sqrt(sum(col("h") * col("h"))).as("z"))))
-        .select(col("c"), (col("h") / greatest(col("z"), lit(minNorm))).as("h")),
-        reliable)
+        .select(col("c"), (col("h") / greatest(col("z"), lit(minNorm))).as("h"))
     }
     hub.select(lit("hub").as("role"), col("c").as("node"),
         round(col("h"), 6).as("score"))
