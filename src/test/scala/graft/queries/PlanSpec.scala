@@ -514,6 +514,21 @@ class PlanSpec extends SparkSpec {
         s"without per-round truncation the plan is 5 joins deep\n$p")
   }
 
+  test("graph_hits: rounds read checkpointed aggregates; normalizer is a broadcast scalar") {
+    val p = plan("graph_hits")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"each half-round's edge-join aggregate must be localCheckpointed " +
+        s"BEFORE the L2 normalizer — otherwise the |E|-shuffle recomputes " +
+        s"inside the broadcast norm subtree, doubling every round's cost\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row L2 norm must attach as a broadcast cross join\n$p")
+    // final plan = union of two lazy normalizer selects over checkpoints;
+    // a regression that re-plans an edge join here shows as a parquet scan
+    assert(!p.contains("Scan parquet"),
+      s"no raw edge scan may survive into the final round's plan\n$p")
+  }
+
   test("dedup_containment: same skew-safe df-cap shape as the jaccard path") {
     val p = plan("dedup_containment")
     assert(p.contains("InMemoryRelation"), s"capped index must be persisted\n$p")
