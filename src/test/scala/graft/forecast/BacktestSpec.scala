@@ -57,6 +57,26 @@ class BacktestSpec extends SparkSpec {
     rows.foreach(r => assert(r.mae_naive == 0.0, s"naive mae ${r.mae_naive}"))
   }
 
+  test("seasonal naive at horizon > 7 steps whole weeks back to the train side — no test-data reads") {
+    // Linear series y(i) = i makes the two candidate baselines differ
+    // loudly: for a test day d in the SECOND week after the cutoff, the
+    // honest multi-step lag reads y(d-14) (error 14), while the leaky
+    // plain d-7 lag would read y(d-7) — an ACTUAL inside the evaluation
+    // window (error 7). Expected mae_naive over a 14-day horizon is
+    // therefore (7*7 + 7*14)/14 = 10.5; the leaky implementation gives
+    // 7.0. Pins the round-9 advice fix (Backtest.scala lag arithmetic).
+    val pts = series(70)(i => i.toDouble)
+    val rows = Backtest.backtestSeries("t", "m", pts,
+      horizon = 14, period = 14, initial = 28).toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.n == 14, s"dense series: every window has 14 test points")
+      assert(r.mae_naive == 10.5,
+        s"cutoff ${r.cutoff}: mae_naive ${r.mae_naive} != 10.5 — the lag " +
+          "read an actual from inside the evaluation window")
+    }
+  }
+
   test("simulated band: deterministic metrics, coverage no worse than collapsed-band baseline") {
     val pts = series(90)(i => 30.0 + 0.4 * i + 4 * math.sin(2 * math.Pi * i / 7))
     val a = Backtest.backtestSeries("t", "m", pts, horizon = 7, period = 7,
