@@ -86,6 +86,25 @@ class JdbcImportSpec extends SparkSpec {
       Seq("id", "score", "tag"))
   }
 
+  test("a table whose every column matches a skip type fails fast with a clear message") {
+    withDb { c =>
+      val st = c.createStatement()
+      try st.execute("DROP TABLE allchar")
+      catch { case _: java.sql.SQLException => () }
+      st.execute("CREATE TABLE allchar (a VARCHAR(8), b VARCHAR(8))")
+      st.execute("INSERT INTO allchar VALUES ('x', 'y')")
+      st.close()
+    }
+    val cat = new ParquetCatalog(spark, freshRoot())
+    val e = intercept[IllegalArgumentException] {
+      cat.importJdbc("allchar", url, "allchar")
+    }
+    // the zero-column select would otherwise die in the parquet writer
+    // with an obscure empty-schema error (round-9 advice)
+    assert(e.getMessage.toLowerCase.contains("skip"),
+      s"error must name the skip filter, got: ${e.getMessage}")
+  }
+
   test("partitioned import: auto-discovered bounds, range slices union to the table") {
     seed("facts", 200)
     val cat = new ParquetCatalog(spark, freshRoot())
