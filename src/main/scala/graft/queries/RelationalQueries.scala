@@ -891,15 +891,28 @@ object RelationalQueries {
     * quadratically on skewed graphs. All-integer arithmetic; one
     * summary row.
     */
-  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val li = table(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.as("a")
+  /** Thresholded repeat-co-purchase part graph shared by the triangle /
+    * Adamic–Adar / LPA queries: undirected edge (p1 < p2) iff the two
+    * parts co-occur in >= 2 distinct orders. (order, part) is deduped
+    * FIRST, so the pair tuples are distinct by construction and the
+    * support is a plain map-side-combinable count(1) — the previous
+    * countDistinct ran its expand + second shuffle over the basket² pair
+    * fan-out, the largest intermediate of all three queries.
+    */
+  private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.as("a")
       .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
         col("a.l_partkey") < col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-      .agg(countDistinct(col("a.l_orderkey")).as("supp"))
+      .agg(count(lit(1)).as("supp"))
       .filter(col("supp") >= 2)
       .select(col("p1"), col("p2"))
+  }
+
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.select(col("p1").as("v")).union(edges.select(col("p2")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -937,14 +950,7 @@ object RelationalQueries {
     * construction.
     */
   def adamicAdar(spark: SparkSession, dir: String): DataFrame = {
-    val li = table(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.as("a")
-      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-      .agg(countDistinct(col("a.l_orderkey")).as("supp"))
-      .filter(col("supp") >= 2)
-      .select(col("p1"), col("p2"))
+    val edges = coPurchaseEdges(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val adj = edges.select(col("p1").as("u"), col("p2").as("v"))
       .union(edges.select(col("p2"), col("p1")))
@@ -981,14 +987,7 @@ object RelationalQueries {
     * [[graft.operators.Checkpoints]]).
     */
   def graphCommunities(spark: SparkSession, dir: String, reliable: Boolean): DataFrame = {
-    val li = table(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.as("a")
-      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-      .agg(countDistinct(col("a.l_orderkey")).as("supp"))
-      .filter(col("supp") >= 2)
-      .select(col("p1"), col("p2"))
+    val edges = coPurchaseEdges(spark, dir)
     val adj = edges.select(col("p1").as("u"), col("p2").as("v"))
       .union(edges.select(col("p2"), col("p1")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1037,16 +1036,21 @@ object RelationalQueries {
     * final top-k.
     */
   def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    // Dedup (order, part) ONCE: basket tuples become distinct by
+    // construction, so every later "distinct orders" count is a plain
+    // map-side-combinable count(1) instead of a countDistinct whose
+    // expand + second shuffle runs over the LARGEST intermediate (the
+    // basket-squared pair fan-out).
     val li = table(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-    val n = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val n = li.select(col("l_orderkey")).distinct().agg(count(lit(1)).as("n_orders"))
     val items = li.groupBy(col("l_partkey").as("item"))
-      .agg(countDistinct(col("l_orderkey")).as("n_item"))
+      .agg(count(lit(1)).as("n_item"))
     val pairs = li.as("a")
       .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
         col("a.l_partkey") =!= col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
-      .agg(countDistinct(col("a.l_orderkey")).as("n_xy"))
+      .agg(count(lit(1)).as("n_xy"))
       .filter(col("n_xy") >= 2)
     pairs.crossJoin(broadcast(n))
       .join(broadcast(items.select(col("item").as("x"), col("n_item").as("n_x"))), Seq("x"))
