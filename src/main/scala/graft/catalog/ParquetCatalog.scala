@@ -304,12 +304,21 @@ final class ParquetCatalog(val spark: SparkSession, val root: String) {
         // sessionInitStatement peers...) the scan would also send — a
         // user/password-only probe can fail where the scan succeeds.
         options.get("driver").foreach(Class.forName)
-        val sparkOnly = Set("url", "dbtable", "query", "driver", "fetchsize",
+        // Spark 4's full JDBC option-name set (JDBCOptions is private, so
+        // enumerated here; keep in sync when bumping Spark — an option
+        // missing from this list gets forwarded to the raw probe as a
+        // connection property, and drivers that VALIDATE properties then
+        // reject the probe where the scan would succeed).
+        val sparkOnly = Set("url", "dbtable", "query", "preparequery",
+          "driver", "fetchsize",
           "partitioncolumn", "lowerbound", "upperbound", "numpartitions",
           "pushdownpredicate", "pushdownaggregate", "pushdownlimit",
+          "pushdownoffset", "pushdowntablesample",
           "sessioninitstatement", "customschema", "querytimeout",
-          "batchsize", "isolationlevel", "truncate", "createtableoptions",
-          "createtablecolumntypes", "keytab", "principal", "refreshkrb5config")
+          "batchsize", "isolationlevel", "truncate", "cascadetruncate",
+          "createtableoptions", "createtablecolumntypes",
+          "keytab", "principal", "refreshkrb5config",
+          "connectionprovider", "prefertimestampntz")
         val props = new java.util.Properties()
         options.foreach { case (k, v) =>
           if (!sparkOnly.contains(k.toLowerCase)) props.setProperty(k, v)

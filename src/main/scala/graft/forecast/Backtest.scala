@@ -7,6 +7,14 @@ import scala.util.Try
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
+/** Model-independent backtest columns for one (table, metric, cutoff). */
+final case class NaiveRow(
+    table: String,
+    metric: String,
+    cutoff: java.sql.Date,
+    n: Long,
+    mae_naive: Double)
+
 /** Per-cutoff backtest metrics for one (table, metric) series. */
 final case class BacktestRow(
     table: String,
@@ -77,6 +85,74 @@ object Backtest {
         backtestSeries(key._1, key._2, pts, horizon, period, initial, band,
           holidays, growth)
       }
+  }
+
+  /** Model-independent slice of [[crossValidate]]: the cutoff calendar,
+    * per-cutoff test count, and seasonal-naive baseline MAE — no model
+    * fit at all. Emits exactly the rows backtestSeries would (same
+    * train-length/test guards), so the (n, mae_naive) columns project
+    * identically, but (a) it never pays the per-cutoff L-BFGS solve the
+    * naive columns don't need, and (b) a fit failure cannot drop a row
+    * whose calendar arithmetic an oracle still expects.
+    */
+  def naiveMetrics(
+      long: DataFrame, horizon: Int, period: Int, initial: Int): Dataset[NaiveRow] = {
+    val spark = long.sparkSession
+    import spark.implicits._
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    require(period >= 1, s"period must be >= 1, got $period")
+    require(initial >= 1, s"initial must be >= 1, got $initial")
+    long
+      .select(
+        col("table").cast("string"),
+        col("metric").cast("string"),
+        col("ds").cast("date"),
+        col("y").cast("double"))
+      .filter(col("ds").isNotNull && col("y").isNotNull && !isnan(col("y")) &&
+        col("y").between(Double.MinValue, Double.MaxValue))
+      .as[LongPoint]
+      .groupByKey(p => (p.table, p.metric))
+      .flatMapGroups { (key: (String, String), it: Iterator[LongPoint]) =>
+        val pts = it.map(p => (p.ds.toLocalDate.toEpochDay, p.y)).toArray
+        naiveSeries(key._1, key._2, pts, horizon, period, initial)
+      }
+  }
+
+  /** Per-series core of [[naiveMetrics]]; identical cutoff calendar, lag
+    * arithmetic, and rounding as [[backtestSeries]].
+    */
+  def naiveSeries(
+      table: String,
+      metric: String,
+      points: Array[(Long, Double)],
+      horizon: Int,
+      period: Int,
+      initial: Int): Iterator[NaiveRow] = {
+    if (points.isEmpty) return Iterator.empty
+    val sorted = points.sortBy(_._1)
+    val byDay = sorted.toMap
+    val first = sorted.head._1
+    val last = sorted.last._1
+    def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val cutoffs = Iterator.iterate(last - horizon.toLong)(_ - period)
+      .takeWhile(c => c - first + 1 >= initial)
+      .toArray.reverse
+    cutoffs.iterator.flatMap { c =>
+      val train = sorted.filter(_._1 <= c)
+      val test = sorted.filter(p => p._1 > c && p._1 <= c + horizon)
+      if (train.length < 2 || test.isEmpty) Iterator.empty
+      else {
+        val lastTrainY = train.last._2
+        var saeNaive = 0.0
+        test.foreach { case (d, y) =>
+          val lag = d - 7L * ((d - c + 6L) / 7L)
+          saeNaive += math.abs(y - byDay.getOrElse(lag, lastTrainY))
+        }
+        Iterator.single(NaiveRow(table, metric,
+          java.sql.Date.valueOf(LocalDate.ofEpochDay(c)), test.length.toLong,
+          round6(saeNaive / test.length)))
+      }
+    }
   }
 
   /** Pure per-series rolling-origin evaluation, testable without Spark.

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.forecast.{Backtest, ForecastEngine, ForecastOutput}
@@ -18,6 +18,14 @@ object CoreQueries {
     Fixtures.table(spark, dir, name)
 
   private val eventMetrics = Seq("event_count", "value_sum", "active_users")
+
+  /** The shared forecast input: daily event buckets melted to the
+    * engine's (table, metric, ds, y) long form — every events-fed
+    * forecast query and gate starts here.
+    */
+  private def eventsLong(spark: SparkSession, dir: String): DataFrame =
+    SeriesOps.melt(Bucketize.events(table(spark, dir, "events")), eventMetrics)
+      .withColumn("table", lit("bucket_events"))
 
   /** S1+R1+A-series: daily bucketization of `events` (FIXTURES.md §B) —
     * the reference's assumed data-producing front end. */
@@ -93,8 +101,7 @@ object CoreQueries {
     * (closed-form solve, analytic band), so repeated runs hash identically.
     */
   def forecastEvents(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = Bucketize.events(table(spark, dir, "events"))
-    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val long = eventsLong(spark, dir)
     val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false)
     ForecastOutput.toWide(fc, eventMetrics).orderBy("date")
   }
@@ -117,8 +124,7 @@ object CoreQueries {
     * band invariants (ordering, widening, determinism) live in
     * ForecastSpec/ForecastPropertySpec. */
   def forecastEventsSimband(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = Bucketize.events(table(spark, dir, "events"))
-    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val long = eventsLong(spark, dir)
     val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false,
       band = ForecastEngine.SimulatedBand())
     ForecastOutput.toWide(fc, eventMetrics).orderBy("date")
@@ -132,8 +138,7 @@ object CoreQueries {
     * is not SQL-expressible).
     */
   def forecastAnomalies(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = Bucketize.events(table(spark, dir, "events"))
-    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val long = eventsLong(spark, dir)
     val fc = ForecastEngine.forecast(long, interval = 0, onlyFuture = false)
     fc.toDF()
       .join(long, fc("metric") === long("metric") && fc("date") === long("ds"))
@@ -158,8 +163,7 @@ object CoreQueries {
       y <- 2024 to 2025
       m <- 1 to 12
     } yield java.time.LocalDate.of(y, m, 1).toEpochDay).toArray
-    val bucket = Bucketize.events(table(spark, dir, "events"))
-    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val long = eventsLong(spark, dir)
     val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false,
       holidays = Map("month_start" -> monthStarts))
     ForecastOutput.toWide(fc, eventMetrics).orderBy("date")
@@ -173,8 +177,7 @@ object CoreQueries {
     * properties live in ForecastPropertySpec.
     */
   def forecastEventsLogistic(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = Bucketize.events(table(spark, dir, "events"))
-    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val long = eventsLong(spark, dir)
     val cap = long.agg(max(col("y").cast("double"))).collect().head.getDouble(0) * 1.5
     val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false,
       growth = graft.forecast.ProphetLike.GrowthConfig(
@@ -188,8 +191,7 @@ object CoreQueries {
     * pinned in ForecastPropertySpec.
     */
   def forecastEventsMultiplicative(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = Bucketize.events(table(spark, dir, "events"))
-    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val long = eventsLong(spark, dir)
     val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false,
       growth = graft.forecast.ProphetLike.GrowthConfig(multiplicativeSeasonality = true))
     ForecastOutput.toWide(fc, eventMetrics).orderBy("date")
@@ -198,8 +200,7 @@ object CoreQueries {
   /** --only-future path (fs:176 strict >): exactly `interval` rows per
     * metric, all strictly after the last history date. Rows-only. */
   def forecastEventsFuture(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = Bucketize.events(table(spark, dir, "events"))
-    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val long = eventsLong(spark, dir)
     val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = true)
     ForecastOutput.toWide(fc, eventMetrics).orderBy("date")
   }
@@ -211,8 +212,7 @@ object CoreQueries {
     * oracle-checked part.
     */
   def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = Bucketize.events(table(spark, dir, "events"))
-    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val long = eventsLong(spark, dir)
     Backtest.crossValidate(long, horizon = 7, period = 3, initial = 14)
       .toDF()
       .select(col("metric"), col("cutoff"), col("n"), round(col("mae"), 4).as("mae"),
@@ -229,8 +229,7 @@ object CoreQueries {
     * the bit or changes `n`, and the driver's hash compare catches it.
     */
   def forecastBacktestGate(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = Bucketize.events(table(spark, dir, "events"))
-    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val long = eventsLong(spark, dir)
     Backtest.crossValidate(long, horizon = 7, period = 3, initial = 14)
       .toDF()
       .select(col("metric"), col("cutoff"), col("n"),
@@ -241,15 +240,17 @@ object CoreQueries {
   /** Model-independent slice of the backtest metrics, fully hash-checked:
     * the per-cutoff test count and the seasonal-naive baseline MAE are
     * pure date/abs-diff arithmetic DuckDB replays exactly (at horizon 7
-    * the multi-step lag is always d-7, inside training). Together with
-    * `forecast_backtest_gate` this pins every column of `forecast_backtest`
-    * except the model-dependent mae/rmse/coverage magnitudes, whose
-    * invariants live in BacktestSpec.
+    * the multi-step lag is always d-7, inside training). Computed by the
+    * FIT-FREE [[Backtest.naiveMetrics]] path: the naive columns never
+    * needed the per-cutoff Prophet solve, and a fit failure on some
+    * degenerate series must not drop a row whose calendar arithmetic the
+    * oracle still expects. Together with `forecast_backtest_gate` this
+    * pins every column of `forecast_backtest` except the model-dependent
+    * mae/rmse/coverage magnitudes, whose invariants live in BacktestSpec.
     */
   def forecastBacktestNaive(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = Bucketize.events(table(spark, dir, "events"))
-    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
-    Backtest.crossValidate(long, horizon = 7, period = 3, initial = 14)
+    val long = eventsLong(spark, dir)
+    Backtest.naiveMetrics(long, horizon = 7, period = 3, initial = 14)
       .toDF()
       .select(col("metric"), col("cutoff"), col("n"), col("mae_naive"))
       .orderBy("metric", "cutoff")
@@ -286,15 +287,20 @@ object CoreQueries {
     * sanity bit as constants, so a fit that drops days, emits a wrong
     * horizon, or inverts a band fails the driver hash.
     */
-  private def dailyGate(fc: DataFrame, lastHist: DataFrame): DataFrame =
-    fc.crossJoin(broadcast(lastHist))
-      .groupBy(col("metric"))
-      .agg(
+  private def dailyGate(fc: DataFrame, lastHist: DataFrame,
+      extraAggs: Column*): DataFrame = {
+    val aggs =
+      Seq(
         sum(when(col("date") <= col("m"), 1).otherwise(0)).as("n_hist"),
         sum(when(col("date") > col("m"), 1).otherwise(0)).as("n_future"),
         min((col("yhat_lower") <= col("yhat") &&
-          col("yhat") <= col("yhat_upper")).cast("int")).as("bands_ok"))
+          col("yhat") <= col("yhat_upper")).cast("int")).as("bands_ok")) ++
+        extraAggs
+    fc.crossJoin(broadcast(lastHist))
+      .groupBy(col("metric"))
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy("metric")
+  }
 
   private def lastEventDay(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events").agg(max(to_date(col("ts"))).as("m"))
@@ -302,8 +308,7 @@ object CoreQueries {
   /** Oracle gate for the flagship additive daily forecast: every source
     * day fitted, exactly the 7-day horizon appended, band ordered. */
   def forecastEventsGate(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = Bucketize.events(table(spark, dir, "events"))
-    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val long = eventsLong(spark, dir)
     val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false)
     dailyGate(fc.toDF(), lastEventDay(spark, dir))
   }
@@ -311,8 +316,7 @@ object CoreQueries {
   /** Oracle gate for the --only-future path: the strict `>` filter claim
     * becomes the constant n_hist = 0 with the full 7-step horizon. */
   def forecastEventsFutureGate(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = Bucketize.events(table(spark, dir, "events"))
-    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val long = eventsLong(spark, dir)
     val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = true)
     dailyGate(fc.toDF(), lastEventDay(spark, dir))
   }
@@ -325,8 +329,7 @@ object CoreQueries {
       y <- 2024 to 2025
       m <- 1 to 12
     } yield java.time.LocalDate.of(y, m, 1).toEpochDay).toArray
-    val bucket = Bucketize.events(table(spark, dir, "events"))
-    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val long = eventsLong(spark, dir)
     val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false,
       holidays = Map("month_start" -> monthStarts))
     dailyGate(fc.toDF(), lastEventDay(spark, dir))
@@ -336,8 +339,7 @@ object CoreQueries {
     * + band sanity (the mode's amplitude-tracking property itself is
     * pinned in ForecastPropertySpec). */
   def forecastEventsMultiplicativeGate(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = Bucketize.events(table(spark, dir, "events"))
-    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val long = eventsLong(spark, dir)
     val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false,
       growth = graft.forecast.ProphetLike.GrowthConfig(multiplicativeSeasonality = true))
     dailyGate(fc.toDF(), lastEventDay(spark, dir))
@@ -346,8 +348,7 @@ object CoreQueries {
   /** Oracle gate for the simulated-band path: the seeded simulation must
     * still produce a complete calendar and an ordered band. */
   def forecastEventsSimbandGate(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = Bucketize.events(table(spark, dir, "events"))
-    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val long = eventsLong(spark, dir)
     val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false,
       band = ForecastEngine.SimulatedBand())
     dailyGate(fc.toDF(), lastEventDay(spark, dir))
@@ -358,21 +359,13 @@ object CoreQueries {
     * [0, cap] (cap = 1.5x the observed global max, recomputed here the
     * same way the query computes it). */
   def forecastEventsLogisticGate(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = Bucketize.events(table(spark, dir, "events"))
-    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val long = eventsLong(spark, dir)
     val cap = long.agg(max(col("y").cast("double"))).collect().head.getDouble(0) * 1.5
     val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false,
       growth = graft.forecast.ProphetLike.GrowthConfig(
         growth = "logistic", cap = cap, floor = 0.0))
-    fc.toDF().crossJoin(broadcast(lastEventDay(spark, dir)))
-      .groupBy(col("metric"))
-      .agg(
-        sum(when(col("date") <= col("m"), 1).otherwise(0)).as("n_hist"),
-        sum(when(col("date") > col("m"), 1).otherwise(0)).as("n_future"),
-        min((col("yhat_lower") <= col("yhat") &&
-          col("yhat") <= col("yhat_upper")).cast("int")).as("bands_ok"),
-        min((col("yhat") >= 0.0 && col("yhat") <= cap).cast("int")).as("bounded_ok"))
-      .orderBy("metric")
+    dailyGate(fc.toDF(), lastEventDay(spark, dir),
+      min((col("yhat") >= 0.0 && col("yhat") <= cap).cast("int")).as("bounded_ok"))
   }
 
   /** Oracle gate for the long-history orders forecast: n_hist is the
@@ -393,8 +386,7 @@ object CoreQueries {
     * the 80% band flags at most half the history — a collapsed or inverted
     * band would flag ~everything and flip the bit. */
   def forecastAnomaliesGate(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = Bucketize.events(table(spark, dir, "events"))
-    val long = SeriesOps.melt(bucket, eventMetrics).withColumn("table", lit("bucket_events"))
+    val long = eventsLong(spark, dir)
     val fc = ForecastEngine.forecast(long, interval = 0, onlyFuture = false)
     fc.toDF()
       .join(long, fc("metric") === long("metric") && fc("date") === long("ds"))
@@ -488,8 +480,11 @@ object CoreQueries {
         "ORDER BY metric, cutoff"),
     // Replays the cutoff calendar, per-cutoff test counts, AND the
     // seasonal-naive MAE (melt y per metric, |y(d) - y(d-7)| averaged per
-    // cutoff, round6 like backtestSeries) — the model-independent slice
-    // of the backtest metrics as a full hash check.
+    // cutoff, round6 like naiveSeries). The lag join is a LEFT join with
+    // the last-train-value fallback, mirroring naiveSeries'
+    // byDay.getOrElse(lag, lastTrainY): on a gappy calendar (a day with
+    // zero events 7 days before a test day) an inner join would silently
+    // drop the row and diverge n/mae_naive from the engine.
     "forecast_backtest_naive" ->
       (s"WITH b AS ($bucketizeSql), " +
         "m AS (SELECT 'event_count' AS metric, date AS ds, " +
@@ -502,8 +497,12 @@ object CoreQueries {
         "WHERE (last_d - 7 - 3 * CAST(i AS INTEGER)) - first_d + 1 >= 14), " +
         "test AS (SELECT t.metric, c.cutoff, t.ds, t.y FROM m t CROSS JOIN cuts c " +
         "WHERE t.ds > c.cutoff AND t.ds <= c.cutoff + 7), " +
-        "lagd AS (SELECT t.metric, t.cutoff, t.y, l.y AS ylag FROM test t " +
-        "JOIN m l ON l.metric = t.metric AND l.ds = t.ds - 7) " +
+        // last training value per (metric, cutoff): naiveSeries' fallback
+        "ltv AS (SELECT l.metric, c.cutoff, ARG_MAX(l.y, l.ds) AS ylast " +
+        "FROM m l CROSS JOIN cuts c WHERE l.ds <= c.cutoff GROUP BY 1, 2), " +
+        "lagd AS (SELECT t.metric, t.cutoff, t.y, COALESCE(l.y, v.ylast) AS ylag " +
+        "FROM test t LEFT JOIN m l ON l.metric = t.metric AND l.ds = t.ds - 7 " +
+        "JOIN ltv v ON v.metric = t.metric AND v.cutoff = t.cutoff) " +
         "SELECT metric, cutoff, COUNT(*) AS n, " +
         "ROUND(SUM(ABS(y - ylag)) / COUNT(*), 6) AS mae_naive " +
         "FROM lagd GROUP BY 1, 2 ORDER BY metric, cutoff"),

@@ -679,15 +679,27 @@ object DataQueries {
     // serializing (dedup_recall's pattern). Shared caches are
     // materialized first so concurrent readers hit populated blocks.
     truth.count()
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val rows = Await.result(
-      Future.sequence(gates.map(g => Future(g.collect()))), Duration.Inf)
-      .flatten.sortBy(_.getString(0))
+    val rows = collectConcurrently(gates).sortBy(_.getString(0))
     truth.unpersist()
     slice.unpersist()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), gates.head.schema)
+  }
+
+  /** Shared scaffolding for the recall gates: collect independent 1-row
+    * gate branches as CONCURRENT jobs (SparkSession submission is
+    * thread-safe), so their stages interleave across the executor cores
+    * instead of serializing the pipelines — measured ~3x wall-clock at
+    * sf0.1. Callers materialize any shared cache FIRST so concurrent
+    * readers hit populated blocks rather than racing to compute them.
+    */
+  private def collectConcurrently(
+      gates: Seq[DataFrame]): Seq[org.apache.spark.sql.Row] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(
+      Future.sequence(gates.map(g => Future(g.collect().toSeq))), Duration.Inf)
+      .flatten
   }
 
   /** Quality gate for the near-dup sketch family — ann_recall's pattern
@@ -734,19 +746,8 @@ object DataQueries {
       gate("minhash_xxh", Dedup.minhashPairs(docs), 0.9),
       gate("simhash_det", Dedup.simhashPairsDeterministic(docs, 3), 0.5),
       gate("simhash_xxh", Dedup.simhashPairs(docs, 3), 0.5))
-    // The six sketch pipelines are independent; run their 1-row collects
-    // as CONCURRENT jobs (SparkSession job submission is thread-safe) so
-    // their stages interleave across the executor cores instead of
-    // serializing six full pipelines — measured ~3x wall-clock at sf0.1.
-    // The shared truth cache is materialized FIRST so concurrent readers
-    // hit populated blocks rather than racing to compute them.
     truth.count()
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val rows = Await.result(
-      Future.sequence(gates.map(g => Future(g.collect()))), Duration.Inf)
-      .flatten
+    val rows = collectConcurrently(gates)
     truth.unpersist()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), gates.head.schema)
   }

@@ -676,7 +676,10 @@ object RelationalQueries {
     * DuckDB states literally, so a regression anywhere on the path
     * (probe, skip filter, range partitioning, parquet write, catalog
     * read-back) flips the driver hash. Derby is in-memory and re-seeded
-    * per call; the catalog root is a fresh temp dir (rerun-safe).
+    * per call; the catalog root is ONE temp dir per JVM, overwritten on
+    * rerun — a fresh dir per call would leave a parquet copy in /tmp per
+    * bench pass (deleteOnExit is a no-op on non-empty directories), and
+    * the in-memory Derby db is dropped after the audit frame is built.
     */
   def jdbcImport(spark: SparkSession, dir: String): DataFrame = {
     val url = "jdbc:derby:memory:graftsweep;create=true"
@@ -700,14 +703,12 @@ object RelationalQueries {
       ps.executeBatch()
       ps.close(); st.close()
     } finally conn.close()
-    val root = java.nio.file.Files.createTempDirectory("jdbc_sweep").toFile
-    root.deleteOnExit()
-    val cat = new graft.catalog.ParquetCatalog(spark, root.getAbsolutePath)
+    val cat = new graft.catalog.ParquetCatalog(spark, jdbcSweepRoot)
     cat.importJdbc("metrics", url, "metrics_src",
       partitionColumn = Some("id"), numPartitions = 4)
     val imported = cat.load("metrics")
     val cols = imported.columns.map(_.toLowerCase).sorted.mkString(",")
-    imported.agg(
+    val audit = imported.agg(
       count(lit(1)).as("n_rows"),
       sum(col("ID")).as("sum_id"),
       sum(col("VAL")).as("sum_val"),
@@ -715,7 +716,20 @@ object RelationalQueries {
       max(col("D")).as("d_max"))
       .select(lit("metrics").as("table_name"), lit(cols).as("kept_columns"),
         col("n_rows"), col("sum_id"), col("sum_val"), col("d_min"), col("d_max"))
+    // materialize BEFORE dropping the backing db state below
+    val rows = audit.collect()
+    // release the in-memory Derby db (pages + dictionary otherwise stay
+    // resident for the JVM's lifetime); drop=true "fails" with the
+    // expected 08006 shutdown SQLState
+    try java.sql.DriverManager.getConnection(
+      "jdbc:derby:memory:graftsweep;drop=true")
+    catch { case _: java.sql.SQLException => () }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), audit.schema)
   }
+
+  /** One catalog root per JVM for [[jdbcImport]] (overwrite-on-rerun). */
+  private lazy val jdbcSweepRoot: String =
+    java.nio.file.Files.createTempDirectory("jdbc_sweep").toString
 
   /** RANGE-frame moving sum: the last-7-CALENDAR-days window, not the
     * last 7 ROWS — on sparse/gappy series the two differ (a rows frame

@@ -99,7 +99,17 @@ object StreamQueries {
     val q = result.writeStream.outputMode(mode).format("memory").queryName(qn).start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.table(qn)
+    // Copy the sink out and DROP it: each drain registers a fresh
+    // driver-resident memory table, and clearCache() does not free temp
+    // views — without the drop, bench/scaling loops accumulate one full
+    // sink per gate run for the JVM's lifetime. The copy is the same
+    // driver residency the memory sink already had, held only until the
+    // caller consumes the frame.
+    val sink = spark.table(qn)
+    val rows = sink.collectAsList()
+    val out = spark.createDataFrame(rows, sink.schema)
+    spark.catalog.dropTempView(qn)
+    out
   }
 
   /** Daily tumbling-window bucketize, streamed — 4 micro-batches folding
@@ -152,7 +162,12 @@ object StreamQueries {
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     val (path, schema) = stagedDocs(spark, dir)
     val stream = spark.readStream.schema(schema).parquet(path)
-    drain(EventBucketizer.streamingDedup(stream), "append", "dedup")
+    // NeverLate explicitly (not streamingDedup's 1-day default): the gate's
+    // contract is exact SELECT DISTINCT parity, which requires that no
+    // dedup-state entry is ever evicted before a late duplicate arrives —
+    // true regardless of how the staging is split into micro-batches.
+    drain(EventBucketizer.streamingDedup(stream, watermark = NeverLate),
+      "append", "dedup")
       .select(col("text"))
   }
 

@@ -308,7 +308,12 @@ object TextQueries {
     * rank rule (p*(n-1), linear interpolation) on both engines, and every
     * boundary is strictly interior to its bracketing sample pair for
     * non-degenerate n (499d/10 is never integral), so the `<` bucketing
-    * can't flip on last-ulp interpolation differences.
+    * can't flip on last-ulp interpolation differences. When the two
+    * bracketing samples are EQUAL (a tie run spans the rank — duplicate
+    * texts make duplicate scores), both engines skip interpolation and
+    * return the tied value bit-exactly (Spark's Percentile special-cases
+    * lowerKey == higherKey; DuckDB's lo + g*(hi-lo) collapses to lo) —
+    * pinned in ApproxSpec's tie-rule test.
     * TextQueriesSpec additionally pins the percentile_approx form's
     * agreement with this one on the fixtures.
     */

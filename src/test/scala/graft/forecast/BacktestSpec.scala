@@ -77,6 +77,18 @@ class BacktestSpec extends SparkSpec {
     }
   }
 
+  test("fit-free naiveSeries projects exactly backtestSeries' (cutoff, n, mae_naive)") {
+    val pts = series(70)(i =>
+      30.0 + 0.4 * i + 4 * math.sin(2 * math.Pi * i / 7))
+    Seq((7, 3, 14), (14, 14, 28)).foreach { case (h, p, ini) =>
+      val full = Backtest.backtestSeries("t", "m", pts, h, p, ini)
+        .map(r => (r.cutoff, r.n, r.mae_naive)).toSeq
+      val naive = Backtest.naiveSeries("t", "m", pts, h, p, ini)
+        .map(r => (r.cutoff, r.n, r.mae_naive)).toSeq
+      assert(naive == full, s"(h=$h, p=$p, initial=$ini)")
+    }
+  }
+
   test("simulated band: deterministic metrics, coverage no worse than collapsed-band baseline") {
     val pts = series(90)(i => 30.0 + 0.4 * i + 4 * math.sin(2 * math.Pi * i / 7))
     val a = Backtest.backtestSeries("t", "m", pts, horizon = 7, period = 7,

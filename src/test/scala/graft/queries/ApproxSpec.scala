@@ -55,6 +55,34 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("percentile tie rule: a rank inside a tie run returns the tied value EXACTLY") {
+    // quality_deciles_approx's oracle safety on tie-heavy data rests on
+    // this engine property: when the two bracketing order statistics are
+    // EQUAL (a tie run spans the rank), Spark's Percentile skips the
+    // interpolation arithmetic and returns the key itself — bit-identical
+    // to DuckDB's quantile_cont, which computes lo + g*(hi-lo) = lo
+    // exactly when hi == lo. If Spark instead computed (1-g)*v + g*v, the
+    // two products' rounding could drift a boundary by 1 ulp and bucket a
+    // whole tie group differently per engine. v = 0.1 is chosen because
+    // its g-products ARE inexact — the test fails loudly if the engine
+    // ever loses the special case.
+    import spark.implicits._
+    val v = 0.1
+    // n = 100, ranks 0..99; p = 0.3 -> position 29.7, both brackets in
+    // the 50-long tie run
+    val data = (Seq.fill(50)(v) ++ (1 to 50).map(i => 1.0 + i * 0.01)).toDF("q")
+    val got = data.selectExpr("percentile(q, 0.3) AS b").collect().head.getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(got) ==
+      java.lang.Double.doubleToLongBits(v),
+      s"expected the exact tied value ${java.lang.Double.toHexString(v)}, " +
+        s"got ${java.lang.Double.toHexString(got)}")
+    // distinct brackets: result strictly interior, so a data value equal
+    // to either bracket buckets identically under `<` on both engines
+    val d2 = (Seq(0.0, 1.0) ++ (1 to 98).map(_ + 100.0)).toDF("q")
+    val b2 = d2.selectExpr("percentile(q, 0.005) AS b").collect().head.getDouble(0)
+    assert(b2 > 0.0 && b2 < 1.0, s"interpolated boundary must be interior: $b2")
+  }
+
   test("percentile_approx boundaries reproduce the exact-boundary deciles") {
     // the registered query computes exact interpolated boundaries (the
     // oracle-able form); the 100 TB swap is percentile_approx on the SAME
