@@ -59,7 +59,12 @@ object Scaling {
     // one staging write + the streaming aggregation itself). The
     // interval join stays linear across copies because Scaling gen
     // shifts user ids per copy — no cross-copy pairs.
-    "stream_bucketize", "stream_user_type_counts", "stream_interval_join")
+    "stream_bucketize", "stream_user_type_counts", "stream_interval_join",
+    // round 10 additions: storage-layout contract queries — both are
+    // write-dominated (bucketed orders/lineitem rewrite; day-partitioned
+    // events rewrite) and linear in input bytes by construction; the
+    // pruned read side of partition_prune is constant (always 10 days)
+    "join_bucketed", "partition_prune")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -107,7 +107,16 @@ final class ParquetCatalog(val spark: SparkSession, val root: String) {
       df: DataFrame,
       sortCol: String = "date",
       partitionCol: Option[String] = None): Unit = {
-    val out = if (df.columns.contains(sortCol)) df.sortWithinPartitions(sortCol) else df
+    // partitioned writes repartition ON the partition column first, so
+    // each directory gets ONE file instead of one per upstream task — at
+    // warehouse scale an N-task upstream otherwise writes N tiny files
+    // into EVERY partition directory and the file count (not the byte
+    // count) becomes the scan bottleneck
+    val clustered = partitionCol.fold(df)(p =>
+      df.repartition(org.apache.spark.sql.functions.col(p)))
+    val out =
+      if (clustered.columns.contains(sortCol)) clustered.sortWithinPartitions(sortCol)
+      else clustered
     val writer = out.write.mode("overwrite")
     partitionCol.fold(writer)(p => writer.partitionBy(p)).parquet(tablePath(name))
   }

@@ -731,6 +731,70 @@ object RelationalQueries {
   private lazy val jdbcSweepRoot: String =
     java.nio.file.Files.createTempDirectory("jdbc_sweep").toString
 
+  /** One layout root per JVM for the storage-layout queries
+    * ([[joinBucketed]], [[partitionPrune]]) — same overwrite-on-rerun
+    * discipline as [[jdbcSweepRoot]].
+    */
+  private lazy val layoutRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_layout").toString
+
+  /** Shuffle-free fact-fact join via bucketed layout
+    * ([[graft.catalog.ParquetCatalog.writeBucketed]], the engine's ingest
+    * path): orders and lineitem are each written bucketed by their join
+    * key into the SAME bucket count, then joined — the SortMergeJoin runs
+    * with NO Exchange on either side because the file layout already
+    * carries the hash distribution (StorageLayoutSpec pins the
+    * exchange-free plan). This is THE lever for a fact-fact join that
+    * recurs at 100 TB: the co-location shuffle is paid once at write
+    * time, not once per query. The write is repeated per invocation so
+    * the measured cost is the honest end-to-end layout+join price at
+    * every bench pass.
+    */
+  def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new graft.catalog.ParquetCatalog(spark, layoutRoot)
+    cat.writeBucketed("graft_bkt_orders",
+      table(spark, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+      "o_orderkey", 8)
+    cat.writeBucketed("graft_bkt_lineitem",
+      table(spark, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+      "l_orderkey", 8)
+    cat.loadBucketed("graft_bkt_lineitem")
+      .join(cat.loadBucketed("graft_bkt_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Planning-time partition pruning
+    * ([[graft.catalog.ParquetCatalog.writeTable]] with `partitionCol`):
+    * events written day-partitioned (30 directories, one file each via
+    * the catalog's pre-write repartition), then scanned with a 10-day
+    * predicate — the scan's PartitionFilters eliminate 20 of 30
+    * directories before any row is read (StorageLayoutSpec pins
+    * selectedPartitions == 10). At 100 TB this is the difference between
+    * reading 10 days and reading three years; the same directory
+    * arithmetic works on any object store.
+    */
+  def partitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new graft.catalog.ParquetCatalog(spark, layoutRoot)
+    cat.writeTable("events_by_day",
+      table(spark, dir, "events")
+        .select(col("event_type"), col("value"), to_date(col("ts")).as("d")),
+      sortCol = "event_type", partitionCol = Some("d"))
+    cat.load("events_by_day")
+      .filter(col("d") >= lit("2024-01-10") && col("d") <= lit("2024-01-19"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .orderBy("event_type")
+  }
+
   /** RANGE-frame moving sum: the last-7-CALENDAR-days window, not the
     * last 7 ROWS — on sparse/gappy series the two differ (a rows frame
     * silently stretches over gaps). Ordering on the integer epoch-day
@@ -1093,6 +1157,8 @@ object RelationalQueries {
     "json_extract" -> (jsonExtract _),
     "table_stats" -> (tableStats _),
     "jdbc_import" -> (jdbcImport _),
+    "join_bucketed" -> (joinBucketed _),
+    "partition_prune" -> (partitionPrune _),
     "funnel_steps" -> (funnelSteps _),
     "cohort_retention" -> (cohortRetention _),
     "merge_upsert" -> (mergeUpsert _),
@@ -1272,6 +1338,21 @@ object RelationalQueries {
     // rows, ids 1..100 (sum 5050), val = i/4 (binary-exact, sum 1262.5),
     // dates Jan 1 + (i % 30); Char/Varchar/Blob columns dropped by the
     // skip-type probe leave exactly (d, id, val).
+    // layout queries: the bucketed/partitioned copy is value-identical to
+    // the source table, so the oracle states the same join/filter over the
+    // RAW parquet — any value drift introduced by the layout round-trip
+    // (write, catalog read-back, partition-column type) flips the hash.
+    "join_bucketed" ->
+      ("SELECT o_orderstatus, " +
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+        "COUNT(*) AS n_items FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1 ORDER BY 1"),
+    "partition_prune" ->
+      ("SELECT event_type, COUNT(*) AS n_events, " +
+        "ROUND(SUM(value), 2) AS value_sum FROM events " +
+        "WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-19' " +
+        "GROUP BY 1 ORDER BY 1"),
     "jdbc_import" ->
       ("SELECT 'metrics' AS table_name, 'd,id,val' AS kept_columns, " +
         "CAST(100 AS BIGINT) AS n_rows, CAST(5050 AS BIGINT) AS sum_id, " +
