@@ -64,7 +64,10 @@ object Scaling {
     // write-dominated (bucketed orders/lineitem rewrite; day-partitioned
     // events rewrite) and linear in input bytes by construction; the
     // pruned read side of partition_prune is constant (always 10 days)
-    "join_bucketed", "partition_prune")
+    "join_bucketed", "partition_prune",
+    // round 10: multi-pass SNM — the finer-keyed production form whose
+    // whole point is taming the single-pass query's superlinear x30
+    "er_snm_multikey")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

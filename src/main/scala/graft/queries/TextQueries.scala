@@ -467,6 +467,53 @@ object TextQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Multi-pass sorted-neighborhood ER — the production scale form of
+    * [[erSortedNeighborhood]] [public: Hernández & Stolfo 1995's
+    * multi-pass SNM]. The single-pass 8-char block is the one registered
+    * operator whose scaling measured superlinear (SCALING.md: 8.0× under
+    * 3× data at x30 — the per-block `row_number` serializes as
+    * common-prefix blocks grow with the corpus). The literature's fix is
+    * structural, not plan surgery: several passes with FINER independent
+    * keys — pass 1 blocks on normalized chars 1–12, pass 2 on chars
+    * 13–24. Finer blocks shrink the serial window unit (the skew cap),
+    * and pairs a longer prefix splits apart are still caught when they
+    * agree on the second key. Candidates from both passes are
+    * canonicalized (doc_lo < doc_hi) and set-unioned; the probe distance
+    * is pass-independent (same 64-char probes either way), so the union
+    * is exact set semantics, hash-checked by the oracle's identical
+    * two-window UNION.
+    */
+  def erSnmMultikey(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nrm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    val base = table(spark, dir, "documents")
+      .select(col("doc_id"), substring(nrm, 1, 12).as("k1"),
+        substring(nrm, 13, 12).as("k2"),
+        substring(nrm, 1, 24).as("sortkey"), substring(nrm, 1, 64).as("probe"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def pass(key: String): DataFrame = {
+      val w = Window.partitionBy(col("block"))
+        .orderBy(col("sortkey"), col("doc_id"))
+      val rk = base
+        .select(col("doc_id"), col(key).as("block"), col("sortkey"), col("probe"))
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("block"), col("probe"), col("rn"))
+      val probes = rk.select(col("doc_id").as("doc_a"), col("block"),
+        col("probe").as("probe_a"),
+        explode(array((1 to 3).map(d => col("rn") + d): _*)).as("rn"))
+      probes.join(rk, Seq("block", "rn"))
+        .select(least(col("doc_a"), col("doc_id")).as("doc_lo"),
+          greatest(col("doc_a"), col("doc_id")).as("doc_hi"),
+          col("probe_a"), col("probe"))
+    }
+    pass("k1").unionByName(pass("k2"))
+      .withColumn("dist", levenshtein(col("probe_a"), col("probe")))
+      .filter(col("dist") <= 20)
+      .select(col("doc_lo"), col("doc_hi"), col("dist"))
+      .distinct()
+      .orderBy("doc_lo", "doc_hi")
+  }
+
   /** Higher-order array-function battery (ClickHouse arrayMap/arrayFilter/
     * arraySort/arrayDistinct family) over tokenized documents: every
     * derived column is a codegen'd Spark collection function —
@@ -552,6 +599,7 @@ object TextQueries {
     "array_functions" -> (arrayFunctions _),
     "mix_temperature" -> (mixTemperature _),
     "er_sorted_neighborhood" -> (erSortedNeighborhood _),
+    "er_snm_multikey" -> (erSnmMultikey _),
     "doc_chunk" -> (docChunk _),
     "text_perplexity" -> (textPerplexity _),
     "quality_deciles" -> (qualityDeciles _),
@@ -680,6 +728,26 @@ object TextQueries {
         "levenshtein(a.probe, b.probe) AS dist " +
         "FROM rk a JOIN rk b ON a.block = b.block AND b.rn - a.rn BETWEEN 1 AND 3 " +
         "WHERE levenshtein(a.probe, b.probe) <= 20 ORDER BY doc_a, doc_b"),
+    "er_snm_multikey" ->
+      ("WITH nrm AS (SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), " +
+        "'[^a-z0-9]+', ' ', 'g')) AS norm FROM documents), " +
+        "kd AS (SELECT doc_id, SUBSTRING(norm, 1, 12) AS k1, " +
+        "SUBSTRING(norm, 13, 12) AS k2, " +
+        "SUBSTRING(norm, 1, 24) AS sortkey, SUBSTRING(norm, 1, 64) AS probe FROM nrm), " +
+        "rk1 AS (SELECT doc_id, k1 AS block, probe, ROW_NUMBER() OVER " +
+        "(PARTITION BY k1 ORDER BY sortkey, doc_id) AS rn FROM kd), " +
+        "rk2 AS (SELECT doc_id, k2 AS block, probe, ROW_NUMBER() OVER " +
+        "(PARTITION BY k2 ORDER BY sortkey, doc_id) AS rn FROM kd), " +
+        "cand AS (SELECT LEAST(a.doc_id, b.doc_id) AS doc_lo, " +
+        "GREATEST(a.doc_id, b.doc_id) AS doc_hi, " +
+        "levenshtein(a.probe, b.probe) AS dist " +
+        "FROM rk1 a JOIN rk1 b ON a.block = b.block AND b.rn - a.rn BETWEEN 1 AND 3 " +
+        "UNION " +
+        "SELECT LEAST(a.doc_id, b.doc_id), GREATEST(a.doc_id, b.doc_id), " +
+        "levenshtein(a.probe, b.probe) " +
+        "FROM rk2 a JOIN rk2 b ON a.block = b.block AND b.rn - a.rn BETWEEN 1 AND 3) " +
+        "SELECT doc_lo, doc_hi, dist FROM cand WHERE dist <= 20 " +
+        "ORDER BY 1, 2"),
     "doc_chunk" ->
       ("WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t " +
         "FROM documents), " +
