@@ -102,21 +102,46 @@ final class ParquetCatalog(val spark: SparkSession, val root: String) {
     * partition-column predicates prune whole directories before any IO —
     * the 100 TB layout for event/lineitem-scale inputs.
     */
+  /** Shared write shaping for [[writeTable]] and [[replaceTable]]:
+    * partitioned writes repartition ON the partition column first, so
+    * each directory gets `filesPerPartition` files (default ONE) instead
+    * of one per upstream task — at warehouse scale an N-task upstream
+    * otherwise writes N tiny files into EVERY partition directory and
+    * the file count (not the byte count) becomes the scan bottleneck.
+    * The flip side of the default: one TASK also writes each directory,
+    * so a huge partition value (one day of a 100 TB events table) is a
+    * wall-clock straggler — callers with fat partitions pass
+    * `filesPerPartition > 1` to salt each value across that many tasks
+    * (deterministic row-hash salt, so reruns lay out identically),
+    * trading a bounded file count per directory for write parallelism.
+    */
+  private def shapeForWrite(
+      df: DataFrame,
+      sortCol: String,
+      partitionCol: Option[String],
+      filesPerPartition: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    require(filesPerPartition >= 1,
+      s"filesPerPartition must be >= 1: $filesPerPartition")
+    val clustered = partitionCol match {
+      case None => df
+      case Some(p) if filesPerPartition == 1 => df.repartition(col(p))
+      case Some(p) =>
+        df.repartition(col(p),
+          pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*),
+            lit(filesPerPartition)))
+    }
+    if (clustered.columns.contains(sortCol)) clustered.sortWithinPartitions(sortCol)
+    else clustered
+  }
+
   def writeTable(
       name: String,
       df: DataFrame,
       sortCol: String = "date",
-      partitionCol: Option[String] = None): Unit = {
-    // partitioned writes repartition ON the partition column first, so
-    // each directory gets ONE file instead of one per upstream task — at
-    // warehouse scale an N-task upstream otherwise writes N tiny files
-    // into EVERY partition directory and the file count (not the byte
-    // count) becomes the scan bottleneck
-    val clustered = partitionCol.fold(df)(p =>
-      df.repartition(org.apache.spark.sql.functions.col(p)))
-    val out =
-      if (clustered.columns.contains(sortCol)) clustered.sortWithinPartitions(sortCol)
-      else clustered
+      partitionCol: Option[String] = None,
+      filesPerPartition: Int = 1): Unit = {
+    val out = shapeForWrite(df, sortCol, partitionCol, filesPerPartition)
     val writer = out.write.mode("overwrite")
     partitionCol.fold(writer)(p => writer.partitionBy(p)).parquet(tablePath(name))
   }
@@ -172,9 +197,10 @@ final class ParquetCatalog(val spark: SparkSession, val root: String) {
     * rename — and upsertInto calls this on every micro-batch).
     */
   def replaceTable(name: String, df: DataFrame, sortCol: String = "date",
-      partitionCol: Option[String] = None): Unit = {
+      partitionCol: Option[String] = None,
+      filesPerPartition: Int = 1): Unit = {
     val staging = new Path(s"$root/$name.staging")
-    val out = if (df.columns.contains(sortCol)) df.sortWithinPartitions(sortCol) else df
+    val out = shapeForWrite(df, sortCol, partitionCol, filesPerPartition)
     val writer = out.write.mode("overwrite")
     partitionCol.fold(writer)(p => writer.partitionBy(p)).parquet(staging.toString)
     val target = new Path(tablePath(name))

@@ -482,6 +482,14 @@ object TextQueries {
     * is pass-independent (same 64-char probes either way), so the union
     * is exact set semantics, hash-checked by the oracle's identical
     * two-window UNION.
+    *
+    * Each pass blocks only on PRESENT keys: a document whose normalized
+    * text is shorter than the pass's key offset has an empty key and is
+    * excluded from that pass (never lumped into a shared '' block —
+    * on a short-doc-heavy corpus that block would grow with the corpus
+    * and re-create exactly the serial-window skew this operator exists
+    * to tame). Multi-pass SNM's recall argument is unchanged: such docs
+    * still participate in every pass whose key they do have.
     */
   def erSnmMultikey(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -496,6 +504,7 @@ object TextQueries {
         .orderBy(col("sortkey"), col("doc_id"))
       val rk = base
         .select(col("doc_id"), col(key).as("block"), col("sortkey"), col("probe"))
+        .filter(length(col("block")) > 0)
         .withColumn("rn", row_number().over(w))
         .select(col("doc_id"), col("block"), col("probe"), col("rn"))
       val probes = rk.select(col("doc_id").as("doc_a"), col("block"),
@@ -735,9 +744,11 @@ object TextQueries {
         "SUBSTRING(norm, 13, 12) AS k2, " +
         "SUBSTRING(norm, 1, 24) AS sortkey, SUBSTRING(norm, 1, 64) AS probe FROM nrm), " +
         "rk1 AS (SELECT doc_id, k1 AS block, probe, ROW_NUMBER() OVER " +
-        "(PARTITION BY k1 ORDER BY sortkey, doc_id) AS rn FROM kd), " +
+        "(PARTITION BY k1 ORDER BY sortkey, doc_id) AS rn FROM kd " +
+        "WHERE LENGTH(k1) > 0), " +
         "rk2 AS (SELECT doc_id, k2 AS block, probe, ROW_NUMBER() OVER " +
-        "(PARTITION BY k2 ORDER BY sortkey, doc_id) AS rn FROM kd), " +
+        "(PARTITION BY k2 ORDER BY sortkey, doc_id) AS rn FROM kd " +
+        "WHERE LENGTH(k2) > 0), " +
         "cand AS (SELECT LEAST(a.doc_id, b.doc_id) AS doc_lo, " +
         "GREATEST(a.doc_id, b.doc_id) AS doc_hi, " +
         "levenshtein(a.probe, b.probe) AS dist " +

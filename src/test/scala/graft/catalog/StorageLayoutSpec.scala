@@ -26,7 +26,16 @@ import graft.queries.RelationalQueries
   */
 class StorageLayoutSpec extends SparkSpec {
 
+  private def dropBucketedTables(): Unit = {
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+  }
+
   test("join_bucketed matches the raw-table join and its values are layout-independent") {
+    try testJoinBucketedValues() finally dropBucketedTables()
+  }
+
+  private def testJoinBucketedValues(): Unit = {
     val out = RelationalQueries.joinBucketed(spark, sf001).collect()
     val raw = graft.queries.CoreQueries.table(spark, sf001, "lineitem")
       .join(graft.queries.CoreQueries.table(spark, sf001, "orders"),
@@ -55,7 +64,10 @@ class StorageLayoutSpec extends SparkSpec {
       assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
       assert(!p.contains("Exchange"),
         s"bucketed join must carry the distribution in its layout — no exchange:\n$p")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      dropBucketedTables()
+    }
   }
 
   test("partition_prune scan selects exactly the 10 predicate days of 30") {
@@ -98,5 +110,34 @@ class StorageLayoutSpec extends SparkSpec {
       assert(files.length == 1,
         s"${dd.getName}: expected one file per partition, got ${files.length}")
     }
+  }
+
+  test("writeTable filesPerPartition salts a fat partition across bounded files") {
+    // the straggler escape hatch: a deterministic row-hash salt spreads
+    // each partition value over at most filesPerPartition tasks/files
+    val cat = new ParquetCatalog(spark,
+      java.nio.file.Files.createTempDirectory("layout_salt").toString)
+    val df = graft.queries.CoreQueries.table(spark, sf001, "events")
+      .select(col("event_type"), col("value"), to_date(col("ts")).as("d"))
+    // sf0.001-sized shuffles are small enough that AQE coalesces the
+    // salted shuffle back into one task (harmless: at the scale the salt
+    // exists for, partitions are too big to coalesce). Disable coalescing
+    // here so the salt's task split is observable on fixture data.
+    val saved = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      cat.writeTable("ev", df, sortCol = "event_type",
+        partitionCol = Some("d"), filesPerPartition = 2)
+    } finally
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", saved)
+    val root = new java.io.File(cat.tablePath("ev"))
+    val dayDirs = root.listFiles().filter(_.getName.startsWith("d="))
+    assert(dayDirs.length == 30)
+    val counts = dayDirs.map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(counts.forall(c => c >= 1 && c <= 2),
+      s"per-directory file count must be bounded by filesPerPartition: ${counts.toSeq}")
+    assert(counts.exists(_ == 2), "the salt must actually split a fat partition")
+    // the layout knob never changes the data
+    assert(cat.load("ev").count() == df.count())
   }
 }
