@@ -506,6 +506,22 @@ class PlanSpec extends SparkSpec {
       s"candidate join must key on BOTH block and rank\n$p")
   }
 
+  test("er_snm_multikey: both passes block-partitioned and (block, rn)-keyed, base persisted once") {
+    val p = plan("er_snm_multikey")
+    assert(!p.contains("CartesianProduct"))
+    // two window passes (one per blocking key), each partitioned by its
+    // block — a lost PARTITION BY would serialize the whole corpus
+    val windows = "windowspecdefinition\\(block#".r.findAllIn(p).length
+    assert(windows >= 2,
+      s"expected both passes' rank windows partitioned by block, got $windows\n$p")
+    // both candidate joins keyed on (block, rn) via exploded probe ranks
+    assert("Generate".r.findAllIn(p).length >= 2,
+      s"each pass must explode its probe ranks into the join key\n$p")
+    assert(p.contains("InMemoryRelation"),
+      s"the normalized key/probe projection must be persisted — without " +
+        s"it the regex normalization re-runs once per pass side\n$p")
+  }
+
   test("graph_pagerank: lineage truncated per round; no cartesian anywhere") {
     val p = plan("graph_pagerank")
     assert(!p.contains("CartesianProduct"))
