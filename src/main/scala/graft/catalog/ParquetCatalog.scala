@@ -250,12 +250,22 @@ final class ParquetCatalog(val spark: SparkSession, val root: String) {
         "partition pruning)")
     val df = load(name)
     val n = df.count()
-    val parts = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
-    val shaped = partitionCol match {
-      case Some(p) => df.repartition(parts, org.apache.spark.sql.functions.col(p))
-      case None    => df.repartition(parts)
+    partitionCol match {
+      case Some(p) =>
+        // the layout shuffle happens ONCE inside replaceTable's write
+        // shaping; compaction's only job is to translate targetRowsPerFile
+        // into that shaping's filesPerPartition (avg rows per partition
+        // value / target, one cheap distinct-count to estimate). The old
+        // form pre-repartitioned here AND re-shuffled in replaceTable —
+        // a redundant full exchange whose `parts` never reached the layout.
+        val nValues = math.max(1L, df.select(p).distinct().count())
+        val fpp = math.max(1, math.ceil(
+          n.toDouble / nValues / targetRowsPerFile).toInt)
+        replaceTable(name, df, sortCol, partitionCol, filesPerPartition = fpp)
+      case None =>
+        val parts = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+        replaceTable(name, df.repartition(parts), sortCol, partitionCol)
     }
-    replaceTable(name, shaped, sortCol, partitionCol)
     def dataFiles(p: Path): Int = {
       val st = fs.listStatus(p)
       st.count(s => s.isFile && s.getPath.getName.endsWith(".parquet")) +

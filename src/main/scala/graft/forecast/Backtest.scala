@@ -70,6 +70,24 @@ object Backtest {
     require(period >= 1, s"period must be >= 1, got $period")
     require(initial >= 1, s"initial must be >= 1, got $initial")
 
+    groupedPoints(long)
+      .flatMapGroups { (key: (String, String), it: Iterator[LongPoint]) =>
+        val pts = it.map(p => (p.ds.toLocalDate.toEpochDay, p.y)).toArray
+        backtestSeries(key._1, key._2, pts, horizon, period, initial, band,
+          holidays, growth)
+      }
+  }
+
+  /** Shared input sanitization + series keying for [[crossValidate]] and
+    * [[naiveMetrics]] — ONE definition, so the y-finiteness rule and the
+    * (table, metric) grouping can never drift between the model and
+    * naive-baseline paths (whose (n, mae_naive) columns must project
+    * identically).
+    */
+  private def groupedPoints(long: DataFrame)
+      : org.apache.spark.sql.KeyValueGroupedDataset[(String, String), LongPoint] = {
+    val spark = long.sparkSession
+    import spark.implicits._
     long
       .select(
         col("table").cast("string"),
@@ -80,11 +98,6 @@ object Backtest {
         col("y").between(Double.MinValue, Double.MaxValue))
       .as[LongPoint]
       .groupByKey(p => (p.table, p.metric))
-      .flatMapGroups { (key: (String, String), it: Iterator[LongPoint]) =>
-        val pts = it.map(p => (p.ds.toLocalDate.toEpochDay, p.y)).toArray
-        backtestSeries(key._1, key._2, pts, horizon, period, initial, band,
-          holidays, growth)
-      }
   }
 
   /** Model-independent slice of [[crossValidate]]: the cutoff calendar,
@@ -102,16 +115,7 @@ object Backtest {
     require(horizon >= 1, s"horizon must be >= 1, got $horizon")
     require(period >= 1, s"period must be >= 1, got $period")
     require(initial >= 1, s"initial must be >= 1, got $initial")
-    long
-      .select(
-        col("table").cast("string"),
-        col("metric").cast("string"),
-        col("ds").cast("date"),
-        col("y").cast("double"))
-      .filter(col("ds").isNotNull && col("y").isNotNull && !isnan(col("y")) &&
-        col("y").between(Double.MinValue, Double.MaxValue))
-      .as[LongPoint]
-      .groupByKey(p => (p.table, p.metric))
+    groupedPoints(long)
       .flatMapGroups { (key: (String, String), it: Iterator[LongPoint]) =>
         val pts = it.map(p => (p.ds.toLocalDate.toEpochDay, p.y)).toArray
         naiveSeries(key._1, key._2, pts, horizon, period, initial)

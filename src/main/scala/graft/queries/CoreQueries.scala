@@ -456,6 +456,18 @@ object CoreQueries {
       | COUNT(DISTINCT user_id) AS active_users
       |FROM events GROUP BY 1""".stripMargin.replace("\n", " ")
 
+  /** Shared daily-forecast gate replay: DuckDB recomputes the distinct
+    * source-day count per metric; horizon and band-sanity bits are
+    * expected constants. Identical for every events-fed daily gate
+    * variant (plain, holidays, multiplicative, simulated-band) — stated
+    * once so a future contract change cannot silently diverge per gate.
+    */
+  private val eventsDailyGateSql: String =
+    "WITH h AS (SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n FROM events) " +
+      "SELECT m.metric, n AS n_hist, CAST(7 AS BIGINT) AS n_future, " +
+      "1 AS bands_ok FROM h CROSS JOIN (VALUES ('active_users'), " +
+      "('event_count'), ('value_sum')) m(metric) ORDER BY metric"
+
   val oracleSql: Map[String, String] = Map(
     // DuckDB recomputes the hourly bucket count per metric; the horizon
     // (24) and the band-sanity bit are expected constants.
@@ -497,42 +509,29 @@ object CoreQueries {
         "WHERE (last_d - 7 - 3 * CAST(i AS INTEGER)) - first_d + 1 >= 14), " +
         "test AS (SELECT t.metric, c.cutoff, t.ds, t.y FROM m t CROSS JOIN cuts c " +
         "WHERE t.ds > c.cutoff AND t.ds <= c.cutoff + 7), " +
-        // last training value per (metric, cutoff): naiveSeries' fallback
+        // last training value per (metric, cutoff): naiveSeries' fallback.
+        // HAVING >= 2 mirrors naiveSeries' `train.length < 2 => empty`
+        // guard: on a sparse series a cutoff with a single training point
+        // must drop here too (lagd inner-joins ltv), or the oracle would
+        // emit a row Spark suppresses.
         "ltv AS (SELECT l.metric, c.cutoff, ARG_MAX(l.y, l.ds) AS ylast " +
-        "FROM m l CROSS JOIN cuts c WHERE l.ds <= c.cutoff GROUP BY 1, 2), " +
+        "FROM m l CROSS JOIN cuts c WHERE l.ds <= c.cutoff GROUP BY 1, 2 " +
+        "HAVING COUNT(*) >= 2), " +
         "lagd AS (SELECT t.metric, t.cutoff, t.y, COALESCE(l.y, v.ylast) AS ylag " +
         "FROM test t LEFT JOIN m l ON l.metric = t.metric AND l.ds = t.ds - 7 " +
         "JOIN ltv v ON v.metric = t.metric AND v.cutoff = t.cutoff) " +
         "SELECT metric, cutoff, COUNT(*) AS n, " +
         "ROUND(SUM(ABS(y - ylag)) / COUNT(*), 6) AS mae_naive " +
         "FROM lagd GROUP BY 1, 2 ORDER BY metric, cutoff"),
-    // Daily-forecast gate replays: DuckDB recomputes the distinct source-
-    // day count per metric; horizon and sanity bits are expected constants.
-    "forecast_events_gate" ->
-      ("WITH h AS (SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n FROM events) " +
-        "SELECT m.metric, n AS n_hist, CAST(7 AS BIGINT) AS n_future, " +
-        "1 AS bands_ok FROM h CROSS JOIN (VALUES ('active_users'), " +
-        "('event_count'), ('value_sum')) m(metric) ORDER BY metric"),
+    "forecast_events_gate" -> eventsDailyGateSql,
     "forecast_events_future_gate" ->
       ("SELECT m.metric, CAST(0 AS BIGINT) AS n_hist, " +
         "CAST(7 AS BIGINT) AS n_future, 1 AS bands_ok FROM (VALUES " +
         "('active_users'), ('event_count'), ('value_sum')) m(metric) " +
         "ORDER BY metric"),
-    "forecast_events_holidays_gate" ->
-      ("WITH h AS (SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n FROM events) " +
-        "SELECT m.metric, n AS n_hist, CAST(7 AS BIGINT) AS n_future, " +
-        "1 AS bands_ok FROM h CROSS JOIN (VALUES ('active_users'), " +
-        "('event_count'), ('value_sum')) m(metric) ORDER BY metric"),
-    "forecast_events_multiplicative_gate" ->
-      ("WITH h AS (SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n FROM events) " +
-        "SELECT m.metric, n AS n_hist, CAST(7 AS BIGINT) AS n_future, " +
-        "1 AS bands_ok FROM h CROSS JOIN (VALUES ('active_users'), " +
-        "('event_count'), ('value_sum')) m(metric) ORDER BY metric"),
-    "forecast_events_simband_gate" ->
-      ("WITH h AS (SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n FROM events) " +
-        "SELECT m.metric, n AS n_hist, CAST(7 AS BIGINT) AS n_future, " +
-        "1 AS bands_ok FROM h CROSS JOIN (VALUES ('active_users'), " +
-        "('event_count'), ('value_sum')) m(metric) ORDER BY metric"),
+    "forecast_events_holidays_gate" -> eventsDailyGateSql,
+    "forecast_events_multiplicative_gate" -> eventsDailyGateSql,
+    "forecast_events_simband_gate" -> eventsDailyGateSql,
     "forecast_events_logistic_gate" ->
       ("WITH h AS (SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n FROM events) " +
         "SELECT m.metric, n AS n_hist, CAST(7 AS BIGINT) AS n_future, " +
