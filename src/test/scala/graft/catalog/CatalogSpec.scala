@@ -173,5 +173,23 @@ class CatalogSpec extends SparkSpec {
     val partDirs = dir.listFiles().filter(f => f.isDirectory && f.getName.startsWith("grp="))
     assert(partDirs.length == 4, s"hive layout preserved, got ${dir.list().toSeq}")
     assert(rows() == want, "partitioned compaction must be content-preserving")
+    // targetRowsPerFile now reaches the partitioned layout: 100 rows per
+    // value at 40/file -> filesPerPartition 3, so values split across
+    // files (AQE would coalesce the tiny salted shuffle back to one
+    // task on fixture-sized data — disable to observe the split)
+    val saved = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      cat.compactTable("pt", targetRowsPerFile = 40, sortCol = "n",
+        partitionCol = Some("grp"))
+    } finally
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", saved)
+    val counts = dir.listFiles().filter(_.getName.startsWith("grp="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(counts.forall(c => c >= 1 && c <= 3),
+      s"per-directory file count must respect the derived cap: ${counts.toSeq}")
+    assert(counts.exists(_ >= 2),
+      s"a 100-rows-per-value table at 40 rows/file must split somewhere: ${counts.toSeq}")
+    assert(rows() == want, "re-compaction must stay content-preserving")
   }
 }
