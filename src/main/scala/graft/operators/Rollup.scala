@@ -57,7 +57,13 @@ object Rollup {
     rollup.select(
       col("d"), col("event_type"), col("n"),
       round(col("value_cents") / 100.0, 2).as("value_sum"),
-      round(col("value_cents") / 100.0 / col("n"), 4).as("value_avg"),
+      // avg via explicit floor-rounding, NOT round(x, 4): the cents/n
+      // quotient lands on exact .00005 ties where Spark's round (on the
+      // shortest decimal repr) and DuckDB's (on the binary value)
+      // disagree — floor of bit-identical doubles is engine-independent.
+      // The sum/min/max rounds are safe: their inputs are exact at 2 dp.
+      (floor(col("value_cents") / 100.0 / col("n") * 10000.0 + 0.5) / 10000.0)
+        .as("value_avg"),
       round(col("min_cents") / 100.0, 2).as("value_min"),
       round(col("max_cents") / 100.0, 2).as("value_max"),
       hll_sketch_estimate(col("user_sk")).as("users_est"))

@@ -70,12 +70,22 @@ object AnalyticsQueries {
     * date-partitioned warehouse layout still applies upstream.
     */
   def monthlyRevenue(spark: SparkSession, dir: String): DataFrame =
+    // exact-cents aggregation + explicit floor-rounding: prices are
+    // 2-decimal money stored as doubles — summing ROUND(price*100) longs
+    // is order-insensitive and bit-identical across engines (a double
+    // SUM/AVG's order leaks a ulp that flips rounding ties — surfaced at
+    // sf0.001); revenue needs no rounding at all (cents/100 is the
+    // value), and the 3-dp mean uses FLOOR(x*1e3 + 0.5)/1e3 because the
+    // engines' round() disagrees on tie doubles (decimal-repr vs binary)
     table(spark, dir, "orders")
       .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
       .agg(
         count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("revenue"),
-        round(avg(col("o_totalprice")), 3).as("avg_price"))
+        (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100.0)
+          .as("revenue"),
+        (floor(
+          sum(round(col("o_totalprice") * 100).cast("long")).cast("double") /
+            count(lit(1)) / 100.0 * 1000.0 + 0.5) / 1000.0).as("avg_price"))
       .orderBy("month")
 
   /** runningDifference (ClickHouse) done right: lag over an EXPLICIT
@@ -479,20 +489,38 @@ object AnalyticsQueries {
     * ~1 s at sf0.1); the array form sorts one buffer and reads all four
     * ranks from it.
     */
-  def quantilesExact(spark: SparkSession, dir: String): DataFrame =
+  def quantilesExact(spark: SparkSession, dir: String): DataFrame = {
+    // The interpolation is stated EXPLICITLY over exact cent integers
+    // (type-7: h = p*(n-1); v[lo] + frac*(v[hi]-v[lo])) instead of the
+    // engines' built-in continuous-quantile aggregates: Spark's
+    // `percentile` and DuckDB's `quantile_cont` interpolate with opaque,
+    // differing association orders, and the resulting ulp flips the 2-dp
+    // round on .005-adjacent values (surfaced at sf0.001). Same buffered
+    // group shape as the built-in (ClickHouse's quantilesExact buffers
+    // too); prices are 2-decimal money, so the cent array is exact.
+    def q(p: Double, alias: String) = {
+      val h = lit(p) * (col("n") - 1).cast("double")
+      val loIdx = (floor(h) + 1).cast("int")
+      val hiIdx = least(floor(h) + 2, col("n")).cast("int")
+      val lo = element_at(col("cs"), loIdx)
+      val hi = element_at(col("cs"), hiIdx)
+      // floor-round in cent units (NOT round(x, 2)): a frac=0.5 step
+      // between cents lands exactly on half-cent ties, where the
+      // engines' round() diverges (decimal-repr vs binary); floor on
+      // bit-identical doubles is identical everywhere
+      (floor(lo + (h - floor(h)) * (hi - lo) + 0.5) / 100.0).as(alias)
+    }
     table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        percentile(col("l_extendedprice"),
-          array(lit(0.25), lit(0.5), lit(0.75), lit(0.9))).as("qs"),
+        sort_array(collect_list(
+          round(col("l_extendedprice") * 100).cast("long"))).as("cs"),
         count(lit(1)).as("n"))
       .select(col("l_returnflag"),
-        round(element_at(col("qs"), 1), 2).as("p25"),
-        round(element_at(col("qs"), 2), 2).as("p50"),
-        round(element_at(col("qs"), 3), 2).as("p75"),
-        round(element_at(col("qs"), 4), 2).as("p90"),
+        q(0.25, "p25"), q(0.5, "p50"), q(0.75, "p75"), q(0.9, "p90"),
         col("n"))
       .orderBy("l_returnflag")
+  }
 
   /** sequenceCount (ClickHouse): how many NON-OVERLAPPING
     * view->click->purchase chains each user completes, gap-tolerant like
@@ -630,10 +658,17 @@ object AnalyticsQueries {
     */
   def pivotMultiAgg(spark: SparkSession, dir: String): DataFrame = {
     val statuses = Seq("F", "O", "P")
+    // exact-cents mean per cell with explicit floor-rounding (see
+    // monthlyRevenue): per-(month, status) groups are small, so a double
+    // AVG's summation-order ulp — and the engines' divergent round() on
+    // tie doubles — flips 2-dp cells (surfaced at sf0.001)
     val base = table(spark, dir, "orders")
       .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
       .pivot("o_orderstatus", statuses)
-      .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg"))
+      .agg(count(lit(1)).as("n"),
+        (floor(
+          sum(round(col("o_totalprice") * 100).cast("long")).cast("double") /
+            count(lit(1)) / 100.0 * 100.0 + 0.5) / 100.0).as("avg"))
     val cols = col("month") +: statuses.flatMap(s => Seq(
       coalesce(col(s"${s}_n"), lit(0L)).as(s"${s}_n"),
       col(s"${s}_avg")))
@@ -1851,26 +1886,29 @@ object AnalyticsQueries {
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val o = table(spark, dir, "orders")
     val mx = o.agg(max(col("o_orderdate")).as("maxd"))
+    // per-customer monetary in exact integer cents END TO END: the
+    // previous form summed the 2-dp price DOUBLES per customer first, and
+    // that sum's order-dependent ulp flipped the derived cents (and the
+    // segment average's .005 rounding edges — surfaced at sf0.001);
+    // integer cent sums are associative, so every downstream value —
+    // ntile ordering included — is identical on both engines
     val c = o.crossJoin(broadcast(mx))
       .groupBy(col("o_custkey"))
       .agg(datediff(max(col("maxd")), max(col("o_orderdate"))).as("recency"),
         count(lit(1)).as("freq"),
-        round(sum(col("o_totalprice")), 2).as("monetary"))
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
     val s = c
       .withColumn("r", ntile(5).over(
         Window.orderBy(col("recency").desc, col("o_custkey"))))
       .withColumn("f", ntile(5).over(
         Window.orderBy(col("freq"), col("o_custkey"))))
       .withColumn("m", ntile(5).over(
-        Window.orderBy(col("monetary"), col("o_custkey"))))
-    // segment average in exact integer cents: summing the rounded
-    // per-customer doubles directly is order-dependent in the last bit,
-    // which flipped a .005 rounding edge at sf0.1 — integer sums are
-    // associative, so the division input is identical on both engines
-    s.withColumn("cents", round(col("monetary") * 100, 0).cast("long"))
-      .groupBy(concat(col("r"), col("f"), col("m")).as("segment"))
+        Window.orderBy(col("cents"), col("o_custkey"))))
+    // floor-round to whole cents (NOT round(x, 2)): segment averages can
+    // land on exact half-cent ties where the engines' round() diverges
+    s.groupBy(concat(col("r"), col("f"), col("m")).as("segment"))
       .agg(count(lit(1)).as("n_customers"),
-        round(sum(col("cents")) / lit(100.0) / count(lit(1)), 2)
+        (floor(sum(col("cents")).cast("double") / count(lit(1)) + 0.5) / 100.0)
           .as("avg_monetary"))
       .orderBy("segment")
   }
@@ -2046,15 +2084,16 @@ object AnalyticsQueries {
       ("WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders), " +
         "c AS (SELECT o_custkey, " +
         "date_diff('day', MAX(o_orderdate), maxd) AS recency, " +
-        "COUNT(*) AS freq, ROUND(SUM(o_totalprice), 2) AS monetary " +
+        "COUNT(*) AS freq, " +
+        "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents " +
         "FROM orders, mx GROUP BY 1, maxd), " +
         "s AS (SELECT o_custkey, " +
         "NTILE(5) OVER (ORDER BY recency DESC, o_custkey) AS r, " +
         "NTILE(5) OVER (ORDER BY freq, o_custkey) AS f, " +
-        "NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m, " +
-        "CAST(ROUND(monetary * 100, 0) AS BIGINT) AS cents FROM c) " +
+        "NTILE(5) OVER (ORDER BY cents, o_custkey) AS m, " +
+        "cents FROM c) " +
         "SELECT r || f || m AS segment, CAST(COUNT(*) AS BIGINT) AS n_customers, " +
-        "ROUND(SUM(cents) / 100.0 / COUNT(*), 2) AS avg_monetary " +
+        "FLOOR(CAST(SUM(cents) AS DOUBLE) / COUNT(*) + 0.5) / 100 AS avg_monetary " +
         "FROM s GROUP BY 1 ORDER BY 1"),
     "sparkbar" ->
       ("WITH rng AS (SELECT event_type, MIN(epoch(ts)) AS mn, " +
@@ -2554,13 +2593,14 @@ object AnalyticsQueries {
         "FROM part ORDER BY p_partkey"),
     "pivot_multi_agg" ->
       ("SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month, " +
-        "CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS \"F_n\", " +
-        "ROUND(AVG(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS \"F_avg\", " +
-        "CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS \"O_n\", " +
-        "ROUND(AVG(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS \"O_avg\", " +
-        "CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS \"P_n\", " +
-        "ROUND(AVG(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS \"P_avg\" " +
-        "FROM orders GROUP BY 1 ORDER BY 1"),
+        Seq("F", "O", "P").map { st =>
+          s"""CAST(COUNT(*) FILTER (o_orderstatus = '$st') AS BIGINT) AS "${st}_n", """ +
+            s"FLOOR(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) " +
+            s"FILTER (o_orderstatus = '$st') AS DOUBLE) " +
+            s"/ COUNT(*) FILTER (o_orderstatus = '$st') / 100 * 100 + 0.5) " +
+            s"""/ 100 AS "${st}_avg""""
+        }.mkString(", ") +
+        " FROM orders GROUP BY 1 ORDER BY 1"),
     "sliding_reach" ->
       ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), " +
         "days AS (SELECT user_id, d + CAST(x AS INTEGER) AS day " +
@@ -2630,14 +2670,23 @@ object AnalyticsQueries {
         "CAST(LEAST(COUNT(DISTINCT user_id), 11) AS BIGINT) AS users_upto_10, " +
         "CAST(LEAST(COUNT(DISTINCT CAST(ts AS DATE)), 6) AS BIGINT) AS days_upto_5 " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    // explicit type-7 interpolation over exact cents, mirroring
+    // quantilesExact's stated arithmetic (NOT quantile_cont, whose
+    // internal association order differs from Spark's percentile by a
+    // ulp and flips 2-dp rounds on .005-adjacent values)
     "quantiles_exact" ->
-      ("SELECT l_returnflag, " +
-        "ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25, " +
-        "ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50, " +
-        "ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75, " +
-        "ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90, " +
-        "CAST(COUNT(*) AS BIGINT) AS n " +
-        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+      ("WITH g AS (SELECT l_returnflag, " +
+        "LIST_SORT(LIST(CAST(ROUND(l_extendedprice * 100) AS BIGINT))) AS cs, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1) " +
+        "SELECT l_returnflag, " +
+        Seq("0.25" -> "p25", "0.5" -> "p50", "0.75" -> "p75", "0.9" -> "p90")
+          .map { case (p, alias) =>
+            s"FLOOR(cs[CAST(FLOOR($p * (n - 1)) AS BIGINT) + 1] + " +
+              s"($p * (n - 1) - FLOOR($p * (n - 1))) * " +
+              s"(cs[LEAST(CAST(FLOOR($p * (n - 1)) AS BIGINT) + 2, n)] - " +
+              s"cs[CAST(FLOOR($p * (n - 1)) AS BIGINT) + 1]) + 0.5) / 100 AS $alias"
+          }.mkString(", ") +
+        ", n FROM g ORDER BY l_returnflag"),
     "sequence_count" ->
       ("WITH paths AS (SELECT user_id, " +
         "string_agg(event_type, '>' ORDER BY ts, event_id) AS path " +
@@ -2778,7 +2827,9 @@ object AnalyticsQueries {
     "monthly_revenue" ->
       ("SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month, " +
         "CAST(COUNT(*) AS BIGINT) AS n_orders, " +
-        "ROUND(SUM(o_totalprice), 2) AS revenue, ROUND(AVG(o_totalprice), 3) AS avg_price " +
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue, " +
+        "FLOOR(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) " +
+        "/ COUNT(*) / 100 * 1000 + 0.5) / 1000 AS avg_price " +
         "FROM orders GROUP BY 1 ORDER BY 1"),
     "running_diff" ->
       ("SELECT user_id, event_id, ROUND(value, 2) AS value, " +

@@ -319,9 +319,19 @@ object RelationalQueries {
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val events = table(spark, dir, "events")
       .select(col("event_id"), col("event_type"), to_date(col("ts")).as("edate"))
+    // exact-cents mean + explicit floor-rounding: `value` is a 2-decimal
+    // quantity stored as double, so summing ROUND(value*100) longs is
+    // order-insensitive and bit-identical across engines (a double AVG's
+    // summation order leaks a ulp that flips 4-dp ties — surfaced at
+    // sf0.001); and FLOOR(x*1e4 + 0.5)/1e4 replaces round() because the
+    // engines' round disagrees on tie DOUBLES (Spark rounds the shortest
+    // decimal repr, DuckDB the binary value) — floor on identical bits
+    // is identical everywhere
     val daily = table(spark, dir, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("ddate"))
-      .agg(round(avg(col("value")), 4).as("prev_day_avg"))
+      .agg((floor(
+        sum(round(col("value") * 100).cast("long")).cast("double") /
+          count(lit(1)) / 100.0 * 10000.0 + 0.5) / 10000.0).as("prev_day_avg"))
     AsOfJoin.joinStrictlyBefore(
       events, daily,
       keys = Seq("event_type"), leftTime = "edate", rightTime = "ddate",
@@ -1398,7 +1408,7 @@ object RelationalQueries {
         "FROM events GROUP BY 1, 2) " +
         "SELECT d, event_type, n, " +
         "ROUND(cents / 100.0, 2) AS value_sum, " +
-        "ROUND(cents / 100.0 / n, 4) AS value_avg, " +
+        "FLOOR(cents / 100.0 / n * 10000 + 0.5) / 10000 AS value_avg, " +
         "ROUND(mn / 100.0, 2) AS value_min, " +
         "ROUND(mx / 100.0, 2) AS value_max, " +
         "users_exact, TRUE AS within_5pct " +
@@ -1496,7 +1506,9 @@ object RelationalQueries {
       ("SELECT e.event_id, e.event_type, d.prev_day_avg " +
         "FROM (SELECT event_id, event_type, CAST(ts AS DATE) AS edate FROM events) e " +
         "ASOF LEFT JOIN (SELECT event_type, CAST(ts AS DATE) AS ddate, " +
-        "ROUND(AVG(value), 4) AS prev_day_avg FROM events GROUP BY 1, 2) d " +
+        "FLOOR(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) " +
+        "/ COUNT(*) / 100 * 10000 + 0.5) / 10000 AS prev_day_avg " +
+        "FROM events GROUP BY 1, 2) d " +
         "ON e.event_type = d.event_type AND e.edate > d.ddate " +
         "ORDER BY e.event_id"),
     "q3_join_topk" ->
