@@ -27,26 +27,35 @@ object TextFunctions {
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0)))
       .cast("long")
 
+  /** Engine-independent HALF-UP rounding at 6 decimals:
+    * FLOOR(x·10^6 + 0.5)/10^6. `round(x, 6)` rounds the double's
+    * shortest decimal repr (Spark) vs its binary value (DuckDB) and the
+    * two diverge on ties; floor of bit-identical doubles cannot
+    * (ARCHITECTURE.md "Correctness strategy"). These ratios divide exact
+    * integer counts, so the pre-round doubles ARE bit-identical.
+    */
+  private def round6(x: Column): Column =
+    floor(x * 1000000.0 + 0.5) / 1000000.0
+
   /** Fraction of characters that are ASCII letters, 6 decimals. */
   def alphaRatio(text: Column): Column =
-    round(length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
-      greatest(length(text), lit(1)), 6)
+    round6(length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+      greatest(length(text), lit(1)))
 
   /** Mean token length (whitespace removed / token count), 6 decimals. */
   def avgWordLen(text: Column): Column =
-    round(length(regexp_replace(text, "\\s", "")).cast("double") /
-      greatest(tokenCount(text), lit(1)), 6)
+    round6(length(regexp_replace(text, "\\s", "")).cast("double") /
+      greatest(tokenCount(text), lit(1)))
 
   /** Composite quality score in [0,1]: letter density x saturating length
     * factor (>= 20 tokens = full credit) — the usual cheap pre-filter for
     * training corpora, 6 decimals.
     */
   def qualityScore(text: Column): Column =
-    round(
+    round6(
       (length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
         greatest(length(text), lit(1))) *
-        least(lit(1.0), tokenCount(text).cast("double") / 20.0),
-      6)
+        least(lit(1.0), tokenCount(text).cast("double") / 20.0))
 
   /** Per-language stopword marker lists for the n-gram/stopword-count
     * language heuristic. Deliberately tiny and public: the top function
@@ -112,6 +121,6 @@ object TextFunctions {
     * rules [public: Raffel et al. 2020; Rae et al. 2021].
     */
   def symbolRatio(text: Column): Column =
-    round(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
-      greatest(length(text), lit(1)), 6)
+    round6(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+      greatest(length(text), lit(1)))
 }

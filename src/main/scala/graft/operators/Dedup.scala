@@ -403,6 +403,71 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Incremental dedup: classify a DELTA batch against an existing CORPUS
+    * without recomputing any corpus-vs-corpus pair — the nightly-crawl
+    * shape of a training-data pipeline (dedup tonight's crawl against
+    * yesterday's 100 TB deduped corpus). Each delta doc gets a status:
+    *
+    *   - `dup_exact`: normalized text (the [[exactNormalized]] policy)
+    *     equals some corpus doc's;
+    *   - `dup_near`: df-capped 3-gram Jaccard >= threshold against some
+    *     corpus doc (the [[ngramJaccardPairs]] semantics, cross-set);
+    *   - `new`: neither. `match_id` is the lowest matching corpus id
+    *     (exact wins over near), NULL for `new`.
+    *
+    * Scale shape: every join is delta-driven — the corpus-side shingle
+    * inverted index and normalized-hash set are exactly what a warehouse
+    * would PERSIST between nightly runs (here rebuilt per call; the
+    * build is one linear scan), so per-night cost is O(delta x index
+    * lookups), never O(corpus^2). The df cap is computed on the CORPUS
+    * index only (the stored side): shingles in > maxShingleDf corpus
+    * docs are boilerplate and dropped from candidate generation, the
+    * same approximation (and the same armor against hot-shingle fan-out)
+    * as [[dfCappedShingleIndex]]/decontaminate. Jaccard compares exact
+    * integer counts, so the threshold decision is engine-independent.
+    */
+  def incremental(
+      corpus: DataFrame,
+      delta: DataFrame,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      maxShingleDf: Int = 1000): DataFrame = {
+    val exacts = delta.select(col("doc_id"), normExpr.as("nt"))
+      .join(corpus.select(col("doc_id").as("cid"), normExpr.as("nt")), "nt")
+      .groupBy(col("doc_id")).agg(min(col("cid")).as("exact_match"))
+    val dsets = delta
+      .select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val csets = corpus
+      .select(col("doc_id").as("cid"), wordShingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val dsh = dsets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val cshAll = csets.select(col("cid"), explode(col("sh")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = cshAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .select(col("shingle"))
+    val csh = cshAll.join(broadcast(hot), Seq("shingle"), "left_anti")
+    // sizes come from the UNCAPPED sets (true Jaccard denominator), the
+    // decontaminate/ngramJaccardPairs convention
+    val near = dsh.join(csh, "shingle")
+      .groupBy(col("doc_id"), col("cid"))
+      .agg(count(lit(1)).as("c"))
+      .join(dsets.select(col("doc_id"), size(col("sh")).as("nd")), "doc_id")
+      .join(csets.select(col("cid"), size(col("sh")).as("nc")), "cid")
+      .filter(col("c").cast("double") / (col("nd") + col("nc") - col("c"))
+        >= threshold)
+      .groupBy(col("doc_id")).agg(min(col("cid")).as("near_match"))
+    delta.select(col("doc_id"))
+      .join(exacts, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, lit("dup_exact"))
+          .when(col("near_match").isNotNull, lit("dup_near"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"))
+  }
+
   /** 64-bit SimHash over word tokens (token multiplicity counts): bit i of
     * the fingerprint is the sign of the sum of +/-1 votes from each token
     * hash's bit i [public: Charikar 2002].

@@ -44,8 +44,15 @@ object AnalyticsQueries {
       .agg(
         count(when(big, 1)).as("n_big"),
         round(sum(when(big, col("value"))), 2).as("sum_big"),
-        round(avg(when(!big, col("value"))), 4).as("avg_small"),
-        round(count(when(big, 1)).cast("double") / count(lit(1)), 4).as("big_ratio"))
+        // quotient outputs via exact-cents sums + floor-rounding: the
+        // engines' round() diverges on quotient ties (ARCHITECTURE.md
+        // "Correctness strategy"); sum_big keeps round() — a 2-dp-grain
+        // sum never sits near a .005 tie
+        (floor(sum(when(!big, round(col("value") * 100).cast("long")))
+          .cast("double") / count(when(!big, 1)) / 100.0 * 10000.0 + 0.5)
+          / 10000.0).as("avg_small"),
+        (floor(count(when(big, 1)).cast("double") / count(lit(1))
+          * 10000.0 + 0.5) / 10000.0).as("big_ratio"))
       .orderBy("event_type")
   }
 
@@ -125,7 +132,10 @@ object AnalyticsQueries {
       .groupBy(floor(col("value") / 50).cast("long").as("bucket"))
       .agg(
         count(lit(1)).as("n"),
-        round(avg(col("value")), 4).as("avg_value"),
+        // mean via exact-cents sum + floor-rounding (ARCHITECTURE.md
+        // "Correctness strategy"); min/max round 2-dp-exact values — safe
+        (floor(sum(round(col("value") * 100).cast("long")).cast("double")
+          / count(lit(1)) / 100.0 * 10000.0 + 0.5) / 10000.0).as("avg_value"),
         round(min(col("value")), 2).as("min_value"),
         round(max(col("value")), 2).as("max_value"))
       .orderBy("bucket")
@@ -140,8 +150,9 @@ object AnalyticsQueries {
       .agg(
         countDistinct(col("user_id")).as("uniq_users"),
         countDistinct(to_date(col("ts"))).as("active_days"),
-        round(count(lit(1)).cast("double") / countDistinct(col("user_id")), 4)
-          .as("events_per_user"))
+        // exact-int quotient + floor-rounding (no round() tie to diverge)
+        (floor(count(lit(1)).cast("double") / countDistinct(col("user_id"))
+          * 10000.0 + 0.5) / 10000.0).as("events_per_user"))
       .orderBy("event_type")
 
   /** Per-label embedding centroid norm: posexplode -> per-(label, dim)
@@ -171,7 +182,11 @@ object AnalyticsQueries {
       .splitLabelMd5(table(spark, dir, "documents"), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .groupBy(col("split"))
-      .agg(count(lit(1)).as("n"), round(avg(col("n_chars")), 2).as("avg_chars"))
+      // integer sums are double-exact, so the quotient is bit-identical
+      // in both engines; floor-rounding has no tie for round() to flip
+      .agg(count(lit(1)).as("n"),
+        (floor(sum(col("n_chars")).cast("double") / count(lit(1))
+          * 100.0 + 0.5) / 100.0).as("avg_chars"))
       .orderBy("split")
 
   /** Corpus-level top bigrams. Formulated as an ARRAY transform (adjacent
@@ -236,8 +251,11 @@ object AnalyticsQueries {
       .select(col("path").rlike(seqPattern).cast("int").as("matched"),
         col("path"))
       .groupBy(col("matched"))
+      // integer-length avg via floor-rounding: the sums are double-exact,
+      // so only round()'s tie behavior could diverge — floor has none
       .agg(count(lit(1)).as("n_users"),
-        round(avg(length(col("path"))), 2).as("avg_path_len"))
+        (floor(sum(length(col("path"))).cast("double") / count(lit(1))
+          * 100.0 + 0.5) / 100.0).as("avg_path_len"))
       .orderBy("matched")
 
   /** windowFunnel with a TIME WINDOW (ClickHouse `windowFunnel(window)`):
@@ -461,9 +479,14 @@ object AnalyticsQueries {
       sum(col("r1")).cast("long").as("day1"),
       sum(col("r3")).cast("long").as("day3"),
       sum(col("r7")).cast("long").as("day7"),
-      round(avg(col("r1")), 4).as("day1_rate"),
-      round(avg(col("r3")), 4).as("day3_rate"),
-      round(avg(col("r7")), 4).as("day7_rate"))
+      // 0/1-flag rates via floor-rounding on the exact int quotient:
+      // round()'s tie behavior is the only cross-engine divergence left
+      (floor(sum(col("r1")).cast("double") / count(lit(1)) * 10000.0 + 0.5)
+        / 10000.0).as("day1_rate"),
+      (floor(sum(col("r3")).cast("double") / count(lit(1)) * 10000.0 + 0.5)
+        / 10000.0).as("day3_rate"),
+      (floor(sum(col("r7")).cast("double") / count(lit(1)) * 10000.0 + 0.5)
+        / 10000.0).as("day7_rate"))
   }
 
   /** uniqUpTo(N) (ClickHouse): distinct count reported exactly up to N
@@ -561,9 +584,20 @@ object AnalyticsQueries {
     s3.select((unix_timestamp(col("t3")) - unix_timestamp(col("t1"))).as("sec"))
       .agg(
         count(lit(1)).as("n_converted"),
-        round(percentile(col("sec"), lit(0.5)), 2).as("p50_sec"),
-        round(percentile(col("sec"), lit(0.9)), 2).as("p90_sec"),
-        round(avg(col("sec")), 2).as("avg_sec"))
+        sort_array(collect_list(col("sec"))).as("ss"),
+        sum(col("sec")).as("sec_sum"))
+      // percentiles via the explicitly-stated interpolation over sorted
+      // integer seconds (graft.functions.ExactQuantile) + floor-rounding;
+      // mean via floor-rounding on the exact quotient
+      .select(col("n_converted"),
+        (floor(graft.functions.ExactQuantile.interp(
+          col("ss"), col("n_converted"), 0.5) * 100.0 + 0.5) / 100.0)
+          .as("p50_sec"),
+        (floor(graft.functions.ExactQuantile.interp(
+          col("ss"), col("n_converted"), 0.9) * 100.0 + 0.5) / 100.0)
+          .as("p90_sec"),
+        (floor(col("sec_sum").cast("double") / col("n_converted")
+          * 100.0 + 0.5) / 100.0).as("avg_sec"))
   }
 
   /** groupBitAnd/Or/Xor (ClickHouse): bitwise aggregates — one hash agg,
@@ -1202,20 +1236,29 @@ object AnalyticsQueries {
     * drop-in when a sort-based exact quartile is unaffordable.
     */
   def seriesOutliersTukey(spark: SparkSession, dir: String): DataFrame = {
-    val ev = table(spark, dir, "events").select(col("event_type"), col("value"))
-    val q = ev.groupBy(col("event_type"))
-      .agg(percentile(col("value"), array(lit(0.25), lit(0.75))).as("qs"),
-        count(lit(1)).as("n"))
-      .select(col("event_type"), element_at(col("qs"), 1).as("q1"),
-        element_at(col("qs"), 2).as("q3"), col("n"))
+    import graft.functions.ExactQuantile
+    // Exact fence arithmetic (ARCHITECTURE.md "Correctness strategy"):
+    // quartiles interpolate integer cents (ExactQuantile — exact
+    // quarter-cents), so the 1.5·IQR fences are exact eighth-cents,
+    // the value-vs-fence comparisons compare exact numbers in both
+    // engines, and the 4-dp fence output floor-rounds bit-identical
+    // doubles. Same broadcast-quartile + one-pass-count shape.
+    val evc = table(spark, dir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+    val q = evc.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("c"))).as("cs"), count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        ExactQuantile.interp(col("cs"), col("n"), 0.25).as("q1"),
+        ExactQuantile.interp(col("cs"), col("n"), 0.75).as("q3"))
     val lo = col("q1") - lit(1.5) * (col("q3") - col("q1"))
     val hi = col("q3") + lit(1.5) * (col("q3") - col("q1"))
-    ev.join(broadcast(q), "event_type")
+    evc.join(broadcast(q), "event_type")
       .groupBy(col("event_type"))
       .agg(
-        round(first(lo), 4).as("lo_fence"), round(first(hi), 4).as("hi_fence"),
-        sum(when(col("value") < lo, 1).otherwise(0)).as("n_low"),
-        sum(when(col("value") > hi, 1).otherwise(0)).as("n_high"),
+        (floor(first(lo) / 100.0 * 10000.0 + 0.5) / 10000.0).as("lo_fence"),
+        (floor(first(hi) / 100.0 * 10000.0 + 0.5) / 10000.0).as("hi_fence"),
+        sum(when(col("c") < lo, 1).otherwise(0)).as("n_low"),
+        sum(when(col("c") > hi, 1).otherwise(0)).as("n_high"),
         first(col("n")).as("n"))
       .orderBy("event_type")
   }
@@ -1464,15 +1507,32 @@ object AnalyticsQueries {
     * `quality_deciles_approx` twins `quality_deciles`.
     */
   def madPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactQuantile
+    // Exact end to end (ARCHITECTURE.md "Correctness strategy"): the
+    // median over integer cents is an exact half-integer, each absolute
+    // deviation is an exact half-integer, and the deviation median is an
+    // exact quarter-integer — every value below 2^53, so both engines'
+    // explicitly-stated interpolations (ExactQuantile) are bit-identical
+    // and the 4-dp floor-rounds cannot diverge. Same broadcast-median +
+    // second-pass shape as before.
     val med = table(spark, dir, "events")
       .groupBy(col("event_type"))
-      .agg(percentile(col("value"), lit(0.5)).as("med"))
+      .agg(sort_array(collect_list(
+        round(col("value") * 100).cast("long"))).as("cs"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        ExactQuantile.interp(col("cs"), col("n"), 0.5).as("med_c"))
     table(spark, dir, "events")
       .join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("med_c"),
+        abs(round(col("value") * 100).cast("long") - col("med_c")).as("dev"))
       .groupBy(col("event_type"))
       .agg(
-        round(max(col("med")), 4).as("med"),
-        round(percentile(abs(col("value") - col("med")), lit(0.5)), 4).as("mad"),
+        (floor(max(col("med_c")) / 100.0 * 10000.0 + 0.5) / 10000.0)
+          .as("med"),
+        (floor(ExactQuantile.interp(
+          sort_array(collect_list(col("dev"))), count(lit(1)), 0.5)
+          / 100.0 * 10000.0 + 0.5) / 10000.0).as("mad"),
         count(lit(1)).as("n"))
       .orderBy("event_type")
   }
@@ -1573,17 +1633,29 @@ object AnalyticsQueries {
     * sum(i * x) is invariant under permuting equal x.
     */
   def giniRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val wOrd = Window.orderBy(col("rev"), col("o_custkey"))
+    // Exact-cents formulation (ARCHITECTURE.md "Correctness strategy"):
+    // per-customer revenue as exact long cents makes the rank ORDER
+    // deterministic (a double sum's ulp could swap near-equal neighbors
+    // between engines and shift sum(i·rev)), Σi·rev and Σrev as
+    // decimal(38,0) are exact, and gini/6-dp floor-rounds a
+    // bit-identical quotient (cents cancel between num and denom).
+    val wOrd = Window.orderBy(col("rev_c"), col("o_custkey"))
     table(spark, dir, "orders")
       .groupBy(col("o_custkey"))
-      .agg(sum(col("o_totalprice")).as("rev"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
       .withColumn("i", row_number().over(wOrd))
       .agg(
-        round(lit(2.0) * sum(col("i") * col("rev")) /
-          (count(lit(1)) * sum(col("rev"))) -
-          (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"),
-        count(lit(1)).as("n_customers"),
-        round(sum(col("rev")), 2).as("total_revenue"))
+        sum((col("i").cast("decimal(18,0)") *
+          col("rev_c").cast("decimal(18,0)"))).as("sir"),
+        sum(col("rev_c").cast("decimal(18,0)")).as("sr"),
+        count(lit(1)).as("n"))
+      .select(
+        (floor((lit(2.0) * col("sir").cast("double") /
+          (col("n") * col("sr").cast("double")) -
+          (col("n") + lit(1.0)) / col("n")) * 1000000.0 + 0.5) / 1000000.0)
+          .as("gini"),
+        col("n").as("n_customers"),
+        (col("sr").cast("double") / 100.0).as("total_revenue"))
   }
 
   /** ClickHouse IPv4 function family (IPv4NumToString / subnet rollup):
@@ -1737,21 +1809,35 @@ object AnalyticsQueries {
     * event_type and join back broadcast-side.
     */
   def seriesAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactQuantile
+    // Exact med/MAD pipeline in integer cents (ARCHITECTURE.md
+    // "Correctness strategy"): hourly sums are exact longs, the medians
+    // interpolate explicitly (ExactQuantile — half/quarter-cent exact),
+    // z divides bit-identical doubles with the formula stated in the
+    // same cent units on both sides, and robust_z floor-rounds. Same
+    // persist + broadcast-medians shape as before.
     val hourly = table(spark, dir, "events")
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-      .agg(round(sum(col("value")), 2).as("v"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("vc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m = hourly.groupBy(col("event_type"))
-      .agg(percentile(col("v"), lit(0.5)).as("med"))
+      .agg(sort_array(collect_list(col("vc"))).as("cs"), count(lit(1)).as("n"))
+      .select(col("event_type"),
+        ExactQuantile.interp(col("cs"), col("n"), 0.5).as("med_c"))
     val md = hourly.join(broadcast(m), Seq("event_type"))
+      .select(col("event_type"), abs(col("vc") - col("med_c")).as("dev"))
       .groupBy(col("event_type"))
-      .agg(percentile(abs(col("v") - col("med")), lit(0.5)).as("mad"))
-    val z = (col("v") - col("med")) / (lit(1.4826) * col("mad"))
+      .agg(sort_array(collect_list(col("dev"))).as("ds"), count(lit(1)).as("n"))
+      .select(col("event_type"),
+        ExactQuantile.interp(col("ds"), col("n"), 0.5).as("mad_c"))
+    val z = (col("vc") - col("med_c")) / (lit(1.4826) * col("mad_c"))
     hourly
       .join(broadcast(m), Seq("event_type"))
       .join(broadcast(md), Seq("event_type"))
-      .filter(col("mad") > 0 && abs(z) > 3.5)
-      .select(col("event_type"), col("h"), col("v"), round(z, 4).as("robust_z"))
+      .filter(col("mad_c") > 0 && abs(z) > 3.5)
+      .select(col("event_type"), col("h"),
+        (col("vc").cast("double") / 100.0).as("v"),
+        (floor(z * 10000.0 + 0.5) / 10000.0).as("robust_z"))
       .orderBy("event_type", "h")
   }
 
@@ -2114,14 +2200,22 @@ object AnalyticsQueries {
         "FROM lv GROUP BY 1 ORDER BY 1"),
     "series_anomaly_mad" ->
       ("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, " +
-        "ROUND(SUM(value), 2) AS v FROM events GROUP BY 1, 2), " +
-        "m AS (SELECT event_type, MEDIAN(v) AS med FROM hourly GROUP BY 1), " +
-        "md AS (SELECT hourly.event_type, MEDIAN(ABS(v - med)) AS mad " +
-        "FROM hourly JOIN m USING (event_type) GROUP BY 1) " +
-        "SELECT hourly.event_type, h, v, " +
-        "ROUND((v - med) / (1.4826 * mad), 4) AS robust_z " +
+        "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS vc FROM events GROUP BY 1, 2), " +
+        "g AS (SELECT event_type, LIST_SORT(LIST(vc)) AS cs, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM hourly GROUP BY 1), " +
+        "m AS (SELECT event_type, " +
+        graft.functions.ExactQuantile.interpSql("cs", "n", "0.5") +
+        " AS med_c FROM g), " +
+        "gd AS (SELECT hourly.event_type, " +
+        "LIST_SORT(LIST(ABS(vc - med_c))) AS ds, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM hourly JOIN m USING (event_type) GROUP BY 1), " +
+        "md AS (SELECT event_type, " +
+        graft.functions.ExactQuantile.interpSql("ds", "n", "0.5") +
+        " AS mad_c FROM gd) " +
+        "SELECT hourly.event_type, h, CAST(vc AS DOUBLE) / 100 AS v, " +
+        "FLOOR((vc - med_c) / (1.4826 * mad_c) * 10000 + 0.5) / 10000 AS robust_z " +
         "FROM hourly JOIN m USING (event_type) JOIN md USING (event_type) " +
-        "WHERE mad > 0 AND ABS((v - med) / (1.4826 * mad)) > 3.5 " +
+        "WHERE mad_c > 0 AND ABS((vc - med_c) / (1.4826 * mad_c)) > 3.5 " +
         "ORDER BY 1, 2"),
     "zorder_key" -> zorderOracle,
     "attribution_last_touch" ->
@@ -2145,14 +2239,17 @@ object AnalyticsQueries {
         "FROM p JOIN t ta ON ta.event_type = type_a " +
         "JOIN t tb ON tb.event_type = type_b ORDER BY 1, 2"),
     "gini_revenue" ->
-      ("WITH r AS (SELECT o_custkey, SUM(o_totalprice) AS rev " +
+      ("WITH r AS (SELECT o_custkey, " +
+        "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c " +
         "FROM orders GROUP BY 1), " +
-        "k AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i, " +
-        "COUNT(*) OVER () AS n, SUM(rev) OVER () AS tot FROM r) " +
-        "SELECT ROUND(2.0 * SUM(i * rev) / (MAX(n) * MAX(tot)) - " +
-        "(MAX(n) + 1.0) / MAX(n), 6) AS gini, " +
-        "CAST(MAX(n) AS BIGINT) AS n_customers, " +
-        "ROUND(MAX(tot), 2) AS total_revenue FROM k"),
+        "k AS (SELECT rev_c, ROW_NUMBER() OVER (ORDER BY rev_c, o_custkey) AS i " +
+        "FROM r), " +
+        "s AS (SELECT SUM(i * rev_c) AS sir, SUM(rev_c) AS sr, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM k) " +
+        "SELECT FLOOR((2.0 * CAST(sir AS DOUBLE) / (n * CAST(sr AS DOUBLE)) - " +
+        "(n + 1.0) / n) * 1000000 + 0.5) / 1000000 AS gini, " +
+        "n AS n_customers, " +
+        "CAST(sr AS DOUBLE) / 100 AS total_revenue FROM s"),
     "ip_functions" ->
       ("WITH ips AS (SELECT 167772160 + (user_id * 2654435761) % 1048576 AS ip " +
         "FROM events), " +
@@ -2255,13 +2352,21 @@ object AnalyticsQueries {
         "CAST(COUNT(*) AS BIGINT) AS n_days " +
         "FROM t WHERE wn = 7 GROUP BY 1, 2 ORDER BY 1, 2"),
     "mad_per_group" ->
-      ("WITH m AS (SELECT event_type, MEDIAN(value) AS med " +
-        "FROM events GROUP BY 1) " +
-        "SELECT e.event_type, ROUND(MAX(m.med), 4) AS med, " +
-        "ROUND(MEDIAN(ABS(e.value - m.med)), 4) AS mad, " +
-        "CAST(COUNT(*) AS BIGINT) AS n " +
-        "FROM events e JOIN m ON e.event_type = m.event_type " +
-        "GROUP BY 1 ORDER BY 1"),
+      ("WITH g AS (SELECT event_type, " +
+        "LIST_SORT(LIST(CAST(ROUND(value * 100) AS BIGINT))) AS cs, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), " +
+        "m AS (SELECT event_type, " +
+        graft.functions.ExactQuantile.interpSql("cs", "n", "0.5") +
+        " AS med_c FROM g), " +
+        "d AS (SELECT e.event_type, " +
+        "LIST_SORT(LIST(ABS(CAST(ROUND(e.value * 100) AS BIGINT) - m.med_c))) AS ds, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, MAX(m.med_c) AS med_c " +
+        "FROM events e JOIN m ON e.event_type = m.event_type GROUP BY 1) " +
+        "SELECT event_type, " +
+        "FLOOR(med_c / 100 * 10000 + 0.5) / 10000 AS med, " +
+        "FLOOR(" + graft.functions.ExactQuantile.interpSql("ds", "n", "0.5") +
+        " / 100 * 10000 + 0.5) / 10000 AS mad, n " +
+        "FROM d ORDER BY event_type"),
     "multi_linreg" ->
       ("WITH s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, " +
         "SUM(l_quantity) AS s1, SUM(l_discount) AS s2, " +
@@ -2395,14 +2500,20 @@ object AnalyticsQueries {
         "SELECT ROUND((rp - np * (np + 1) / 2) / (np * nn), 6) AS auc, " +
         "CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg FROM agg"),
     "series_outliers_tukey" ->
-      ("WITH q AS (SELECT event_type, " +
-        "quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3, " +
-        "COUNT(*) AS n FROM events GROUP BY 1) " +
+      ("WITH g AS (SELECT event_type, " +
+        "LIST_SORT(LIST(CAST(ROUND(value * 100) AS BIGINT))) AS cs, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), " +
+        "q AS (SELECT event_type, n, " +
+        graft.functions.ExactQuantile.interpSql("cs", "n", "0.25") + " AS q1, " +
+        graft.functions.ExactQuantile.interpSql("cs", "n", "0.75") + " AS q3 " +
+        "FROM g) " +
         "SELECT e.event_type, " +
-        "ROUND(ANY_VALUE(q1 - 1.5 * (q3 - q1)), 4) AS lo_fence, " +
-        "ROUND(ANY_VALUE(q3 + 1.5 * (q3 - q1)), 4) AS hi_fence, " +
-        "CAST(SUM(CASE WHEN e.value < q1 - 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_low, " +
-        "CAST(SUM(CASE WHEN e.value > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_high, " +
+        "FLOOR(ANY_VALUE(q1 - 1.5 * (q3 - q1)) / 100 * 10000 + 0.5) / 10000 AS lo_fence, " +
+        "FLOOR(ANY_VALUE(q3 + 1.5 * (q3 - q1)) / 100 * 10000 + 0.5) / 10000 AS hi_fence, " +
+        "CAST(SUM(CASE WHEN CAST(ROUND(e.value * 100) AS BIGINT) " +
+        "< q1 - 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_low, " +
+        "CAST(SUM(CASE WHEN CAST(ROUND(e.value * 100) AS BIGINT) " +
+        "> q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_high, " +
         "ANY_VALUE(q.n) AS n " +
         "FROM events e JOIN q USING (event_type) " +
         "GROUP BY e.event_type ORDER BY 1"),
@@ -2636,7 +2747,8 @@ object AnalyticsQueries {
         "FROM events GROUP BY user_id) " +
         "SELECT CAST(regexp_matches(path, 'view(>[^>]+)*>click(>[^>]+)*>purchase') AS INT) AS matched, " +
         "CAST(COUNT(*) AS BIGINT) AS n_users, " +
-        "ROUND(AVG(length(path)), 2) AS avg_path_len " +
+        "FLOOR(CAST(SUM(length(path)) AS DOUBLE) / COUNT(*) * 100 + 0.5) / 100 " +
+        "AS avg_path_len " +
         "FROM paths GROUP BY 1 ORDER BY 1"),
     "funnel_steps_windowed" ->
       ("WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events " +
@@ -2663,8 +2775,9 @@ object AnalyticsQueries {
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_users, " +
         "CAST(SUM(r1) AS BIGINT) AS day1, CAST(SUM(r3) AS BIGINT) AS day3, " +
         "CAST(SUM(r7) AS BIGINT) AS day7, " +
-        "ROUND(AVG(r1), 4) AS day1_rate, ROUND(AVG(r3), 4) AS day3_rate, " +
-        "ROUND(AVG(r7), 4) AS day7_rate FROM f"),
+        "FLOOR(CAST(SUM(r1) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS day1_rate, " +
+        "FLOOR(CAST(SUM(r3) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS day3_rate, " +
+        "FLOOR(CAST(SUM(r7) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS day7_rate FROM f"),
     "uniq_upto" ->
       ("SELECT event_type, " +
         "CAST(LEAST(COUNT(DISTINCT user_id), 11) AS BIGINT) AS users_upto_10, " +
@@ -2704,12 +2817,18 @@ object AnalyticsQueries {
         "s3 AS (SELECT e.user_id, min(e.ts) AS t3, max(s2.t1) AS t1 FROM events e " +
         "JOIN s2 ON e.user_id = s2.user_id WHERE e.event_type = 'purchase' " +
         "AND e.ts > s2.t2 AND e.ts <= s2.t1 + INTERVAL 3 DAY GROUP BY e.user_id) " +
-        "SELECT CAST(COUNT(*) AS BIGINT) AS n_converted, " +
-        "ROUND(quantile_cont(sec, 0.5), 2) AS p50_sec, " +
-        "ROUND(quantile_cont(sec, 0.9), 2) AS p90_sec, " +
-        "ROUND(AVG(sec), 2) AS avg_sec FROM (" +
+        "SELECT n_converted, " +
+        "FLOOR(" +
+        graft.functions.ExactQuantile.interpSql("ss", "n_converted", "0.5") +
+        " * 100 + 0.5) / 100 AS p50_sec, " +
+        "FLOOR(" +
+        graft.functions.ExactQuantile.interpSql("ss", "n_converted", "0.9") +
+        " * 100 + 0.5) / 100 AS p90_sec, " +
+        "FLOOR(CAST(sec_sum AS DOUBLE) / n_converted * 100 + 0.5) / 100 AS avg_sec " +
+        "FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_converted, " +
+        "LIST_SORT(LIST(sec)) AS ss, SUM(sec) AS sec_sum FROM (" +
         "SELECT CAST(floor(epoch(t3)) AS BIGINT) - " +
-        "CAST(floor(epoch(t1)) AS BIGINT) AS sec FROM s3)"),
+        "CAST(floor(epoch(t1)) AS BIGINT) AS sec FROM s3))"),
     "funnel_strict_order" ->
       ("WITH ev AS (SELECT user_id, ts, event_id, event_type, " +
         "LEAD(event_type, 1) OVER w AS nt1, LEAD(ts, 1) OVER w AS ts1, " +
@@ -2814,8 +2933,10 @@ object AnalyticsQueries {
     "conditional_agg" ->
       ("SELECT event_type, CAST(COUNT(*) FILTER (value > 100) AS BIGINT) AS n_big, " +
         "ROUND(SUM(value) FILTER (value > 100), 2) AS sum_big, " +
-        "ROUND(AVG(value) FILTER (NOT value > 100), 4) AS avg_small, " +
-        "ROUND(CAST(COUNT(*) FILTER (value > 100) AS DOUBLE) / COUNT(*), 4) AS big_ratio " +
+        "FLOOR(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) FILTER (NOT value > 100) AS DOUBLE) " +
+        "/ COUNT(*) FILTER (NOT value > 100) / 100 * 10000 + 0.5) / 10000 AS avg_small, " +
+        "FLOOR(CAST(COUNT(*) FILTER (value > 100) AS DOUBLE) / COUNT(*) * 10000 + 0.5) " +
+        "/ 10000 AS big_ratio " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
     "stats_moments" ->
       ("SELECT l_returnflag, ROUND(corr(l_quantity, l_extendedprice), 5) AS corr_qty_price, " +
@@ -2841,13 +2962,15 @@ object AnalyticsQueries {
         "FROM orders WHERE o_custkey < 100 GROUP BY o_custkey ORDER BY o_custkey"),
     "histogram_values" ->
       ("SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n, " +
-        "ROUND(AVG(value), 4) AS avg_value, " +
+        "FLOOR(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) " +
+        "/ COUNT(*) / 100 * 10000 + 0.5) / 10000 AS avg_value, " +
         "ROUND(MIN(value), 2) AS min_value, ROUND(MAX(value), 2) AS max_value " +
         "FROM events GROUP BY 1 ORDER BY 1"),
     "uniq_counts" ->
       ("SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_users, " +
         "CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days, " +
-        "ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT user_id), 4) AS events_per_user " +
+        "FLOOR(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT user_id) * 10000 + 0.5) " +
+        "/ 10000 AS events_per_user " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
     "embedding_centroid" ->
       ("SELECT label, ROUND(sqrt(SUM(m * m)), 4) AS centroid_norm, " +
@@ -2861,7 +2984,8 @@ object AnalyticsQueries {
         "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS INTEGER) AS DOUBLE) " +
         "/ 16777216.0 AS u FROM documents) " +
         "SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split, " +
-        "CAST(COUNT(*) AS BIGINT) AS n, ROUND(AVG(n_chars), 2) AS avg_chars " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        "FLOOR(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) * 100 + 0.5) / 100 AS avg_chars " +
         "FROM u GROUP BY 1 ORDER BY 1")
   )
 }

@@ -77,22 +77,48 @@ object CoreQueries {
       .orderBy("priority", "d")
   }
 
-  /** TPC-H Q1-style pricing summary — scan+filter+agg baseline. */
-  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+  /** TPC-H Q1-style pricing summary — scan+filter+agg baseline.
+    *
+    * Exact integer-grain aggregation (ARCHITECTURE.md "Correctness
+    * strategy"): price/discount/tax are 2-decimal values, so per-row
+    * cents c, disc d and tax t (each ×100) make every product an exact
+    * integer — summed as decimal(38,0), which stays exact where a
+    * double sum drifts by a ulp and a 64-bit long overflows at ~10^12
+    * lineitem rows (100 TB scale). k-dp output is stated as
+    * FLOOR(x·10^k + 0.5)/10^k identically in both engines (their
+    * round() disagrees on tie doubles); sum_qty keeps round(): whole
+    * units sum double-exactly and never sit near a .005 tie.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100).cast("decimal(12,0)")
+    val disc = round(col("l_discount") * 100).cast("decimal(3,0)")
+    val tax = round(col("l_tax") * 100).cast("decimal(3,0)")
     table(spark, dir, "lineitem")
       .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
+        sum(col("l_quantity")).as("qty"),
+        sum(cents).as("cents"),
+        sum(cents * (lit(100).cast("decimal(3,0)") - disc)).as("u1"),
+        sum(cents * (lit(100).cast("decimal(3,0)") - disc) *
+          (lit(100).cast("decimal(3,0)") + tax)).as("u2"),
+        sum(disc).as("dsum"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("qty"), 2).as("sum_qty"),
+        (col("cents").cast("double") / 100.0).as("sum_base_price"),
+        (floor(col("u1").cast("double") / 100.0 + 0.5) / 100.0)
+          .as("sum_disc_price"),
+        (floor(col("u2").cast("double") / 10000.0 + 0.5) / 100.0)
           .as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
-        count(lit(1)).as("count_order"))
+        (floor(col("qty") / col("n") * 10000.0 + 0.5) / 10000.0).as("avg_qty"),
+        (floor(col("cents").cast("double") / col("n") / 100.0 * 10000.0 + 0.5)
+          / 10000.0).as("avg_price"),
+        (floor(col("dsum").cast("double") / col("n") / 100.0 * 10000.0 + 0.5)
+          / 10000.0).as("avg_disc"),
+        col("n").as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
 
   /** M1-M5 + R8 + S4 end to end: the flagship forecast pipeline over the
     * events-derived daily buckets, 7-day horizon. No oracle SQL (the fit
@@ -575,17 +601,31 @@ object CoreQueries {
         "SELECT date AS ds, CAST(active_users AS DOUBLE) AS active_users, " +
         "CAST(event_count AS DOUBLE) AS event_count, value_sum " +
         "FROM b ORDER BY ds"),
+    // exact integer-grain replay of q1Agg: HUGEINT sums of per-row
+    // cents/disc/tax products, FLOOR(x*10^k + 0.5)/10^k rounding stated
+    // in the same operation order as the Spark side
     "q1_agg" ->
-      ("SELECT l_returnflag, l_linestatus, " +
-        "ROUND(SUM(l_quantity), 2) AS sum_qty, " +
-        "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, " +
-        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
-        "ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, " +
-        "ROUND(AVG(l_quantity), 4) AS avg_qty, " +
-        "ROUND(AVG(l_extendedprice), 4) AS avg_price, " +
-        "ROUND(AVG(l_discount), 4) AS avg_disc, " +
-        "COUNT(*) AS count_order " +
+      ("WITH g AS (SELECT l_returnflag, l_linestatus, " +
+        "SUM(l_quantity) AS qty, " +
+        "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents, " +
+        "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS u1, " +
+        "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)) * " +
+        "(100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS u2, " +
+        "SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS dsum, " +
+        "COUNT(*) AS n " +
         "FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02' " +
-        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")
+        "GROUP BY l_returnflag, l_linestatus) " +
+        "SELECT l_returnflag, l_linestatus, " +
+        "ROUND(qty, 2) AS sum_qty, " +
+        "CAST(cents AS DOUBLE) / 100 AS sum_base_price, " +
+        "FLOOR(CAST(u1 AS DOUBLE) / 100 + 0.5) / 100 AS sum_disc_price, " +
+        "FLOOR(CAST(u2 AS DOUBLE) / 10000 + 0.5) / 100 AS sum_charge, " +
+        "FLOOR(qty / n * 10000 + 0.5) / 10000 AS avg_qty, " +
+        "FLOOR(CAST(cents AS DOUBLE) / n / 100 * 10000 + 0.5) / 10000 AS avg_price, " +
+        "FLOOR(CAST(dsum AS DOUBLE) / n / 100 * 10000 + 0.5) / 10000 AS avg_disc, " +
+        "n AS count_order " +
+        "FROM g ORDER BY l_returnflag, l_linestatus")
   )
 }

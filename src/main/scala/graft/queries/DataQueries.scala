@@ -352,6 +352,25 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** [[graft.operators.Dedup.incremental]] over an id-parity split of
+    * the documents table (even ids = the stored, already-deduped corpus;
+    * odd ids = tonight's delta): every delta doc classified
+    * dup_exact / dup_near / new with its lowest matching corpus id. The
+    * id-modulus split makes the WHOLE pipeline — normalization join,
+    * corpus-df-capped shingle index, cross-set Jaccard, status
+    * precedence — SQL-expressible, so the oracle hash-checks the
+    * incremental path end to end (the production split is "parquet I
+    * already have" vs "parquet that just landed"; the plan is
+    * identical).
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    Dedup.incremental(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+      .orderBy("doc_id")
+  }
+
   /** Bloom-broadcast decontamination scale twin ([[graft.operators.Dedup
     * .decontaminateBloom]]): test-split shingles -> broadcast Bloom ->
     * ONE probe scan over train, no join. Rows-only: the filter bits
@@ -787,6 +806,7 @@ object DataQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_ngram_jaccard_banded" -> (dedupNgramJaccardBanded _),
     "decontaminate" -> (decontaminate _),
+    "dedup_incremental" -> (dedupIncremental _),
     "decontaminate_bloom" -> (decontaminateBloom _),
     "decontaminate_bloom_gate" -> (decontaminateBloomGate _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -1274,6 +1294,39 @@ object DataQueries {
         "FROM documents) " +
         "SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies " +
         "FROM n GROUP BY norm ORDER BY keep_id"),
+    // full replay of Dedup.incremental over the parity split: same
+    // normalization as dedup_exact_normalized, same shingle/df-cap/
+    // Jaccard conventions as decontaminate (cap on the CORPUS index,
+    // sizes from the uncapped sets)
+    "dedup_incremental" ->
+      ("WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0), " +
+        "delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1), " +
+        "ex AS (SELECT d.doc_id, MIN(c.doc_id) AS exact_match FROM delta d " +
+        "JOIN corpus c ON trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g')) = " +
+        "trim(regexp_replace(lower(c.text), '[^a-z0-9]+', ' ', 'g')) GROUP BY 1), " +
+        "dt AS (SELECT doc_id, string_split(text, ' ') AS w FROM delta), " +
+        "dsh AS (SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN []::VARCHAR[] " +
+        "ELSE list_distinct(list_transform(generate_series(1, len(w) - 2), " +
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END) AS shingle FROM dt), " +
+        "dsz AS (SELECT doc_id, COUNT(*) AS nd FROM dsh GROUP BY 1), " +
+        "ct AS (SELECT doc_id AS cid, string_split(text, ' ') AS w FROM corpus), " +
+        "csh AS (SELECT cid, unnest(CASE WHEN len(w) < 3 THEN []::VARCHAR[] " +
+        "ELSE list_distinct(list_transform(generate_series(1, len(w) - 2), " +
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END) AS shingle FROM ct), " +
+        "csz AS (SELECT cid, COUNT(*) AS nc FROM csh GROUP BY 1), " +
+        "rare AS (SELECT shingle FROM csh GROUP BY shingle HAVING COUNT(*) <= 1000), " +
+        "cshf AS (SELECT csh.cid, csh.shingle FROM csh JOIN rare USING (shingle)), " +
+        "com AS (SELECT dsh.doc_id, cshf.cid, COUNT(*) AS c " +
+        "FROM dsh JOIN cshf USING (shingle) GROUP BY 1, 2), " +
+        "near AS (SELECT doc_id, MIN(cid) AS near_match FROM com " +
+        "JOIN dsz USING (doc_id) JOIN csz USING (cid) " +
+        "WHERE CAST(c AS DOUBLE) / (nd + nc - c) >= 0.5 GROUP BY 1) " +
+        "SELECT delta.doc_id, " +
+        "CASE WHEN exact_match IS NOT NULL THEN 'dup_exact' " +
+        "WHEN near_match IS NOT NULL THEN 'dup_near' ELSE 'new' END AS status, " +
+        "COALESCE(exact_match, near_match) AS match_id " +
+        "FROM delta LEFT JOIN ex USING (doc_id) LEFT JOIN near USING (doc_id) " +
+        "ORDER BY doc_id"),
     // replays packGreedy's next-fit recurrence exactly: same group label
     // (doc_id % 8), same id order, same BPE-ish token weights (the
     // text_bpe_tokens expression), advancing one doc per group per

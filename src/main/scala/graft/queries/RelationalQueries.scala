@@ -32,10 +32,18 @@ object RelationalQueries {
       .select("l_orderkey", "l_extendedprice", "l_discount")
     // orders is a filtered FACT side — no broadcast hint; AQE picks the
     // strategy at runtime (broadcasting it would OOM at warehouse scale)
+    // revenue summed as exact integer cents·(100−disc) — price and
+    // discount are 2-decimal, so the product is an exact integer and the
+    // sum (≤7 lines per order) is order-insensitive; the top-10 ORDER BY
+    // revenue is then deterministic by construction instead of hostage
+    // to a double sum's ulp (see ARCHITECTURE.md "Correctness strategy")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("u1"))
+      .select(col("l_orderkey"), col("o_orderdate"),
+        (floor(col("u1").cast("double") / 100.0 + 0.5) / 100.0).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -63,7 +71,15 @@ object RelationalQueries {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      // exact integer cents·(100−disc) summed as decimal(38,0) (per-nation
+      // groups are unbounded — a long overflows near 10^10 rows, a double
+      // drifts by a ulp), floor-rounded identically in both engines; the
+      // revenue ORDER BY is deterministic by construction
+      .agg(sum((round(col("l_extendedprice") * 100).cast("decimal(12,0)") *
+        (lit(100).cast("decimal(3,0)") -
+          round(col("l_discount") * 100).cast("decimal(3,0)")))).as("u1"))
+      .select(col("n_name"),
+        (floor(col("u1").cast("double") / 100.0 + 0.5) / 100.0).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -87,16 +103,23 @@ object RelationalQueries {
         col("n_name").as("cust_nation")), "c_nationkey")
       .select("c_custkey", "cust_nation")
     val ord = table(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    // volume carried as exact integer cents·(100−disc) (2-decimal inputs
+    // → exact product), summed as decimal(38,0), floor-rounded to 2 dp
+    // identically in both engines (ARCHITECTURE.md "Correctness strategy")
     val li = table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"),
         year(to_date(col("l_shipdate"))).as("l_year"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+        (round(col("l_extendedprice") * 100).cast("decimal(12,0)") *
+          (lit(100).cast("decimal(3,0)") -
+            round(col("l_discount") * 100).cast("decimal(3,0)"))).as("volume"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
-      .agg(round(sum(col("volume")), 2).as("revenue"))
+      .agg(sum(col("volume")).as("u1"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        (floor(col("u1").cast("double") / 100.0 + 0.5) / 100.0).as("revenue"))
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
@@ -126,9 +149,15 @@ object RelationalQueries {
       .select("s_suppkey", "supp_nation")
     val promo = table(spark, dir, "part").filter(col("p_type") === "PROMO")
       .select("p_partkey")
+    // volume as exact integer cents·(100−disc) summed as decimal(38,0):
+    // the share quotient then divides two bit-identical doubles in both
+    // engines, and 6-dp/2-dp rounding is stated as FLOOR(x·10^k + 0.5)
+    // (ARCHITECTURE.md "Correctness strategy")
     table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+        (round(col("l_extendedprice") * 100).cast("decimal(12,0)") *
+          (lit(100).cast("decimal(3,0)") -
+            round(col("l_discount") * 100).cast("decimal(3,0)"))).as("volume"))
       .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
       .join(table(spark, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
@@ -136,9 +165,14 @@ object RelationalQueries {
       .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(to_date(col("o_orderdate"))).cast("long").as("o_year"))
       .agg(
-        round(sum(when(col("supp_nation") === "NATION_11", col("volume")).otherwise(0.0)) /
-          sum(col("volume")), 6).as("mkt_share"),
-        round(sum(col("volume")), 2).as("total_volume"))
+        sum(when(col("supp_nation") === "NATION_11", col("volume"))
+          .otherwise(lit(0).cast("decimal(15,0)"))).as("num"),
+        sum(col("volume")).as("den"))
+      .select(col("o_year"),
+        (floor(col("num").cast("double") / col("den").cast("double")
+          * 1000000.0 + 0.5) / 1000000.0).as("mkt_share"),
+        (floor(col("den").cast("double") / 100.0 + 0.5) / 100.0)
+          .as("total_volume"))
       .orderBy("o_year")
   }
 
@@ -298,18 +332,26 @@ object RelationalQueries {
         round(sum(col("o_totalprice")), 2).as("total_price"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
-  /** Exact interpolated percentiles per order status — Spark `percentile`
-    * and DuckDB `quantile_cont` share the linear-interpolation definition.
+  /** Exact interpolated percentiles per order status, stated explicitly
+    * over sorted exact-cent arrays (graft.functions.ExactQuantile) — the
+    * engines' built-in continuous-quantile aggregates interpolate with
+    * differing association orders and flip 2-dp rounding on
+    * tie-adjacent values. Same per-group buffering as the built-in.
     */
-  def percentiles(spark: SparkSession, dir: String): DataFrame =
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    def q(p: Double, alias: String) =
+      (floor(graft.functions.ExactQuantile.interp(col("cs"), col("n"), p)
+        + 0.5) / 100.0).as(alias)
     table(spark, dir, "orders")
       .groupBy(col("o_orderstatus"))
       .agg(
-        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
-        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
-        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"))
+        sort_array(collect_list(
+          round(col("o_totalprice") * 100).cast("long"))).as("cs"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderstatus"),
+        q(0.25, "p25"), q(0.5, "p50"), q(0.75, "p75"), q(0.95, "p95"))
       .orderBy("o_orderstatus")
+  }
 
   /** As-of join: each event picks up the previous day's average value for
     * its event type (strictly-before semantics). Spark side composes
@@ -354,9 +396,17 @@ object RelationalQueries {
       .groupBy(col("event_type"))
       .agg(
         countDistinct(col("user_id")).as("users_exact"),
-        round(percentile(col("value"), lit(0.5)), 2).as("p50_exact"),
+        // exact median via the explicitly-stated interpolation over
+        // sorted integer cents (graft.functions.ExactQuantile) — the
+        // engines' built-in quantiles differ at ulp on tie-adjacent input
+        sort_array(collect_list(round(col("value") * 100).cast("long")))
+          .as("cs"),
+        count(lit(1)).as("cn"),
         approx_count_distinct(col("user_id")).as("au"),
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("ap"))
+      .withColumn("p50_exact",
+        floor(graft.functions.ExactQuantile.interp(col("cs"), col("cn"), 0.5)
+          + 0.5) / 100.0)
       .select(col("event_type"), col("users_exact"), col("p50_exact"),
         (abs(col("au") - col("users_exact")) <= col("users_exact") * 0.15)
           .as("users_within_15pct"),
@@ -436,19 +486,24 @@ object RelationalQueries {
       .orderBy("l_partkey")
   }
 
-  /** 7-day trailing moving average per event type. The daily sums are
-    * rounded BEFORE the window average so both engines feed identical
-    * doubles into the frame (unrounded per-day sums differ at 1e-15 by
-    * summation order and would poison the hash compare).
+  /** 7-day trailing moving average per event type. The whole pipeline —
+    * daily sum, window sum, mean — runs on exact integer cents so no
+    * engine-dependent double summation ever feeds the frame, and the
+    * 4-dp mean is floor-rounded (round()'s tie behavior is the one
+    * remaining cross-engine divergence on bit-identical quotients).
     */
   def movingAvg(spark: SparkSession, dir: String): DataFrame = {
     val daily = table(spark, dir, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(round(sum(col("value")), 2).as("daily_value"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
       .rowsBetween(-6, Window.currentRow)
     daily
-      .withColumn("ma7", round(avg(col("daily_value")).over(w), 4))
+      .withColumn("ma7",
+        floor(sum(col("cents")).over(w).cast("double") /
+          count(col("cents")).over(w) / 100.0 * 10000.0 + 0.5) / 10000.0)
+      .select(col("event_type"), col("d"),
+        (col("cents").cast("double") / 100.0).as("daily_value"), col("ma7"))
       .orderBy("event_type", "d")
   }
 
@@ -656,8 +711,10 @@ object RelationalQueries {
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy("event_type")
+      // integer mean via floor-rounding on the exact quotient
       .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
-        round(avg(col("k")), 4).as("k_avg"))
+        (floor(sum(col("k")).cast("double") / count(lit(1)) * 10000.0 + 0.5)
+          / 10000.0).as("k_avg"))
       .orderBy("event_type")
 
   /** ANALYZE-style column statistics in one scan-and-aggregate pass:
@@ -671,7 +728,11 @@ object RelationalQueries {
         countDistinct(col("o_custkey")).as("n_custs"),
         round(min(col("o_totalprice")), 2).as("min_price"),
         round(max(col("o_totalprice")), 2).as("max_price"),
-        round(avg(col("o_totalprice")), 4).as("avg_price"),
+        // mean via exact-cents sum + floor-rounding (ARCHITECTURE.md
+        // "Correctness strategy")
+        (floor(sum(round(col("o_totalprice") * 100).cast("long"))
+          .cast("double") / count(lit(1)) / 100.0 * 10000.0 + 0.5)
+          / 10000.0).as("avg_price"),
         sum(when(col("o_orderstatus").isNull, 1).otherwise(0)).cast("long")
           .as("n_null_status"))
 
@@ -860,9 +921,13 @@ object RelationalQueries {
     */
   def sqlFrontDoor(spark: SparkSession, dir: String): DataFrame = {
     graft.sources.Fixtures.registerAll(spark, dir)
+    // exact cents·(100−disc) decimal sums + FLOOR rounding (see q1Agg) —
+    // stated in SQL text since this query exercises the SQL front door
     spark.sql(
       "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
-        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FLOOR(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(12,0)) * " +
+        "(100 - CAST(ROUND(l_discount * 100) AS DECIMAL(3,0)))) AS DOUBLE) " +
+        "/ 100 + 0.5) / 100 AS revenue " +
         "FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '1998-09-01' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")
   }
@@ -1300,13 +1365,20 @@ object RelationalQueries {
         "TRUE AS within_5pct " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
     "approx_stats" ->
-      ("SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_exact, " +
-        "ROUND(quantile_cont(value, 0.5), 2) AS p50_exact, " +
+      ("WITH g AS (SELECT event_type, " +
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_exact, " +
+        "LIST_SORT(LIST(CAST(ROUND(value * 100) AS BIGINT))) AS cs, " +
+        "CAST(COUNT(*) AS BIGINT) AS cn FROM events GROUP BY event_type) " +
+        "SELECT event_type, users_exact, " +
+        "FLOOR(" + graft.functions.ExactQuantile.interpSql("cs", "cn", "0.5") +
+        " + 0.5) / 100 AS p50_exact, " +
         "TRUE AS users_within_15pct, TRUE AS p50_within_5pct " +
-        "FROM events GROUP BY event_type ORDER BY event_type"),
+        "FROM g ORDER BY event_type"),
     "sql_front_door" ->
       ("SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
-        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FLOOR(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) " +
+        "/ 100 + 0.5) / 100 AS revenue " +
         "FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '1998-09-01' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
     // json_extract must only ever see rows a WHERE json_valid filter has
@@ -1342,7 +1414,8 @@ object RelationalQueries {
     "json_extract" ->
       ("SELECT event_type, COUNT(*) AS n, " +
         "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum, " +
-        "ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS k_avg " +
+        "FLOOR(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) " +
+        "/ COUNT(*) * 10000 + 0.5) / 10000 AS k_avg " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
     // jdbcImport's audit row is all constants by construction: 100 seeded
     // rows, ids 1..100 (sum 5050), val = i/4 (binary-exact, sum 1262.5),
@@ -1373,7 +1446,8 @@ object RelationalQueries {
         "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs, " +
         "ROUND(MIN(o_totalprice), 2) AS min_price, " +
         "ROUND(MAX(o_totalprice), 2) AS max_price, " +
-        "ROUND(AVG(o_totalprice), 4) AS avg_price, " +
+        "FLOOR(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) " +
+        "/ COUNT(*) / 100 * 10000 + 0.5) / 10000 AS avg_price, " +
         "CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
         "AS n_null_status FROM orders"),
     "funnel_steps" ->
@@ -1474,11 +1548,12 @@ object RelationalQueries {
     },
     "moving_avg" ->
       ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, " +
-        "ROUND(SUM(value), 2) AS daily_value FROM events GROUP BY 1, 2) " +
-        "SELECT event_type, d, daily_value, " +
-        "ROUND(AVG(daily_value) OVER (PARTITION BY event_type ORDER BY d " +
-        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7 " +
-        "FROM daily ORDER BY event_type, d"),
+        "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents FROM events GROUP BY 1, 2) " +
+        "SELECT event_type, d, CAST(cents AS DOUBLE) / 100 AS daily_value, " +
+        "FLOOR(CAST(SUM(cents) OVER w AS DOUBLE) / COUNT(cents) OVER w " +
+        "/ 100 * 10000 + 0.5) / 10000 AS ma7 " +
+        "FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY event_type, d"),
     "above_avg_qty" ->
       ("SELECT l_partkey, COUNT(*) AS n_above, " +
         "ROUND(SUM(l_extendedprice), 2) AS revenue FROM lineitem " +
@@ -1496,12 +1571,16 @@ object RelationalQueries {
         "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) " +
         "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
     "percentiles" ->
-      ("SELECT o_orderstatus, " +
-        "ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25, " +
-        "ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50, " +
-        "ROUND(quantile_cont(o_totalprice, 0.75), 2) AS p75, " +
-        "ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95 " +
-        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+      ("WITH g AS (SELECT o_orderstatus, " +
+        "LIST_SORT(LIST(CAST(ROUND(o_totalprice * 100) AS BIGINT))) AS cs, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1) " +
+        "SELECT o_orderstatus, " +
+        Seq("0.25" -> "p25", "0.5" -> "p50", "0.75" -> "p75", "0.95" -> "p95")
+          .map { case (p, a) =>
+            s"FLOOR(${graft.functions.ExactQuantile.interpSql("cs", "n", p)} " +
+              s"+ 0.5) / 100 AS $a"
+          }.mkString(", ") +
+        " FROM g ORDER BY o_orderstatus"),
     "asof_join" ->
       ("SELECT e.event_id, e.event_type, d.prev_day_avg " +
         "FROM (SELECT event_id, event_type, CAST(ts AS DATE) AS edate FROM events) e " +
@@ -1511,9 +1590,13 @@ object RelationalQueries {
         "FROM events GROUP BY 1, 2) d " +
         "ON e.event_type = d.event_type AND e.edate > d.ddate " +
         "ORDER BY e.event_id"),
+    // exact cents·(100−disc) HUGEINT sums + FLOOR rounding, mirroring the
+    // Spark side (see q1_agg) — the revenue ORDER BY is deterministic
     "q3_join_topk" ->
       ("SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, " +
-        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FLOOR(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) " +
+        "/ 100 + 0.5) / 100 AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
         "WHERE c_mktsegment = 'BUILDING' AND CAST(o_orderdate AS DATE) < DATE '1998-01-01' " +
@@ -1521,7 +1604,8 @@ object RelationalQueries {
         "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10"),
     "q8_market_share" ->
       ("WITH vol AS (SELECT year(CAST(o.o_orderdate AS DATE)) AS o_year, " +
-        "l.l_extendedprice * (1 - l.l_discount) AS volume, " +
+        "CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS volume, " +
         "sn.n_name AS supp_nation " +
         "FROM lineitem l " +
         "JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO' " +
@@ -1532,15 +1616,17 @@ object RelationalQueries {
         "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
         "JOIN nation sn ON s.s_nationkey = sn.n_nationkey) " +
         "SELECT CAST(o_year AS BIGINT) AS o_year, " +
-        "ROUND(SUM(CASE WHEN supp_nation = 'NATION_11' THEN volume ELSE 0 END) / " +
-        "SUM(volume), 6) AS mkt_share, " +
-        "ROUND(SUM(volume), 2) AS total_volume " +
+        "FLOOR(CAST(SUM(CASE WHEN supp_nation = 'NATION_11' THEN volume ELSE 0 END) AS DOUBLE) / " +
+        "CAST(SUM(volume) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mkt_share, " +
+        "FLOOR(CAST(SUM(volume) AS DOUBLE) / 100 + 0.5) / 100 AS total_volume " +
         "FROM vol GROUP BY o_year ORDER BY o_year"),
     "q7_nation_volume" ->
-      ("SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue " +
+      ("SELECT supp_nation, cust_nation, l_year, " +
+        "FLOOR(CAST(SUM(volume) AS DOUBLE) / 100 + 0.5) / 100 AS revenue " +
         "FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
         "CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS l_year, " +
-        "l_extendedprice * (1 - l_discount) AS volume " +
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS volume " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
         "JOIN supplier ON l_suppkey = s_suppkey " +
@@ -1551,7 +1637,10 @@ object RelationalQueries {
         "AND n1.n_name <> n2.n_name) " +
         "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
     "q5_region_revenue" ->
-      ("SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+      ("SELECT n_name, " +
+        "FLOOR(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) " +
+        "/ 100 + 0.5) / 100 AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN supplier ON l_suppkey = s_suppkey " +
         "JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey " +

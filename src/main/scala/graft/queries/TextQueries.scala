@@ -66,11 +66,14 @@ object TextQueries {
       .select(
         col("doc_id"),
         nWords.cast("long").as("n_words"),
-        round(lit(1.0) - size(array_distinct(words)).cast("double") /
-          greatest(nWords, lit(1)), 6).as("dup_word_ratio"),
-        round(when(nShTotal > 0,
-          lit(1.0) - nShDistinct.cast("double") / nShTotal).otherwise(0.0), 6)
-          .as("dup_3gram_ratio"))
+        // floor-rounded (see TextFunctions.round6): the ratios divide
+        // exact int counts, so only round()'s tie behavior could diverge
+        (floor((lit(1.0) - size(array_distinct(words)).cast("double") /
+          greatest(nWords, lit(1))) * 1000000.0 + 0.5) / 1000000.0)
+          .as("dup_word_ratio"),
+        (floor(when(nShTotal > 0,
+          lit(1.0) - nShDistinct.cast("double") / nShTotal).otherwise(0.0)
+          * 1000000.0 + 0.5) / 1000000.0).as("dup_3gram_ratio"))
       .orderBy("doc_id")
   }
 
@@ -81,7 +84,9 @@ object TextQueries {
       .groupBy(col("lang"), col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg(col("n_chars")), 4).as("avg_chars"),
+        // integer mean via floor-rounding on the exact quotient
+        (floor(sum(col("n_chars")).cast("double") / count(lit(1))
+          * 10000.0 + 0.5) / 10000.0).as("avg_chars"),
         sum(TextFunctions.tokenCount(col("text"))).as("total_tokens"))
       .orderBy("lang", "source")
 
@@ -103,7 +108,13 @@ object TextQueries {
       .filter(col("quality") >= 0.3)
       .withColumn("lang_pred", TextFunctions.langId(col("text")))
       .groupBy(col("lang_pred"))
-      .agg(count(lit(1)).as("n_docs"), round(avg(col("quality")), 4).as("avg_quality"))
+      // quality is 6-dp grain (TextFunctions.round6), so micro-units
+      // floor(q·10^6 + 0.5) are exact longs — the sum is associative and
+      // the 4-dp mean floor-rounds a bit-identical quotient
+      .agg(count(lit(1)).as("n_docs"),
+        (floor(sum(floor(col("quality") * 1000000.0 + 0.5).cast("long"))
+          .cast("double") / count(lit(1)) / 1000000.0 * 10000.0 + 0.5)
+          / 10000.0).as("avg_quality"))
       .orderBy("lang_pred")
   }
 
@@ -647,10 +658,12 @@ object TextQueries {
       " END"
   }
 
+  // FLOOR(x*1e6 + 0.5)/1e6 mirrors TextFunctions.round6 — see its
+  // scaladoc for why round() cannot be used cross-engine
   private val qualityExpr =
-    "ROUND((CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) " +
+    "FLOOR(((CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) " +
       "/ GREATEST(length(text), 1)) * " +
-      s"LEAST(1.0, CAST($tokCount AS DOUBLE) / 20.0), 6)"
+      s"LEAST(1.0, CAST($tokCount AS DOUBLE) / 20.0)) * 1000000 + 0.5) / 1000000"
 
   private val saltedExpr =
     "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.' || " +
@@ -658,12 +671,12 @@ object TextQueries {
       "' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
 
   private val symbolRatioExpr =
-    "ROUND(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) " +
-      "/ GREATEST(length(text), 1), 6)"
+    "FLOOR(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) " +
+      "/ GREATEST(length(text), 1) * 1000000 + 0.5) / 1000000"
 
   private val avgWordLenExpr =
-    "ROUND(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) " +
-      s"/ GREATEST($tokCount, 1), 6)"
+    "FLOOR(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) " +
+      s"/ GREATEST($tokCount, 1) * 1000000 + 0.5) / 1000000"
 
   val oracleSql: Map[String, String] = Map(
     // Replays RollingHashExpr's mod-2^64 polynomial (h*1315423911 + byte)
@@ -856,7 +869,9 @@ object TextQueries {
       ("WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text), " +
         s"q AS (SELECT d.doc_id, $qualityExpr AS quality, $langCase AS lang_pred " +
         "FROM documents d JOIN surv USING (doc_id)) " +
-        "SELECT lang_pred, COUNT(*) AS n_docs, ROUND(AVG(quality), 4) AS avg_quality " +
+        "SELECT lang_pred, COUNT(*) AS n_docs, " +
+        "FLOOR(CAST(SUM(CAST(FLOOR(quality * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) " +
+        "/ COUNT(*) / 1000000 * 10000 + 0.5) / 10000 AS avg_quality " +
         "FROM q WHERE quality >= 0.3 GROUP BY lang_pred ORDER BY lang_pred"),
     "tfidf_top_terms" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term " +
@@ -880,16 +895,16 @@ object TextQueries {
         "generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) " +
         "END AS n_sh_uniq FROM t) " +
         "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, " +
-        "ROUND(1 - CAST(n_uniq AS DOUBLE) / GREATEST(n_words, 1), 6) AS dup_word_ratio, " +
-        "ROUND(CASE WHEN n_sh > 0 THEN 1 - CAST(n_sh_uniq AS DOUBLE) / n_sh " +
-        "ELSE 0 END, 6) AS dup_3gram_ratio " +
+        "FLOOR((1 - CAST(n_uniq AS DOUBLE) / GREATEST(n_words, 1)) * 1000000 + 0.5) " +
+        "/ 1000000 AS dup_word_ratio, " +
+        "FLOOR((CASE WHEN n_sh > 0 THEN 1 - CAST(n_sh_uniq AS DOUBLE) / n_sh " +
+        "ELSE 0 END) * 1000000 + 0.5) / 1000000 AS dup_3gram_ratio " +
         "FROM s ORDER BY doc_id"),
     "text_stats" ->
       (s"SELECT doc_id, $tokCount AS n_tokens, " +
-        "ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) " +
-        "/ GREATEST(length(text), 1), 6) AS alpha_ratio, " +
-        "ROUND(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) " +
-        s"/ GREATEST($tokCount, 1), 6) AS avg_word_len, " +
+        "FLOOR(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) " +
+        "/ GREATEST(length(text), 1) * 1000000 + 0.5) / 1000000 AS alpha_ratio, " +
+        s"$avgWordLenExpr AS avg_word_len, " +
         s"$qualityExpr AS quality " +
         "FROM documents ORDER BY doc_id"),
     "text_bpe_tokens" ->
@@ -902,7 +917,8 @@ object TextQueries {
       ("SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp " +
         "FROM documents ORDER BY doc_id"),
     "lang_source_agg" ->
-      ("SELECT lang, source, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars, " +
+      ("SELECT lang, source, COUNT(*) AS n_docs, " +
+        "FLOOR(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS avg_chars, " +
         s"CAST(SUM($tokCount) AS BIGINT) AS total_tokens " +
         "FROM documents GROUP BY lang, source ORDER BY lang, source")
   )

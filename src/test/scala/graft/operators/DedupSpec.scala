@@ -305,4 +305,42 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(a == b, "default cap must not change fixture-scale results")
   }
+
+  test("incremental: statuses partition the delta with correct precedence") {
+    val corpus = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (4L, "completely unrelated corpus content about databases and queries"),
+      (6L, "shared near duplicate text body with many common word shingles here")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (1L, "The quick   brown fox jumps over the lazy dog today"), // norm-equal to 2
+      (3L, "shared near duplicate text body with many common word shingles now"), // near 6
+      (5L, "entirely novel delta document nothing like the corpus at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incremental(corpus, delta).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(out == Seq(
+      (1L, "dup_exact", Some(2L)),
+      (3L, "dup_near", Some(6L)),
+      (5L, "new", None)))
+  }
+
+  test("incremental: delta ids only, one row per delta doc, fixture-stable") {
+    val corpus = docs.filter(pmod($"doc_id", lit(2)) === 0)
+    val delta = docs.filter(pmod($"doc_id", lit(2)) === 1)
+    val out = Dedup.incremental(corpus, delta).persist()
+    val nDelta = delta.count()
+    assert(out.count() == nDelta, "exactly one status row per delta doc")
+    assert(out.filter(pmod($"doc_id", lit(2)) === 0).count() == 0,
+      "no corpus ids in the output")
+    assert(out.filter($"status" === "new" && $"match_id".isNotNull).count() == 0
+      && out.filter($"status" =!= "new" && $"match_id".isNull).count() == 0,
+      "match_id is NULL exactly for status=new")
+    // every match_id points into the corpus side
+    assert(out.filter($"match_id".isNotNull)
+      .join(corpus.select($"doc_id".as("match_id")), Seq("match_id"), "left_anti")
+      .count() == 0, "match ids must be corpus docs")
+    out.unpersist()
+  }
 }
