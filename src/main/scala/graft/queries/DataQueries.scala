@@ -371,6 +371,30 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** One index root per JVM for [[dedupIncrementalIndexed]]
+    * (overwrite-on-rerun, the storage-layout queries' discipline). */
+  private lazy val incIndexRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_incidx").toString
+
+  /** [[dedupIncremental]] through a PERSISTED corpus index
+    * ([[graft.operators.Dedup.buildIncrementalIndex]]): the corpus half
+    * is written once as bucketed norm/postings/sizes tables, then the
+    * delta half is classified reading ONLY the index — the same split,
+    * the same output, the same oracle. Like `join_bucketed`, the build is
+    * repeated per invocation so the bench price is the honest end-to-end
+    * build+query cost; in production the build amortizes over every
+    * nightly delta until the corpus version changes.
+    */
+  def dedupIncrementalIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val cat = new graft.catalog.ParquetCatalog(spark, incIndexRoot)
+    Dedup.buildIncrementalIndex(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), cat, "graft_incidx")
+    Dedup.incrementalIndexed(cat, "graft_incidx",
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+      .orderBy("doc_id")
+  }
+
   /** Bloom-broadcast decontamination scale twin ([[graft.operators.Dedup
     * .decontaminateBloom]]): test-split shingles -> broadcast Bloom ->
     * ONE probe scan over train, no join. Rows-only: the filter bits
@@ -807,6 +831,7 @@ object DataQueries {
     "dedup_ngram_jaccard_banded" -> (dedupNgramJaccardBanded _),
     "decontaminate" -> (decontaminate _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_incremental_indexed" -> (dedupIncrementalIndexed _),
     "decontaminate_bloom" -> (decontaminateBloom _),
     "decontaminate_bloom_gate" -> (decontaminateBloomGate _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -1221,6 +1246,42 @@ object DataQueries {
       "WHERE dist < 0.5 ORDER BY doc_a, doc_b"
   }
 
+  /** Full replay of [[graft.operators.Dedup.incremental]] over the parity
+    * split: same normalization as dedup_exact_normalized, same
+    * shingle/df-cap/Jaccard conventions as decontaminate (cap on the
+    * CORPUS index, sizes from the uncapped sets). The indexed form
+    * produces the identical frame, so one oracle serves both keys.
+    */
+  private val incrementalOracle =
+    "WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0), " +
+      "delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1), " +
+      "ex AS (SELECT d.doc_id, MIN(c.doc_id) AS exact_match FROM delta d " +
+      "JOIN corpus c ON trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g')) = " +
+      "trim(regexp_replace(lower(c.text), '[^a-z0-9]+', ' ', 'g')) GROUP BY 1), " +
+      "dt AS (SELECT doc_id, string_split(text, ' ') AS w FROM delta), " +
+      "dsh AS (SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN []::VARCHAR[] " +
+      "ELSE list_distinct(list_transform(generate_series(1, len(w) - 2), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END) AS shingle FROM dt), " +
+      "dsz AS (SELECT doc_id, COUNT(*) AS nd FROM dsh GROUP BY 1), " +
+      "ct AS (SELECT doc_id AS cid, string_split(text, ' ') AS w FROM corpus), " +
+      "csh AS (SELECT cid, unnest(CASE WHEN len(w) < 3 THEN []::VARCHAR[] " +
+      "ELSE list_distinct(list_transform(generate_series(1, len(w) - 2), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END) AS shingle FROM ct), " +
+      "csz AS (SELECT cid, COUNT(*) AS nc FROM csh GROUP BY 1), " +
+      "rare AS (SELECT shingle FROM csh GROUP BY shingle HAVING COUNT(*) <= 1000), " +
+      "cshf AS (SELECT csh.cid, csh.shingle FROM csh JOIN rare USING (shingle)), " +
+      "com AS (SELECT dsh.doc_id, cshf.cid, COUNT(*) AS c " +
+      "FROM dsh JOIN cshf USING (shingle) GROUP BY 1, 2), " +
+      "near AS (SELECT doc_id, MIN(cid) AS near_match FROM com " +
+      "JOIN dsz USING (doc_id) JOIN csz USING (cid) " +
+      "WHERE CAST(c AS DOUBLE) / (nd + nc - c) >= 0.5 GROUP BY 1) " +
+      "SELECT delta.doc_id, " +
+      "CASE WHEN exact_match IS NOT NULL THEN 'dup_exact' " +
+      "WHEN near_match IS NOT NULL THEN 'dup_near' ELSE 'new' END AS status, " +
+      "COALESCE(exact_match, near_match) AS match_id " +
+      "FROM delta LEFT JOIN ex USING (doc_id) LEFT JOIN near USING (doc_id) " +
+      "ORDER BY doc_id"
+
   private val spanCoverageOracle =
     "WITH pos AS (SELECT doc_id, CAST(i AS BIGINT) AS i, " +
       "substr(text, CAST(i AS INT), 24) AS span FROM (" +
@@ -1298,35 +1359,10 @@ object DataQueries {
     // normalization as dedup_exact_normalized, same shingle/df-cap/
     // Jaccard conventions as decontaminate (cap on the CORPUS index,
     // sizes from the uncapped sets)
-    "dedup_incremental" ->
-      ("WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0), " +
-        "delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1), " +
-        "ex AS (SELECT d.doc_id, MIN(c.doc_id) AS exact_match FROM delta d " +
-        "JOIN corpus c ON trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g')) = " +
-        "trim(regexp_replace(lower(c.text), '[^a-z0-9]+', ' ', 'g')) GROUP BY 1), " +
-        "dt AS (SELECT doc_id, string_split(text, ' ') AS w FROM delta), " +
-        "dsh AS (SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN []::VARCHAR[] " +
-        "ELSE list_distinct(list_transform(generate_series(1, len(w) - 2), " +
-        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END) AS shingle FROM dt), " +
-        "dsz AS (SELECT doc_id, COUNT(*) AS nd FROM dsh GROUP BY 1), " +
-        "ct AS (SELECT doc_id AS cid, string_split(text, ' ') AS w FROM corpus), " +
-        "csh AS (SELECT cid, unnest(CASE WHEN len(w) < 3 THEN []::VARCHAR[] " +
-        "ELSE list_distinct(list_transform(generate_series(1, len(w) - 2), " +
-        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END) AS shingle FROM ct), " +
-        "csz AS (SELECT cid, COUNT(*) AS nc FROM csh GROUP BY 1), " +
-        "rare AS (SELECT shingle FROM csh GROUP BY shingle HAVING COUNT(*) <= 1000), " +
-        "cshf AS (SELECT csh.cid, csh.shingle FROM csh JOIN rare USING (shingle)), " +
-        "com AS (SELECT dsh.doc_id, cshf.cid, COUNT(*) AS c " +
-        "FROM dsh JOIN cshf USING (shingle) GROUP BY 1, 2), " +
-        "near AS (SELECT doc_id, MIN(cid) AS near_match FROM com " +
-        "JOIN dsz USING (doc_id) JOIN csz USING (cid) " +
-        "WHERE CAST(c AS DOUBLE) / (nd + nc - c) >= 0.5 GROUP BY 1) " +
-        "SELECT delta.doc_id, " +
-        "CASE WHEN exact_match IS NOT NULL THEN 'dup_exact' " +
-        "WHEN near_match IS NOT NULL THEN 'dup_near' ELSE 'new' END AS status, " +
-        "COALESCE(exact_match, near_match) AS match_id " +
-        "FROM delta LEFT JOIN ex USING (doc_id) LEFT JOIN near USING (doc_id) " +
-        "ORDER BY doc_id"),
+    "dedup_incremental" -> incrementalOracle,
+    // the indexed form is the same classification through a stored
+    // bucketed index — identical output, so the SAME oracle checks it
+    "dedup_incremental_indexed" -> incrementalOracle,
     // replays packGreedy's next-fit recurrence exactly: same group label
     // (doc_id % 8), same id order, same BPE-ish token weights (the
     // text_bpe_tokens expression), advancing one doc per group per

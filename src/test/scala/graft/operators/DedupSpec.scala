@@ -343,4 +343,55 @@ class DedupSpec extends SparkSpec {
       .count() == 0, "match ids must be corpus docs")
     out.unpersist()
   }
+
+  private def dropIncIndexTables(prefix: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_norm")
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_postings")
+  }
+
+  test("incrementalIndexed: same answer as incremental through the stored index") {
+    val corpus = docs.filter(pmod($"doc_id", lit(2)) === 0)
+    val delta = docs.filter(pmod($"doc_id", lit(2)) === 1)
+    val root = java.nio.file.Files.createTempDirectory("incidx_spec").toString
+    val cat = new graft.catalog.ParquetCatalog(spark, root)
+    try {
+      Dedup.buildIncrementalIndex(corpus, cat, "spec_incidx")
+      val direct = Dedup.incremental(corpus, delta).orderBy("doc_id").collect().toSeq
+      val indexed = Dedup.incrementalIndexed(cat, "spec_incidx", delta)
+        .orderBy("doc_id").collect().toSeq
+      assert(indexed == direct)
+    } finally dropIncIndexTables("spec_incidx")
+  }
+
+  test("incrementalIndexed: candidate probe shuffles ONLY the delta side") {
+    val corpus = docs.filter(pmod($"doc_id", lit(2)) === 0)
+    val delta = docs.filter(pmod($"doc_id", lit(2)) === 1)
+    val root = java.nio.file.Files.createTempDirectory("incidx_plan").toString
+    val cat = new graft.catalog.ParquetCatalog(spark, root)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      Dedup.buildIncrementalIndex(corpus, cat, "plan_incidx")
+      // force the sort-merge shape a 100 TB corpus-side join would take
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dsh = delta
+        .select($"doc_id", explode(Dedup.wordShingles($"text", 3)).as("shingle"))
+      val probe = dsh.join(cat.loadBucketed("plan_incidx_postings"), "shingle")
+      // sparkPlan predates EnsureRequirements (no exchanges inserted yet);
+      // the formatted explain shows the post-planning tree, one numbered
+      // node per operator
+      val p = probe.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val exchanges = raw"\(\d+\) Exchange".r.findAllIn(p)
+        .toSeq.distinct
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      assert(exchanges.length == 1,
+        s"exactly one Exchange (the delta side) expected — the bucketed " +
+          s"postings layout must absorb the corpus-side shuffle:\n$p")
+      assert(p.contains("Bucketed: true"),
+        s"the postings scan must be a bucketed read:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      dropIncIndexTables("plan_incidx")
+    }
+  }
 }
