@@ -37,10 +37,18 @@ object ExactQuantile {
 
   /** DuckDB rendering of [[interp]] over a sorted LIST column `cs` with
     * length `n`: identical operation order, so bit-identical doubles.
+    *
+    * `p` is forced to DOUBLE before the multiply: a bare `0.9` literal is
+    * DECIMAL in DuckDB, and decimal-exact `h = p·(n−1)` differs from
+    * Spark's double `h` by ulps whenever p is not binary-exact (benign
+    * for 0.25/0.5/0.75, a latent flip for 0.9 — the cast makes both
+    * engines run the SAME IEEE multiply).
     */
-  def interpSql(cs: String, n: String, p: String): String =
-    s"(CAST($cs[CAST(FLOOR($p * ($n - 1)) AS BIGINT) + 1] AS DOUBLE) + " +
-      s"($p * ($n - 1) - FLOOR($p * ($n - 1))) * " +
-      s"(CAST($cs[LEAST(CAST(FLOOR($p * ($n - 1)) AS BIGINT) + 2, $n)] AS DOUBLE) - " +
-      s"CAST($cs[CAST(FLOOR($p * ($n - 1)) AS BIGINT) + 1] AS DOUBLE)))"
+  def interpSql(cs: String, n: String, p: String): String = {
+    val h = s"(CAST($p AS DOUBLE) * ($n - 1))"
+    s"(CAST($cs[CAST(FLOOR($h) AS BIGINT) + 1] AS DOUBLE) + " +
+      s"($h - FLOOR($h)) * " +
+      s"(CAST($cs[LEAST(CAST(FLOOR($h) AS BIGINT) + 2, $n)] AS DOUBLE) - " +
+      s"CAST($cs[CAST(FLOOR($h) AS BIGINT) + 1] AS DOUBLE)))"
+  }
 }
