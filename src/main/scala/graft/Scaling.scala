@@ -67,7 +67,11 @@ object Scaling {
     "join_bucketed", "partition_prune",
     // round 10: multi-pass SNM — the finer-keyed production form whose
     // whole point is taming the single-pass query's superlinear x30
-    "er_snm_multikey")
+    "er_snm_multikey",
+    // round 10: nightly delta-vs-corpus dedup, direct and through the
+    // persisted bucketed index (build + query both measured — the
+    // production shape amortizes the build over many deltas)
+    "dedup_incremental", "dedup_incremental_indexed")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
