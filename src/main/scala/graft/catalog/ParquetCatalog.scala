@@ -172,6 +172,38 @@ final class ParquetCatalog(val spark: SparkSession, val root: String) {
       .format("parquet")
       .saveAsTable(name)
 
+  /** Append into a [[writeBucketed]] table, preserving the bucket spec:
+    * the batch is hash-partitioned into the SAME bucket layout, so each
+    * bucket id gains one more file and every co-location property
+    * (exchange-free joins, bucketed reads) survives. This is the index-
+    * maintenance primitive — nightly admissions land as new per-bucket
+    * files, never rewriting the stored 100 TB; Spark's bucketed scan
+    * unions a bucket's files per task. The spec must match the table's
+    * (Spark validates and fails loudly on drift). File-count note: each
+    * append adds ≤ `nBuckets` files; compaction cadence is the same
+    * rebuild that bounds df-cap drift ([[graft.operators.Dedup
+    * .admitToIncrementalIndex]]).
+    */
+  def appendBucketed(
+      name: String,
+      df: DataFrame,
+      bucketCol: String,
+      nBuckets: Int): Unit =
+    df.write
+      .mode("append")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", tablePath(name))
+      .format("parquet")
+      .saveAsTable(name)
+
+  /** Append into a plain [[writeTable]] parquet table (one sorted file
+    * per batch via the shared pre-write shaping).
+    */
+  def appendTable(name: String, df: DataFrame, sortCol: String): Unit =
+    shapeForWrite(df, sortCol, None, 1)
+      .write.mode("append").parquet(tablePath(name))
+
   /** Read back a bucketed table — must go through the session catalog so
     * the optimizer sees the bucket spec (a plain parquet read of the same
     * files would forget the hash-partitioning and re-shuffle).

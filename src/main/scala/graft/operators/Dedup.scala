@@ -505,14 +505,69 @@ object Dedup {
       .select(col("doc_id").as("cid"), wordShingles(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
     val cshExp = csh.select(col("cid"), explode(col("sh")).as("shingle"))
-    val hot = cshExp.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxShingleDf)
-      .select(col("shingle"))
+    // the dropped-as-hot set is STORED (not recoverable from postings,
+    // which exclude it) so admissions can honor the same cap; written
+    // first, then read back for the anti-join — one aggregation job, no
+    // recompute
+    cat.writeTable(s"${prefix}_hot",
+      cshExp.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxShingleDf)
+        .select(col("shingle")), sortCol = "shingle")
     cat.writeBucketed(s"${prefix}_postings",
-      cshExp.join(broadcast(hot), Seq("shingle"), "left_anti"),
+      cshExp.join(broadcast(cat.load(s"${prefix}_hot")),
+        Seq("shingle"), "left_anti"),
       "shingle", nBuckets)
     cat.writeTable(s"${prefix}_sizes",
       csh.select(col("cid"), size(col("sh")).as("nc")), sortCol = "cid")
+  }
+
+  /** Nightly index maintenance: fold tonight's `new` docs into the stored
+    * [[buildIncrementalIndex]] index, so tomorrow's delta classifies
+    * against corpus ∪ admissions — APPEND-only (per-bucket files added,
+    * the stored corpus never rewritten; [[graft.catalog.ParquetCatalog
+    * .appendBucketed]]).
+    *
+    *   - `_norm`: one row per distinct admitted normalized text (lowest
+    *     doc_id within the batch). Global nt-uniqueness is preserved by
+    *     construction: an admitted doc's nt cannot equal a stored nt —
+    *     it would have classified `dup_exact`, not `new`.
+    *   - `_postings`: admitted shingles minus the stored BUILD-time hot
+    *     set. Documented drift vs a fresh rebuild: a shingle that
+    *     crosses `maxShingleDf` only when counting admissions keeps its
+    *     postings until the next rebuild, so candidate generation can
+    *     briefly see a hot shingle's fan-out (bounded by the admissions
+    *     since the last rebuild — the standard index-maintenance
+    *     trade; the rebuild cadence that compacts per-bucket files
+    *     bounds it too). When no shingle crosses the cap between
+    *     rebuilds, maintained == rebuilt exactly (DedupSpec pins this).
+    *   - `_sizes`: admitted (cid, nc) appended.
+    *
+    * `statuses` is [[incrementalIndexed]]'s output for `delta`; only its
+    * `status == "new"` rows are admitted.
+    */
+  def admitToIncrementalIndex(
+      cat: graft.catalog.ParquetCatalog,
+      prefix: String,
+      delta: DataFrame,
+      statuses: DataFrame,
+      n: Int = 3,
+      nBuckets: Int = 8): Unit = {
+    val admitted = delta.join(
+      statuses.filter(col("status") === "new").select(col("doc_id")), "doc_id")
+    cat.appendBucketed(s"${prefix}_norm",
+      admitted.select(col("doc_id").as("cid"), normExpr.as("nt"))
+        .groupBy(col("nt")).agg(min(col("cid")).as("cid")),
+      "nt", nBuckets)
+    def ash = admitted
+      .select(col("doc_id").as("cid"), wordShingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    cat.appendBucketed(s"${prefix}_postings",
+      ash.select(col("cid"), explode(col("sh")).as("shingle"))
+        .join(broadcast(cat.load(s"${prefix}_hot")),
+          Seq("shingle"), "left_anti"),
+      "shingle", nBuckets)
+    cat.appendTable(s"${prefix}_sizes",
+      ash.select(col("cid"), size(col("sh")).as("nc")), sortCol = "cid")
   }
 
   /** [[incremental]] against a stored [[buildIncrementalIndex]] index:

@@ -395,6 +395,33 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** The full two-night index-maintenance cycle
+    * ([[graft.operators.Dedup.admitToIncrementalIndex]]) on a mod-3
+    * split: build on the corpus third, classify night 1, ADMIT its `new`
+    * docs into the stored index (append-only bucketed writes), classify
+    * night 2 against corpus ∪ admissions — the output is night 2's
+    * statuses, which see night-1 docs as match targets. Night 1's
+    * statuses are persisted through the catalog before admission (the
+    * production shape — the nightly report is on disk anyway), so the
+    * three append jobs don't re-run the classification. The oracle
+    * replays both nights in SQL with the cap fixed at the BUILD-time hot
+    * set, the maintained-index semantics (at fixture df the drift-free
+    * case; DedupSpec pins maintained == rebuilt).
+    */
+  def dedupIncrementalAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val cat = new graft.catalog.ParquetCatalog(spark, incIndexRoot)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val night1 = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+    val night2 = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+    Dedup.buildIncrementalIndex(corpus, cat, "graft_admidx")
+    cat.writeTable("graft_admidx_n1_status",
+      Dedup.incrementalIndexed(cat, "graft_admidx", night1), sortCol = "doc_id")
+    Dedup.admitToIncrementalIndex(cat, "graft_admidx", night1,
+      cat.load("graft_admidx_n1_status"))
+    Dedup.incrementalIndexed(cat, "graft_admidx", night2).orderBy("doc_id")
+  }
+
   /** Bloom-broadcast decontamination scale twin ([[graft.operators.Dedup
     * .decontaminateBloom]]): test-split shingles -> broadcast Bloom ->
     * ONE probe scan over train, no join. Rows-only: the filter bits
@@ -832,6 +859,7 @@ object DataQueries {
     "decontaminate" -> (decontaminate _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_indexed" -> (dedupIncrementalIndexed _),
+    "dedup_incremental_admit" -> (dedupIncrementalAdmit _),
     "decontaminate_bloom" -> (decontaminateBloom _),
     "decontaminate_bloom_gate" -> (decontaminateBloomGate _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -1282,6 +1310,63 @@ object DataQueries {
       "FROM delta LEFT JOIN ex USING (doc_id) LEFT JOIN near USING (doc_id) " +
       "ORDER BY doc_id"
 
+  /** Two-night replay of [[dedupIncrementalAdmit]]: night 1 classified
+    * against the corpus third, its `new` docs folded in, night 2
+    * classified against the union — with the df cap fixed at the
+    * BUILD-time hot set (`hot0`, corpus-only), which is the maintained
+    * index's documented semantics. NOT IN is safe here: shingles are
+    * never NULL and hot0 may be empty.
+    */
+  private val incrementalAdmitOracle: String = {
+    def shingles(src: String, idCol: String) =
+      s"(SELECT $idCol, unnest(CASE WHEN len(w) < 3 THEN []::VARCHAR[] " +
+        "ELSE list_distinct(list_transform(generate_series(1, len(w) - 2), " +
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END) AS shingle " +
+        s"FROM (SELECT doc_id AS $idCol, string_split(text, ' ') AS w FROM $src))"
+    val norm = "trim(regexp_replace(lower(%s.text), '[^a-z0-9]+', ' ', 'g'))"
+    "WITH corpus0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0), " +
+      "n1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1), " +
+      "n2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2), " +
+      s"c0sh AS (SELECT * FROM ${shingles("corpus0", "cid")}), " +
+      "hot0 AS (SELECT shingle FROM c0sh GROUP BY shingle HAVING COUNT(*) > 1000), " +
+      "c0sz AS (SELECT cid, COUNT(*) AS nc FROM c0sh GROUP BY 1), " +
+      "p0 AS (SELECT cid, shingle FROM c0sh " +
+      "WHERE shingle NOT IN (SELECT shingle FROM hot0)), " +
+      s"ex1 AS (SELECT d.doc_id, MIN(c.doc_id) AS exact_match FROM n1 d " +
+      s"JOIN corpus0 c ON ${norm.format("d")} = ${norm.format("c")} GROUP BY 1), " +
+      s"d1sh AS (SELECT * FROM ${shingles("n1", "doc_id")}), " +
+      "d1sz AS (SELECT doc_id, COUNT(*) AS nd FROM d1sh GROUP BY 1), " +
+      "com1 AS (SELECT d1sh.doc_id, p0.cid, COUNT(*) AS c " +
+      "FROM d1sh JOIN p0 USING (shingle) GROUP BY 1, 2), " +
+      "near1 AS (SELECT doc_id, MIN(cid) AS near_match FROM com1 " +
+      "JOIN d1sz USING (doc_id) JOIN c0sz USING (cid) " +
+      "WHERE CAST(c AS DOUBLE) / (nd + nc - c) >= 0.5 GROUP BY 1), " +
+      "new1 AS (SELECT n1.doc_id, n1.text FROM n1 " +
+      "LEFT JOIN ex1 USING (doc_id) LEFT JOIN near1 USING (doc_id) " +
+      "WHERE exact_match IS NULL AND near_match IS NULL), " +
+      "idx AS (SELECT doc_id, text FROM corpus0 " +
+      "UNION ALL SELECT doc_id, text FROM new1), " +
+      s"ish AS (SELECT * FROM ${shingles("idx", "cid")}), " +
+      "isz AS (SELECT cid, COUNT(*) AS nc FROM ish GROUP BY 1), " +
+      "p AS (SELECT cid, shingle FROM ish " +
+      "WHERE shingle NOT IN (SELECT shingle FROM hot0)), " +
+      s"ex2 AS (SELECT d.doc_id, MIN(c.doc_id) AS exact_match FROM n2 d " +
+      s"JOIN idx c ON ${norm.format("d")} = ${norm.format("c")} GROUP BY 1), " +
+      s"d2sh AS (SELECT * FROM ${shingles("n2", "doc_id")}), " +
+      "d2sz AS (SELECT doc_id, COUNT(*) AS nd FROM d2sh GROUP BY 1), " +
+      "com2 AS (SELECT d2sh.doc_id, p.cid, COUNT(*) AS c " +
+      "FROM d2sh JOIN p USING (shingle) GROUP BY 1, 2), " +
+      "near2 AS (SELECT doc_id, MIN(cid) AS near_match FROM com2 " +
+      "JOIN d2sz USING (doc_id) JOIN isz USING (cid) " +
+      "WHERE CAST(c AS DOUBLE) / (nd + nc - c) >= 0.5 GROUP BY 1) " +
+      "SELECT n2.doc_id, " +
+      "CASE WHEN exact_match IS NOT NULL THEN 'dup_exact' " +
+      "WHEN near_match IS NOT NULL THEN 'dup_near' ELSE 'new' END AS status, " +
+      "COALESCE(exact_match, near_match) AS match_id " +
+      "FROM n2 LEFT JOIN ex2 USING (doc_id) LEFT JOIN near2 USING (doc_id) " +
+      "ORDER BY doc_id"
+  }
+
   private val spanCoverageOracle =
     "WITH pos AS (SELECT doc_id, CAST(i AS BIGINT) AS i, " +
       "substr(text, CAST(i AS INT), 24) AS span FROM (" +
@@ -1363,6 +1448,7 @@ object DataQueries {
     // the indexed form is the same classification through a stored
     // bucketed index — identical output, so the SAME oracle checks it
     "dedup_incremental_indexed" -> incrementalOracle,
+    "dedup_incremental_admit" -> incrementalAdmitOracle,
     // replays packGreedy's next-fit recurrence exactly: same group label
     // (doc_id % 8), same id order, same BPE-ish token weights (the
     // text_bpe_tokens expression), advancing one doc per group per

@@ -363,6 +363,41 @@ class DedupSpec extends SparkSpec {
     } finally dropIncIndexTables("spec_incidx")
   }
 
+  test("admitToIncrementalIndex: maintained index == fresh rebuild when no shingle crosses the cap") {
+    val corpus = docs.filter(pmod($"doc_id", lit(3)) === 0)
+    val night1 = docs.filter(pmod($"doc_id", lit(3)) === 1)
+    val night2 = docs.filter(pmod($"doc_id", lit(3)) === 2)
+    val rootM = java.nio.file.Files.createTempDirectory("incidx_adm").toString
+    val rootR = java.nio.file.Files.createTempDirectory("incidx_reb").toString
+    val catM = new graft.catalog.ParquetCatalog(spark, rootM)
+    val catR = new graft.catalog.ParquetCatalog(spark, rootR)
+    try {
+      // maintained path: build on corpus, classify night1, admit, classify night2
+      Dedup.buildIncrementalIndex(corpus, catM, "adm_incidx")
+      val st1 = Dedup.incrementalIndexed(catM, "adm_incidx", night1).persist()
+      Dedup.admitToIncrementalIndex(catM, "adm_incidx", night1, st1)
+      val maintained = Dedup.incrementalIndexed(catM, "adm_incidx", night2)
+        .orderBy("doc_id").collect().toSeq
+      // rebuild path: corpus ∪ night1's new docs, built from scratch.
+      // Fixture df << cap, so no shingle crosses and drift is zero.
+      val admitted = night1.join(
+        st1.filter($"status" === "new").select($"doc_id"), "doc_id")
+      st1.unpersist()
+      Dedup.buildIncrementalIndex(corpus.unionByName(admitted), catR, "reb_incidx")
+      val rebuilt = Dedup.incrementalIndexed(catR, "reb_incidx", night2)
+        .orderBy("doc_id").collect().toSeq
+      assert(maintained == rebuilt)
+      // the exact-side invariant the no-reaggregation join relies on:
+      // nt stays globally unique after admission
+      val norm = catM.loadBucketed("adm_incidx_norm")
+      assert(norm.count() == norm.select($"nt").distinct().count(),
+        "normalized-text keys must stay unique across admissions")
+    } finally {
+      dropIncIndexTables("adm_incidx")
+      dropIncIndexTables("reb_incidx")
+    }
+  }
+
   test("incrementalIndexed: candidate probe shuffles ONLY the delta side") {
     val corpus = docs.filter(pmod($"doc_id", lit(2)) === 0)
     val delta = docs.filter(pmod($"doc_id", lit(2)) === 1)
