@@ -71,7 +71,8 @@ object Scaling {
     // round 10: nightly delta-vs-corpus dedup, direct and through the
     // persisted bucketed index (build + query both measured — the
     // production shape amortizes the build over many deltas)
-    "dedup_incremental", "dedup_incremental_indexed")
+    "dedup_incremental", "dedup_incremental_indexed",
+    "dedup_incremental_admit")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
