@@ -552,8 +552,25 @@ object Dedup {
       statuses: DataFrame,
       n: Int = 3,
       nBuckets: Int = 8): Unit = {
+    // materialize BEFORE the first append: `statuses` is typically a plan
+    // that READS _norm/_postings, and the appends below mutate them — a
+    // lazy re-execution against the mutated index would reclassify the
+    // night's docs dup_exact and admit nothing. Pinning the snapshot here
+    // also stops the classification re-running once per append.
     val admitted = delta.join(
       statuses.filter(col("status") === "new").select(col("doc_id")), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    admitted.count()
+    try admitAppends(cat, prefix, admitted, n, nBuckets)
+    finally { admitted.unpersist(); () }
+  }
+
+  private def admitAppends(
+      cat: graft.catalog.ParquetCatalog,
+      prefix: String,
+      admitted: DataFrame,
+      n: Int,
+      nBuckets: Int): Unit = {
     cat.appendBucketed(s"${prefix}_norm",
       admitted.select(col("doc_id").as("cid"), normExpr.as("nt"))
         .groupBy(col("nt")).agg(min(col("cid")).as("cid")),

@@ -2794,10 +2794,11 @@ object AnalyticsQueries {
         "SELECT l_returnflag, " +
         Seq("0.25" -> "p25", "0.5" -> "p50", "0.75" -> "p75", "0.9" -> "p90")
           .map { case (p, alias) =>
-            s"FLOOR(cs[CAST(FLOOR($p * (n - 1)) AS BIGINT) + 1] + " +
-              s"($p * (n - 1) - FLOOR($p * (n - 1))) * " +
-              s"(cs[LEAST(CAST(FLOOR($p * (n - 1)) AS BIGINT) + 2, n)] - " +
-              s"cs[CAST(FLOOR($p * (n - 1)) AS BIGINT) + 1]) + 0.5) / 100 AS $alias"
+            // through the shared rendering, NOT hand-inlined: interpSql
+            // forces p to DOUBLE, so h matches Spark's double h even for
+            // non-binary-exact p (0.9) instead of DuckDB's DECIMAL h
+            s"FLOOR(${graft.functions.ExactQuantile.interpSql("cs", "n", p)} " +
+              s"+ 0.5) / 100 AS $alias"
           }.mkString(", ") +
         ", n FROM g ORDER BY l_returnflag"),
     "sequence_count" ->

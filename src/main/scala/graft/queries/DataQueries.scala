@@ -1274,27 +1274,35 @@ object DataQueries {
       "WHERE dist < 0.5 ORDER BY doc_a, doc_b"
   }
 
+  /** ONE rendering of the 3-gram shingle expansion for the incremental-
+    * dedup oracles — both replays share it (and [[incNormSql]]), so the
+    * engine-parity-critical expressions cannot drift between them.
+    */
+  private def incShinglesSql(src: String, idCol: String): String =
+    s"(SELECT $idCol, unnest(CASE WHEN len(w) < 3 THEN []::VARCHAR[] " +
+      "ELSE list_distinct(list_transform(generate_series(1, len(w) - 2), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END) AS shingle " +
+      s"FROM (SELECT doc_id AS $idCol, string_split(text, ' ') AS w FROM $src))"
+
+  /** The shared normalization (Dedup.normExpr) with a %s alias slot. */
+  private val incNormSql =
+    "trim(regexp_replace(lower(%s.text), '[^a-z0-9]+', ' ', 'g'))"
+
   /** Full replay of [[graft.operators.Dedup.incremental]] over the parity
     * split: same normalization as dedup_exact_normalized, same
     * shingle/df-cap/Jaccard conventions as decontaminate (cap on the
     * CORPUS index, sizes from the uncapped sets). The indexed form
     * produces the identical frame, so one oracle serves both keys.
     */
-  private val incrementalOracle =
+  private val incrementalOracle: String =
     "WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0), " +
       "delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1), " +
-      "ex AS (SELECT d.doc_id, MIN(c.doc_id) AS exact_match FROM delta d " +
-      "JOIN corpus c ON trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g')) = " +
-      "trim(regexp_replace(lower(c.text), '[^a-z0-9]+', ' ', 'g')) GROUP BY 1), " +
-      "dt AS (SELECT doc_id, string_split(text, ' ') AS w FROM delta), " +
-      "dsh AS (SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN []::VARCHAR[] " +
-      "ELSE list_distinct(list_transform(generate_series(1, len(w) - 2), " +
-      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END) AS shingle FROM dt), " +
+      s"ex AS (SELECT d.doc_id, MIN(c.doc_id) AS exact_match FROM delta d " +
+      s"JOIN corpus c ON ${incNormSql.format("d")} = " +
+      s"${incNormSql.format("c")} GROUP BY 1), " +
+      s"dsh AS (SELECT * FROM ${incShinglesSql("delta", "doc_id")}), " +
       "dsz AS (SELECT doc_id, COUNT(*) AS nd FROM dsh GROUP BY 1), " +
-      "ct AS (SELECT doc_id AS cid, string_split(text, ' ') AS w FROM corpus), " +
-      "csh AS (SELECT cid, unnest(CASE WHEN len(w) < 3 THEN []::VARCHAR[] " +
-      "ELSE list_distinct(list_transform(generate_series(1, len(w) - 2), " +
-      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END) AS shingle FROM ct), " +
+      s"csh AS (SELECT * FROM ${incShinglesSql("corpus", "cid")}), " +
       "csz AS (SELECT cid, COUNT(*) AS nc FROM csh GROUP BY 1), " +
       "rare AS (SELECT shingle FROM csh GROUP BY shingle HAVING COUNT(*) <= 1000), " +
       "cshf AS (SELECT csh.cid, csh.shingle FROM csh JOIN rare USING (shingle)), " +
@@ -1318,12 +1326,8 @@ object DataQueries {
     * never NULL and hot0 may be empty.
     */
   private val incrementalAdmitOracle: String = {
-    def shingles(src: String, idCol: String) =
-      s"(SELECT $idCol, unnest(CASE WHEN len(w) < 3 THEN []::VARCHAR[] " +
-        "ELSE list_distinct(list_transform(generate_series(1, len(w) - 2), " +
-        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END) AS shingle " +
-        s"FROM (SELECT doc_id AS $idCol, string_split(text, ' ') AS w FROM $src))"
-    val norm = "trim(regexp_replace(lower(%s.text), '[^a-z0-9]+', ' ', 'g'))"
+    def shingles(src: String, idCol: String) = incShinglesSql(src, idCol)
+    val norm = incNormSql
     "WITH corpus0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0), " +
       "n1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1), " +
       "n2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2), " +

@@ -382,10 +382,13 @@ class DedupSpec extends SparkSpec {
       // Fixture df << cap, so no shingle crosses and drift is zero.
       val admitted = night1.join(
         st1.filter($"status" === "new").select($"doc_id"), "doc_id")
-      st1.unpersist()
       Dedup.buildIncrementalIndex(corpus.unionByName(admitted), catR, "reb_incidx")
       val rebuilt = Dedup.incrementalIndexed(catR, "reb_incidx", night2)
         .orderBy("doc_id").collect().toSeq
+      // only after `admitted`'s last consumer ran: an earlier unpersist
+      // would let the lazy join recompute st1 against the index that
+      // admission just mutated
+      st1.unpersist()
       assert(maintained == rebuilt)
       // the exact-side invariant the no-reaggregation join relies on:
       // nt stays globally unique after admission
