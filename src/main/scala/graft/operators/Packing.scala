@@ -1,30 +1,61 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Token-budget batch packing for training-data assembly: group documents
-  * into batches whose total token weight stays under a budget (the
-  * sequence-packing step in front of an LLM trainer).
+/** Training-example assembly: turn a curated document corpus into the
+  * batches and fixed-length sequences an LLM trainer actually consumes.
   *
-  * Optimal bin packing is NP-hard and inherently serial; the scalable
-  * compromise is greedy next-fit WITHIN each pack group: documents are
-  * grouped by `id mod numPartitions` (an ENGINE-INDEPENDENT assignment —
-  * batch composition depends only on (ids, weights, budget, count), not
-  * on Spark's hash function, input order, or cluster layout, so an
-  * external SQL engine can replay the exact packing), sorted by id within
-  * the group, and packed by a single linear scan. One shuffle keyed on
-  * the group label; a task may receive several groups (label-hash
-  * collisions) — the scan resets its two-integer state at each group
-  * boundary. Next-fit wastes at most one under-filled batch per group
-  * versus first-fit-decreasing, which is noise once groups hold thousands
-  * of documents.
+  * Two packing disciplines plus a deterministic training-order shuffle:
   *
-  * A single document heavier than the budget gets a batch of its own
-  * (callers chunk oversized docs upstream; silently dropping them would
-  * bias the corpus).
+  *  - [[packGreedy]] — token-BUDGET batch packing: group documents into
+  *    batches whose total weight stays under a budget (variable-length
+  *    batching, one doc never split).
+  *  - [[packConcat]] — GPT-style concat-and-chunk packing [public:
+  *    Radford et al. 2019; T5's pack_dataset]: documents laid end-to-end
+  *    in a deterministic order, the token stream cut into exact
+  *    context-length windows; a document may straddle a boundary. Output
+  *    is the (sequence, document-span) assignment map — all a tokenizing
+  *    writer needs to emit the actual arrays, with zero padding waste by
+  *    construction.
+  *  - [[shuffleOrder]] — dense training-order position 0..N-1 by
+  *    (xxhash64(id), id), with the rank computed bucket-locally so no
+  *    single reducer ever sees the corpus.
+  *
+  * The concat/shuffle pair shares one scale idea, the two-level
+  * distributed prefix sum ([[withOffsets]]): a global running total is
+  * the textbook case where the naive plan — an un-partitioned window —
+  * serializes the whole corpus through one task. The two-level form
+  * computes per-bucket subtotals (a map-side-combinable hash aggregate),
+  * runs the only global window over the <= nBuckets subtotal rows
+  * (driver-scale, broadcast back), and finishes with a partition-local
+  * window keyed by bucket. Every stage is linear and fully parallel, and
+  * the output is bucket-count-independent — the same query hashes
+  * identically at any cluster width.
   */
 object Packing {
+
+  // ------------------------------------------------------------------
+  // Token-budget batch packing (greedy next-fit per group).
+  //
+  // Optimal bin packing is NP-hard and inherently serial; the scalable
+  // compromise is greedy next-fit WITHIN each pack group: documents are
+  // grouped by `id mod numPartitions` (an ENGINE-INDEPENDENT assignment —
+  // batch composition depends only on (ids, weights, budget, count), not
+  // on Spark's hash function, input order, or cluster layout, so an
+  // external SQL engine can replay the exact packing), sorted by id
+  // within the group, and packed by a single linear scan. One shuffle
+  // keyed on the group label; a task may receive several groups
+  // (label-hash collisions) — the scan resets its two-integer state at
+  // each group boundary. Next-fit wastes at most one under-filled batch
+  // per group versus first-fit-decreasing, which is noise once groups
+  // hold thousands of documents.
+  //
+  // A single document heavier than the budget gets a batch of its own
+  // (callers chunk oversized docs upstream; silently dropping them would
+  // bias the corpus).
+  // ------------------------------------------------------------------
 
   final case class PackedDoc(id: Long, weight: Long, part_id: Int, batch_idx: Int)
 
@@ -55,5 +86,124 @@ object Packing {
           PackedDoc(id, w, p, batch)
         }
       }
+  }
+
+  // ------------------------------------------------------------------
+  // Concat-and-chunk packing + the shared two-level prefix sum.
+  // ------------------------------------------------------------------
+
+  /** Exclusive prefix sum of `valueCol` in ascending `orderCol` order.
+    *
+    * `bucketCol` must be a coarse, CONTIGUOUS-RANGE function of
+    * `orderCol` (same bucket ordering as row ordering); rows are
+    * prefix-summed within buckets and offset by the exclusive sum of
+    * whole-bucket totals. Adds `offCol` (long); row set and other
+    * columns pass through unchanged. The result does not depend on the
+    * bucket granularity — only the parallelism does.
+    */
+  def withOffsets(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      bucketCol: org.apache.spark.sql.Column,
+      offCol: String = "off"): DataFrame = {
+    val bucketed = df.withColumn("_pk_bucket", bucketCol)
+    val totals = bucketed.groupBy(col("_pk_bucket"))
+      .agg(sum(col(valueCol)).as("_pk_bn"))
+    // the ONLY un-partitioned window — over <= nBuckets subtotal rows
+    val bucketOff = totals.withColumn(
+      "_pk_boff",
+      coalesce(
+        sum(col("_pk_bn")).over(
+          Window.orderBy("_pk_bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val within = Window.partitionBy("_pk_bucket").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .join(broadcast(bucketOff.select("_pk_bucket", "_pk_boff")), "_pk_bucket")
+      .withColumn(offCol,
+        col("_pk_boff") + coalesce(sum(col(valueCol)).over(within), lit(0L)))
+      .drop("_pk_bucket", "_pk_boff")
+  }
+
+  /** Contiguous-range bucket over a non-negative long id: floor(id / w)
+    * with w sized so ~nBuckets buckets cover [0, maxId]. One scalar job
+    * to find maxId (an O(1)-to-driver agg, same class as the catalog's
+    * count probes).
+    */
+  def idRangeBucket(df: DataFrame, idCol: String, nBuckets: Int)
+      : org.apache.spark.sql.Column = {
+    val maxId = Option(df.agg(max(col(idCol))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val w = math.max(1L, maxId / math.max(1, nBuckets) + 1)
+    expr(s"$idCol DIV $w")
+  }
+
+  /** Concat-and-chunk packing of `docs(doc_id, n)` — n = token count,
+    * zero-token docs must be pre-filtered — into windows of `ctxLen`
+    * tokens in ascending doc_id order. Emits one row per (sequence,
+    * document) overlap:
+    *
+    *  - `seq_id`   — 0-based training-sequence index,
+    *  - `doc_id`,
+    *  - `tok_from`/`tok_to` — the [from, to) token span of the document
+    *    that lands in this sequence (document-local, 0-based),
+    *  - `seq_off`  — where in the sequence that span starts,
+    *  - `seg_tokens` — span length.
+    *
+    * Segment explosion is `sequence()` over the first..last window index
+    * — linear in ceil(docTokens / ctxLen), never materializing token
+    * arrays. Every sequence except possibly the final one is exactly
+    * full: concat packing's defining property.
+    */
+  def packConcat(docs: DataFrame, ctxLen: Int, nBuckets: Int = 256): DataFrame = {
+    require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
+    val withOff =
+      withOffsets(docs, "doc_id", "n", idRangeBucket(docs, "doc_id", nBuckets))
+    withOff
+      .withColumn("seq_id",
+        explode(sequence(
+          expr(s"off DIV $ctxLen"),
+          expr(s"(off + n - 1) DIV $ctxLen"))))
+      .withColumn("_seg_begin", greatest(col("off"), col("seq_id") * ctxLen))
+      .withColumn("_seg_end",
+        least(col("off") + col("n"), (col("seq_id") + 1) * ctxLen))
+      .select(
+        col("seq_id"),
+        col("doc_id"),
+        (col("_seg_begin") - col("off")).as("tok_from"),
+        (col("_seg_end") - col("off")).as("tok_to"),
+        (col("_seg_begin") - col("seq_id") * ctxLen).as("seq_off"),
+        (col("_seg_end") - col("_seg_begin")).as("seg_tokens"))
+  }
+
+  /** Deterministic global training-order shuffle of `ids(idCol)`: dense
+    * 0-based `position` by ascending (xxhash64(id), id). The bucket is
+    * the top byte of the hash — `shiftright` is an ARITHMETIC shift, so
+    * it floors toward -infinity and is monotone over the full signed
+    * range, making the 256 buckets contiguous hash ranges; xxhash64's
+    * uniformity keeps them balanced (no skew salt needed). Rank within a
+    * bucket is a partition-local row_number; the global offset is the
+    * broadcast exclusive sum of the 256 bucket counts. Net: one hash
+    * aggregate + one bucket-keyed sort — the same cost as any total-order
+    * sort, but with the rank arithmetic exact and single-reducer-free.
+    */
+  def shuffleOrder(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val bucketed = ids.select(col(idCol), xxhash64(col(idCol)).as("_sh_h"))
+      .withColumn("_sh_bucket", shiftright(col("_sh_h"), 56))
+    val counts = bucketed.groupBy("_sh_bucket").agg(count(lit(1)).as("_sh_c"))
+    val bucketOff = counts.withColumn(
+      "_sh_boff",
+      coalesce(
+        sum(col("_sh_c")).over(
+          Window.orderBy("_sh_bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val within = Window.partitionBy("_sh_bucket").orderBy(col("_sh_h"), col(idCol))
+    bucketed
+      .join(broadcast(bucketOff.select("_sh_bucket", "_sh_boff")), "_sh_bucket")
+      .withColumn("position", col("_sh_boff") + row_number().over(within) - 1)
+      .select(col("position"), col(idCol))
   }
 }

@@ -935,7 +935,7 @@ object DataQueries {
   // OR = +), xors into two BIGINT halves. Each layer references only
   // named columns of the previous layer, keeping the text linear in the
   // step count. Emits a derived table yielding (<idCol>, xxh BIGINT).
-  private def xxhash64LongSql(base: String, idCol: String,
+  private[queries] def xxhash64LongSql(base: String, idCol: String,
       seedCol: Option[String] = None): String = {
     val M64 = "18446744073709551616::HUGEINT"
     val M32 = "4294967296::HUGEINT"

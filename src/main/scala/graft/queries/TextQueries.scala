@@ -614,7 +614,77 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-doc whitespace token counts with zero-token docs dropped — the
+    * shared front half of the packing queries (a blank doc contributes
+    * nothing to a token stream; keeping it would emit zero-length
+    * segments).
+    */
+  private def tokensPerDoc(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n"))
+      .filter(col("n") > 0)
+
+  /** Context window for the registered packing queries — small enough
+    * that sf0.01 docs straddle boundaries (the interesting case), large
+    * enough that multi-sequence docs occur.
+    */
+  private val PackCtx = 128
+
+  /** Concat-and-chunk packing map at ctx=128 over doc_id order — see
+    * [[graft.operators.Packing.packConcat]] for semantics and the
+    * two-level prefix-sum scale argument. The oracle replays the window
+    * arithmetic directly; its naive single-window cumsum and the
+    * operator's bucketed one agree because an exclusive prefix sum over a
+    * total order is partitioning-independent.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing
+      .packConcat(tokensPerDoc(spark, dir), PackCtx, nBuckets = 32)
+      .orderBy("seq_id", "doc_id")
+
+  /** Padding-waste accounting for the two standard batching strategies:
+    * one-doc-per-sequence padding vs concat packing at ctx=128. Pure
+    * map-side-combinable aggregate (one row out); the fill ratios divide
+    * exact integer token counts, so the half-up floor rounding is
+    * engine-independent (ARCHITECTURE.md "Correctness strategy").
+    */
+  def packStats(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = PackCtx
+    tokensPerDoc(spark, dir)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        expr(s"(sum(n) + ${ctx - 1}) DIV $ctx").as("packed_seqs"),
+        sum(expr(s"(n + ${ctx - 1}) DIV $ctx")).as("naive_seqs"))
+      .select(
+        col("n_docs"), col("total_tokens"), col("packed_seqs"),
+        col("naive_seqs"),
+        (col("packed_seqs") * ctx - col("total_tokens")).as("packed_pad"),
+        (col("naive_seqs") * ctx - col("total_tokens")).as("naive_pad"),
+        (floor(col("total_tokens").cast("double") /
+          (col("packed_seqs") * ctx) * 1000000.0 + 0.5) / 1000000.0)
+          .as("packed_fill"),
+        (floor(col("total_tokens").cast("double") /
+          (col("naive_seqs") * ctx) * 1000000.0 + 0.5) / 1000000.0)
+          .as("naive_fill"))
+  }
+
+  /** Deterministic training-order shuffle of the corpus — dense position
+    * by (xxhash64(doc_id), doc_id); see
+    * [[graft.operators.Packing.shuffleOrder]] for the bucketed-rank scale
+    * shape. Oracle: the xxhash64-in-HUGEINT replay
+    * ([[DataQueries.xxhash64LongSql]]) plus a ROW_NUMBER over the same
+    * sort key.
+    */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing
+      .shuffleOrder(table(spark, dir, "documents").select(col("doc_id")))
+      .orderBy("position")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_sequences" -> (packSequences _),
+    "pack_stats" -> (packStats _),
+    "corpus_shuffle" -> (corpusShuffle _),
     "naive_bayes_lang" -> (naiveBayesLang _),
     "array_functions" -> (arrayFunctions _),
     "mix_temperature" -> (mixTemperature _),
@@ -678,7 +748,52 @@ object TextQueries {
     "FLOOR(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) " +
       s"/ GREATEST($tokCount, 1) * 1000000 + 0.5) / 1000000"
 
+  // shared packing-oracle front half: token counts, zero-token docs
+  // dropped, exclusive prefix sum over doc_id order (the oracle can
+  // afford DuckDB's single-threaded global window; the operator can't at
+  // scale — partition-independence of the prefix sum is what makes the
+  // two comparable)
+  private val packOffsetsSql =
+    s"WITH d AS (SELECT doc_id, $tokCount AS n FROM documents), " +
+      "nz AS (SELECT doc_id, n FROM d WHERE n > 0), " +
+      "p AS (SELECT doc_id, n, CAST(SUM(n) OVER (ORDER BY doc_id " +
+      "ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS off FROM nz)"
+
   val oracleSql: Map[String, String] = Map(
+    "pack_sequences" ->
+      (packOffsetsSql +
+        ", seg AS (SELECT doc_id, n, off, " +
+        s"CAST(unnest(generate_series(off // $PackCtx, " +
+        s"(off + n - 1) // $PackCtx)) AS BIGINT) AS seq_id FROM p) " +
+        "SELECT seq_id, doc_id, " +
+        s"CAST(GREATEST(off, seq_id * $PackCtx) - off AS BIGINT) AS tok_from, " +
+        s"CAST(LEAST(off + n, (seq_id + 1) * $PackCtx) - off AS BIGINT) AS tok_to, " +
+        s"CAST(GREATEST(off, seq_id * $PackCtx) - seq_id * $PackCtx AS BIGINT) AS seq_off, " +
+        s"CAST(LEAST(off + n, (seq_id + 1) * $PackCtx) - " +
+        s"GREATEST(off, seq_id * $PackCtx) AS BIGINT) AS seg_tokens " +
+        "FROM seg ORDER BY seq_id, doc_id"),
+    "pack_stats" ->
+      (s"WITH d AS (SELECT $tokCount AS n FROM documents), " +
+        "nz AS (SELECT n FROM d WHERE n > 0) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n) AS BIGINT) AS total_tokens, " +
+        s"CAST((SUM(n) + ${PackCtx - 1}) // $PackCtx AS BIGINT) AS packed_seqs, " +
+        s"CAST(SUM((n + ${PackCtx - 1}) // $PackCtx) AS BIGINT) AS naive_seqs, " +
+        s"CAST(((SUM(n) + ${PackCtx - 1}) // $PackCtx) * $PackCtx - SUM(n) " +
+        "AS BIGINT) AS packed_pad, " +
+        s"CAST(SUM((n + ${PackCtx - 1}) // $PackCtx) * $PackCtx - SUM(n) " +
+        "AS BIGINT) AS naive_pad, " +
+        "FLOOR(CAST(SUM(n) AS DOUBLE) / " +
+        s"(((SUM(n) + ${PackCtx - 1}) // $PackCtx) * $PackCtx) " +
+        "* 1000000 + 0.5) / 1000000 AS packed_fill, " +
+        "FLOOR(CAST(SUM(n) AS DOUBLE) / " +
+        s"(SUM((n + ${PackCtx - 1}) // $PackCtx) * $PackCtx) " +
+        "* 1000000 + 0.5) / 1000000 AS naive_fill FROM nz"),
+    "corpus_shuffle" ->
+      ("SELECT CAST(ROW_NUMBER() OVER (ORDER BY xxh, doc_id) - 1 AS BIGINT) " +
+        "AS position, doc_id FROM (" +
+        DataQueries.xxhash64LongSql("SELECT doc_id FROM documents", "doc_id") +
+        ") ORDER BY position"),
     // Replays RollingHashExpr's mod-2^64 polynomial (h*1315423911 + byte)
     // in HUGEINT space — DuckDB's BIGINT doesn't wrap, so the fold runs
     // 128-bit with an explicit % 2^64 and a final two's-complement

@@ -56,4 +56,95 @@ class PackingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Packing.packGreedy(docs(10), "id", "w", budget = 10, numPartitions = 0))
   }
+
+  // ----- two-level prefix sum -----
+
+  private def tokenDocs(n: Int) =
+    (0 until n).map(i => (i.toLong * 3, 1L + (i * 53) % 200)).toDF("doc_id", "n")
+
+  test("withOffsets matches a local exclusive cumsum at any bucket count") {
+    val in = tokenDocs(300)
+    val localCum = {
+      val rows = in.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      rows.map { case (id, n) => val o = acc; acc += n; id -> o }.toMap
+    }
+    for (b <- Seq(1, 3, 17, 256)) {
+      val got = Packing
+        .withOffsets(in, "doc_id", "n", Packing.idRangeBucket(in, "doc_id", b))
+        .select("doc_id", "off").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == localCum, s"nBuckets=$b")
+    }
+  }
+
+  test("withOffsets on empty input yields an empty frame, no failure") {
+    val in = tokenDocs(0)
+    assert(Packing.withOffsets(in, "doc_id", "n",
+      Packing.idRangeBucket(in, "doc_id", 8)).count() == 0)
+  }
+
+  // ----- concat-and-chunk packing -----
+
+  test("packConcat: spans partition each doc and fill every sequence") {
+    val in = tokenDocs(200)
+    val ctx = 64
+    val segs = Packing.packConcat(in, ctx, nBuckets = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val byDoc = segs.groupBy(_._2)
+    val nByDoc = in.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc covered exactly [0, n) by contiguous spans
+    nByDoc.foreach { case (id, n) =>
+      val spans = byDoc(id).sortBy(_._3).map(s => (s._3, s._4))
+      assert(spans.head._1 == 0L && spans.last._2 == n, s"doc $id")
+      spans.sliding(2).foreach {
+        case Array((_, e), (b, _)) => assert(e == b, s"doc $id gap at $e")
+        case _ =>
+      }
+    }
+    // every sequence except the last is exactly full, none exceeds ctx
+    val bySeq = segs.groupBy(_._1)
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (sid, rows) =>
+      val total = rows.map(_._6).sum
+      if (sid != lastSeq) assert(total == ctx, s"seq $sid total $total")
+      else assert(total <= ctx)
+      // seq_off spans are disjoint and ordered by doc within the sequence
+      val sorted = rows.sortBy(_._5)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 + a._6 == b._5, s"seq $sid overlap")
+        case _ =>
+      }
+    }
+    // total segment tokens == total input tokens
+    assert(segs.map(_._6).sum == nByDoc.values.sum)
+  }
+
+  test("packConcat is bucket-count-independent") {
+    val in = tokenDocs(150)
+    def run(b: Int) = Packing.packConcat(in, 50, nBuckets = b)
+      .orderBy("seq_id", "doc_id").collect().toSeq
+    assert(run(1) == run(13) && run(13) == run(256))
+  }
+
+  test("packConcat rejects non-positive ctxLen") {
+    intercept[IllegalArgumentException](Packing.packConcat(tokenDocs(5), 0))
+  }
+
+  // ----- deterministic shuffle order -----
+
+  test("shuffleOrder emits a dense permutation ranked by (xxhash64, id)") {
+    val in = (0 until 400).map(i => Tuple1(i.toLong * 7)).toDF("doc_id")
+    val got = Packing.shuffleOrder(in).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.map(_._1).sorted.toSeq == (0L until 400L))
+    // rank arithmetic must agree with a single global sort by (h, id)
+    val expected = in
+      .select($"doc_id", org.apache.spark.sql.functions.xxhash64($"doc_id").as("h"))
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .sortBy(identity).zipWithIndex
+      .map { case ((_, id), pos) => pos.toLong -> id }.toMap
+    assert(got.toMap == expected)
+  }
 }

@@ -646,6 +646,45 @@ class PlanSpec extends SparkSpec {
       s"one rollup exchange + output sort at most, got $exchanges\n$p")
   }
 
+  test("pack_sequences: corpus never single-partitions; bucket offsets broadcast") {
+    val p = plan("pack_sequences")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=nBuckets bucket-offset frame must broadcast back to the corpus\n$p")
+    // the two-level prefix sum's whole point: the ONLY SinglePartition
+    // exchange feeds the window over the <= nBuckets subtotal rows — the
+    // corpus itself only ever hash-exchanges on the bucket key
+    // formatted explain spells it "Arguments: SinglePartition, ..."
+    val singles = "SinglePartition".r.findAllIn(p).length
+    assert(singles == 1,
+      s"exactly one SinglePartition exchange (the tiny subtotal window) " +
+        s"allowed, got $singles\n$p")
+    assert("windowspecdefinition\\(_pk_bucket#".r.findFirstIn(p).nonEmpty,
+      s"the corpus-side cumsum window must partition by the bucket\n$p")
+    assert(p.contains("Generate"), s"segment fan-out must be an explode\n$p")
+  }
+
+  test("corpus_shuffle: rank is bucket-local; only the 256-row count frame single-partitions") {
+    val p = plan("corpus_shuffle")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket-offset frame must broadcast\n$p")
+    val singles = "SinglePartition".r.findAllIn(p).length
+    assert(singles == 1,
+      s"only the bucket-count window may single-partition, got $singles\n$p")
+    assert("windowspecdefinition\\(_sh_bucket#".r.findFirstIn(p).nonEmpty,
+      s"row_number must partition by the hash bucket — an un-partitioned " +
+        s"rank serializes the corpus through one task\n$p")
+  }
+
+  test("pack_stats: one scan, map-side-combined aggregate, no join or window") {
+    val p = plan("pack_stats")
+    assert(!p.contains("Join") && !p.contains("Window ("))
+    val scans = """Scan parquet\s+\(\d+\)""".r.findAllIn(p).length
+    assert(scans == 1, s"expected a single documents scan, got $scans\n$p")
+    assert(p.contains("HashAggregate"), "token totals must partial-aggregate")
+  }
+
   test("ann_recall: eager 7-row gate releases its slice/truth caches") {
     import org.apache.spark.storage.StorageLevel
     spark.catalog.clearCache()
