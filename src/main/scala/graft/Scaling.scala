@@ -72,7 +72,11 @@ object Scaling {
     // persisted bucketed index (build + query both measured — the
     // production shape amortizes the build over many deltas)
     "dedup_incremental", "dedup_incremental_indexed",
-    "dedup_incremental_admit")
+    "dedup_incremental_admit",
+    // round 10: training-example assembly — both ride the two-level
+    // prefix sum, so the expected shape is linear scan/sort cost with a
+    // constant-size single-partition stage (<= nBuckets subtotal rows)
+    "pack_sequences", "pack_sequences_shuffled", "corpus_shuffle")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -142,8 +142,10 @@ object Packing {
 
   /** Concat-and-chunk packing of `docs(doc_id, n)` — n = token count,
     * zero-token docs must be pre-filtered — into windows of `ctxLen`
-    * tokens in ascending doc_id order. Emits one row per (sequence,
-    * document) overlap:
+    * tokens in ascending `orderCol` order (doc_id by default; pass a
+    * dense [[shuffleOrder]] position to pack in training order — the
+    * production composition). Emits one row per (sequence, document)
+    * overlap:
     *
     *  - `seq_id`   — 0-based training-sequence index,
     *  - `doc_id`,
@@ -156,11 +158,22 @@ object Packing {
     * — linear in ceil(docTokens / ctxLen), never materializing token
     * arrays. Every sequence except possibly the final one is exactly
     * full: concat packing's defining property.
+    *
+    * The plan consumes `docs` THREE times (the bucket-bounds probe, the
+    * subtotal aggregate, the main pass) — pass a CACHED frame, or each
+    * consumer re-runs the upstream plan. That's the right trade at any
+    * scale: the (id, n) projection is ~16 bytes/doc (a few GB per
+    * billion docs), vs re-reading corpus text or re-ranking a shuffle
+    * three times.
     */
-  def packConcat(docs: DataFrame, ctxLen: Int, nBuckets: Int = 256): DataFrame = {
+  def packConcat(
+      docs: DataFrame,
+      ctxLen: Int,
+      nBuckets: Int = 256,
+      orderCol: String = "doc_id"): DataFrame = {
     require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
     val withOff =
-      withOffsets(docs, "doc_id", "n", idRangeBucket(docs, "doc_id", nBuckets))
+      withOffsets(docs, orderCol, "n", idRangeBucket(docs, orderCol, nBuckets))
     withOff
       .withColumn("seq_id",
         explode(sequence(

@@ -624,6 +624,18 @@ object TextQueries {
       .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n"))
       .filter(col("n") > 0)
 
+  /** Materialized cache of a small projection the packing plan consumes
+    * three times (Packing.packConcat's contract) — without it every
+    * consumer re-reads the corpus text just to recount tokens. ~16
+    * bytes/doc, session-scoped like the other query-local caches
+    * (Bench/Verify clear the cache between queries).
+    */
+  private def materialized(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
+
   /** Context window for the registered packing queries — small enough
     * that sf0.01 docs straddle boundaries (the interesting case), large
     * enough that multi-sequence docs occur.
@@ -639,7 +651,8 @@ object TextQueries {
     */
   def packSequences(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Packing
-      .packConcat(tokensPerDoc(spark, dir), PackCtx, nBuckets = 32)
+      .packConcat(materialized(tokensPerDoc(spark, dir)), PackCtx,
+        nBuckets = 32)
       .orderBy("seq_id", "doc_id")
 
   /** Padding-waste accounting for the two standard batching strategies:
@@ -681,8 +694,24 @@ object TextQueries {
       .shuffleOrder(table(spark, dir, "documents").select(col("doc_id")))
       .orderBy("position")
 
+  /** The production composition: shuffle to training order FIRST, then
+    * concat-pack in that order ([[packSequences]] and [[corpusShuffle]]
+    * fused end-to-end). Ordered by (seq_id, seq_off) — the physical
+    * layout of the emitted token stream — because doc_id order within a
+    * sequence is arbitrary after the shuffle.
+    */
+  def packSequencesShuffled(spark: SparkSession, dir: String): DataFrame = {
+    val toks = materialized(tokensPerDoc(spark, dir))
+    val ord = graft.operators.Packing.shuffleOrder(toks.select(col("doc_id")))
+    graft.operators.Packing
+      .packConcat(materialized(toks.join(ord, "doc_id")), PackCtx,
+        nBuckets = 32, orderCol = "position")
+      .orderBy("seq_id", "seq_off")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pack_sequences" -> (packSequences _),
+    "pack_sequences_shuffled" -> (packSequencesShuffled _),
     "pack_stats" -> (packStats _),
     "corpus_shuffle" -> (corpusShuffle _),
     "naive_bayes_lang" -> (naiveBayesLang _),
@@ -759,19 +788,36 @@ object TextQueries {
       "p AS (SELECT doc_id, n, CAST(SUM(n) OVER (ORDER BY doc_id " +
       "ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS off FROM nz)"
 
+  // shared back half: window-index fan-out + span arithmetic over a CTE
+  // `p(doc_id, n, off)`; the final ORDER BY is the only per-query piece
+  private def packSegmentsSql(orderBy: String): String =
+    ", seg AS (SELECT doc_id, n, off, " +
+      s"CAST(unnest(generate_series(off // $PackCtx, " +
+      s"(off + n - 1) // $PackCtx)) AS BIGINT) AS seq_id FROM p) " +
+      "SELECT seq_id, doc_id, " +
+      s"CAST(GREATEST(off, seq_id * $PackCtx) - off AS BIGINT) AS tok_from, " +
+      s"CAST(LEAST(off + n, (seq_id + 1) * $PackCtx) - off AS BIGINT) AS tok_to, " +
+      s"CAST(GREATEST(off, seq_id * $PackCtx) - seq_id * $PackCtx AS BIGINT) AS seq_off, " +
+      s"CAST(LEAST(off + n, (seq_id + 1) * $PackCtx) - " +
+      s"GREATEST(off, seq_id * $PackCtx) AS BIGINT) AS seg_tokens " +
+      s"FROM seg ORDER BY $orderBy"
+
   val oracleSql: Map[String, String] = Map(
     "pack_sequences" ->
-      (packOffsetsSql +
-        ", seg AS (SELECT doc_id, n, off, " +
-        s"CAST(unnest(generate_series(off // $PackCtx, " +
-        s"(off + n - 1) // $PackCtx)) AS BIGINT) AS seq_id FROM p) " +
-        "SELECT seq_id, doc_id, " +
-        s"CAST(GREATEST(off, seq_id * $PackCtx) - off AS BIGINT) AS tok_from, " +
-        s"CAST(LEAST(off + n, (seq_id + 1) * $PackCtx) - off AS BIGINT) AS tok_to, " +
-        s"CAST(GREATEST(off, seq_id * $PackCtx) - seq_id * $PackCtx AS BIGINT) AS seq_off, " +
-        s"CAST(LEAST(off + n, (seq_id + 1) * $PackCtx) - " +
-        s"GREATEST(off, seq_id * $PackCtx) AS BIGINT) AS seg_tokens " +
-        "FROM seg ORDER BY seq_id, doc_id"),
+      (packOffsetsSql + packSegmentsSql("seq_id, doc_id")),
+    // shuffle-then-pack: the xxhash64 rank replay feeds the same cumsum
+    // + span arithmetic, with `position` as the concatenation order
+    "pack_sequences_shuffled" ->
+      (s"WITH d AS (SELECT doc_id, $tokCount AS n FROM documents), " +
+        "nz AS (SELECT doc_id, n FROM d WHERE n > 0), " +
+        "pos AS (SELECT doc_id, n, " +
+        "CAST(ROW_NUMBER() OVER (ORDER BY xxh, doc_id) - 1 AS BIGINT) " +
+        "AS position FROM (" +
+        DataQueries.xxhash64LongSql("SELECT doc_id, n FROM nz", "doc_id") +
+        ")), " +
+        "p AS (SELECT doc_id, n, CAST(SUM(n) OVER (ORDER BY position " +
+        "ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS off FROM pos)" +
+        packSegmentsSql("seq_id, seq_off")),
     "pack_stats" ->
       (s"WITH d AS (SELECT $tokCount AS n FROM documents), " +
         "nz AS (SELECT n FROM d WHERE n > 0) " +

@@ -662,6 +662,10 @@ class PlanSpec extends SparkSpec {
     assert("windowspecdefinition\\(_pk_bucket#".r.findFirstIn(p).nonEmpty,
       s"the corpus-side cumsum window must partition by the bucket\n$p")
     assert(p.contains("Generate"), s"segment fan-out must be an explode\n$p")
+    // three consumers (bounds probe, subtotals, main) — the token-count
+    // projection must be cached so the text column is read once
+    assert(p.contains("InMemoryRelation"),
+      s"the (doc_id, n) projection must be persisted\n$p")
   }
 
   test("corpus_shuffle: rank is bucket-local; only the 256-row count frame single-partitions") {
@@ -675,6 +679,18 @@ class PlanSpec extends SparkSpec {
     assert("windowspecdefinition\\(_sh_bucket#".r.findFirstIn(p).nonEmpty,
       s"row_number must partition by the hash bucket — an un-partitioned " +
         s"rank serializes the corpus through one task\n$p")
+  }
+
+  test("pack_sequences_shuffled: corpus windows bucket-partitioned; rank/count frames cached") {
+    val p = plan("pack_sequences_shuffled")
+    assert(!p.contains("CartesianProduct"))
+    assert("windowspecdefinition\\(_sh_bucket#".r.findFirstIn(p).nonEmpty &&
+      "windowspecdefinition\\(_pk_bucket#".r.findFirstIn(p).nonEmpty,
+      s"both corpus-side windows must stay bucket-partitioned\n$p")
+    // packConcat consumes its input three times; without the cache the
+    // shuffle-rank subtree (a corpus sort) re-executes per consumer
+    assert(p.contains("InMemoryRelation"),
+      s"the (doc_id, n, position) projection must be persisted\n$p")
   }
 
   test("pack_stats: one scan, map-side-combined aggregate, no join or window") {
