@@ -76,7 +76,10 @@ object Scaling {
     // round 10: training-example assembly — both ride the two-level
     // prefix sum, so the expected shape is linear scan/sort cost with a
     // constant-size single-partition stage (<= nBuckets subtotal rows)
-    "pack_sequences", "pack_sequences_shuffled", "corpus_shuffle")
+    "pack_sequences", "pack_sequences_shuffled", "corpus_shuffle",
+    // round 10: BPE merge-pair induction — corpus-size work only in the
+    // word-count agg; the pair explode is vocabulary-bounded
+    "bpe_merge_pairs")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -709,7 +709,29 @@ object TextQueries {
       .orderBy("seq_id", "seq_off")
   }
 
+  /** BPE vocabulary induction, round 1 [public: Sennrich et al. 2016]:
+    * the merge-pair statistics a subword tokenizer trains on — adjacent
+    * character-pair counts weighted by word frequency, top 30 with a
+    * deterministic tiebreak (the argmax is the first merge rule; rerun
+    * with the merge applied to iterate). The Sennrich trick IS the scale
+    * story: corpus-size work happens only in the map-side-combinable
+    * word-frequency aggregate; the pair explosion runs over the DISTINCT
+    * word dictionary (vocabulary-bounded, Heaps-law sublinear in corpus
+    * size), and the top-k is a distributed TakeOrdered, not a sort.
+    */
+  def bpeMergePairs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(col("wc"), explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+      .orderBy(desc("cnt"), col("pair")).limit(30)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_merge_pairs" -> (bpeMergePairs _),
     "pack_sequences" -> (packSequences _),
     "pack_sequences_shuffled" -> (packSequencesShuffled _),
     "pack_stats" -> (packStats _),
@@ -803,6 +825,14 @@ object TextQueries {
       s"FROM seg ORDER BY $orderBy"
 
   val oracleSql: Map[String, String] = Map(
+    "bpe_merge_pairs" ->
+      ("WITH w AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM " +
+        "(SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w " +
+        "FROM documents) WHERE length(w) >= 2 GROUP BY w), " +
+        "p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, wc FROM " +
+        "(SELECT w, wc, unnest(generate_series(1, length(w) - 1)) AS i FROM w)) " +
+        "SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM p GROUP BY pair " +
+        "ORDER BY cnt DESC, pair LIMIT 30"),
     "pack_sequences" ->
       (packOffsetsSql + packSegmentsSql("seq_id, doc_id")),
     // shuffle-then-pack: the xxhash64 rank replay feeds the same cumsum

@@ -693,6 +693,22 @@ class PlanSpec extends SparkSpec {
       s"the (doc_id, n, position) projection must be persisted\n$p")
   }
 
+  test("bpe_merge_pairs: pair explode above the word dict agg; top-k distributed") {
+    val p = plan("bpe_merge_pairs")
+    assert(!p.contains("Join") && !p.contains("Window ("))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-30 must be per-partition heaps, not a global sort\n$p")
+    // the Sennrich trick: the char-pair Generate must consume the
+    // AGGREGATED word dictionary, not the raw token stream — in the
+    // formatted tree the word-count HashAggregate sits BELOW the pair
+    // Generate (higher node id = earlier operator)
+    val tree = p.linesIterator.takeWhile(l => !l.startsWith("(1)")).toSeq
+    val genLine = tree.indexWhere(_.contains("Generate"))
+    val aggLine = tree.lastIndexWhere(_.contains("HashAggregate"))
+    assert(genLine >= 0 && aggLine > genLine,
+      s"pair fan-out must run over the distinct-word dict\n$p")
+  }
+
   test("pack_stats: one scan, map-side-combined aggregate, no join or window") {
     val p = plan("pack_stats")
     assert(!p.contains("Join") && !p.contains("Window ("))
