@@ -92,18 +92,19 @@ object Packing {
   // Concat-and-chunk packing + the shared two-level prefix sum.
   // ------------------------------------------------------------------
 
-  /** Exclusive prefix sum of `valueCol` in ascending `orderCol` order.
+  /** Exclusive prefix sum of `valueCol` in ascending `orderCols` order.
     *
-    * `bucketCol` must be a coarse, CONTIGUOUS-RANGE function of
-    * `orderCol` (same bucket ordering as row ordering); rows are
+    * `bucketCol` must be a coarse, CONTIGUOUS-RANGE function of the
+    * ordering (same bucket ordering as row ordering); rows are
     * prefix-summed within buckets and offset by the exclusive sum of
     * whole-bucket totals. Adds `offCol` (long); row set and other
     * columns pass through unchanged. The result does not depend on the
-    * bucket granularity — only the parallelism does.
+    * bucket granularity — only the parallelism does. A dense 0-based
+    * rank is the `valueCol = 1` special case ([[shuffleOrder]]).
     */
   def withOffsets(
       df: DataFrame,
-      orderCol: String,
+      orderCols: Seq[String],
       valueCol: String,
       bucketCol: org.apache.spark.sql.Column,
       offCol: String = "off"): DataFrame = {
@@ -118,7 +119,8 @@ object Packing {
           Window.orderBy("_pk_bucket")
             .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-    val within = Window.partitionBy("_pk_bucket").orderBy(orderCol)
+    val within = Window.partitionBy("_pk_bucket")
+      .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     bucketed
       .join(broadcast(bucketOff.select("_pk_bucket", "_pk_boff")), "_pk_bucket")
@@ -172,8 +174,13 @@ object Packing {
       nBuckets: Int = 256,
       orderCol: String = "doc_id"): DataFrame = {
     require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
-    val withOff =
-      withOffsets(docs, orderCol, "n", idRangeBucket(docs, orderCol, nBuckets))
+    // self-enforcing contract: a zero-token (or NULL-count) doc has no
+    // place in a token stream, and its degenerate window range would
+    // otherwise emit corrupt segment rows (sequence(a, a-1) DESCENDS in
+    // Spark rather than returning empty)
+    val nonEmpty = docs.filter(col("n") > 0)
+    val withOff = withOffsets(nonEmpty, Seq(orderCol), "n",
+      idRangeBucket(nonEmpty, orderCol, nBuckets))
     withOff
       .withColumn("seq_id",
         explode(sequence(
@@ -196,27 +203,18 @@ object Packing {
     * the top byte of the hash — `shiftright` is an ARITHMETIC shift, so
     * it floors toward -infinity and is monotone over the full signed
     * range, making the 256 buckets contiguous hash ranges; xxhash64's
-    * uniformity keeps them balanced (no skew salt needed). Rank within a
-    * bucket is a partition-local row_number; the global offset is the
-    * broadcast exclusive sum of the 256 bucket counts. Net: one hash
-    * aggregate + one bucket-keyed sort — the same cost as any total-order
-    * sort, but with the rank arithmetic exact and single-reducer-free.
+    * uniformity keeps them balanced (no skew salt needed). Rank IS the
+    * [[withOffsets]] prefix sum with a unit weight — one machinery, two
+    * ops, so the PlanSpec-pinned scale shape can't drift between them.
+    * Net: one hash aggregate + one bucket-keyed sort — the same cost as
+    * any total-order sort, but with the rank arithmetic exact and
+    * single-reducer-free.
     */
-  def shuffleOrder(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val bucketed = ids.select(col(idCol), xxhash64(col(idCol)).as("_sh_h"))
-      .withColumn("_sh_bucket", shiftright(col("_sh_h"), 56))
-    val counts = bucketed.groupBy("_sh_bucket").agg(count(lit(1)).as("_sh_c"))
-    val bucketOff = counts.withColumn(
-      "_sh_boff",
-      coalesce(
-        sum(col("_sh_c")).over(
-          Window.orderBy("_sh_bucket")
-            .rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-    val within = Window.partitionBy("_sh_bucket").orderBy(col("_sh_h"), col(idCol))
-    bucketed
-      .join(broadcast(bucketOff.select("_sh_bucket", "_sh_boff")), "_sh_bucket")
-      .withColumn("position", col("_sh_boff") + row_number().over(within) - 1)
+  def shuffleOrder(ids: DataFrame, idCol: String = "doc_id"): DataFrame =
+    withOffsets(
+      ids.select(col(idCol), xxhash64(col(idCol)).as("_sh_h"))
+        .withColumn("_sh_one", lit(1L)),
+      Seq("_sh_h", idCol), "_sh_one",
+      shiftright(col("_sh_h"), 56), "position")
       .select(col("position"), col(idCol))
-  }
 }

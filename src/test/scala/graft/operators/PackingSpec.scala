@@ -71,7 +71,8 @@ class PackingSpec extends SparkSpec {
     }
     for (b <- Seq(1, 3, 17, 256)) {
       val got = Packing
-        .withOffsets(in, "doc_id", "n", Packing.idRangeBucket(in, "doc_id", b))
+        .withOffsets(in, Seq("doc_id"), "n",
+          Packing.idRangeBucket(in, "doc_id", b))
         .select("doc_id", "off").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == localCum, s"nBuckets=$b")
@@ -80,8 +81,16 @@ class PackingSpec extends SparkSpec {
 
   test("withOffsets on empty input yields an empty frame, no failure") {
     val in = tokenDocs(0)
-    assert(Packing.withOffsets(in, "doc_id", "n",
+    assert(Packing.withOffsets(in, Seq("doc_id"), "n",
       Packing.idRangeBucket(in, "doc_id", 8)).count() == 0)
+  }
+
+  test("packConcat drops zero-token docs rather than emitting corrupt segments") {
+    val in = Seq((0L, 5L), (1L, 0L), (2L, 7L)).toDF("doc_id", "n")
+    val segs = Packing.packConcat(in, 4, nBuckets = 2).collect()
+    assert(!segs.map(_.getLong(1)).contains(1L), "zero-token doc must drop")
+    assert(segs.map(r => r.getLong(5)).forall(_ > 0), "no empty segments")
+    assert(segs.map(r => r.getLong(5)).sum == 12L)
   }
 
   // ----- concat-and-chunk packing -----

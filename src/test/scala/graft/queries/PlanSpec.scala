@@ -676,16 +676,17 @@ class PlanSpec extends SparkSpec {
     val singles = "SinglePartition".r.findAllIn(p).length
     assert(singles == 1,
       s"only the bucket-count window may single-partition, got $singles\n$p")
-    assert("windowspecdefinition\\(_sh_bucket#".r.findFirstIn(p).nonEmpty,
-      s"row_number must partition by the hash bucket — an un-partitioned " +
-        s"rank serializes the corpus through one task\n$p")
+    assert("windowspecdefinition\\(_pk_bucket#".r.findFirstIn(p).nonEmpty,
+      s"the rank cumsum must partition by the hash bucket — an " +
+        s"un-partitioned rank serializes the corpus through one task\n$p")
   }
 
   test("pack_sequences_shuffled: corpus windows bucket-partitioned; rank/count frames cached") {
     val p = plan("pack_sequences_shuffled")
     assert(!p.contains("CartesianProduct"))
-    assert("windowspecdefinition\\(_sh_bucket#".r.findFirstIn(p).nonEmpty &&
-      "windowspecdefinition\\(_pk_bucket#".r.findFirstIn(p).nonEmpty,
+    // both corpus-side windows (the shuffle rank and the packing cumsum)
+    // run through withOffsets, so both partition by its bucket column
+    assert("windowspecdefinition\\(_pk_bucket#".r.findAllIn(p).length >= 2,
       s"both corpus-side windows must stay bucket-partitioned\n$p")
     // packConcat consumes its input three times; without the cache the
     // shuffle-rank subtree (a corpus sort) re-executes per consumer
