@@ -77,9 +77,10 @@ object Scaling {
     // prefix sum, so the expected shape is linear scan/sort cost with a
     // constant-size single-partition stage (<= nBuckets subtotal rows)
     "pack_sequences", "pack_sequences_shuffled", "corpus_shuffle",
-    // round 10: BPE merge-pair induction — corpus-size work only in the
-    // word-count agg; the pair explode is vocabulary-bounded
-    "bpe_merge_pairs")
+    // round 10: BPE merge-pair induction (+ the applied-merge second
+    // round) — corpus-size work only in the word-count agg; the pair
+    // explode is vocabulary-bounded. Shard manifest = pack plan + one agg
+    "bpe_merge_pairs", "bpe_merge_round2", "pack_shard_manifest")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

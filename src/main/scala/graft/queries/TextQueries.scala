@@ -730,7 +730,64 @@ object TextQueries {
       .groupBy("pair").agg(sum(col("wc")).as("cnt"))
       .orderBy(desc("cnt"), col("pair")).limit(30)
 
+  /** BPE round 2: apply round 1's argmax merge to the word dictionary
+    * and recount — the iterate step that grows the vocabulary. The merge
+    * is `replace(w, topPair, \\u0001)`: plain replace-all is
+    * left-to-right and non-overlapping in both engines, which is exactly
+    * BPE's greedy merge scan, and the sentinel char keeps the fused
+    * symbol one char wide so the same substr-bigram pass recounts symbol
+    * pairs; output pairs expand the sentinel back. The argmax itself is
+    * a 1-row driver scalar (the same bounded-collect class as the
+    * catalog probes) baked into the plan as a literal. Words reduced to
+    * a single symbol must drop BEFORE the bigram transform —
+    * sequence(1, 0) DESCENDS in Spark while generate_series(1, 0) is
+    * empty in DuckDB.
+    */
+  def bpeMergeRound2(spark: SparkSession, dir: String): DataFrame = {
+    val words = materialized(
+      table(spark, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("wc")))
+    val topPair = words
+      .select(col("wc"), explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+      .orderBy(desc("cnt"), col("pair")).limit(1)
+      .head.getString(0)
+    words
+      .select(col("wc"),
+        replace(col("w"), lit(topPair), lit("\u0001")).as("w2"))
+      .filter(length(col("w2")) >= 2)
+      .select(col("wc"), explode(
+        expr("transform(sequence(1, length(w2) - 1), i -> substr(w2, i, 2))"))
+        .as("q"))
+      .groupBy(replace(col("q"), lit("\u0001"), lit(topPair)).as("pair"))
+      .agg(sum(col("wc")).as("cnt"))
+      .orderBy(desc("cnt"), col("pair")).limit(30)
+  }
+
+  /** WebDataset-style shard plan over the packed sequences: assign 64
+    * consecutive training sequences per output shard and roll up what a
+    * shard writer needs (sequence span, document reach, token payload).
+    * Pure arithmetic over [[packSequences]]' output — one extra
+    * map-side-combinable aggregate.
+    */
+  def packShardManifest(spark: SparkSession, dir: String): DataFrame =
+    packSequences(spark, dir)
+      .groupBy(expr("seq_id DIV 64").as("shard_id"))
+      .agg(
+        countDistinct(col("seq_id")).as("n_seqs"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("seg_tokens")).as("n_tokens"),
+        min(col("seq_id")).as("seq_from"),
+        max(col("seq_id")).as("seq_to"))
+      .orderBy("shard_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_merge_round2" -> (bpeMergeRound2 _),
+    "pack_shard_manifest" -> (packShardManifest _),
     "bpe_merge_pairs" -> (bpeMergePairs _),
     "pack_sequences" -> (packSequences _),
     "pack_sequences_shuffled" -> (packSequencesShuffled _),
@@ -824,14 +881,44 @@ object TextQueries {
       s"GREATEST(off, seq_id * $PackCtx) AS BIGINT) AS seg_tokens " +
       s"FROM seg ORDER BY $orderBy"
 
+  // shared word-dictionary + round-1 pair-count CTEs for the BPE oracles
+  private val bpeDictSql =
+    "w AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM " +
+      "(SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w " +
+      "FROM documents) WHERE length(w) >= 2 GROUP BY w), " +
+      "p1 AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, " +
+      "CAST(SUM(wc) AS BIGINT) AS cnt FROM " +
+      "(SELECT w, wc, unnest(generate_series(1, length(w) - 1)) AS i FROM w) " +
+      "GROUP BY pair)"
+
   val oracleSql: Map[String, String] = Map(
+    "bpe_merge_round2" ->
+      (s"WITH $bpeDictSql, " +
+        "top AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair LIMIT 1), " +
+        "m AS (SELECT replace(w, (SELECT pair FROM top), chr(1)) AS w2, wc " +
+        "FROM w), " +
+        "m2 AS (SELECT w2, wc FROM m WHERE length(w2) >= 2), " +
+        "p2 AS (SELECT substr(w2, CAST(i AS INT), 2) AS q, wc FROM " +
+        "(SELECT w2, wc, unnest(generate_series(1, length(w2) - 1)) AS i " +
+        "FROM m2)) " +
+        "SELECT replace(q, chr(1), (SELECT pair FROM top)) AS pair, " +
+        "CAST(SUM(wc) AS BIGINT) AS cnt FROM p2 GROUP BY 1 " +
+        "ORDER BY cnt DESC, pair LIMIT 30"),
+    "pack_shard_manifest" ->
+      (packOffsetsSql +
+        s", seg AS (SELECT doc_id, off, n, " +
+        s"CAST(unnest(generate_series(off // $PackCtx, " +
+        s"(off + n - 1) // $PackCtx)) AS BIGINT) AS seq_id FROM p) " +
+        "SELECT CAST(seq_id // 64 AS BIGINT) AS shard_id, " +
+        "CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs, " +
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+        s"CAST(SUM(LEAST(off + n, (seq_id + 1) * $PackCtx) - " +
+        s"GREATEST(off, seq_id * $PackCtx)) AS BIGINT) AS n_tokens, " +
+        "CAST(MIN(seq_id) AS BIGINT) AS seq_from, " +
+        "CAST(MAX(seq_id) AS BIGINT) AS seq_to " +
+        "FROM seg GROUP BY 1 ORDER BY shard_id"),
     "bpe_merge_pairs" ->
-      ("WITH w AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM " +
-        "(SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w " +
-        "FROM documents) WHERE length(w) >= 2 GROUP BY w), " +
-        "p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, wc FROM " +
-        "(SELECT w, wc, unnest(generate_series(1, length(w) - 1)) AS i FROM w)) " +
-        "SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM p GROUP BY pair " +
+      (s"WITH $bpeDictSql SELECT pair, cnt FROM p1 " +
         "ORDER BY cnt DESC, pair LIMIT 30"),
     "pack_sequences" ->
       (packOffsetsSql + packSegmentsSql("seq_id, doc_id")),

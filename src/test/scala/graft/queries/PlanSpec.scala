@@ -710,6 +710,16 @@ class PlanSpec extends SparkSpec {
       s"pair fan-out must run over the distinct-word dict\n$p")
   }
 
+  test("bpe_merge_round2: word dict cached (argmax probe + recount); top-k distributed") {
+    val p = plan("bpe_merge_round2")
+    assert(!p.contains("Window ("))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"round-2 top-30 must be per-partition heaps\n$p")
+    assert(p.contains("InMemoryRelation"),
+      s"the word dictionary feeds the argmax probe and the recount — " +
+        s"must be persisted or the corpus tokenizes twice\n$p")
+  }
+
   test("pack_stats: one scan, map-side-combined aggregate, no join or window") {
     val p = plan("pack_stats")
     assert(!p.contains("Join") && !p.contains("Window ("))
