@@ -768,6 +768,57 @@ object TextQueries {
       .orderBy(desc("cnt"), col("pair")).limit(30)
   }
 
+  /** Full BPE vocabulary learner, k = 8 merges [public: Sennrich et al.
+    * 2016, algorithm 1]: repeat (count symbol pairs over the word
+    * dictionary -> take the argmax -> fuse it everywhere) and emit the
+    * learned merge table (merge_rank, pair, cnt) — the artifact a
+    * subword tokenizer ships. Representation: each fused symbol is a
+    * sentinel char chr(1)..chr(k) (the fixture corpus is ASCII text, so
+    * the sentinels cannot collide with input symbols), which keeps every
+    * round the SAME two codegen'd passes — a replace-all (greedy
+    * left-to-right, exactly BPE's merge scan, and injective because
+    * sentinel expansion inverts it — so no re-aggregation is ever
+    * needed) and the substr-bigram recount. Driver state per round is
+    * one argmax row; the dictionary stays distributed and shrinks
+    * monotonically. Cost: k x (vocabulary-bounded pair agg + TakeOrdered
+    * argmax) after ONE corpus-size word count — the corpus is never
+    * rescanned. The oracle replays all k rounds as a Scala-folded CTE
+    * chain with scalar-subquery argmaxes and nested sentinel expansion.
+    */
+  def bpeLearn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 8
+    val pairsOf = (d: DataFrame) =>
+      d.select(col("wc"), explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+        .as("pair"))
+        .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+    var dict = materialized(
+      table(spark, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("wc")))
+    var expansions = Map.empty[Char, String]
+    val merges = Seq.newBuilder[(Long, String, Long)]
+    for (i <- 1 to k) {
+      val top = pairsOf(dict).orderBy(desc("cnt"), col("pair")).limit(1).head
+      val pairS = top.getString(0)
+      val expanded =
+        pairS.flatMap(c => expansions.getOrElse(c, c.toString))
+      merges += ((i.toLong, expanded, top.getLong(1)))
+      expansions += (i.toChar -> expanded)
+      val next = materialized(
+        dict.select(col("wc"),
+          replace(col("w"), lit(pairS), lit(i.toChar.toString)).as("w"))
+          .filter(length(col("w")) >= 2))
+      dict.unpersist()
+      dict = next
+    }
+    dict.unpersist()
+    merges.result().toDF("merge_rank", "pair", "cnt")
+      .orderBy("merge_rank")
+  }
+
   /** WebDataset-style shard plan over the packed sequences: assign 64
     * consecutive training sequences per output shard and roll up what a
     * shard writer needs (sequence span, document reach, token payload).
@@ -786,6 +837,7 @@ object TextQueries {
       .orderBy("shard_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_learn" -> (bpeLearn _),
     "bpe_merge_round2" -> (bpeMergeRound2 _),
     "pack_shard_manifest" -> (packShardManifest _),
     "bpe_merge_pairs" -> (bpeMergePairs _),
@@ -891,7 +943,44 @@ object TextQueries {
       "(SELECT w, wc, unnest(generate_series(1, length(w) - 1)) AS i FROM w) " +
       "GROUP BY pair)"
 
+  /** Scala-folded CTE chain replaying all k rounds of [[bpeLearn]]:
+    * per round a pair count over the previous dictionary, a
+    * scalar-subquery argmax, an expansion CTE (nested replaces of every
+    * earlier sentinel — expansions are sentinel-free by induction, so
+    * replacement order is irrelevant), and the merged dictionary.
+    */
+  private val bpeLearnOracle: String = {
+    val k = 8
+    def pairsSql(src: String, p: String) =
+      s"$p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, " +
+        "CAST(SUM(wc) AS BIGINT) AS cnt FROM " +
+        s"(SELECT w, wc, unnest(generate_series(1, length(w) - 1)) AS i " +
+        s"FROM $src) GROUP BY pair)"
+    val ctes = new StringBuilder
+    ctes ++= "w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM " +
+      "(SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w " +
+      "FROM documents) WHERE length(w) >= 2 GROUP BY w)"
+    for (i <- 1 to k) {
+      ctes ++= ", " + pairsSql(s"w${i - 1}", s"p$i")
+      ctes ++= s", t$i AS (SELECT pair, cnt FROM p$i " +
+        "ORDER BY cnt DESC, pair LIMIT 1)"
+      val expand = (1 until i).foldLeft("pair") { (acc, j) =>
+        s"replace($acc, chr($j), (SELECT e FROM e$j))"
+      }
+      ctes ++= s", e$i AS (SELECT $expand AS e FROM t$i)"
+      ctes ++= s", w$i AS (SELECT w, wc FROM (SELECT " +
+        s"replace(w, (SELECT pair FROM t$i), chr($i)) AS w, wc " +
+        s"FROM w${i - 1}) WHERE length(w) >= 2)"
+    }
+    val rows = (1 to k).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, " +
+        s"(SELECT e FROM e$i) AS pair, (SELECT cnt FROM t$i) AS cnt"
+    }.mkString(" UNION ALL ")
+    s"WITH $ctes $rows ORDER BY merge_rank"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "bpe_learn" -> bpeLearnOracle,
     "bpe_merge_round2" ->
       (s"WITH $bpeDictSql, " +
         "top AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair LIMIT 1), " +

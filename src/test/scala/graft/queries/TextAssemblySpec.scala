@@ -27,6 +27,22 @@ class TextAssemblySpec extends SparkSpec {
       "expected at least one pair containing the fused symbol")
   }
 
+  test("bpe_learn: dense ranks, sentinel-free expanded merges, round-1 agreement") {
+    val merges = TextQueries.bpeLearn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(merges.map(_._1).toSeq == (1L to 8L))
+    assert(merges.map(_._2).distinct.length == 8, "merge rules must be distinct")
+    merges.foreach { case (rank, pair, cnt) =>
+      assert(pair.length >= 2 && pair.forall(_ >= ' '),
+        s"rank $rank: '$pair' must be fully expanded printable text")
+      assert(cnt > 0)
+    }
+    // round 1 of the learner IS the standalone argmax query
+    val top1 = TextQueries.bpeMergePairs(spark, sf0001).limit(1).head
+    assert(merges.head._2 == top1.getString(0) &&
+      merges.head._3 == top1.getLong(1))
+  }
+
   test("pack_shard_manifest: dense full shards whose tokens add up") {
     val rows = TextQueries.packShardManifest(spark, sf001).collect()
     val ids = rows.map(_.getLong(0)).toSeq
