@@ -80,7 +80,7 @@ object Scaling {
     // round 10: BPE merge-pair induction (+ the applied-merge second
     // round) — corpus-size work only in the word-count agg; the pair
     // explode is vocabulary-bounded. Shard manifest = pack plan + one agg
-    "bpe_merge_pairs", "bpe_merge_round2", "bpe_learn",
+    "bpe_merge_pairs", "bpe_merge_round2", "bpe_learn", "bpe_compression",
     "pack_shard_manifest")
 
   private def session(): SparkSession = {

@@ -819,6 +819,51 @@ object TextQueries {
       .orderBy("merge_rank")
   }
 
+  /** What the learned vocabulary buys: corpus-weighted symbol counts
+    * before and after [[bpeLearn]]'s 8 merges (character tokenization vs
+    * the merged segmentation — each word's symbol count is just its
+    * sentinel-form length), plus the compression ratio. One extra
+    * aggregate over the final dictionary; rounding is the
+    * engine-independent half-up floor over a ratio of exact integers.
+    */
+  def bpeCompression(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 8
+    var dict = materialized(
+      table(spark, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("wc")))
+    val before = dict
+      .agg(sum(col("wc") * length(col("w"))).as("s")).head.getLong(0)
+    for (i <- 1 to k) {
+      // the length filter guards the bigram transform (sequence(1, 0)
+      // DESCENDS in Spark) — it applies only to pair counting; the full
+      // dictionary, single-symbol words included, carries on to the
+      // replace so symbol mass is conserved
+      val top = dict.filter(length(col("w")) >= 2)
+        .select(col("wc"), explode(
+          expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+        .orderBy(desc("cnt"), col("pair")).limit(1).head.getString(0)
+      val next = materialized(
+        dict.select(col("wc"),
+          replace(col("w"), lit(top), lit(i.toChar.toString)).as("w")))
+      dict.unpersist()
+      dict = next
+    }
+    // single-symbol words stay in THIS dictionary (unlike bpeLearn's,
+    // which may drop them: they can emit no pairs, but they still carry
+    // symbol mass) — so after counts include every word
+    val after = dict
+      .agg(sum(col("wc") * length(col("w"))).as("s")).head.getLong(0)
+    dict.unpersist()
+    Seq((before, after,
+      math.floor(before.toDouble / after * 1000000.0 + 0.5) / 1000000.0))
+      .toDF("chars_before", "symbols_after", "compression")
+  }
+
   /** WebDataset-style shard plan over the packed sequences: assign 64
     * consecutive training sequences per output shard and roll up what a
     * shard writer needs (sequence span, document reach, token payload).
@@ -838,6 +883,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_learn" -> (bpeLearn _),
+    "bpe_compression" -> (bpeCompression _),
     "bpe_merge_round2" -> (bpeMergeRound2 _),
     "pack_shard_manifest" -> (packShardManifest _),
     "bpe_merge_pairs" -> (bpeMergePairs _),
@@ -979,8 +1025,38 @@ object TextQueries {
     s"WITH $ctes $rows ORDER BY merge_rank"
   }
 
+  /** [[bpeCompression]]'s replay: the same k-round chain, but the merged
+    * dictionaries keep single-symbol words (mass conservation) and only
+    * the pair-counting CTEs filter them out.
+    */
+  private val bpeCompressionOracle: String = {
+    val k = 8
+    val ctes = new StringBuilder
+    ctes ++= "m0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM " +
+      "(SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w " +
+      "FROM documents) WHERE length(w) >= 2 GROUP BY w)"
+    for (i <- 1 to k) {
+      ctes ++= s", f$i AS (SELECT w, wc FROM m${i - 1} WHERE length(w) >= 2)"
+      ctes ++= s", p$i AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, " +
+        "CAST(SUM(wc) AS BIGINT) AS cnt FROM " +
+        "(SELECT w, wc, unnest(generate_series(1, length(w) - 1)) AS i " +
+        s"FROM f$i) GROUP BY pair)"
+      ctes ++= s", t$i AS (SELECT pair FROM p$i ORDER BY cnt DESC, pair LIMIT 1)"
+      ctes ++= s", m$i AS (SELECT replace(w, (SELECT pair FROM t$i), " +
+        s"chr($i)) AS w, wc FROM m${i - 1})"
+    }
+    val mass = (t: String) => s"(SELECT SUM(wc * length(w)) FROM $t)"
+    s"WITH $ctes SELECT " +
+      s"CAST(${mass("m0")} AS BIGINT) AS chars_before, " +
+      s"CAST(${mass(s"m$k")} AS BIGINT) AS symbols_after, " +
+      s"FLOOR(CAST(${mass("m0")} AS DOUBLE) / " +
+      s"CAST(${mass(s"m$k")} AS DOUBLE) * 1000000 + 0.5) / 1000000 " +
+      "AS compression"
+  }
+
   val oracleSql: Map[String, String] = Map(
     "bpe_learn" -> bpeLearnOracle,
+    "bpe_compression" -> bpeCompressionOracle,
     "bpe_merge_round2" ->
       (s"WITH $bpeDictSql, " +
         "top AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair LIMIT 1), " +

@@ -43,6 +43,20 @@ class TextAssemblySpec extends SparkSpec {
       merges.head._3 == top1.getLong(1))
   }
 
+  test("bpe_compression: merges only ever shrink the symbol stream") {
+    val r = TextQueries.bpeCompression(spark, sf0001).head
+    val (before, after, ratio) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(before > after && after > 0)
+    assert(ratio > 1.0)
+    // mass baseline: chars_before is the wc-weighted char count of the
+    // length>=2 word dictionary, independently recomputed
+    val expected = Fixtures.table(spark, sf0001, "documents")
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .agg(sum(length(col("w")))).head.getLong(0)
+    assert(before == expected)
+  }
+
   test("pack_shard_manifest: dense full shards whose tokens add up") {
     val rows = TextQueries.packShardManifest(spark, sf001).collect()
     val ids = rows.map(_.getLong(0)).toSeq
