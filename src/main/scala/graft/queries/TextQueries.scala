@@ -631,7 +631,10 @@ object TextQueries {
     * (Bench/Verify clear the cache between queries).
     */
   private def materialized(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
     p.count()
     p
   }
@@ -785,38 +788,57 @@ object TextQueries {
     * rescanned. The oracle replays all k rounds as a Scala-folded CTE
     * chain with scalar-subquery argmaxes and nested sentinel expansion.
     */
-  def bpeLearn(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val k = 8
-    val pairsOf = (d: DataFrame) =>
-      d.select(col("wc"), explode(
-        expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
-        .as("pair"))
-        .groupBy("pair").agg(sum(col("wc")).as("cnt"))
-    var dict = materialized(
-      table(spark, dir, "documents")
-        .select(explode(split(lower(col("text")), "\\s+")).as("w"))
-        .filter(length(col("w")) >= 2)
-        .groupBy("w").agg(count(lit(1)).as("wc")))
+  /** The shared Sennrich loop behind [[bpeLearn]] and [[bpeCompression]]:
+    * k rounds of (argmax pair over the length>=2 slice of the dictionary
+    * -> replace-all with the round's sentinel). `keepSingles` decides
+    * whether fully-merged single-symbol words stay in the rolling
+    * dictionary — the learner drops them (they can never pair again),
+    * the compression accountant keeps them (they still carry symbol
+    * mass); the argmax is identical either way because one-symbol words
+    * contribute no pairs. Returns the merge table (rank, sentinel-free
+    * expansion, count) and the FINAL STILL-PERSISTED dictionary — the
+    * caller owns its unpersist.
+    */
+  private def bpeRounds(dict0: DataFrame, k: Int, keepSingles: Boolean)
+      : (Seq[(Long, String, Long)], DataFrame) = {
+    var dict = materialized(dict0)
     var expansions = Map.empty[Char, String]
     val merges = Seq.newBuilder[(Long, String, Long)]
     for (i <- 1 to k) {
-      val top = pairsOf(dict).orderBy(desc("cnt"), col("pair")).limit(1).head
+      // the length filter guards the bigram transform (sequence(1, 0)
+      // DESCENDS in Spark rather than returning empty)
+      val top = dict.filter(length(col("w")) >= 2)
+        .select(col("wc"), explode(
+          expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+        .orderBy(desc("cnt"), col("pair")).limit(1).head
       val pairS = top.getString(0)
-      val expanded =
-        pairS.flatMap(c => expansions.getOrElse(c, c.toString))
+      val expanded = pairS.flatMap(c => expansions.getOrElse(c, c.toString))
       merges += ((i.toLong, expanded, top.getLong(1)))
       expansions += (i.toChar -> expanded)
+      val merged = dict.select(col("wc"),
+        replace(col("w"), lit(pairS), lit(i.toChar.toString)).as("w"))
       val next = materialized(
-        dict.select(col("wc"),
-          replace(col("w"), lit(pairS), lit(i.toChar.toString)).as("w"))
-          .filter(length(col("w")) >= 2))
+        if (keepSingles) merged else merged.filter(length(col("w")) >= 2))
       dict.unpersist()
       dict = next
     }
+    (merges.result(), dict)
+  }
+
+  private def bpeDict(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+
+  def bpeLearn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (merges, dict) =
+      bpeRounds(bpeDict(spark, dir), k = 8, keepSingles = false)
     dict.unpersist()
-    merges.result().toDF("merge_rank", "pair", "cnt")
-      .orderBy("merge_rank")
+    merges.toDF("merge_rank", "pair", "cnt").orderBy("merge_rank")
   }
 
   /** What the learned vocabulary buys: corpus-weighted symbol counts
@@ -828,36 +850,12 @@ object TextQueries {
     */
   def bpeCompression(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val k = 8
-    var dict = materialized(
-      table(spark, dir, "documents")
-        .select(explode(split(lower(col("text")), "\\s+")).as("w"))
-        .filter(length(col("w")) >= 2)
-        .groupBy("w").agg(count(lit(1)).as("wc")))
-    val before = dict
-      .agg(sum(col("wc") * length(col("w"))).as("s")).head.getLong(0)
-    for (i <- 1 to k) {
-      // the length filter guards the bigram transform (sequence(1, 0)
-      // DESCENDS in Spark) — it applies only to pair counting; the full
-      // dictionary, single-symbol words included, carries on to the
-      // replace so symbol mass is conserved
-      val top = dict.filter(length(col("w")) >= 2)
-        .select(col("wc"), explode(
-          expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
-          .as("pair"))
-        .groupBy("pair").agg(sum(col("wc")).as("cnt"))
-        .orderBy(desc("cnt"), col("pair")).limit(1).head.getString(0)
-      val next = materialized(
-        dict.select(col("wc"),
-          replace(col("w"), lit(top), lit(i.toChar.toString)).as("w")))
-      dict.unpersist()
-      dict = next
-    }
-    // single-symbol words stay in THIS dictionary (unlike bpeLearn's,
-    // which may drop them: they can emit no pairs, but they still carry
-    // symbol mass) — so after counts include every word
-    val after = dict
-      .agg(sum(col("wc") * length(col("w"))).as("s")).head.getLong(0)
+    def mass(d: DataFrame): Long =
+      d.agg(sum(col("wc") * length(col("w"))).as("s")).head.getLong(0)
+    val dict0 = materialized(bpeDict(spark, dir))
+    val before = mass(dict0)
+    val (_, dict) = bpeRounds(dict0, k = 8, keepSingles = true)
+    val after = mass(dict)
     dict.unpersist()
     Seq((before, after,
       math.floor(before.toDouble / after * 1000000.0 + 0.5) / 1000000.0))
