@@ -81,7 +81,10 @@ object Scaling {
     // round) — corpus-size work only in the word-count agg; the pair
     // explode is vocabulary-bounded. Shard manifest = pack plan + one agg
     "bpe_merge_pairs", "bpe_merge_round2", "bpe_learn", "bpe_compression",
-    "pack_shard_manifest")
+    "pack_shard_manifest",
+    // round 10: the composed pretraining path (hash-keyed dedup ->
+    // quality gate -> shuffle -> pack -> shard rollup)
+    "pipeline_pretrain")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

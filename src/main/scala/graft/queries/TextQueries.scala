@@ -862,6 +862,39 @@ object TextQueries {
       .toDF("chars_before", "symbols_after", "compression")
   }
 
+  /** The whole pretraining data path as ONE hash-checked query: exact
+    * dedup (min-id per text) -> quality gate (>= 0.3 on the 6-dp-rounded
+    * composite score, so the boundary is engine-independent) -> token
+    * counting -> deterministic training-order shuffle -> concat-and-chunk
+    * packing at ctx=128 -> 64-sequence shard rollup. Every stage is an
+    * oracle-proven fragment; this pins their COMPOSITION end-to-end —
+    * the contract a production run actually exercises. Scale shape is
+    * the union of the stages': the dedup stage is the HASH-KEYED twin
+    * (Dedup.exactHashKeyed — exchanges carry an 8-byte hash, never text
+    * bytes; identical survivors, so the plain-SQL oracle still applies),
+    * then one cached (doc_id, n) projection, bucket-local rank + cumsum,
+    * and map-side-combinable rollups.
+    */
+  def pipelinePretrain(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val survivors = Dedup.exactHashKeyed(docs)
+    val kept = docs.join(survivors.select("doc_id"), "doc_id")
+      .filter(TextFunctions.qualityScore(col("text")) >= 0.3)
+    val toks = materialized(
+      kept.select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n"))
+        .filter(col("n") > 0))
+    val ord = graft.operators.Packing.shuffleOrder(toks.select(col("doc_id")))
+    graft.operators.Packing
+      .packConcat(materialized(toks.join(ord, "doc_id")), PackCtx,
+        nBuckets = 32, orderCol = "position")
+      .groupBy(expr("seq_id DIV 64").as("shard_id"))
+      .agg(
+        countDistinct(col("seq_id")).as("n_seqs"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("seg_tokens")).as("n_tokens"))
+      .orderBy("shard_id")
+  }
+
   /** WebDataset-style shard plan over the packed sequences: assign 64
     * consecutive training sequences per output shard and roll up what a
     * shard writer needs (sequence span, document reach, token payload).
@@ -880,6 +913,7 @@ object TextQueries {
       .orderBy("shard_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_pretrain" -> (pipelinePretrain _),
     "bpe_learn" -> (bpeLearn _),
     "bpe_compression" -> (bpeCompression _),
     "bpe_merge_round2" -> (bpeMergeRound2 _),
@@ -1052,7 +1086,36 @@ object TextQueries {
       "AS compression"
   }
 
+  /** [[pipelinePretrain]]'s replay: dedup + quality CTEs feed the
+    * xxhash64 rank layers, the position cumsum, the window fan-out, and
+    * the shard rollup — each fragment identical to its standalone
+    * oracle.
+    */
+  private val pipelinePretrainOracle: String =
+    "WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text), " +
+      "kept AS (SELECT d.doc_id, d.text FROM documents d JOIN surv " +
+      s"USING (doc_id) WHERE $qualityExpr >= 0.3), " +
+      s"nz AS (SELECT doc_id, n FROM (SELECT doc_id, $tokCount AS n " +
+      "FROM kept) WHERE n > 0), " +
+      "pos AS (SELECT doc_id, n, " +
+      "CAST(ROW_NUMBER() OVER (ORDER BY xxh, doc_id) - 1 AS BIGINT) " +
+      "AS position FROM (" +
+      DataQueries.xxhash64LongSql("SELECT doc_id, n FROM nz", "doc_id") +
+      ")), " +
+      "p AS (SELECT doc_id, n, CAST(SUM(n) OVER (ORDER BY position " +
+      "ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS off FROM pos), " +
+      "seg AS (SELECT doc_id, off, n, " +
+      s"CAST(unnest(generate_series(off // $PackCtx, " +
+      s"(off + n - 1) // $PackCtx)) AS BIGINT) AS seq_id FROM p) " +
+      "SELECT CAST(seq_id // 64 AS BIGINT) AS shard_id, " +
+      "CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs, " +
+      "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+      s"CAST(SUM(LEAST(off + n, (seq_id + 1) * $PackCtx) - " +
+      s"GREATEST(off, seq_id * $PackCtx)) AS BIGINT) AS n_tokens " +
+      "FROM seg GROUP BY 1 ORDER BY shard_id"
+
   val oracleSql: Map[String, String] = Map(
+    "pipeline_pretrain" -> pipelinePretrainOracle,
     "bpe_learn" -> bpeLearnOracle,
     "bpe_compression" -> bpeCompressionOracle,
     "bpe_merge_round2" ->
