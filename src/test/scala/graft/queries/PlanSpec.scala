@@ -710,6 +710,21 @@ class PlanSpec extends SparkSpec {
       s"pair fan-out must run over the distinct-word dict\n$p")
   }
 
+  test("pipeline_pretrain: dedup exchanges carry hashes, never text; stages cached") {
+    val p = plan("pipeline_pretrain")
+    assert(!p.contains("CartesianProduct"))
+    assert("hashpartitioning\\(h#".r.findFirstIn(p).nonEmpty,
+      s"the dedup aggregate must exchange on the 8-byte xxhash64 key\n$p")
+    // the only permissible text-keyed exchange is exactHashKeyed's
+    // verified-duplicate subset (bounded by the true dup count); the
+    // corpus-wide count aggregate must NOT be among them
+    val textExchanges = "hashpartitioning\\(text#".r.findAllIn(p).length
+    assert(textExchanges <= 1,
+      s"corpus-wide stages must never exchange raw text, got $textExchanges\n$p")
+    assert(p.contains("InMemoryRelation"),
+      s"the (doc_id, n) projections must be persisted\n$p")
+  }
+
   test("bpe_merge_round2: word dict cached (argmax probe + recount); top-k distributed") {
     val p = plan("bpe_merge_round2")
     assert(!p.contains("Window ("))
