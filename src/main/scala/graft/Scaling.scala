@@ -83,8 +83,9 @@ object Scaling {
     "bpe_merge_pairs", "bpe_merge_round2", "bpe_learn", "bpe_compression",
     "pack_shard_manifest",
     // round 10: the composed pretraining path (hash-keyed dedup ->
-    // quality gate -> shuffle -> pack -> shard rollup)
-    "pipeline_pretrain")
+    // quality gate -> shuffle -> pack -> shard rollup) and the
+    // mixture-plan executor (projection-filter Bernoulli by md5 draw)
+    "pipeline_pretrain", "mix_execute")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

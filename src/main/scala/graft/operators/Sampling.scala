@@ -26,7 +26,7 @@ object Sampling {
     * story a shared 100 TB corpus needs. xxhash64 (the default draw) is
     * faster but Spark-specific.
     */
-  private def unitMd5(idCol: String): Column =
+  def unitMd5(idCol: String): Column =
     conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
       .cast("double") / lit((1 << 24).toDouble)
 

@@ -439,6 +439,34 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** EXECUTE the temperature-mix plan: per-language deterministic
+    * Bernoulli selection at fraction target/n using the md5 unit draw
+    * ([[graft.operators.Sampling.unitMd5]] — auditable in any engine
+    * with md5). This is the scale-honest executor: membership is a pure
+    * projection filter (no per-language rank window, whose hottest
+    * language would serialize through one task), so selected counts are
+    * target +- sampling noise rather than exact quotas — the standard
+    * trade for distributed mixture sampling; exact per-stratum quotas
+    * live in sample_stratified's WindowGroupLimit form. `sel_xor` folds
+    * the selected id set to one BIGINT so the oracle hash-checks the
+    * exact membership, not just counts.
+    */
+  def mixExecute(spark: SparkSession, dir: String): DataFrame = {
+    val plan = mixTemperature(spark, dir)
+      .select(col("lang"), col("n_docs"), col("target_docs"))
+      .withColumn("f",
+        least(lit(1.0), col("target_docs").cast("double") / col("n_docs")))
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .join(broadcast(plan), "lang")
+      .filter(graft.operators.Sampling.unitMd5("doc_id") < col("f"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_selected"),
+        max(col("target_docs")).as("target_docs"),
+        bit_xor(col("doc_id")).as("sel_xor"))
+      .orderBy("lang")
+  }
+
   /** Multi-pass-ready sorted-neighborhood entity resolution [public:
     * Hernandez & Stolfo 1995]: sort records by a blocking key, compare
     * only rank-adjacent records inside a sliding window — O(n·w) pair
@@ -914,6 +942,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_pretrain" -> (pipelinePretrain _),
+    "mix_execute" -> (mixExecute _),
     "bpe_learn" -> (bpeLearn _),
     "bpe_compression" -> (bpeCompression _),
     "bpe_merge_round2" -> (bpeMergeRound2 _),
@@ -1116,6 +1145,22 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_pretrain" -> pipelinePretrainOracle,
+    "mix_execute" ->
+      ("WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1), " +
+        "t AS (SELECT SUM(n) AS total FROM c), " +
+        "w AS (SELECT lang, n, POW(n / t.total, 0.7) AS wgt FROM c CROSS JOIN t), " +
+        "p AS (SELECT lang, n, CAST(ROUND(wgt / SUM(wgt) OVER () * " +
+        "(SELECT total FROM t), 0) AS BIGINT) AS target_docs FROM w), " +
+        "f AS (SELECT lang, target_docs, " +
+        "LEAST(1.0, CAST(target_docs AS DOUBLE) / n) AS f FROM p), " +
+        "u AS (SELECT doc_id, lang, " +
+        "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) " +
+        "AS INTEGER) AS DOUBLE) / 16777216.0 AS u FROM documents) " +
+        "SELECT u.lang, CAST(COUNT(*) AS BIGINT) AS n_selected, " +
+        "MAX(f.target_docs) AS target_docs, " +
+        "CAST(BIT_XOR(doc_id) AS BIGINT) AS sel_xor " +
+        "FROM u JOIN f USING (lang) WHERE u.u < f.f " +
+        "GROUP BY 1 ORDER BY lang"),
     "bpe_learn" -> bpeLearnOracle,
     "bpe_compression" -> bpeCompressionOracle,
     "bpe_merge_round2" ->
