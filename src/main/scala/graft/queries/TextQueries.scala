@@ -775,18 +775,8 @@ object TextQueries {
     * empty in DuckDB.
     */
   def bpeMergeRound2(spark: SparkSession, dir: String): DataFrame = {
-    val words = materialized(
-      table(spark, dir, "documents")
-        .select(explode(split(lower(col("text")), "\\s+")).as("w"))
-        .filter(length(col("w")) >= 2)
-        .groupBy("w").agg(count(lit(1)).as("wc")))
-    val topPair = words
-      .select(col("wc"), explode(
-        expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
-        .as("pair"))
-      .groupBy("pair").agg(sum(col("wc")).as("cnt"))
-      .orderBy(desc("cnt"), col("pair")).limit(1)
-      .head.getString(0)
+    val words = materialized(bpeDict(spark, dir))
+    val topPair = bpeArgmax(words, round = 1).getString(0)
     words
       .select(col("wc"),
         replace(col("w"), lit(topPair), lit("\u0001")).as("w2"))
@@ -827,20 +817,34 @@ object TextQueries {
     * expansion, count) and the FINAL STILL-PERSISTED dictionary — the
     * caller owns its unpersist.
     */
+  /** Argmax merge pair of a (w, wc) dictionary, with a clear failure
+    * when the dictionary can no longer produce pairs — `.head` on the
+    * empty frame would otherwise throw a bare NoSuchElementException
+    * (and the fixed-k oracle chain would emit NULL rows, a divergent
+    * failure mode). The length filter guards the bigram transform:
+    * sequence(1, 0) DESCENDS in Spark rather than returning empty.
+    */
+  private def bpeArgmax(dict: DataFrame, round: Int)
+      : org.apache.spark.sql.Row = {
+    val rows = dict.filter(length(col("w")) >= 2)
+      .select(col("wc"), explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+      .orderBy(desc("cnt"), col("pair")).limit(1).collect()
+    require(rows.nonEmpty,
+      s"BPE dictionary exhausted before merge round $round — " +
+        "the corpus cannot support this many merges")
+    rows.head
+  }
+
   private def bpeRounds(dict0: DataFrame, k: Int, keepSingles: Boolean)
       : (Seq[(Long, String, Long)], DataFrame) = {
     var dict = materialized(dict0)
     var expansions = Map.empty[Char, String]
     val merges = Seq.newBuilder[(Long, String, Long)]
     for (i <- 1 to k) {
-      // the length filter guards the bigram transform (sequence(1, 0)
-      // DESCENDS in Spark rather than returning empty)
-      val top = dict.filter(length(col("w")) >= 2)
-        .select(col("wc"), explode(
-          expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
-          .as("pair"))
-        .groupBy("pair").agg(sum(col("wc")).as("cnt"))
-        .orderBy(desc("cnt"), col("pair")).limit(1).head
+      val top = bpeArgmax(dict, i)
       val pairS = top.getString(0)
       val expanded = pairS.flatMap(c => expansions.getOrElse(c, c.toString))
       merges += ((i.toLong, expanded, top.getLong(1)))
@@ -912,14 +916,23 @@ object TextQueries {
       kept.select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n"))
         .filter(col("n") > 0))
     val ord = graft.operators.Packing.shuffleOrder(toks.select(col("doc_id")))
-    graft.operators.Packing
+    shardRollup(graft.operators.Packing
       .packConcat(materialized(toks.join(ord, "doc_id")), PackCtx,
-        nBuckets = 32, orderCol = "position")
-      .groupBy(expr("seq_id DIV 64").as("shard_id"))
-      .agg(
-        countDistinct(col("seq_id")).as("n_seqs"),
-        countDistinct(col("doc_id")).as("n_docs"),
-        sum(col("seg_tokens")).as("n_tokens"))
+        nBuckets = 32, orderCol = "position"))
+  }
+
+  /** ONE definition of the 64-sequence shard rollup, shared by the
+    * standalone manifest and the composed pipeline so shard size and
+    * rollup columns cannot drift between them.
+    */
+  private def shardRollup(segs: DataFrame,
+      extras: org.apache.spark.sql.Column*): DataFrame = {
+    val base = Seq(
+      countDistinct(col("seq_id")).as("n_seqs"),
+      countDistinct(col("doc_id")).as("n_docs"),
+      sum(col("seg_tokens")).as("n_tokens")) ++ extras
+    segs.groupBy(expr("seq_id DIV 64").as("shard_id"))
+      .agg(base.head, base.tail: _*)
       .orderBy("shard_id")
   }
 
@@ -930,15 +943,9 @@ object TextQueries {
     * map-side-combinable aggregate.
     */
   def packShardManifest(spark: SparkSession, dir: String): DataFrame =
-    packSequences(spark, dir)
-      .groupBy(expr("seq_id DIV 64").as("shard_id"))
-      .agg(
-        countDistinct(col("seq_id")).as("n_seqs"),
-        countDistinct(col("doc_id")).as("n_docs"),
-        sum(col("seg_tokens")).as("n_tokens"),
-        min(col("seq_id")).as("seq_from"),
-        max(col("seq_id")).as("seq_to"))
-      .orderBy("shard_id")
+    shardRollup(packSequences(spark, dir),
+      min(col("seq_id")).as("seq_from"),
+      max(col("seq_id")).as("seq_to"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_pretrain" -> (pipelinePretrain _),
@@ -1040,11 +1047,18 @@ object TextQueries {
       s"GREATEST(off, seq_id * $PackCtx) AS BIGINT) AS seg_tokens " +
       s"FROM seg ORDER BY $orderBy"
 
+  /** ONE rendering of the word-dictionary CTE (the SQL twin of
+    * [[bpeDict]]) with the CTE name as a slot — every BPE oracle builds
+    * on it, so the tokenization cannot drift between them.
+    */
+  private def bpeDictCte(name: String): String =
+    s"$name AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM " +
+      "(SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w " +
+      "FROM documents) WHERE length(w) >= 2 GROUP BY w)"
+
   // shared word-dictionary + round-1 pair-count CTEs for the BPE oracles
   private val bpeDictSql =
-    "w AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM " +
-      "(SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w " +
-      "FROM documents) WHERE length(w) >= 2 GROUP BY w), " +
+    bpeDictCte("w") + ", " +
       "p1 AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, " +
       "CAST(SUM(wc) AS BIGINT) AS cnt FROM " +
       "(SELECT w, wc, unnest(generate_series(1, length(w) - 1)) AS i FROM w) " +
@@ -1064,9 +1078,7 @@ object TextQueries {
         s"(SELECT w, wc, unnest(generate_series(1, length(w) - 1)) AS i " +
         s"FROM $src) GROUP BY pair)"
     val ctes = new StringBuilder
-    ctes ++= "w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM " +
-      "(SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w " +
-      "FROM documents) WHERE length(w) >= 2 GROUP BY w)"
+    ctes ++= bpeDictCte("w0")
     for (i <- 1 to k) {
       ctes ++= ", " + pairsSql(s"w${i - 1}", s"p$i")
       ctes ++= s", t$i AS (SELECT pair, cnt FROM p$i " +
@@ -1093,9 +1105,7 @@ object TextQueries {
   private val bpeCompressionOracle: String = {
     val k = 8
     val ctes = new StringBuilder
-    ctes ++= "m0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM " +
-      "(SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w " +
-      "FROM documents) WHERE length(w) >= 2 GROUP BY w)"
+    ctes ++= bpeDictCte("m0")
     for (i <- 1 to k) {
       ctes ++= s", f$i AS (SELECT w, wc FROM m${i - 1} WHERE length(w) >= 2)"
       ctes ++= s", p$i AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, " +
@@ -1115,6 +1125,21 @@ object TextQueries {
       "AS compression"
   }
 
+  /** SQL twin of [[shardRollup]]: window fan-out + 64-sequence rollup
+    * over a CTE `p(doc_id, n, off)`; `extra` appends manifest-only
+    * columns. One rendering feeds both shard oracles.
+    */
+  private def shardRollupSql(extra: String): String =
+    ", seg AS (SELECT doc_id, off, n, " +
+      s"CAST(unnest(generate_series(off // $PackCtx, " +
+      s"(off + n - 1) // $PackCtx)) AS BIGINT) AS seq_id FROM p) " +
+      "SELECT CAST(seq_id // 64 AS BIGINT) AS shard_id, " +
+      "CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs, " +
+      "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+      s"CAST(SUM(LEAST(off + n, (seq_id + 1) * $PackCtx) - " +
+      s"GREATEST(off, seq_id * $PackCtx)) AS BIGINT) AS n_tokens$extra " +
+      "FROM seg GROUP BY 1 ORDER BY shard_id"
+
   /** [[pipelinePretrain]]'s replay: dedup + quality CTEs feed the
     * xxhash64 rank layers, the position cumsum, the window fan-out, and
     * the shard rollup — each fragment identical to its standalone
@@ -1132,16 +1157,8 @@ object TextQueries {
       DataQueries.xxhash64LongSql("SELECT doc_id, n FROM nz", "doc_id") +
       ")), " +
       "p AS (SELECT doc_id, n, CAST(SUM(n) OVER (ORDER BY position " +
-      "ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS off FROM pos), " +
-      "seg AS (SELECT doc_id, off, n, " +
-      s"CAST(unnest(generate_series(off // $PackCtx, " +
-      s"(off + n - 1) // $PackCtx)) AS BIGINT) AS seq_id FROM p) " +
-      "SELECT CAST(seq_id // 64 AS BIGINT) AS shard_id, " +
-      "CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs, " +
-      "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
-      s"CAST(SUM(LEAST(off + n, (seq_id + 1) * $PackCtx) - " +
-      s"GREATEST(off, seq_id * $PackCtx)) AS BIGINT) AS n_tokens " +
-      "FROM seg GROUP BY 1 ORDER BY shard_id"
+      "ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS off FROM pos)" +
+      shardRollupSql("")
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_pretrain" -> pipelinePretrainOracle,
@@ -1176,18 +1193,9 @@ object TextQueries {
         "CAST(SUM(wc) AS BIGINT) AS cnt FROM p2 GROUP BY 1 " +
         "ORDER BY cnt DESC, pair LIMIT 30"),
     "pack_shard_manifest" ->
-      (packOffsetsSql +
-        s", seg AS (SELECT doc_id, off, n, " +
-        s"CAST(unnest(generate_series(off // $PackCtx, " +
-        s"(off + n - 1) // $PackCtx)) AS BIGINT) AS seq_id FROM p) " +
-        "SELECT CAST(seq_id // 64 AS BIGINT) AS shard_id, " +
-        "CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs, " +
-        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
-        s"CAST(SUM(LEAST(off + n, (seq_id + 1) * $PackCtx) - " +
-        s"GREATEST(off, seq_id * $PackCtx)) AS BIGINT) AS n_tokens, " +
-        "CAST(MIN(seq_id) AS BIGINT) AS seq_from, " +
-        "CAST(MAX(seq_id) AS BIGINT) AS seq_to " +
-        "FROM seg GROUP BY 1 ORDER BY shard_id"),
+      (packOffsetsSql + shardRollupSql(
+        ", CAST(MIN(seq_id) AS BIGINT) AS seq_from, " +
+          "CAST(MAX(seq_id) AS BIGINT) AS seq_to")),
     "bpe_merge_pairs" ->
       (s"WITH $bpeDictSql SELECT pair, cnt FROM p1 " +
         "ORDER BY cnt DESC, pair LIMIT 30"),
