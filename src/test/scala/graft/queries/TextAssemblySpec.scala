@@ -57,6 +57,21 @@ class TextAssemblySpec extends SparkSpec {
     assert(before == expected)
   }
 
+  test("mix_execute: selection within availability, upsampled tails saturate") {
+    val rows = TextQueries.mixExecute(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val counts = Fixtures.table(spark, sf001, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty && rows.map(_._1).distinct.size == rows.size)
+    rows.foreach { case (lang, selected, target) =>
+      assert(selected <= counts(lang), s"$lang over-selected")
+      // tails upsampled past availability hit the fraction cap exactly
+      if (target >= counts(lang)) assert(selected == counts(lang),
+        s"$lang: saturated fraction must select every doc")
+    }
+  }
+
   test("pack_shard_manifest: dense full shards whose tokens add up") {
     val rows = TextQueries.packShardManifest(spark, sf001).collect()
     val ids = rows.map(_.getLong(0)).toSeq
