@@ -49,6 +49,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // cap listener-event plan strings: deep cached/composed plans
+      // (pipeline_pretrain_full) render O(plan-size) text per execution
+      // event even with the UI off — 1 MB keeps events useful and bounded
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -103,6 +107,8 @@ object Bench {
           Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      // CacheScope release contract + clearCache belt (see Verify)
+      graft.operators.CacheScope.release(spark)
       spark.catalog.clearCache()
       (sec, err)
     }

@@ -94,6 +94,10 @@ object Scaling {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // cap listener-event plan strings: deep cached/composed plans
+      // (pipeline_pretrain_full) render O(plan-size) text per execution
+      // event even with the UI off — 1 MB keeps events useful and bounded
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -183,6 +187,8 @@ object Scaling {
           df.select(xxhash64(df.columns.toIndexedSeq.map(c => col(s"`$c`")): _*).as("h"))
             .agg(bit_xor(col("h"))).collect()
           val sec = (System.nanoTime() - t0) / 1e9
+          graft.operators.CacheScope.release(spark)
+
           spark.catalog.clearCache()
           sec
         }

@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // cap listener-event plan strings: deep cached/composed plans
+      // (pipeline_pretrain_full) render O(plan-size) text per execution
+      // event even with the UI off — 1 MB keeps events useful and bounded
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -36,7 +40,9 @@ object Verify {
       }
       // operators that persist internally (minhash sig, Jaccard inverted
       // index, IVF codebook, LSH buckets) must not leak blocks across
-      // queries — same hygiene as Bench
+      // queries — the CacheScope release contract, same hygiene as Bench
+      // (clearCache kept as a belt for anything outside the registry)
+      graft.operators.CacheScope.release(spark)
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

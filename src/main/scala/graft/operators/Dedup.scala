@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.operators.CacheScope.Cacheable
+
 import graft.functions.VectorFunctions
 
 /** Deduplication operators for a training-data pipeline, over a corpus
@@ -73,7 +75,7 @@ object Dedup {
     val dupHashes = hashed.select(col("h"), col("doc_id"))
       .groupBy(col("h")).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).select(col("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     val singles = hashed.join(broadcast(dupHashes), Seq("h"), "left_anti")
       .select(col("doc_id"), lit(1L).as("n_copies"))
     val dups = hashed.join(broadcast(dupHashes), Seq("h"), "left_semi")
@@ -149,12 +151,12 @@ object Dedup {
     * clearCache between queries (standard cache-scope policy here).
     */
   def dfCappedShingleIndex(exploded: DataFrame, maxShingleDf: Int): DataFrame = {
-    val ex = exploded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = exploded.cacheTracked()
     val hot = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
       .select(col("shingle"))
     ex.join(broadcast(hot), Seq("shingle"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
   }
 
   /** Exact n-gram Jaccard near-dup pairs at `threshold`, candidates =
@@ -310,15 +312,17 @@ object Dedup {
     // ReuseExchange can't dedup the three otherwise-identical aggregations
     // — without the persist the corpus is tokenized + min-aggregated 3x.
     // DELIBERATE cache scope: the returned plan is lazy, so the operator
-    // cannot unpersist before the caller consumes it; session drivers
-    // (Bench, Verify) call spark.catalog.clearCache() between queries.
+    // cannot unpersist before the caller consumes it; the cache is
+    // registered with CacheScope, and callers release it between queries
+    // via CacheScope.release(spark) (Bench/Verify do; CacheHygieneSpec
+    // asserts nothing survives release for any registered query).
     // (~numHashes longs per doc, tiny next to the corpus itself.)
     val aggs = (0 until numHashes).map(permAgg)
     val sig = sh.groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     // band hashes: doc -> (band_id, band_hash)
     val bandCols = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
@@ -374,7 +378,7 @@ object Dedup {
     val sets = docs
       .select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     val sh = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val aggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
@@ -425,6 +429,14 @@ object Dedup {
     * same approximation (and the same armor against hot-shingle fan-out)
     * as [[dfCappedShingleIndex]]/decontaminate. Jaccard compares exact
     * integer counts, so the threshold decision is engine-independent.
+    *
+    * Cache contract: the exploded corpus shingle index is persisted (it
+    * feeds both the df-cap aggregate and the candidate join; the ~n×|doc|
+    * blow-up is exactly what [[buildIncrementalIndex]] stores to parquet
+    * instead). The cache is [[CacheScope]]-registered — callers invoking
+    * this repeatedly in one session release it between runs via
+    * `CacheScope.release(spark)`, or use the indexed form whose corpus
+    * side lives on disk, not in executor memory.
     */
   def incremental(
       corpus: DataFrame,
@@ -443,7 +455,7 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     val dsh = dsets.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val cshAll = csets.select(col("cid"), explode(col("sh")).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     val hot = cshAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
       .select(col("shingle"))
@@ -559,7 +571,7 @@ object Dedup {
     // also stops the classification re-running once per append.
     val admitted = delta.join(
       statuses.filter(col("status") === "new").select(col("doc_id")), "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     admitted.count()
     try admitAppends(cat, prefix, admitted, n, nBuckets)
     finally { admitted.unpersist(); () }
@@ -812,7 +824,7 @@ object Dedup {
       .join(cells, Seq("vec_id"))
       .select(col("vec_id"), col("centroid_id").as("cell"), col("embedding"),
         VectorFunctions.norm(col("embedding")).as("nrm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     e.as("a")
       .join(e.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
@@ -911,7 +923,7 @@ object Dedup {
       .withColumn("salt", pmod(xxhash64(col("tbl"), col("vec_id")), col("nsalt")))
       .select(col("vec_id"), col("tbl"), col("bucket"), col("salt"),
         col("embedding"), col("nrm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     b.as("a")
       .join(b.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
@@ -966,7 +978,7 @@ object Dedup {
     val b = Similarity.lshBuckets(
         emb.select(col("vec_id"), col("embedding")), dim, numTables, bitsPerTable, seed)
       .select(col("vec_id"), col("tbl"), col("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     val isTest = (id: org.apache.spark.sql.Column) => pmod(id, lit(testMod)) === 0
     val cand = b.filter(!isTest(col("vec_id"))).as("a")
       .join(b.filter(isTest(col("vec_id")))
@@ -1023,7 +1035,7 @@ object Dedup {
       explode(wordShingles(col("text"), n)).as("shingle"))
     val testHashes = exploded.filter(pmod(col("doc_id"), lit(5)) === 4)
       .select(xxhash64(col("shingle")).as("h")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     val bf = testHashes.stat.bloomFilter("h", math.max(1000L, testHashes.count()), fpp)
     testHashes.unpersist()
     val bytes = {
@@ -1106,7 +1118,7 @@ object Dedup {
         explode(sequence(lit(1), length(col("text")) - (width - 1))).as("i"),
         col("text"))
       .select(col("doc_id"), col("i"), col("text").substr(col("i"), lit(width)).as("span"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     val dupSpans = pos.groupBy(col("span"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
@@ -1152,7 +1164,7 @@ object Dedup {
         posexplode(graft.functions.RollingWindowHashExpr
           .rolling_hash_windows(col("text"), width)).as(Seq("p", "h")))
       .select(col("doc_id"), (col("p") + 1).as("i"), col("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     val dup = pos.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)

@@ -29,9 +29,17 @@ object DedupClusters {
       .rdd
       .map { case (x, y) => Edge(x, y, ()) }
     val graph = Graph.fromEdges[Long, Unit](edges, defaultValue = 0L)
-    // GraphX CC labels each vertex with the min vertex id of its component
-    graph.connectedComponents().vertices
-      .toDF("doc_id", "cluster_id")
+    // GraphX CC labels each vertex with the min vertex id of its component.
+    // Pregel leaves the result graph's Edge/Vertex RDDs cached; eagerly
+    // checkpoint the (small) label vector off them, then drop both graphs
+    // so no GraphX-internal cache outlives the call (CacheHygieneSpec) —
+    // the checkpoint blocks are GC-scoped, not session-scoped.
+    val cc = graph.connectedComponents()
+    val out = cc.vertices.toDF("doc_id", "cluster_id")
+      .localCheckpoint(eager = true)
+    cc.unpersist(blocking = false)
+    graph.unpersist(blocking = false)
+    out
   }
 
   /** DataFrame-native connected components: min-label propagation until

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.operators.CacheScope.Cacheable
+
 /** HITS hubs-and-authorities on a weighted bipartite edge list [public:
   * Kleinberg 1999]. The natural companion to [[PageRank]] on
   * customer–supplier style graphs: hubs score the left side by how much
@@ -30,7 +32,7 @@ object Hits {
     */
   def run(edges: DataFrame, iters: Int, reliable: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = edges.cacheTracked()
     // Guarded normalizer: an all-zero (or empty-after-filter) edge frame
     // would otherwise divide by 0 and propagate NaN differently across
     // engines; clamping at MIN_NORMAL is identity for any real input.

@@ -136,8 +136,11 @@ object Packing {
     */
   def idRangeBucket(df: DataFrame, idCol: String, nBuckets: Int)
       : org.apache.spark.sql.Column = {
-    val maxId = Option(df.agg(max(col(idCol))).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // getAs[Number], not asInstanceOf[Long]: an int/short-typed id column
+    // would otherwise die in an opaque ClassCastException deep inside the
+    // bucket probe
+    val maxId = Option(df.agg(max(col(idCol))).head.getAs[Number](0))
+      .map(_.longValue()).getOrElse(0L)
     val w = math.max(1L, maxId / math.max(1, nBuckets) + 1)
     expr(s"$idCol DIV $w")
   }
@@ -167,6 +170,10 @@ object Packing {
     * scale: the (id, n) projection is ~16 bytes/doc (a few GB per
     * billion docs), vs re-reading corpus text or re-ranking a shuffle
     * three times.
+    *
+    * `orderCol` must be a NON-NEGATIVE integral id (any numeric width —
+    * it is read as a Number; negatives would break [[idRangeBucket]]'s
+    * contiguous-range arithmetic).
     */
   def packConcat(
       docs: DataFrame,

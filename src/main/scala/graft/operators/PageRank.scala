@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.operators.CacheScope.Cacheable
+
 /** Weighted PageRank by DataFrame power iteration [public: Page et al.
   * 1999; the GraphX/Pregel formulation re-expressed as joins so Catalyst
   * owns the physical plan].
@@ -54,20 +56,20 @@ object PageRank {
       reliable: Boolean = false,
       redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = edges.cacheTracked()
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val ew = e.join(outw, Seq("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     // dangling = nodes with no out-edges; tiny static frame, computed once
     val dangling =
       if (!redistributeDangling) null
       else nodes.join(e.select(col("src").as("node")).distinct(),
         Seq("node"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .cacheTracked()
     val nNodes = if (redistributeDangling) nodes.count().toDouble else 0.0
     var r = nodes.withColumn("r", lit(1.0))
     for (_ <- 1 to iters) {

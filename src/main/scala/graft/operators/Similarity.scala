@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.CacheScope.Cacheable
+
 import graft.functions.VectorFunctions
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -261,7 +263,7 @@ object Similarity {
     // queries (nCentroids rows — negligible if a caller keeps it longer).
     val seed = centroidsOf(corpus, nCentroids)
     val centroids =
-      (if (refineIters > 0) refineCentroids(corpus, seed, refineIters) else seed).cache()
+      (if (refineIters > 0) refineCentroids(corpus, seed, refineIters) else seed).cacheTracked()
     val assign = ivfAssignTo(corpus, centroids)
     val wq = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("centroid_id"))
     val probes = queries
@@ -402,7 +404,7 @@ object Similarity {
         struct(lit(j).as("sp"),
           slice(col("embedding"), j * dsub + 1, dsub).as("sv"))): _*)).as("e"))
       .select(col("e.sp").as("sp"), col("vec_id"), col("e.sv").as("sv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     // seed: per subspace the ksub smallest-hash rows (the centroidsOf
     // pick, batched via one WindowGroupLimit-planned rank filter)
     val wSeed = Window.partitionBy(col("sp"))
@@ -579,7 +581,7 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
       nCentroids: Int = 16, nprobe: Int = 4, m: Int = 16, ksub: Int = 16,
       oversample: Int = 16, refineIters: Int = 2): DataFrame = {
-    val centroids = centroidsOf(corpus, nCentroids).cache()
+    val centroids = centroidsOf(corpus, nCentroids).cacheTracked()
     val assign = ivfAssignTo(corpus, centroids)
     val books = pqCodebooks(corpus, dim, m, ksub, refineIters)
     val codes = pqEncode(corpus, books).join(assign, "vec_id")

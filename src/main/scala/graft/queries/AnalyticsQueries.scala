@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.Sampling
+import graft.operators.CacheScope.Cacheable
 import graft.queries.CoreQueries.table
 
 /** ClickHouse-flavored analytics surface: the aggregate-combinator family a
@@ -432,7 +433,7 @@ object AnalyticsQueries {
       // feeds the bucket-average aggregate AND the scoring join — persist
       // so the window pass over the corpus runs once (Bench/Verify
       // clearCache between queries)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     val b = pts.groupBy(col("event_type"), col("bucket"))
       .agg(avg(col("x")).as("ax"), avg(col("y")).as("ay"))
     val left = b.select(col("event_type"), (col("bucket") + 1).as("bucket"),
@@ -588,16 +589,24 @@ object AnalyticsQueries {
         sum(col("sec")).as("sec_sum"))
       // percentiles via the explicitly-stated interpolation over sorted
       // integer seconds (graft.functions.ExactQuantile) + floor-rounding;
-      // mean via floor-rounding on the exact quotient
+      // mean via floor-rounding on the exact quotient. Each projection is
+      // guarded on n_converted > 0: a global aggregate still emits ONE
+      // row for an empty funnel, where the interpolation's element_at(ss,
+      // 0) would THROW in Spark (array indices are 1-based) while the
+      // oracle's out-of-range list index quietly yields NULL — the guard
+      // makes both engines emit NULLs for the zero-converter row
       .select(col("n_converted"),
-        (floor(graft.functions.ExactQuantile.interp(
-          col("ss"), col("n_converted"), 0.5) * 100.0 + 0.5) / 100.0)
+        when(col("n_converted") > 0,
+          floor(graft.functions.ExactQuantile.interp(
+            col("ss"), col("n_converted"), 0.5) * 100.0 + 0.5) / 100.0)
           .as("p50_sec"),
-        (floor(graft.functions.ExactQuantile.interp(
-          col("ss"), col("n_converted"), 0.9) * 100.0 + 0.5) / 100.0)
+        when(col("n_converted") > 0,
+          floor(graft.functions.ExactQuantile.interp(
+            col("ss"), col("n_converted"), 0.9) * 100.0 + 0.5) / 100.0)
           .as("p90_sec"),
-        (floor(col("sec_sum").cast("double") / col("n_converted")
-          * 100.0 + 0.5) / 100.0).as("avg_sec"))
+        when(col("n_converted") > 0,
+          floor(col("sec_sum").cast("double") / col("n_converted")
+            * 100.0 + 0.5) / 100.0).as("avg_sec"))
   }
 
   /** groupBitAnd/Or/Xor (ClickHouse): bitwise aggregates — one hash agg,
@@ -1607,7 +1616,7 @@ object AnalyticsQueries {
   def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val ut = table(spark, dir, "events")
       .select(col("event_type"), col("user_id")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     val totals = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     ut.select(col("event_type").as("type_a"), col("user_id"))
       .join(ut.select(col("event_type").as("type_b"), col("user_id")),
@@ -1819,7 +1828,7 @@ object AnalyticsQueries {
     val hourly = table(spark, dir, "events")
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .agg(sum(round(col("value") * 100).cast("long")).as("vc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     val m = hourly.groupBy(col("event_type"))
       .agg(sort_array(collect_list(col("vc"))).as("cs"), count(lit(1)).as("n"))
       .select(col("event_type"),
@@ -2819,13 +2828,15 @@ object AnalyticsQueries {
         "JOIN s2 ON e.user_id = s2.user_id WHERE e.event_type = 'purchase' " +
         "AND e.ts > s2.t2 AND e.ts <= s2.t1 + INTERVAL 3 DAY GROUP BY e.user_id) " +
         "SELECT n_converted, " +
-        "FLOOR(" +
+        "CASE WHEN n_converted > 0 THEN FLOOR(" +
         graft.functions.ExactQuantile.interpSql("ss", "n_converted", "0.5") +
-        " * 100 + 0.5) / 100 AS p50_sec, " +
-        "FLOOR(" +
+        " * 100 + 0.5) / 100 END AS p50_sec, " +
+        "CASE WHEN n_converted > 0 THEN FLOOR(" +
         graft.functions.ExactQuantile.interpSql("ss", "n_converted", "0.9") +
-        " * 100 + 0.5) / 100 AS p90_sec, " +
-        "FLOOR(CAST(sec_sum AS DOUBLE) / n_converted * 100 + 0.5) / 100 AS avg_sec " +
+        " * 100 + 0.5) / 100 END AS p90_sec, " +
+        "CASE WHEN n_converted > 0 THEN " +
+        "FLOOR(CAST(sec_sum AS DOUBLE) / n_converted * 100 + 0.5) / 100 " +
+        "END AS avg_sec " +
         "FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_converted, " +
         "LIST_SORT(LIST(sec)) AS ss, SUM(sec) AS sec_sum FROM (" +
         "SELECT CAST(floor(epoch(t3)) AS BIGINT) - " +

@@ -320,7 +320,15 @@ object CoreQueries {
         sum(when(col("date") <= col("m"), 1).otherwise(0)).as("n_hist"),
         sum(when(col("date") > col("m"), 1).otherwise(0)).as("n_future"),
         min((col("yhat_lower") <= col("yhat") &&
-          col("yhat") <= col("yhat_upper")).cast("int")).as("bands_ok")) ++
+          col("yhat") <= col("yhat_upper")).cast("int")).as("bands_ok"),
+        // EXACT calendar pin, not just counts: xor-fold the xxhash64 of
+        // every emitted epoch-day, which DuckDB replays from the source
+        // calendar (distinct event days + the horizon spine) via the
+        // integer xxhash64 rendering — a forecast that shifts, drops, or
+        // duplicates any DATE now flips this value even when the row
+        // counts happen to survive
+        bit_xor(xxhash64(datediff(col("date"), to_date(lit("1970-01-01")))
+          .cast("long"))).as("cal_xor")) ++
         extraAggs
     fc.crossJoin(broadcast(lastHist))
       .groupBy(col("metric"))
@@ -420,7 +428,10 @@ object CoreQueries {
       .agg(
         count(lit(1)).as("n_checked"),
         (sum((col("y") < col("yhat_lower") || col("y") > col("yhat_upper")).cast("int")) * 2
-          <= count(lit(1))).cast("int").as("anom_rate_ok"))
+          <= count(lit(1))).cast("int").as("anom_rate_ok"),
+        // exact in-sample calendar pin (see dailyGate)
+        bit_xor(xxhash64(datediff(fc("date"), to_date(lit("1970-01-01")))
+          .cast("long"))).as("cal_xor"))
       .orderBy("metric")
   }
 
@@ -441,7 +452,11 @@ object CoreQueries {
         sum(when(col("ts") <= col("m"), 1).otherwise(0)).as("n_hist"),
         sum(when(col("ts") > col("m"), 1).otherwise(0)).as("n_future"),
         min((col("yhat_lower") <= col("yhat") &&
-          col("yhat") <= col("yhat_upper")).cast("int")).as("bands_ok"))
+          col("yhat") <= col("yhat_upper")).cast("int")).as("bands_ok"),
+        // exact hourly-calendar pin (see dailyGate): xor of xxhash64 over
+        // the epoch-HOUR of every emitted bucket
+        bit_xor(xxhash64((unix_timestamp(col("ts")) / 3600).cast("long")))
+          .as("cal_xor"))
       .orderBy("metric")
   }
 
@@ -488,20 +503,48 @@ object CoreQueries {
     * variant (plain, holidays, multiplicative, simulated-band) — stated
     * once so a future contract change cannot silently diverge per gate.
     */
-  private val eventsDailyGateSql: String =
-    "WITH h AS (SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n FROM events) " +
-      "SELECT m.metric, n AS n_hist, CAST(7 AS BIGINT) AS n_future, " +
-      "1 AS bands_ok FROM h CROSS JOIN (VALUES ('active_users'), " +
-      "('event_count'), ('value_sum')) m(metric) ORDER BY metric"
+  /** One-value CTE body `(cal_xor)`: the xor-fold of xxhash64 over the
+    * epoch-day (or epoch-hour) integers produced by `edSelect` — the
+    * DuckDB replay of dailyGate's exact-calendar pin, via the shared
+    * integer-xxhash64 rendering.
+    */
+  private def calXorSql(edSelect: String): String =
+    "(SELECT bit_xor(xxh) AS cal_xor FROM (" +
+      DataQueries.xxhash64LongSql(edSelect, "ed") + "))"
+
+  /** Shared daily-gate oracle: replays the exact forecast calendar
+    * (every distinct event day + the `horizon`-day spine after the last)
+    * and its xxhash64 xor, so the gate pins the DATE SET, not just its
+    * size. `extraCols` appends expected-constant columns.
+    */
+  private def dailyGateSql(horizon: Int, extraCols: String = ""): String =
+    "WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events), " +
+      "h AS (SELECT COUNT(*) AS n, MAX(d) AS last_d FROM days), " +
+      "cal AS (SELECT d FROM days UNION ALL SELECT " +
+      "CAST(last_d + i * INTERVAL '1 day' AS DATE) FROM h CROSS JOIN " +
+      s"generate_series(1, $horizon) gs(i)), " +
+      "cx AS " + calXorSql(
+        "SELECT CAST(d - DATE '1970-01-01' AS BIGINT) AS ed FROM cal") +
+      s" SELECT m.metric, n AS n_hist, CAST($horizon AS BIGINT) AS " +
+      s"n_future, 1 AS bands_ok, cal_xor$extraCols FROM h CROSS JOIN cx " +
+      "CROSS JOIN (VALUES ('active_users'), ('event_count'), " +
+      "('value_sum')) m(metric) ORDER BY metric"
+
+  private val eventsDailyGateSql: String = dailyGateSql(7)
 
   val oracleSql: Map[String, String] = Map(
     // DuckDB recomputes the hourly bucket count per metric; the horizon
     // (24) and the band-sanity bit are expected constants.
     "forecast_events_hourly_gate" ->
-      ("WITH h AS (SELECT COUNT(DISTINCT date_trunc('hour', ts)) AS n FROM events) " +
-        "SELECT m.metric, n AS n_hist, CAST(24 AS BIGINT) AS n_future, " +
-        "1 AS bands_ok FROM h CROSS JOIN (VALUES ('event_count'), " +
-        "('value_sum')) m(metric) ORDER BY metric"),
+      ("WITH hrs AS (SELECT DISTINCT date_trunc('hour', ts) AS t FROM events), " +
+        "h AS (SELECT COUNT(*) AS n, MAX(t) AS last_t FROM hrs), " +
+        "cal AS (SELECT t FROM hrs UNION ALL SELECT last_t + i * " +
+        "INTERVAL '1 hour' FROM h CROSS JOIN generate_series(1, 24) gs(i)), " +
+        "cx AS " + calXorSql(
+          "SELECT CAST(epoch(t) AS BIGINT) // 3600 AS ed FROM cal") +
+        " SELECT m.metric, n AS n_hist, CAST(24 AS BIGINT) AS n_future, " +
+        "1 AS bands_ok, cal_xor FROM h CROSS JOIN cx CROSS JOIN (VALUES " +
+        "('event_count'), ('value_sum')) m(metric) ORDER BY metric"),
     // Replays the Prophet-style cutoff calendar (last-7 stepping back 3
     // while >= 14 training days) and per-cutoff test counts in pure SQL;
     // the model-skill bit is the expected constant 1 per row.
@@ -551,29 +594,39 @@ object CoreQueries {
         "FROM lagd GROUP BY 1, 2 ORDER BY metric, cutoff"),
     "forecast_events_gate" -> eventsDailyGateSql,
     "forecast_events_future_gate" ->
-      ("SELECT m.metric, CAST(0 AS BIGINT) AS n_hist, " +
-        "CAST(7 AS BIGINT) AS n_future, 1 AS bands_ok FROM (VALUES " +
-        "('active_users'), ('event_count'), ('value_sum')) m(metric) " +
-        "ORDER BY metric"),
+      ("WITH h AS (SELECT MAX(CAST(ts AS DATE)) AS last_d FROM events), " +
+        "cal AS (SELECT CAST(last_d + i * INTERVAL '1 day' AS DATE) AS d " +
+        "FROM h CROSS JOIN generate_series(1, 7) gs(i)), " +
+        "cx AS " + calXorSql(
+          "SELECT CAST(d - DATE '1970-01-01' AS BIGINT) AS ed FROM cal") +
+        " SELECT m.metric, CAST(0 AS BIGINT) AS n_hist, " +
+        "CAST(7 AS BIGINT) AS n_future, 1 AS bands_ok, cal_xor FROM cx " +
+        "CROSS JOIN (VALUES ('active_users'), ('event_count'), " +
+        "('value_sum')) m(metric) ORDER BY metric"),
     "forecast_events_holidays_gate" -> eventsDailyGateSql,
     "forecast_events_multiplicative_gate" -> eventsDailyGateSql,
     "forecast_events_simband_gate" -> eventsDailyGateSql,
-    "forecast_events_logistic_gate" ->
-      ("WITH h AS (SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n FROM events) " +
-        "SELECT m.metric, n AS n_hist, CAST(7 AS BIGINT) AS n_future, " +
-        "1 AS bands_ok, 1 AS bounded_ok FROM h CROSS JOIN (VALUES " +
-        "('active_users'), ('event_count'), ('value_sum')) m(metric) " +
-        "ORDER BY metric"),
+    "forecast_events_logistic_gate" -> dailyGateSql(7, ", 1 AS bounded_ok"),
     "forecast_orders_gate" ->
-      ("WITH h AS (SELECT COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n " +
-        "FROM orders) SELECT m.metric, n AS n_hist, CAST(30 AS BIGINT) AS " +
-        "n_future, 1 AS bands_ok FROM h CROSS JOIN (VALUES ('order_count'), " +
-        "('revenue')) m(metric) ORDER BY metric"),
+      ("WITH days AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d " +
+        "FROM orders), " +
+        "h AS (SELECT COUNT(*) AS n, MAX(d) AS last_d FROM days), " +
+        "cal AS (SELECT d FROM days UNION ALL SELECT " +
+        "CAST(last_d + i * INTERVAL '1 day' AS DATE) FROM h CROSS JOIN " +
+        "generate_series(1, 30) gs(i)), " +
+        "cx AS " + calXorSql(
+          "SELECT CAST(d - DATE '1970-01-01' AS BIGINT) AS ed FROM cal") +
+        " SELECT m.metric, n AS n_hist, CAST(30 AS BIGINT) AS n_future, " +
+        "1 AS bands_ok, cal_xor FROM h CROSS JOIN cx CROSS JOIN (VALUES " +
+        "('order_count'), ('revenue')) m(metric) ORDER BY metric"),
     "forecast_anomalies_gate" ->
-      ("WITH h AS (SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n FROM events) " +
-        "SELECT m.metric, n AS n_checked, 1 AS anom_rate_ok FROM h CROSS " +
-        "JOIN (VALUES ('active_users'), ('event_count'), ('value_sum')) " +
-        "m(metric) ORDER BY metric"),
+      ("WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events), " +
+        "h AS (SELECT COUNT(*) AS n FROM days), " +
+        "cx AS " + calXorSql(
+          "SELECT CAST(d - DATE '1970-01-01' AS BIGINT) AS ed FROM days") +
+        " SELECT m.metric, n AS n_checked, 1 AS anom_rate_ok, cal_xor " +
+        "FROM h CROSS JOIN cx CROSS JOIN (VALUES ('active_users'), " +
+        "('event_count'), ('value_sum')) m(metric) ORDER BY metric"),
     "bucketize_events" -> s"$bucketizeSql ORDER BY 1",
     "max_date" -> "SELECT MAX(CAST(ts AS DATE)) AS last_known_date FROM events",
     "series_melt" ->

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
 import graft.operators.{Dedup, DedupClusters, Sampling, Similarity, Skew}
+import graft.operators.CacheScope.Cacheable
 import graft.queries.CoreQueries.table
 
 /** Training-data-pipeline operator surface: deduplication and similarity
@@ -713,11 +714,11 @@ object DataQueries {
     // detectors, not aspirational targets — high-margin regimes live in
     // SimilaritySpec.
     val slice = emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(256)
-      .persist()
+      .cacheTracked()
     val queries = emb.filter(col("vec_id") < 20)
     val k = 5
     val truth = Similarity.bruteForceTopK(slice, queries, k)
-      .select(col("query_id"), col("vec_id")).persist()
+      .select(col("query_id"), col("vec_id")).cacheTracked()
     def gate(variant: String, approx: DataFrame, floor: Double): DataFrame = {
       val a = approx.select(col("query_id"), col("vec_id"))
         .withColumn("m", lit(1))
@@ -799,7 +800,7 @@ object DataQueries {
   def dedupRecall(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     val truth = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
-      .select(col("doc_a"), col("doc_b")).persist()
+      .select(col("doc_a"), col("doc_b")).cacheTracked()
     def gate(variant: String, pairs: DataFrame, floor: Double): DataFrame = {
       val a = pairs.select(col("doc_a"), col("doc_b")).withColumn("m", lit(1))
       truth.join(a, Seq("doc_a", "doc_b"), "left")

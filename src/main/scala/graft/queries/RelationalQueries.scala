@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AsOfJoin, Merge, RangeJoin}
+import graft.operators.CacheScope.Cacheable
 import graft.queries.CoreQueries.table
 
 /** Relational extension surface (SURVEY.md §7.5): join / window / set-op /
@@ -836,8 +837,13 @@ object RelationalQueries {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"),
+        // exact integer cents·(100−disc) + half-up floor (the q1Agg
+        // recipe): a double sum's rounding here is summation-order
+        // dependent, and the bucketed layout CHANGES the order vs the
+        // raw scan — round(sum(double), 2) can flip on a .005 tie
+        (floor(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .cast("double") / 100.0 + 0.5) / 100.0).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("o_orderstatus")
   }
@@ -862,7 +868,11 @@ object RelationalQueries {
       .filter(col("d") >= lit("2024-01-10") && col("d") <= lit("2024-01-19"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("value_sum"))
+        // exact integer cents (partition layout reorders the sum — see
+        // joinBucketed); cents/100.0 is one IEEE division, bit-identical
+        // in both engines
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+          .as("value_sum"))
       .orderBy("event_type")
   }
 
@@ -1066,7 +1076,7 @@ object RelationalQueries {
 
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
     val edges = coPurchaseEdges(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     val deg = edges.select(col("p1").as("v")).union(edges.select(col("p2")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     val lt = col("d1") < col("d2") ||
@@ -1076,12 +1086,12 @@ object RelationalQueries {
       .join(deg.select(col("v").as("p2"), col("d").as("d2")), Seq("p2"))
       .select(when(lt, col("p1")).otherwise(col("p2")).as("u"),
         when(lt, col("p2")).otherwise(col("p1")).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     val wedge = ori.as("w1")
       .join(ori.as("w2"), col("w1.u") === col("w2.u") && col("w1.v") < col("w2.v"))
       .select(least(col("w1.v"), col("w2.v")).as("b"),
         greatest(col("w1.v"), col("w2.v")).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     edges.agg(count(lit(1)).as("n_edges"))
       .crossJoin(wedge.agg(count(lit(1)).as("n_wedges")))
       .crossJoin(wedge.join(edges, col("b") === col("p1") && col("c") === col("p2"))
@@ -1104,10 +1114,10 @@ object RelationalQueries {
     */
   def adamicAdar(spark: SparkSession, dir: String): DataFrame = {
     val edges = coPurchaseEdges(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     val adj = edges.select(col("p1").as("u"), col("p2").as("v"))
       .union(edges.select(col("p2"), col("p1")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("d"))
     adj.as("a")
       .join(adj.as("c"), col("a.u") === col("c.u") && col("a.v") < col("c.v"))
@@ -1143,7 +1153,7 @@ object RelationalQueries {
     val edges = coPurchaseEdges(spark, dir)
     val adj = edges.select(col("p1").as("u"), col("p2").as("v"))
       .union(edges.select(col("p2"), col("p1")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     var lab = adj.select(col("u").as("node")).distinct()
       .withColumn("lab", col("node"))
     for (_ <- 1 to 3) {
@@ -1427,13 +1437,16 @@ object RelationalQueries {
     // (write, catalog read-back, partition-column type) flips the hash.
     "join_bucketed" ->
       ("SELECT o_orderstatus, " +
-        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+        "FLOOR(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) " +
+        "/ 100 + 0.5) / 100 AS revenue, " +
         "COUNT(*) AS n_items FROM lineitem " +
         "JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY 1 ORDER BY 1"),
     "partition_prune" ->
       ("SELECT event_type, COUNT(*) AS n_events, " +
-        "ROUND(SUM(value), 2) AS value_sum FROM events " +
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 " +
+        "AS value_sum FROM events " +
         "WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-19' " +
         "GROUP BY 1 ORDER BY 1"),
     "jdbc_import" ->

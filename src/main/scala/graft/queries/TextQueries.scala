@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{RollingHashExpr, TextFunctions}
 import graft.operators.Dedup
+import graft.operators.CacheScope.Cacheable
 import graft.queries.CoreQueries.table
 
 /** Text-analysis query surface over `documents`: token counting, quality
@@ -420,17 +421,50 @@ object TextQueries {
     * the current corpus size. One tiny hash agg + a 5-row window; the
     * scan dominates at any scale.
     */
-  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val c = table(spark, dir, "documents")
+  /** Shared mixture front half: per-language counts, totals, raw share,
+    * and the alpha=0.7 tempered weight — ONE definition for the plan
+    * report ([[mixTemperature]]), the standalone executor
+    * ([[mixExecute]]), and the composed pipeline, so the tempering
+    * arithmetic cannot drift between them.
+    */
+  private def mixShares(langDocs: DataFrame): DataFrame = {
+    val c = langDocs.select(col("lang"))
       .groupBy(col("lang")).agg(count(lit(1)).as("n"))
     val t = c.agg(sum(col("n")).as("total"))
-    val w = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     c.crossJoin(broadcast(t))
       .select(col("lang"), col("n"), col("total"),
         (col("n") / col("total")).as("p"),
         pow(col("n") / col("total"), lit(0.7)).as("wgt"))
+  }
+
+  /** The tempered selection itself: join the broadcast per-language
+    * Bernoulli fraction f = min(1, target/n) onto `docs` and keep rows
+    * whose md5 unit draw falls under it. Broadcast join + projection
+    * filter — `docs`' payload columns (text included) never shuffle, so
+    * the mix stage is exchange-free at any corpus size. Emits docs'
+    * columns + `target_docs` (callers drop it when unneeded).
+    */
+  private def mixSelect(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val plan = mixShares(docs)
+      .select(col("lang"), col("n").as("n_docs"),
+        round(col("wgt") / sum(col("wgt")).over(w) * col("total"), 0)
+          .cast("long").as("target_docs"))
+      .withColumn("f",
+        least(lit(1.0), col("target_docs").cast("double") / col("n_docs")))
+      .select(col("lang"), col("target_docs"), col("f"))
+    docs.join(broadcast(plan), "lang")
+      .filter(graft.operators.Sampling.unitMd5("doc_id") < col("f"))
+      .drop("f")
+  }
+
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    mixShares(table(spark, dir, "documents"))
       .select(col("lang"), col("n").as("n_docs"),
         round(col("p"), 6).as("p_raw"),
         round(col("wgt") / sum(col("wgt")).over(w), 6).as("p_sampled"),
@@ -451,21 +485,13 @@ object TextQueries {
     * the selected id set to one BIGINT so the oracle hash-checks the
     * exact membership, not just counts.
     */
-  def mixExecute(spark: SparkSession, dir: String): DataFrame = {
-    val plan = mixTemperature(spark, dir)
-      .select(col("lang"), col("n_docs"), col("target_docs"))
-      .withColumn("f",
-        least(lit(1.0), col("target_docs").cast("double") / col("n_docs")))
-    table(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"))
-      .join(broadcast(plan), "lang")
-      .filter(graft.operators.Sampling.unitMd5("doc_id") < col("f"))
+  def mixExecute(spark: SparkSession, dir: String): DataFrame =
+    mixSelect(table(spark, dir, "documents").select(col("doc_id"), col("lang")))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_selected"),
         max(col("target_docs")).as("target_docs"),
         bit_xor(col("doc_id")).as("sel_xor"))
       .orderBy("lang")
-  }
 
   /** Multi-pass-ready sorted-neighborhood entity resolution [public:
     * Hernandez & Stolfo 1995]: sort records by a blocking key, compare
@@ -479,6 +505,16 @@ object TextQueries {
     * Cross-block neighbors are missed by construction — the published
     * mitigation is multiple passes with different blocking keys (this
     * pairs with [[fuzzyMatch]]'s length-bucket blocking as pass two).
+    *
+    * STATUS: DEMONSTRATION-ONLY at scale (the textbook single-pass form,
+    * kept registered for the method comparison). The x30 replica measured
+    * it superlinear — 8.0x under 3x data — because common-prefix blocks
+    * GROW with the corpus and each block's rank window serializes through
+    * one task; salting can't fix it (the rank that would cap a block is
+    * the same serial window). The production operator is
+    * [[erSnmMultikey]]: finer independent keys shrink the serial window
+    * unit structurally (measured 1.5x under 3x, absolutely faster at
+    * x30). QUERIES.md carries the same demotion note.
     */
   def erSortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -489,7 +525,7 @@ object TextQueries {
     val w = Window.partitionBy(col("block")).orderBy(col("sortkey"), col("doc_id"))
     val rk = kd.withColumn("rn", row_number().over(w))
       .select(col("doc_id"), col("block"), col("probe"), col("rn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     // candidates via EXPLODED probe ranks so the join key is (block, rn)
     // — a join on block alone with the rank distance as a post-filter
     // materializes |block|^2 pairs first, which the x10 scaling run
@@ -537,7 +573,7 @@ object TextQueries {
       .select(col("doc_id"), substring(nrm, 1, 12).as("k1"),
         substring(nrm, 13, 12).as("k2"),
         substring(nrm, 1, 24).as("sortkey"), substring(nrm, 1, 64).as("probe"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     def pass(key: String): DataFrame = {
       val w = Window.partitionBy(col("block"))
         .orderBy(col("sortkey"), col("doc_id"))
@@ -607,21 +643,21 @@ object TextQueries {
     val tr = train
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     val te = docs.filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val cls = train.groupBy(col("lang").as("c"))
       .agg(count(lit(1)).cast("double").as("n_docs"))
     val tot = train.agg(count(lit(1)).cast("double").as("n_train"))
     val vocabToks = tr.select("tok").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     val vocab = vocabToks.agg(count(lit(1)).cast("double").as("v"))
     val nc = tr.groupBy(col("lang").as("c"))
       .agg(count(lit(1)).cast("double").as("n_tok"))
     val cnt = tr.groupBy(col("lang").as("c"), col("tok"))
       .agg(count(lit(1)).as("k"))
     val tev = te.join(vocabToks, "tok").select("doc_id", "tok")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked()
     val md = tev.groupBy("doc_id").agg(count(lit(1)).cast("double").as("m"))
     val grid = md.crossJoin(broadcast(cls.join(nc, "c")))
       .crossJoin(broadcast(tot)).crossJoin(broadcast(vocab))
@@ -661,11 +697,27 @@ object TextQueries {
   private def materialized(df: DataFrame): DataFrame = {
     val p =
       if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.cacheTracked()
       else df
     p.count()
     p
   }
+
+  /** Stage-boundary materialization that also TRUNCATES LINEAGE
+    * (`localCheckpoint`): the composed full pipeline stacks the k-round
+    * BPE chain (8 nested cached rounds) on top of the dedup → decontam →
+    * mix lineage, and without truncation every downstream `count()` posts
+    * a SQLExecutionStart event whose plan STRING renders that whole
+    * nested tree — measured to OOM an 8 GB driver on 500 docs (the heap
+    * died inside `TreeNode.treeString`, not in data). A production run
+    * writes the curated corpus to parquet at exactly this boundary (the
+    * catalog's writeTable path) and re-reads it, which truncates lineage
+    * the same way; `localCheckpoint` is that handoff without the I/O.
+    * Blocks are GC-scoped (ContextCleaner frees them with the frame),
+    * not session caches — CacheHygieneSpec exempts checkpointed RDDs.
+    */
+  private def stageBoundary(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true)
 
   /** Context window for the registered packing queries — small enough
     * that sf0.01 docs straddle boundaries (the interesting case), large
@@ -849,8 +901,10 @@ object TextQueries {
       val expanded = pairS.flatMap(c => expansions.getOrElse(c, c.toString))
       merges += ((i.toLong, expanded, top.getLong(1)))
       expansions += (i.toChar -> expanded)
-      val merged = dict.select(col("wc"),
-        replace(col("w"), lit(pairS), lit(i.toChar.toString)).as("w"))
+      // withColumn, not select: the dict may carry extra columns (the
+      // encode path threads the ORIGINAL word w0 through the chain)
+      val merged = dict.withColumn("w",
+        replace(col("w"), lit(pairS), lit(i.toChar.toString)))
       val next = materialized(
         if (keepSingles) merged else merged.filter(length(col("w")) >= 2))
       dict.unpersist()
@@ -894,6 +948,53 @@ object TextQueries {
       .toDF("chars_before", "symbols_after", "compression")
   }
 
+  /** The ENCODE half of the BPE loop, per-doc: learn the k-merge table on
+    * `docs`, then count each document's tokens under that learned
+    * vocabulary. The Sennrich trick carries over to encoding: the merge
+    * replay runs over the DISTINCT word dictionary only (Heaps-law
+    * sublinear in corpus bytes) with the ORIGINAL word `w0` threaded
+    * through the chain, so a word's learned-vocab token count is just the
+    * LENGTH of its final sentinel form. Corpus-size work is one
+    * (doc, word) count aggregate plus one word-keyed join against that
+    * per-word symbol table; single-character words never merge and are
+    * not in the dictionary, so the join is `left` with length(w) as the
+    * exact fallback. Emits (doc_id, n_ws_tokens, n_bpe_tokens); docs with
+    * zero words emit nothing (consistent with the oracle's join chain).
+    */
+  private def bpeEncodedCounts(docs: DataFrame, k: Int = 8): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val docWords = words.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("kc"))
+    val dict0 = words
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .withColumn("w0", col("w"))
+    // keepSingles: a word fully merged to one symbol still needs its
+    // n_sym = 1 row in the symbol table
+    val (_, dict) = bpeRounds(dict0, k, keepSingles = true)
+    val syms = dict
+      .select(col("w0"), length(col("w")).cast("long").as("n_sym"))
+    docWords
+      .join(syms, docWords("w") === syms("w0"), "left")
+      .withColumn("n_sym",
+        coalesce(col("n_sym"), length(col("w")).cast("long")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("kc")).as("n_ws_tokens"),
+        sum(col("kc") * col("n_sym")).as("n_bpe_tokens"))
+  }
+
+  /** Registered encode query over the fixture corpus: whitespace vs
+    * LEARNED-vocabulary token counts per document — the artifact pair a
+    * tokenizer pipeline ships ([[bpeLearn]] emits the merge table, this
+    * applies it). Oracle: the [[bpeCompression]] k-round CTE chain with
+    * the original word carried through, then the same left-join + sum.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodedCounts(table(spark, dir, "documents"))
+      .orderBy("doc_id")
+
   /** The whole pretraining data path as ONE hash-checked query: exact
     * dedup (min-id per text) -> quality gate (>= 0.3 on the 6-dp-rounded
     * composite score, so the boundary is engine-independent) -> token
@@ -914,6 +1015,74 @@ object TextQueries {
       .filter(TextFunctions.qualityScore(col("text")) >= 0.3)
     val toks = materialized(
       kept.select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n"))
+        .filter(col("n") > 0))
+    val ord = graft.operators.Packing.shuffleOrder(toks.select(col("doc_id")))
+    shardRollup(graft.operators.Packing
+      .packConcat(materialized(toks.join(ord, "doc_id")), PackCtx,
+        nBuckets = 32, orderCol = "position"))
+  }
+
+  /** The FULL production pretraining path as ONE hash-checked query —
+    * [[pipelinePretrain]] plus the two risk-bearing stages it omitted
+    * (cross-split decontamination and the temperature mix) and with
+    * packing driven by LEARNED-vocabulary token counts instead of
+    * whitespace counts:
+    *
+    *   exact dedup (hash-keyed) -> quality gate (>= 0.3, 6-dp grain)
+    *   -> decontamination (doc_id % 5 = 4 is the held-out benchmark
+    *      split: its docs leave the training corpus, and any training
+    *      doc sharing >= 5 df-capped 3-gram shingles with it is dropped
+    *      — the `decontaminate` query's exact machinery)
+    *   -> alpha = 0.7 temperature mix over the CLEAN corpus's language
+    *      histogram ([[mixSelect]] — broadcast fractions, md5 Bernoulli
+    *      draw, no per-language rank window)
+    *   -> k = 8 BPE learned ON the mixed corpus ([[bpeEncodedCounts]] —
+    *      the tokenizer a run would actually train) -> per-doc learned
+    *      token counts -> deterministic shuffle -> ctx=128 concat
+    *      packing -> 64-sequence shard rollup.
+    *
+    * Every stage is an oracle-proven fragment (dedup_exact_hashkeyed,
+    * corpus_curate's gate, decontaminate, mix_execute, bpe_encode,
+    * corpus_shuffle, pack_sequences_shuffled, pack_shard_manifest); this
+    * query pins their COMPOSITION, which is what a production run
+    * exercises. Scale shape: text reaches an exchange only inside
+    * exactHashKeyed's bounded dup-verify and the shingle explosion
+    * (3-word fragments, df-capped); the mix is a broadcast-join filter;
+    * the curated corpus is cache-materialized ONCE at the stage boundary
+    * (production writes it to parquet there — the catalog's writeTable
+    * path — and everything downstream reads the 16-byte (id, n)
+    * projection); BPE's driver state is one argmax row per round.
+    */
+  def pipelinePretrainFull(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val survivors = Dedup.exactHashKeyed(docs).select("doc_id")
+    val kept = docs.join(survivors, "doc_id")
+      .filter(TextFunctions.qualityScore(col("text")) >= 0.3)
+      .select(col("doc_id"), col("lang"), col("text"))
+    // decontamination over the kept set: df cap computed on ITS index
+    val sh = Dedup.dfCappedShingleIndex(
+      kept.select(col("doc_id"),
+        explode(Dedup.wordShingles(col("text"), 3)).as("shingle")), 1000)
+    val te = sh.filter(pmod(col("doc_id"), lit(5)) === 4)
+      .select(col("doc_id").as("test_id"), col("shingle"))
+    val contaminated = sh.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      .join(te, "shingle")
+      .groupBy(col("doc_id"), col("test_id"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= 5)
+      .select("doc_id").distinct()
+    val clean = kept.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // temperature mix, then ONE stage-boundary materialization of the
+    // curated corpus (the parquet handoff of a production run) — lineage
+    // MUST truncate here: the k-round BPE chain stacks on this plan, and
+    // without truncation the composed plan's string rendering alone OOMs
+    // the driver (see stageBoundary)
+    val corpus = stageBoundary(
+      mixSelect(clean).select(col("doc_id"), col("text")))
+    val toks = stageBoundary(
+      bpeEncodedCounts(corpus)
+        .select(col("doc_id"), col("n_bpe_tokens").as("n"))
         .filter(col("n") > 0))
     val ord = graft.operators.Packing.shuffleOrder(toks.select(col("doc_id")))
     shardRollup(graft.operators.Packing
@@ -949,6 +1118,8 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_pretrain" -> (pipelinePretrain _),
+    "pipeline_pretrain_full" -> (pipelinePretrainFull _),
+    "bpe_encode" -> (bpeEncode _),
     "mix_execute" -> (mixExecute _),
     "bpe_learn" -> (bpeLearn _),
     "bpe_compression" -> (bpeCompression _),
@@ -1081,13 +1252,18 @@ object TextQueries {
     ctes ++= bpeDictCte("w0")
     for (i <- 1 to k) {
       ctes ++= ", " + pairsSql(s"w${i - 1}", s"p$i")
-      ctes ++= s", t$i AS (SELECT pair, cnt FROM p$i " +
+      // AS MATERIALIZED on every multiply-referenced round CTE: DuckDB's
+      // inlining heuristic can re-evaluate an inlined CTE once per
+      // reference, and with each round referencing the previous one
+      // twice that compounds EXPONENTIALLY in k (measured ~4.8x per
+      // round on the composed-pipeline variant — k=8 would be hours)
+      ctes ++= s", t$i AS MATERIALIZED (SELECT pair, cnt FROM p$i " +
         "ORDER BY cnt DESC, pair LIMIT 1)"
       val expand = (1 until i).foldLeft("pair") { (acc, j) =>
         s"replace($acc, chr($j), (SELECT e FROM e$j))"
       }
-      ctes ++= s", e$i AS (SELECT $expand AS e FROM t$i)"
-      ctes ++= s", w$i AS (SELECT w, wc FROM (SELECT " +
+      ctes ++= s", e$i AS MATERIALIZED (SELECT $expand AS e FROM t$i)"
+      ctes ++= s", w$i AS MATERIALIZED (SELECT w, wc FROM (SELECT " +
         s"replace(w, (SELECT pair FROM t$i), chr($i)) AS w, wc " +
         s"FROM w${i - 1}) WHERE length(w) >= 2)"
     }
@@ -1112,9 +1288,12 @@ object TextQueries {
         "CAST(SUM(wc) AS BIGINT) AS cnt FROM " +
         "(SELECT w, wc, unnest(generate_series(1, length(w) - 1)) AS i " +
         s"FROM f$i) GROUP BY pair)"
-      ctes ++= s", t$i AS (SELECT pair FROM p$i ORDER BY cnt DESC, pair LIMIT 1)"
-      ctes ++= s", m$i AS (SELECT replace(w, (SELECT pair FROM t$i), " +
-        s"chr($i)) AS w, wc FROM m${i - 1})"
+      // MATERIALIZED: each m$i is referenced twice (f$(i+1) and m$(i+1));
+      // inlined, the re-evaluation compounds exponentially in k
+      ctes ++= s", t$i AS MATERIALIZED " +
+        s"(SELECT pair FROM p$i ORDER BY cnt DESC, pair LIMIT 1)"
+      ctes ++= s", m$i AS MATERIALIZED (SELECT replace(w, " +
+        s"(SELECT pair FROM t$i), chr($i)) AS w, wc FROM m${i - 1})"
     }
     val mass = (t: String) => s"(SELECT SUM(wc * length(w)) FROM $t)"
     s"WITH $ctes SELECT " +
@@ -1124,6 +1303,113 @@ object TextQueries {
       s"CAST(${mass(s"m$k")} AS DOUBLE) * 1000000 + 0.5) / 1000000 " +
       "AS compression"
   }
+
+  /** CTE chain replaying [[bpeEncodedCounts]]' learn half over an
+    * arbitrary source CTE/table `src`: the [[bpeCompressionOracle]]
+    * k-round shape (pair counts over the length>=2 slice, scalar-subquery
+    * argmax, replace-all merge) with the ORIGINAL word `w0` carried
+    * through, ending in `syms(w0, n_sym)`. One rendering feeds both the
+    * standalone bpe_encode oracle and the composed pipeline's.
+    */
+  private def bpeEncodeChainSql(src: String, k: Int): String = {
+    val ctes = new StringBuilder
+    ctes ++= "bd AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM " +
+      "(SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w " +
+      s"FROM $src) WHERE length(w) >= 2 GROUP BY w), " +
+      "m0 AS MATERIALIZED (SELECT w AS w0, w, wc FROM bd)"
+    for (i <- 1 to k) {
+      // MATERIALIZED on each round's m$i (referenced by f$(i+1) AND
+      // m$(i+1)): DuckDB's CTE-inlining heuristic re-evaluates an inlined
+      // CTE per reference, compounding ~4.8x per round when `src` is
+      // itself a non-trivial CTE (the composed pipeline's mixed corpus) —
+      // measured m5 at 422 s and m8 extrapolates to HOURS, vs seconds
+      // materialized
+      ctes ++= s", f$i AS (SELECT w, wc FROM m${i - 1} WHERE length(w) >= 2)"
+      ctes ++= s", p$i AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, " +
+        "CAST(SUM(wc) AS BIGINT) AS cnt FROM " +
+        "(SELECT w, wc, unnest(generate_series(1, length(w) - 1)) AS i " +
+        s"FROM f$i) GROUP BY pair)"
+      ctes ++= s", t$i AS MATERIALIZED " +
+        s"(SELECT pair FROM p$i ORDER BY cnt DESC, pair LIMIT 1)"
+      ctes ++= s", m$i AS MATERIALIZED (SELECT w0, replace(w, " +
+        s"(SELECT pair FROM t$i), chr($i)) AS w, wc FROM m${i - 1})"
+    }
+    ctes ++= s", syms AS (SELECT w0, CAST(length(w) AS BIGINT) AS n_sym " +
+      s"FROM m$k)"
+    ctes.result()
+  }
+
+  /** [[bpeEncode]]'s replay: the encode chain + the per-(doc, word)
+    * count join. COALESCE(n_sym, length(w)) is the single-character-word
+    * fallback (never in the dictionary, never merged).
+    */
+  private val bpeEncodeOracle: String =
+    s"WITH ${bpeEncodeChainSql("documents", 8)}, " +
+      "dw AS (SELECT doc_id, w, COUNT(*) AS kc FROM " +
+      "(SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w " +
+      "FROM documents) WHERE length(w) > 0 GROUP BY doc_id, w) " +
+      "SELECT doc_id, CAST(SUM(kc) AS BIGINT) AS n_ws_tokens, " +
+      "CAST(SUM(kc * COALESCE(n_sym, length(w))) AS BIGINT) AS n_bpe_tokens " +
+      "FROM dw LEFT JOIN syms ON dw.w = syms.w0 " +
+      "GROUP BY doc_id ORDER BY doc_id"
+
+  /** [[pipelinePretrainFull]]'s replay, every fragment identical to its
+    * standalone oracle: dedup + quality (corpus_curate's CTEs), the
+    * df-capped cross-split shingle overlap (decontaminate's), the
+    * tempered Bernoulli mix (mix_execute's), the k-round encode chain
+    * over the mixed corpus (bpe_encode's), then the xxhash64 shuffle
+    * rank, cumsum, and shard rollup (pipeline_pretrain's tail).
+    */
+  private val pipelinePretrainFullOracle: String =
+    "WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text), " +
+      "kept AS MATERIALIZED (SELECT d.doc_id, d.lang, d.text FROM documents d JOIN surv " +
+      s"USING (doc_id) WHERE $qualityExpr >= 0.3), " +
+      // decontaminate's shingle/df-cap shape, over the kept set
+      "ktoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM kept), " +
+      "ksh AS (SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN []::VARCHAR[] " +
+      "ELSE list_distinct(list_transform(generate_series(1, len(w) - 2), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END) AS shingle FROM ktoks), " +
+      "rare AS (SELECT shingle FROM ksh GROUP BY shingle HAVING COUNT(*) <= 1000), " +
+      "shf AS MATERIALIZED (SELECT ksh.doc_id, ksh.shingle FROM ksh JOIN rare USING (shingle)), " +
+      "cont AS (SELECT DISTINCT doc_id FROM (" +
+      "SELECT tr.doc_id, te.doc_id AS test_id, COUNT(*) AS c " +
+      "FROM (SELECT doc_id, shingle FROM shf WHERE doc_id % 5 <> 4) tr " +
+      "JOIN (SELECT doc_id, shingle FROM shf WHERE doc_id % 5 = 4) te " +
+      "USING (shingle) GROUP BY 1, 2 HAVING COUNT(*) >= 5)), " +
+      "clean AS MATERIALIZED (SELECT k.doc_id, k.lang, k.text FROM kept k " +
+      "WHERE k.doc_id % 5 <> 4 " +
+      "AND k.doc_id NOT IN (SELECT doc_id FROM cont)), " +
+      // mix_execute's tempered Bernoulli selection, over clean
+      "mixc AS (SELECT lang, COUNT(*) AS n FROM clean GROUP BY 1), " +
+      "mixt AS (SELECT SUM(n) AS total FROM mixc), " +
+      "mixw AS (SELECT lang, n, POW(n / mixt.total, 0.7) AS wgt " +
+      "FROM mixc CROSS JOIN mixt), " +
+      "mixp AS (SELECT lang, n, CAST(ROUND(wgt / SUM(wgt) OVER () * " +
+      "(SELECT total FROM mixt), 0) AS BIGINT) AS target_docs FROM mixw), " +
+      "mixf AS (SELECT lang, " +
+      "LEAST(1.0, CAST(target_docs AS DOUBLE) / n) AS f FROM mixp), " +
+      "corpus AS MATERIALIZED (SELECT c.doc_id, c.text FROM (SELECT *, " +
+      "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) " +
+      "AS INTEGER) AS DOUBLE) / 16777216.0 AS u FROM clean) c " +
+      "JOIN mixf USING (lang) WHERE c.u < mixf.f), " +
+      // bpe_encode's chain + count join, over the mixed corpus
+      bpeEncodeChainSql("corpus", 8) + ", " +
+      "dw AS (SELECT doc_id, w, COUNT(*) AS kc FROM " +
+      "(SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w " +
+      "FROM corpus) WHERE length(w) > 0 GROUP BY doc_id, w), " +
+      "enc AS (SELECT doc_id, " +
+      "CAST(SUM(kc * COALESCE(n_sym, length(w))) AS BIGINT) AS n " +
+      "FROM dw LEFT JOIN syms ON dw.w = syms.w0 GROUP BY doc_id), " +
+      "nz AS (SELECT doc_id, n FROM enc WHERE n > 0), " +
+      // pipeline_pretrain's shuffle-rank + cumsum + shard tail
+      "pos AS (SELECT doc_id, n, " +
+      "CAST(ROW_NUMBER() OVER (ORDER BY xxh, doc_id) - 1 AS BIGINT) " +
+      "AS position FROM (" +
+      DataQueries.xxhash64LongSql("SELECT doc_id, n FROM nz", "doc_id") +
+      ")), " +
+      "p AS (SELECT doc_id, n, CAST(SUM(n) OVER (ORDER BY position " +
+      "ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS off FROM pos)" +
+      shardRollupSql("")
 
   /** SQL twin of [[shardRollup]]: window fan-out + 64-sequence rollup
     * over a CTE `p(doc_id, n, off)`; `extra` appends manifest-only
@@ -1162,6 +1448,8 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_pretrain" -> pipelinePretrainOracle,
+    "pipeline_pretrain_full" -> pipelinePretrainFullOracle,
+    "bpe_encode" -> bpeEncodeOracle,
     "mix_execute" ->
       ("WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1), " +
         "t AS (SELECT SUM(n) AS total FROM c), " +

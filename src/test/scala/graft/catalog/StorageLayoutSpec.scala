@@ -37,12 +37,18 @@ class StorageLayoutSpec extends SparkSpec {
 
   private def testJoinBucketedValues(): Unit = {
     val out = RelationalQueries.joinBucketed(spark, sf001).collect()
+    // same exact-cents reduction as the query: integer sums are
+    // summation-order independent, so bucketed-vs-raw equality is exact
+    // by construction rather than by double-rounding luck
     val raw = graft.queries.CoreQueries.table(spark, sf001, "lineitem")
       .join(graft.queries.CoreQueries.table(spark, sf001, "orders"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"), count(lit(1)).as("n_items"))
+      .agg(
+        (floor(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .cast("double") / 100.0 + 0.5) / 100.0).as("revenue"),
+        count(lit(1)).as("n_items"))
       .orderBy("o_orderstatus")
       .collect()
     assert(out.toSeq == raw.toSeq)
@@ -87,7 +93,8 @@ class StorageLayoutSpec extends SparkSpec {
       .filter(col("d") >= lit("2024-01-10") && col("d") <= lit("2024-01-19"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("value_sum"))
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+          .as("value_sum"))
       .orderBy("event_type")
       .collect()
     assert(df.collect().toSeq == raw.toSeq)

@@ -24,14 +24,24 @@ class BacktestSpec extends SparkSpec {
   }
 
   test("near-zero error on a clean linear trend; coverage complete") {
+    // the analytic pin on the fitted-model columns (mae/rmse/coverage are
+    // not oracle-reachable — yhat needs the fit — so this property IS
+    // their check): a pure trend has an exact in-model representation, so
+    // per-cutoff error must be ridge-shrinkage-small relative to the
+    // signal (y spans 10..70, slope 0.5/day), not merely "under 1"
     val pts = series(120)(i => 10.0 + 0.5 * i)
     val rows = Backtest.backtestSeries("t", "m", pts,
       horizon = 7, period = 7, initial = 60).toSeq
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.mae < 1.0, s"cutoff ${r.cutoff}: mae ${r.mae} on a clean trend")
+      assert(r.mae < 0.15, s"cutoff ${r.cutoff}: mae ${r.mae} on a clean trend")
+      assert(r.rmse < 0.2, s"cutoff ${r.cutoff}: rmse ${r.rmse} on a clean trend")
       assert(r.rmse >= r.mae, "rmse >= mae always")
       assert(r.coverage == 1.0, s"clean-trend actuals must sit inside the band")
+      // and the model must BEAT the seasonal naive here (skill, not luck:
+      // on a slope the lag-7 naive is off by ~3.5 on average)
+      assert(r.mae < r.mae_naive,
+        s"cutoff ${r.cutoff}: model mae ${r.mae} not better than naive ${r.mae_naive}")
     }
   }
 

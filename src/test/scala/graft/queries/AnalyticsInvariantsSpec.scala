@@ -11,6 +11,26 @@ import graft.sources.Fixtures
   */
 class AnalyticsInvariantsSpec extends SparkSpec {
 
+  test("funnel_conversion_time: zero-converter input yields one NULL-metric row, no throw") {
+    // an empty funnel used to crash Spark-side: the global agg still emits
+    // one row with n_converted = 0 and an empty seconds list, and the
+    // unguarded percentile interpolation evaluated element_at(ss, 0)
+    // (1-based -> error). Build an events table with views but no
+    // purchases so the funnel genuinely converts nobody.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("empty_funnel").toString
+    spark.read.parquet(s"$sf0001/events.parquet")
+      .filter(col("event_type") === "view")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = AnalyticsQueries.funnelConversionTime(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(r.fieldIndex("n_converted")) == 0L)
+    Seq("p50_sec", "p90_sec", "avg_sec").foreach { c =>
+      assert(r.isNullAt(r.fieldIndex(c)), s"$c must be NULL for an empty funnel")
+    }
+  }
+
   test("lttb: exactly threshold points per series, endpoints kept, all points real") {
     val out = AnalyticsQueries.lttbDownsample(spark, sf001).collect()
     val bySeries = out.groupBy(_.getString(0))

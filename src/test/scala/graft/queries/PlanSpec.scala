@@ -725,6 +725,28 @@ class PlanSpec extends SparkSpec {
       s"the (doc_id, n) projections must be persisted\n$p")
   }
 
+  test("pipeline_pretrain_full: stage-boundary lineage truncated; pack tail bucket-partitioned") {
+    // building the frame RUNS the upstream stages (the boundaries are
+    // eager localCheckpoints) — that is the point: the returned plan must
+    // START at the truncated boundary, not carry the dedup → decontam →
+    // mix → 8-round-BPE lineage. Without truncation the composed plan's
+    // STRING rendering alone (SQLExecutionStart events) OOMed an 8 GB
+    // driver on 500 docs, so `Scan ExistingRDD` here is the regression
+    // guard for that failure mode.
+    val p = plan("pipeline_pretrain_full")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the curated-corpus boundary must truncate lineage (localCheckpoint)\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"post-boundary plan must not re-read the corpus parquet\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the pack tail is the pipeline_pretrain shape: every corpus-side
+    // window partitions by the contiguous-range bucket, never globally
+    assert("windowspecdefinition\\(_pk_bucket#".r.findAllIn(p).length >= 2,
+      s"shuffle rank + packing cumsum must stay bucket-partitioned\n$p")
+    assert(p.contains("InMemoryRelation"),
+      s"the (doc_id, n, position) projection feeds packConcat 3x — must be cached\n$p")
+  }
+
   test("bpe_merge_round2: word dict cached (argmax probe + recount); top-k distributed") {
     val p = plan("bpe_merge_round2")
     assert(!p.contains("Window ("))
