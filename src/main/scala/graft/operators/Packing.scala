@@ -129,6 +129,49 @@ object Packing {
       .drop("_pk_bucket", "_pk_boff")
   }
 
+  /** [[withOffsets]] generalized to independent prefix sums per key
+    * group (one running total per language/domain/shard rather than one
+    * global): per-(key, bucket) subtotals via one map-side-combinable
+    * aggregate, a PER-KEY window over the <= nBuckets subtotal rows (so
+    * even a key owning the whole corpus serializes only its subtotal
+    * rows, never its data), and a partition-local window keyed by
+    * (key, bucket). This is the scale-safe form of "cumulative sum per
+    * group in a fixed order" — the naive per-key window is exactly the
+    * skew that made the single-pass sorted-neighborhood ER superlinear
+    * (one hot key = one serial task).
+    */
+  def withKeyedOffsets(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String,
+      bucketCol: org.apache.spark.sql.Column,
+      offCol: String = "off"): DataFrame = {
+    val bucketed = df.withColumn("_pk_bucket", bucketCol)
+    val totals = bucketed
+      .groupBy((keyCols :+ "_pk_bucket").map(col): _*)
+      .agg(sum(col(valueCol)).as("_pk_bn"))
+    val bucketOff = totals.withColumn(
+      "_pk_boff",
+      coalesce(
+        sum(col("_pk_bn")).over(
+          Window.partitionBy(keyCols.map(col): _*)
+            .orderBy("_pk_bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val within = Window.partitionBy((keyCols :+ "_pk_bucket").map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .join(
+        broadcast(bucketOff.select(
+          (keyCols :+ "_pk_bucket" :+ "_pk_boff").map(col): _*)),
+        keyCols :+ "_pk_bucket")
+      .withColumn(offCol,
+        col("_pk_boff") + coalesce(sum(col(valueCol)).over(within), lit(0L)))
+      .drop("_pk_bucket", "_pk_boff")
+  }
+
   /** Contiguous-range bucket over a non-negative long id: floor(id / w)
     * with w sized so ~nBuckets buckets cover [0, maxId]. One scalar job
     * to find maxId (an O(1)-to-driver agg, same class as the catalog's

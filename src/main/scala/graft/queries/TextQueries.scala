@@ -493,6 +493,55 @@ object TextQueries {
         bit_xor(col("doc_id")).as("sel_xor"))
       .orderBy("lang")
 
+  /** Token-BUDGET mixture execution: where [[mixExecute]] hits per-
+    * language DOC-count targets with a Bernoulli draw (expected-value
+    * exact), this hits per-language TOKEN budgets exactly-greedily — the
+    * form a training run with a fixed token budget per domain actually
+    * needs. Budgets: alpha = 0.7 tempered weights over per-language token
+    * MASS, scaled to half the corpus tokens. Selection: docs in
+    * deterministic (xxhash64(doc_id), doc_id) order per language, kept
+    * while the running token total stays under budget (greedy prefix —
+    * engine-independent, so DuckDB replays exact membership).
+    *
+    * Scale shape: the per-language running total is
+    * [[graft.operators.Packing.withKeyedOffsets]] — per-(lang, bucket)
+    * local windows plus a per-language window over <= nBuckets SUBTOTAL
+    * rows, so a language owning 99% of the corpus still never serializes
+    * its data through one task (the naive per-lang cumsum window is
+    * exactly the er_sorted_neighborhood failure mode). Budgets join back
+    * as a broadcast; output folds membership to one bit_xor per language.
+    */
+  def mixTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+      .filter(col("n") > 0)
+    val mass = docs.groupBy(col("lang")).agg(sum(col("n")).as("t"))
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val budgets = mass
+      .crossJoin(broadcast(mass.agg(sum(col("t")).as("total"))))
+      .select(col("lang"),
+        pow(col("t") / col("total"), lit(0.7)).as("wgt"),
+        expr("total DIV 2").as("tgt"))
+      .select(col("lang"),
+        round(col("wgt") / sum(col("wgt")).over(w) * col("tgt"), 0)
+          .cast("long").as("budget"))
+    val ranked = graft.operators.Packing.withKeyedOffsets(
+      docs.withColumn("_mx_h", xxhash64(col("doc_id"))),
+      Seq("lang"), Seq("_mx_h", "doc_id"), "n",
+      shiftright(col("_mx_h"), 56), "off")
+    ranked.join(broadcast(budgets), "lang")
+      .filter(col("off") + col("n") <= col("budget"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("n")).as("tok_selected"),
+        max(col("budget")).as("budget"),
+        bit_xor(col("doc_id")).as("sel_xor"))
+      .orderBy("lang")
+  }
+
   /** Multi-pass-ready sorted-neighborhood entity resolution [public:
     * Hernandez & Stolfo 1995]: sort records by a blocking key, compare
     * only rank-adjacent records inside a sliding window — O(n·w) pair
@@ -1121,6 +1170,7 @@ object TextQueries {
     "pipeline_pretrain_full" -> (pipelinePretrainFull _),
     "bpe_encode" -> (bpeEncode _),
     "mix_execute" -> (mixExecute _),
+    "mix_token_budget" -> (mixTokenBudget _),
     "bpe_learn" -> (bpeLearn _),
     "bpe_compression" -> (bpeCompression _),
     "bpe_merge_round2" -> (bpeMergeRound2 _),
@@ -1450,6 +1500,26 @@ object TextQueries {
     "pipeline_pretrain" -> pipelinePretrainOracle,
     "pipeline_pretrain_full" -> pipelinePretrainFullOracle,
     "bpe_encode" -> bpeEncodeOracle,
+    // exact greedy-prefix replay: same tempered budgets (mix_execute's
+    // POW/ROUND shape over token MASS), same (xxhash64, id) order via the
+    // HUGEINT xxhash64 rendering, same inclusive-cumsum-under-budget keep
+    "mix_token_budget" ->
+      (s"WITH nz AS (SELECT * FROM (SELECT doc_id, lang, $tokCount AS n " +
+        "FROM documents) WHERE n > 0), " +
+        "mass AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS t FROM nz " +
+        "GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(t) AS BIGINT) AS total FROM mass), " +
+        "b AS (SELECT lang, CAST(ROUND(POW(t / total, 0.7) / " +
+        "SUM(POW(t / total, 0.7)) OVER () * (total // 2), 0) AS BIGINT) " +
+        "AS budget FROM mass CROSS JOIN tot), " +
+        "r AS (SELECT doc_id, lang, n, SUM(n) OVER (PARTITION BY lang " +
+        "ORDER BY xxh, doc_id ROWS UNBOUNDED PRECEDING) - n AS off FROM (" +
+        DataQueries.xxhash64LongSql(
+          "SELECT doc_id, lang, n FROM nz", "doc_id") + ")) " +
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_selected, " +
+        "CAST(SUM(n) AS BIGINT) AS tok_selected, MAX(budget) AS budget, " +
+        "bit_xor(doc_id) AS sel_xor FROM r JOIN b USING (lang) " +
+        "WHERE off + n <= budget GROUP BY 1 ORDER BY 1"),
     "mix_execute" ->
       ("WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1), " +
         "t AS (SELECT SUM(n) AS total FROM c), " +

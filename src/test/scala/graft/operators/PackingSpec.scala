@@ -79,6 +79,32 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("withKeyedOffsets matches per-key local cumsums at any bucket count, incl. one hot key") {
+    // three keys with deliberate skew: key "a" owns ~90% of the rows (the
+    // exact shape whose naive per-key window serializes)
+    val in = (0 until 300).map { i =>
+      val k = if (i % 10 == 0) (if (i % 20 == 0) "b" else "c") else "a"
+      (i.toLong * 3, k, 1L + (i * 53) % 200)
+    }.toDF("doc_id", "k", "n")
+    val localCum = in.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2)
+      .iterator
+      .flatMap { case (_, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (id, _, n) => val o = acc; acc += n; id -> o }
+      }
+      .toMap
+    for (b <- Seq(1, 3, 17, 256)) {
+      val got = Packing
+        .withKeyedOffsets(in, Seq("k"), Seq("doc_id"), "n",
+          Packing.idRangeBucket(in, "doc_id", b))
+        .select("doc_id", "off").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == localCum, s"nBuckets=$b")
+    }
+  }
+
   test("withOffsets on empty input yields an empty frame, no failure") {
     val in = tokenDocs(0)
     assert(Packing.withOffsets(in, Seq("doc_id"), "n",

@@ -725,6 +725,20 @@ class PlanSpec extends SparkSpec {
       s"the (doc_id, n) projections must be persisted\n$p")
   }
 
+  test("mix_token_budget: per-lang cumsum stays bucket-partitioned; budgets broadcast") {
+    val p = plan("mix_token_budget")
+    assert(!p.contains("CartesianProduct"))
+    // the corpus-side running total must partition by (lang, bucket) —
+    // a lang-only window re-creates the er_sorted_neighborhood hot-key
+    // serialization on a dominant language
+    assert("windowspecdefinition\\(lang#\\d+, _pk_bucket#".r.findFirstIn(p).nonEmpty,
+      s"corpus cumsum must partition by (lang, _pk_bucket)\n$p")
+    // budgets and bucket subtotals ride broadcast joins, never a shuffle
+    // keyed on the doc rows
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"budgets + bucket offsets must broadcast\n$p")
+  }
+
   test("pipeline_pretrain_full: stage-boundary lineage truncated; pack tail bucket-partitioned") {
     // building the frame RUNS the upstream stages (the boundaries are
     // eager localCheckpoints) — that is the point: the returned plan must
