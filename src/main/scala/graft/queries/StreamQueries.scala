@@ -201,7 +201,50 @@ object StreamQueries {
       "complete", "psi")
   }
 
+  /** Streaming face of the pretraining pipeline's curation front half:
+    * documents arrive in 4 real micro-batches, pass the STATELESS quality
+    * gate, join the tempered mix plan STREAM-STATIC (the plan — per-lang
+    * Bernoulli fraction over the gated corpus's language histogram — is
+    * computed batch-side by the same [[TextQueries.mixFractions]]
+    * arithmetic the batch pipeline uses; production computes it on a
+    * corpus snapshot and applies it to the live stream), pass the md5
+    * unit draw, and fold into complete-mode per-language aggregates with
+    * EXACT membership (`bit_xor(doc_id)`) — so the streaming execution
+    * path of the gate + mix stages is hash-compared against the batch
+    * SQL replay, not just row-counted. Every stage is stateless per row
+    * (the only state is the complete-mode aggregate), so streaming-vs-
+    * batch equivalence is exact by construction across any micro-batch
+    * split.
+    *
+    * Scale: the state store holds one row per language; the plan is a
+    * broadcast; raw text never enters state or sink.
+    */
+  def streamMixGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val (path, schema) = stage(spark, dir, "documents_mix", 4)(
+      Fixtures.table(spark, dir, "documents"))
+    val gatedBatch = Fixtures.table(spark, dir, "documents")
+      .filter(TextFunctions.qualityScore(col("text")) >= 0.3)
+    val plan = TextQueries.mixFractions(gatedBatch)
+      .select(col("lang"), col("f"))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(path)
+    val selected = stream
+      .filter(TextFunctions.qualityScore(col("text")) >= 0.3)
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).as("n"))
+      .join(broadcast(plan), "lang")
+      .filter(graft.operators.Sampling.unitMd5("doc_id") < col("f"))
+    drain(selected.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("n")).as("tok_sum"),
+        bit_xor(col("doc_id")).as("sel_xor")),
+      "complete", "mixgate")
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_mix_gate" -> (streamMixGate _),
     "stream_bucketize" -> (streamBucketize _),
     "stream_sliding_counts" -> (streamSlidingCounts _),
     "stream_user_type_counts" -> (streamUserTypeCounts _),
@@ -211,6 +254,26 @@ object StreamQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the batch replay of the quality gate + tempered Bernoulli mix —
+    // the same fragments as corpus_curate's gate and mix_execute's plan,
+    // over the gated corpus's language histogram
+    "stream_mix_gate" ->
+      (s"WITH kept AS (SELECT doc_id, lang, ${TextQueries.tokCount} AS n " +
+        s"FROM documents WHERE ${TextQueries.qualityExpr} >= 0.3), " +
+        "c AS (SELECT lang, COUNT(*) AS cnt FROM kept GROUP BY 1), " +
+        "t AS (SELECT SUM(cnt) AS total FROM c), " +
+        "w AS (SELECT lang, cnt, POW(cnt / t.total, 0.7) AS wgt " +
+        "FROM c CROSS JOIN t), " +
+        "p AS (SELECT lang, cnt, CAST(ROUND(wgt / SUM(wgt) OVER () * " +
+        "(SELECT total FROM t), 0) AS BIGINT) AS target_docs FROM w), " +
+        "f AS (SELECT lang, " +
+        "LEAST(1.0, CAST(target_docs AS DOUBLE) / cnt) AS f FROM p) " +
+        "SELECT k.lang, CAST(COUNT(*) AS BIGINT) AS n_selected, " +
+        "CAST(SUM(n) AS BIGINT) AS tok_sum, bit_xor(doc_id) AS sel_xor " +
+        "FROM (SELECT *, CAST(CAST('0x' || substr(md5(CAST(doc_id AS " +
+        "VARCHAR)), 1, 6) AS INTEGER) AS DOUBLE) / 16777216.0 AS u " +
+        "FROM kept) k JOIN f USING (lang) WHERE k.u < f.f " +
+        "GROUP BY 1 ORDER BY 1"),
     "stream_bucketize" ->
       ("SELECT CAST(ts AS DATE) AS date, COUNT(*) AS event_count, " +
         "ROUND(SUM(value), 2) AS value_sum FROM events GROUP BY 1"),

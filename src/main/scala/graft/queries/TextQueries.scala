@@ -444,21 +444,29 @@ object TextQueries {
     * the mix stage is exchange-free at any corpus size. Emits docs'
     * columns + `target_docs` (callers drop it when unneeded).
     */
-  private def mixSelect(docs: DataFrame): DataFrame = {
+  /** The tempered selection PLAN alone — (lang, target_docs, f) from the
+    * corpus's language histogram. Package-visible so the streaming gate
+    * can compute it batch-side (production computes the plan on a corpus
+    * snapshot, then applies it to the stream) with ONE arithmetic
+    * definition.
+    */
+  private[queries] def mixFractions(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val plan = mixShares(docs)
+    mixShares(docs)
       .select(col("lang"), col("n").as("n_docs"),
         round(col("wgt") / sum(col("wgt")).over(w) * col("total"), 0)
           .cast("long").as("target_docs"))
       .withColumn("f",
         least(lit(1.0), col("target_docs").cast("double") / col("n_docs")))
       .select(col("lang"), col("target_docs"), col("f"))
-    docs.join(broadcast(plan), "lang")
+  }
+
+  private def mixSelect(docs: DataFrame): DataFrame =
+    docs.join(broadcast(mixFractions(docs)), "lang")
       .filter(graft.operators.Sampling.unitMd5("doc_id") < col("f"))
       .drop("f")
-  }
 
   def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1207,7 +1215,7 @@ object TextQueries {
     "lang_source_agg" -> (langSourceAgg _)
   )
 
-  private val tokCount =
+  private[queries] val tokCount =
     "CASE WHEN length(trim(text)) = 0 THEN 0 " +
       "ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) END"
 
@@ -1225,7 +1233,7 @@ object TextQueries {
 
   // FLOOR(x*1e6 + 0.5)/1e6 mirrors TextFunctions.round6 — see its
   // scaladoc for why round() cannot be used cross-engine
-  private val qualityExpr =
+  private[queries] val qualityExpr =
     "FLOOR(((CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) " +
       "/ GREATEST(length(text), 1)) * " +
       s"LEAST(1.0, CAST($tokCount AS DOUBLE) / 20.0)) * 1000000 + 0.5) / 1000000"
