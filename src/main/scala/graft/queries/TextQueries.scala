@@ -550,6 +550,77 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** Repeat-factor domain UPSAMPLING — the r > 1 side of mixture
+    * execution that [[mixExecute]]'s capped Bernoulli fraction cannot
+    * express: the alpha = 0.7 tempered target gives minority languages
+    * target > n, so each of their docs repeats floor(r) times plus one
+    * more with probability frac(r) (the standard non-integer "epochs per
+    * domain" scheme); majority languages (r < 1) degrade to exactly the
+    * Bernoulli subsample. Emits per language the replicated row count,
+    * distinct docs, and an exact multiset-membership fold over
+    * (doc_id, copy) — so the oracle hash-checks WHICH copies exist, not
+    * just how many. Scale: broadcast per-lang factors + a bounded
+    * `sequence` explode over (doc_id, lang) pairs; text never enters the
+    * plan.
+    */
+  def mixUpsample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val plan = mixShares(docs)
+      .select(col("lang"), col("n").as("n_docs"),
+        round(col("wgt") / sum(col("wgt")).over(w) * col("total"), 0)
+          .cast("long").as("target_docs"))
+      .select(col("lang"),
+        (col("target_docs").cast("double") / col("n_docs")).as("r"))
+      .select(col("lang"), floor(col("r")).cast("long").as("base"),
+        (col("r") - floor(col("r"))).as("frac"))
+    docs.join(broadcast(plan), "lang")
+      .withColumn("n_copies",
+        col("base") +
+          (graft.operators.Sampling.unitMd5("doc_id") < col("frac")).cast("long"))
+      // filter BEFORE the explode: sequence(1, 0) DESCENDS in Spark
+      // (emits [1, 0]) while DuckDB's generate_series(1, 0) is empty
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        // (doc_id, copy) -> doc_id*131071 + copy is injective for any
+        // realistic copy count, so the xor pins the exact multiset
+        bit_xor(col("doc_id") * lit(131071L) + col("copy")).as("rep_xor"))
+      .orderBy("lang")
+  }
+
+  /** Curriculum training order [public: Bengio et al. 2009]: documents
+    * ranked by quality band (highest first), deterministically shuffled
+    * WITHIN each band by (xxhash64(doc_id), doc_id) — anneal-from-clean
+    * ordering with reproducible intra-band randomness. Bands are fixed
+    * quarters of the 6-dp quality score (engine-independent boundaries,
+    * same rounding armor as corpus_curate). The dense position is the
+    * two-level prefix sum over a bucket contiguous in (band, hash) order
+    * — no global window ever sees the corpus, same scale shape as
+    * [[graft.operators.Packing.shuffleOrder]].
+    */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val banded = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+      .withColumn("negband",
+        lit(3L) - least(lit(3L), floor(col("q") * 4).cast("long")))
+      .withColumn("_cu_h", xxhash64(col("doc_id")))
+      .withColumn("_cu_one", lit(1L))
+    graft.operators.Packing.withOffsets(banded,
+      Seq("negband", "_cu_h", "doc_id"), "_cu_one",
+      col("negband") * 64 + shiftright(col("_cu_h"), 58) + lit(32),
+      "position")
+      .select(col("position"), col("doc_id"),
+        (lit(3L) - col("negband")).as("quality_band"))
+      .orderBy("position")
+  }
+
   /** Multi-pass-ready sorted-neighborhood entity resolution [public:
     * Hernandez & Stolfo 1995]: sort records by a blocking key, compare
     * only rank-adjacent records inside a sliding window — O(n·w) pair
@@ -1179,6 +1250,8 @@ object TextQueries {
     "bpe_encode" -> (bpeEncode _),
     "mix_execute" -> (mixExecute _),
     "mix_token_budget" -> (mixTokenBudget _),
+    "mix_upsample" -> (mixUpsample _),
+    "curriculum_order" -> (curriculumOrder _),
     "bpe_learn" -> (bpeLearn _),
     "bpe_compression" -> (bpeCompression _),
     "bpe_merge_round2" -> (bpeMergeRound2 _),
@@ -1508,6 +1581,40 @@ object TextQueries {
     "pipeline_pretrain" -> pipelinePretrainOracle,
     "pipeline_pretrain_full" -> pipelinePretrainFullOracle,
     "bpe_encode" -> bpeEncodeOracle,
+    // repeat-factor replay: same tempered targets, FLOOR(r) base copies +
+    // one Bernoulli extra on the md5 unit draw; generate_series(1, 0) is
+    // empty in DuckDB = the Spark side's n_copies >= 1 filter
+    "mix_upsample" ->
+      ("WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1), " +
+        "t AS (SELECT SUM(n) AS total FROM c), " +
+        "w AS (SELECT lang, n, POW(n / t.total, 0.7) AS wgt " +
+        "FROM c CROSS JOIN t), " +
+        "p AS (SELECT lang, n, CAST(ROUND(wgt / SUM(wgt) OVER () * " +
+        "(SELECT total FROM t), 0) AS BIGINT) AS target FROM w), " +
+        "f AS (SELECT lang, CAST(target AS DOUBLE) / n AS r FROM p), " +
+        "d AS (SELECT doc_id, d0.lang, CAST(FLOOR(r) AS BIGINT) + " +
+        "CASE WHEN d0.u < r - FLOOR(r) THEN 1 ELSE 0 END AS n_copies " +
+        "FROM (SELECT doc_id, lang, CAST(CAST('0x' || " +
+        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS INTEGER) AS DOUBLE) " +
+        "/ 16777216.0 AS u FROM documents) d0 JOIN f USING (lang)), " +
+        "e AS (SELECT doc_id, lang, " +
+        "CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy " +
+        "FROM d) " +
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+        "bit_xor(doc_id * 131071 + copy) AS rep_xor FROM e " +
+        "GROUP BY 1 ORDER BY 1"),
+    // curriculum replay: same 6-dp quality bands, same (band, xxhash64,
+    // id) order through the HUGEINT xxhash64 rendering, dense 0-based rank
+    "curriculum_order" ->
+      (s"WITH s AS (SELECT doc_id, $qualityExpr AS q FROM documents), " +
+        "b AS (SELECT doc_id, 3 - LEAST(3, CAST(FLOOR(q * 4) AS BIGINT)) " +
+        "AS negband FROM s) " +
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY negband, xxh, doc_id) - 1 " +
+        "AS BIGINT) AS position, doc_id, " +
+        "CAST(3 - negband AS BIGINT) AS quality_band FROM (" +
+        DataQueries.xxhash64LongSql("SELECT doc_id, negband FROM b", "doc_id") +
+        ") ORDER BY position"),
     // exact greedy-prefix replay: same tempered budgets (mix_execute's
     // POW/ROUND shape over token MASS), same (xxhash64, id) order via the
     // HUGEINT xxhash64 rendering, same inclusive-cumsum-under-budget keep
