@@ -72,6 +72,74 @@ class TextAssemblySpec extends SparkSpec {
     }
   }
 
+  test("mix_token_budget: budgets respected, greedy prefix tight, membership within corpus") {
+    val rows = TextQueries.mixTokenBudget(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows.nonEmpty && rows.map(_._1).distinct.size == rows.size)
+    val byLang = Fixtures.table(spark, sf001, "documents")
+      .select(col("lang"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+      .filter(col("n") > 0)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"), sum("n").as("toks"), max("n").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    rows.foreach { case (lang, nSel, tokSel, budget) =>
+      val (docs, toks, mx) = byLang(lang)
+      assert(tokSel <= budget, s"$lang over budget")
+      assert(nSel <= docs && tokSel <= toks, s"$lang selected beyond corpus")
+      // greedy-prefix tightness: either the whole language fit under its
+      // budget, or the selection stops within one max-doc of the budget
+      assert(tokSel == toks || budget - tokSel < mx,
+        s"$lang: slack ${budget - tokSel} >= max doc $mx — prefix not greedy")
+    }
+    // tempered budgets sum to ~half the corpus tokens (rounding slack
+    // bounded by one unit per language)
+    val total = byLang.values.map(_._2).sum
+    val budgetSum = rows.map(_._4).sum
+    assert(math.abs(budgetSum - total / 2) <= rows.size,
+      s"budgets $budgetSum vs half-corpus ${total / 2}")
+  }
+
+  test("mix_upsample: copy counts bracket the repeat factor; minority upsampled, majority thinned") {
+    val rows = TextQueries.mixUpsample(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val counts = Fixtures.table(spark, sf001, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val wgts = counts.view.mapValues(n => math.pow(n / total, 0.7)).toMap
+    val wsum = wgts.values.sum
+    rows.foreach { case (lang, nRows, nDocs) =>
+      val n = counts(lang)
+      val r = math.round(wgts(lang) / wsum * total).toDouble / n
+      // every doc emits floor(r) or floor(r)+1 copies
+      assert(nRows >= nDocs * math.floor(r).toLong &&
+        nRows <= nDocs * (math.floor(r).toLong + 1), s"$lang copies vs r=$r")
+      assert(nDocs <= n)
+      if (r >= 1.0) assert(nDocs == n,
+        s"$lang: r=$r >= 1 must keep every distinct doc")
+    }
+    // the tempering moves mass toward minorities: smallest lang's rows
+    // exceed its raw count, largest lang's fall below
+    val smallest = counts.minBy(_._2)._1
+    val largest = counts.maxBy(_._2)._1
+    assert(rows.find(_._1 == smallest).get._2 > counts(smallest))
+    assert(rows.find(_._1 == largest).get._2 < counts(largest))
+  }
+
+  test("curriculum_order: dense positions, bands descend along the order") {
+    val rows = TextQueries.curriculumOrder(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L until rows.length))
+    assert(rows.map(_._2).distinct.length == rows.length, "one position per doc")
+    // quality bands are non-increasing along the training order
+    rows.sliding(2).foreach { case Array((_, _, b1), (_, _, b2)) =>
+      assert(b1 >= b2, s"band rose along the curriculum: $b1 -> $b2")
+    case _ => ()
+    }
+    assert(rows.map(_._3).distinct.length > 1, "fixture must span bands")
+  }
+
   test("pack_shard_manifest: dense full shards whose tokens add up") {
     val rows = TextQueries.packShardManifest(spark, sf001).collect()
     val ids = rows.map(_.getLong(0)).toSeq
