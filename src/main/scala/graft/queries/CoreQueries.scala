@@ -282,6 +282,68 @@ object CoreQueries {
       .orderBy("metric", "cutoff")
   }
 
+  /** Seasonal-naive-with-drift forecast [public: Hyndman & Athanasopoulos,
+    * FPP3 §5.2] — the FIRST forecast whose yhat/band VALUES are fully
+    * driver-hash-checked, not just calendar-gated: yhat(T+h) =
+    * y(T+h-7) + h·drift with drift = (y_T − y_1)/(T−1), band =
+    * ±1.28·sd of in-sample lag-7 residuals. Every input is quantized to
+    * exact integer cents first (sums are order-independent), the double
+    * arithmetic is the same IEEE expression tree in both engines, and
+    * outputs go through the shared FLOOR(x·1e4 + 0.5) grain — so DuckDB
+    * replays yhat bit-for-bit. This is the production skill baseline the
+    * backtest already measures Prophet against; having its full output
+    * under the hash pins the entire naive path end to end. Scale: three
+    * tiny aggregates over the daily series + a 7-row fan-out per metric;
+    * the events scan dominates.
+    */
+  def forecastEventsSnaive(spark: SparkSession, dir: String): DataFrame = {
+    val s = eventsLong(spark, dir)
+      .select(col("metric"), col("ds"),
+        round(col("y") * 100).cast("long").as("yc"))
+    val stats = s.groupBy(col("metric")).agg(
+      min(col("ds")).as("d0"), max(col("ds")).as("d1"),
+      count(lit(1)).as("nd"))
+    val endpoints = s.join(stats, "metric")
+      .filter(col("ds") === col("d0") || col("ds") === col("d1"))
+      .groupBy(col("metric"))
+      .agg(max(when(col("ds") === col("d0"), col("yc"))).as("y0"),
+        max(when(col("ds") === col("d1"), col("yc"))).as("y1"))
+    val res = s.as("a")
+      .join(s.as("b"),
+        col("a.metric") === col("b.metric") &&
+          col("a.ds") === date_add(col("b.ds"), 7))
+      .select(col("a.metric").as("metric"),
+        (col("a.yc") - col("b.yc")).as("rc"))
+      .groupBy("metric")
+      .agg(count(lit(1)).as("nr"), sum(col("rc")).as("sr"),
+        sum(col("rc") * col("rc")).as("srr"))
+    val fut = stats.join(endpoints, "metric").join(res, "metric")
+      .select(col("metric"), col("d1"), col("nd"), col("y0"), col("y1"),
+        col("nr"), col("sr"), col("srr"),
+        explode(sequence(lit(1), lit(7))).as("h"))
+      .withColumn("ds", date_add(col("d1"), col("h")))
+      .withColumn("lag_ds", date_add(col("d1"), col("h") - lit(7)))
+    val joined = fut
+      .join(s.select(col("metric"), col("ds").as("lag_ds"),
+        col("yc").as("ylagc")), Seq("metric", "lag_ds"), "left")
+      .withColumn("ylagc", coalesce(col("ylagc"), col("y1")))
+    // the IEEE expression tree below is mirrored TOKEN-FOR-TOKEN in the
+    // oracle; GREATEST(0, var) guards a tiny negative from fp cancellation
+    val drift = (col("y1") - col("y0")).cast("double") / lit(100.0) /
+      (col("nd") - 1).cast("double")
+    val meanR = col("sr").cast("double") / col("nr")
+    val sd = sqrt(greatest(lit(0.0),
+      col("srr").cast("double") / col("nr") - meanR * meanR)) / lit(100.0)
+    val yhat = col("ylagc").cast("double") / lit(100.0) +
+      col("h").cast("double") * drift
+    def grain(c: Column) = floor(c * 10000 + 0.5) / 10000.0
+    joined.select(col("metric"), col("ds"),
+      grain(yhat).as("yhat"),
+      grain(yhat - lit(1.28) * sd).as("yhat_lower"),
+      grain(yhat + lit(1.28) * sd).as("yhat_upper"))
+      .orderBy("metric", "ds")
+  }
+
   /** Sub-daily forecast over HOURLY event buckets — the path where
     * Prophet's daily-seasonality auto-rule genuinely fires (720 hourly
     * points, spacing 1/24 day): fits carry an order-4 daily Fourier
@@ -463,6 +525,7 @@ object CoreQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "forecast_events_hourly" -> (forecastEventsHourly _),
     "forecast_events_hourly_gate" -> (forecastEventsHourlyGate _),
+    "forecast_events_snaive" -> (forecastEventsSnaive _),
     "forecast_backtest" -> (forecastBacktest _),
     "forecast_backtest_gate" -> (forecastBacktestGate _),
     "forecast_backtest_naive" -> (forecastBacktestNaive _),
@@ -592,6 +655,49 @@ object CoreQueries {
         "SELECT metric, cutoff, COUNT(*) AS n, " +
         "ROUND(SUM(ABS(y - ylag)) / COUNT(*), 6) AS mae_naive " +
         "FROM lagd GROUP BY 1, 2 ORDER BY metric, cutoff"),
+    // the full seasonal-naive-with-drift replay: exact-cents series,
+    // integer residual sums, then the SAME IEEE expression tree and the
+    // shared 1e-4 floor grain — yhat itself under the hash
+    "forecast_events_snaive" ->
+      (s"WITH b AS ($bucketizeSql), " +
+        "m AS (SELECT 'event_count' AS metric, date AS ds, " +
+        "CAST(event_count AS DOUBLE) AS y FROM b " +
+        "UNION ALL SELECT 'value_sum', date, value_sum FROM b " +
+        "UNION ALL SELECT 'active_users', date, CAST(active_users AS DOUBLE) FROM b), " +
+        "s AS (SELECT metric, ds, CAST(ROUND(y * 100) AS BIGINT) AS yc FROM m), " +
+        "st AS (SELECT metric, MIN(ds) AS d0, MAX(ds) AS d1, " +
+        "CAST(COUNT(*) AS BIGINT) AS nd FROM s GROUP BY 1), " +
+        "ep AS (SELECT s.metric, MAX(CASE WHEN ds = d0 THEN yc END) AS y0, " +
+        "MAX(CASE WHEN ds = d1 THEN yc END) AS y1 FROM s JOIN st USING (metric) " +
+        "WHERE ds = d0 OR ds = d1 GROUP BY 1), " +
+        "r AS (SELECT a.metric, CAST(COUNT(*) AS BIGINT) AS nr, " +
+        "CAST(SUM(a.yc - b2.yc) AS BIGINT) AS sr, " +
+        "CAST(SUM((a.yc - b2.yc) * (a.yc - b2.yc)) AS BIGINT) AS srr " +
+        "FROM s a JOIN s b2 ON a.metric = b2.metric AND a.ds = b2.ds + 7 " +
+        "GROUP BY 1), " +
+        "f AS (SELECT st.metric, d1, nd, y0, y1, nr, sr, srr, " +
+        "CAST(gs.h AS BIGINT) AS h FROM st JOIN ep USING (metric) " +
+        "JOIN r USING (metric) CROSS JOIN " +
+        "(SELECT unnest(generate_series(1, 7)) AS h) gs), " +
+        "j AS (SELECT f.metric, f.d1 + CAST(h AS INTEGER) AS ds, h, nd, " +
+        "y0, y1, nr, sr, srr, COALESCE(s.yc, f.y1) AS ylagc FROM f " +
+        "LEFT JOIN s ON s.metric = f.metric " +
+        "AND s.ds = f.d1 + CAST(h - 7 AS INTEGER)) " +
+        "SELECT metric, ds, " +
+        "FLOOR((CAST(ylagc AS DOUBLE) / 100.0 + CAST(h AS DOUBLE) * " +
+        "(CAST(y1 - y0 AS DOUBLE) / 100.0 / CAST(nd - 1 AS DOUBLE))) " +
+        "* 10000 + 0.5) / 10000 AS yhat, " +
+        "FLOOR((CAST(ylagc AS DOUBLE) / 100.0 + CAST(h AS DOUBLE) * " +
+        "(CAST(y1 - y0 AS DOUBLE) / 100.0 / CAST(nd - 1 AS DOUBLE)) - 1.28 * " +
+        "(SQRT(GREATEST(0.0, CAST(srr AS DOUBLE) / nr - " +
+        "(CAST(sr AS DOUBLE) / nr) * (CAST(sr AS DOUBLE) / nr))) / 100.0)) " +
+        "* 10000 + 0.5) / 10000 AS yhat_lower, " +
+        "FLOOR((CAST(ylagc AS DOUBLE) / 100.0 + CAST(h AS DOUBLE) * " +
+        "(CAST(y1 - y0 AS DOUBLE) / 100.0 / CAST(nd - 1 AS DOUBLE)) + 1.28 * " +
+        "(SQRT(GREATEST(0.0, CAST(srr AS DOUBLE) / nr - " +
+        "(CAST(sr AS DOUBLE) / nr) * (CAST(sr AS DOUBLE) / nr))) / 100.0)) " +
+        "* 10000 + 0.5) / 10000 AS yhat_upper " +
+        "FROM j ORDER BY metric, ds"),
     "forecast_events_gate" -> eventsDailyGateSql,
     "forecast_events_future_gate" ->
       ("WITH h AS (SELECT MAX(CAST(ts AS DATE)) AS last_d FROM events), " +
