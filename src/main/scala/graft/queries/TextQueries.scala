@@ -920,6 +920,24 @@ object TextQueries {
       .orderBy("seq_id", "seq_off")
   }
 
+  /** Curriculum-then-pack composition: concat-and-chunk packing with the
+    * quality-banded [[curriculumOrder]] as the concatenation order, so
+    * early training sequences draw from the highest-quality band — the
+    * anneal-from-clean schedule actually materialized as packed windows.
+    * Same scale shape as [[packSequencesShuffled]]: both the curriculum
+    * rank and the packing cumsum are two-level prefix sums; the (id, n,
+    * position) projection is cached once for packConcat's three
+    * consumers.
+    */
+  def packSequencesCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val toks = materialized(tokensPerDoc(spark, dir))
+    val ord = curriculumOrder(spark, dir).select(col("doc_id"), col("position"))
+    graft.operators.Packing
+      .packConcat(materialized(toks.join(ord, "doc_id")), PackCtx,
+        nBuckets = 32, orderCol = "position")
+      .orderBy("seq_id", "seq_off")
+  }
+
   /** BPE vocabulary induction, round 1 [public: Sennrich et al. 2016]:
     * the merge-pair statistics a subword tokenizer trains on — adjacent
     * character-pair counts weighted by word frequency, top 30 with a
@@ -1259,6 +1277,7 @@ object TextQueries {
     "bpe_merge_pairs" -> (bpeMergePairs _),
     "pack_sequences" -> (packSequences _),
     "pack_sequences_shuffled" -> (packSequencesShuffled _),
+    "pack_sequences_curriculum" -> (packSequencesCurriculum _),
     "pack_stats" -> (packStats _),
     "corpus_shuffle" -> (corpusShuffle _),
     "naive_bayes_lang" -> (naiveBayesLang _),
@@ -1676,6 +1695,23 @@ object TextQueries {
       (packOffsetsSql + packSegmentsSql("seq_id, doc_id")),
     // shuffle-then-pack: the xxhash64 rank replay feeds the same cumsum
     // + span arithmetic, with `position` as the concatenation order
+    // curriculum-then-pack: the quality-band rank replay feeds the same
+    // cumsum + span arithmetic, with the banded `position` as the order
+    "pack_sequences_curriculum" ->
+      (s"WITH d AS (SELECT doc_id, $tokCount AS n FROM documents), " +
+        "nz AS (SELECT doc_id, n FROM d WHERE n > 0), " +
+        s"s AS (SELECT doc_id, $qualityExpr AS q FROM documents), " +
+        "b AS (SELECT doc_id, 3 - LEAST(3, CAST(FLOOR(q * 4) AS BIGINT)) " +
+        "AS negband FROM s), " +
+        "pos AS (SELECT doc_id, " +
+        "CAST(ROW_NUMBER() OVER (ORDER BY negband, xxh, doc_id) - 1 " +
+        "AS BIGINT) AS position FROM (" +
+        DataQueries.xxhash64LongSql("SELECT doc_id, negband FROM b", "doc_id") +
+        ")), " +
+        "p AS (SELECT nz.doc_id, n, CAST(SUM(n) OVER (ORDER BY position " +
+        "ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS off " +
+        "FROM nz JOIN pos USING (doc_id))" +
+        packSegmentsSql("seq_id, seq_off")),
     "pack_sequences_shuffled" ->
       (s"WITH d AS (SELECT doc_id, $tokCount AS n FROM documents), " +
         "nz AS (SELECT doc_id, n FROM d WHERE n > 0), " +
