@@ -85,7 +85,16 @@ object Scaling {
     // round 10: the composed pretraining path (hash-keyed dedup ->
     // quality gate -> shuffle -> pack -> shard rollup) and the
     // mixture-plan executor (projection-filter Bernoulli by md5 draw)
-    "pipeline_pretrain", "mix_execute")
+    "pipeline_pretrain", "mix_execute",
+    // round 11: the FULL composed path (adds decontamination + mix +
+    // learned-vocab token counts between the gate and the shuffle; stage
+    // boundaries are eager localCheckpoints), the BPE encode half, the
+    // keyed-prefix-sum token-budget mix, repeat-factor upsampling,
+    // curriculum ordering + its packed composition, the streaming
+    // gate+mix face, and the value-hash-checked seasonal-naive forecast
+    "pipeline_pretrain_full", "bpe_encode", "mix_token_budget",
+    "mix_upsample", "curriculum_order", "pack_sequences_curriculum",
+    "stream_mix_gate", "forecast_events_snaive")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

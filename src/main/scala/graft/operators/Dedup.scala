@@ -1054,6 +1054,56 @@ object Dedup {
       .select(col("doc_id").as("train_id"), col("n_test_shingles"))
   }
 
+  /** ENGINE-INDEPENDENT Bloom decontamination — the same broadcast
+    * no-join shape as [[decontaminateBloom]] but with the filter's hash
+    * family spelled out in replayable integer arithmetic, so the flagged
+    * set INCLUDING its false positives hash-checks against a DuckDB
+    * replay (the native variant's bits come from Spark's internal
+    * BloomFilterImpl and cannot): h1 = the polynomial rolling hash of the
+    * shingle (the [[graft.functions.RollingHashExpr]] mod-2^64 form with
+    * a HUGEINT twin), probe positions pos_i = xxhash64(i, h1) mod m for
+    * i < k — a k-member seeded hash family via Spark's own chained
+    * xxhash64 (per-i seeds are XXH64.hashInt constants, the
+    * dedup_embedding_lsh replay precedent; plain `h1 + i·h2` double
+    * hashing would wrap a signed long, which ANSI mode rejects). m is a
+    * POWER OF TWO so residues agree across engines trivially.
+    *
+    * The broadcast content here is the distinct position SET (≤ m rows);
+    * packing it into an m-bit array is the constant-factor memory
+    * optimization the native twin demonstrates — membership, error
+    * behavior, and the flagged output are identical by construction.
+    * One-sided error as in the native form: no false negatives (a real
+    * test shingle's k positions are all present), false flags need k
+    * simultaneous position collisions per shingle, minHits times over.
+    */
+  def decontaminateBloomDet(docs: DataFrame, n: Int = 3, minHits: Int = 5,
+      mBits: Long = 1L << 20, k: Int = 5): DataFrame = {
+    require((mBits & (mBits - 1)) == 0, s"mBits must be a power of two: $mBits")
+    val exploded = docs.select(col("doc_id"),
+        explode(wordShingles(col("text"), n)).as("shingle"))
+      .select(col("doc_id"),
+        graft.functions.RollingHashExpr.rolling_hash(col("shingle")).as("h1"))
+      // one row per (doc, h1): two distinct shingles colliding on h1
+      // must count as ONE probe unit, or the all-k test over-counts
+      .distinct()
+    val posArr = array((0 until k).map(i =>
+      pmod(xxhash64(lit(i), col("h1")), lit(mBits))): _*)
+    val bits = exploded.filter(pmod(col("doc_id"), lit(5)) === 4)
+      .select(explode(posArr).as("pos"))
+      .distinct()
+    exploded.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      .select(col("doc_id"), col("h1"), explode(posArr).as("pos"))
+      .join(broadcast(bits), Seq("pos"), "left_semi")
+      // a shingle "might be contaminated" iff ALL k probe positions hit
+      .groupBy(col("doc_id"), col("h1"))
+      .agg(count(lit(1)).as("khit"))
+      .filter(col("khit") === k)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_test_shingles"))
+      .filter(col("n_test_shingles") >= minHits)
+      .select(col("doc_id").as("train_id"), col("n_test_shingles"))
+  }
+
   /** The exact answer [[decontaminateBloom]] approximates, for the
     * agreement bound: train docs whose distinct-shingle overlap with the
     * test split's shingle UNION reaches `minHits`, via a semi-join

@@ -423,15 +423,18 @@ object DataQueries {
     Dedup.incrementalIndexed(cat, "graft_admidx", night2).orderBy("doc_id")
   }
 
-  /** Bloom-broadcast decontamination scale twin ([[graft.operators.Dedup
-    * .decontaminateBloom]]): test-split shingles -> broadcast Bloom ->
-    * ONE probe scan over train, no join. Rows-only: the filter bits
-    * derive from xxhash64, which DuckDB cannot reproduce; DedupSpec pins
-    * the superset + no-false-flag agreement bounds against the exact
-    * semi-join twin. Deterministic for the fixed (n, minHits, fpp).
+  /** Bloom-broadcast decontamination, ENGINE-INDEPENDENT form
+    * ([[graft.operators.Dedup.decontaminateBloomDet]]): double-hashing
+    * probe positions from the replayable polynomial rolling hash, so the
+    * flagged set INCLUDING its false positives goes under the driver
+    * hash (converted from rows-only this round). The native-Spark-Bloom
+    * twin ([[Dedup.decontaminateBloom]] — internal BloomFilterImpl bits,
+    * codegen `might_contain` probe) remains the demonstrated production
+    * packing and stays pinned by `decontaminate_bloom_gate`'s
+    * superset/fp bounds + DedupSpec.
     */
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame =
-    Dedup.decontaminateBloom(table(spark, dir, "documents"))
+    Dedup.decontaminateBloomDet(table(spark, dir, "documents"))
       .orderBy("train_id")
 
   /** Oracle gate for decontaminate_bloom — the forecast-gate pattern
@@ -936,6 +939,12 @@ object DataQueries {
   // OR = +), xors into two BIGINT halves. Each layer references only
   // named columns of the previous layer, keeping the text linear in the
   // step count. Emits a derived table yielding (<idCol>, xxh BIGINT).
+  /** CAUTION: the generated layers define intermediate columns named
+    * x, k1a..k1c, h0e, h1..h8, xxh via `SELECT *, ... AS <name>` — a
+    * BASE column sharing any of those names shadows/collides inside
+    * later layers and silently corrupts the hash. Name base columns
+    * something else (the decontaminate_bloom oracle uses `hsig`).
+    */
   private[queries] def xxhash64LongSql(base: String, idCol: String,
       seedCol: Option[String] = None): String = {
     val M64 = "18446744073709551616::HUGEINT"
@@ -1776,6 +1785,41 @@ object DataQueries {
     // Bloom-gate replay: the exact (uncapped) semi-join count is
     // recomputed; superset_ok / fp_bound_ok are the bloom's one-sided-
     // error guarantees stated as constants (see decontaminateBloomGate).
+    // full deterministic-Bloom replay: signed rolling-hash h1 (HUGEINT
+    // poly form, two's-complement cast), k=5 probe positions via the
+    // chained-xxhash64 seeds VALUES (the dedup_embedding_lsh precedent),
+    // pmod 2^20, all-k membership against the test position set, per-doc
+    // count >= 5 — false positives and all
+    "decontaminate_bloom" -> {
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      val m64 = "18446744073709551616::HUGEINT"
+      val seedRows = (0 until 5).map { i =>
+        val h = BigInt(XXH64.hashInt(i, 42L)).mod(BigInt(2).pow(64))
+        s"($i,$h::HUGEINT)"
+      }.mkString(",")
+      // the hashed column is named hsig, NOT h1: the renderer's internal
+      // layer names include h1, and a base column of the same name wins
+      // the reference inside later layers, silently hashing the wrong
+      // value (negative propagation -> INT128 cast failure)
+      val hashed = xxhash64LongSql(
+        "SELECT doc_id, hsig, hseed FROM hs CROSS JOIN seeds",
+        "hsig", seedCol = Some("hseed"))
+      s"WITH seeds(i, hseed) AS (VALUES $seedRows), " +
+        s"ex AS (SELECT * FROM ${incShinglesSql("documents", "doc_id")}), " +
+        "hs AS (SELECT DISTINCT doc_id, CAST(CASE WHEN v >= " +
+        s"9223372036854775808::HUGEINT THEN v - $m64 ELSE v END AS BIGINT) " +
+        "AS hsig FROM (SELECT doc_id, list_reduce(list_prepend(0::HUGEINT, " +
+        "list_transform(string_split(shingle, ''), ch -> ord(ch)::HUGEINT)), " +
+        s"(a, b) -> (a * 1315423911 + b) % $m64) AS v FROM ex)), " +
+        s"pt AS (SELECT doc_id, hsig, ((xxh % 1048576) + 1048576) % 1048576 " +
+        s"AS pos FROM ($hashed)), " +
+        "bits AS (SELECT DISTINCT pos FROM pt WHERE doc_id % 5 = 4), " +
+        "hit AS (SELECT doc_id, hsig FROM pt JOIN bits USING (pos) " +
+        "WHERE doc_id % 5 <> 4 GROUP BY 1, 2 HAVING COUNT(*) = 5) " +
+        "SELECT doc_id AS train_id, CAST(COUNT(*) AS BIGINT) " +
+        "AS n_test_shingles FROM hit GROUP BY 1 HAVING COUNT(*) >= 5 " +
+        "ORDER BY train_id"
+    },
     "decontaminate_bloom_gate" ->
       ("WITH " + shingleCte +
         ", teu AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 = 4), " +

@@ -157,6 +157,24 @@ class DedupSpec extends SparkSpec {
       s"bloom flagged ${bloom.size - exact.size} extra docs over ${exact.size} exact")
   }
 
+  test("deterministic bloom: same one-sided bounds as the native filter") {
+    val exact = Dedup.decontaminateTrainExact(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val det = Dedup.decontaminateBloomDet(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty)
+    // no false negatives by construction: a real test shingle's k
+    // positions are all in the set, so counts only ever inflate
+    exact.foreach { case (id, n) =>
+      assert(det.contains(id), s"det bloom missed contaminated doc $id")
+      assert(det(id) >= n, s"det bloom under-counted doc $id")
+    }
+    // k=5 simultaneous position collisions per shingle, minHits times
+    // over, is vanishing at m = 2^20 — same whisker as the native form
+    assert(det.size <= exact.size + math.max(2, exact.size / 20),
+      s"det bloom flagged ${det.size - exact.size} extra docs")
+  }
+
   test("embedding decontamination: LSH twin has no false flags, recall >= 0.8, hits never inflate") {
     val emb = Fixtures.table(spark, sf0001, "embeddings")
     val exact = Dedup.decontaminateEmbedding(emb, 0.45)
