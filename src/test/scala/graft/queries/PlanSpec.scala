@@ -142,13 +142,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_orderkey"), "unused columns must be pruned")
   }
 
-  test("decontaminate_bloom: the train probe is a pure scan — NO join anywhere") {
-    val p = plan("decontaminate_bloom")
+  test("native bloom operator: the train probe is a pure scan — NO join anywhere") {
+    // the native BloomFilterImpl packing (the production broadcast-bitset
+    // demonstration, reached through decontaminate_bloom_gate's bounds)
+    val df = graft.operators.Dedup.decontaminateBloom(
+      CoreQueries.table(spark, sf0001, "documents"))
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!p.contains("Join"),
       "the Bloom twin exists to decontaminate WITHOUT a join: the test-set " +
         "filter ships as a broadcast binary literal probed in the train scan")
     assert(p.contains("might_contain") || p.contains("BloomFilterMightContain"),
       s"probe must be the native bloom expression\n$p")
+  }
+
+  test("decontaminate_bloom (deterministic): position set broadcasts; train text never shuffles") {
+    val p = plan("decontaminate_bloom")
+    // the registered engine-independent form: the filter CONTENT (the
+    // distinct position set) rides a broadcast LEFT SEMI join — the
+    // train side exchanges only (doc_id, hash) pairs downstream of it
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"the position set must broadcast into a semi join\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!"hashpartitioning\\(text#".r.findFirstIn(p).isDefined &&
+      !"hashpartitioning\\(shingle#".r.findFirstIn(p).isDefined,
+      s"raw text/shingles must never key an exchange — only 8-byte hashes\n$p")
   }
 
   test("heavy_hitters_weighted: candidate semi-join broadcasts like the unweighted form") {
