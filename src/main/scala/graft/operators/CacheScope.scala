@@ -26,34 +26,51 @@ import org.apache.spark.storage.StorageLevel
   * dedupRecall, bpeRounds) still unpersist eagerly — release is then a
   * no-op for them.
   *
-  * Frames are held strongly only until release; between queries that is
-  * a handful of logical plans, not data.
+  * References are STRONG while a frame stays cached — they must be:
+  * `persist` registers the plan in the session's CacheManager, so a
+  * weakly-held wrapper could be GC'd mid-query and leave blocks that
+  * release() can no longer drop (the CacheManager itself pins the data;
+  * the ContextCleaner never reclaims it). Boundedness comes from
+  * DEREGISTRATION ON UNPERSIST instead: every [[cache]]/[[release]]/
+  * [[trackedCount]] call purges entries whose storage level has gone
+  * back to NONE, so frames an operator already unpersisted eagerly
+  * (bpeRounds dicts, Dedup.incremental's admitted frame) do not pile up
+  * between release() calls in a host session that never calls release —
+  * the registry holds logical plans only for data that is actually
+  * still cached.
   */
 object CacheScope {
   private val tracked = scala.collection.mutable.HashMap
     .empty[SparkSession, scala.collection.mutable.ArrayBuffer[DataFrame]]
 
+  private def purge(buf: scala.collection.mutable.ArrayBuffer[DataFrame]): Unit =
+    buf.filterInPlace(_.storageLevel != StorageLevel.NONE)
+
   /** Persist `df` at MEMORY_AND_DISK and register it for [[release]].
     * Drop-in for the bare `.persist(MEMORY_AND_DISK)` call. */
   def cache(df: DataFrame): DataFrame = synchronized {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    tracked.getOrElseUpdate(
-      df.sparkSession, scala.collection.mutable.ArrayBuffer.empty) += p
+    val buf = tracked.getOrElseUpdate(
+      df.sparkSession, scala.collection.mutable.ArrayBuffer.empty)
+    purge(buf)
+    buf += p
     p
   }
 
   /** Unpersist (non-blocking) every frame [[cache]] registered for this
     * session and forget them. Frames an operator already unpersisted
-    * no-op. Safe to call between any two queries; not transactional
-    * against a CONCURRENT query in the same session (same as clearCache).
+    * were deregistered on the way. Safe to call between any two queries;
+    * not transactional against a CONCURRENT query in the same session
+    * (same as clearCache).
     */
   def release(spark: SparkSession): Unit = synchronized {
     tracked.remove(spark).foreach(_.foreach(_.unpersist()))
   }
 
-  /** Number of still-registered frames for a session (spec hook). */
+  /** Number of still-CACHED registered frames for a session (spec
+    * hook); deregisters already-unpersisted entries as a side effect. */
   def trackedCount(spark: SparkSession): Int = synchronized {
-    tracked.get(spark).map(_.size).getOrElse(0)
+    tracked.get(spark).map { buf => purge(buf); buf.size }.getOrElse(0)
   }
 
   /** Postfix form: `df.cacheTracked()` ≡ `CacheScope.cache(df)`. */

@@ -295,14 +295,26 @@ object CoreQueries {
     * under the hash pins the entire naive path end to end. Scale: three
     * tiny aggregates over the daily series + a 7-row fan-out per metric;
     * the events scan dominates.
+    *
+    * Input contract: a series needs >= 8 observed days (otherwise no
+    * lag-7 residual exists and the inner join on `res` drops it — in
+    * BOTH engines); the explicit nd > 1 filter additionally pins the
+    * drift denominator away from zero.
     */
   def forecastEventsSnaive(spark: SparkSession, dir: String): DataFrame = {
     val s = eventsLong(spark, dir)
       .select(col("metric"), col("ds"),
         round(col("y") * 100).cast("long").as("yc"))
+    // nd > 1 guards the drift denominator (nd - 1): a single-day series
+    // would divide by zero (Inf yhat, an ANSI floor error). Defensive
+    // only on top of the structural requirement: a series needs >= 8
+    // days for any lag-7 residual to exist, and the inner join on `res`
+    // below drops shorter series IDENTICALLY in both engines — that
+    // >= 8-day minimum is the documented input contract of this query.
     val stats = s.groupBy(col("metric")).agg(
       min(col("ds")).as("d0"), max(col("ds")).as("d1"),
       count(lit(1)).as("nd"))
+      .filter(col("nd") > 1)
     val endpoints = s.join(stats, "metric")
       .filter(col("ds") === col("d0") || col("ds") === col("d1"))
       .groupBy(col("metric"))
@@ -665,8 +677,12 @@ object CoreQueries {
         "UNION ALL SELECT 'value_sum', date, value_sum FROM b " +
         "UNION ALL SELECT 'active_users', date, CAST(active_users AS DOUBLE) FROM b), " +
         "s AS (SELECT metric, ds, CAST(ROUND(y * 100) AS BIGINT) AS yc FROM m), " +
+        // HAVING COUNT(*) > 1 mirrors the Spark side's nd > 1 drift
+        // guard (structurally redundant — the inner join on `r` needs
+        // >= 8 days — but stated identically in both engines)
         "st AS (SELECT metric, MIN(ds) AS d0, MAX(ds) AS d1, " +
-        "CAST(COUNT(*) AS BIGINT) AS nd FROM s GROUP BY 1), " +
+        "CAST(COUNT(*) AS BIGINT) AS nd FROM s GROUP BY 1 " +
+        "HAVING COUNT(*) > 1), " +
         "ep AS (SELECT s.metric, MAX(CASE WHEN ds = d0 THEN yc END) AS y0, " +
         "MAX(CASE WHEN ds = d1 THEN yc END) AS y1 FROM s JOIN st USING (metric) " +
         "WHERE ds = d0 OR ds = d1 GROUP BY 1), " +

@@ -993,6 +993,26 @@ object DataQueries {
     }
   }
 
+  /** DuckDB replay of Spark's TWO-argument `xxhash64(c1, c2)` over two
+    * BIGINT columns: Catalyst chains the per-field hashes (the second
+    * field is hashed with the FIRST field's hash as seed), so the replay
+    * is two [[xxhash64LongSql]] passes with the intermediate hash lifted
+    * to an unsigned HUGEINT seed column. `keep` lists the base columns
+    * to carry through (must include `c1`/`c2`, must avoid the expansion's
+    * internal layer names — see the CAUTION on [[xxhash64LongSql]]).
+    * Emits a derived table yielding (keep..., xxh BIGINT).
+    */
+  private[queries] def xxhash64Long2Sql(base: String, keep: Seq[String],
+      c1: String, c2: String): String = {
+    val M64 = "18446744073709551616::HUGEINT"
+    val first = xxhash64LongSql(base, c1)
+    val seeded = s"SELECT ${keep.mkString(", ")}, CASE WHEN xxh < 0 " +
+      s"THEN CAST(xxh AS HUGEINT) + $M64 ELSE CAST(xxh AS HUGEINT) END " +
+      s"AS hseed FROM ($first)"
+    val second = xxhash64LongSql(seeded, c2, seedCol = Some("hseed"))
+    s"SELECT ${keep.mkString(", ")}, xxh FROM ($second)"
+  }
+
   // ------------------------------------------------------------------
   // PQ / refined-IVF replay: Lloyd k-means training restated in SQL.
   // Made possible by Similarity.detMean — the centroid update sums

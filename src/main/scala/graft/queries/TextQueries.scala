@@ -588,9 +588,12 @@ object TextQueries {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("doc_id")).as("n_docs"),
-        // (doc_id, copy) -> doc_id*131071 + copy is injective for any
-        // realistic copy count, so the xor pins the exact multiset
-        bit_xor(col("doc_id") * lit(131071L) + col("copy")).as("rep_xor"))
+        // xxhash64(doc_id, copy) folds the exact (doc, copy) multiset:
+        // injective-in-practice for ANY id range, where the earlier
+        // doc_id*131071+copy key overflowed Long past doc_id ~ 2^46 (an
+        // ANSI-mode runtime error at billion-doc scale); the oracle
+        // replays the chained hash via the HUGEINT xxhash64 rendering
+        bit_xor(xxhash64(col("doc_id"), col("copy"))).as("rep_xor"))
       .orderBy("lang")
   }
 
@@ -843,9 +846,23 @@ object TextQueries {
     * the same way; `localCheckpoint` is that handoff without the I/O.
     * Blocks are GC-scoped (ContextCleaner frees them with the frame),
     * not session caches — CacheHygieneSpec exempts checkpointed RDDs.
+    *
+    * CAVEATS of the localCheckpoint form (the LOCAL-MODE stand-in, not
+    * the production mechanism): (1) it is NOT fault-tolerant — truncated
+    * lineage cannot recompute a block lost to executor failure or
+    * dynamic-allocation decommission, so on a real cluster the job fails
+    * instead of recovering; (2) blocks linger until the frame is GC'd,
+    * so many pipeline runs in one long-lived session hold blocks between
+    * GCs. When the session has a RELIABLE checkpoint dir configured
+    * (`sparkContext.setCheckpointDir` on durable storage) this therefore
+    * uses `df.checkpoint()` instead — executor-loss-safe and the closest
+    * no-catalog approximation of the real writeTable parquet handoff; a
+    * production run should prefer the parquet handoff outright.
     */
   private def stageBoundary(df: DataFrame): DataFrame =
-    df.localCheckpoint(eager = true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
 
   /** Context window for the registered packing queries — small enough
     * that sf0.01 docs straddle boundaries (the interesting case), large
@@ -1618,10 +1635,15 @@ object TextQueries {
         "/ 16777216.0 AS u FROM documents) d0 JOIN f USING (lang)), " +
         "e AS (SELECT doc_id, lang, " +
         "CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy " +
-        "FROM d) " +
+        "FROM d), " +
+        // the (doc_id, copy) multiset fold: Spark's chained two-arg
+        // xxhash64 through the HUGEINT expansion
+        "e2 AS (" + DataQueries.xxhash64Long2Sql(
+          "SELECT doc_id, lang, copy FROM e",
+          Seq("doc_id", "lang", "copy"), "doc_id", "copy") + ") " +
         "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
         "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
-        "bit_xor(doc_id * 131071 + copy) AS rep_xor FROM e " +
+        "bit_xor(xxh) AS rep_xor FROM e2 " +
         "GROUP BY 1 ORDER BY 1"),
     // curriculum replay: same 6-dp quality bands, same (band, xxhash64,
     // id) order through the HUGEINT xxhash64 rendering, dense 0-based rank
