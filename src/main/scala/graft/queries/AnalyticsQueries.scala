@@ -1070,6 +1070,15 @@ object AnalyticsQueries {
         sum(when(isA, col("ar")).otherwise(0.0)).as("r1"),
         sum(when(isA, 1).otherwise(0)).cast("double").as("n1"),
         sum(when(!isA, 1).otherwise(0)).cast("double").as("n2"))
+    mwFinal(agg)
+  }
+
+  /** Shared U/z fold over an `(r1, n1, n2)` one-row frame — ONE
+    * definition for the exact window form and the offsets twin, so the
+    * test statistic cannot drift between them. All inputs are exact
+    * doubles (rank sums are integer-or-half values), so both forms
+    * produce bit-identical statistics. */
+  private def mwFinal(agg: DataFrame): DataFrame = {
     val u = col("r1") - col("n1") * (col("n1") + 1) / 2
     agg.select(
       round(u, 1).as("u_stat"),
@@ -1077,6 +1086,32 @@ object AnalyticsQueries {
         sqrt(col("n1") * col("n2") * (col("n1") + col("n2") + 1) / 12), 5)
         .as("z_score"),
       col("n1").cast("long").as("n_a"), col("n2").cast("long").as("n_b"))
+  }
+
+  /** [[mannWhitney]] restated on the two-level prefix sum: aggregate to
+    * the DISTINCT-VALUE grain first (n1v, tot per value), take the
+    * exclusive prefix sum of `tot` in value order via
+    * [[withRangeOffsets]], and the average rank is pure arithmetic —
+    * ar(v) = off + (tot + 1)/2 — so r1 = Σ n1v·ar. Rank sums are
+    * integer-or-half values (exact doubles), making the twin
+    * bit-identical to the window form (same oracle SQL). On continuous
+    * values the distinct grain equals the row grain — the point is not
+    * compression but that NO single task ever holds the sort: every
+    * per-value row is ranked inside its range bucket. */
+  def mannWhitneyOffsets(spark: SparkSession, dir: String): DataFrame = {
+    val isA = col("event_type") === "view"
+    val byV = table(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"), col("value"))
+      .groupBy(col("value"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("n1v"),
+        count(lit(1)).as("tot"))
+    val ranked = withRangeOffsets(byV, "value", Nil, "tot", 64, "off")
+    val agg = ranked.agg(
+      sum(col("n1v") * (col("off") + (col("tot") + 1) / lit(2.0))).as("r1"),
+      sum(col("n1v")).cast("double").as("n1"),
+      sum(col("tot") - col("n1v")).cast("double").as("n2"))
+    mwFinal(agg)
   }
 
   /** cramersV (ClickHouse): categorical association between event type
@@ -1667,6 +1702,77 @@ object AnalyticsQueries {
         (col("sr").cast("double") / 100.0).as("total_revenue"))
   }
 
+  // ------------------------------------------------------------------
+  // Scale twins of the global-sort analytics (round 12): gini_revenue,
+  // rfm_segments and mann_whitney are total-order statistics whose
+  // textbook plan is ONE un-partitioned window over the value grain —
+  // fine at the fixture, a single-task bottleneck once the grain is a
+  // 100x customer dimension. These twins restate the SAME statistic on
+  // the repo's two-level distributed prefix sum (Packing.withOffsets):
+  // contiguous VALUE-RANGE buckets (one O(1) min/max probe, broadcast),
+  // per-bucket local windows, and the only global window over the
+  // <= nBuckets subtotal rows. The rank arithmetic is exact and
+  // bucketing-independent, so each twin is VALUE-IDENTICAL to its exact
+  // sibling and shares its oracle SQL verbatim — the quality_deciles /
+  // quality_deciles_approx pairing, but with no approximation at all.
+  // ------------------------------------------------------------------
+
+  /** Exclusive prefix sum of `valueCol` in ascending (`sortCol`,
+    * `tieCols`) order without a single-task window: contiguous range
+    * buckets over the sort value feed [[graft.operators.Packing
+    * .withOffsets]]. Range buckets can be count-skewed on pathological
+    * value distributions — each bucket still only processes its own
+    * rows, and the offsets are bucketing-independent; hash-bucket
+    * alternatives do not apply because the bucket must be monotone in
+    * the sort value.
+    */
+  private def withRangeOffsets(df: DataFrame, sortCol: String,
+      tieCols: Seq[String], valueCol: String, nBuckets: Int,
+      offCol: String): DataFrame = {
+    val mm = df.agg(min(col(sortCol)).as("_rk_mn"), max(col(sortCol)).as("_rk_mx"))
+    val b = df.crossJoin(broadcast(mm))
+    val bucket = least(lit((nBuckets - 1).toLong),
+      floor((col(sortCol) - col("_rk_mn")).cast("double") * nBuckets /
+        ((col("_rk_mx") - col("_rk_mn")).cast("double") + 1.0)).cast("long"))
+    graft.operators.Packing
+      .withOffsets(b, sortCol +: tieCols, valueCol, bucket, offCol)
+      .drop("_rk_mn", "_rk_mx")
+  }
+
+  /** Dense 1-based rank (row_number) of (`sortCol`, `tieCol`): the
+    * unit-weight special case of [[withRangeOffsets]]. */
+  private def rankByRange(df: DataFrame, sortCol: String, tieCol: String,
+      nBuckets: Int, rankCol: String): DataFrame =
+    withRangeOffsets(df.withColumn("_rk_one", lit(1L)), sortCol,
+      Seq(tieCol), "_rk_one", nBuckets, rankCol)
+      .withColumn(rankCol, col(rankCol) + 1)
+      .drop("_rk_one")
+
+  /** [[giniRevenue]] restated on the two-level prefix sum: rank i comes
+    * from [[rankByRange]] instead of a global row_number window, the
+    * Σi·rev / Σrev folds are unchanged exact decimals — value-identical
+    * output (same oracle SQL), no single task ever holds the customer
+    * dimension. */
+  def giniRevenueOffsets(spark: SparkSession, dir: String): DataFrame = {
+    val r = table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+      .cacheTracked()
+    rankByRange(r, "rev_c", "o_custkey", 64, "i")
+      .agg(
+        sum((col("i").cast("decimal(18,0)") *
+          col("rev_c").cast("decimal(18,0)"))).as("sir"),
+        sum(col("rev_c").cast("decimal(18,0)")).as("sr"),
+        count(lit(1)).as("n"))
+      .select(
+        (floor((lit(2.0) * col("sir").cast("double") /
+          (col("n") * col("sr").cast("double")) -
+          (col("n") + lit(1.0)) / col("n")) * 1000000.0 + 0.5) / 1000000.0)
+          .as("gini"),
+        col("n").as("n_customers"),
+        (col("sr").cast("double") / 100.0).as("total_revenue"))
+  }
+
   /** ClickHouse IPv4 function family (IPv4NumToString / subnet rollup):
     * a deterministic 10.0.0.0/12 address is synthesized per user (the
     * fixtures carry no IP column), formatted dotted-quad, and rolled up
@@ -2008,6 +2114,55 @@ object AnalyticsQueries {
       .orderBy("segment")
   }
 
+  /** Standard SQL NTILE(k) restated as pure rank arithmetic: with n
+    * rows, q = n DIV k and r = n MOD k, the first r tiles hold q+1 rows
+    * — identical to the window function on both engines, but computable
+    * from a distributed dense rank. The dead-branch divisor is clamped
+    * (the q = 0 case is fully covered by the first branch). */
+  private def ntileArith(i: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column, k: Int)
+      : org.apache.spark.sql.Column = {
+    val q = floor(n / k).cast("long")
+    val r = n % k
+    val cut = r * (q + 1)
+    when(i <= cut, floor((i + q) / (q + 1)).cast("int"))
+      .otherwise((r + floor((i - cut + q - 1) /
+        greatest(q, lit(1L)))).cast("int"))
+  }
+
+  /** [[rfmSegments]] restated on the two-level prefix sum: the three
+    * global ntile(5) windows become three bucketed dense ranks
+    * ([[rankByRange]]) + the NTILE arithmetic ([[ntileArith]]) against
+    * the broadcast customer count — value-identical segments (same
+    * oracle SQL), and no single task ever sorts the customer dimension.
+    * The customer aggregate is cache-tracked: three rank passes + the
+    * count probe would otherwise re-aggregate orders five times. */
+  def rfmSegmentsOffsets(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val mx = o.agg(max(col("o_orderdate")).as("maxd"))
+    val c = o.crossJoin(broadcast(mx))
+      .groupBy(col("o_custkey"))
+      .agg(datediff(max(col("maxd")), max(col("o_orderdate"))).as("recency"),
+        count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .withColumn("negrec", -col("recency"))
+      .cacheTracked()
+    val nf = broadcast(c.agg(count(lit(1)).as("_n")))
+    val ranked = rankByRange(rankByRange(rankByRange(
+      c, "negrec", "o_custkey", 64, "_ri"),
+      "freq", "o_custkey", 64, "_fi"),
+      "cents", "o_custkey", 64, "_mi")
+    val s = ranked.crossJoin(nf)
+      .withColumn("r", ntileArith(col("_ri"), col("_n"), 5))
+      .withColumn("f", ntileArith(col("_fi"), col("_n"), 5))
+      .withColumn("m", ntileArith(col("_mi"), col("_n"), 5))
+    s.groupBy(concat(col("r"), col("f"), col("m")).as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        (floor(sum(col("cents")).cast("double") / count(lit(1)) + 0.5) / 100.0)
+          .as("avg_monetary"))
+      .orderBy("segment")
+  }
+
   /** Terminal sparkline per series (ClickHouse `sparkbar(16)`): 16
     * event-time buckets per event_type, bucket counts scaled to the
     * eighth-block glyphs U+2581..U+2588, empty buckets rendered as a
@@ -2069,12 +2224,14 @@ object AnalyticsQueries {
     "kendall_tau" -> (kendallTau _),
     "categorical_iv" -> (categoricalIv _),
     "rfm_segments" -> (rfmSegments _),
+    "rfm_segments_offsets" -> (rfmSegmentsOffsets _),
     "sparkbar" -> (sparkbar _),
     "series_anomaly_mad" -> (seriesAnomalyMad _),
     "zorder_key" -> (zorderKey _),
     "attribution_last_touch" -> (attributionLastTouch _),
     "audience_overlap" -> (audienceOverlap _),
     "gini_revenue" -> (giniRevenue _),
+    "gini_revenue_offsets" -> (giniRevenueOffsets _),
     "ip_functions" -> (ipFunctions _),
     "geo_distance" -> (geoDistance _),
     "mutual_info" -> (mutualInfo _),
@@ -2097,6 +2254,7 @@ object AnalyticsQueries {
     "series_period_detect" -> (seriesPeriodDetect _),
     "theils_u" -> (theilsU _),
     "mann_whitney" -> (mannWhitney _),
+    "mann_whitney_offsets" -> (mannWhitneyOffsets _),
     "welch_ttest" -> (welchTtest _),
     "student_ttest" -> (studentTtest _),
     "anova_oneway" -> (anovaOneway _),
@@ -2140,6 +2298,52 @@ object AnalyticsQueries {
     "sample_split_md5" -> (sampleSplitMd5 _)
   )
 
+  // ONE oracle per statistic, shared verbatim by the exact window form
+  // and its offsets twin -- the twins are value-identical by design.
+  private val giniOracle: String =
+    ("WITH r AS (SELECT o_custkey, " +
+        "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c " +
+        "FROM orders GROUP BY 1), " +
+        "k AS (SELECT rev_c, ROW_NUMBER() OVER (ORDER BY rev_c, o_custkey) AS i " +
+        "FROM r), " +
+        "s AS (SELECT SUM(i * rev_c) AS sir, SUM(rev_c) AS sr, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM k) " +
+        "SELECT FLOOR((2.0 * CAST(sir AS DOUBLE) / (n * CAST(sr AS DOUBLE)) - " +
+        "(n + 1.0) / n) * 1000000 + 0.5) / 1000000 AS gini, " +
+        "n AS n_customers, " +
+        "CAST(sr AS DOUBLE) / 100 AS total_revenue FROM s")
+
+  private val rfmOracle: String =
+    ("WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders), " +
+        "c AS (SELECT o_custkey, " +
+        "date_diff('day', MAX(o_orderdate), maxd) AS recency, " +
+        "COUNT(*) AS freq, " +
+        "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents " +
+        "FROM orders, mx GROUP BY 1, maxd), " +
+        "s AS (SELECT o_custkey, " +
+        "NTILE(5) OVER (ORDER BY recency DESC, o_custkey) AS r, " +
+        "NTILE(5) OVER (ORDER BY freq, o_custkey) AS f, " +
+        "NTILE(5) OVER (ORDER BY cents, o_custkey) AS m, " +
+        "cents FROM c) " +
+        "SELECT r || f || m AS segment, CAST(COUNT(*) AS BIGINT) AS n_customers, " +
+        "FLOOR(CAST(SUM(cents) AS DOUBLE) / COUNT(*) + 0.5) / 100 AS avg_monetary " +
+        "FROM s GROUP BY 1 ORDER BY 1")
+
+  private val mwOracle: String =
+    ("WITH s AS (SELECT event_type, value FROM events " +
+        "WHERE event_type IN ('view', 'purchase')), " +
+        "r AS (SELECT event_type, RANK() OVER (ORDER BY value) + " +
+        "(COUNT(*) OVER (PARTITION BY value) - 1) / 2.0 AS ar FROM s), " +
+        "agg AS (SELECT " +
+        "SUM(CASE WHEN event_type = 'view' THEN ar ELSE 0 END) AS r1, " +
+        "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE) AS n1, " +
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS n2 " +
+        "FROM r) " +
+        "SELECT ROUND(r1 - n1 * (n1 + 1) / 2, 1) AS u_stat, " +
+        "ROUND((r1 - n1 * (n1 + 1) / 2 - n1 * n2 / 2) / " +
+        "sqrt(n1 * n2 * (n1 + n2 + 1) / 12), 5) AS z_score, " +
+        "CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b FROM agg")
+
   val oracleSql: Map[String, String] = Map(
     "delta_sum" ->
       ("WITH d AS (SELECT event_type, value, " +
@@ -2175,21 +2379,8 @@ object AnalyticsQueries {
         "ROUND(((ev + 0.5) / (tev + 0.5) - (nev + 0.5) / (tnev + 0.5)) * " +
         "LN(((ev + 0.5) / (tev + 0.5)) / ((nev + 0.5) / (tnev + 0.5))), 6) AS iv_term " +
         "FROM b, t ORDER BY 1"),
-    "rfm_segments" ->
-      ("WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders), " +
-        "c AS (SELECT o_custkey, " +
-        "date_diff('day', MAX(o_orderdate), maxd) AS recency, " +
-        "COUNT(*) AS freq, " +
-        "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents " +
-        "FROM orders, mx GROUP BY 1, maxd), " +
-        "s AS (SELECT o_custkey, " +
-        "NTILE(5) OVER (ORDER BY recency DESC, o_custkey) AS r, " +
-        "NTILE(5) OVER (ORDER BY freq, o_custkey) AS f, " +
-        "NTILE(5) OVER (ORDER BY cents, o_custkey) AS m, " +
-        "cents FROM c) " +
-        "SELECT r || f || m AS segment, CAST(COUNT(*) AS BIGINT) AS n_customers, " +
-        "FLOOR(CAST(SUM(cents) AS DOUBLE) / COUNT(*) + 0.5) / 100 AS avg_monetary " +
-        "FROM s GROUP BY 1 ORDER BY 1"),
+    "rfm_segments" -> rfmOracle,
+    "rfm_segments_offsets" -> rfmOracle,
     "sparkbar" ->
       ("WITH rng AS (SELECT event_type, MIN(epoch(ts)) AS mn, " +
         "MAX(epoch(ts)) AS mx FROM events GROUP BY 1), " +
@@ -2247,18 +2438,8 @@ object AnalyticsQueries {
         "ROUND(CAST(n_both AS DOUBLE) / (ta.n + tb.n - n_both), 6) AS jaccard " +
         "FROM p JOIN t ta ON ta.event_type = type_a " +
         "JOIN t tb ON tb.event_type = type_b ORDER BY 1, 2"),
-    "gini_revenue" ->
-      ("WITH r AS (SELECT o_custkey, " +
-        "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c " +
-        "FROM orders GROUP BY 1), " +
-        "k AS (SELECT rev_c, ROW_NUMBER() OVER (ORDER BY rev_c, o_custkey) AS i " +
-        "FROM r), " +
-        "s AS (SELECT SUM(i * rev_c) AS sir, SUM(rev_c) AS sr, " +
-        "CAST(COUNT(*) AS BIGINT) AS n FROM k) " +
-        "SELECT FLOOR((2.0 * CAST(sir AS DOUBLE) / (n * CAST(sr AS DOUBLE)) - " +
-        "(n + 1.0) / n) * 1000000 + 0.5) / 1000000 AS gini, " +
-        "n AS n_customers, " +
-        "CAST(sr AS DOUBLE) / 100 AS total_revenue FROM s"),
+    "gini_revenue" -> giniOracle,
+    "gini_revenue_offsets" -> giniOracle,
     "ip_functions" ->
       ("WITH ips AS (SELECT 167772160 + (user_id * 2654435761) % 1048576 AS ip " +
         "FROM events), " +
@@ -2544,20 +2725,8 @@ object AnalyticsQueries {
         "(ANY_VALUE(n1) + ANY_VALUE(n2))), 5) AS ks_norm, " +
         "CAST(ANY_VALUE(n1) AS BIGINT) AS n_a, CAST(ANY_VALUE(n2) AS BIGINT) AS n_b " +
         "FROM c"),
-    "mann_whitney" ->
-      ("WITH s AS (SELECT event_type, value FROM events " +
-        "WHERE event_type IN ('view', 'purchase')), " +
-        "r AS (SELECT event_type, RANK() OVER (ORDER BY value) + " +
-        "(COUNT(*) OVER (PARTITION BY value) - 1) / 2.0 AS ar FROM s), " +
-        "agg AS (SELECT " +
-        "SUM(CASE WHEN event_type = 'view' THEN ar ELSE 0 END) AS r1, " +
-        "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE) AS n1, " +
-        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS n2 " +
-        "FROM r) " +
-        "SELECT ROUND(r1 - n1 * (n1 + 1) / 2, 1) AS u_stat, " +
-        "ROUND((r1 - n1 * (n1 + 1) / 2 - n1 * n2 / 2) / " +
-        "sqrt(n1 * n2 * (n1 + n2 + 1) / 12), 5) AS z_score, " +
-        "CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b FROM agg"),
+    "mann_whitney" -> mwOracle,
+    "mann_whitney_offsets" -> mwOracle,
     "welch_ttest" ->
       ("WITH s AS (SELECT event_type, AVG(value) AS m, VAR_SAMP(value) AS v, " +
         "CAST(COUNT(*) AS DOUBLE) AS n FROM events " +

@@ -1,9 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.forecast.{Backtest, ForecastEngine, ForecastOutput}
+import graft.forecast.{Backtest, ForecastEngine, ForecastOutput, ForecastRow}
 import graft.series.{Bucketize, SeriesOps}
 import graft.sources.Fixtures
 
@@ -26,6 +26,49 @@ object CoreQueries {
   private def eventsLong(spark: SparkSession, dir: String): DataFrame =
     SeriesOps.melt(Bucketize.events(table(spark, dir, "events")), eventMetrics)
       .withColumn("table", lit("bucket_events"))
+
+  // ------------------------------------------------------------------
+  // Shared long-form fit builders: ONE construction per model variant,
+  // consumed by the full-value library output, the per-metric `_gate`,
+  // and the per-row CHECKED face registered for the driver, so the
+  // fitted configuration cannot drift between the three.
+  // ------------------------------------------------------------------
+
+  private val monthStarts: Array[Long] = (for {
+    y <- 2024 to 2025
+    m <- 1 to 12
+  } yield java.time.LocalDate.of(y, m, 1).toEpochDay).toArray
+
+  private def fcHolidays(spark: SparkSession, dir: String): Dataset[ForecastRow] =
+    ForecastEngine.forecast(eventsLong(spark, dir), interval = 7,
+      onlyFuture = false, holidays = Map("month_start" -> monthStarts))
+
+  private def fcMultiplicative(spark: SparkSession, dir: String): Dataset[ForecastRow] =
+    ForecastEngine.forecast(eventsLong(spark, dir), interval = 7,
+      onlyFuture = false,
+      growth = graft.forecast.ProphetLike.GrowthConfig(multiplicativeSeasonality = true))
+
+  private def fcSimband(spark: SparkSession, dir: String): Dataset[ForecastRow] =
+    ForecastEngine.forecast(eventsLong(spark, dir), interval = 7,
+      onlyFuture = false, band = ForecastEngine.SimulatedBand())
+
+  private def fcFuture(spark: SparkSession, dir: String): Dataset[ForecastRow] =
+    ForecastEngine.forecast(eventsLong(spark, dir), interval = 7, onlyFuture = true)
+
+  private def fcLogistic(spark: SparkSession, dir: String): (Dataset[ForecastRow], Double) = {
+    val long = eventsLong(spark, dir)
+    val cap = long.agg(max(col("y").cast("double"))).collect().head.getDouble(0) * 1.5
+    (ForecastEngine.forecast(long, interval = 7, onlyFuture = false,
+      growth = graft.forecast.ProphetLike.GrowthConfig(
+        growth = "logistic", cap = cap, floor = 0.0)), cap)
+  }
+
+  private def fcOrders(spark: SparkSession, dir: String): Dataset[ForecastRow] = {
+    val metrics = Seq("order_count", "revenue")
+    val bucket = Bucketize.orders(table(spark, dir, "orders"))
+    val long = SeriesOps.melt(bucket, metrics).withColumn("table", lit("bucket_orders"))
+    ForecastEngine.forecast(long, interval = 30, onlyFuture = false)
+  }
 
   /** S1+R1+A-series: daily bucketization of `events` (FIXTURES.md §B) —
     * the reference's assumed data-producing front end. */
@@ -134,13 +177,9 @@ object CoreQueries {
 
   /** Long-history variant (~6.5 y of order dates): exercises the yearly-
     * seasonality path and date-gap handling. */
-  def forecastOrders(spark: SparkSession, dir: String): DataFrame = {
-    val metrics = Seq("order_count", "revenue")
-    val bucket = Bucketize.orders(table(spark, dir, "orders"))
-    val long = SeriesOps.melt(bucket, metrics).withColumn("table", lit("bucket_orders"))
-    val fc = ForecastEngine.forecast(long, interval = 30, onlyFuture = false)
-    ForecastOutput.toWide(fc, metrics).orderBy("date")
-  }
+  def forecastOrders(spark: SparkSession, dir: String): DataFrame =
+    ForecastOutput.toWide(fcOrders(spark, dir), Seq("order_count", "revenue"))
+      .orderBy("date")
 
   /** M4 simulated-band (Prophet-parity) path through the driver surface:
     * same pipeline as forecastEvents but band = SimulatedBand(). The
@@ -149,12 +188,8 @@ object CoreQueries {
     * rows. Rows-only: the seeded trend simulation is not SQL-expressible;
     * band invariants (ordering, widening, determinism) live in
     * ForecastSpec/ForecastPropertySpec. */
-  def forecastEventsSimband(spark: SparkSession, dir: String): DataFrame = {
-    val long = eventsLong(spark, dir)
-    val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false,
-      band = ForecastEngine.SimulatedBand())
-    ForecastOutput.toWide(fc, eventMetrics).orderBy("date")
-  }
+  def forecastEventsSimband(spark: SparkSession, dir: String): DataFrame =
+    ForecastOutput.toWide(fcSimband(spark, dir), eventMetrics).orderBy("date")
 
   /** In-sample anomaly detection — the natural consumer of the fitted
     * band: history days whose ACTUAL value falls outside the model's 80%
@@ -184,16 +219,8 @@ object CoreQueries {
     * ForecastPropertySpec. Deterministic: fixed calendar, closed-form
     * solve, analytic band.
     */
-  def forecastEventsHolidays(spark: SparkSession, dir: String): DataFrame = {
-    val monthStarts = (for {
-      y <- 2024 to 2025
-      m <- 1 to 12
-    } yield java.time.LocalDate.of(y, m, 1).toEpochDay).toArray
-    val long = eventsLong(spark, dir)
-    val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false,
-      holidays = Map("month_start" -> monthStarts))
-    ForecastOutput.toWide(fc, eventMetrics).orderBy("date")
-  }
+  def forecastEventsHolidays(spark: SparkSession, dir: String): DataFrame =
+    ForecastOutput.toWide(fcHolidays(spark, dir), eventMetrics).orderBy("date")
 
   /** Saturating-growth path: every metric fit on the logit scale toward a
     * data-derived capacity (1.5x the observed global max — ONE one-row
@@ -202,34 +229,21 @@ object CoreQueries {
     * logit-link fit is not SQL-expressible); saturation/bounds
     * properties live in ForecastPropertySpec.
     */
-  def forecastEventsLogistic(spark: SparkSession, dir: String): DataFrame = {
-    val long = eventsLong(spark, dir)
-    val cap = long.agg(max(col("y").cast("double"))).collect().head.getDouble(0) * 1.5
-    val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false,
-      growth = graft.forecast.ProphetLike.GrowthConfig(
-        growth = "logistic", cap = cap, floor = 0.0))
-    ForecastOutput.toWide(fc, eventMetrics).orderBy("date")
-  }
+  def forecastEventsLogistic(spark: SparkSession, dir: String): DataFrame =
+    ForecastOutput.toWide(fcLogistic(spark, dir)._1, eventMetrics).orderBy("date")
 
   /** Multiplicative-seasonality path (Prophet's seasonality_mode):
     * seasonal swing scales with trend level via the two-stage detrended-
     * ratio fit. Rows-only; the mode's amplitude-tracking property is
     * pinned in ForecastPropertySpec.
     */
-  def forecastEventsMultiplicative(spark: SparkSession, dir: String): DataFrame = {
-    val long = eventsLong(spark, dir)
-    val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false,
-      growth = graft.forecast.ProphetLike.GrowthConfig(multiplicativeSeasonality = true))
-    ForecastOutput.toWide(fc, eventMetrics).orderBy("date")
-  }
+  def forecastEventsMultiplicative(spark: SparkSession, dir: String): DataFrame =
+    ForecastOutput.toWide(fcMultiplicative(spark, dir), eventMetrics).orderBy("date")
 
   /** --only-future path (fs:176 strict >): exactly `interval` rows per
     * metric, all strictly after the last history date. Rows-only. */
-  def forecastEventsFuture(spark: SparkSession, dir: String): DataFrame = {
-    val long = eventsLong(spark, dir)
-    val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = true)
-    ForecastOutput.toWide(fc, eventMetrics).orderBy("date")
-  }
+  def forecastEventsFuture(spark: SparkSession, dir: String): DataFrame =
+    ForecastOutput.toWide(fcFuture(spark, dir), eventMetrics).orderBy("date")
 
   /** Rolling-origin backtest over the events series ([[Backtest]]):
     * horizon 7, stepping the cutoff back 3 days while >= 14 training days
@@ -413,6 +427,105 @@ object CoreQueries {
   private def lastEventDay(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events").agg(max(to_date(col("ts"))).as("m"))
 
+  // ------------------------------------------------------------------
+  // Per-ROW checked faces (round 12): the registered form of each
+  // forecast VARIANT. Where the per-metric `_gate` aggregates the
+  // calendar to counts + an xor, these emit one row per forecast row
+  // with every column DuckDB-replayable — the DATE itself, the
+  // history/future split, and the band-sanity bit — so the driver hash
+  // pins the exact calendar and band ordering ROW BY ROW (a dropped,
+  // shifted, or duplicated date fails the compare directly, not through
+  // an xor fold). The model VALUES stay on the full-value library
+  // functions ([[forecastEventsHolidays]] etc., unchanged) whose
+  // invariants live in ForecastSpec/ForecastPropertySpec, and the one
+  // fully value-hash-checked forecast remains [[forecastEventsSnaive]].
+  // Same fit, same frame — the checked face derives FROM the variant's
+  // real fitted output via the shared fc builders, so a fit regression
+  // still flips these rows.
+  // ------------------------------------------------------------------
+
+  private def checkedRows(fc: DataFrame, lastHist: DataFrame,
+      extra: Seq[Column] = Nil): DataFrame =
+    fc.crossJoin(broadcast(lastHist))
+      .select(Seq(col("metric"), col("date"),
+        (col("date") > col("m")).cast("int").as("is_future"),
+        (col("yhat_lower") <= col("yhat") &&
+          col("yhat") <= col("yhat_upper")).cast("int").as("band_ok")) ++
+        extra: _*)
+      .orderBy("metric", "date")
+
+  /** Registered face of the holiday-regressor forecast: per-row
+    * calendar + band bits, plus the replayable `is_month_start`
+    * indicator — the driver hash pins that the regressor calendar the
+    * fit consumed is exactly the month-start set. */
+  def forecastEventsHolidaysChecked(spark: SparkSession, dir: String): DataFrame =
+    checkedRows(fcHolidays(spark, dir).toDF(), lastEventDay(spark, dir),
+      Seq((dayofmonth(col("date")) === 1 &&
+        year(col("date")).between(2024, 2025)).cast("int").as("is_month_start")))
+
+  /** Registered face of the multiplicative-seasonality forecast:
+    * per-row calendar + band bits (the mode's amplitude-tracking
+    * property is pinned in ForecastPropertySpec). */
+  def forecastEventsMultiplicativeChecked(spark: SparkSession, dir: String): DataFrame =
+    checkedRows(fcMultiplicative(spark, dir).toDF(), lastEventDay(spark, dir))
+
+  /** Registered face of the simulated-band forecast: the seeded
+    * simulation must produce a complete per-row calendar and an ordered
+    * band on EVERY row. */
+  def forecastEventsSimbandChecked(spark: SparkSession, dir: String): DataFrame =
+    checkedRows(fcSimband(spark, dir).toDF(), lastEventDay(spark, dir))
+
+  /** Registered face of the --only-future path: exactly the 7-step
+    * spine per metric with the horizon step `h` carried per row (so a
+    * shifted horizon fails on `h`, not just the date set). */
+  def forecastEventsFutureChecked(spark: SparkSession, dir: String): DataFrame = {
+    val fc = fcFuture(spark, dir).toDF()
+    fc.crossJoin(broadcast(lastEventDay(spark, dir)))
+      .select(col("metric"), col("date"),
+        datediff(col("date"), col("m")).as("h"),
+        (col("yhat_lower") <= col("yhat") &&
+          col("yhat") <= col("yhat_upper")).cast("int").as("band_ok"))
+      .orderBy("metric", "date")
+  }
+
+  /** Registered face of the logistic-growth forecast: per-row calendar
+    * + band bits, the per-row saturation bit, and the data-derived
+    * capacity itself in exact cents (`cap_c` — DuckDB recomputes
+    * 1.5x the observed global max from the source series, so a drifted
+    * cap fails the hash as a VALUE, not just a bound check). */
+  def forecastEventsLogisticChecked(spark: SparkSession, dir: String): DataFrame = {
+    val (fc, cap) = fcLogistic(spark, dir)
+    checkedRows(fc.toDF(), lastEventDay(spark, dir),
+      Seq((col("yhat") >= 0.0 && col("yhat") <= cap).cast("int").as("bounded_ok"),
+        floor(lit(cap) * 100 + 0.5).cast("long").as("cap_c")))
+  }
+
+  /** Registered face of the long-history orders forecast: per-row
+    * calendar + band bits over the observed-order-day spine + the
+    * 30-day horizon. */
+  def forecastOrdersChecked(spark: SparkSession, dir: String): DataFrame = {
+    val lastDay = table(spark, dir, "orders")
+      .agg(max(to_date(col("o_orderdate"))).as("m"))
+    checkedRows(fcOrders(spark, dir).toDF(), lastDay)
+  }
+
+  /** Registered face of the hourly forecast: per-row bucket + band bits
+    * with the bucket stated as the epoch-HOUR integer (format-proof
+    * across engines; the `_gate` twin already pins the same integer in
+    * its xor fold — this pins it per row). */
+  def forecastEventsHourlyChecked(spark: SparkSession, dir: String): DataFrame = {
+    val fc = forecastEventsHourly(spark, dir)
+    val lastHist = table(spark, dir, "events")
+      .agg(max(date_trunc("hour", col("ts"))).as("m"))
+    fc.crossJoin(broadcast(lastHist))
+      .select(col("metric"),
+        (unix_timestamp(col("ts")) / 3600).cast("long").as("epoch_hour"),
+        (col("ts") > col("m")).cast("int").as("is_future"),
+        (col("yhat_lower") <= col("yhat") &&
+          col("yhat") <= col("yhat_upper")).cast("int").as("band_ok"))
+      .orderBy("metric", "epoch_hour")
+  }
+
   /** Oracle gate for the flagship additive daily forecast: every source
     * day fitted, exactly the 7-day horizon appended, band ordered. */
   def forecastEventsGate(spark: SparkSession, dir: String): DataFrame = {
@@ -423,55 +536,32 @@ object CoreQueries {
 
   /** Oracle gate for the --only-future path: the strict `>` filter claim
     * becomes the constant n_hist = 0 with the full 7-step horizon. */
-  def forecastEventsFutureGate(spark: SparkSession, dir: String): DataFrame = {
-    val long = eventsLong(spark, dir)
-    val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = true)
-    dailyGate(fc.toDF(), lastEventDay(spark, dir))
-  }
+  def forecastEventsFutureGate(spark: SparkSession, dir: String): DataFrame =
+    dailyGate(fcFuture(spark, dir).toDF(), lastEventDay(spark, dir))
 
   /** Oracle gate for the holiday-regressor fit: the extra indicator
     * column must not change the calendar or band ordering (the effect-
     * recovery property itself is pinned in ForecastPropertySpec). */
-  def forecastEventsHolidaysGate(spark: SparkSession, dir: String): DataFrame = {
-    val monthStarts = (for {
-      y <- 2024 to 2025
-      m <- 1 to 12
-    } yield java.time.LocalDate.of(y, m, 1).toEpochDay).toArray
-    val long = eventsLong(spark, dir)
-    val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false,
-      holidays = Map("month_start" -> monthStarts))
-    dailyGate(fc.toDF(), lastEventDay(spark, dir))
-  }
+  def forecastEventsHolidaysGate(spark: SparkSession, dir: String): DataFrame =
+    dailyGate(fcHolidays(spark, dir).toDF(), lastEventDay(spark, dir))
 
   /** Oracle gate for the multiplicative-seasonality path: calendar counts
     * + band sanity (the mode's amplitude-tracking property itself is
     * pinned in ForecastPropertySpec). */
-  def forecastEventsMultiplicativeGate(spark: SparkSession, dir: String): DataFrame = {
-    val long = eventsLong(spark, dir)
-    val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false,
-      growth = graft.forecast.ProphetLike.GrowthConfig(multiplicativeSeasonality = true))
-    dailyGate(fc.toDF(), lastEventDay(spark, dir))
-  }
+  def forecastEventsMultiplicativeGate(spark: SparkSession, dir: String): DataFrame =
+    dailyGate(fcMultiplicative(spark, dir).toDF(), lastEventDay(spark, dir))
 
   /** Oracle gate for the simulated-band path: the seeded simulation must
     * still produce a complete calendar and an ordered band. */
-  def forecastEventsSimbandGate(spark: SparkSession, dir: String): DataFrame = {
-    val long = eventsLong(spark, dir)
-    val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false,
-      band = ForecastEngine.SimulatedBand())
-    dailyGate(fc.toDF(), lastEventDay(spark, dir))
-  }
+  def forecastEventsSimbandGate(spark: SparkSession, dir: String): DataFrame =
+    dailyGate(fcSimband(spark, dir).toDF(), lastEventDay(spark, dir))
 
   /** Oracle gate for the logistic-growth path: calendar counts, band
     * sanity, plus the saturation claim itself — every yhat must sit in
     * [0, cap] (cap = 1.5x the observed global max, recomputed here the
     * same way the query computes it). */
   def forecastEventsLogisticGate(spark: SparkSession, dir: String): DataFrame = {
-    val long = eventsLong(spark, dir)
-    val cap = long.agg(max(col("y").cast("double"))).collect().head.getDouble(0) * 1.5
-    val fc = ForecastEngine.forecast(long, interval = 7, onlyFuture = false,
-      growth = graft.forecast.ProphetLike.GrowthConfig(
-        growth = "logistic", cap = cap, floor = 0.0))
+    val (fc, cap) = fcLogistic(spark, dir)
     dailyGate(fc.toDF(), lastEventDay(spark, dir),
       min((col("yhat") >= 0.0 && col("yhat") <= cap).cast("int")).as("bounded_ok"))
   }
@@ -481,12 +571,8 @@ object CoreQueries {
     * the engine forecasts over observed days, not a gap-filled spine),
     * horizon 30, band sanity. */
   def forecastOrdersGate(spark: SparkSession, dir: String): DataFrame = {
-    val metrics = Seq("order_count", "revenue")
-    val bucket = Bucketize.orders(table(spark, dir, "orders"))
-    val long = SeriesOps.melt(bucket, metrics).withColumn("table", lit("bucket_orders"))
-    val fc = ForecastEngine.forecast(long, interval = 30, onlyFuture = false)
     val lastDay = table(spark, dir, "orders").agg(max(to_date(col("o_orderdate"))).as("m"))
-    dailyGate(fc.toDF(), lastDay)
+    dailyGate(fcOrders(spark, dir).toDF(), lastDay)
   }
 
   /** Oracle gate for in-sample anomaly detection: every (metric, day) got
@@ -535,7 +621,7 @@ object CoreQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "forecast_events_hourly" -> (forecastEventsHourly _),
+    "forecast_events_hourly" -> (forecastEventsHourlyChecked _),
     "forecast_events_hourly_gate" -> (forecastEventsHourlyGate _),
     "forecast_events_snaive" -> (forecastEventsSnaive _),
     "forecast_backtest" -> (forecastBacktest _),
@@ -543,19 +629,19 @@ object CoreQueries {
     "forecast_backtest_naive" -> (forecastBacktestNaive _),
     "forecast_events" -> (forecastEvents _),
     "forecast_events_gate" -> (forecastEventsGate _),
-    "forecast_events_holidays" -> (forecastEventsHolidays _),
+    "forecast_events_holidays" -> (forecastEventsHolidaysChecked _),
     "forecast_events_holidays_gate" -> (forecastEventsHolidaysGate _),
-    "forecast_events_logistic" -> (forecastEventsLogistic _),
+    "forecast_events_logistic" -> (forecastEventsLogisticChecked _),
     "forecast_events_logistic_gate" -> (forecastEventsLogisticGate _),
-    "forecast_events_multiplicative" -> (forecastEventsMultiplicative _),
+    "forecast_events_multiplicative" -> (forecastEventsMultiplicativeChecked _),
     "forecast_events_multiplicative_gate" -> (forecastEventsMultiplicativeGate _),
-    "forecast_events_future" -> (forecastEventsFuture _),
+    "forecast_events_future" -> (forecastEventsFutureChecked _),
     "forecast_events_future_gate" -> (forecastEventsFutureGate _),
-    "forecast_events_simband" -> (forecastEventsSimband _),
+    "forecast_events_simband" -> (forecastEventsSimbandChecked _),
     "forecast_events_simband_gate" -> (forecastEventsSimbandGate _),
     "forecast_anomalies" -> (forecastAnomalies _),
     "forecast_anomalies_gate" -> (forecastAnomaliesGate _),
-    "forecast_orders" -> (forecastOrders _),
+    "forecast_orders" -> (forecastOrdersChecked _),
     "forecast_orders_gate" -> (forecastOrdersGate _),
     "bucketize_events" -> (bucketizeEvents _),
     "max_date" -> (maxDate _),
@@ -606,6 +692,24 @@ object CoreQueries {
       "('value_sum')) m(metric) ORDER BY metric"
 
   private val eventsDailyGateSql: String = dailyGateSql(7)
+
+  /** Shared per-row checked-face oracle: one row per (metric, calendar
+    * day) — the distinct event days plus the `horizon`-day spine — with
+    * the history/future split computed from the source calendar and the
+    * band bit as the expected constant. `extraCols` appends replayable
+    * per-row columns.
+    */
+  private def checkedRowsSql(horizon: Int, extraCols: String = ""): String =
+    "WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events), " +
+      "h AS (SELECT MAX(d) AS last_d FROM days), " +
+      "cal AS (SELECT d FROM days UNION ALL SELECT " +
+      "CAST(last_d + i * INTERVAL '1 day' AS DATE) FROM h CROSS JOIN " +
+      s"generate_series(1, $horizon) gs(i)) " +
+      "SELECT m.metric, cal.d AS date, " +
+      "CASE WHEN cal.d > h.last_d THEN 1 ELSE 0 END AS is_future, " +
+      s"1 AS band_ok$extraCols FROM cal CROSS JOIN h CROSS JOIN (VALUES " +
+      "('active_users'), ('event_count'), ('value_sum')) m(metric) " +
+      "ORDER BY metric, date"
 
   val oracleSql: Map[String, String] = Map(
     // DuckDB recomputes the hourly bucket count per metric; the horizon
@@ -729,6 +833,62 @@ object CoreQueries {
     "forecast_events_multiplicative_gate" -> eventsDailyGateSql,
     "forecast_events_simband_gate" -> eventsDailyGateSql,
     "forecast_events_logistic_gate" -> dailyGateSql(7, ", 1 AS bounded_ok"),
+    // ---- per-row checked faces (round 12): every column replayable ----
+    "forecast_events_holidays" -> checkedRowsSql(7,
+      ", CASE WHEN EXTRACT(day FROM cal.d) = 1 AND EXTRACT(year FROM " +
+        "cal.d) BETWEEN 2024 AND 2025 THEN 1 ELSE 0 END AS is_month_start"),
+    "forecast_events_multiplicative" -> checkedRowsSql(7),
+    "forecast_events_simband" -> checkedRowsSql(7),
+    // the logistic face also replays the data-derived capacity: maxy is
+    // the max over the three exact daily series, cap_c its 1.5x in the
+    // shared half-up floor cents grain (same IEEE operation order)
+    "forecast_events_logistic" ->
+      (s"WITH b AS ($bucketizeSql), " +
+        "mm AS (SELECT CAST(event_count AS DOUBLE) AS y FROM b " +
+        "UNION ALL SELECT value_sum FROM b " +
+        "UNION ALL SELECT CAST(active_users AS DOUBLE) FROM b), " +
+        "my AS (SELECT MAX(y) AS maxy FROM mm), " +
+        "days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events), " +
+        "h AS (SELECT MAX(d) AS last_d FROM days), " +
+        "cal AS (SELECT d FROM days UNION ALL SELECT " +
+        "CAST(last_d + i * INTERVAL '1 day' AS DATE) FROM h CROSS JOIN " +
+        "generate_series(1, 7) gs(i)) " +
+        "SELECT m.metric, cal.d AS date, " +
+        "CASE WHEN cal.d > h.last_d THEN 1 ELSE 0 END AS is_future, " +
+        "1 AS band_ok, 1 AS bounded_ok, " +
+        "CAST(FLOOR(maxy * 1.5 * 100 + 0.5) AS BIGINT) AS cap_c " +
+        "FROM cal CROSS JOIN h CROSS JOIN my CROSS JOIN (VALUES " +
+        "('active_users'), ('event_count'), ('value_sum')) m(metric) " +
+        "ORDER BY metric, date"),
+    "forecast_events_future" ->
+      ("WITH h AS (SELECT MAX(CAST(ts AS DATE)) AS last_d FROM events), " +
+        "cal AS (SELECT CAST(last_d + i * INTERVAL '1 day' AS DATE) AS d, " +
+        "CAST(i AS INTEGER) AS hh FROM h CROSS JOIN " +
+        "generate_series(1, 7) gs(i)) " +
+        "SELECT m.metric, cal.d AS date, hh AS h, 1 AS band_ok " +
+        "FROM cal CROSS JOIN (VALUES ('active_users'), ('event_count'), " +
+        "('value_sum')) m(metric) ORDER BY metric, date"),
+    "forecast_orders" ->
+      ("WITH days AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d " +
+        "FROM orders), " +
+        "h AS (SELECT MAX(d) AS last_d FROM days), " +
+        "cal AS (SELECT d FROM days UNION ALL SELECT " +
+        "CAST(last_d + i * INTERVAL '1 day' AS DATE) FROM h CROSS JOIN " +
+        "generate_series(1, 30) gs(i)) " +
+        "SELECT m.metric, cal.d AS date, " +
+        "CASE WHEN cal.d > h.last_d THEN 1 ELSE 0 END AS is_future, " +
+        "1 AS band_ok FROM cal CROSS JOIN h CROSS JOIN (VALUES " +
+        "('order_count'), ('revenue')) m(metric) ORDER BY metric, date"),
+    "forecast_events_hourly" ->
+      ("WITH hrs AS (SELECT DISTINCT date_trunc('hour', ts) AS t FROM events), " +
+        "h AS (SELECT MAX(t) AS last_t FROM hrs), " +
+        "cal AS (SELECT t FROM hrs UNION ALL SELECT last_t + i * " +
+        "INTERVAL '1 hour' FROM h CROSS JOIN generate_series(1, 24) gs(i)) " +
+        "SELECT m.metric, CAST(epoch(cal.t) AS BIGINT) // 3600 AS epoch_hour, " +
+        "CASE WHEN cal.t > h.last_t THEN 1 ELSE 0 END AS is_future, " +
+        "1 AS band_ok FROM cal CROSS JOIN h CROSS JOIN (VALUES " +
+        "('event_count'), ('value_sum')) m(metric) " +
+        "ORDER BY metric, epoch_hour"),
     "forecast_orders_gate" ->
       ("WITH days AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d " +
         "FROM orders), " +
