@@ -94,7 +94,16 @@ object Scaling {
     // gate+mix face, and the value-hash-checked seasonal-naive forecast
     "pipeline_pretrain_full", "bpe_encode", "mix_token_budget",
     "mix_upsample", "curriculum_order", "pack_sequences_curriculum",
-    "stream_mix_gate", "forecast_events_snaive")
+    "stream_mix_gate", "forecast_events_snaive",
+    // round 12: the budgeted/epoch composed pipeline and the offsets
+    // twins of the global-sort analytics — each expected linear with a
+    // constant-size single-partition stage (<= nBuckets subtotal rows);
+    // the exact siblings (global window forms) are measured alongside
+    // so the pairing's scale argument is evidence, not prose
+    "pipeline_pretrain_budget",
+    "gini_revenue", "gini_revenue_offsets",
+    "rfm_segments", "rfm_segments_offsets",
+    "mann_whitney", "mann_whitney_offsets")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
