@@ -43,7 +43,53 @@ object QueryIndex {
         ("the one forecast whose yhat/band VALUES are hash-checked " +
           "(exact-cents + mirrored IEEE tree); the backtest's skill baseline"),
       "ann_topk" ->
-        "quarantined brute-force oracle anchor; scale paths = ann_topk_{lsh,ivf,pq,...}")
+        "quarantined brute-force oracle anchor; scale paths = ann_topk_{lsh,ivf,pq,...}",
+      "pipeline_pretrain_budget" ->
+        ("the BUDGETED composition: token-budget mix + repeat-factor " +
+          "epochs (floor(B/T) full passes + a greedy fractional prefix) " +
+          "fused into the curated pipeline; copies pack as distinct " +
+          "sequence rows; 2.2x under 30x at x30"),
+      "gini_revenue" ->
+        ("exact global row_number window over the CUSTOMER grain — fine " +
+          "at interactive grains; 100 TB path = gini_revenue_offsets"),
+      "gini_revenue_offsets" ->
+        ("scale twin on the two-level prefix sum: value-identical, same " +
+          "oracle, no single-task sort; 2.5x under 30x at x30"),
+      "rfm_segments" ->
+        ("exact: three global ntile(5) windows over the customer grain; " +
+          "100 TB path = rfm_segments_offsets"),
+      "rfm_segments_offsets" ->
+        ("scale twin: three bucketed rank projections + exact NTILE " +
+          "arithmetic, value-identical, same oracle; 2.4x under 30x"),
+      "mann_whitney" ->
+        ("exact: one global rank window over the value grain; 100 TB " +
+          "path = mann_whitney_offsets"),
+      "mann_whitney_offsets" ->
+        ("scale twin: per-value bucketed prefix sum, bit-identical " +
+          "statistic, same oracle; 2.2x under 30x"),
+      "forecast_events" ->
+        ("flagship full-value forecast frame, rows-only by design (the " +
+          "fit is not SQL-expressible); calendar + band pinned by " +
+          "forecast_events_gate, values by ForecastPropertySpec + the " +
+          "snaive skill baseline"),
+      "forecast_events_holidays" ->
+        ("registered as the per-row CHECKED face (calendar, split, band " +
+          "+ month-start bits all hash-checked); full-value frame = " +
+          "forecastEventsHolidays (library)"),
+      "forecast_events_multiplicative" ->
+        "per-row checked face; full-value frame = forecastEventsMultiplicative (library)",
+      "forecast_events_simband" ->
+        "per-row checked face; full-value frame = forecastEventsSimband (library)",
+      "forecast_events_logistic" ->
+        ("per-row checked face incl. the saturation bit and the exact-" +
+          "cents data-derived cap; full-value frame = " +
+          "forecastEventsLogistic (library)"),
+      "forecast_events_future" ->
+        "per-row checked face incl. the horizon step; full-value frame = forecastEventsFuture (library)",
+      "forecast_events_hourly" ->
+        "per-row checked face over epoch-hour buckets; full-value frame = forecastEventsHourly (library)",
+      "forecast_orders" ->
+        "per-row checked face over the order-day spine + 30-day horizon; full-value frame = forecastOrders (library)")
     val rows = names.map { n =>
       val mode = if (oracles(n)) "DuckDB hash" else "rows-only (ScalaTest-bounded)"
       s"| $n | ${moduleOf.getOrElse(n, "?")} | $mode | ${notes.getOrElse(n, "")} |"
