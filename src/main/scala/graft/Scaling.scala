@@ -103,7 +103,9 @@ object Scaling {
     "pipeline_pretrain_budget",
     "gini_revenue", "gini_revenue_offsets",
     "rfm_segments", "rfm_segments_offsets",
-    "mann_whitney", "mann_whitney_offsets")
+    "mann_whitney", "mann_whitney_offsets",
+    "roc_auc", "roc_auc_offsets", "ks_test", "ks_test_offsets",
+    "rank_corr", "rank_corr_offsets")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -1114,6 +1114,89 @@ object AnalyticsQueries {
     mwFinal(agg)
   }
 
+  /** [[rocAuc]] restated on the two-level prefix sum — the
+    * [[mannWhitneyOffsets]] construction with the positive class in the
+    * rank-sum role (AUC IS the normalized U statistic); bit-identical
+    * output, same oracle SQL. Completes the total-order family's twin
+    * coverage together with ks/rank-corr below. */
+  def rocAucOffsets(spark: SparkSession, dir: String): DataFrame = {
+    val isPos = col("event_type") === "purchase"
+    val byV = table(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"), col("value"))
+      .groupBy(col("value"))
+      .agg(sum(when(isPos, 1L).otherwise(0L)).as("pv"),
+        count(lit(1)).as("tot"))
+    withRangeOffsets(byV, "value", Nil, "tot", 64, "off")
+      .agg(
+        sum(col("pv") * (col("off") + (col("tot") + 1) / lit(2.0))).as("rp"),
+        sum(col("pv")).cast("double").as("np"),
+        sum(col("tot") - col("pv")).cast("double").as("nn"))
+      .select(
+        round((col("rp") - col("np") * (col("np") + 1) / 2) /
+          (col("np") * col("nn")), 6).as("auc"),
+        col("np").cast("long").as("n_pos"), col("nn").cast("long").as("n_neg"))
+  }
+
+  /** [[ksTest]] restated on the two-level prefix sum: the exact form's
+    * RANGE-framed running counts give every row of a tied value the
+    * full tie-group sum, so the per-distinct-value inclusive prefixes
+    * (off + count) reproduce each row's ECDF gap exactly — d_stat is
+    * the max over the same gap set, in the same IEEE expression
+    * (integer counts divided by the long totals cast double).
+    * Value-identical, same oracle SQL; no global value-ordered window.
+    * The per-value frame and the first prefix pass are cache-tracked —
+    * the second [[withRangeOffsets]] pass consumes its input three
+    * times (range probe, subtotals, main), the rfm-twin lesson. */
+  def ksTestOffsets(spark: SparkSession, dir: String): DataFrame = {
+    val isA = col("event_type") === "view"
+    val byV = table(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"), col("value"))
+      .groupBy(col("value"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("av"),
+        sum(when(!isA, 1L).otherwise(0L)).as("bv"))
+      .cacheTracked()
+    val r1 = withRangeOffsets(byV, "value", Nil, "av", 64, "offa")
+      .cacheTracked()
+    val ranked = withRangeOffsets(r1, "value", Nil, "bv", 64, "offb")
+    val totals = byV.agg(sum(col("av")).as("n1"), sum(col("bv")).as("n2"))
+    val gap = abs(
+      (col("offa") + col("av")) / col("n1").cast("double") -
+        (col("offb") + col("bv")) / col("n2").cast("double"))
+    ranked.crossJoin(broadcast(totals))
+      .agg(
+        round(max(gap), 6).as("d_stat"),
+        round(max(gap) * sqrt((first(col("n1")) * first(col("n2"))).cast("double") /
+          (first(col("n1")) + first(col("n2")))), 5).as("ks_norm"),
+        first(col("n1")).cast("long").as("n_a"),
+        first(col("n2")).cast("long").as("n_b"))
+  }
+
+  /** [[rankCorr]] restated on the two-level prefix sum: each average
+    * rank becomes a per-distinct-value projection (off + (ties+1)/2)
+    * joined back onto the per-user frame by the value itself —
+    * identical rank multisets feed the same Pearson fold. Same oracle
+    * SQL; the per-user aggregate is cache-tracked (two rank-projection
+    * consumers + the final fold). */
+  def rankCorrOffsets(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = table(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("double").as("x"), sum(col("value")).as("y"))
+      .cacheTracked()
+    def avgRankProj(c: String, out: String): DataFrame =
+      withRangeOffsets(
+        perUser.groupBy(col(c)).agg(count(lit(1)).as("_rc_tot")),
+        c, Nil, "_rc_tot", 64, "_rc_off")
+        .select(col(c),
+          (col("_rc_off") + (col("_rc_tot") + 1) / lit(2.0)).as(out))
+    perUser
+      .join(avgRankProj("x", "rx"), "x")
+      .join(avgRankProj("y", "ry"), "y")
+      .agg(round(corr(col("rx"), col("ry")), 6).as("spearman_rho"),
+        count(lit(1)).as("n_keys"))
+  }
+
   /** cramersV (ClickHouse): categorical association between event type
     * and day-of-week from the chi-squared statistic of the contingency
     * table. The heavy pass is one map-side-combinable cell count
@@ -2254,11 +2337,14 @@ object AnalyticsQueries {
     "sample_weighted" -> (sampleWeighted _),
     "cramers_v" -> (cramersV _),
     "ks_test" -> (ksTest _),
+    "ks_test_offsets" -> (ksTestOffsets _),
     "linreg_simple" -> (linregSimple _),
     "rank_corr" -> (rankCorr _),
+    "rank_corr_offsets" -> (rankCorrOffsets _),
     "retention_conditions" -> (retentionConditions _),
     "corr_matrix" -> (corrMatrix _),
     "roc_auc" -> (rocAuc _),
+    "roc_auc_offsets" -> (rocAucOffsets _),
     "series_outliers_tukey" -> (seriesOutliersTukey _),
     "series_period_detect" -> (seriesPeriodDetect _),
     "theils_u" -> (theilsU _),
@@ -2306,6 +2392,49 @@ object AnalyticsQueries {
     "embedding_centroid" -> (embeddingCentroid _),
     "sample_split_md5" -> (sampleSplitMd5 _)
   )
+
+  private val rocAucOracle: String =
+    ("WITH s AS (SELECT event_type, value FROM events " +
+        "WHERE event_type IN ('view', 'purchase')), " +
+        "ranked AS (SELECT event_type, " +
+        "RANK() OVER (ORDER BY value) + (COUNT(*) OVER (PARTITION BY value) - 1) / 2.0 AS ar " +
+        "FROM s), " +
+        "agg AS (SELECT " +
+        "SUM(CASE WHEN event_type = 'purchase' THEN ar ELSE 0 END) AS rp, " +
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS np, " +
+        "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE) AS nn " +
+        "FROM ranked) " +
+        "SELECT ROUND((rp - np * (np + 1) / 2) / (np * nn), 6) AS auc, " +
+        "CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg FROM agg")
+
+  private val ksOracle: String =
+    ("WITH s AS (SELECT value, event_type FROM events " +
+        "WHERE event_type IN ('view', 'purchase')), " +
+        "c AS (SELECT value, " +
+        "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) " +
+        "OVER (ORDER BY value) AS c1, " +
+        "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "OVER (ORDER BY value) AS c2, " +
+        "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER () AS n1, " +
+        "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER () AS n2 " +
+        "FROM s) " +
+        "SELECT ROUND(MAX(ABS(c1 / CAST(n1 AS DOUBLE) - c2 / CAST(n2 AS DOUBLE))), 6) " +
+        "AS d_stat, " +
+        "ROUND(MAX(ABS(c1 / CAST(n1 AS DOUBLE) - c2 / CAST(n2 AS DOUBLE))) * " +
+        "sqrt(CAST(ANY_VALUE(n1) * ANY_VALUE(n2) AS DOUBLE) / " +
+        "(ANY_VALUE(n1) + ANY_VALUE(n2))), 5) AS ks_norm, " +
+        "CAST(ANY_VALUE(n1) AS BIGINT) AS n_a, CAST(ANY_VALUE(n2) AS BIGINT) AS n_b " +
+        "FROM c")
+
+  private val rankCorrOracle: String =
+    ("WITH per_user AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS x, " +
+        "SUM(value) AS y FROM events GROUP BY 1), " +
+        "ranked AS (SELECT " +
+        "RANK() OVER (ORDER BY x) + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx, " +
+        "RANK() OVER (ORDER BY y) + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry " +
+        "FROM per_user) " +
+        "SELECT ROUND(CORR(rx, ry), 6) AS spearman_rho, COUNT(*) AS n_keys " +
+        "FROM ranked")
 
   // ONE oracle per statistic, shared verbatim by the exact window form
   // and its offsets twin -- the twins are value-identical by design.
@@ -2594,15 +2723,8 @@ object AnalyticsQueries {
         "top AS (SELECT * FROM k ORDER BY wkey DESC, doc_id LIMIT 100) " +
         "SELECT doc_id, n_chars, ROUND(wkey * 1e6, 4) AS wkey_ppm " +
         "FROM top ORDER BY doc_id"),
-    "rank_corr" ->
-      ("WITH per_user AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS x, " +
-        "SUM(value) AS y FROM events GROUP BY 1), " +
-        "ranked AS (SELECT " +
-        "RANK() OVER (ORDER BY x) + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx, " +
-        "RANK() OVER (ORDER BY y) + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry " +
-        "FROM per_user) " +
-        "SELECT ROUND(CORR(rx, ry), 6) AS spearman_rho, COUNT(*) AS n_keys " +
-        "FROM ranked"),
+    "rank_corr" -> rankCorrOracle,
+    "rank_corr_offsets" -> rankCorrOracle,
     "theils_u" ->
       ("WITH cells AS (SELECT event_type AS x, dayofweek(CAST(ts AS DATE)) + 1 AS y, " +
         "CAST(COUNT(*) AS DOUBLE) AS c FROM events GROUP BY 1, 2), " +
@@ -2685,19 +2807,8 @@ object AnalyticsQueries {
         "FROM power) " +
         "SELECT series AS event_type, p AS best_period, ROUND(pw, 1) AS power " +
         "FROM ranked WHERE rn = 1 ORDER BY 1"),
-    "roc_auc" ->
-      ("WITH s AS (SELECT event_type, value FROM events " +
-        "WHERE event_type IN ('view', 'purchase')), " +
-        "ranked AS (SELECT event_type, " +
-        "RANK() OVER (ORDER BY value) + (COUNT(*) OVER (PARTITION BY value) - 1) / 2.0 AS ar " +
-        "FROM s), " +
-        "agg AS (SELECT " +
-        "SUM(CASE WHEN event_type = 'purchase' THEN ar ELSE 0 END) AS rp, " +
-        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS np, " +
-        "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE) AS nn " +
-        "FROM ranked) " +
-        "SELECT ROUND((rp - np * (np + 1) / 2) / (np * nn), 6) AS auc, " +
-        "CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg FROM agg"),
+    "roc_auc" -> rocAucOracle,
+    "roc_auc_offsets" -> rocAucOracle,
     "series_outliers_tukey" ->
       ("WITH g AS (SELECT event_type, " +
         "LIST_SORT(LIST(CAST(ROUND(value * 100) AS BIGINT))) AS cs, " +
@@ -2716,24 +2827,8 @@ object AnalyticsQueries {
         "ANY_VALUE(q.n) AS n " +
         "FROM events e JOIN q USING (event_type) " +
         "GROUP BY e.event_type ORDER BY 1"),
-    "ks_test" ->
-      ("WITH s AS (SELECT value, event_type FROM events " +
-        "WHERE event_type IN ('view', 'purchase')), " +
-        "c AS (SELECT value, " +
-        "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) " +
-        "OVER (ORDER BY value) AS c1, " +
-        "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
-        "OVER (ORDER BY value) AS c2, " +
-        "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER () AS n1, " +
-        "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER () AS n2 " +
-        "FROM s) " +
-        "SELECT ROUND(MAX(ABS(c1 / CAST(n1 AS DOUBLE) - c2 / CAST(n2 AS DOUBLE))), 6) " +
-        "AS d_stat, " +
-        "ROUND(MAX(ABS(c1 / CAST(n1 AS DOUBLE) - c2 / CAST(n2 AS DOUBLE))) * " +
-        "sqrt(CAST(ANY_VALUE(n1) * ANY_VALUE(n2) AS DOUBLE) / " +
-        "(ANY_VALUE(n1) + ANY_VALUE(n2))), 5) AS ks_norm, " +
-        "CAST(ANY_VALUE(n1) AS BIGINT) AS n_a, CAST(ANY_VALUE(n2) AS BIGINT) AS n_b " +
-        "FROM c"),
+    "ks_test" -> ksOracle,
+    "ks_test_offsets" -> ksOracle,
     "mann_whitney" -> mwOracle,
     "mann_whitney_offsets" -> mwOracle,
     "welch_ttest" ->

@@ -67,6 +67,18 @@ object QueryIndex {
       "mann_whitney_offsets" ->
         ("scale twin: per-value bucketed prefix sum, bit-identical " +
           "statistic, same oracle; 2.2x under 30x"),
+      "roc_auc" ->
+        "exact: one global rank window (the normalized U); 100 TB path = roc_auc_offsets",
+      "roc_auc_offsets" ->
+        "scale twin: per-value bucketed prefix sum, bit-identical AUC, same oracle; 1.6x under 30x",
+      "ks_test" ->
+        "exact: RANGE-framed running ECDFs over one global order; 100 TB path = ks_test_offsets",
+      "ks_test_offsets" ->
+        "scale twin: two bucketed prefix passes, identical gap set and d_stat, same oracle; 3.1x under 30x",
+      "rank_corr" ->
+        "exact: two global avg-rank windows over the per-user grain; 100 TB path = rank_corr_offsets",
+      "rank_corr_offsets" ->
+        "scale twin: per-value rank projections joined back, identical rank multisets, same oracle; 2.4x under 30x",
       "forecast_events" ->
         ("flagship full-value forecast frame, rows-only by design (the " +
           "fit is not SQL-expressible); calendar + band pinned by " +

@@ -466,7 +466,10 @@ class AnalyticsInvariantsSpec extends SparkSpec {
     for ((a, b) <- Seq(
         "gini_revenue" -> "gini_revenue_offsets",
         "rfm_segments" -> "rfm_segments_offsets",
-        "mann_whitney" -> "mann_whitney_offsets")) {
+        "mann_whitney" -> "mann_whitney_offsets",
+        "roc_auc" -> "roc_auc_offsets",
+        "ks_test" -> "ks_test_offsets",
+        "rank_corr" -> "rank_corr_offsets")) {
       val ex = graft.SparkEntry.queries(a)(spark, sf001).collect().toSeq
       val tw = graft.SparkEntry.queries(b)(spark, sf001).collect().toSeq
       graft.operators.CacheScope.release(spark)

@@ -828,6 +828,19 @@ class PlanSpec extends SparkSpec {
       s"the customer aggregate feeds three rank passes — must be cached\n$p")
   }
 
+  test("roc_auc/ks_test/rank_corr offsets twins: no global value-ordered window") {
+    for (q <- Seq("roc_auc_offsets", "ks_test_offsets", "rank_corr_offsets")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert("windowspecdefinition\\(_pk_bucket#".r.findFirstIn(p).nonEmpty,
+        s"$q: prefix sums must run inside range buckets\n$p")
+      assert(!"windowspecdefinition\\(value#\\d+ ASC".r.findFirstIn(p).nonEmpty &&
+        !"windowspecdefinition\\(x#\\d+ ASC".r.findFirstIn(p).nonEmpty &&
+        !"windowspecdefinition\\(y#\\d+ ASC".r.findFirstIn(p).nonEmpty,
+        s"$q: no global value-ordered window allowed\n$p")
+    }
+  }
+
   test("mann_whitney_offsets: per-value prefix sum bucket-partitioned") {
     val p = plan("mann_whitney_offsets")
     assert(!p.contains("CartesianProduct"))
