@@ -105,7 +105,12 @@ object Scaling {
     "rfm_segments", "rfm_segments_offsets",
     "mann_whitney", "mann_whitney_offsets",
     "roc_auc", "roc_auc_offsets", "ks_test", "ks_test_offsets",
-    "rank_corr", "rank_corr_offsets")
+    "rank_corr", "rank_corr_offsets",
+    // round 12: the buffered exact quantiles and their no-array twins
+    // (the collect_list forms are the remaining per-group-memory risk;
+    // orders/lineitem-driven, so the replicas exercise them directly)
+    "percentiles", "percentiles_offsets",
+    "quantiles_exact", "quantiles_exact_offsets")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

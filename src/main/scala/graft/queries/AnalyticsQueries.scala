@@ -545,6 +545,58 @@ object AnalyticsQueries {
         col("n"))
       .orderBy("l_returnflag")
   }
+  /** [[quantilesExact]] restated WITHOUT per-group buffering — the
+    * [[percentilesOffsets]] construction (see RelationalQueries) on the
+    * lineitem price grain: distinct (returnflag, cent) counts, the
+    * keyed two-level prefix sum for per-key cumulative ranks, and a
+    * conditional-max pick of each quantile's two order statistics. The
+    * interpolation mirrors [[quantilesExact]]'s long-typed expression
+    * token for token, so the output is value-identical and shares its
+    * oracle SQL verbatim. With 3 groups over a 100 TB fact table the
+    * exact form's collect_list array is the one aggregate that cannot
+    * fit an executor; this form's widest state is one count per
+    * distinct cent value per bucket.
+    */
+  def quantilesExactOffsets(spark: SparkSession, dir: String): DataFrame = {
+    val byV = table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .cacheTracked()
+    val mm = byV.agg(min(col("v")).as("_qo_mn"), max(col("v")).as("_qo_mx"))
+    val b = byV.crossJoin(broadcast(mm))
+    val bucket = least(lit(63L),
+      floor((col("v") - col("_qo_mn")).cast("double") * 64 /
+        ((col("_qo_mx") - col("_qo_mn")).cast("double") + 1.0)).cast("long"))
+    val ranked = graft.operators.Packing.withKeyedOffsets(
+      b, Seq("l_returnflag"), Seq("v"), "cnt", bucket, "off")
+      .drop("_qo_mn", "_qo_mx")
+    val nf = byV.groupBy(col("l_returnflag")).agg(sum(col("cnt")).as("n"))
+    val ps = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.9 -> "p90")
+    val aggs = ps.zipWithIndex.flatMap { case ((p, _), i) =>
+      val h = lit(p) * (col("n") - 1).cast("double")
+      val loIdx = floor(h).cast("long") + 1
+      val hiIdx = least(floor(h).cast("long") + 2, col("n"))
+      Seq(
+        max(when(col("off") < loIdx && loIdx <= col("off") + col("cnt"),
+          col("v"))).as(s"_lo$i"),
+        max(when(col("off") < hiIdx && hiIdx <= col("off") + col("cnt"),
+          col("v"))).as(s"_hi$i"))
+    }
+    val picked = ranked.join(broadcast(nf), "l_returnflag")
+      .groupBy(col("l_returnflag"), col("n"))
+      .agg(aggs.head, aggs.tail: _*)
+    // quantilesExact's q() mirrored: LONG order statistics in the same
+    // mixed long/double expression, the shared half-up cent floor
+    val outs = ps.zipWithIndex.map { case ((p, a), i) =>
+      val h = lit(p) * (col("n") - 1).cast("double")
+      (floor(col(s"_lo$i") + (h - floor(h)) * (col(s"_hi$i") - col(s"_lo$i"))
+        + 0.5) / 100.0).as(a)
+    }
+    picked.select((col("l_returnflag") +: outs) :+ col("n"): _*)
+      .orderBy("l_returnflag")
+  }
+
 
   /** sequenceCount (ClickHouse): how many NON-OVERLAPPING
     * view->click->purchase chains each user completes, gap-tolerant like
@@ -2379,6 +2431,7 @@ object AnalyticsQueries {
     "retention_days" -> (retentionDays _),
     "uniq_upto" -> (uniqUpto _),
     "quantiles_exact" -> (quantilesExact _),
+    "quantiles_exact_offsets" -> (quantilesExactOffsets _),
     "sequence_count" -> (sequenceCount _),
     "funnel_conversion_time" -> (funnelConversionTime _),
     "arg_minmax" -> (argMinMax _),
@@ -2435,6 +2488,21 @@ object AnalyticsQueries {
         "FROM per_user) " +
         "SELECT ROUND(CORR(rx, ry), 6) AS spearman_rho, COUNT(*) AS n_keys " +
         "FROM ranked")
+
+  private val quantilesExactOracle: String =
+    ("WITH g AS (SELECT l_returnflag, " +
+        "LIST_SORT(LIST(CAST(ROUND(l_extendedprice * 100) AS BIGINT))) AS cs, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1) " +
+        "SELECT l_returnflag, " +
+        Seq("0.25" -> "p25", "0.5" -> "p50", "0.75" -> "p75", "0.9" -> "p90")
+          .map { case (p, alias) =>
+            // through the shared rendering, NOT hand-inlined: interpSql
+            // forces p to DOUBLE, so h matches Spark's double h even for
+            // non-binary-exact p (0.9) instead of DuckDB's DECIMAL h
+            s"FLOOR(${graft.functions.ExactQuantile.interpSql("cs", "n", p)} " +
+              s"+ 0.5) / 100 AS $alias"
+          }.mkString(", ") +
+        ", n FROM g ORDER BY l_returnflag")
 
   // ONE oracle per statistic, shared verbatim by the exact window form
   // and its offsets twin -- the twins are value-identical by design.
@@ -3069,20 +3137,8 @@ object AnalyticsQueries {
     // quantilesExact's stated arithmetic (NOT quantile_cont, whose
     // internal association order differs from Spark's percentile by a
     // ulp and flips 2-dp rounds on .005-adjacent values)
-    "quantiles_exact" ->
-      ("WITH g AS (SELECT l_returnflag, " +
-        "LIST_SORT(LIST(CAST(ROUND(l_extendedprice * 100) AS BIGINT))) AS cs, " +
-        "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1) " +
-        "SELECT l_returnflag, " +
-        Seq("0.25" -> "p25", "0.5" -> "p50", "0.75" -> "p75", "0.9" -> "p90")
-          .map { case (p, alias) =>
-            // through the shared rendering, NOT hand-inlined: interpSql
-            // forces p to DOUBLE, so h matches Spark's double h even for
-            // non-binary-exact p (0.9) instead of DuckDB's DECIMAL h
-            s"FLOOR(${graft.functions.ExactQuantile.interpSql("cs", "n", p)} " +
-              s"+ 0.5) / 100 AS $alias"
-          }.mkString(", ") +
-        ", n FROM g ORDER BY l_returnflag"),
+    "quantiles_exact" -> quantilesExactOracle,
+    "quantiles_exact_offsets" -> quantilesExactOracle,
     "sequence_count" ->
       ("WITH paths AS (SELECT user_id, " +
         "string_agg(event_type, '>' ORDER BY ts, event_id) AS path " +

@@ -354,6 +354,59 @@ object RelationalQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** [[percentiles]] restated WITHOUT per-group buffering: the exact
+    * form `collect_list`s every group's values into one array — per
+    * -group memory linear in group size, the one aggregate shape that
+    * OOMs when a group outgrows an executor (3 order statuses over a
+    * 100 TB fact table). Here the grain is distinct (status, cent)
+    * pairs with counts; the per-key cumulative rank is the KEYED
+    * two-level prefix sum (Packing.withKeyedOffsets over value-range
+    * buckets), and each quantile reads its two order statistics
+    * (positions floor(h)+1 and min(floor(h)+2, n)) with a conditional
+    * max — no value array ever materializes. Same type-7 interpolation
+    * on exact cents in the same IEEE order, so the output is
+    * value-identical and shares [[percentiles]]' oracle SQL verbatim.
+    */
+  def percentilesOffsets(spark: SparkSession, dir: String): DataFrame = {
+    val byV = table(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .cacheTracked()
+    val mm = byV.agg(min(col("v")).as("_qo_mn"), max(col("v")).as("_qo_mx"))
+    val b = byV.crossJoin(broadcast(mm))
+    val bucket = least(lit(63L),
+      floor((col("v") - col("_qo_mn")).cast("double") * 64 /
+        ((col("_qo_mx") - col("_qo_mn")).cast("double") + 1.0)).cast("long"))
+    val ranked = graft.operators.Packing.withKeyedOffsets(
+      b, Seq("o_orderstatus"), Seq("v"), "cnt", bucket, "off")
+      .drop("_qo_mn", "_qo_mx")
+    val nf = byV.groupBy(col("o_orderstatus")).agg(sum(col("cnt")).as("n"))
+    val ps = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
+    val aggs = ps.zipWithIndex.flatMap { case ((p, _), i) =>
+      val h = lit(p) * (col("n") - 1).cast("double")
+      val loIdx = floor(h).cast("long") + 1
+      val hiIdx = least(floor(h).cast("long") + 2, col("n"))
+      Seq(
+        max(when(col("off") < loIdx && loIdx <= col("off") + col("cnt"),
+          col("v"))).as(s"_lo$i"),
+        max(when(col("off") < hiIdx && hiIdx <= col("off") + col("cnt"),
+          col("v"))).as(s"_hi$i"))
+    }
+    val picked = ranked.join(broadcast(nf), "o_orderstatus")
+      .groupBy(col("o_orderstatus"), col("n"))
+      .agg(aggs.head, aggs.tail: _*)
+    // ExactQuantile.interp mirrored: double-cast order statistics, the
+    // same h/frac expression, the shared half-up cent floor
+    val outs = ps.zipWithIndex.map { case ((p, a), i) =>
+      val h = lit(p) * (col("n") - 1).cast("double")
+      val lo = col(s"_lo$i").cast("double")
+      val hi = col(s"_hi$i").cast("double")
+      (floor(lo + (h - floor(h)) * (hi - lo) + 0.5) / 100.0).as(a)
+    }
+    picked.select(col("o_orderstatus") +: outs: _*).orderBy("o_orderstatus")
+  }
+
   /** As-of join: each event picks up the previous day's average value for
     * its event type (strictly-before semantics). Spark side composes
     * union + keyed window (graft.operators.AsOfJoin); the oracle uses
@@ -1261,6 +1314,7 @@ object RelationalQueries {
     "approx_stats" -> (approxStats _),
     "agg_cube" -> (aggCube _),
     "percentiles" -> (percentiles _),
+    "percentiles_offsets" -> (percentilesOffsets _),
     "asof_join" -> (asofJoin _),
     "q3_join_topk" -> (q3JoinTopk _),
     "q5_region_revenue" -> (q5RegionRevenue _),
@@ -1278,6 +1332,18 @@ object RelationalQueries {
     "date_functions" -> (dateFunctions _),
     "sessionize" -> (sessionize _)
   )
+
+  private val percentilesOracle: String =
+    ("WITH g AS (SELECT o_orderstatus, " +
+        "LIST_SORT(LIST(CAST(ROUND(o_totalprice * 100) AS BIGINT))) AS cs, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1) " +
+        "SELECT o_orderstatus, " +
+        Seq("0.25" -> "p25", "0.5" -> "p50", "0.75" -> "p75", "0.95" -> "p95")
+          .map { case (p, a) =>
+            s"FLOOR(${graft.functions.ExactQuantile.interpSql("cs", "n", p)} " +
+              s"+ 0.5) / 100 AS $a"
+          }.mkString(", ") +
+        " FROM g ORDER BY o_orderstatus")
 
   val oracleSql: Map[String, String] = Map(
     "assoc_rules" ->
@@ -1583,17 +1649,8 @@ object RelationalQueries {
         "ROUND(SUM(o_totalprice), 2) AS total_price " +
         "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) " +
         "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
-    "percentiles" ->
-      ("WITH g AS (SELECT o_orderstatus, " +
-        "LIST_SORT(LIST(CAST(ROUND(o_totalprice * 100) AS BIGINT))) AS cs, " +
-        "CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1) " +
-        "SELECT o_orderstatus, " +
-        Seq("0.25" -> "p25", "0.5" -> "p50", "0.75" -> "p75", "0.95" -> "p95")
-          .map { case (p, a) =>
-            s"FLOOR(${graft.functions.ExactQuantile.interpSql("cs", "n", p)} " +
-              s"+ 0.5) / 100 AS $a"
-          }.mkString(", ") +
-        " FROM g ORDER BY o_orderstatus"),
+    "percentiles" -> percentilesOracle,
+    "percentiles_offsets" -> percentilesOracle,
     "asof_join" ->
       ("SELECT e.event_id, e.event_type, d.prev_day_avg " +
         "FROM (SELECT event_id, event_type, CAST(ts AS DATE) AS edate FROM events) e " +

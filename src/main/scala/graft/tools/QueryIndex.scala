@@ -79,6 +79,14 @@ object QueryIndex {
         "exact: two global avg-rank windows over the per-user grain; 100 TB path = rank_corr_offsets",
       "rank_corr_offsets" ->
         "scale twin: per-value rank projections joined back, identical rank multisets, same oracle; 2.4x under 30x",
+      "percentiles" ->
+        "exact: collect_list buffers each group's values; 100 TB path = percentiles_offsets",
+      "percentiles_offsets" ->
+        "scale twin: keyed bucketed prefix ranks + conditional-max order statistics, no value array, same oracle",
+      "quantiles_exact" ->
+        "exact: one sorted array per group (ClickHouse parity); 100 TB path = quantiles_exact_offsets",
+      "quantiles_exact_offsets" ->
+        "scale twin: keyed bucketed prefix ranks, identical type-7 interpolation, same oracle",
       "forecast_events" ->
         ("flagship full-value forecast frame, rows-only by design (the " +
           "fit is not SQL-expressible); calendar + band pinned by " +

@@ -469,7 +469,9 @@ class AnalyticsInvariantsSpec extends SparkSpec {
         "mann_whitney" -> "mann_whitney_offsets",
         "roc_auc" -> "roc_auc_offsets",
         "ks_test" -> "ks_test_offsets",
-        "rank_corr" -> "rank_corr_offsets")) {
+        "rank_corr" -> "rank_corr_offsets",
+        "percentiles" -> "percentiles_offsets",
+        "quantiles_exact" -> "quantiles_exact_offsets")) {
       val ex = graft.SparkEntry.queries(a)(spark, sf001).collect().toSeq
       val tw = graft.SparkEntry.queries(b)(spark, sf001).collect().toSeq
       graft.operators.CacheScope.release(spark)

@@ -828,6 +828,18 @@ class PlanSpec extends SparkSpec {
       s"the customer aggregate feeds three rank passes — must be cached\n$p")
   }
 
+  test("quantile offsets twins: no per-group value arrays, keyed prefix bucket-partitioned") {
+    for (q <- Seq("percentiles_offsets", "quantiles_exact_offsets")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("sort_array") && !p.contains("collect_list"),
+        s"$q: the whole point is NO buffered per-group value array\n$p")
+      assert("windowspecdefinition\\(".r.findFirstIn(p).nonEmpty &&
+        "_pk_bucket#".r.findFirstIn(p).nonEmpty,
+        s"$q: the cumulative rank must be the keyed bucketed prefix sum\n$p")
+    }
+  }
+
   test("roc_auc/ks_test/rank_corr offsets twins: no global value-ordered window") {
     for (q <- Seq("roc_auc_offsets", "ks_test_offsets", "rank_corr_offsets")) {
       val p = plan(q)
