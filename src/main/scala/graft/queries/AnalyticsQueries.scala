@@ -1410,9 +1410,13 @@ object AnalyticsQueries {
     * precedent), broadcast back over one more scan for the fence counts.
     * The fence comparisons use the UNROUNDED quartiles on both sides so
     * the rounding grain can't flip a count. At corpus scale the exact
-    * per-key percentile is the documented heavy piece — the
-    * approx_percentile twin (quality_deciles_approx precedent) is the
-    * drop-in when a sort-based exact quartile is unaffordable.
+    * per-key percentile is the documented heavy piece — and since round
+    * 12 the repo owns an EXACT no-buffer replacement: the
+    * [[quantilesExactOffsets]] construction (keyed bucketed prefix
+    * ranks + conditional-max order statistics) computes the same
+    * interpolated quartiles without a per-key value array; the
+    * approx_percentile form (quality_deciles_approx precedent) remains
+    * the cheaper drop-in when approximate fences suffice.
     */
   def seriesOutliersTukey(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ExactQuantile
