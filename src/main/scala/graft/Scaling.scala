@@ -110,7 +110,8 @@ object Scaling {
     // (the collect_list forms are the remaining per-group-memory risk;
     // orders/lineitem-driven, so the replicas exercise them directly)
     "percentiles", "percentiles_offsets",
-    "quantiles_exact", "quantiles_exact_offsets")
+    "quantiles_exact", "quantiles_exact_offsets",
+    "series_outliers_tukey", "series_outliers_tukey_offsets")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -1433,6 +1433,15 @@ object AnalyticsQueries {
       .select(col("event_type"), col("n"),
         ExactQuantile.interp(col("cs"), col("n"), 0.25).as("q1"),
         ExactQuantile.interp(col("cs"), col("n"), 0.75).as("q3"))
+    tukeyTail(evc, q)
+  }
+
+  /** Shared Tukey-fence tail over a per-key quartile frame
+    * `q(event_type, n, q1, q3)`: fence arithmetic, 4-dp output grain,
+    * and the one-pass outlier counts — ONE definition for the buffered
+    * exact form and the offsets twin so the fence semantics cannot
+    * drift. */
+  private def tukeyTail(evc: DataFrame, q: DataFrame): DataFrame = {
     val lo = col("q1") - lit(1.5) * (col("q3") - col("q1"))
     val hi = col("q3") + lit(1.5) * (col("q3") - col("q1"))
     evc.join(broadcast(q), "event_type")
@@ -1444,6 +1453,53 @@ object AnalyticsQueries {
         sum(when(col("c") > hi, 1).otherwise(0)).as("n_high"),
         first(col("n")).as("n"))
       .orderBy("event_type")
+  }
+
+  /** [[seriesOutliersTukey]] with the quartiles computed by the
+    * no-array construction ([[quantilesExactOffsets]]'s keyed bucketed
+    * prefix ranks + conditional-max order statistics) instead of a
+    * sorted per-key array — the per-key value buffer was the one piece
+    * of the exact form that grows with the key's row count. Quartile
+    * interpolation mirrors ExactQuantile.interp token for token and the
+    * fence tail is shared, so the output is value-identical (same
+    * oracle SQL). */
+  def seriesOutliersTukeyOffsets(spark: SparkSession, dir: String): DataFrame = {
+    val evc = table(spark, dir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+    val byV = evc.groupBy(col("event_type"), col("c").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .cacheTracked()
+    val mm = byV.agg(min(col("v")).as("_qo_mn"), max(col("v")).as("_qo_mx"))
+    val b = byV.crossJoin(broadcast(mm))
+    val bucket = least(lit(63L),
+      floor((col("v") - col("_qo_mn")).cast("double") * 64 /
+        ((col("_qo_mx") - col("_qo_mn")).cast("double") + 1.0)).cast("long"))
+    val ranked = graft.operators.Packing.withKeyedOffsets(
+      b, Seq("event_type"), Seq("v"), "cnt", bucket, "off")
+      .drop("_qo_mn", "_qo_mx")
+    val nf = byV.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+    val ps = Seq(0.25 -> "q1", 0.75 -> "q3")
+    val aggs = ps.zipWithIndex.flatMap { case ((p, _), i) =>
+      val h = lit(p) * (col("n") - 1).cast("double")
+      val loIdx = floor(h).cast("long") + 1
+      val hiIdx = least(floor(h).cast("long") + 2, col("n"))
+      Seq(
+        max(when(col("off") < loIdx && loIdx <= col("off") + col("cnt"),
+          col("v"))).as(s"_lo$i"),
+        max(when(col("off") < hiIdx && hiIdx <= col("off") + col("cnt"),
+          col("v"))).as(s"_hi$i"))
+    }
+    val picked = ranked.join(broadcast(nf), "event_type")
+      .groupBy(col("event_type"), col("n"))
+      .agg(aggs.head, aggs.tail: _*)
+    val qs = ps.zipWithIndex.map { case ((p, a), i) =>
+      val h = lit(p) * (col("n") - 1).cast("double")
+      val lo = col(s"_lo$i").cast("double")
+      val hi = col(s"_hi$i").cast("double")
+      (lo + (h - floor(h)) * (hi - lo)).as(a)
+    }
+    val q = picked.select(col("event_type") +: col("n") +: qs: _*)
+    tukeyTail(evc, q)
   }
 
   /** kolmogorovSmirnovTest (ClickHouse, two-sample): D = max ECDF gap
@@ -2402,6 +2458,7 @@ object AnalyticsQueries {
     "roc_auc" -> (rocAuc _),
     "roc_auc_offsets" -> (rocAucOffsets _),
     "series_outliers_tukey" -> (seriesOutliersTukey _),
+    "series_outliers_tukey_offsets" -> (seriesOutliersTukeyOffsets _),
     "series_period_detect" -> (seriesPeriodDetect _),
     "theils_u" -> (theilsU _),
     "mann_whitney" -> (mannWhitney _),
@@ -2507,6 +2564,25 @@ object AnalyticsQueries {
               s"+ 0.5) / 100 AS $alias"
           }.mkString(", ") +
         ", n FROM g ORDER BY l_returnflag")
+
+  private val tukeyOracle: String =
+    ("WITH g AS (SELECT event_type, " +
+        "LIST_SORT(LIST(CAST(ROUND(value * 100) AS BIGINT))) AS cs, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), " +
+        "q AS (SELECT event_type, n, " +
+        graft.functions.ExactQuantile.interpSql("cs", "n", "0.25") + " AS q1, " +
+        graft.functions.ExactQuantile.interpSql("cs", "n", "0.75") + " AS q3 " +
+        "FROM g) " +
+        "SELECT e.event_type, " +
+        "FLOOR(ANY_VALUE(q1 - 1.5 * (q3 - q1)) / 100 * 10000 + 0.5) / 10000 AS lo_fence, " +
+        "FLOOR(ANY_VALUE(q3 + 1.5 * (q3 - q1)) / 100 * 10000 + 0.5) / 10000 AS hi_fence, " +
+        "CAST(SUM(CASE WHEN CAST(ROUND(e.value * 100) AS BIGINT) " +
+        "< q1 - 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_low, " +
+        "CAST(SUM(CASE WHEN CAST(ROUND(e.value * 100) AS BIGINT) " +
+        "> q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_high, " +
+        "ANY_VALUE(q.n) AS n " +
+        "FROM events e JOIN q USING (event_type) " +
+        "GROUP BY e.event_type ORDER BY 1")
 
   // ONE oracle per statistic, shared verbatim by the exact window form
   // and its offsets twin -- the twins are value-identical by design.
@@ -2881,24 +2957,8 @@ object AnalyticsQueries {
         "FROM ranked WHERE rn = 1 ORDER BY 1"),
     "roc_auc" -> rocAucOracle,
     "roc_auc_offsets" -> rocAucOracle,
-    "series_outliers_tukey" ->
-      ("WITH g AS (SELECT event_type, " +
-        "LIST_SORT(LIST(CAST(ROUND(value * 100) AS BIGINT))) AS cs, " +
-        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), " +
-        "q AS (SELECT event_type, n, " +
-        graft.functions.ExactQuantile.interpSql("cs", "n", "0.25") + " AS q1, " +
-        graft.functions.ExactQuantile.interpSql("cs", "n", "0.75") + " AS q3 " +
-        "FROM g) " +
-        "SELECT e.event_type, " +
-        "FLOOR(ANY_VALUE(q1 - 1.5 * (q3 - q1)) / 100 * 10000 + 0.5) / 10000 AS lo_fence, " +
-        "FLOOR(ANY_VALUE(q3 + 1.5 * (q3 - q1)) / 100 * 10000 + 0.5) / 10000 AS hi_fence, " +
-        "CAST(SUM(CASE WHEN CAST(ROUND(e.value * 100) AS BIGINT) " +
-        "< q1 - 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_low, " +
-        "CAST(SUM(CASE WHEN CAST(ROUND(e.value * 100) AS BIGINT) " +
-        "> q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_high, " +
-        "ANY_VALUE(q.n) AS n " +
-        "FROM events e JOIN q USING (event_type) " +
-        "GROUP BY e.event_type ORDER BY 1"),
+    "series_outliers_tukey" -> tukeyOracle,
+    "series_outliers_tukey_offsets" -> tukeyOracle,
     "ks_test" -> ksOracle,
     "ks_test_offsets" -> ksOracle,
     "mann_whitney" -> mwOracle,

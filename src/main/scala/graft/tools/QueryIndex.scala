@@ -87,6 +87,10 @@ object QueryIndex {
         "exact: one sorted array per group (ClickHouse parity); 100 TB path = quantiles_exact_offsets",
       "quantiles_exact_offsets" ->
         "scale twin: keyed bucketed prefix ranks, identical type-7 interpolation, same oracle",
+      "series_outliers_tukey" ->
+        "exact: per-key sorted cent array for the quartiles; 100 TB path = series_outliers_tukey_offsets",
+      "series_outliers_tukey_offsets" ->
+        "scale twin: no-array offsets quartiles + the shared fence tail, same oracle",
       "forecast_events" ->
         ("flagship full-value forecast frame, rows-only by design (the " +
           "fit is not SQL-expressible); calendar + band pinned by " +

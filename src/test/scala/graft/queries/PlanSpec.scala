@@ -829,7 +829,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("quantile offsets twins: no per-group value arrays, keyed prefix bucket-partitioned") {
-    for (q <- Seq("percentiles_offsets", "quantiles_exact_offsets")) {
+    for (q <- Seq("percentiles_offsets", "quantiles_exact_offsets",
+        "series_outliers_tukey_offsets")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), q)
       assert(!p.contains("sort_array") && !p.contains("collect_list"),
