@@ -111,7 +111,8 @@ object Scaling {
     // orders/lineitem-driven, so the replicas exercise them directly)
     "percentiles", "percentiles_offsets",
     "quantiles_exact", "quantiles_exact_offsets",
-    "series_outliers_tukey", "series_outliers_tukey_offsets")
+    "series_outliers_tukey", "series_outliers_tukey_offsets",
+    "mad_per_group", "mad_per_group_offsets")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

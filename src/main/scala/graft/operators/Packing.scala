@@ -248,6 +248,54 @@ object Packing {
         (col("_seg_end") - col("_seg_begin")).as("seg_tokens"))
   }
 
+  /** Per-key EXACT interpolated quantiles WITHOUT a per-key value
+    * array — the no-buffer alternative to `collect_list` + sorted-array
+    * indexing for order statistics (round 12): `byV` holds one row per
+    * DISTINCT (key, value) with its count (`cnt`); the per-key
+    * cumulative rank is [[withKeyedOffsets]] over contiguous
+    * value-range buckets, and each requested quantile reads its two
+    * order statistics (1-based positions floor(h)+1 and
+    * min(floor(h)+2, n), h = p·(n−1)) with a conditional max. The
+    * interpolation mirrors `graft.functions.ExactQuantile.interp`
+    * token for token (double-cast order statistics, h − floor(h)
+    * fraction), so results are bit-identical to the buffered form on
+    * values below 2^53. Returns (`keyCol`, n, <alias per p>). Widest
+    * state anywhere: one count per distinct value per bucket. Pass a
+    * CACHED `byV` — it feeds the range probe, the subtotal aggregate,
+    * the main pass, and the per-key total.
+    */
+  def keyedQuantiles(byV: DataFrame, keyCol: String,
+      ps: Seq[(Double, String)], nBuckets: Int = 64): DataFrame = {
+    val mm = byV.agg(min(col("v")).as("_qo_mn"), max(col("v")).as("_qo_mx"))
+    val b = byV.crossJoin(broadcast(mm))
+    val bucket = least(lit((nBuckets - 1).toLong),
+      floor((col("v") - col("_qo_mn")).cast("double") * nBuckets /
+        ((col("_qo_mx") - col("_qo_mn")).cast("double") + 1.0)).cast("long"))
+    val ranked = withKeyedOffsets(b, Seq(keyCol), Seq("v"), "cnt", bucket, "off")
+      .drop("_qo_mn", "_qo_mx")
+    val nf = byV.groupBy(col(keyCol)).agg(sum(col("cnt")).as("n"))
+    val aggs = ps.zipWithIndex.flatMap { case ((p, _), i) =>
+      val h = lit(p) * (col("n") - 1).cast("double")
+      val loIdx = floor(h).cast("long") + 1
+      val hiIdx = least(floor(h).cast("long") + 2, col("n"))
+      Seq(
+        max(when(col("off") < loIdx && loIdx <= col("off") + col("cnt"),
+          col("v"))).as(s"_lo$i"),
+        max(when(col("off") < hiIdx && hiIdx <= col("off") + col("cnt"),
+          col("v"))).as(s"_hi$i"))
+    }
+    val picked = ranked.join(broadcast(nf), keyCol)
+      .groupBy(col(keyCol), col("n"))
+      .agg(aggs.head, aggs.tail: _*)
+    val outs = ps.zipWithIndex.map { case ((p, a), i) =>
+      val h = lit(p) * (col("n") - 1).cast("double")
+      val lo = col(s"_lo$i").cast("double")
+      val hi = col(s"_hi$i").cast("double")
+      (lo + (h - floor(h)) * (hi - lo)).as(a)
+    }
+    picked.select(col(keyCol) +: col("n") +: outs: _*)
+  }
+
   /** Deterministic global training-order shuffle of `ids(idCol)`: dense
     * 0-based `position` by ascending (xxhash64(id), id). The bucket is
     * the top byte of the hash — `shiftright` is an ARITHMETIC shift, so

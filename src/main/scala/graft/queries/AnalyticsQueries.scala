@@ -1469,37 +1469,39 @@ object AnalyticsQueries {
     val byV = evc.groupBy(col("event_type"), col("c").as("v"))
       .agg(count(lit(1)).as("cnt"))
       .cacheTracked()
-    val mm = byV.agg(min(col("v")).as("_qo_mn"), max(col("v")).as("_qo_mx"))
-    val b = byV.crossJoin(broadcast(mm))
-    val bucket = least(lit(63L),
-      floor((col("v") - col("_qo_mn")).cast("double") * 64 /
-        ((col("_qo_mx") - col("_qo_mn")).cast("double") + 1.0)).cast("long"))
-    val ranked = graft.operators.Packing.withKeyedOffsets(
-      b, Seq("event_type"), Seq("v"), "cnt", bucket, "off")
-      .drop("_qo_mn", "_qo_mx")
-    val nf = byV.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
-    val ps = Seq(0.25 -> "q1", 0.75 -> "q3")
-    val aggs = ps.zipWithIndex.flatMap { case ((p, _), i) =>
-      val h = lit(p) * (col("n") - 1).cast("double")
-      val loIdx = floor(h).cast("long") + 1
-      val hiIdx = least(floor(h).cast("long") + 2, col("n"))
-      Seq(
-        max(when(col("off") < loIdx && loIdx <= col("off") + col("cnt"),
-          col("v"))).as(s"_lo$i"),
-        max(when(col("off") < hiIdx && hiIdx <= col("off") + col("cnt"),
-          col("v"))).as(s"_hi$i"))
-    }
-    val picked = ranked.join(broadcast(nf), "event_type")
-      .groupBy(col("event_type"), col("n"))
-      .agg(aggs.head, aggs.tail: _*)
-    val qs = ps.zipWithIndex.map { case ((p, a), i) =>
-      val h = lit(p) * (col("n") - 1).cast("double")
-      val lo = col(s"_lo$i").cast("double")
-      val hi = col(s"_hi$i").cast("double")
-      (lo + (h - floor(h)) * (hi - lo)).as(a)
-    }
-    val q = picked.select(col("event_type") +: col("n") +: qs: _*)
-    tukeyTail(evc, q)
+    tukeyTail(evc, graft.operators.Packing.keyedQuantiles(
+      byV, "event_type", Seq(0.25 -> "q1", 0.75 -> "q3")))
+  }
+
+  /** [[madPerGroup]] restated without EITHER of its per-key value
+    * buffers: the median and the deviation median are both
+    * [[graft.operators.Packing.keyedQuantiles]] picks over distinct-
+    * value count grains (the second over the exact half-integer
+    * absolute deviations, regrouped after a broadcast join of the
+    * stage-1 medians). Every intermediate is an exact half/quarter
+    * integer below 2^53, so the twin is bit-identical to the buffered
+    * form and shares its oracle SQL. */
+  def madPerGroupOffsets(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Packing
+    val evc = table(spark, dir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+    val byV = evc.groupBy(col("event_type"), col("c").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .cacheTracked()
+    val med = Packing.keyedQuantiles(byV, "event_type", Seq(0.5 -> "med_c"))
+    val byDev = evc.join(broadcast(med.select(col("event_type"), col("med_c"))),
+        Seq("event_type"))
+      .select(col("event_type"), abs(col("c") - col("med_c")).as("v"))
+      .groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .cacheTracked()
+    val mad = Packing.keyedQuantiles(byDev, "event_type", Seq(0.5 -> "mad_c"))
+    med.join(mad.select(col("event_type"), col("mad_c")), Seq("event_type"))
+      .select(col("event_type"),
+        (floor(col("med_c") / 100.0 * 10000.0 + 0.5) / 10000.0).as("med"),
+        (floor(col("mad_c") / 100.0 * 10000.0 + 0.5) / 10000.0).as("mad"),
+        col("n"))
+      .orderBy("event_type")
   }
 
   /** kolmogorovSmirnovTest (ClickHouse, two-sample): D = max ECDF gap
@@ -2458,6 +2460,7 @@ object AnalyticsQueries {
     "roc_auc" -> (rocAuc _),
     "roc_auc_offsets" -> (rocAucOffsets _),
     "series_outliers_tukey" -> (seriesOutliersTukey _),
+    "mad_per_group_offsets" -> (madPerGroupOffsets _),
     "series_outliers_tukey_offsets" -> (seriesOutliersTukeyOffsets _),
     "series_period_detect" -> (seriesPeriodDetect _),
     "theils_u" -> (theilsU _),
@@ -2564,6 +2567,23 @@ object AnalyticsQueries {
               s"+ 0.5) / 100 AS $alias"
           }.mkString(", ") +
         ", n FROM g ORDER BY l_returnflag")
+
+  private val madOracle: String =
+    ("WITH g AS (SELECT event_type, " +
+        "LIST_SORT(LIST(CAST(ROUND(value * 100) AS BIGINT))) AS cs, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), " +
+        "m AS (SELECT event_type, " +
+        graft.functions.ExactQuantile.interpSql("cs", "n", "0.5") +
+        " AS med_c FROM g), " +
+        "d AS (SELECT e.event_type, " +
+        "LIST_SORT(LIST(ABS(CAST(ROUND(e.value * 100) AS BIGINT) - m.med_c))) AS ds, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, MAX(m.med_c) AS med_c " +
+        "FROM events e JOIN m ON e.event_type = m.event_type GROUP BY 1) " +
+        "SELECT event_type, " +
+        "FLOOR(med_c / 100 * 10000 + 0.5) / 10000 AS med, " +
+        "FLOOR(" + graft.functions.ExactQuantile.interpSql("ds", "n", "0.5") +
+        " / 100 * 10000 + 0.5) / 10000 AS mad, n " +
+        "FROM d ORDER BY event_type")
 
   private val tukeyOracle: String =
     ("WITH g AS (SELECT event_type, " +
@@ -2827,22 +2847,8 @@ object AnalyticsQueries {
         "ROUND(STDDEV_SAMP(y - trend), 4) AS detrended_sd, " +
         "CAST(COUNT(*) AS BIGINT) AS n_days " +
         "FROM t WHERE wn = 7 GROUP BY 1, 2 ORDER BY 1, 2"),
-    "mad_per_group" ->
-      ("WITH g AS (SELECT event_type, " +
-        "LIST_SORT(LIST(CAST(ROUND(value * 100) AS BIGINT))) AS cs, " +
-        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), " +
-        "m AS (SELECT event_type, " +
-        graft.functions.ExactQuantile.interpSql("cs", "n", "0.5") +
-        " AS med_c FROM g), " +
-        "d AS (SELECT e.event_type, " +
-        "LIST_SORT(LIST(ABS(CAST(ROUND(e.value * 100) AS BIGINT) - m.med_c))) AS ds, " +
-        "CAST(COUNT(*) AS BIGINT) AS n, MAX(m.med_c) AS med_c " +
-        "FROM events e JOIN m ON e.event_type = m.event_type GROUP BY 1) " +
-        "SELECT event_type, " +
-        "FLOOR(med_c / 100 * 10000 + 0.5) / 10000 AS med, " +
-        "FLOOR(" + graft.functions.ExactQuantile.interpSql("ds", "n", "0.5") +
-        " / 100 * 10000 + 0.5) / 10000 AS mad, n " +
-        "FROM d ORDER BY event_type"),
+    "mad_per_group" -> madOracle,
+    "mad_per_group_offsets" -> madOracle,
     "multi_linreg" ->
       ("WITH s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, " +
         "SUM(l_quantity) AS s1, SUM(l_discount) AS s2, " +

@@ -373,38 +373,11 @@ object RelationalQueries {
         round(col("o_totalprice") * 100).cast("long").as("v"))
       .agg(count(lit(1)).as("cnt"))
       .cacheTracked()
-    val mm = byV.agg(min(col("v")).as("_qo_mn"), max(col("v")).as("_qo_mx"))
-    val b = byV.crossJoin(broadcast(mm))
-    val bucket = least(lit(63L),
-      floor((col("v") - col("_qo_mn")).cast("double") * 64 /
-        ((col("_qo_mx") - col("_qo_mn")).cast("double") + 1.0)).cast("long"))
-    val ranked = graft.operators.Packing.withKeyedOffsets(
-      b, Seq("o_orderstatus"), Seq("v"), "cnt", bucket, "off")
-      .drop("_qo_mn", "_qo_mx")
-    val nf = byV.groupBy(col("o_orderstatus")).agg(sum(col("cnt")).as("n"))
     val ps = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
-    val aggs = ps.zipWithIndex.flatMap { case ((p, _), i) =>
-      val h = lit(p) * (col("n") - 1).cast("double")
-      val loIdx = floor(h).cast("long") + 1
-      val hiIdx = least(floor(h).cast("long") + 2, col("n"))
-      Seq(
-        max(when(col("off") < loIdx && loIdx <= col("off") + col("cnt"),
-          col("v"))).as(s"_lo$i"),
-        max(when(col("off") < hiIdx && hiIdx <= col("off") + col("cnt"),
-          col("v"))).as(s"_hi$i"))
-    }
-    val picked = ranked.join(broadcast(nf), "o_orderstatus")
-      .groupBy(col("o_orderstatus"), col("n"))
-      .agg(aggs.head, aggs.tail: _*)
-    // ExactQuantile.interp mirrored: double-cast order statistics, the
-    // same h/frac expression, the shared half-up cent floor
-    val outs = ps.zipWithIndex.map { case ((p, a), i) =>
-      val h = lit(p) * (col("n") - 1).cast("double")
-      val lo = col(s"_lo$i").cast("double")
-      val hi = col(s"_hi$i").cast("double")
-      (floor(lo + (h - floor(h)) * (hi - lo) + 0.5) / 100.0).as(a)
-    }
-    picked.select(col("o_orderstatus") +: outs: _*).orderBy("o_orderstatus")
+    graft.operators.Packing.keyedQuantiles(byV, "o_orderstatus", ps)
+      .select(col("o_orderstatus") +:
+        ps.map { case (_, a) => (floor(col(a) + 0.5) / 100.0).as(a) }: _*)
+      .orderBy("o_orderstatus")
   }
 
   /** As-of join: each event picks up the previous day's average value for

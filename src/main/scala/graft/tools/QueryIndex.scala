@@ -91,6 +91,10 @@ object QueryIndex {
         "exact: per-key sorted cent array for the quartiles; 100 TB path = series_outliers_tukey_offsets",
       "series_outliers_tukey_offsets" ->
         "scale twin: no-array offsets quartiles + the shared fence tail, same oracle",
+      "mad_per_group" ->
+        "exact: two per-key sorted arrays (median + deviation median); 100 TB path = mad_per_group_offsets",
+      "mad_per_group_offsets" ->
+        "scale twin: two chained keyedQuantiles picks, bit-identical MAD, same oracle",
       "forecast_events" ->
         ("flagship full-value forecast frame, rows-only by design (the " +
           "fit is not SQL-expressible); calendar + band pinned by " +

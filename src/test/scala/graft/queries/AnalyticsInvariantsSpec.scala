@@ -472,7 +472,8 @@ class AnalyticsInvariantsSpec extends SparkSpec {
         "rank_corr" -> "rank_corr_offsets",
         "percentiles" -> "percentiles_offsets",
         "quantiles_exact" -> "quantiles_exact_offsets",
-        "series_outliers_tukey" -> "series_outliers_tukey_offsets")) {
+        "series_outliers_tukey" -> "series_outliers_tukey_offsets",
+        "mad_per_group" -> "mad_per_group_offsets")) {
       val ex = graft.SparkEntry.queries(a)(spark, sf001).collect().toSeq
       val tw = graft.SparkEntry.queries(b)(spark, sf001).collect().toSeq
       graft.operators.CacheScope.release(spark)

@@ -830,7 +830,7 @@ class PlanSpec extends SparkSpec {
 
   test("quantile offsets twins: no per-group value arrays, keyed prefix bucket-partitioned") {
     for (q <- Seq("percentiles_offsets", "quantiles_exact_offsets",
-        "series_outliers_tukey_offsets")) {
+        "series_outliers_tukey_offsets", "mad_per_group_offsets")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), q)
       assert(!p.contains("sort_array") && !p.contains("collect_list"),
