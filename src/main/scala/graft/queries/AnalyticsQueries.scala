@@ -511,7 +511,9 @@ object AnalyticsQueries {
     * ones — each scalar percentile agg keeps its own copy of the
     * group's value buffer (4x memory and 4x sort measured ~3.6 s vs
     * ~1 s at sf0.1); the array form sorts one buffer and reads all four
-    * ranks from it.
+    * ranks from it. The buffer still grows with the group — the
+    * registered no-array drop-in is [[quantilesExactOffsets]] (same
+    * oracle).
     */
   def quantilesExact(spark: SparkSession, dir: String): DataFrame = {
     // The interpolation is stated EXPLICITLY over exact cent integers
@@ -1105,10 +1107,10 @@ object AnalyticsQueries {
   /** mannWhitneyUTest (ClickHouse): rank-sum test with average ranks at
     * ties (exact under duplicate values) and the normal-approximation z.
     * The ranking needs ONE global ordering — inherent to a rank
-    * statistic, the quality_deciles precedent: O(1) running-window
-    * state, a single output row, and at corpora where a global sort of
-    * the two samples is unaffordable the standard move is testing on a
-    * deterministic hash-sample upstream (Sampling.splitLabel).
+    * statistic: O(1) running-window state, a single output row. At
+    * corpora where the global sort is unaffordable the registered
+    * drop-in is [[mannWhitneyOffsets]] — the bit-identical bucketed
+    * prefix-sum form (same oracle).
     */
   def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
     val s = table(spark, dir, "events")
@@ -1384,7 +1386,9 @@ object AnalyticsQueries {
     * (purchase) outranks a random negative (view) on the score (value) —
     * computed via the rank identity AUC = (R_pos - n_pos(n_pos+1)/2) /
     * (n_pos n_neg) with average ranks at ties, i.e. the Mann-Whitney U
-    * normalized. Same single-global-order caveat as [[mannWhitney]].
+    * normalized. Same single-global-order caveat as [[mannWhitney]];
+    * the registered scale drop-in is [[rocAucOffsets]] (bit-identical,
+    * same oracle).
     */
   def rocAuc(spark: SparkSession, dir: String): DataFrame = {
     val s = table(spark, dir, "events")
@@ -1509,8 +1513,9 @@ object AnalyticsQueries {
     * sqrt(n1 n2 / (n1+n2))-normalized statistic. One global RANGE-framed
     * cumulative window (ties share the cumulative, so the ECDF is
     * well-defined under duplicates) — the quality_deciles/mann_whitney
-    * global-ordering precedent: O(1) window state, one output row,
-    * hash-sample upstream when a full sort is unaffordable.
+    * global-ordering precedent: O(1) window state, one output row. The
+    * registered scale drop-in is [[ksTestOffsets]] (identical gap set,
+    * same oracle).
     */
   def ksTest(spark: SparkSession, dir: String): DataFrame = {
     val s = table(spark, dir, "events")
@@ -1540,7 +1545,9 @@ object AnalyticsQueries {
     * aggregate; the rank windows run on the per-user frame (|users| rows,
     * orders of magnitude below |events|), then Pearson corr of the ranks.
     * Same global-ordering caveat as [[mannWhitney]]: a rank statistic
-    * needs one total order, O(1) window state, one output row.
+    * needs one total order, O(1) window state, one output row. The
+    * registered scale drop-in is [[rankCorrOffsets]] (identical rank
+    * multisets, same oracle).
     */
   def rankCorr(spark: SparkSession, dir: String): DataFrame = {
     val perUser = table(spark, dir, "events")
@@ -1755,7 +1762,8 @@ object AnalyticsQueries {
     // exact quarter-integer — every value below 2^53, so both engines'
     // explicitly-stated interpolations (ExactQuantile) are bit-identical
     // and the 4-dp floor-rounds cannot diverge. Same broadcast-median +
-    // second-pass shape as before.
+    // second-pass shape as before; the registered no-array drop-in is
+    // madPerGroupOffsets (same oracle).
     val med = table(spark, dir, "events")
       .groupBy(col("event_type"))
       .agg(sort_array(collect_list(
@@ -1871,7 +1879,9 @@ object AnalyticsQueries {
     * rank window runs on the per-customer AGGREGATE (customer
     * cardinality), never the raw orders — the same aggregate-first
     * discipline as rank_corr. Ties in revenue don't affect the result:
-    * sum(i * x) is invariant under permuting equal x.
+    * sum(i * x) is invariant under permuting equal x. The registered
+    * scale drop-in is [[giniRevenueOffsets]] (bit-identical, same
+    * oracle, no single-task rank).
     */
   def giniRevenue(spark: SparkSession, dir: String): DataFrame = {
     // Exact-cents formulation (ARCHITECTURE.md "Correctness strategy"):
@@ -2276,10 +2286,11 @@ object AnalyticsQueries {
     * standard CRM cut. The three ntile(5) windows are GLOBAL sorts by
     * design (a quintile label is a total-order statistic), but they run
     * over the aggregated CUSTOMER grain, not the fact table — millions of
-    * narrow rows at 100 TB of orders, one sort each; the documented
-    * approx path for a larger dimension is percentile_approx boundaries
-    * (the quality_deciles / quality_deciles_approx pairing). Ties order
-    * by customer key so the quintile cut is deterministic on both engines.
+    * narrow rows at 100 TB of orders, one sort each; the registered
+    * scale drop-in for a larger dimension is [[rfmSegmentsOffsets]] —
+    * EXACT (not approximate) quintiles from bucketed ranks, same
+    * oracle. Ties order by customer key so the quintile cut is
+    * deterministic on both engines.
     */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val o = table(spark, dir, "orders")

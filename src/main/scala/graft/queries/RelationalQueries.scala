@@ -337,7 +337,9 @@ object RelationalQueries {
     * over sorted exact-cent arrays (graft.functions.ExactQuantile) — the
     * engines' built-in continuous-quantile aggregates interpolate with
     * differing association orders and flip 2-dp rounding on
-    * tie-adjacent values. Same per-group buffering as the built-in.
+    * tie-adjacent values. Same per-group buffering as the built-in;
+    * the registered no-array drop-in is [[percentilesOffsets]] (same
+    * oracle).
     */
   def percentiles(spark: SparkSession, dir: String): DataFrame = {
     def q(p: Double, alias: String) =
