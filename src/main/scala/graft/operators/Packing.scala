@@ -260,12 +260,19 @@ object Packing {
     * token for token (double-cast order statistics, h − floor(h)
     * fraction), so results are bit-identical to the buffered form on
     * values below 2^53. Returns (`keyCol`, n, <alias per p>). Widest
-    * state anywhere: one count per distinct value per bucket. Pass a
-    * CACHED `byV` — it feeds the range probe, the subtotal aggregate,
-    * the main pass, and the per-key total.
+    * state anywhere: one count per distinct value per bucket. `byV`
+    * feeds FOUR consumers (range probe, subtotal aggregate, main pass,
+    * per-key total) — an uncached input is defensively cache-tracked
+    * here rather than silently recomputed four times; callers that
+    * manage their own lifetime should pass an already-cached frame.
     */
-  def keyedQuantiles(byV: DataFrame, keyCol: String,
+  def keyedQuantiles(byV0: DataFrame, keyCol: String,
       ps: Seq[(Double, String)], nBuckets: Int = 64): DataFrame = {
+    require(ps.nonEmpty, "keyedQuantiles: ps must list at least one (p, alias)")
+    val byV =
+      if (byV0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        CacheScope.cache(byV0)
+      else byV0
     val mm = byV.agg(min(col("v")).as("_qo_mn"), max(col("v")).as("_qo_mx"))
     val b = byV.crossJoin(broadcast(mm))
     val bucket = least(lit((nBuckets - 1).toLong),

@@ -547,17 +547,18 @@ object AnalyticsQueries {
         col("n"))
       .orderBy("l_returnflag")
   }
-  /** [[quantilesExact]] restated WITHOUT per-group buffering — the
-    * [[percentilesOffsets]] construction (see RelationalQueries) on the
-    * lineitem price grain: distinct (returnflag, cent) counts, the
-    * keyed two-level prefix sum for per-key cumulative ranks, and a
-    * conditional-max pick of each quantile's two order statistics. The
-    * interpolation mirrors [[quantilesExact]]'s long-typed expression
-    * token for token, so the output is value-identical and shares its
-    * oracle SQL verbatim. With 3 groups over a 100 TB fact table the
-    * exact form's collect_list array is the one aggregate that cannot
-    * fit an executor; this form's widest state is one count per
-    * distinct cent value per bucket.
+  /** [[quantilesExact]] restated WITHOUT per-group buffering —
+    * [[graft.operators.Packing.keyedQuantiles]] on the lineitem cent
+    * grain (distinct (returnflag, cent) counts in, type-7 interpolated
+    * quantiles out) followed by the shared half-up cent floor, exactly
+    * as [[RelationalQueries.percentilesOffsets]] composes it. The
+    * helper's double-cast interpolation and [[quantilesExact]]'s
+    * long-typed expression agree bit for bit below 2^53 (cents here are
+    * ≤ 10^7), so the output is value-identical and shares its oracle
+    * SQL verbatim. With 3 groups over a 100 TB fact table the exact
+    * form's collect_list array is the one aggregate that cannot fit an
+    * executor; this form's widest state is one count per distinct cent
+    * value per bucket.
     */
   def quantilesExactOffsets(spark: SparkSession, dir: String): DataFrame = {
     val byV = table(spark, dir, "lineitem")
@@ -565,37 +566,11 @@ object AnalyticsQueries {
         round(col("l_extendedprice") * 100).cast("long").as("v"))
       .agg(count(lit(1)).as("cnt"))
       .cacheTracked()
-    val mm = byV.agg(min(col("v")).as("_qo_mn"), max(col("v")).as("_qo_mx"))
-    val b = byV.crossJoin(broadcast(mm))
-    val bucket = least(lit(63L),
-      floor((col("v") - col("_qo_mn")).cast("double") * 64 /
-        ((col("_qo_mx") - col("_qo_mn")).cast("double") + 1.0)).cast("long"))
-    val ranked = graft.operators.Packing.withKeyedOffsets(
-      b, Seq("l_returnflag"), Seq("v"), "cnt", bucket, "off")
-      .drop("_qo_mn", "_qo_mx")
-    val nf = byV.groupBy(col("l_returnflag")).agg(sum(col("cnt")).as("n"))
     val ps = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.9 -> "p90")
-    val aggs = ps.zipWithIndex.flatMap { case ((p, _), i) =>
-      val h = lit(p) * (col("n") - 1).cast("double")
-      val loIdx = floor(h).cast("long") + 1
-      val hiIdx = least(floor(h).cast("long") + 2, col("n"))
-      Seq(
-        max(when(col("off") < loIdx && loIdx <= col("off") + col("cnt"),
-          col("v"))).as(s"_lo$i"),
-        max(when(col("off") < hiIdx && hiIdx <= col("off") + col("cnt"),
-          col("v"))).as(s"_hi$i"))
-    }
-    val picked = ranked.join(broadcast(nf), "l_returnflag")
-      .groupBy(col("l_returnflag"), col("n"))
-      .agg(aggs.head, aggs.tail: _*)
-    // quantilesExact's q() mirrored: LONG order statistics in the same
-    // mixed long/double expression, the shared half-up cent floor
-    val outs = ps.zipWithIndex.map { case ((p, a), i) =>
-      val h = lit(p) * (col("n") - 1).cast("double")
-      (floor(col(s"_lo$i") + (h - floor(h)) * (col(s"_hi$i") - col(s"_lo$i"))
-        + 0.5) / 100.0).as(a)
-    }
-    picked.select((col("l_returnflag") +: outs) :+ col("n"): _*)
+    graft.operators.Packing.keyedQuantiles(byV, "l_returnflag", ps)
+      .select((col("l_returnflag") +:
+        ps.map { case (_, a) => (floor(col(a) + 0.5) / 100.0).as(a) }) :+
+        col("n"): _*)
       .orderBy("l_returnflag")
   }
 
@@ -1151,7 +1126,9 @@ object AnalyticsQueries {
     * bit-identical to the window form (same oracle SQL). On continuous
     * values the distinct grain equals the row grain — the point is not
     * compression but that NO single task ever holds the sort: every
-    * per-value row is ranked inside its range bucket. */
+    * per-value row is ranked inside its range bucket. The per-value
+    * frame is cache-tracked — [[withRangeOffsets]] consumes it three
+    * times (range probe, subtotals, main), the rfm-twin lesson. */
   def mannWhitneyOffsets(spark: SparkSession, dir: String): DataFrame = {
     val isA = col("event_type") === "view"
     val byV = table(spark, dir, "events")
@@ -1160,6 +1137,7 @@ object AnalyticsQueries {
       .groupBy(col("value"))
       .agg(sum(when(isA, 1L).otherwise(0L)).as("n1v"),
         count(lit(1)).as("tot"))
+      .cacheTracked()
     val ranked = withRangeOffsets(byV, "value", Nil, "tot", 64, "off")
     val agg = ranked.agg(
       sum(col("n1v") * (col("off") + (col("tot") + 1) / lit(2.0))).as("r1"),
@@ -1172,7 +1150,8 @@ object AnalyticsQueries {
     * [[mannWhitneyOffsets]] construction with the positive class in the
     * rank-sum role (AUC IS the normalized U statistic); bit-identical
     * output, same oracle SQL. Completes the total-order family's twin
-    * coverage together with ks/rank-corr below. */
+    * coverage together with ks/rank-corr below. Per-value frame
+    * cache-tracked like the siblings (three-consumer offsets pass). */
   def rocAucOffsets(spark: SparkSession, dir: String): DataFrame = {
     val isPos = col("event_type") === "purchase"
     val byV = table(spark, dir, "events")
@@ -1181,6 +1160,7 @@ object AnalyticsQueries {
       .groupBy(col("value"))
       .agg(sum(when(isPos, 1L).otherwise(0L)).as("pv"),
         count(lit(1)).as("tot"))
+      .cacheTracked()
     withRangeOffsets(byV, "value", Nil, "tot", 64, "off")
       .agg(
         sum(col("pv") * (col("off") + (col("tot") + 1) / lit(2.0))).as("rp"),

@@ -853,16 +853,28 @@ object TextQueries {
     * dynamic-allocation decommission, so on a real cluster the job fails
     * instead of recovering; (2) blocks linger until the frame is GC'd,
     * so many pipeline runs in one long-lived session hold blocks between
-    * GCs. When the session has a RELIABLE checkpoint dir configured
-    * (`sparkContext.setCheckpointDir` on durable storage) this therefore
-    * uses `df.checkpoint()` instead — executor-loss-safe and the closest
-    * no-catalog approximation of the real writeTable parquet handoff; a
-    * production run should prefer the parquet handoff outright.
+    * GCs. The reliable alternative — `df.checkpoint()` to the context's
+    * checkpoint dir — is executor-loss-safe and the closest no-catalog
+    * approximation of the real writeTable parquet handoff, but it is an
+    * EXPLICIT OPT-IN (`spark.graft.stageBoundary.reliable=true` plus a
+    * configured checkpoint dir), NOT keyed off `getCheckpointDir`
+    * presence: a checkpoint dir set by unrelated code (the graph
+    * operators' reliable mode, a notebook) must not silently flip this
+    * path, and Spark's default
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=false` NEVER
+    * deletes reliable checkpoint files, so repeated pipeline runs in a
+    * long-lived session would accumulate unbounded data in that dir.
+    * An opt-in caller owns the dir and must either set
+    * `cleanCheckpoints=true` or clean it between runs; a production run
+    * should prefer the parquet handoff outright.
     */
-  private def stageBoundary(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
+  private def stageBoundary(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val optIn = df.sparkSession.conf
+      .getOption("spark.graft.stageBoundary.reliable").contains("true")
+    if (optIn && sc.getCheckpointDir.isDefined) df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
+  }
 
   /** Context window for the registered packing queries — small enough
     * that sf0.01 docs straddle boundaries (the interesting case), large
