@@ -112,7 +112,13 @@ object Scaling {
     "percentiles", "percentiles_offsets",
     "quantiles_exact", "quantiles_exact_offsets",
     "series_outliers_tukey", "series_outliers_tukey_offsets",
-    "mad_per_group", "mad_per_group_offsets")
+    "mad_per_group", "mad_per_group_offsets",
+    // round 13: the batched parallel-BPE learner measured against the
+    // sequential one — same corpus-size word count, same
+    // vocabulary-bounded pair aggregates, but k/m = 2 job waves instead
+    // of k = 8, so the expected gap vs bpe_learn is the saved per-round
+    // scheduling/aggregate latency (the 32k-vocab ceiling in miniature)
+    "bpe_learn_batched")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -1065,7 +1065,7 @@ object TextQueries {
     rows.head
   }
 
-  private def bpeRounds(dict0: DataFrame, k: Int, keepSingles: Boolean)
+  private[graft] def bpeRounds(dict0: DataFrame, k: Int, keepSingles: Boolean)
       : (Seq[(Long, String, Long)], DataFrame) = {
     var dict = materialized(dict0)
     var expansions = Map.empty[Char, String]
@@ -1088,16 +1088,130 @@ object TextQueries {
     (merges.result(), dict)
   }
 
-  private def bpeDict(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
+  private[graft] def bpeDictOf(docs: DataFrame): DataFrame =
+    docs
       .select(explode(split(lower(col("text")), "\\s+")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("wc"))
+
+  private def bpeDict(spark: SparkSession, dir: String): DataFrame =
+    bpeDictOf(table(spark, dir, "documents"))
 
   def bpeLearn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (merges, dict) =
       bpeRounds(bpeDict(spark, dir), k = 8, keepSingles = false)
+    dict.unpersist()
+    merges.toDF("merge_rank", "pair", "cnt").orderBy("merge_rank")
+  }
+
+  /** Greedy non-conflicting wave selection over a ranked candidate list
+    * — the standard parallel-BPE relaxation [public: batching
+    * non-interacting merges per iteration, as in SentencePiece's BPE
+    * trainer and the BlockBPE/parallel-BPE literature]: walk the
+    * (cnt desc, pair asc) rank order and take a pair iff it shares NO
+    * symbol with any pair already taken this wave, stopping at m.
+    * Symbol-disjointness is what makes the batch exact rather than
+    * approximate within the wave: a replace-all for one selected pair
+    * can neither create nor destroy occurrences of another (their
+    * characters never touch), so each selected pair's count and the
+    * fused dictionary are identical whether the m merges run as one
+    * chained pass or as m sequential rounds in rank order. (Batched CAN
+    * still diverge from fully-sequential BPE when a merge creates a NEW
+    * pair that out-counts a later selection — inherent to the
+    * relaxation and accepted by every production parallel trainer;
+    * TextAssemblySpec proves equality on a fixture without that
+    * interaction.)
+    */
+  private[graft] def bpeSelectWave(ranked: Seq[(String, Long)], m: Int)
+      : Seq[(String, Long)] = {
+    val sel = Seq.newBuilder[(String, Long)]
+    var used = Set.empty[Char]
+    var taken = 0
+    val it = ranked.iterator
+    while (taken < m && it.hasNext) {
+      val (p, c) = it.next()
+      if (!p.exists(used)) { sel += ((p, c)); used ++= p.toSet; taken += 1 }
+    }
+    sel.result()
+  }
+
+  /** The batched Sennrich loop: k merges in k/m JOB WAVES instead of k.
+    * This is the production-vocabulary scale path the sequential
+    * learner caps out on — [[bpeRounds]] is k sequential (pair-count →
+    * argmax → replace) waves, so a 32k-merge vocab is 32k job launches
+    * and scheduler latency, not data, becomes the ceiling; batching the
+    * top-m symbol-disjoint pairs per wave divides the wave count by
+    * ~m while every wave stays the SAME two codegen'd passes (one
+    * bigram recount, one chained replace-all). Per wave the WHOLE
+    * ranked pair frame is collected for the greedy selection — it is
+    * alphabet-bounded (≤ |Σ|² distinct bigrams over single-character
+    * symbols, a few thousand rows however large the corpus), the same
+    * bounded driver-scalar class as [[bpeArgmax]]'s single row.
+    * Sentinels number merges globally (wave w consumes chr((w−1)·m+1)
+    * … chr(w·m)), so a batched run and a sequential run that select
+    * the same pairs produce bit-identical dictionaries and merge
+    * tables.
+    */
+  private[graft] def bpeRoundsBatched(dict0: DataFrame, k: Int, m: Int,
+      keepSingles: Boolean): (Seq[(Long, String, Long)], DataFrame) = {
+    require(m >= 1 && k % m == 0,
+      s"batched BPE: wave size $m must be >= 1 and divide k=$k")
+    var dict = materialized(dict0)
+    var expansions = Map.empty[Char, String]
+    val merges = Seq.newBuilder[(Long, String, Long)]
+    var made = 0
+    for (wave <- 1 to k / m) {
+      val ranked = dict.filter(length(col("w")) >= 2)
+        .select(col("wc"), explode(
+          expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+        .orderBy(desc("cnt"), col("pair"))
+        .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+      val sel = bpeSelectWave(ranked, m)
+      require(sel.size == m,
+        s"batched BPE wave $wave found only ${sel.size} of $m " +
+          "symbol-disjoint merge pairs — the corpus cannot support this " +
+          "batch size")
+      // merge ranks + sentinel-free expansions use the PRE-wave map:
+      // wave selections are counted on the before-dict, so they can
+      // only contain earlier waves' sentinels, never this wave's
+      sel.zipWithIndex.foreach { case ((p, c), j) =>
+        merges += ((made + j + 1L,
+          p.flatMap(ch => expansions.getOrElse(ch, ch.toString)), c))
+      }
+      // ONE chained replace-all fuses the whole wave; disjointness makes
+      // the nesting order irrelevant (rank order kept, oracle-mirrored)
+      val merged = dict.withColumn("w",
+        sel.zipWithIndex.foldLeft(col("w")) { case (acc, ((p, _), j)) =>
+          replace(acc, lit(p), lit((made + j + 1).toChar.toString))
+        })
+      sel.zipWithIndex.foreach { case ((p, _), j) =>
+        expansions += ((made + j + 1).toChar ->
+          p.flatMap(ch => expansions.getOrElse(ch, ch.toString)))
+      }
+      made += m
+      val next = materialized(
+        if (keepSingles) merged else merged.filter(length(col("w")) >= 2))
+      dict.unpersist()
+      dict = next
+    }
+    (merges.result(), dict)
+  }
+
+  /** Registered batched learner: the same k = 8 vocabulary as
+    * [[bpeLearn]] learned in TWO waves of m = 4 symbol-disjoint merges
+    * (vs 8 sequential rounds) — the wave-count ÷m relaxation a 32k-merge
+    * production vocab needs. The oracle replays the batched semantics
+    * exactly: per wave a ranked pair-count CTE, m nested min-rank
+    * disjoint selections, one chained replace, and the shared
+    * sentinel-expansion output.
+    */
+  def bpeLearnBatched(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (merges, dict) =
+      bpeRoundsBatched(bpeDict(spark, dir), k = 8, m = 4, keepSingles = false)
     dict.unpersist()
     merges.toDF("merge_rank", "pair", "cnt").orderBy("merge_rank")
   }
@@ -1394,6 +1508,7 @@ object TextQueries {
     "mix_upsample" -> (mixUpsample _),
     "curriculum_order" -> (curriculumOrder _),
     "bpe_learn" -> (bpeLearn _),
+    "bpe_learn_batched" -> (bpeLearnBatched _),
     "bpe_compression" -> (bpeCompression _),
     "bpe_merge_round2" -> (bpeMergeRound2 _),
     "pack_shard_manifest" -> (packShardManifest _),
@@ -1543,6 +1658,61 @@ object TextQueries {
     val rows = (1 to k).map { i =>
       s"SELECT CAST($i AS BIGINT) AS merge_rank, " +
         s"(SELECT e FROM e$i) AS pair, (SELECT cnt FROM t$i) AS cnt"
+    }.mkString(" UNION ALL ")
+    s"WITH $ctes $rows ORDER BY merge_rank"
+  }
+
+  /** [[bpeLearnBatched]]'s replay — the batched selection itself, not a
+    * sequential stand-in: per wave a ranked pair-count CTE (ROW_NUMBER
+    * over (cnt DESC, pair)), then m nested MIN-rank selections each
+    * constrained to share no character with any earlier selection in
+    * the wave (`contains` on both chars of each already-picked pair —
+    * the greedy walk of [[bpeSelectWave]] expressed as rank floors),
+    * one chained replace-all merging the whole wave, and the shared
+    * sentinel-expansion output rows. MATERIALIZED on every
+    * multiply-referenced CTE per the measured exponential-inlining
+    * lesson.
+    */
+  private val bpeLearnBatchedOracle: String = {
+    val k = 8; val m = 4
+    def disjointFrom(sw: String) =
+      s"NOT (contains(pair, substr((SELECT pair FROM $sw), 1, 1)) " +
+        s"OR contains(pair, substr((SELECT pair FROM $sw), 2, 1)))"
+    val ctes = new StringBuilder
+    ctes ++= bpeDictCte("d0")
+    for (w <- 1 to k / m) {
+      val made = (w - 1) * m
+      ctes ++= s", q$w AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, " +
+        "CAST(SUM(wc) AS BIGINT) AS cnt FROM " +
+        "(SELECT w, wc, unnest(generate_series(1, length(w) - 1)) AS i " +
+        s"FROM d${w - 1} WHERE length(w) >= 2) GROUP BY pair)"
+      ctes ++= s", c$w AS MATERIALIZED (SELECT pair, cnt, " +
+        s"ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS r FROM q$w)"
+      for (j <- 1 to m) {
+        val rFloor = if (j == 1) "0" else s"(SELECT r FROM s${w}_${j - 1})"
+        val disj = (1 until j).map(x => " AND " + disjointFrom(s"s${w}_$x"))
+          .mkString
+        ctes ++= s", s${w}_$j AS MATERIALIZED (SELECT pair, cnt, r " +
+          s"FROM c$w WHERE r = " +
+          s"(SELECT MIN(r) FROM c$w WHERE r > $rFloor$disj))"
+      }
+      val mergedW = (1 to m).foldLeft("w") { (acc, j) =>
+        s"replace($acc, (SELECT pair FROM s${w}_$j), chr(${made + j}))"
+      }
+      ctes ++= s", d$w AS MATERIALIZED (SELECT w, wc FROM " +
+        s"(SELECT $mergedW AS w, wc FROM d${w - 1}) WHERE length(w) >= 2)"
+      for (j <- 1 to m) {
+        val i = made + j
+        val expand = (1 to made).foldLeft("pair") { (acc, x) =>
+          s"replace($acc, chr($x), (SELECT e FROM e$x))"
+        }
+        ctes ++= s", e$i AS MATERIALIZED " +
+          s"(SELECT $expand AS e, cnt FROM s${w}_$j)"
+      }
+    }
+    val rows = (1 to k).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, " +
+        s"(SELECT e FROM e$i) AS pair, (SELECT cnt FROM e$i) AS cnt"
     }.mkString(" UNION ALL ")
     s"WITH $ctes $rows ORDER BY merge_rank"
   }
@@ -1839,6 +2009,7 @@ object TextQueries {
         "FROM u JOIN f USING (lang) WHERE u.u < f.f " +
         "GROUP BY 1 ORDER BY lang"),
     "bpe_learn" -> bpeLearnOracle,
+    "bpe_learn_batched" -> bpeLearnBatchedOracle,
     "bpe_compression" -> bpeCompressionOracle,
     "bpe_merge_round2" ->
       (s"WITH $bpeDictSql, " +

@@ -39,6 +39,15 @@ object QueryIndex {
         ("exact per-language token budgets via the KEYED two-level prefix " +
           "sum (withKeyedOffsets) — a dominant language never serializes " +
           "through one task; 1.7x under 3x at x30"),
+      "bpe_learn" ->
+        ("sequential Sennrich loop: k merges = k job waves — fine at " +
+          "k = 8, the documented ceiling for a 32k production vocab; " +
+          "scale path = bpe_learn_batched"),
+      "bpe_learn_batched" ->
+        ("parallel-BPE relaxation: top-m symbol-disjoint merges fused " +
+          "per wave (k/m job waves — here 8 merges in 2); within a wave " +
+          "disjointness makes each merge exact, and the oracle replays " +
+          "the batched selection itself"),
       "forecast_events_snaive" ->
         ("the one forecast whose yhat/band VALUES are hash-checked " +
           "(exact-cents + mirrored IEEE tree); the backtest's skill baseline"),

@@ -43,6 +43,67 @@ class TextAssemblySpec extends SparkSpec {
       merges.head._3 == top1.getLong(1))
   }
 
+  test("bpeSelectWave: greedy walk skips symbol-sharing pairs, keeps rank order") {
+    val ranked = Seq(("ab", 100L), ("ac", 90L), ("cd", 80L), ("de", 70L),
+      ("fg", 60L), ("gh", 50L))
+    // ac shares 'a' with ab; de shares 'd' with cd; gh shares 'g' with fg
+    assert(TextQueries.bpeSelectWave(ranked, 3) ==
+      Seq(("ab", 100L), ("cd", 80L), ("fg", 60L)))
+    // m larger than the disjoint supply: returns what exists
+    assert(TextQueries.bpeSelectWave(ranked, 5) ==
+      Seq(("ab", 100L), ("cd", 80L), ("fg", 60L)))
+    // a self-pair uses one symbol and conflicts on it
+    assert(TextQueries.bpeSelectWave(Seq(("aa", 9L), ("ba", 8L), ("cd", 7L)), 2) ==
+      Seq(("aa", 9L), ("cd", 7L)))
+  }
+
+  test("bpe_learn_batched: batched == sequential on a tie-free disjoint-dominant fixture") {
+    import spark.implicits._
+    // isolated two-char words with distinct counts: every merge consumes
+    // its whole word (which then drops from the learner dict), so no
+    // merge can create or destroy another candidate's occurrences — the
+    // regime where the non-conflicting-batch relaxation is EXACTLY
+    // sequential BPE, per the scaladoc's equality claim
+    val text = Seq("ab" -> 100, "cd" -> 90, "ef" -> 80, "gh" -> 70,
+      "ij" -> 60, "kl" -> 50)
+      .flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val docs = Seq(text).toDF("text")
+    val (seqMerges, seqDict) =
+      TextQueries.bpeRounds(TextQueries.bpeDictOf(docs), k = 4,
+        keepSingles = false)
+    val (batMerges, batDict) =
+      TextQueries.bpeRoundsBatched(TextQueries.bpeDictOf(docs), k = 4, m = 2,
+        keepSingles = false)
+    val seqRows = seqDict.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batRows = batDict.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    seqDict.unpersist(); batDict.unpersist()
+    assert(seqMerges == batMerges,
+      "merge tables (rank, expansion, count) must be identical")
+    assert(seqMerges.map(_._2) == Seq("ab", "cd", "ef", "gh"))
+    assert(seqRows == batRows, "final dictionaries must be identical")
+  }
+
+  test("bpe_learn_batched: dense expanded ranks; wave-1 head is the global argmax") {
+    val merges = TextQueries.bpeLearnBatched(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(merges.map(_._1).toSeq == (1L to 8L))
+    assert(merges.map(_._2).distinct.length == 8, "merge rules must be distinct")
+    merges.foreach { case (rank, pair, cnt) =>
+      assert(pair.length >= 2 && pair.forall(_ >= ' '),
+        s"rank $rank: '$pair' must be fully expanded printable text")
+      assert(cnt > 0)
+    }
+    // the first selection of wave 1 IS the global argmax — batching
+    // never changes merge #1
+    val top1 = TextQueries.bpeMergePairs(spark, sf0001).limit(1).head
+    assert(merges.head._2 == top1.getString(0) &&
+      merges.head._3 == top1.getLong(1))
+    // within a wave the counts are measured on the SAME before-dict, so
+    // they are non-increasing in rank inside each wave of 4
+    assert(merges.slice(0, 4).map(_._3).sliding(2).forall(s => s(0) >= s(1)))
+    assert(merges.slice(4, 8).map(_._3).sliding(2).forall(s => s(0) >= s(1)))
+  }
+
   test("bpe_compression: merges only ever shrink the symbol stream") {
     val r = TextQueries.bpeCompression(spark, sf0001).head
     val (before, after, ratio) = (r.getLong(0), r.getLong(1), r.getDouble(2))
