@@ -379,6 +379,51 @@ object Multimodal {
       }
   }
 
+  final case class MediaHash(media_id: Long, dhash: Long)
+
+  /** dHash perceptual fingerprint [public: the classic
+    * aHash/dHash/pHash difference-hash family, e.g. Krawetz 2013 "Kind
+    * of Like That"]: real netpbm decode → integer-mean luminance →
+    * nearest-neighbor resample onto a 9×8 luma grid (the exact
+    * [[MediaDecoder.pnmResize]] index map, source (y·h/8, x·w/9)) → 64
+    * horizontal-gradient bits, bit y·8+x = 1 iff luma(y,x) < luma(y,
+    * x+1). Gradients survive brightness/contrast shifts and resampling
+    * noise, so near-identical images land within a few Hamming bits —
+    * feed the output to [[graft.operators.Dedup.hammingPairs]] for
+    * banded near-dup candidates. Integer-exact end to end (byte luma,
+    * floor index map, strict compare): no float surface, so the whole
+    * hash replays in SQL. Non-netpbm payloads emit no row (a real
+    * deployment decodes them through a codec into this same path); one
+    * row in, ≤ one 16-byte row out, embarrassingly parallel.
+    */
+  def dHash(media: DataFrame): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("kind"), col("payload")).as[MediaRow]
+      .flatMap { r =>
+        MediaDecoder.pnmDecode(r.payload).map { case (w, h, ch, pix) =>
+          var hash = 0L
+          var y = 0
+          while (y < 8) {
+            val sy = (y.toLong * h / 8).toInt
+            var x = 0
+            var prev = 0
+            while (x < 9) {
+              val sx = (x.toLong * w / 9).toInt
+              var lum = 0
+              var c = 0
+              while (c < ch) { lum += pix((sy * w + sx) * ch + c) & 0xff; c += 1 }
+              lum /= ch
+              if (x > 0 && prev < lum) hash |= 1L << (y * 8 + (x - 1))
+              prev = lum
+              x += 1
+            }
+            y += 1
+          }
+          MediaHash(r.media_id, hash)
+        }
+      }
+  }
+
   final case class FrameSample(
       media_id: Long,
       frame_idx: Int,

@@ -725,6 +725,19 @@ object Dedup {
   def simhashPairsDeterministic(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     simhashPairsFrom(simhashDeterministic(docs), maxHamming)
 
+  /** The pigeonhole Hamming-band candidate machinery exposed for OTHER
+    * 64-bit fingerprint families (image dHash, audio chromaprints):
+    * pairs within `maxHamming` over `fp(idCol, hashCol)` without an
+    * all-pairs join — identical semantics and plan shape to
+    * [[simhashPairs]] (split into maxHamming+1 chunks; any pair within
+    * distance maxHamming agrees on ≥ 1 chunk).
+    */
+  def hammingPairs(fp: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int): DataFrame =
+    simhashPairsFrom(
+      fp.select(col(idCol).as("doc_id"), col(hashCol).as("simhash")),
+      maxHamming)
+
   private def simhashPairsFrom(fp: DataFrame, maxHamming: Int): DataFrame = {
     val nChunks = maxHamming + 1
     val bitsPerChunk = 64 / nChunks

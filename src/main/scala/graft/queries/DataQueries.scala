@@ -70,6 +70,83 @@ object DataQueries {
     Dedup.simhashPairsDeterministic(table(spark, dir, "documents"), maxHamming = 3)
       .orderBy("doc_a", "doc_b")
 
+  /** media_id offsets for the synthetic perceptual-duplicate variants —
+    * far above any fixture doc_id, so the three families never collide.
+    */
+  private val BrightIdOffset = 1000000L
+  private val NoiseIdOffset = 2000000L
+
+  /** Deterministic P5 grayscale fixture images: one per document (dims
+    * by the mm stub convention, 16 + first/second byte % 64; pixels =
+    * the document's ASCII bytes tiled row-major), PLUS two
+    * perceptual-duplicate variant families that give the image-dedup
+    * path real positives AND real negatives — exactly the
+    * transformations a perceptual hash exists to catch and a byte hash
+    * misses:
+    *  - every doc_id % 5 == 0 also emits a BRIGHTNESS variant
+    *    (media_id + 1e6, every pixel +10): a uniform shift preserves
+    *    every horizontal gradient, so its dHash is bit-identical
+    *    (Hamming 0);
+    *  - every doc_id % 7 == 3 also emits a NOISE variant (media_id +
+    *    2e6, pixel p jittered by (p·131 % 3) − 1 ∈ {−1,0,1}): flips
+    *    only the gradients whose neighbor luma gap is ≤ the jitter, so
+    *    most land within Hamming ≤ 3 (found) and a deterministic tail
+    *    lands beyond (correctly excluded — measured 364/500 within τ at
+    *    sf0.01).
+    * The payload is a REAL binary netpbm file
+    * ([[Multimodal.MediaDecoder.pnmEncode]]); everything downstream
+    * (decode, resample, hash, banding) is the genuine production path —
+    * only this synthesis is fixture scaffolding (the container ships no
+    * codecs or image corpora). No clamping anywhere: ASCII bytes are
+    * 32..126, so +10/−1 stays inside 0..255 and the oracle's integer
+    * replay is exact.
+    */
+  private def synthPnmMedia(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .filter(length(col("text")) >= 1)
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val bytes = text.getBytes("US-ASCII") // fixture corpus is pure ASCII
+        val w = 16 + (bytes(0) & 0xff) % 64
+        val h = 16 + (if (bytes.length >= 2) (bytes(1) & 0xff) % 64 else 0)
+        def raster(delta: Int => Int): Array[Byte] = {
+          val pix = new Array[Byte](w * h)
+          var p = 0
+          while (p < pix.length) {
+            pix(p) = ((bytes(p % bytes.length) & 0xff) + delta(p)).toByte
+            p += 1
+          }
+          pix
+        }
+        def img(mid: Long, delta: Int => Int) =
+          (mid, "image", Multimodal.MediaDecoder.pnmEncode(w, h, 1, raster(delta)))
+        Seq(img(id, _ => 0)) ++
+          (if (id % 5 == 0) Seq(img(id + BrightIdOffset, _ => 10)) else Nil) ++
+          (if (id % 7 == 3) Seq(img(id + NoiseIdOffset, p => (p * 131) % 3 - 1))
+           else Nil)
+      }.toDF("media_id", "kind", "payload")
+  }
+
+  /** Image near-dup via dHash perceptual fingerprints — the multimodal
+    * member of the dedup family, composing two existing components: the
+    * REAL netpbm decode + 9×8 nearest-neighbor luma resample
+    * ([[Multimodal.dHash]]) and the SimHash pigeonhole banding
+    * ([[Dedup.hammingPairs]] — candidates from 16-bit chunk agreement,
+    * never all-pairs). Images are deterministic per-document P5
+    * fixtures ([[synthPnmMedia]]); pairs within Hamming 3 of 64
+    * gradient bits. Integer-exact end to end, so the oracle replays the
+    * whole path — header dims, floor index map, luma compare, banded
+    * pair set (restated as the full filtered join, which the pigeonhole
+    * guarantee makes identical).
+    */
+  def dedupImagePhash(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Multimodal.dHash(
+      synthPnmMedia(table(spark, dir, "documents"))).toDF()
+    Dedup.hammingPairs(fp, "media_id", "dhash", maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(table(spark, dir, "embeddings"), threshold = 0.45)
       .orderBy("vec_a", "vec_b")
@@ -869,6 +946,7 @@ object DataQueries {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_minhash_mllib" -> (dedupMinhashMllib _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_image_phash" -> (dedupImagePhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "ann_topk" -> (annTopk _),
@@ -1596,6 +1674,46 @@ object DataQueries {
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
         "bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming " +
         "FROM fp a JOIN fp b ON a.doc_id < b.doc_id) " +
+        "WHERE hamming <= 3 ORDER BY doc_a, doc_b"),
+    // dedup_image_phash replay: the synthetic P5 raster is text bytes
+    // tiled row-major (pure-ASCII corpus, so ord(char) == byte), the
+    // 9x8 resample is the floor index map (y*h//8, x*w//9), luma = the
+    // sampled byte (grayscale), and bit y*8+x compares horizontal
+    // neighbors; lo/hi 32-bit halves avoid the bit-63 BIGINT overflow.
+    // The banded Spark pair set equals this full filtered join by the
+    // pigeonhole guarantee (<= 3 mismatches across 4 chunks).
+    "dedup_image_phash" ->
+      ("WITH g AS (SELECT doc_id, text, length(text) AS n, " +
+        "16 + ord(substr(text, 1, 1)) % 64 AS w, " +
+        "16 + CASE WHEN length(text) >= 2 THEN ord(substr(text, 2, 1)) % 64 " +
+        "ELSE 0 END AS h FROM documents WHERE length(text) >= 1), " +
+        // synthPnmMedia's three families: original, +10 brightness
+        // (doc_id % 5 = 0), {-1,0,1} positional jitter (doc_id % 7 = 3)
+        "v AS (SELECT doc_id AS media_id, doc_id, 0 AS shift, 0 AS noisy FROM g " +
+        "UNION ALL SELECT doc_id + 1000000, doc_id, 10, 0 FROM g " +
+        "WHERE doc_id % 5 = 0 " +
+        "UNION ALL SELECT doc_id + 2000000, doc_id, 0, 1 FROM g " +
+        "WHERE doc_id % 7 = 3), " +
+        "pxr AS (SELECT media_id, y, x, shift, noisy, text, n, " +
+        "(y * h // 8) * w + (x * w // 9) AS p FROM v JOIN g USING (doc_id) " +
+        "CROSS JOIN generate_series(0, 7) gy(y) " +
+        "CROSS JOIN generate_series(0, 8) gx(x)), " +
+        "px AS MATERIALIZED (SELECT media_id, y, x, " +
+        "ord(substr(text, CAST(p % n AS INT) + 1, 1)) + shift + " +
+        "noisy * ((p * 131) % 3 - 1) AS lum FROM pxr), " +
+        "bits AS (SELECT a.media_id, a.y * 8 + a.x AS pos, " +
+        "CASE WHEN a.lum < b.lum THEN 1 ELSE 0 END AS b " +
+        "FROM px a JOIN px b ON a.media_id = b.media_id AND a.y = b.y " +
+        "AND b.x = a.x + 1), " +
+        "fp AS MATERIALIZED (SELECT media_id, " +
+        "SUM(CASE WHEN b = 1 AND pos < 32 THEN (1::BIGINT << CAST(pos AS INT)) " +
+        "ELSE 0 END) AS lo, " +
+        "SUM(CASE WHEN b = 1 AND pos >= 32 THEN (1::BIGINT << CAST(pos - 32 AS INT)) " +
+        "ELSE 0 END) AS hi FROM bits GROUP BY media_id) " +
+        "SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming FROM (" +
+        "SELECT a.media_id AS doc_a, b.media_id AS doc_b, " +
+        "bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming " +
+        "FROM fp a JOIN fp b ON a.media_id < b.media_id) " +
         "WHERE hamming <= 3 ORDER BY doc_a, doc_b"),
     // Same SimHash fingerprints feeding the canonicalize pipeline: pairs
     // at Hamming <= 3, transitive closure via recursive CTE, exact-dup

@@ -39,6 +39,11 @@ object QueryIndex {
         ("exact per-language token budgets via the KEYED two-level prefix " +
           "sum (withKeyedOffsets) — a dominant language never serializes " +
           "through one task; 1.7x under 3x at x30"),
+      "dedup_image_phash" ->
+        ("image near-dup: REAL netpbm decode + 9x8 luma resample -> " +
+          "64-bit dHash -> the SimHash pigeonhole banding (never " +
+          "all-pairs); fixtures add brightness/jitter perceptual-dup " +
+          "variants so the gate has real positives and negatives"),
       "bpe_learn" ->
         ("sequential Sennrich loop: k merges = k job waves — fine at " +
           "k = 8, the documented ceiling for a 32k production vocab; " +

@@ -270,6 +270,55 @@ class MultimodalSpec extends SparkSpec {
     assert(tall.out_width <= 100 && tall.out_height <= 10)
   }
 
+  test("dHash golden values: gradient/flat/brightness/resample/RGB-luma/non-netpbm") {
+    import spark.implicits._
+    def p5(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] =
+      Multimodal.MediaDecoder.pnmEncode(w, h, 1,
+        Array.tabulate(w * h)(p => f(p / w, p % w).toByte))
+    // RGB: lum = integer channel mean = x*10 + 4, strictly increasing
+    val p6 = Multimodal.MediaDecoder.pnmEncode(9, 8, 3,
+      Array.tabulate(9 * 8 * 3) { i =>
+        val x = (i / 3) % 9; val c = i % 3; (x * 10 + c * 4).toByte
+      })
+    val rows = Seq(
+      (1L, "image", p5(9, 8, (_, x) => x * 10 + 5)), // increasing rows
+      (2L, "image", p5(9, 8, (_, _) => 77)), // flat
+      (3L, "image", p5(9, 8, (_, x) => x * 10 + 12)), // #1 brightness-shifted
+      (4L, "image", p5(18, 16, (_, x) => (x / 2) * 10 + 5)), // #1 2x upscaled
+      (5L, "image", p6),
+      (6L, "audio", "not an image".getBytes("US-ASCII"))) // non-netpbm
+    val out = Multimodal.dHash(rows.toDF("media_id", "kind", "payload"))
+      .collect().map(m => m.media_id -> m.dhash).toMap
+    // strictly increasing luma along every row: all 64 gradient bits set
+    assert(out(1L) == -1L)
+    assert(out(2L) == 0L, "flat image has no gradients")
+    assert(out(3L) == out(1L), "uniform brightness shift preserves the hash")
+    assert(out(4L) == out(1L),
+      "nearest-neighbor resample of the 2x image recovers the same grid")
+    assert(out(5L) == -1L, "RGB integer-mean luma sees the same gradient")
+    assert(!out.contains(6L), "non-netpbm payloads emit no fingerprint")
+  }
+
+  test("dedup_image_phash: brightness variants pair at Hamming 0; noise tail excluded") {
+    val pairs = graft.queries.DataQueries.dedupImagePhash(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty)
+    val bright = pairs.filter { case (a, b, _) =>
+      a < 1000000L && b == a + 1000000L }
+    assert(bright.nonEmpty, "expected (doc, brightness-variant) pairs")
+    assert(bright.forall(_._3 == 0),
+      "a uniform +10 shift preserves every gradient bit")
+    assert(pairs.forall(_._3 <= 3))
+    // noise variants: some found within tau, a deterministic tail excluded
+    val noiseFound = pairs.count { case (a, b, _) =>
+      a < 1000000L && b == a + 2000000L }
+    val noiseAll = graft.sources.Fixtures.table(spark, sf0001, "documents")
+      .filter(col("doc_id") % 7 === 3 && length(col("text")) >= 1).count()
+    assert(noiseFound > 0 && noiseFound < noiseAll,
+      s"jitter should split into found ($noiseFound) and excluded " +
+        s"(${noiseAll - noiseFound}) — both non-empty")
+  }
+
   test("partition-batched path survives repartitioning (plumbing, not plan)") {
     val out = Multimodal.extractFeatures(media.repartition(8, col("media_id")))
       .collect().sortBy(_.media_id).map(_.n_bytes).toSeq

@@ -31,6 +31,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dedup_image_phash: banded candidates — chunk-keyed equi-join, no all-pairs") {
+    val p = plan("dedup_image_phash")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "fingerprint pairing must come from the pigeonhole chunk join")
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"),
+      "chunk-keyed candidate join must be an equi-join")
+  }
+
   test("dedup_ngram_jaccard: candidate join is keyed (no nested-loop all-pairs)") {
     val p = plan("dedup_ngram_jaccard")
     assert(!p.contains("CartesianProduct"))
