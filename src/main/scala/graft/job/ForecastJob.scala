@@ -56,6 +56,16 @@ final class ForecastJob(
     if (!parityTypes) Map.empty
     else metrics.map(m => m -> df.schema(m).dataType).toMap
 
+  /** Cache hygiene on the job paths (run/runUnioned/backtest) is
+    * try/finally `unpersist()` per forecast frame, NOT
+    * [[graft.operators.CacheScope]]: the job is a batch CLI whose
+    * frames have exact lexical lifetimes (cache before the two
+    * consumers, release on the same code path even on per-metric fit
+    * failure), so a session-scoped registry would only defer the
+    * release it exists to guarantee for the registry-driven query
+    * surface where lifetimes cross query boundaries. ForecastJobSpec
+    * asserts no graft cache survives a completed run.
+    */
   def run(): JobSummary = {
     val t0 = System.nanoTime()
     val successful = ArrayBuffer[String]()

@@ -444,7 +444,7 @@ object CoreQueries {
   // still flips these rows.
   // ------------------------------------------------------------------
 
-  private def checkedRows(fc: DataFrame, lastHist: DataFrame,
+  private[graft] def checkedRows(fc: DataFrame, lastHist: DataFrame,
       extra: Seq[Column] = Nil): DataFrame =
     fc.crossJoin(broadcast(lastHist))
       .select(Seq(col("metric"), col("date"),

@@ -254,4 +254,36 @@ class ForecastEngineSpec extends SparkSpec {
     assert(wide.filter(col("m_min") > col("m") || col("m") > col("m_max")).count() == 0)
     assert(wide.count() == 37)
   }
+
+  test("checked face <-> fit coupling: a degenerate fitted sigma flips the band bits") {
+    // CoreQueries.checkedRows claims the per-row checked faces derive
+    // from the variant's REAL fitted output, so a fit regression flips
+    // the hashed rows. Prove it: run the same fit -> predict ->
+    // checkedRows chain twice, once healthy and once with the fitted
+    // dispersion param regressed to NaN (the dof-collapse failure mode a
+    // broken solver actually produces) — every band bit must flip.
+    import spark.implicits._
+    val days = (0L until 60L).toArray
+    val params = ProphetLike.fit(days.map(d => (d, 10.0 + 0.5 * d)))
+    val all = days ++ ((days.last + 1) to (days.last + 7))
+    def face(p: ProphetParams): Array[(Int, Int)] = {
+      val fc = ProphetLike.predict(p, all).toSeq.map { case (d, yh, lo, hi) =>
+        ForecastRow("t", "m",
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d)), yh, lo, hi)
+      }.toDF()
+      val lastHist = Seq(java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(days.last))).toDF("m")
+      graft.queries.CoreQueries.checkedRows(fc, lastHist)
+        .collect().map(r => (r.getInt(2), r.getInt(3))) // (is_future, band_ok)
+    }
+    val healthy = face(params)
+    assert(healthy.length == 67 && healthy.forall(_._2 == 1))
+    assert(healthy.count(_._1 == 1) == 7, "exactly the horizon is future")
+    val regressed = face(params.copy(sigma = Double.NaN))
+    assert(regressed.forall(_._2 == 0),
+      "every band bit must flip — the face recomputes its bits from the " +
+        "fitted frame, it does not assert constants")
+    assert(regressed.map(_._1).toSeq == healthy.map(_._1).toSeq,
+      "calendar bits stay pinned independently of the fit values")
+  }
 }

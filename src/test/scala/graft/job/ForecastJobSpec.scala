@@ -26,6 +26,8 @@ class ForecastJobSpec extends SparkSpec {
 
   test("full run: creates outputs, correct schema/rows, exact bookkeeping") {
     val cat = seedCatalog()
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val scopeBefore = graft.operators.CacheScope.trackedCount(spark)
     val summary = new ForecastJob(cat, interval = 7).run()
 
     assert(summary.created.toSet ==
@@ -42,6 +44,15 @@ class ForecastJobSpec extends SparkSpec {
     assert(out.count() == nHist + 7)
     // per-row band invariant on a real metric
     assert(out.filter(col("value_sum_min") > col("value_sum")).count() == 0)
+    // cache hygiene (run() scaladoc): every job-path cache() is paired
+    // with a try/finally unpersist, so no cached frame survives the run —
+    // the job registers nothing with CacheScope and adds no persistent
+    // RDD blocks beyond whatever the shared test session already held
+    assert(graft.operators.CacheScope.trackedCount(spark) == scopeBefore,
+      "the job path must not register frames with CacheScope")
+    assert(spark.sparkContext.getPersistentRDDs.keySet
+      .subsetOf(persistedBefore),
+      "a completed run must leave no new cached frames behind")
   }
 
   test("backtest: writes bucket_backtest_<t> metrics tables, skips short/ineligible, reruns don't re-ingest outputs") {
