@@ -117,8 +117,12 @@ object Scaling {
     // sequential one — same corpus-size word count, same
     // vocabulary-bounded pair aggregates, but k/m = 2 job waves instead
     // of k = 8, so the expected gap vs bpe_learn is the saved per-round
-    // scheduling/aggregate latency (the 32k-vocab ceiling in miniature)
-    "bpe_learn_batched")
+    // scheduling/aggregate latency (the 32k-vocab ceiling in miniature);
+    // the image perceptual-hash dedup (per-doc fingerprint + pigeonhole
+    // chunk join — the dedup_simhash shape over synthesized rasters);
+    // and the second fully value-checked forecast (one (metric, dow)
+    // aggregate + 7-row fan-out, expected flat-ish like snaive)
+    "bpe_learn_batched", "dedup_image_phash", "forecast_events_smean")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -370,6 +370,55 @@ object CoreQueries {
       .orderBy("metric", "ds")
   }
 
+  /** Seasonal-mean (day-of-week climatology) forecast [public: the
+    * seasonal-average baseline family, Hyndman & Athanasopoulos FPP3
+    * §5.2] — the SECOND forecast whose yhat/band VALUES are fully
+    * driver-hash-checked (after [[forecastEventsSnaive]], same recipe):
+    * yhat(T+h) = mean of all history sharing (epoch-day mod 7) with
+    * T+h; band = ±1.28·sd of those same values. Exact integer-cent
+    * sums make the aggregates order-independent, the double arithmetic
+    * is ONE IEEE expression tree mirrored token-for-token in the
+    * oracle, and outputs go through the shared FLOOR(x·1e4 + 0.5)
+    * grain — so DuckDB replays yhat and both band edges bit-for-bit.
+    * The dow key is epoch-day mod 7, NOT an engine dow function
+    * (Spark's dayofweek labels 1=Sunday while DuckDB's dayofweek is
+    * 0=Sunday; the mod-7 residue class is identical everywhere).
+    * Scale: one map-side-combinable (metric, dow) aggregate + a 7-row
+    * fan-out per metric; the events scan dominates.
+    *
+    * Input contract: each forecast day's dow class needs ≥ 1 observed
+    * day — any ≥ 7-day daily series satisfies it; sparser series drop
+    * the uncovered days via the inner join on `dw` IDENTICALLY in both
+    * engines.
+    */
+  def forecastEventsSmean(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val s = eventsLong(spark, dir)
+      .select(col("metric"), col("ds"),
+        round(col("y") * 100).cast("long").as("yc"))
+      .withColumn("dow", pmod(datediff(col("ds"), epoch), lit(7)))
+    val dw = s.groupBy(col("metric"), col("dow"))
+      .agg(count(lit(1)).as("ndw"), sum(col("yc")).as("sw"),
+        sum(col("yc") * col("yc")).as("sww"))
+    val fut = s.groupBy(col("metric")).agg(max(col("ds")).as("d1"))
+      .select(col("metric"), col("d1"),
+        explode(sequence(lit(1), lit(7))).as("h"))
+      .withColumn("ds", date_add(col("d1"), col("h")))
+      .withColumn("dow", pmod(datediff(col("ds"), epoch), lit(7)))
+      .join(dw, Seq("metric", "dow"))
+    // mirrored TOKEN-FOR-TOKEN in the oracle (the snaive discipline)
+    val meanC = col("sw").cast("double") / col("ndw")
+    val yhat = meanC / lit(100.0)
+    val sd = sqrt(greatest(lit(0.0),
+      col("sww").cast("double") / col("ndw") - meanC * meanC)) / lit(100.0)
+    def grain(c: Column) = floor(c * 10000 + 0.5) / 10000.0
+    fut.select(col("metric"), col("ds"),
+      grain(yhat).as("yhat"),
+      grain(yhat - lit(1.28) * sd).as("yhat_lower"),
+      grain(yhat + lit(1.28) * sd).as("yhat_upper"))
+      .orderBy("metric", "ds")
+  }
+
   /** Sub-daily forecast over HOURLY event buckets — the path where
     * Prophet's daily-seasonality auto-rule genuinely fires (720 hourly
     * points, spacing 1/24 day): fits carry an order-4 daily Fourier
@@ -624,6 +673,7 @@ object CoreQueries {
     "forecast_events_hourly" -> (forecastEventsHourlyChecked _),
     "forecast_events_hourly_gate" -> (forecastEventsHourlyGate _),
     "forecast_events_snaive" -> (forecastEventsSnaive _),
+    "forecast_events_smean" -> (forecastEventsSmean _),
     "forecast_backtest" -> (forecastBacktest _),
     "forecast_backtest_gate" -> (forecastBacktestGate _),
     "forecast_backtest_naive" -> (forecastBacktestNaive _),
@@ -816,6 +866,38 @@ object CoreQueries {
         "(CAST(y1 - y0 AS DOUBLE) / 100.0 / CAST(nd - 1 AS DOUBLE)) + 1.28 * " +
         "(SQRT(GREATEST(0.0, CAST(srr AS DOUBLE) / nr - " +
         "(CAST(sr AS DOUBLE) / nr) * (CAST(sr AS DOUBLE) / nr))) / 100.0)) " +
+        "* 10000 + 0.5) / 10000 AS yhat_upper " +
+        "FROM j ORDER BY metric, ds"),
+    // the seasonal-mean replay: exact-cents per-(metric, dow) sums, the
+    // SAME IEEE expression tree and 1e-4 floor grain — the second
+    // forecast with yhat AND both band edges under the hash
+    "forecast_events_smean" ->
+      (s"WITH b AS ($bucketizeSql), " +
+        "m AS (SELECT 'event_count' AS metric, date AS ds, " +
+        "CAST(event_count AS DOUBLE) AS y FROM b " +
+        "UNION ALL SELECT 'value_sum', date, value_sum FROM b " +
+        "UNION ALL SELECT 'active_users', date, CAST(active_users AS DOUBLE) FROM b), " +
+        "s AS (SELECT metric, ds, CAST(ROUND(y * 100) AS BIGINT) AS yc, " +
+        "CAST(ds - DATE '1970-01-01' AS BIGINT) % 7 AS dow FROM m), " +
+        "dw AS (SELECT metric, dow, CAST(COUNT(*) AS BIGINT) AS ndw, " +
+        "CAST(SUM(yc) AS BIGINT) AS sw, " +
+        "CAST(SUM(yc * yc) AS BIGINT) AS sww FROM s GROUP BY 1, 2), " +
+        "f AS (SELECT l.metric, l.d1 + CAST(gs.h AS INTEGER) AS ds, " +
+        "CAST((l.d1 + CAST(gs.h AS INTEGER)) - DATE '1970-01-01' AS BIGINT) % 7 " +
+        "AS dow FROM (SELECT metric, MAX(ds) AS d1 FROM s GROUP BY 1) l " +
+        "CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h) gs), " +
+        "j AS (SELECT f.metric, f.ds, dw.ndw, dw.sw, dw.sww FROM f " +
+        "JOIN dw ON dw.metric = f.metric AND dw.dow = f.dow) " +
+        "SELECT metric, ds, " +
+        "FLOOR(((CAST(sw AS DOUBLE) / ndw) / 100.0) * 10000 + 0.5) / 10000 " +
+        "AS yhat, " +
+        "FLOOR(((CAST(sw AS DOUBLE) / ndw) / 100.0 - 1.28 * " +
+        "(SQRT(GREATEST(0.0, CAST(sww AS DOUBLE) / ndw - " +
+        "(CAST(sw AS DOUBLE) / ndw) * (CAST(sw AS DOUBLE) / ndw))) / 100.0)) " +
+        "* 10000 + 0.5) / 10000 AS yhat_lower, " +
+        "FLOOR(((CAST(sw AS DOUBLE) / ndw) / 100.0 + 1.28 * " +
+        "(SQRT(GREATEST(0.0, CAST(sww AS DOUBLE) / ndw - " +
+        "(CAST(sw AS DOUBLE) / ndw) * (CAST(sw AS DOUBLE) / ndw))) / 100.0)) " +
         "* 10000 + 0.5) / 10000 AS yhat_upper " +
         "FROM j ORDER BY metric, ds"),
     "forecast_events_gate" -> eventsDailyGateSql,

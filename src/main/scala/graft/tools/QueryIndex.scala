@@ -54,8 +54,12 @@ object QueryIndex {
           "disjointness makes each merge exact, and the oracle replays " +
           "the batched selection itself"),
       "forecast_events_snaive" ->
-        ("the one forecast whose yhat/band VALUES are hash-checked " +
+        ("first of two forecasts whose yhat/band VALUES are hash-checked " +
           "(exact-cents + mirrored IEEE tree); the backtest's skill baseline"),
+      "forecast_events_smean" ->
+        ("second fully value-hash-checked forecast: day-of-week " +
+          "climatology mean +/- 1.28 sd, same exact-cents + mirrored-IEEE " +
+          "+ 1e-4-floor recipe as snaive"),
       "ann_topk" ->
         "quarantined brute-force oracle anchor; scale paths = ann_topk_{lsh,ivf,pq,...}",
       "pipeline_pretrain_budget" ->
