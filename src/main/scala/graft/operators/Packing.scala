@@ -259,7 +259,10 @@ object Packing {
     * interpolation mirrors `graft.functions.ExactQuantile.interp`
     * token for token (double-cast order statistics, h − floor(h)
     * fraction), so results are bit-identical to the buffered form on
-    * values below 2^53. Returns (`keyCol`, n, <alias per p>). Widest
+    * values below 2^53. Exact-vs-offsets selection guidance lives in
+    * QUERIES.md "Choosing exact vs _offsets forms" (the buffered form
+    * is cheaper while a group's values fit one task; this one survives
+    * any cardinality). Returns (`keyCol`, n, <alias per p>). Widest
     * state anywhere: one count per distinct value per bucket. `byV`
     * feeds FOUR consumers (range probe, subtotal aggregate, main pass,
     * per-key total) — an uncached input is defensively cache-tracked

@@ -513,7 +513,8 @@ object AnalyticsQueries {
     * ~1 s at sf0.1); the array form sorts one buffer and reads all four
     * ranks from it. The buffer still grows with the group — the
     * registered no-array drop-in is [[quantilesExactOffsets]] (same
-    * oracle).
+    * oracle; selection guidance in QUERIES.md "Choosing exact vs
+    * _offsets forms").
     */
   def quantilesExact(spark: SparkSession, dir: String): DataFrame = {
     // The interpolation is stated EXPLICITLY over exact cent integers
@@ -1085,7 +1086,8 @@ object AnalyticsQueries {
     * statistic: O(1) running-window state, a single output row. At
     * corpora where the global sort is unaffordable the registered
     * drop-in is [[mannWhitneyOffsets]] — the bit-identical bucketed
-    * prefix-sum form (same oracle).
+    * prefix-sum form (same oracle; selection guidance in QUERIES.md
+    * "Choosing exact vs _offsets forms").
     */
   def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
     val s = table(spark, dir, "events")
@@ -1368,7 +1370,8 @@ object AnalyticsQueries {
     * (n_pos n_neg) with average ranks at ties, i.e. the Mann-Whitney U
     * normalized. Same single-global-order caveat as [[mannWhitney]];
     * the registered scale drop-in is [[rocAucOffsets]] (bit-identical,
-    * same oracle).
+    * same oracle; selection guidance in QUERIES.md "Choosing exact vs
+    * _offsets forms").
     */
   def rocAuc(spark: SparkSession, dir: String): DataFrame = {
     val s = table(spark, dir, "events")
@@ -1400,7 +1403,9 @@ object AnalyticsQueries {
     * ranks + conditional-max order statistics) computes the same
     * interpolated quartiles without a per-key value array; the
     * approx_percentile form (quality_deciles_approx precedent) remains
-    * the cheaper drop-in when approximate fences suffice.
+    * the cheaper drop-in when approximate fences suffice. Exact form
+    * vs [[seriesOutliersTukeyOffsets]]: selection guidance in
+    * QUERIES.md "Choosing exact vs _offsets forms".
     */
   def seriesOutliersTukey(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ExactQuantile
@@ -1495,7 +1500,8 @@ object AnalyticsQueries {
     * well-defined under duplicates) — the quality_deciles/mann_whitney
     * global-ordering precedent: O(1) window state, one output row. The
     * registered scale drop-in is [[ksTestOffsets]] (identical gap set,
-    * same oracle).
+    * same oracle; selection guidance in QUERIES.md "Choosing exact vs
+    * _offsets forms").
     */
   def ksTest(spark: SparkSession, dir: String): DataFrame = {
     val s = table(spark, dir, "events")
@@ -1527,7 +1533,8 @@ object AnalyticsQueries {
     * Same global-ordering caveat as [[mannWhitney]]: a rank statistic
     * needs one total order, O(1) window state, one output row. The
     * registered scale drop-in is [[rankCorrOffsets]] (identical rank
-    * multisets, same oracle).
+    * multisets, same oracle; selection guidance in QUERIES.md
+    * "Choosing exact vs _offsets forms").
     */
   def rankCorr(spark: SparkSession, dir: String): DataFrame = {
     val perUser = table(spark, dir, "events")
@@ -1743,7 +1750,8 @@ object AnalyticsQueries {
     // explicitly-stated interpolations (ExactQuantile) are bit-identical
     // and the 4-dp floor-rounds cannot diverge. Same broadcast-median +
     // second-pass shape as before; the registered no-array drop-in is
-    // madPerGroupOffsets (same oracle).
+    // madPerGroupOffsets (same oracle; selection guidance in QUERIES.md
+    // "Choosing exact vs _offsets forms").
     val med = table(spark, dir, "events")
       .groupBy(col("event_type"))
       .agg(sort_array(collect_list(
@@ -1861,7 +1869,8 @@ object AnalyticsQueries {
     * discipline as rank_corr. Ties in revenue don't affect the result:
     * sum(i * x) is invariant under permuting equal x. The registered
     * scale drop-in is [[giniRevenueOffsets]] (bit-identical, same
-    * oracle, no single-task rank).
+    * oracle, no single-task rank; selection guidance in QUERIES.md
+    * "Choosing exact vs _offsets forms").
     */
   def giniRevenue(spark: SparkSession, dir: String): DataFrame = {
     // Exact-cents formulation (ARCHITECTURE.md "Correctness strategy"):
@@ -1902,6 +1911,10 @@ object AnalyticsQueries {
   // bucketing-independent, so each twin is VALUE-IDENTICAL to its exact
   // sibling and shares its oracle SQL verbatim — the quality_deciles /
   // quality_deciles_approx pairing, but with no approximation at all.
+  // WHICH FORM TO REGISTER where: see QUERIES.md "Choosing exact vs
+  // _offsets forms" — the exact form wins while the ordered grain fits
+  // one task's sort budget (twins cost 1-4x there); past it the exact
+  // form dies rather than degrades, the twin stays linear.
   // ------------------------------------------------------------------
 
   /** Exclusive prefix sum of `valueCol` in ascending (`sortCol`,
@@ -2269,8 +2282,9 @@ object AnalyticsQueries {
     * narrow rows at 100 TB of orders, one sort each; the registered
     * scale drop-in for a larger dimension is [[rfmSegmentsOffsets]] —
     * EXACT (not approximate) quintiles from bucketed ranks, same
-    * oracle. Ties order by customer key so the quintile cut is
-    * deterministic on both engines.
+    * oracle (selection guidance in QUERIES.md "Choosing exact vs
+    * _offsets forms"). Ties order by customer key so the quintile cut
+    * is deterministic on both engines.
     */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val o = table(spark, dir, "orders")

@@ -339,7 +339,8 @@ object RelationalQueries {
     * differing association orders and flip 2-dp rounding on
     * tie-adjacent values. Same per-group buffering as the built-in;
     * the registered no-array drop-in is [[percentilesOffsets]] (same
-    * oracle).
+    * oracle; selection guidance in QUERIES.md "Choosing exact vs
+    * _offsets forms").
     */
   def percentiles(spark: SparkSession, dir: String): DataFrame = {
     def q(p: Double, alias: String) =

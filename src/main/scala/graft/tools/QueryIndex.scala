@@ -153,6 +153,32 @@ object QueryIndex {
       "decode) with ScalaTest invariants/recall bounds — see",
       "ARCHITECTURE.md \"Correctness strategy\".",
       "",
+      "## Choosing exact vs `_offsets` forms",
+      "",
+      "Ten order-statistics come in two value-identical, oracle-shared",
+      "registrations: an EXACT form whose global window or per-group",
+      "`collect_list` serializes the ordered grain through ONE task, and",
+      "an `_offsets` twin on the bucketed two-level prefix sum whose",
+      "widest single-task state is a constant (≤ nBuckets subtotal rows",
+      "or one count per distinct value per bucket). Selection is a",
+      "grain-cardinality call, not a data-size call: the exact form is",
+      "the right tool while the ORDERED GRAIN — distinct values for the",
+      "rank tests, rows per group for the quantile buffers, the customer",
+      "grain for gini/rfm — fits one task's sort/array budget (rule of",
+      "thumb: up to low tens of millions of rows / a few hundred MB per",
+      "task), and it is usually cheaper there: at the x30 replica the",
+      "twins cost 1–4x their exact siblings (rfm 3.0 s exact vs 11.7 s",
+      "twin, quantiles 1.4 s vs 6.3 s; mann_whitney and roc_auc twins",
+      "already run at parity) because multi-pass prefix sums re-scan",
+      "what a single sort holds in memory. Past that budget the exact",
+      "form does not degrade — it dies (executor OOM or a never-ending",
+      "single-task sort), while the twin's cost stays a constant factor",
+      "of linear scan work at ANY cardinality; every twin is",
+      "bit-identical and driver-enforced against the SAME oracle SQL, so",
+      "swapping is a pure plan change. On an unbounded 100 TB grain,",
+      "register the `_offsets` name; keep the exact name for",
+      "interactive/bounded grains.",
+      "",
       "| query | module | correctness | scale notes |",
       "|---|---|---|---|")
     val doc = (header ++ rows).mkString("", "\n", "\n")
