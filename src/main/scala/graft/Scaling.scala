@@ -122,7 +122,11 @@ object Scaling {
     // chunk join — the dedup_simhash shape over synthesized rasters);
     // and the second fully value-checked forecast (one (metric, dow)
     // aggregate + 7-row fan-out, expected flat-ish like snaive)
-    "bpe_learn_batched", "dedup_image_phash", "forecast_events_smean")
+    "bpe_learn_batched", "dedup_image_phash", "forecast_events_smean",
+    // round 13 extras: image clusters (phash pairs + min-label CC) and
+    // the audio energy-gradient fingerprint (per-media fingerprint +
+    // pigeonhole chunk join — the dedup_simhash shape on WAV payloads)
+    "dedup_image_clusters", "dedup_audio_fingerprint")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -424,6 +424,58 @@ object Multimodal {
       }
   }
 
+  final case class AudioFp(media_id: Long, afp: Long)
+
+  /** Audio fingerprint for WAV payloads — the time-axis analog of
+    * [[dHash]] [public: the energy-difference family behind
+    * Haitsma–Kalker (2002) / Chromaprint, reduced to its
+    * codec-free core]: real PCM decode ([[MediaDecoder.pcmSamples]]),
+    * the first 65·16 = 1040 first-channel samples restored to exact
+    * int16 (the decode's /32768 is a dyadic scale, so round(s·32768)
+    * is lossless), 65 frame energies e_i = Σ|sample| (exact integer
+    * sums), and 64 energy-gradient bits — bit i = 1 iff e_i < e_{i+1}.
+    * Gradients are invariant under uniform gain (a volume change
+    * scales every energy by the same factor), the perceptual-dup
+    * transformation a byte hash misses; small additive noise flips
+    * only bits whose adjacent energies nearly tie. Integer-exact end
+    * to end, so the hash replays in SQL. Payloads that are not WAV,
+    * not 8/16-bit PCM, or shorter than 1040 samples emit no row; one
+    * row in, ≤ one 16-byte row out. Pair with
+    * [[graft.operators.Dedup.hammingPairs]] for banded near-dup
+    * candidates.
+    */
+  def audioFingerprint(media: DataFrame, frames: Int = 65,
+      frameLen: Int = 16): Dataset[AudioFp] = {
+    require(frames >= 2 && frames <= 65 && frameLen >= 1,
+      "audioFingerprint: need 2..65 frames (frames-1 <= 64 bits)")
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("kind"), col("payload")).as[MediaRow]
+      .flatMap { r =>
+        MediaDecoder.pcmSamples(r.payload).collect {
+          case (_, _, s) if s.length >= frames * frameLen =>
+            val e = new Array[Long](frames)
+            var i = 0
+            while (i < frames) {
+              var acc = 0L
+              var k = 0
+              while (k < frameLen) {
+                acc += math.abs(math.round(s(i * frameLen + k) * 32768.0))
+                k += 1
+              }
+              e(i) = acc
+              i += 1
+            }
+            var hash = 0L
+            var f = 0
+            while (f < frames - 1) {
+              if (e(f) < e(f + 1)) hash |= 1L << f
+              f += 1
+            }
+            AudioFp(r.media_id, hash)
+        }
+      }
+  }
+
   final case class FrameSample(
       media_id: Long,
       frame_idx: Int,

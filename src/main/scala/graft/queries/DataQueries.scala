@@ -147,6 +147,109 @@ object DataQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Image near-dup CLUSTERS: [[dedupImagePhash]]'s banded pair set fed
+    * through the DataFrame-native min-label connected components
+    * ([[DedupClusters.connectedComponentsDF]] — the dedup_canonicalize
+    * machinery on the media grain), summarized per cluster as member /
+    * original-image counts. This is the shape an image-dedup job
+    * actually ships: pick one canonical per component (the min
+    * media_id IS the cluster_id), count what collapsed. The oracle
+    * replays the same fingerprints + pair set through the shared
+    * recursive-CTE closure. Scale: the pair set is banded (never
+    * all-pairs) and CC converges in graph-diameter rounds — near-dup
+    * image clusters are near-cliques, so 2-3 label rounds.
+    */
+  def dedupImageClusters(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Multimodal.dHash(
+      synthPnmMedia(table(spark, dir, "documents"))).toDF()
+    val pairs = Dedup.hammingPairs(fp, "media_id", "dhash", maxHamming = 3)
+    DedupClusters.connectedComponentsDF(pairs)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum((col("doc_id") < BrightIdOffset).cast("long")).as("n_originals"))
+      .orderBy("cluster_id")
+  }
+
+  /** media_id offsets for the audio perceptual-duplicate variants. */
+  private val GainIdOffset = 3000000L
+  private val AudioNoiseIdOffset = 4000000L
+
+  /** Deterministic 16-bit mono WAV fixtures, one per document: 1040
+    * samples (65 fingerprint frames × 16), sample k = (byte(k mod n) −
+    * 79) · amp — centered ASCII text bytes as a waveform — written as a
+    * REAL RIFF/WAVE file (44-byte canonical PCM header + LE int16
+    * data) that [[Multimodal.MediaDecoder.pcmSamples]] parses for
+    * real. Two perceptual-duplicate families mirror [[synthPnmMedia]]:
+    *  - doc_id % 6 == 2 adds a GAIN variant (media_id + 3e6, amp 128
+    *    instead of 256 — exactly half volume): every frame energy
+    *    halves, so every energy gradient — and the fingerprint — is
+    *    identical (Hamming 0);
+    *  - doc_id % 7 == 4 adds a NOISE variant (media_id + 4e6, sample k
+    *    jittered by ((k·37 mod 5) − 2)·8): flips only the gradients
+    *    whose adjacent frame energies nearly tie — measured over the
+    *    WHOLE corpus the flip count is 0–4 bits (499/500 within τ = 3);
+    *    at sf0.01 all 71 registered noise variants land within τ, at
+    *    Hamming 0–3. Min CROSS-document Hamming is 5, so every
+    *    reported pair is a planted perceptual duplicate, never an
+    *    accidental text collision.
+    * All sample values stay within ±12050 (no int16 clipping), all
+    * arithmetic is integer, so the oracle replays the fingerprints
+    * exactly from the text bytes.
+    */
+  private def synthWavMedia(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val nSamp = 65 * 16
+    def wav(samples: Array[Int]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(8000).putInt(16000) // rate, byte rate
+        .putShort(2).putShort(16) // block align, bits
+      b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(s => b.putShort(s.toShort))
+      b.array()
+    }
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .filter(length(col("text")) >= 1)
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val bytes = text.getBytes("US-ASCII")
+        def samples(amp: Int, jit: Boolean): Array[Int] =
+          Array.tabulate(nSamp) { k =>
+            ((bytes(k % bytes.length) & 0xff) - 79) * amp +
+              (if (jit) ((k * 37) % 5 - 2) * 8 else 0)
+          }
+        Seq((id, "audio", wav(samples(256, jit = false)))) ++
+          (if (id % 6 == 2)
+             Seq((id + GainIdOffset, "audio", wav(samples(128, jit = false))))
+           else Nil) ++
+          (if (id % 7 == 4)
+             Seq((id + AudioNoiseIdOffset, "audio", wav(samples(256, jit = true))))
+           else Nil)
+      }.toDF("media_id", "kind", "payload")
+  }
+
+  /** Audio near-dup via energy-gradient fingerprints — the audio member
+    * of the dedup family, the same two-component composition as
+    * [[dedupImagePhash]]: the REAL WAV/PCM decode path
+    * ([[Multimodal.audioFingerprint]] — 65 exact integer frame
+    * energies, 64 gradient bits) and the pigeonhole Hamming banding
+    * ([[Dedup.hammingPairs]], never all-pairs). Gain variants pair at
+    * Hamming 0 (gradients are volume-invariant), noise variants at
+    * small positive Hamming; integer-exact throughout, so the oracle
+    * replays fingerprints and the pair set from the text bytes.
+    */
+  def dedupAudioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Multimodal.audioFingerprint(
+      synthWavMedia(table(spark, dir, "documents"))).toDF()
+    Dedup.hammingPairs(fp, "media_id", "afp", maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(table(spark, dir, "embeddings"), threshold = 0.45)
       .orderBy("vec_a", "vec_b")
@@ -947,6 +1050,8 @@ object DataQueries {
     "dedup_minhash_mllib" -> (dedupMinhashMllib _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_image_phash" -> (dedupImagePhash _),
+    "dedup_image_clusters" -> (dedupImageClusters _),
+    "dedup_audio_fingerprint" -> (dedupAudioFingerprint _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "ann_topk" -> (annTopk _),
@@ -1256,6 +1361,48 @@ object DataQueries {
         "WHERE rn <= 5 ORDER BY query_id, rank"
     lloydCtes(16) + ", " + tail
   }
+
+  // Shared image-phash fingerprint CTEs (ONE rendering for the pair and
+  // cluster oracles): the synthetic P5 raster is text bytes tiled
+  // row-major (pure-ASCII corpus, so ord(char) == byte), the 9x8
+  // resample is the floor index map (y*h//8, x*w//9), luma = the
+  // sampled byte (grayscale), and bit y*8+x compares horizontal
+  // neighbors; lo/hi 32-bit halves avoid the bit-63 BIGINT overflow.
+  // `v` enumerates synthPnmMedia's three families: original, +10
+  // brightness (doc_id % 5 = 0), {-1,0,1} positional jitter
+  // (doc_id % 7 = 3).
+  private val imagePhashCtes: String =
+    "g AS (SELECT doc_id, text, length(text) AS n, " +
+      "16 + ord(substr(text, 1, 1)) % 64 AS w, " +
+      "16 + CASE WHEN length(text) >= 2 THEN ord(substr(text, 2, 1)) % 64 " +
+      "ELSE 0 END AS h FROM documents WHERE length(text) >= 1), " +
+      "v AS (SELECT doc_id AS media_id, doc_id, 0 AS shift, 0 AS noisy FROM g " +
+      "UNION ALL SELECT doc_id + 1000000, doc_id, 10, 0 FROM g " +
+      "WHERE doc_id % 5 = 0 " +
+      "UNION ALL SELECT doc_id + 2000000, doc_id, 0, 1 FROM g " +
+      "WHERE doc_id % 7 = 3), " +
+      "pxr AS (SELECT media_id, y, x, shift, noisy, text, n, " +
+      "(y * h // 8) * w + (x * w // 9) AS p FROM v JOIN g USING (doc_id) " +
+      "CROSS JOIN generate_series(0, 7) gy(y) " +
+      "CROSS JOIN generate_series(0, 8) gx(x)), " +
+      "px AS MATERIALIZED (SELECT media_id, y, x, " +
+      "ord(substr(text, CAST(p % n AS INT) + 1, 1)) + shift + " +
+      "noisy * ((p * 131) % 3 - 1) AS lum FROM pxr), " +
+      "bits AS (SELECT a.media_id, a.y * 8 + a.x AS pos, " +
+      "CASE WHEN a.lum < b.lum THEN 1 ELSE 0 END AS b " +
+      "FROM px a JOIN px b ON a.media_id = b.media_id AND a.y = b.y " +
+      "AND b.x = a.x + 1), " +
+      "fp AS MATERIALIZED (SELECT media_id, " +
+      "SUM(CASE WHEN b = 1 AND pos < 32 THEN (1::BIGINT << CAST(pos AS INT)) " +
+      "ELSE 0 END) AS lo, " +
+      "SUM(CASE WHEN b = 1 AND pos >= 32 THEN (1::BIGINT << CAST(pos - 32 AS INT)) " +
+      "ELSE 0 END) AS hi FROM bits GROUP BY media_id)"
+
+  // the full filtered pair join over `fp` — wrapped by both image oracles
+  private val imagePhashPairsSql: String =
+    "SELECT a.media_id AS doc_a, b.media_id AS doc_b, " +
+      "bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming " +
+      "FROM fp a JOIN fp b ON a.media_id < b.media_id"
 
   private val simhashFpCte =
     "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
@@ -1675,45 +1822,61 @@ object DataQueries {
         "bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming " +
         "FROM fp a JOIN fp b ON a.doc_id < b.doc_id) " +
         "WHERE hamming <= 3 ORDER BY doc_a, doc_b"),
-    // dedup_image_phash replay: the synthetic P5 raster is text bytes
-    // tiled row-major (pure-ASCII corpus, so ord(char) == byte), the
-    // 9x8 resample is the floor index map (y*h//8, x*w//9), luma = the
-    // sampled byte (grayscale), and bit y*8+x compares horizontal
-    // neighbors; lo/hi 32-bit halves avoid the bit-63 BIGINT overflow.
-    // The banded Spark pair set equals this full filtered join by the
-    // pigeonhole guarantee (<= 3 mismatches across 4 chunks).
+    // dedup_image_phash replay: the banded Spark pair set equals the
+    // full filtered join by the pigeonhole guarantee (<= 3 mismatches
+    // across 4 chunks) — shared fingerprint CTEs in imagePhashCtes
     "dedup_image_phash" ->
-      ("WITH g AS (SELECT doc_id, text, length(text) AS n, " +
-        "16 + ord(substr(text, 1, 1)) % 64 AS w, " +
-        "16 + CASE WHEN length(text) >= 2 THEN ord(substr(text, 2, 1)) % 64 " +
-        "ELSE 0 END AS h FROM documents WHERE length(text) >= 1), " +
-        // synthPnmMedia's three families: original, +10 brightness
-        // (doc_id % 5 = 0), {-1,0,1} positional jitter (doc_id % 7 = 3)
-        "v AS (SELECT doc_id AS media_id, doc_id, 0 AS shift, 0 AS noisy FROM g " +
-        "UNION ALL SELECT doc_id + 1000000, doc_id, 10, 0 FROM g " +
-        "WHERE doc_id % 5 = 0 " +
-        "UNION ALL SELECT doc_id + 2000000, doc_id, 0, 1 FROM g " +
-        "WHERE doc_id % 7 = 3), " +
-        "pxr AS (SELECT media_id, y, x, shift, noisy, text, n, " +
-        "(y * h // 8) * w + (x * w // 9) AS p FROM v JOIN g USING (doc_id) " +
-        "CROSS JOIN generate_series(0, 7) gy(y) " +
-        "CROSS JOIN generate_series(0, 8) gx(x)), " +
-        "px AS MATERIALIZED (SELECT media_id, y, x, " +
-        "ord(substr(text, CAST(p % n AS INT) + 1, 1)) + shift + " +
-        "noisy * ((p * 131) % 3 - 1) AS lum FROM pxr), " +
-        "bits AS (SELECT a.media_id, a.y * 8 + a.x AS pos, " +
-        "CASE WHEN a.lum < b.lum THEN 1 ELSE 0 END AS b " +
-        "FROM px a JOIN px b ON a.media_id = b.media_id AND a.y = b.y " +
-        "AND b.x = a.x + 1), " +
-        "fp AS MATERIALIZED (SELECT media_id, " +
+      ("WITH " + imagePhashCtes +
+        " SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming " +
+        s"FROM ($imagePhashPairsSql) " +
+        "WHERE hamming <= 3 ORDER BY doc_a, doc_b"),
+    // dedup_image_clusters replay: the same fingerprints + pair set fed
+    // through the shared recursive-CTE min-label closure (the
+    // canonicalize precedent), then per-cluster member/original counts
+    "dedup_image_clusters" ->
+      ("WITH RECURSIVE " + imagePhashCtes +
+        s", pairs AS (SELECT doc_a, doc_b FROM ($imagePhashPairsSql) " +
+        "WHERE hamming <= 3), " +
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs " +
+        "UNION SELECT doc_b, doc_a FROM pairs), " +
+        "reach(src, dst) AS (SELECT a, a FROM edges UNION " +
+        "SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst), " +
+        "clusters AS (SELECT src AS media_id, MIN(dst) AS cluster_id " +
+        "FROM reach GROUP BY src) " +
+        "SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members, " +
+        "CAST(SUM(CASE WHEN media_id < 1000000 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_originals FROM clusters GROUP BY 1 ORDER BY cluster_id"),
+    // dedup_audio_fingerprint replay: samples restated from the text
+    // bytes ((byte - 79) * amp + jitter), 65 exact integer frame
+    // energies, gradient bits, lo/hi halves — the image-phash pattern
+    // on the time axis; full filtered join == banded set (pigeonhole)
+    "dedup_audio_fingerprint" ->
+      ("WITH ag AS (SELECT doc_id, text, length(text) AS n FROM documents " +
+        "WHERE length(text) >= 1), " +
+        "av AS (SELECT doc_id AS media_id, doc_id, 256 AS amp, 0 AS jit FROM ag " +
+        "UNION ALL SELECT doc_id + 3000000, doc_id, 128, 0 FROM ag " +
+        "WHERE doc_id % 6 = 2 " +
+        "UNION ALL SELECT doc_id + 4000000, doc_id, 256, 1 FROM ag " +
+        "WHERE doc_id % 7 = 4), " +
+        "asm AS (SELECT media_id, k // 16 AS f, " +
+        "ABS((ord(substr(text, CAST(k % n AS INT) + 1, 1)) - 79) * amp + " +
+        "jit * (((k * 37) % 5 - 2) * 8)) AS e1 " +
+        "FROM av JOIN ag USING (doc_id) " +
+        "CROSS JOIN generate_series(0, 1039) gk(k)), " +
+        "afe AS MATERIALIZED (SELECT media_id, f, CAST(SUM(e1) AS BIGINT) AS e " +
+        "FROM asm GROUP BY 1, 2), " +
+        "abit AS (SELECT a.media_id, a.f AS pos, " +
+        "CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS b " +
+        "FROM afe a JOIN afe b ON a.media_id = b.media_id AND b.f = a.f + 1), " +
+        "afp AS MATERIALIZED (SELECT media_id, " +
         "SUM(CASE WHEN b = 1 AND pos < 32 THEN (1::BIGINT << CAST(pos AS INT)) " +
         "ELSE 0 END) AS lo, " +
         "SUM(CASE WHEN b = 1 AND pos >= 32 THEN (1::BIGINT << CAST(pos - 32 AS INT)) " +
-        "ELSE 0 END) AS hi FROM bits GROUP BY media_id) " +
+        "ELSE 0 END) AS hi FROM abit GROUP BY media_id) " +
         "SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming FROM (" +
         "SELECT a.media_id AS doc_a, b.media_id AS doc_b, " +
         "bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming " +
-        "FROM fp a JOIN fp b ON a.media_id < b.media_id) " +
+        "FROM afp a JOIN afp b ON a.media_id < b.media_id) " +
         "WHERE hamming <= 3 ORDER BY doc_a, doc_b"),
     // Same SimHash fingerprints feeding the canonicalize pipeline: pairs
     // at Hamming <= 3, transitive closure via recursive CTE, exact-dup

@@ -44,6 +44,15 @@ object QueryIndex {
           "64-bit dHash -> the SimHash pigeonhole banding (never " +
           "all-pairs); fixtures add brightness/jitter perceptual-dup " +
           "variants so the gate has real positives and negatives"),
+      "dedup_image_clusters" ->
+        ("the phash pair set through DataFrame-native min-label CC " +
+          "(the canonicalize machinery on the media grain); per-cluster " +
+          "member/original counts, recursive-CTE oracle"),
+      "dedup_audio_fingerprint" ->
+        ("audio near-dup: REAL WAV/PCM decode -> 65 exact integer " +
+          "frame energies -> 64 gradient bits (volume-invariant) -> " +
+          "the same pigeonhole banding; gain variants pair at Hamming " +
+          "0, jitter variants at small positive Hamming"),
       "bpe_learn" ->
         ("sequential Sennrich loop: k merges = k job waves — fine at " +
           "k = 8, the documented ceiling for a 32k production vocab; " +

@@ -319,6 +319,67 @@ class MultimodalSpec extends SparkSpec {
         s"(${noiseAll - noiseFound}) — both non-empty")
   }
 
+  test("audioFingerprint golden values: ramp/flat/gain-invariance/short/non-wav") {
+    import spark.implicits._
+    def wav(samples: Array[Int]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+      b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(s => b.putShort(s.toShort))
+      b.array()
+    }
+    val n = 65 * 16
+    val ramp = Array.tabulate(n)(k => (k / 16 + 1) * 100) // energy grows per frame
+    val rows = Seq(
+      (1L, "audio", wav(ramp)),
+      (2L, "audio", wav(Array.fill(n)(777))), // flat: no gradients
+      (3L, "audio", wav(ramp.map(_ / 2))), // half volume: same gradients
+      (4L, "audio", wav(Array.fill(100)(5))), // too short: no row
+      (5L, "audio", "not a wav".getBytes("US-ASCII"))) // non-RIFF: no row
+    val out = Multimodal.audioFingerprint(rows.toDF("media_id", "kind", "payload"))
+      .collect().map(a => a.media_id -> a.afp).toMap
+    assert(out(1L) == -1L, "strictly growing frame energies set all 64 bits")
+    assert(out(2L) == 0L, "flat signal has no energy gradients")
+    assert(out(3L) == out(1L), "uniform gain change preserves the fingerprint")
+    assert(!out.contains(4L) && !out.contains(5L))
+  }
+
+  test("dedup_audio_fingerprint: gain variants at Hamming 0; noise within tau; no cross-doc pairs") {
+    val pairs = graft.queries.DataQueries.dedupAudioFingerprint(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty && pairs.forall(_._3 <= 3))
+    val gain = pairs.filter { case (a, b, _) => a < 1000000L && b == a + 3000000L }
+    assert(gain.nonEmpty && gain.forall(_._3 == 0),
+      "half-volume variants must fingerprint identically")
+    assert(pairs.exists { case (a, b, _) => a < 1000000L && b == a + 4000000L },
+      "expected (doc, noise-variant) pairs")
+    // min cross-document hamming is > tau on this corpus: every pair ties
+    // a document to its own planted variants (ids congruent mod 1e6)
+    assert(pairs.forall { case (a, b, _) => (b - a) % 1000000L == 0 },
+      "no accidental cross-document pairs at tau = 3")
+  }
+
+  test("dedup_image_clusters: variant components collapse to the original's id") {
+    val rows = graft.queries.DataQueries.dedupImageClusters(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // cluster_id is the min member; every cluster seen at sf0.001 is
+    // anchored by an original image and contains exactly one
+    rows.foreach { case (cid, members, originals) =>
+      assert(members >= 2, "CC emits only clustered media")
+      assert(cid < 1000000L, s"cluster $cid not anchored by an original")
+      assert(originals >= 1 && originals <= members)
+    }
+    // a doc with BOTH variants forms one 3-member cluster, not two pairs
+    assert(rows.exists(_._2 >= 3), "expected at least one >= 3-member component")
+  }
+
   test("partition-batched path survives repartitioning (plumbing, not plan)") {
     val out = Multimodal.extractFeatures(media.repartition(8, col("media_id")))
       .collect().sortBy(_.media_id).map(_.n_bytes).toSeq

@@ -40,6 +40,13 @@ class PlanSpec extends SparkSpec {
       "chunk-keyed candidate join must be an equi-join")
   }
 
+  test("dedup_audio_fingerprint: banded candidates — chunk-keyed equi-join, no all-pairs") {
+    val p = plan("dedup_audio_fingerprint")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"))
+  }
+
   test("dedup_ngram_jaccard: candidate join is keyed (no nested-loop all-pairs)") {
     val p = plan("dedup_ngram_jaccard")
     assert(!p.contains("CartesianProduct"))
