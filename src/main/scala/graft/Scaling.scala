@@ -126,7 +126,8 @@ object Scaling {
     // round 13 extras: image clusters (phash pairs + min-label CC) and
     // the audio energy-gradient fingerprint (per-media fingerprint +
     // pigeonhole chunk join — the dedup_simhash shape on WAV payloads)
-    "dedup_image_clusters", "dedup_audio_fingerprint")
+    "dedup_image_clusters", "dedup_audio_fingerprint",
+    "dedup_video_frames")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

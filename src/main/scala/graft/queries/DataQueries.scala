@@ -250,6 +250,67 @@ object DataQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** media_id offset for the video "re-encode" variants. */
+  private val ReencodeIdOffset = 5000000L
+
+  /** Deterministic video fixtures: payload = the document's bytes with
+    * kind "video" (the frame sampler is container-agnostic by design —
+    * a real deployment would seek codec keyframes at exactly this
+    * boundary), plus a RE-ENCODE variant for doc_id % 8 == 5
+    * (media_id + 5e6, first byte replaced by '*'): a header-level
+    * change corrupts only the frame windows containing byte 0, so the
+    * variant still shares the later sampled frames with its original —
+    * the partial-frame-overlap signal a video near-dup keys on.
+    */
+  private def synthVideoMedia(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .filter(length(col("text")) >= 1)
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val bytes = text.getBytes("US-ASCII")
+        val re = bytes.clone(); re(0) = '*'
+        Seq((id, "video", bytes)) ++
+          (if (id % 8 == 5) Seq((id + ReencodeIdOffset, "video", re)) else Nil)
+      }.toDF("media_id", "kind", "payload")
+  }
+
+  /** Video near-dup via sampled-frame hashing — the video member of the
+    * dedup family: [[Multimodal.sampleFrames]] (the REAL keyframe-
+    * sampling plumbing — 4 evenly spaced 64-byte windows per payload)
+    * fanned into (frame_idx, frame-hash) keys with the mod-2^64
+    * polynomial fold (the text_rolling_hash / dedup_substring_hashed
+    * precedent — Long overflow IS the mod), then pairs counted over the
+    * keyed equi-join: two videos match when they agree on >= 2 of the 4
+    * sampled frames at the same position. Never all-pairs — 4 join
+    * keys per video, exactly the banding discipline of the other dedup
+    * members; a frame-hash collision between unequal frames is the
+    * only divergence (~2^-64 per pair-frame, the minhash-band
+    * precedent). The oracle replays offsets, frame slices, fold, and
+    * the match count from the text bytes.
+    */
+  def dedupVideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val frames = Multimodal.sampleFrames(
+      synthVideoMedia(table(spark, dir, "documents")), nFrames = 4,
+      frameBytes = 64)
+    val keyed = frames.map { f =>
+      var h = 0L
+      f.frame.foreach(b => h = h * 1315423911L + (b & 0xff))
+      (f.media_id, f.frame_idx, h)
+    }.toDF("media_id", "frame_idx", "fh")
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.frame_idx") === col("b.frame_idx") &&
+          col("a.fh") === col("b.fh") &&
+          col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("doc_a"), col("b.media_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= 2)
+      .orderBy("doc_a", "doc_b")
+  }
+
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(table(spark, dir, "embeddings"), threshold = 0.45)
       .orderBy("vec_a", "vec_b")
@@ -1052,6 +1113,7 @@ object DataQueries {
     "dedup_image_phash" -> (dedupImagePhash _),
     "dedup_image_clusters" -> (dedupImageClusters _),
     "dedup_audio_fingerprint" -> (dedupAudioFingerprint _),
+    "dedup_video_frames" -> (dedupVideoFrames _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "ann_topk" -> (annTopk _),
@@ -1878,6 +1940,35 @@ object DataQueries {
         "bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming " +
         "FROM afp a JOIN afp b ON a.media_id < b.media_id) " +
         "WHERE hamming <= 3 ORDER BY doc_a, doc_b"),
+    // dedup_video_frames replay: sampleFrames' evenly-spaced offsets
+    // (floor((len-64)*i/3), 0 when the payload fits one window), the
+    // frame slice, the mod-2^64 polynomial fold (HUGEINT space, wrapped
+    // back to signed — the dedup_substring_hashed rendering), and the
+    // >= 2-common-frames match count
+    "dedup_video_frames" ->
+      ("WITH vg AS (SELECT doc_id, text, length(text) AS n FROM documents " +
+        "WHERE length(text) >= 1), " +
+        "vv AS (SELECT doc_id AS media_id, text, n FROM vg " +
+        "UNION ALL SELECT doc_id + 5000000, '*' || substr(text, 2, n - 1), n " +
+        "FROM vg WHERE doc_id % 8 = 5), " +
+        "vf AS (SELECT media_id, i AS frame_idx, " +
+        "CASE WHEN n <= 64 THEN 0 ELSE ((n - 64) * i) // 3 END AS off, " +
+        "text, n FROM vv CROSS JOIN generate_series(0, 3) gi(i)), " +
+        "vh AS MATERIALIZED (SELECT media_id, frame_idx, " +
+        "CAST(CASE WHEN v >= 9223372036854775808::HUGEINT " +
+        "THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) AS fh " +
+        "FROM (SELECT media_id, frame_idx, " +
+        "list_reduce(list_prepend(0::HUGEINT, list_transform(string_split(" +
+        "substr(text, CAST(off AS INT) + 1, CAST(LEAST(64, n - off) AS INT)), " +
+        "''), c -> ord(c)::HUGEINT)), " +
+        "(a, b) -> (a * 1315423911 + b) % 18446744073709551616::HUGEINT) AS v " +
+        "FROM vf)) " +
+        "SELECT doc_a, doc_b, n_common FROM (" +
+        "SELECT a.media_id AS doc_a, b.media_id AS doc_b, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_common FROM vh a JOIN vh b " +
+        "ON a.frame_idx = b.frame_idx AND a.fh = b.fh " +
+        "AND a.media_id < b.media_id GROUP BY 1, 2) " +
+        "WHERE n_common >= 2 ORDER BY doc_a, doc_b"),
     // Same SimHash fingerprints feeding the canonicalize pipeline: pairs
     // at Hamming <= 3, transitive closure via recursive CTE, exact-dup
     // collapse — the DuckDB replay of GraphX Pregel CC over

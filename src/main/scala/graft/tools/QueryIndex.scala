@@ -53,6 +53,11 @@ object QueryIndex {
           "frame energies -> 64 gradient bits (volume-invariant) -> " +
           "the same pigeonhole banding; gain variants pair at Hamming " +
           "0, jitter variants at small positive Hamming"),
+      "dedup_video_frames" ->
+        ("video near-dup: sampleFrames' evenly spaced windows -> " +
+          "mod-2^64 frame fold -> (frame_idx, hash)-keyed join, match " +
+          "at >= 2 of 4 shared frames; re-encode variants share " +
+          "exactly the unbroken frames"),
       "bpe_learn" ->
         ("sequential Sennrich loop: k merges = k job waves — fine at " +
           "k = 8, the documented ceiling for a 32k production vocab; " +

@@ -380,6 +380,18 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.exists(_._2 >= 3), "expected at least one >= 3-member component")
   }
 
+  test("dedup_video_frames: re-encode variants share exactly the unbroken frames") {
+    val pairs = graft.queries.DataQueries.dedupVideoFrames(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.nonEmpty)
+    // every pair ties a video to its own re-encoded variant: a one-byte
+    // header change corrupts only frame 0, so exactly frames 1..3 match
+    pairs.foreach { case (a, b, n) =>
+      assert(b == a + 5000000L, s"unexpected cross-document pair ($a, $b)")
+      assert(n == 3L, s"pair ($a, $b): expected 3 shared frames, got $n")
+    }
+  }
+
   test("partition-batched path survives repartitioning (plumbing, not plan)") {
     val out = Multimodal.extractFeatures(media.repartition(8, col("media_id")))
       .collect().sortBy(_.media_id).map(_.n_bytes).toSeq

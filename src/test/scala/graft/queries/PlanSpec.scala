@@ -47,6 +47,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("HashJoin"))
   }
 
+  test("dedup_video_frames: frame-keyed equi-join, no all-pairs") {
+    val p = plan("dedup_video_frames")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"))
+  }
+
   test("dedup_ngram_jaccard: candidate join is keyed (no nested-loop all-pairs)") {
     val p = plan("dedup_ngram_jaccard")
     assert(!p.contains("CartesianProduct"))
