@@ -83,6 +83,41 @@ class TextAssemblySpec extends SparkSpec {
     assert(seqRows == batRows, "final dictionaries must be identical")
   }
 
+  test("bpeSelectWave properties: rank-ordered, pairwise disjoint, greedy-maximal on random inputs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val pairGen = for {
+      a <- Gen.alphaLowerChar; b <- Gen.alphaLowerChar
+    } yield s"$a$b"
+    val rankedGen = for {
+      n <- Gen.choose(0, 40)
+      ps <- Gen.listOfN(n, pairGen)
+    } yield ps.distinct.zipWithIndex.map { case (p, i) => (p, (1000 - i).toLong) }
+    val prop = Prop.forAll(rankedGen, Gen.choose(1, 8)) { (ranked, m) =>
+      val sel = TextQueries.bpeSelectWave(ranked, m)
+      val selSet = sel.map(_._1).toSet
+      // at most m, all from the input, in rank order
+      val rankOf = ranked.map(_._1).zipWithIndex.toMap
+      val ordered = sel.map(p => rankOf(p._1)) == sel.map(p => rankOf(p._1)).sorted
+      // pairwise symbol-disjoint
+      val disjoint = sel.combinations(2).forall {
+        case Seq((p, _), (q, _)) => p.toSet.intersect(q.toSet).isEmpty
+        case _ => true
+      }
+      // greedy-maximal: every skipped higher-ranked candidate conflicts
+      // with some selected pair ranked above it (when m not yet filled)
+      val maximal = sel.size == m || ranked.forall { case (p, _) =>
+        selSet.contains(p) ||
+          sel.exists { case (q, _) =>
+            rankOf(q) < rankOf(p) && p.toSet.intersect(q.toSet).nonEmpty }
+      }
+      sel.size <= m && ordered && disjoint && maximal
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200)
+        .withInitialSeed(org.scalacheck.rng.Seed(20260815L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("bpe_learn_batched: dense expanded ranks; wave-1 head is the global argmax") {
     val merges = TextQueries.bpeLearnBatched(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
