@@ -101,7 +101,7 @@ object DataQueries {
     * 32..126, so +10/−1 stays inside 0..255 and the oracle's integer
     * replay is exact.
     */
-  private def synthPnmMedia(docs: DataFrame): DataFrame = {
+  private[queries] def synthPnmMedia(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id").cast("long"), col("text"))
       .filter(length(col("text")) >= 1)
@@ -1433,7 +1433,7 @@ object DataQueries {
   // `v` enumerates synthPnmMedia's three families: original, +10
   // brightness (doc_id % 5 = 0), {-1,0,1} positional jitter
   // (doc_id % 7 = 3).
-  private val imagePhashCtes: String =
+  private[queries] val imagePhashCtes: String =
     "g AS (SELECT doc_id, text, length(text) AS n, " +
       "16 + ord(substr(text, 1, 1)) % 64 AS w, " +
       "16 + CASE WHEN length(text) >= 2 THEN ord(substr(text, 2, 1)) % 64 " +

@@ -89,6 +89,13 @@ object StreamQueries {
         .withColumn("ts",
           timestamp_micros(col("doc_id") + lit(31536000000000L))))
 
+  /** Synthesized P5 media fixtures staged for streaming ingest, 4 files
+    * so fingerprint state genuinely accumulates across micro-batches.
+    */
+  private def stagedMedia(spark: SparkSession, dir: String): (String, StructType) =
+    stage(spark, dir, "media_pnm", 4)(
+      DataQueries.synthPnmMedia(Fixtures.table(spark, dir, "documents")))
+
   /** Run `result` (a streaming DataFrame) to completion into a memory
     * sink and return the sink table. Unique query names keep bench
     * reruns and concurrent suites from colliding.
@@ -243,7 +250,34 @@ object StreamQueries {
       .orderBy("lang")
   }
 
+  /** Streaming perceptual image dedup — the ingest-time monitor shape:
+    * binary media payloads arrive as a 4-micro-batch stream, each batch
+    * fingerprints its images STATELESSLY through the real decode /
+    * resample / dHash path ([[graft.multimodal.Multimodal.dHash]] runs
+    * unchanged on the streaming Dataset — it is a pure flatMap, so no
+    * state store is involved until the aggregation), and a complete-mode
+    * groupBy(fingerprint) emits (canonical = min media_id, n_images) per
+    * distinct perceptual hash. The final sink table equals the batch
+    * groupBy regardless of batch order — brightness variants land in
+    * their original's group (identical fingerprint) in whichever
+    * micro-batch they arrive. canonical_id is unique per group (one
+    * fingerprint per media), so the output needs no raw hash column and
+    * the oracle replays it from the shared fingerprint CTEs.
+    */
+  def streamPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (path, schema) = stagedMedia(spark, dir)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(path)
+    val fp = graft.multimodal.Multimodal.dHash(stream).toDF()
+    drain(fp.groupBy(col("dhash"))
+        .agg(min(col("media_id")).as("canonical_id"),
+          count(lit(1)).as("n_images")), "complete", "phash")
+      .select(col("canonical_id"), col("n_images"))
+      .orderBy("canonical_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_phash_dedup" -> (streamPhashDedup _),
     "stream_mix_gate" -> (streamMixGate _),
     "stream_bucketize" -> (streamBucketize _),
     "stream_sliding_counts" -> (streamSlidingCounts _),
@@ -254,6 +288,14 @@ object StreamQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // batch replay of the streaming perceptual dedup: the shared image
+    // fingerprint CTEs (DataQueries.imagePhashCtes), grouped by the
+    // lo/hi fingerprint halves
+    "stream_phash_dedup" ->
+      ("WITH " + DataQueries.imagePhashCtes +
+        " SELECT MIN(media_id) AS canonical_id, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_images FROM fp " +
+        "GROUP BY lo, hi ORDER BY canonical_id"),
     // the batch replay of the quality gate + tempered Bernoulli mix —
     // the same fragments as corpus_curate's gate and mix_execute's plan,
     // over the gated corpus's language histogram

@@ -53,6 +53,11 @@ object QueryIndex {
           "frame energies -> 64 gradient bits (volume-invariant) -> " +
           "the same pigeonhole banding; gain variants pair at Hamming " +
           "0, jitter variants at small positive Hamming"),
+      "stream_phash_dedup" ->
+        ("streaming perceptual image dedup: per-micro-batch stateless " +
+          "dHash through the real decode path + complete-mode " +
+          "groupBy(fingerprint) -> (canonical, n_images); ingest-time " +
+          "monitor shape, batch-replayable"),
       "dedup_video_frames" ->
         ("video near-dup: sampleFrames' evenly spaced windows -> " +
           "mod-2^64 frame fold -> (frame_idx, hash)-keyed join, match " +

@@ -52,6 +52,20 @@ class StreamGatesSpec extends SparkSpec {
     assert(canon(got) == canon(want))
   }
 
+  test("stream_phash_dedup equals the batch fingerprint group-by; variants collapse") {
+    val got = StreamQueries.streamPhashDedup(spark, sf0001)
+    val media = DataQueries.synthPnmMedia(
+      Fixtures.table(spark, sf0001, "documents"))
+    val want = graft.multimodal.Multimodal.dHash(media).toDF()
+      .groupBy($"dhash")
+      .agg(min($"media_id").as("canonical_id"), count(lit(1)).as("n_images"))
+      .select($"canonical_id", $"n_images")
+    assert(canon(got) == canon(want))
+    // brightness variants share their original's fingerprint, so at
+    // least one group collapsed more than one image
+    assert(got.filter($"n_images" >= 2).count() > 0)
+  }
+
   test("stream_interval_join equals the batch self-join within 1 hour") {
     val got = StreamQueries.streamIntervalJoin(spark, sf0001)
     val e = Fixtures.table(spark, sf0001, "events")
