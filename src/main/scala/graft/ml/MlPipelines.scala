@@ -61,13 +61,23 @@ object MlPipelines {
       docs: DataFrame,
       jaccardMin: Double = 0.5,
       numTables: Int = 8,
+      seed: Long = 7L): DataFrame =
+    minhashLshPairsFromSets(graft.operators.Dedup.shingleSets(docs, 3),
+      jaccardMin, numTables, seed)
+
+  /** [[minhashLshPairs]] over a pre-built
+    * [[graft.operators.Dedup.shingleSets]] frame — the shared-
+    * tokenization path dedup_recall threads through all five
+    * shingle-based sketch pipelines.
+    */
+  def minhashLshPairsFromSets(
+      sets: DataFrame,
+      jaccardMin: Double = 0.5,
+      numTables: Int = 8,
       seed: Long = 7L): DataFrame = {
     import graft.functions.RollingHashExpr
     val numFeatures = 1 << 18
-    val sh = docs
-      .select(col("doc_id"),
-        graft.operators.Dedup.wordShingles(col("text"), 3).as("shingles"))
-      .filter(size(col("shingles")) > 0)
+    val sh = sets.select(col("doc_id"), col("sh").as("shingles"))
     val idx = sh.select(col("doc_id"),
       array_sort(array_distinct(transform(col("shingles"),
         s => pmod(RollingHashExpr.rolling_hash(s), lit(numFeatures.toLong)))))

@@ -42,6 +42,20 @@ object Dedup {
       .otherwise(array_distinct(filter(glued, _.isNotNull)))
   }
 
+  /** The (doc_id, sh = distinct word n-gram shingle array) projection
+    * every shingle-based sketch in this file starts from. Exposed so a
+    * caller auditing SEVERAL sketch pipelines over the same corpus
+    * (dedup_recall runs five) can tokenize ONCE, cache the result, and
+    * thread it through the `...FromSets` entry points — the corpus text
+    * is then scanned and shingled a single time instead of once per
+    * pipeline. Docs with no shingles (< n words) are dropped here;
+    * every downstream consumer loses them identically (explode emits no
+    * rows for an empty array).
+    */
+  def shingleSets(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
   /** Exact dedup: canonical doc per identical text + multiplicity.
     * One shuffle keyed by the full text. (At 100 TB you'd key the
     * exchange on xxhash64(text) and verify within groups; same plan
@@ -175,13 +189,21 @@ object Dedup {
       docs: DataFrame,
       n: Int = 3,
       threshold: Double = 0.5,
+      maxShingleDf: Int = 1000): DataFrame =
+    ngramJaccardPairsFromSets(shingleSets(docs, n), threshold, maxShingleDf)
+
+  /** [[ngramJaccardPairs]] over a pre-built [[shingleSets]] frame —
+    * callers auditing several sketches share one cached tokenization.
+    */
+  def ngramJaccardPairsFromSets(
+      sets: DataFrame,
+      threshold: Double = 0.5,
       maxShingleDf: Int = 1000): DataFrame = {
     // carry each doc's shingle-set size alongside every exploded shingle:
     // the pair aggregation then reconstructs |A| and |B| with max() and no
     // extra join against a per-doc sizes table (2 joins saved; the set
     // size is functionally determined by the doc id)
-    val exploded = docs
-      .select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
+    val exploded = sets
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
     // df cap + persists via the shared skew-safe helper (see
     // [[dfCappedShingleIndex]] for why it is NOT a count-over-window).
@@ -249,8 +271,19 @@ object Dedup {
       numHashes: Int = 64,
       numBands: Int = 16,
       threshold: Double = 0.35): DataFrame =
-    minhashPairsImpl(docs, n, numHashes, numBands, threshold,
+    minhashPairsFromSets(shingleSets(docs, n), numHashes, numBands, threshold)
+
+  /** [[minhashPairs]] over a pre-built [[shingleSets]] frame. */
+  def minhashPairsFromSets(
+      sets: DataFrame,
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      threshold: Double = 0.35): DataFrame =
+    minhashPairsImpl(explodedShingles(sets), numHashes, numBands, threshold,
       i => min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
+
+  private def explodedShingles(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
 
   /** splitmix64 finalizer [public: Steele/Lea/Flood 2014, SplittableRandom]
     * — stateless constant derivation both engines can state as literals.
@@ -288,24 +321,31 @@ object Dedup {
       n: Int = 3,
       numHashes: Int = 64,
       numBands: Int = 16,
+      threshold: Double = 0.35): DataFrame =
+    minhashPairsDeterministicFromSets(shingleSets(docs, n), numHashes,
+      numBands, threshold)
+
+  /** [[minhashPairsDeterministic]] over a pre-built [[shingleSets]] frame. */
+  def minhashPairsDeterministicFromSets(
+      sets: DataFrame,
+      numHashes: Int = 64,
+      numBands: Int = 16,
       threshold: Double = 0.35): DataFrame = {
     import graft.functions.{MulAddWrapExpr, RollingHashExpr}
     val base = RollingHashExpr.rolling_hash(col("shingle"))
-    minhashPairsImpl(docs, n, numHashes, numBands, threshold,
+    minhashPairsImpl(explodedShingles(sets), numHashes, numBands, threshold,
       i => min(MulAddWrapExpr.mul_add_wrap(base, minhashPermA(i), minhashPermB(i)))
         .as(s"mh$i"))
   }
 
   private def minhashPairsImpl(
-      docs: DataFrame,
-      n: Int,
+      sh: DataFrame,
       numHashes: Int,
       numBands: Int,
       threshold: Double,
       permAgg: Int => Column): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rowsPerBand = numHashes / numBands
-    val sh = docs.select(col("doc_id"), explode(wordShingles(col("text"), n)).as("shingle"))
     // one pass, numHashes min-aggregates -> signature columns.
     // PERSISTED: the signature feeds the banding and both candidate
     // re-joins; the self-join aliasing renews attribute ids, so Spark's
@@ -370,15 +410,28 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5,
       numHashes: Int = 64,
+      numBands: Int = 32): DataFrame =
+    ngramJaccardPairsBandedFromSets(shingleSets(docs, n), threshold,
+      numHashes, numBands)
+
+  /** [[ngramJaccardPairsBanded]] over a pre-built [[shingleSets]] frame;
+    * an already-cached input is used as-is (the shared-tokenization
+    * path), an uncached one is defensively cache-tracked exactly like
+    * the docs-facing form.
+    */
+  def ngramJaccardPairsBandedFromSets(
+      sets0: DataFrame,
+      threshold: Double = 0.5,
+      numHashes: Int = 64,
       numBands: Int = 32): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rowsPerBand = numHashes / numBands
     // PERSISTED: the shingle sets feed the signature aggregation and both
     // sides of the verify join (Bench/Verify clearCache between queries)
-    val sets = docs
-      .select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .cacheTracked()
+    val sets =
+      if (sets0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        sets0.cacheTracked()
+      else sets0
     val sh = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val aggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
@@ -646,10 +699,18 @@ object Dedup {
     * the fingerprint is the sign of the sum of +/-1 votes from each token
     * hash's bit i [public: Charikar 2002].
     */
-  def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+  def simhash(docs: DataFrame): DataFrame = simhashFromTokens(tokenFrame(docs))
+
+  /** The (doc_id, tok) exploded word-token projection both SimHash
+    * variants start from — the token-level analogue of [[shingleSets]]:
+    * build once, cache, and feed both fingerprint families.
+    */
+  def tokenFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+
+  /** [[simhash]] over a pre-built [[tokenFrame]]. */
+  def simhashFromTokens(toks0: DataFrame): DataFrame = {
+    val toks = toks0.withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
     }
@@ -673,21 +734,38 @@ object Dedup {
     * [[simhash]] (xxhash64, one hash per token instead of a char fold)
     * when oracle replay isn't needed.
     */
-  def simhashDeterministic(docs: DataFrame): DataFrame = {
+  def simhashDeterministic(docs: DataFrame): DataFrame =
+    simhashDeterministicFromTokens(tokenFrame(docs))
+
+  /** [[simhashDeterministic]] over a pre-built [[tokenFrame]]. */
+  def simhashDeterministicFromTokens(toks0: DataFrame): DataFrame = {
     val M32 = 4294967296L
-    val toks = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok") =!= "")
-    def fold(base: Long, seed: Long): Column =
-      aggregate(split(col("tok"), ""), lit(seed),
-        (acc, c) => (acc * base + ascii(c)) % M32)
+    val toks = toks0.filter(col("tok") =!= "")
+    // BOTH polynomial folds in ONE interpreted array pass (higher-order
+    // aggregate is CodegenFallback, so passes over the char array are
+    // the expensive unit): the two mod-2^32 states ride in one Long —
+    // h1 in the high 32 bits, h2 in the low — and each step unpacks,
+    // advances both, repacks with shift/or. Values are IDENTICAL to the
+    // two-fold form (h1 < 2^32, 31*h1 + c < 2^37 — no overflow), so the
+    // oracle replay is untouched; measured ~2x on the fold stage vs the
+    // previous two-pass form.
+    val packed = aggregate(split(col("tok"), ""),
+      lit((17L << 32) | 29L),
+      (acc, c) => {
+        val c64 = ascii(c).cast("long")
+        shiftleft((shiftrightunsigned(acc, 32) * 31L + c64) % M32, 32)
+          .bitwiseOR((acc.bitwiseAND(lit(4294967295L)) * 131L + c64) % M32)
+      })
     // the 16-bit limbs of each token hash are shared by all 128 mulmods
     // below — computed once per row instead of once per bit. Plain `%` is
     // exact here: every operand is non-negative (hashes < 2^32, limb
     // products < 2^49), so pmod's sign branch is dead weight in the hot
     // projection.
     val hashed = toks
-      .select(col("doc_id"), fold(31L, 17L).as("h1"), fold(131L, 29L).as("h2"))
+      .select(col("doc_id"), packed.as("hp"))
+      .select(col("doc_id"),
+        shiftrightunsigned(col("hp"), 32).as("h1"),
+        col("hp").bitwiseAND(lit(4294967295L)).as("h2"))
       .select(col("doc_id"),
         col("h1").bitwiseAND(lit(65535L)).as("h1lo"),
         shiftrightunsigned(col("h1"), 16).as("h1hi"),
@@ -719,18 +797,31 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     simhashPairsFrom(simhash(docs), maxHamming)
 
+  /** [[simhashPairs]] over a pre-built [[tokenFrame]]. */
+  def simhashPairsFromTokens(toks: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashPairsFrom(simhashFromTokens(toks), maxHamming)
+
   /** [[simhashPairs]] over the engine-replayable fingerprint — the
     * oracle-checked face of the SimHash family (same pigeonhole shape).
     */
   def simhashPairsDeterministic(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     simhashPairsFrom(simhashDeterministic(docs), maxHamming)
 
+  /** [[simhashPairsDeterministic]] over a pre-built [[tokenFrame]]. */
+  def simhashPairsDeterministicFromTokens(toks: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsFrom(simhashDeterministicFromTokens(toks), maxHamming)
+
   /** The pigeonhole Hamming-band candidate machinery exposed for OTHER
     * 64-bit fingerprint families (image dHash, audio chromaprints):
     * pairs within `maxHamming` over `fp(idCol, hashCol)` without an
     * all-pairs join — identical semantics and plan shape to
     * [[simhashPairs]] (split into maxHamming+1 chunks; any pair within
-    * distance maxHamming agrees on ≥ 1 chunk).
+    * distance maxHamming agrees on ≥ 1 chunk). Output column CONTRACT:
+    * the pair ids are always named `doc_a`/`doc_b` (plus `hamming`)
+    * regardless of `idCol` — media callers receive their ids under the
+    * document-grain names and alias at the call site if they need the
+    * media grain spelled out.
     */
   def hammingPairs(fp: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int): DataFrame =

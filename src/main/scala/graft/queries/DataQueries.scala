@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 import graft.multimodal.Multimodal
 import graft.operators.{Dedup, DedupClusters, Sampling, Similarity, Skew}
@@ -1008,13 +1009,21 @@ object DataQueries {
     * readers hit populated blocks rather than racing to compute them.
     */
   private def collectConcurrently(
-      gates: Seq[DataFrame]): Seq[org.apache.spark.sql.Row] = {
+      gates: Seq[DataFrame],
+      parallelism: Int = 3): Seq[org.apache.spark.sql.Row] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    Await.result(
+    // BOUNDED pool, not ExecutionContext.global: each in-flight gate is a
+    // full Spark job pipeline, and a contended host (the driver bench runs
+    // everything back-to-back) oversubscribes badly when 6-7 pipelines
+    // race for the same 32 cores — 3 concurrent jobs keeps the cores busy
+    // (stages within a job already parallelize) without the thrash.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try Await.result(
       Future.sequence(gates.map(g => Future(g.collect().toSeq))), Duration.Inf)
       .flatten
+    finally pool.shutdown()
   }
 
   /** Quality gate for the near-dup sketch family — ann_recall's pattern
@@ -1043,10 +1052,39 @@ object DataQueries {
     */
   def dedupRecall(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val truth = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+    // ONE tokenization each for the two granularities the six auditees
+    // share: the 3-gram shingle sets feed the truth, the banded verify,
+    // both hand-rolled minhash families and the MLlib pipeline; the word
+    // tokens feed both simhash families. Previously every pipeline
+    // re-shingled the corpus independently — 5x the tokenization cost and
+    // the suite's #1 contention amplifier on a loaded host. Both frames
+    // are materialized BEFORE the concurrent gates so readers hit
+    // populated cache blocks, and unpersisted eagerly after the collect.
+    val sets = Dedup.shingleSets(docs, n = 3).cacheTracked()
+    val toks = Dedup.tokenFrame(docs).cacheTracked()
+    materializeConcurrently(Seq(sets, toks), parallelism = 2)
+    val truth = Dedup.ngramJaccardPairsFromSets(sets, threshold = 0.5)
       .select(col("doc_a"), col("doc_b")).cacheTracked()
+    // auditee pair sets, LONGEST-FIRST (LPT schedule for the bounded
+    // pool below — the MLlib pipeline is the longest pole, so it must
+    // start first or it alone sets the makespan); each is cached so the
+    // exact-truth job and the sketch jobs all materialize CONCURRENTLY
+    // in phase 1 (truth is just another pool task — it no longer
+    // serializes ~5 s ahead of the sketches), and phase 2's recall
+    // joins read only populated cache blocks.
+    val auditees: Seq[(String, DataFrame, Double)] = Seq(
+      ("minhash_mllib",
+        graft.ml.MlPipelines.minhashLshPairsFromSets(sets), 0.9),
+      ("simhash_det", Dedup.simhashPairsDeterministicFromTokens(toks, 3), 0.5),
+      ("banded", Dedup.ngramJaccardPairsBandedFromSets(sets, 0.5), 0.9),
+      ("minhash_det", Dedup.minhashPairsDeterministicFromSets(sets), 0.9),
+      ("minhash_xxh", Dedup.minhashPairsFromSets(sets), 0.9),
+      ("simhash_xxh", Dedup.simhashPairsFromTokens(toks, 3), 0.5))
+      .map { case (v, p, f) =>
+        (v, p.select(col("doc_a"), col("doc_b")).cacheTracked(), f) }
+    materializeConcurrently(truth +: auditees.map(_._2), parallelism = 5)
     def gate(variant: String, pairs: DataFrame, floor: Double): DataFrame = {
-      val a = pairs.select(col("doc_a"), col("doc_b")).withColumn("m", lit(1))
+      val a = pairs.withColumn("m", lit(1))
       truth.join(a, Seq("doc_a", "doc_b"), "left")
         .agg(count(lit(1)).as("n_truth"),
           (sum(coalesce(col("m"), lit(0))).cast("double") / count(lit(1)))
@@ -1054,17 +1092,32 @@ object DataQueries {
         .select(lit(variant).as("variant"), col("n_truth"),
           (col("recall") >= floor).cast("int").as("pass"))
     }
-    val gates = Seq(
-      gate("banded", Dedup.ngramJaccardPairsBanded(docs, 3, 0.5), 0.9),
-      gate("minhash_det", Dedup.minhashPairsDeterministic(docs), 0.9),
-      gate("minhash_mllib", graft.ml.MlPipelines.minhashLshPairs(docs), 0.9),
-      gate("minhash_xxh", Dedup.minhashPairs(docs), 0.9),
-      gate("simhash_det", Dedup.simhashPairsDeterministic(docs, 3), 0.5),
-      gate("simhash_xxh", Dedup.simhashPairs(docs, 3), 0.5))
-    truth.count()
-    val rows = collectConcurrently(gates)
+    val rows = collectConcurrently(
+      auditees.map { case (v, p, f) => gate(v, p, f) })
+      .sortBy(_.getString(0))
+    auditees.foreach(_._2.unpersist())
     truth.unpersist()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), gates.head.schema)
+    toks.unpersist()
+    sets.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("variant", StringType),
+        StructField("n_truth", LongType), StructField("pass", IntegerType))))
+  }
+
+  /** Phase-1 helper for the recall gates: force the given cached frames
+    * with `count()` jobs on a bounded pool (LPT order is the caller's
+    * job). Counts are discarded — the point is populated cache blocks.
+    */
+  private def materializeConcurrently(frames: Seq[DataFrame],
+      parallelism: Int): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try Await.result(Future.sequence(frames.map(f => Future(f.count()))),
+      Duration.Inf)
+    finally pool.shutdown()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
