@@ -163,11 +163,18 @@ object DataQueries {
   def dedupImageClusters(spark: SparkSession, dir: String): DataFrame = {
     val fp = Multimodal.dHash(
       synthPnmMedia(table(spark, dir, "documents"))).toDF()
-    val pairs = Dedup.hammingPairs(fp, "media_id", "dhash", maxHamming = 3)
-    DedupClusters.connectedComponentsDF(pairs)
+    // exact-first collapse + banding over DISTINCT fingerprints + CC on
+    // the representative graph (DedupClusters.fingerprintComponents) —
+    // identical components to CC over the raw hammingPairs set, but the
+    // CC never pays for Hamming-0 edges (77% of the x30 edge set). The
+    // n_members >= 2 filter restores the old "only clusters that
+    // collapsed something" output (singleton fingerprints label
+    // themselves in the component frame).
+    DedupClusters.fingerprintComponents(fp, "media_id", "dhash", maxHamming = 3)
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"),
-        sum((col("doc_id") < BrightIdOffset).cast("long")).as("n_originals"))
+        sum((col("media_id") < BrightIdOffset).cast("long")).as("n_originals"))
+      .filter(col("n_members") >= 2)
       .orderBy("cluster_id")
   }
 

@@ -108,4 +108,34 @@ class DedupClustersSpec extends SparkSpec {
       DedupClusters.connectedComponentsDF(path, maxIter = 2).collect()
     }
   }
+
+  test("fingerprintComponents == CC over raw hammingPairs, incl. " +
+    "multi-member identical-fingerprint groups with no near neighbor") {
+    // fingerprints engineered so the collapse matters:
+    //  - ids 1,2,3 share hash 0L (identical group, no outside neighbor)
+    //  - ids 4,5 at hashes h,h^1 (Hamming 1 across DISTINCT hashes)
+    //  - id 6 isolated (singleton fingerprint, no neighbor)
+    //  - ids 7,8 identical AND id 9 within Hamming 2 of them (group
+    //    bridged to an outside fingerprint)
+    val h = 0x0F0F0F0F0F0F0F0FL
+    val far = 0x123456789ABCDEFL
+    val fp = Seq(
+      (1L, 0L), (2L, 0L), (3L, 0L),
+      (4L, h), (5L, h ^ 1L),
+      (6L, far),
+      (7L, -42L), (8L, -42L), (9L, -42L ^ 3L)
+    ).toDF("media_id", "fph")
+    val viaCollapse = DedupClusters
+      .fingerprintComponents(fp, "media_id", "fph", maxHamming = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every id labels itself or its component min
+    assert(viaCollapse == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+    // and the multi-member clusters equal CC over the RAW pair set
+    val raw = DedupClusters.connectedComponentsDF(
+      Dedup.hammingPairs(fp, "media_id", "fph", maxHamming = 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaCollapse.filter { case (id, c) =>
+      viaCollapse.values.count(_ == c) >= 2 } == raw)
+  }
 }
