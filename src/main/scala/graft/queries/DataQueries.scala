@@ -204,7 +204,7 @@ object DataQueries {
     * arithmetic is integer, so the oracle replays the fingerprints
     * exactly from the text bytes.
     */
-  private def synthWavMedia(docs: DataFrame): DataFrame = {
+  private[queries] def synthWavMedia(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val nSamp = 65 * 16
     def wav(samples: Array[Int]): Array[Byte] = {
@@ -258,6 +258,27 @@ object DataQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Audio near-dup CLUSTERS — the job-shape summary
+    * [[dedupImageClusters]] ships, on the audio grain: fingerprints
+    * through the exact-first collapse + banded CC
+    * ([[DedupClusters.fingerprintComponents]] — identical components
+    * to CC over [[dedupAudioFingerprint]]'s raw pair set), one
+    * canonical (= min media_id) per component, member/original counts.
+    * Gain variants land at Hamming 0 (often the SAME fingerprint — the
+    * collapse path, not just the banding, is exercised for real).
+    * Originals are media_id < 3e6, below the gain/noise offsets.
+    */
+  def dedupAudioClusters(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Multimodal.audioFingerprint(
+      synthWavMedia(table(spark, dir, "documents"))).toDF()
+    DedupClusters.fingerprintComponents(fp, "media_id", "afp", maxHamming = 3)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum((col("media_id") < GainIdOffset).cast("long")).as("n_originals"))
+      .filter(col("n_members") >= 2)
+      .orderBy("cluster_id")
+  }
+
   /** media_id offset for the video "re-encode" variants. */
   private val ReencodeIdOffset = 5000000L
 
@@ -297,7 +318,9 @@ object DataQueries {
     * precedent). The oracle replays offsets, frame slices, fold, and
     * the match count from the text bytes.
     */
-  def dedupVideoFrames(spark: SparkSession, dir: String): DataFrame = {
+  /** The >= 2-of-4 agreeing-sampled-frames pair set behind both video
+    * dedup faces (pairs + clusters). */
+  private def videoFramePairs(spark: SparkSession, dir: String): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
     val frames = Multimodal.sampleFrames(
@@ -316,8 +339,27 @@ object DataQueries {
       .groupBy(col("a.media_id").as("doc_a"), col("b.media_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= 2)
-      .orderBy("doc_a", "doc_b")
   }
+
+  def dedupVideoFrames(spark: SparkSession, dir: String): DataFrame =
+    videoFramePairs(spark, dir).orderBy("doc_a", "doc_b")
+
+  /** Video near-dup CLUSTERS: [[videoFramePairs]]' keyed-join pair set
+    * through the frontier CC ([[DedupClusters.connectedComponentsDF]])
+    * and the shared per-cluster member/original counts — the third
+    * media grain of the [[dedupImageClusters]] job shape. No
+    * fingerprint collapse here: video identity is a PAIR predicate
+    * (>= 2 frames agree at the same position), not a single 64-bit
+    * value, so the pair set feeds CC directly (it is keyed-join
+    * bounded — 4 join keys per video — never all-pairs). Originals
+    * are media_id < 5e6, below the re-encode offset.
+    */
+  def dedupVideoClusters(spark: SparkSession, dir: String): DataFrame =
+    DedupClusters.connectedComponentsDF(videoFramePairs(spark, dir))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum((col("doc_id") < ReencodeIdOffset).cast("long")).as("n_originals"))
+      .orderBy("cluster_id")
 
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(table(spark, dir, "embeddings"), threshold = 0.45)
@@ -1173,7 +1215,9 @@ object DataQueries {
     "dedup_image_phash" -> (dedupImagePhash _),
     "dedup_image_clusters" -> (dedupImageClusters _),
     "dedup_audio_fingerprint" -> (dedupAudioFingerprint _),
+    "dedup_audio_clusters" -> (dedupAudioClusters _),
     "dedup_video_frames" -> (dedupVideoFrames _),
+    "dedup_video_clusters" -> (dedupVideoClusters _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "ann_topk" -> (annTopk _),
@@ -1525,6 +1569,84 @@ object DataQueries {
     "SELECT a.media_id AS doc_a, b.media_id AS doc_b, " +
       "bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming " +
       "FROM fp a JOIN fp b ON a.media_id < b.media_id"
+
+  /** Audio fingerprint CTE chain (media variants, exact integer frame
+    * energies, gradient bits, lo/hi fingerprint halves as `afp`) —
+    * shared by the audio pair, cluster, and streaming-dedup oracles.
+    */
+  private[queries] val audioFpCtes: String =
+    "ag AS (SELECT doc_id, text, length(text) AS n FROM documents " +
+      "WHERE length(text) >= 1), " +
+      "av AS (SELECT doc_id AS media_id, doc_id, 256 AS amp, 0 AS jit FROM ag " +
+      "UNION ALL SELECT doc_id + 3000000, doc_id, 128, 0 FROM ag " +
+      "WHERE doc_id % 6 = 2 " +
+      "UNION ALL SELECT doc_id + 4000000, doc_id, 256, 1 FROM ag " +
+      "WHERE doc_id % 7 = 4), " +
+      "asm AS (SELECT media_id, k // 16 AS f, " +
+      "ABS((ord(substr(text, CAST(k % n AS INT) + 1, 1)) - 79) * amp + " +
+      "jit * (((k * 37) % 5 - 2) * 8)) AS e1 " +
+      "FROM av JOIN ag USING (doc_id) " +
+      "CROSS JOIN generate_series(0, 1039) gk(k)), " +
+      "afe AS MATERIALIZED (SELECT media_id, f, CAST(SUM(e1) AS BIGINT) AS e " +
+      "FROM asm GROUP BY 1, 2), " +
+      "abit AS (SELECT a.media_id, a.f AS pos, " +
+      "CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS b " +
+      "FROM afe a JOIN afe b ON a.media_id = b.media_id AND b.f = a.f + 1), " +
+      "afp AS MATERIALIZED (SELECT media_id, " +
+      "SUM(CASE WHEN b = 1 AND pos < 32 THEN (1::BIGINT << CAST(pos AS INT)) " +
+      "ELSE 0 END) AS lo, " +
+      "SUM(CASE WHEN b = 1 AND pos >= 32 THEN (1::BIGINT << CAST(pos - 32 AS INT)) " +
+      "ELSE 0 END) AS hi FROM abit GROUP BY media_id)"
+
+  // the full filtered pair join over `afp` — audio pair + cluster oracles
+  private val audioFpPairsSql: String =
+    "SELECT a.media_id AS doc_a, b.media_id AS doc_b, " +
+      "bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming " +
+      "FROM afp a JOIN afp b ON a.media_id < b.media_id"
+
+  /** Video sampled-frame hash CTE chain (`vh`: media_id, frame_idx,
+    * mod-2^64 fold of the 64-byte window) — shared by the video pair
+    * and cluster oracles.
+    */
+  private val videoFrameCtes: String =
+    "vg AS (SELECT doc_id, text, length(text) AS n FROM documents " +
+      "WHERE length(text) >= 1), " +
+      "vv AS (SELECT doc_id AS media_id, text, n FROM vg " +
+      "UNION ALL SELECT doc_id + 5000000, '*' || substr(text, 2, n - 1), n " +
+      "FROM vg WHERE doc_id % 8 = 5), " +
+      "vf AS (SELECT media_id, i AS frame_idx, " +
+      "CASE WHEN n <= 64 THEN 0 ELSE ((n - 64) * i) // 3 END AS off, " +
+      "text, n FROM vv CROSS JOIN generate_series(0, 3) gi(i)), " +
+      "vh AS MATERIALIZED (SELECT media_id, frame_idx, " +
+      "CAST(CASE WHEN v >= 9223372036854775808::HUGEINT " +
+      "THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) AS fh " +
+      "FROM (SELECT media_id, frame_idx, " +
+      "list_reduce(list_prepend(0::HUGEINT, list_transform(string_split(" +
+      "substr(text, CAST(off AS INT) + 1, CAST(LEAST(64, n - off) AS INT)), " +
+      "''), c -> ord(c)::HUGEINT)), " +
+      "(a, b) -> (a * 1315423911 + b) % 18446744073709551616::HUGEINT) AS v " +
+      "FROM vf))"
+
+  // >= 2-common-frames video pair set — wrapped by both video oracles
+  private val videoPairsSql: String =
+    "SELECT a.media_id AS doc_a, b.media_id AS doc_b, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_common FROM vh a JOIN vh b " +
+      "ON a.frame_idx = b.frame_idx AND a.fh = b.fh " +
+      "AND a.media_id < b.media_id GROUP BY 1, 2"
+
+  // recursive min-label closure + per-cluster member/original counts
+  // over an aliased `pairs` CTE — the shared tail of all three media
+  // cluster oracles (image precedent, DataQueries.scala round 13)
+  private def mediaClustersTail(originalBound: Long): String =
+    ", edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs " +
+      "UNION SELECT doc_b, doc_a FROM pairs), " +
+      "reach(src, dst) AS (SELECT a, a FROM edges UNION " +
+      "SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst), " +
+      "clusters AS (SELECT src AS media_id, MIN(dst) AS cluster_id " +
+      "FROM reach GROUP BY src) " +
+      "SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members, " +
+      s"CAST(SUM(CASE WHEN media_id < $originalBound THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_originals FROM clusters GROUP BY 1 ORDER BY cluster_id"
 
   private val simhashFpCte =
     "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
@@ -1958,77 +2080,40 @@ object DataQueries {
     "dedup_image_clusters" ->
       ("WITH RECURSIVE " + imagePhashCtes +
         s", pairs AS (SELECT doc_a, doc_b FROM ($imagePhashPairsSql) " +
-        "WHERE hamming <= 3), " +
-        "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs " +
-        "UNION SELECT doc_b, doc_a FROM pairs), " +
-        "reach(src, dst) AS (SELECT a, a FROM edges UNION " +
-        "SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst), " +
-        "clusters AS (SELECT src AS media_id, MIN(dst) AS cluster_id " +
-        "FROM reach GROUP BY src) " +
-        "SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members, " +
-        "CAST(SUM(CASE WHEN media_id < 1000000 THEN 1 ELSE 0 END) AS BIGINT) " +
-        "AS n_originals FROM clusters GROUP BY 1 ORDER BY cluster_id"),
+        "WHERE hamming <= 3)" + mediaClustersTail(1000000L)),
     // dedup_audio_fingerprint replay: samples restated from the text
     // bytes ((byte - 79) * amp + jitter), 65 exact integer frame
     // energies, gradient bits, lo/hi halves — the image-phash pattern
     // on the time axis; full filtered join == banded set (pigeonhole)
     "dedup_audio_fingerprint" ->
-      ("WITH ag AS (SELECT doc_id, text, length(text) AS n FROM documents " +
-        "WHERE length(text) >= 1), " +
-        "av AS (SELECT doc_id AS media_id, doc_id, 256 AS amp, 0 AS jit FROM ag " +
-        "UNION ALL SELECT doc_id + 3000000, doc_id, 128, 0 FROM ag " +
-        "WHERE doc_id % 6 = 2 " +
-        "UNION ALL SELECT doc_id + 4000000, doc_id, 256, 1 FROM ag " +
-        "WHERE doc_id % 7 = 4), " +
-        "asm AS (SELECT media_id, k // 16 AS f, " +
-        "ABS((ord(substr(text, CAST(k % n AS INT) + 1, 1)) - 79) * amp + " +
-        "jit * (((k * 37) % 5 - 2) * 8)) AS e1 " +
-        "FROM av JOIN ag USING (doc_id) " +
-        "CROSS JOIN generate_series(0, 1039) gk(k)), " +
-        "afe AS MATERIALIZED (SELECT media_id, f, CAST(SUM(e1) AS BIGINT) AS e " +
-        "FROM asm GROUP BY 1, 2), " +
-        "abit AS (SELECT a.media_id, a.f AS pos, " +
-        "CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS b " +
-        "FROM afe a JOIN afe b ON a.media_id = b.media_id AND b.f = a.f + 1), " +
-        "afp AS MATERIALIZED (SELECT media_id, " +
-        "SUM(CASE WHEN b = 1 AND pos < 32 THEN (1::BIGINT << CAST(pos AS INT)) " +
-        "ELSE 0 END) AS lo, " +
-        "SUM(CASE WHEN b = 1 AND pos >= 32 THEN (1::BIGINT << CAST(pos - 32 AS INT)) " +
-        "ELSE 0 END) AS hi FROM abit GROUP BY media_id) " +
-        "SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming FROM (" +
-        "SELECT a.media_id AS doc_a, b.media_id AS doc_b, " +
-        "bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming " +
-        "FROM afp a JOIN afp b ON a.media_id < b.media_id) " +
+      ("WITH " + audioFpCtes +
+        " SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming " +
+        s"FROM ($audioFpPairsSql) " +
         "WHERE hamming <= 3 ORDER BY doc_a, doc_b"),
+    // dedup_audio_clusters replay: the same fingerprints + pair set fed
+    // through the shared recursive min-label closure + cluster counts
+    // (exactly the image-clusters composition on the audio grain;
+    // originals are media_id < 3e6 — below the gain/noise offsets)
+    "dedup_audio_clusters" ->
+      ("WITH RECURSIVE " + audioFpCtes +
+        s", pairs AS (SELECT doc_a, doc_b FROM ($audioFpPairsSql) " +
+        "WHERE hamming <= 3)" + mediaClustersTail(3000000L)),
     // dedup_video_frames replay: sampleFrames' evenly-spaced offsets
     // (floor((len-64)*i/3), 0 when the payload fits one window), the
     // frame slice, the mod-2^64 polynomial fold (HUGEINT space, wrapped
     // back to signed — the dedup_substring_hashed rendering), and the
     // >= 2-common-frames match count
     "dedup_video_frames" ->
-      ("WITH vg AS (SELECT doc_id, text, length(text) AS n FROM documents " +
-        "WHERE length(text) >= 1), " +
-        "vv AS (SELECT doc_id AS media_id, text, n FROM vg " +
-        "UNION ALL SELECT doc_id + 5000000, '*' || substr(text, 2, n - 1), n " +
-        "FROM vg WHERE doc_id % 8 = 5), " +
-        "vf AS (SELECT media_id, i AS frame_idx, " +
-        "CASE WHEN n <= 64 THEN 0 ELSE ((n - 64) * i) // 3 END AS off, " +
-        "text, n FROM vv CROSS JOIN generate_series(0, 3) gi(i)), " +
-        "vh AS MATERIALIZED (SELECT media_id, frame_idx, " +
-        "CAST(CASE WHEN v >= 9223372036854775808::HUGEINT " +
-        "THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) AS fh " +
-        "FROM (SELECT media_id, frame_idx, " +
-        "list_reduce(list_prepend(0::HUGEINT, list_transform(string_split(" +
-        "substr(text, CAST(off AS INT) + 1, CAST(LEAST(64, n - off) AS INT)), " +
-        "''), c -> ord(c)::HUGEINT)), " +
-        "(a, b) -> (a * 1315423911 + b) % 18446744073709551616::HUGEINT) AS v " +
-        "FROM vf)) " +
-        "SELECT doc_a, doc_b, n_common FROM (" +
-        "SELECT a.media_id AS doc_a, b.media_id AS doc_b, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_common FROM vh a JOIN vh b " +
-        "ON a.frame_idx = b.frame_idx AND a.fh = b.fh " +
-        "AND a.media_id < b.media_id GROUP BY 1, 2) " +
+      ("WITH " + videoFrameCtes +
+        s" SELECT doc_a, doc_b, n_common FROM ($videoPairsSql) " +
         "WHERE n_common >= 2 ORDER BY doc_a, doc_b"),
+    // dedup_video_clusters replay: the >= 2-common-frames pair set fed
+    // through the same shared closure + cluster counts (originals are
+    // media_id < 5e6 — below the re-encode offset)
+    "dedup_video_clusters" ->
+      ("WITH RECURSIVE " + videoFrameCtes +
+        s", pairs AS (SELECT doc_a, doc_b FROM ($videoPairsSql) " +
+        "WHERE n_common >= 2)" + mediaClustersTail(5000000L)),
     // Same SimHash fingerprints feeding the canonicalize pipeline: pairs
     // at Hamming <= 3, transitive closure via recursive CTE, exact-dup
     // collapse — the DuckDB replay of GraphX Pregel CC over

@@ -96,6 +96,13 @@ object StreamQueries {
     stage(spark, dir, "media_pnm", 4)(
       DataQueries.synthPnmMedia(Fixtures.table(spark, dir, "documents")))
 
+  /** RIFF/WAVE media fixtures staged for streaming ingest, 4 files so
+    * fingerprint state genuinely accumulates across micro-batches.
+    */
+  private def stagedAudio(spark: SparkSession, dir: String): (String, StructType) =
+    stage(spark, dir, "media_wav", 4)(
+      DataQueries.synthWavMedia(Fixtures.table(spark, dir, "documents")))
+
   /** Run `result` (a streaming DataFrame) to completion into a memory
     * sink and return the sink table. Unique query names keep bench
     * reruns and concurrent suites from colliding.
@@ -276,8 +283,34 @@ object StreamQueries {
       .orderBy("canonical_id")
   }
 
+  /** Streaming perceptual AUDIO dedup — the ingest-time gate on the
+    * audio grain, the exact [[streamPhashDedup]] composition with the
+    * other pure-flatMap fingerprint: WAV payloads arrive in 4 real
+    * micro-batches, each batch runs the real RIFF/PCM parse + 65 frame
+    * energies + 64 gradient bits STATELESSLY
+    * ([[graft.multimodal.Multimodal.audioFingerprint]] unchanged on the
+    * streaming Dataset), and a complete-mode groupBy(fingerprint) emits
+    * (canonical = min media_id, n_clips) per distinct print. Gain
+    * variants land in their original's group (energy gradients are
+    * volume-invariant) in whichever micro-batch they arrive, so the
+    * final sink equals the batch groupBy regardless of batch order and
+    * the oracle replays it from the shared audio fingerprint CTEs.
+    */
+  def streamAudioDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (path, schema) = stagedAudio(spark, dir)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(path)
+    val fp = graft.multimodal.Multimodal.audioFingerprint(stream).toDF()
+    drain(fp.groupBy(col("afp"))
+        .agg(min(col("media_id")).as("canonical_id"),
+          count(lit(1)).as("n_clips")), "complete", "audiofp")
+      .select(col("canonical_id"), col("n_clips"))
+      .orderBy("canonical_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_phash_dedup" -> (streamPhashDedup _),
+    "stream_audio_dedup" -> (streamAudioDedup _),
     "stream_mix_gate" -> (streamMixGate _),
     "stream_bucketize" -> (streamBucketize _),
     "stream_sliding_counts" -> (streamSlidingCounts _),
@@ -295,6 +328,14 @@ object StreamQueries {
       ("WITH " + DataQueries.imagePhashCtes +
         " SELECT MIN(media_id) AS canonical_id, " +
         "CAST(COUNT(*) AS BIGINT) AS n_images FROM fp " +
+        "GROUP BY lo, hi ORDER BY canonical_id"),
+    // batch replay of the streaming audio dedup: the shared audio
+    // fingerprint CTEs (DataQueries.audioFpCtes), grouped by the lo/hi
+    // fingerprint halves
+    "stream_audio_dedup" ->
+      ("WITH " + DataQueries.audioFpCtes +
+        " SELECT MIN(media_id) AS canonical_id, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_clips FROM afp " +
         "GROUP BY lo, hi ORDER BY canonical_id"),
     // the batch replay of the quality gate + tempered Bernoulli mix —
     // the same fragments as corpus_curate's gate and mix_execute's plan,
