@@ -382,7 +382,10 @@ object CoreQueries {
     * grain — so DuckDB replays yhat and both band edges bit-for-bit.
     * The dow key is epoch-day mod 7, NOT an engine dow function
     * (Spark's dayofweek labels 1=Sunday while DuckDB's dayofweek is
-    * 0=Sunday; the mod-7 residue class is identical everywhere).
+    * 0=Sunday; the NON-NEGATIVE mod-7 residue class is identical
+    * everywhere — Spark pmod is always 0..6 and the oracle spells the
+    * same ((d % 7) + 7) % 7, so pre-epoch dates bucket identically in
+    * both engines, not just post-epoch fixture dates).
     * Scale: one map-side-combinable (metric, dow) aggregate + a 7-row
     * fan-out per metric; the events scan dominates.
     *
@@ -411,6 +414,64 @@ object CoreQueries {
     val yhat = meanC / lit(100.0)
     val sd = sqrt(greatest(lit(0.0),
       col("sww").cast("double") / col("ndw") - meanC * meanC)) / lit(100.0)
+    def grain(c: Column) = floor(c * 10000 + 0.5) / 10000.0
+    fut.select(col("metric"), col("ds"),
+      grain(yhat).as("yhat"),
+      grain(yhat - lit(1.28) * sd).as("yhat_lower"),
+      grain(yhat + lit(1.28) * sd).as("yhat_upper"))
+      .orderBy("metric", "ds")
+  }
+
+  /** Closed-form OLS linear-trend forecast [public: simple linear
+    * regression / drift-family baseline, Hyndman & Athanasopoulos FPP3
+    * §5.2, §7.1] — the THIRD forecast whose yhat/band VALUES are fully
+    * driver-hash-checked (after [[forecastEventsSnaive]] and
+    * [[forecastEventsSmean]], same recipe): least-squares fit of
+    * y = a + b·x over day index x = ds − d0, yhat(T+h) = a + b·x(T+h),
+    * band = ±1.28·sd of the fit residuals (MLE variance, via the
+    * closed form SSE = Syy − a·Sy − b·Sxy). Every sufficient statistic
+    * (n, Sx, Sxx, Sy, Sxy, Syy and the slope's integer numerator /
+    * denominator) is an EXACT integer-cents sum — order-independent,
+    * replayed as BIGINTs — and the double arithmetic downstream is ONE
+    * IEEE expression tree mirrored token-for-token in the oracle, with
+    * outputs through the shared FLOOR(x·1e4 + 0.5) grain: DuckDB
+    * replays yhat and both band edges bit-for-bit. Metrics whose
+    * history has < 2 distinct days (slope denominator 0) drop via the
+    * SAME integer predicate in both engines. Scale: one map-side-
+    * combinable per-metric aggregate over exact longs + a 7-row
+    * fan-out; the events scan dominates.
+    */
+  def forecastEventsLintrend(spark: SparkSession, dir: String): DataFrame = {
+    val s = eventsLong(spark, dir)
+      .select(col("metric"), col("ds"),
+        round(col("y") * 100).cast("long").as("yc"))
+    val st = s.groupBy(col("metric"))
+      .agg(min(col("ds")).as("d0"), max(col("ds")).as("d1"),
+        count(lit(1)).as("n"))
+    val sums = s.join(st.select(col("metric"), col("d0")), "metric")
+      .withColumn("x", datediff(col("ds"), col("d0")).cast("long"))
+      .groupBy(col("metric"))
+      .agg(sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("yc")).as("sy"), sum(col("x") * col("yc")).as("sxy"),
+        sum(col("yc") * col("yc")).as("syy"))
+    val fut = st.join(sums, "metric")
+      .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0)
+      .select(col("metric"), col("d0"), col("d1"), col("n"), col("sx"),
+        col("sxx"), col("sy"), col("sxy"), col("syy"),
+        explode(sequence(lit(1), lit(7))).as("h"))
+      .withColumn("ds", date_add(col("d1"), col("h")))
+      .withColumn("xf",
+        (datediff(col("d1"), col("d0")).cast("long") + col("h")).cast("double"))
+    // mirrored TOKEN-FOR-TOKEN in the oracle (the snaive discipline):
+    // integer numerator/denominator, then one double tree
+    val b = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val a = (col("sy").cast("double") - b * col("sx").cast("double")) /
+      col("n").cast("double")
+    val sd = sqrt(greatest(lit(0.0),
+      (col("syy").cast("double") - a * col("sy").cast("double") -
+        b * col("sxy").cast("double")) / col("n").cast("double"))) / lit(100.0)
+    val yhat = (a + b * col("xf")) / lit(100.0)
     def grain(c: Column) = floor(c * 10000 + 0.5) / 10000.0
     fut.select(col("metric"), col("ds"),
       grain(yhat).as("yhat"),
@@ -674,6 +735,7 @@ object CoreQueries {
     "forecast_events_hourly_gate" -> (forecastEventsHourlyGate _),
     "forecast_events_snaive" -> (forecastEventsSnaive _),
     "forecast_events_smean" -> (forecastEventsSmean _),
+    "forecast_events_lintrend" -> (forecastEventsLintrend _),
     "forecast_backtest" -> (forecastBacktest _),
     "forecast_backtest_gate" -> (forecastBacktestGate _),
     "forecast_backtest_naive" -> (forecastBacktestNaive _),
@@ -878,13 +940,13 @@ object CoreQueries {
         "UNION ALL SELECT 'value_sum', date, value_sum FROM b " +
         "UNION ALL SELECT 'active_users', date, CAST(active_users AS DOUBLE) FROM b), " +
         "s AS (SELECT metric, ds, CAST(ROUND(y * 100) AS BIGINT) AS yc, " +
-        "CAST(ds - DATE '1970-01-01' AS BIGINT) % 7 AS dow FROM m), " +
+        "((CAST(ds - DATE '1970-01-01' AS BIGINT) % 7) + 7) % 7 AS dow FROM m), " +
         "dw AS (SELECT metric, dow, CAST(COUNT(*) AS BIGINT) AS ndw, " +
         "CAST(SUM(yc) AS BIGINT) AS sw, " +
         "CAST(SUM(yc * yc) AS BIGINT) AS sww FROM s GROUP BY 1, 2), " +
         "f AS (SELECT l.metric, l.d1 + CAST(gs.h AS INTEGER) AS ds, " +
-        "CAST((l.d1 + CAST(gs.h AS INTEGER)) - DATE '1970-01-01' AS BIGINT) % 7 " +
-        "AS dow FROM (SELECT metric, MAX(ds) AS d1 FROM s GROUP BY 1) l " +
+        "((CAST((l.d1 + CAST(gs.h AS INTEGER)) - DATE '1970-01-01' AS BIGINT) " +
+        "% 7) + 7) % 7 AS dow FROM (SELECT metric, MAX(ds) AS d1 FROM s GROUP BY 1) l " +
         "CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h) gs), " +
         "j AS (SELECT f.metric, f.ds, dw.ndw, dw.sw, dw.sww FROM f " +
         "JOIN dw ON dw.metric = f.metric AND dw.dow = f.dow) " +
@@ -900,6 +962,46 @@ object CoreQueries {
         "(CAST(sw AS DOUBLE) / ndw) * (CAST(sw AS DOUBLE) / ndw))) / 100.0)) " +
         "* 10000 + 0.5) / 10000 AS yhat_upper " +
         "FROM j ORDER BY metric, ds"),
+    // the OLS linear-trend replay: exact-cents sufficient statistics as
+    // BIGINTs (n, Sx, Sxx, Sy, Sxy, Syy + the slope's integer
+    // numerator/denominator), then the SAME IEEE expression tree and
+    // 1e-4 floor grain — the third forecast with yhat AND both band
+    // edges under the hash
+    "forecast_events_lintrend" ->
+      (s"WITH b AS ($bucketizeSql), " +
+        "m AS (SELECT 'event_count' AS metric, date AS ds, " +
+        "CAST(event_count AS DOUBLE) AS y FROM b " +
+        "UNION ALL SELECT 'value_sum', date, value_sum FROM b " +
+        "UNION ALL SELECT 'active_users', date, CAST(active_users AS DOUBLE) FROM b), " +
+        "s AS (SELECT metric, ds, CAST(ROUND(y * 100) AS BIGINT) AS yc FROM m), " +
+        "st AS (SELECT metric, MIN(ds) AS d0, MAX(ds) AS d1, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY 1), " +
+        "sx0 AS (SELECT s.metric, CAST(s.ds - t.d0 AS BIGINT) AS x, s.yc " +
+        "FROM s JOIN st t USING (metric)), " +
+        "sm AS (SELECT metric, CAST(SUM(x) AS BIGINT) AS sx, " +
+        "CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(yc) AS BIGINT) AS sy, " +
+        "CAST(SUM(x * yc) AS BIGINT) AS sxy, " +
+        "CAST(SUM(yc * yc) AS BIGINT) AS syy FROM sx0 GROUP BY 1), " +
+        "k AS (SELECT st.metric, st.d0, st.d1, st.n, sm.sx, sm.sxx, sm.sy, " +
+        "sm.sxy, sm.syy, " +
+        "CAST(st.n * sm.sxy - sm.sx * sm.sy AS DOUBLE) / " +
+        "CAST(st.n * sm.sxx - sm.sx * sm.sx AS DOUBLE) AS bb " +
+        "FROM st JOIN sm USING (metric) " +
+        "WHERE st.n * sm.sxx - sm.sx * sm.sx > 0), " +
+        "k2 AS (SELECT *, (CAST(sy AS DOUBLE) - bb * CAST(sx AS DOUBLE)) / " +
+        "CAST(n AS DOUBLE) AS aa FROM k), " +
+        "k3 AS (SELECT *, SQRT(GREATEST(0.0, (CAST(syy AS DOUBLE) - " +
+        "aa * CAST(sy AS DOUBLE) - bb * CAST(sxy AS DOUBLE)) / " +
+        "CAST(n AS DOUBLE))) / 100.0 AS sd FROM k2), " +
+        "f AS (SELECT metric, d1 + CAST(gs.h AS INTEGER) AS ds, " +
+        "CAST(CAST(d1 - d0 AS BIGINT) + gs.h AS DOUBLE) AS xf, aa, bb, sd " +
+        "FROM k3 CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h) gs) " +
+        "SELECT metric, ds, " +
+        "FLOOR(((aa + bb * xf) / 100.0) * 10000 + 0.5) / 10000 AS yhat, " +
+        "FLOOR(((aa + bb * xf) / 100.0 - 1.28 * sd) * 10000 + 0.5) / 10000 " +
+        "AS yhat_lower, " +
+        "FLOOR(((aa + bb * xf) / 100.0 + 1.28 * sd) * 10000 + 0.5) / 10000 " +
+        "AS yhat_upper FROM f ORDER BY metric, ds"),
     "forecast_events_gate" -> eventsDailyGateSql,
     "forecast_events_future_gate" ->
       ("WITH h AS (SELECT MAX(CAST(ts AS DATE)) AS last_d FROM events), " +
