@@ -127,7 +127,15 @@ object Scaling {
     // the audio energy-gradient fingerprint (per-media fingerprint +
     // pigeonhole chunk join — the dedup_simhash shape on WAV payloads)
     "dedup_image_clusters", "dedup_audio_fingerprint",
-    "dedup_video_frames")
+    "dedup_video_frames",
+    // round 14: the audio/video cluster job shapes (exact-first
+    // fingerprint collapse + frontier CC for audio; the keyed
+    // frame-pair set + frontier CC for video), the streaming audio
+    // gate (staging write + 4-micro-batch stateless fingerprint +
+    // complete-mode aggregate), and the third value-checked forecast
+    // (one per-metric exact-long aggregate + 7-row fan-out)
+    "dedup_audio_clusters", "dedup_video_clusters", "stream_audio_dedup",
+    "forecast_events_lintrend")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -266,8 +266,18 @@ object Packing {
     * state anywhere: one count per distinct value per bucket. `byV`
     * feeds FOUR consumers (range probe, subtotal aggregate, main pass,
     * per-key total) — an uncached input is defensively cache-tracked
-    * here rather than silently recomputed four times; callers that
-    * manage their own lifetime should pass an already-cached frame.
+    * here rather than silently recomputed four times.
+    *
+    * CACHE-RELEASE OBLIGATION (round-13 ADVICE): the defensive persist
+    * is registered with [[CacheScope]], and because the returned frame
+    * is lazy this method cannot unpersist it before the caller
+    * consumes the result — the cache OUTLIVES the call by design. The
+    * Bench/Verify/Scaling drivers release it between queries; a
+    * library caller outside those drivers must either call
+    * `CacheScope.release(spark)` after consuming the result, or pass
+    * an already-cached frame (then no defensive persist happens and
+    * the caller owns the lifetime). Skipping both leaks one
+    * MEMORY_AND_DISK persist for the session lifetime.
     */
   def keyedQuantiles(byV0: DataFrame, keyCol: String,
       ps: Seq[(Double, String)], nBuckets: Int = 64): DataFrame = {

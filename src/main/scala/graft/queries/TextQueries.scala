@@ -1080,7 +1080,16 @@ object TextQueries {
       // encode path threads the ORIGINAL word w0 through the chain)
       val merged = dict.withColumn("w",
         replace(col("w"), lit(pairS), lit(i.toChar.toString)))
-      val next = materialized(
+      // stageBoundary (lineage-TRUNCATING), not materialized (cache):
+      // the rolling dict otherwise accumulates one nested replace
+      // projection per round, and at a production vocab (k = 512+
+      // measured, k = 32k the target) the plan STRING of round k's
+      // count OOMs the driver inside treeString/explainString long
+      // before data does — the same failure stageBoundary exists for
+      // in the composed pipeline. Blocks are GC-scoped; the caller's
+      // unpersist contract is unchanged (a no-op on checkpointed
+      // frames, real on the cached entry dict).
+      val next = stageBoundary(
         if (keepSingles) merged else merged.filter(length(col("w")) >= 2))
       dict.unpersist()
       dict = next
@@ -1154,14 +1163,16 @@ object TextQueries {
     * tables.
     */
   private[graft] def bpeRoundsBatched(dict0: DataFrame, k: Int, m: Int,
-      keepSingles: Boolean): (Seq[(Long, String, Long)], DataFrame) = {
-    require(m >= 1 && k % m == 0,
-      s"batched BPE: wave size $m must be >= 1 and divide k=$k")
+      keepSingles: Boolean): (Seq[(Long, String, Long)], DataFrame, Int) = {
+    require(m >= 1, s"batched BPE: wave size $m must be >= 1")
+    require(k < 0xD800,
+      s"batched BPE: k=$k sentinels would reach the UTF-16 surrogate range")
     var dict = materialized(dict0)
     var expansions = Map.empty[Char, String]
     val merges = Seq.newBuilder[(Long, String, Long)]
     var made = 0
-    for (wave <- 1 to k / m) {
+    var waves = 0
+    while (made < k) {
       val ranked = dict.filter(length(col("w")) >= 2)
         .select(col("wc"), explode(
           expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
@@ -1169,11 +1180,18 @@ object TextQueries {
         .groupBy("pair").agg(sum(col("wc")).as("cnt"))
         .orderBy(desc("cnt"), col("pair"))
         .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
-      val sel = bpeSelectWave(ranked, m)
-      require(sel.size == m,
-        s"batched BPE wave $wave found only ${sel.size} of $m " +
-          "symbol-disjoint merge pairs — the corpus cannot support this " +
-          "batch size")
+      require(ranked.nonEmpty,
+        s"BPE dictionary exhausted after $made of $k merges — the corpus " +
+          "cannot support this many merges")
+      // GRACEFUL wave shortfall (round-13 ADVICE): on a symbol-dense
+      // pair distribution a wave may find FEWER than m disjoint pairs
+      // — the known parallel-BPE starvation mode. Take the short wave
+      // and continue: the top-ranked pair is always selectable, so a
+      // starved wave degrades toward (and in the limit IS) the
+      // sequential algorithm instead of aborting; wave count grows,
+      // the learned vocabulary does not change its k-merge contract.
+      val sel = bpeSelectWave(ranked, math.min(m, k - made))
+      waves += 1
       // merge ranks + sentinel-free expansions use the PRE-wave map:
       // wave selections are counted on the before-dict, so they can
       // only contain earlier waves' sentinels, never this wave's
@@ -1191,13 +1209,16 @@ object TextQueries {
         expansions += ((made + j + 1).toChar ->
           p.flatMap(ch => expansions.getOrElse(ch, ch.toString)))
       }
-      made += m
-      val next = materialized(
+      made += sel.size
+      // lineage-truncating wave boundary — see [[bpeRounds]]'s note (at
+      // m = 64 a single wave already nests 64 replaces; 8 cached waves
+      // of those OOMed the driver's plan renderer at k = 512)
+      val next = stageBoundary(
         if (keepSingles) merged else merged.filter(length(col("w")) >= 2))
       dict.unpersist()
       dict = next
     }
-    (merges.result(), dict)
+    (merges.result(), dict, waves)
   }
 
   /** Registered batched learner: the same k = 8 vocabulary as
@@ -1210,7 +1231,7 @@ object TextQueries {
     */
   def bpeLearnBatched(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (merges, dict) =
+    val (merges, dict, _) =
       bpeRoundsBatched(bpeDict(spark, dir), k = 8, m = 4, keepSingles = false)
     dict.unpersist()
     merges.toDF("merge_rank", "pair", "cnt").orderBy("merge_rank")

@@ -45,9 +45,11 @@ object QueryIndex {
           "all-pairs); fixtures add brightness/jitter perceptual-dup " +
           "variants so the gate has real positives and negatives"),
       "dedup_image_clusters" ->
-        ("the phash pair set through DataFrame-native min-label CC " +
-          "(the canonicalize machinery on the media grain); per-cluster " +
-          "member/original counts, recursive-CTE oracle"),
+        ("phash fingerprints through the exact-first collapse + banding " +
+          "over DISTINCT fingerprints + frontier CC " +
+          "(DedupClusters.fingerprintComponents); per-cluster " +
+          "member/original counts, recursive-CTE oracle; 2.2x under " +
+          "30x at x30 (was 8.1x before the collapse)"),
       "dedup_audio_fingerprint" ->
         ("audio near-dup: REAL WAV/PCM decode -> 65 exact integer " +
           "frame energies -> 64 gradient bits (volume-invariant) -> " +
@@ -63,6 +65,27 @@ object QueryIndex {
           "mod-2^64 frame fold -> (frame_idx, hash)-keyed join, match " +
           "at >= 2 of 4 shared frames; re-encode variants share " +
           "exactly the unbroken frames"),
+      "dedup_audio_clusters" ->
+        ("the audio job-shape summary: fingerprints through the " +
+          "exact-first collapse + banded frontier CC " +
+          "(fingerprintComponents — gain variants share fingerprints, " +
+          "exercising the collapse for real); per-cluster " +
+          "member/original counts, recursive-CTE oracle"),
+      "dedup_video_clusters" ->
+        ("the video job-shape summary: the >= 2-of-4 frame pair set " +
+          "through frontier CC + cluster counts (no fingerprint " +
+          "collapse — video identity is a pair predicate, not one " +
+          "64-bit value); recursive-CTE oracle"),
+      "stream_audio_dedup" ->
+        ("streaming perceptual audio dedup: per-micro-batch stateless " +
+          "RIFF/PCM decode + energy-gradient fingerprint + " +
+          "complete-mode groupBy(fingerprint) -> (canonical, n_clips); " +
+          "the stream_phash_dedup composition on the audio grain"),
+      "forecast_events_lintrend" ->
+        ("third fully value-hash-checked forecast: closed-form OLS " +
+          "linear trend +/- 1.28 residual sd — exact-cents BIGINT " +
+          "sufficient statistics, mirrored IEEE tree, shared 1e-4 " +
+          "floor grain"),
       "bpe_learn" ->
         ("sequential Sennrich loop: k merges = k job waves — fine at " +
           "k = 8, the documented ceiling for a 32k production vocab; " +
@@ -71,9 +94,14 @@ object QueryIndex {
         ("parallel-BPE relaxation: top-m symbol-disjoint merges fused " +
           "per wave (k/m job waves — here 8 merges in 2); within a wave " +
           "disjointness makes each merge exact, and the oracle replays " +
-          "the batched selection itself"),
+          "the batched selection itself. Starvation contract: a wave " +
+          "short of m disjoint pairs TAKES THE SHORT WAVE and continues " +
+          "(never aborts; the oracle's fixed-m replay assumes unstarved " +
+          "waves, true on this corpus at k=8, m=4 — a starved wave " +
+          "would flip the hash and surface). Production-shape evidence: " +
+          "k=512 at m=64 on the x10 replica, see SCALING.md"),
       "forecast_events_snaive" ->
-        ("first of two forecasts whose yhat/band VALUES are hash-checked " +
+        ("first of THREE forecasts whose yhat/band VALUES are hash-checked " +
           "(exact-cents + mirrored IEEE tree); the backtest's skill baseline"),
       "forecast_events_smean" ->
         ("second fully value-hash-checked forecast: day-of-week " +

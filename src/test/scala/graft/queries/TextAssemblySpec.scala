@@ -71,9 +71,10 @@ class TextAssemblySpec extends SparkSpec {
     val (seqMerges, seqDict) =
       TextQueries.bpeRounds(TextQueries.bpeDictOf(docs), k = 4,
         keepSingles = false)
-    val (batMerges, batDict) =
+    val (batMerges, batDict, batWaves) =
       TextQueries.bpeRoundsBatched(TextQueries.bpeDictOf(docs), k = 4, m = 2,
         keepSingles = false)
+    assert(batWaves == 2, "disjoint-dominant fixture fills k/m full waves")
     val seqRows = seqDict.collect().map(r => (r.getString(0), r.getLong(1))).toSet
     val batRows = batDict.collect().map(r => (r.getString(0), r.getLong(1))).toSet
     seqDict.unpersist(); batDict.unpersist()
@@ -81,6 +82,38 @@ class TextAssemblySpec extends SparkSpec {
       "merge tables (rank, expansion, count) must be identical")
     assert(seqMerges.map(_._2) == Seq("ab", "cd", "ef", "gh"))
     assert(seqRows == batRows, "final dictionaries must be identical")
+  }
+
+  test("batched BPE degrades gracefully under disjointness starvation " +
+    "instead of aborting (the parallel-BPE failure mode)") {
+    import spark.implicits._
+    // a 3-symbol corpus: EVERY bigram over {a,b,c} shares a symbol with
+    // every other (only 3 distinct symbols exist), so no wave can ever
+    // select 2 disjoint pairs until merges mint new sentinel symbols —
+    // the dense-symbol-graph regime a 2-full-wave test cannot surface.
+    val text = (Seq.fill(40)("abc") ++ Seq.fill(30)("bca") ++
+      Seq.fill(20)("cab") ++ Seq.fill(10)("aabb")).mkString(" ")
+    val docs = Seq(text).toDF("text")
+    val (merges, dict, waves) =
+      TextQueries.bpeRoundsBatched(TextQueries.bpeDictOf(docs), k = 4, m = 4,
+        keepSingles = false)
+    dict.unpersist()
+    // the k-merge contract holds despite starvation...
+    assert(merges.size == 4)
+    assert(merges.map(_._1) == Seq(1L, 2L, 3L, 4L), "ranks stay dense")
+    assert(merges.forall(_._3 > 0), "every merge carries a positive count")
+    // ...via MORE, SHORTER waves: wave 1 can take only 1 of the 4
+    // requested pairs (all top candidates share symbols), so the run
+    // must use >1 wave where an unstarved corpus would use exactly 1
+    assert(waves > 1 && waves <= 4,
+      s"starved run should shorten waves (got $waves waves for k=4, m=4)")
+    // and the FIRST merge is still the global argmax — the short wave
+    // takes the rank-order prefix, exactly sequential BPE's choice
+    val (seqMerges, seqDict) =
+      TextQueries.bpeRounds(TextQueries.bpeDictOf(docs), k = 1,
+        keepSingles = false)
+    seqDict.unpersist()
+    assert(merges.head == seqMerges.head)
   }
 
   test("bpeSelectWave properties: rank-ordered, pairwise disjoint, greedy-maximal on random inputs") {
