@@ -829,6 +829,43 @@ object Dedup {
       fp.select(col(idCol).as("doc_id"), col(hashCol).as("simhash")),
       maxHamming)
 
+  /** The DELTA-vs-CORPUS orientation of [[hammingPairs]] — the
+    * pigeonhole band join between two DISTINCT fingerprint sets, for
+    * incremental admission on media grains (tonight's batch against the
+    * stored fingerprint index): every corpus row within `maxHamming` of
+    * each delta row, never all-pairs (candidates from 64/(maxHamming+1)-
+    * bit chunk agreement, the [[simhashPairs]] guarantee). Unlike
+    * [[hammingPairs]] there is no `<` orientation — the two sides are
+    * different sets, and a delta row may legitimately match MANY corpus
+    * rows (the caller aggregates, the [[incremental]] convention).
+    * Output column contract: (`doc_id` = delta id, `match_id` = corpus
+    * id, `hamming`), regardless of `idCol`.
+    */
+  def hammingJoin(delta: DataFrame, corpus: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int): DataFrame = {
+    val nChunks = maxHamming + 1
+    val bitsPerChunk = 64 / nChunks
+    def keyed(df: DataFrame, out: String) = {
+      val chunks = (0 until nChunks).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftrightunsigned(col(hashCol), c * bitsPerChunk)
+            .bitwiseAND((1L << bitsPerChunk) - 1).as("cv"))
+      }
+      df.select(col(idCol).as(out), col(hashCol).as(s"_hj_$out"),
+          explode(array(chunks: _*)).as("ck"))
+        .select(col(out), col(s"_hj_$out"),
+          col("ck.chunk").as("chunk"), col("ck.cv").as("cv"))
+    }
+    keyed(delta, "doc_id").join(keyed(corpus, "match_id"), Seq("chunk", "cv"))
+      .select(col("doc_id"), col("match_id"),
+        col("_hj_doc_id"), col("_hj_match_id"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("_hj_doc_id").bitwiseXOR(col("_hj_match_id"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_id"), col("match_id"), col("hamming"))
+  }
+
   private def simhashPairsFrom(fp: DataFrame, maxHamming: Int): DataFrame = {
     val nChunks = maxHamming + 1
     val bitsPerChunk = 64 / nChunks

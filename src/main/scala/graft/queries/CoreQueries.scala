@@ -480,6 +480,69 @@ object CoreQueries {
       .orderBy("metric", "ds")
   }
 
+  /** Holt double-exponential-smoothing forecast [public: Holt 1957;
+    * Hyndman & Athanasopoulos FPP3 §8.2, additive-trend form with
+    * α = β = 1/2] — the FOURTH forecast whose yhat/band VALUES are
+    * fully driver-hash-checked, and the first SEQUENTIAL-recurrence
+    * fit checked that way: level/trend evolve as
+    * l_t = ½·y_t + ½·(l_{t-1} + t_{t-1}),
+    * b_t = ½·(l_t − l_{t-1}) + ½·b_{t-1} (init l_1 = y_1, b_1 = 0),
+    * yhat(T+h) = l_T + h·b_T, band = ±1.28·sd of the one-step-ahead
+    * errors (sd = √(Σe²/n)). A recurrence has no order-independent
+    * sufficient statistics, so the snaive/smean/lintrend
+    * exact-integer-sum recipe doesn't apply; instead DETERMINISM comes
+    * from fixing the operation sequence: the per-metric fold runs over
+    * the date-sorted series in one `flatMapGroups` (state = 3 doubles —
+    * the A2 fit-as-aggregation shape; series length is calendar-bounded,
+    * the same per-metric memory contract as every other fit), inputs
+    * are exact integer cents, and the oracle replays the IDENTICAL
+    * IEEE-double op sequence step by step as a recursive CTE joining
+    * row i to row i+1 (the b_t expression repeats l_t's subtree rather
+    * than re-binding it — double arithmetic is deterministic, so the
+    * repeated subtree is the same bits). Outputs go through the shared
+    * FLOOR(x·1e4 + 0.5) grain; metrics with < 2 observed days drop via
+    * the same n ≥ 2 predicate in both engines. Scale: one shuffle to
+    * group metrics, then a linear fold per metric — the events scan
+    * dominates; 1000 metrics fold in parallel, one task each.
+    */
+  def forecastEventsHolt(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val s = eventsLong(spark, dir)
+      .select(col("metric"), col("ds"),
+        round(col("y") * 100).cast("long").as("yc"))
+      .as[(String, java.sql.Date, Long)]
+    def grain(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000.0
+    val out = s.groupByKey(_._1).flatMapGroups { (metric, it) =>
+      val rows = it.toArray.sortBy(_._2.toLocalDate.toEpochDay)
+      if (rows.length < 2) Iterator.empty
+      else {
+        var l = rows(0)._3.toDouble
+        var b = 0.0
+        var se = 0.0
+        var i = 1
+        while (i < rows.length) {
+          val y = rows(i)._3.toDouble
+          val e = y - (l + b)
+          // mirrored TOKEN-FOR-TOKEN in the oracle's recursive CTE
+          val l1 = 0.5 * y + 0.5 * (l + b)
+          val b1 = 0.5 * (l1 - l) + 0.5 * b
+          se += e * e
+          l = l1; b = b1; i += 1
+        }
+        val sd = math.sqrt(se / rows.length.toDouble) / 100.0
+        val d1 = rows(rows.length - 1)._2.toLocalDate
+        (1 to 7).iterator.map { h =>
+          val yhat = (l + h.toDouble * b) / 100.0
+          (metric, java.sql.Date.valueOf(d1.plusDays(h.toLong)),
+            grain(yhat), grain(yhat - 1.28 * sd), grain(yhat + 1.28 * sd))
+        }
+      }
+    }
+    out.toDF("metric", "ds", "yhat", "yhat_lower", "yhat_upper")
+      .orderBy("metric", "ds")
+  }
+
   /** Sub-daily forecast over HOURLY event buckets — the path where
     * Prophet's daily-seasonality auto-rule genuinely fires (720 hourly
     * points, spacing 1/24 day): fits carry an order-4 daily Fourier
@@ -736,6 +799,7 @@ object CoreQueries {
     "forecast_events_snaive" -> (forecastEventsSnaive _),
     "forecast_events_smean" -> (forecastEventsSmean _),
     "forecast_events_lintrend" -> (forecastEventsLintrend _),
+    "forecast_events_holt" -> (forecastEventsHolt _),
     "forecast_backtest" -> (forecastBacktest _),
     "forecast_backtest_gate" -> (forecastBacktestGate _),
     "forecast_backtest_naive" -> (forecastBacktestNaive _),
@@ -962,6 +1026,45 @@ object CoreQueries {
         "(CAST(sw AS DOUBLE) / ndw) * (CAST(sw AS DOUBLE) / ndw))) / 100.0)) " +
         "* 10000 + 0.5) / 10000 AS yhat_upper " +
         "FROM j ORDER BY metric, ds"),
+    // the Holt replay: the identical IEEE-double recurrence stepped row
+    // i -> i+1 by a recursive CTE (the b_t expression repeats l_t's
+    // subtree — deterministic double arithmetic makes the repeat exact),
+    // one-step errors accumulated in the same pre-update order, then the
+    // shared 1e-4 floor grain — the fourth fully value-checked forecast
+    // and the first sequential-recurrence one
+    "forecast_events_holt" ->
+      (s"WITH RECURSIVE b AS ($bucketizeSql), " +
+        "m AS (SELECT 'event_count' AS metric, date AS ds, " +
+        "CAST(event_count AS DOUBLE) AS y FROM b " +
+        "UNION ALL SELECT 'value_sum', date, value_sum FROM b " +
+        "UNION ALL SELECT 'active_users', date, CAST(active_users AS DOUBLE) FROM b), " +
+        "s AS (SELECT metric, ds, CAST(ROUND(y * 100) AS BIGINT) AS yc FROM m), " +
+        "si AS (SELECT metric, ds, yc, ROW_NUMBER() OVER " +
+        "(PARTITION BY metric ORDER BY ds) AS i FROM s), " +
+        "st AS (SELECT metric, MAX(ds) AS d1, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM s GROUP BY 1), " +
+        "holt(metric, i, l, t, se) AS (" +
+        "SELECT metric, i, CAST(yc AS DOUBLE), CAST(0 AS DOUBLE), " +
+        "CAST(0 AS DOUBLE) FROM si WHERE i = 1 " +
+        "UNION ALL " +
+        "SELECT h.metric, s2.i, " +
+        "0.5 * CAST(s2.yc AS DOUBLE) + 0.5 * (h.l + h.t), " +
+        "0.5 * ((0.5 * CAST(s2.yc AS DOUBLE) + 0.5 * (h.l + h.t)) - h.l) " +
+        "+ 0.5 * h.t, " +
+        "h.se + (CAST(s2.yc AS DOUBLE) - (h.l + h.t)) * " +
+        "(CAST(s2.yc AS DOUBLE) - (h.l + h.t)) " +
+        "FROM holt h JOIN si s2 ON s2.metric = h.metric AND s2.i = h.i + 1), " +
+        "fin AS (SELECT h.metric, st.d1, st.n, h.l, h.t, " +
+        "SQRT(h.se / CAST(st.n AS DOUBLE)) / 100.0 AS sd " +
+        "FROM holt h JOIN st ON st.metric = h.metric AND h.i = st.n " +
+        "WHERE st.n >= 2), " +
+        "f AS (SELECT metric, d1 + CAST(gs.h AS INTEGER) AS ds, " +
+        "(l + CAST(gs.h AS DOUBLE) * t) / 100.0 AS yhat, sd " +
+        "FROM fin CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h) gs) " +
+        "SELECT metric, ds, FLOOR(yhat * 10000 + 0.5) / 10000 AS yhat, " +
+        "FLOOR((yhat - 1.28 * sd) * 10000 + 0.5) / 10000 AS yhat_lower, " +
+        "FLOOR((yhat + 1.28 * sd) * 10000 + 0.5) / 10000 AS yhat_upper " +
+        "FROM f ORDER BY metric, ds"),
     // the OLS linear-trend replay: exact-cents sufficient statistics as
     // BIGINTs (n, Sx, Sxx, Sy, Sxy, Syy + the slope's integer
     // numerator/denominator), then the SAME IEEE expression tree and

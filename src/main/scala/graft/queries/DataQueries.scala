@@ -178,6 +178,48 @@ object DataQueries {
       .orderBy("cluster_id")
   }
 
+  /** Incremental IMAGE admission — [[Dedup.incremental]]'s nightly
+    * delta-vs-corpus shape on the media grain, completing the
+    * incremental family across grains (text had it since round 11; the
+    * media family only had full-corpus faces). Corpus = even-numbered
+    * ORIGINALS (the stored fingerprint index); delta = tonight's batch
+    * (odd originals + every planted variant). Each delta image is
+    * classified against the corpus ONLY (delta-internal duplicates are
+    * not consulted — the text operator's exact semantics):
+    * `dup_exact` = identical 64-bit dHash to a corpus image (Hamming 0
+    * — the brightness variants of even docs: dHash is
+    * brightness-invariant), `dup_near` = within Hamming 1–3 (noise
+    * variants of even docs), else `new` (odd originals and THEIR
+    * variants — their base lives in the delta, not the corpus).
+    * match_id = min qualifying corpus id, exact before near, the
+    * [[Dedup.incremental]] convention. Candidates come from
+    * [[Dedup.hammingJoin]]'s pigeonhole banding — delta×corpus chunks,
+    * never all-pairs — so the nightly cost is |delta| fingerprints +
+    * a banded join against the stored index, independent of corpus
+    * re-fingerprinting. Integer-exact end to end; the oracle replays
+    * fingerprints from the shared CTEs and restates the banded join as
+    * the full filtered join (identical by the pigeonhole guarantee).
+    */
+  def dedupImageAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Multimodal.dHash(
+      synthPnmMedia(table(spark, dir, "documents"))).toDF()
+    val isCorpus = col("media_id") < lit(BrightIdOffset) &&
+      pmod(col("media_id"), lit(2)) === 0
+    val matches = Dedup.hammingJoin(fp.filter(!isCorpus), fp.filter(isCorpus),
+      "media_id", "dhash", maxHamming = 3)
+    val agg = matches.groupBy(col("doc_id"))
+      .agg(min(when(col("hamming") === 0, col("match_id"))).as("exact_match"),
+        min(when(col("hamming") > 0, col("match_id"))).as("near_match"))
+    fp.filter(!isCorpus).select(col("media_id").as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id").as("media_id"),
+        when(col("exact_match").isNotNull, lit("dup_exact"))
+          .when(col("near_match").isNotNull, lit("dup_near"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"))
+      .orderBy("media_id")
+  }
+
   /** media_id offsets for the audio perceptual-duplicate variants. */
   private val GainIdOffset = 3000000L
   private val AudioNoiseIdOffset = 4000000L
@@ -291,7 +333,7 @@ object DataQueries {
     * variant still shares the later sampled frames with its original —
     * the partial-frame-overlap signal a video near-dup keys on.
     */
-  private def synthVideoMedia(docs: DataFrame): DataFrame = {
+  private[queries] def synthVideoMedia(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id").cast("long"), col("text"))
       .filter(length(col("text")) >= 1)
@@ -318,19 +360,29 @@ object DataQueries {
     * precedent). The oracle replays offsets, frame slices, fold, and
     * the match count from the text bytes.
     */
-  /** The >= 2-of-4 agreeing-sampled-frames pair set behind both video
-    * dedup faces (pairs + clusters). */
-  private def videoFramePairs(spark: SparkSession, dir: String): DataFrame = {
-    val spark0 = spark
-    import spark0.implicits._
-    val frames = Multimodal.sampleFrames(
-      synthVideoMedia(table(spark, dir, "documents")), nFrames = 4,
-      frameBytes = 64)
-    val keyed = frames.map { f =>
-      var h = 0L
-      f.frame.foreach(b => h = h * 1315423911L + (b & 0xff))
-      (f.media_id, f.frame_idx, h)
-    }.toDF("media_id", "frame_idx", "fh")
+  /** (media_id, frame_idx, fh) frame-hash keys for a video `media`
+    * frame: [[Multimodal.sampleFrames]]' 4 evenly spaced 64-byte
+    * windows, each folded mod 2^64 (Long overflow IS the mod — the
+    * text_rolling_hash precedent). A pure flatMap + map, so it runs
+    * unchanged on a STREAMING Dataset ([[StreamQueries.streamVideoDedup]]
+    * fingerprints each micro-batch through exactly this path).
+    */
+  private[queries] def videoFrameKeys(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    Multimodal.sampleFrames(media, nFrames = 4, frameBytes = 64)
+      .map { f =>
+        var h = 0L
+        f.frame.foreach(b => h = h * 1315423911L + (b & 0xff))
+        (f.media_id, f.frame_idx, h)
+      }.toDF("media_id", "frame_idx", "fh")
+  }
+
+  /** The >= 2-of-4 agreeing-frames pair set over a
+    * [[videoFrameKeys]]-shaped frame — the keyed equi-join (4 join keys
+    * per video, never all-pairs) shared by the batch faces and the
+    * streaming gate's post-ingest index join.
+    */
+  private[queries] def videoPairsFromKeys(keyed: DataFrame): DataFrame =
     keyed.as("a")
       .join(keyed.as("b"),
         col("a.frame_idx") === col("b.frame_idx") &&
@@ -339,7 +391,12 @@ object DataQueries {
       .groupBy(col("a.media_id").as("doc_a"), col("b.media_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= 2)
-  }
+
+  /** The >= 2-of-4 agreeing-sampled-frames pair set behind both video
+    * dedup faces (pairs + clusters). */
+  private def videoFramePairs(spark: SparkSession, dir: String): DataFrame =
+    videoPairsFromKeys(videoFrameKeys(
+      synthVideoMedia(table(spark, dir, "documents"))))
 
   def dedupVideoFrames(spark: SparkSession, dir: String): DataFrame =
     videoFramePairs(spark, dir).orderBy("doc_a", "doc_b")
@@ -1214,6 +1271,7 @@ object DataQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_image_phash" -> (dedupImagePhash _),
     "dedup_image_clusters" -> (dedupImageClusters _),
+    "dedup_image_admit" -> (dedupImageAdmit _),
     "dedup_audio_fingerprint" -> (dedupAudioFingerprint _),
     "dedup_audio_clusters" -> (dedupAudioClusters _),
     "dedup_video_frames" -> (dedupVideoFrames _),
@@ -1628,6 +1686,18 @@ object DataQueries {
       "FROM vf))"
 
   // >= 2-common-frames video pair set — wrapped by both video oracles
+  /** The dedup_video_frames replay — also the oracle of the streaming
+    * gate (`stream_video_dedup`), whose drained ingest ledger feeds the
+    * SAME pair join, so batch ≡ stream by construction: sampleFrames'
+    * evenly-spaced offsets (floor((len-64)*i/3), 0 when the payload fits
+    * one window), the frame slice, the mod-2^64 polynomial fold (HUGEINT
+    * space, wrapped back to signed), and the >= 2-common-frames count.
+    */
+  private[queries] lazy val videoFramesOracle: String =
+    "WITH " + videoFrameCtes +
+      s" SELECT doc_a, doc_b, n_common FROM ($videoPairsSql) " +
+      "WHERE n_common >= 2 ORDER BY doc_a, doc_b"
+
   private val videoPairsSql: String =
     "SELECT a.media_id AS doc_a, b.media_id AS doc_b, " +
       "CAST(COUNT(*) AS BIGINT) AS n_common FROM vh a JOIN vh b " +
@@ -2081,6 +2151,28 @@ object DataQueries {
       ("WITH RECURSIVE " + imagePhashCtes +
         s", pairs AS (SELECT doc_a, doc_b FROM ($imagePhashPairsSql) " +
         "WHERE hamming <= 3)" + mediaClustersTail(1000000L)),
+    // dedup_image_admit replay: the same fingerprint CTEs split into
+    // corpus (even originals) and delta, the banded delta-vs-corpus join
+    // restated as the full filtered join (pigeonhole guarantee), then
+    // the incremental status CASE with min-corpus-id match selection
+    "dedup_image_admit" ->
+      ("WITH " + imagePhashCtes +
+        ", cor AS (SELECT * FROM fp WHERE media_id < 1000000 " +
+        "AND media_id % 2 = 0), " +
+        "del AS (SELECT * FROM fp WHERE NOT (media_id < 1000000 " +
+        "AND media_id % 2 = 0)), " +
+        "mt AS (SELECT d.media_id, c.media_id AS cid, " +
+        "bit_count(xor(d.lo, c.lo)) + bit_count(xor(d.hi, c.hi)) AS hamming " +
+        "FROM del d JOIN cor c ON TRUE), " +
+        "ag AS (SELECT media_id, " +
+        "MIN(CASE WHEN hamming = 0 THEN cid END) AS em, " +
+        "MIN(CASE WHEN hamming > 0 AND hamming <= 3 THEN cid END) AS nm " +
+        "FROM mt GROUP BY 1) " +
+        "SELECT d.media_id, CASE WHEN ag.em IS NOT NULL THEN 'dup_exact' " +
+        "WHEN ag.nm IS NOT NULL THEN 'dup_near' ELSE 'new' END AS status, " +
+        "COALESCE(ag.em, ag.nm) AS match_id " +
+        "FROM del d LEFT JOIN ag ON d.media_id = ag.media_id " +
+        "ORDER BY d.media_id"),
     // dedup_audio_fingerprint replay: samples restated from the text
     // bytes ((byte - 79) * amp + jitter), 65 exact integer frame
     // energies, gradient bits, lo/hi halves — the image-phash pattern
@@ -2103,10 +2195,7 @@ object DataQueries {
     // frame slice, the mod-2^64 polynomial fold (HUGEINT space, wrapped
     // back to signed — the dedup_substring_hashed rendering), and the
     // >= 2-common-frames match count
-    "dedup_video_frames" ->
-      ("WITH " + videoFrameCtes +
-        s" SELECT doc_a, doc_b, n_common FROM ($videoPairsSql) " +
-        "WHERE n_common >= 2 ORDER BY doc_a, doc_b"),
+    "dedup_video_frames" -> videoFramesOracle,
     // dedup_video_clusters replay: the >= 2-common-frames pair set fed
     // through the same shared closure + cluster counts (originals are
     // media_id < 5e6 — below the re-encode offset)

@@ -103,6 +103,15 @@ object StreamQueries {
     stage(spark, dir, "media_wav", 4)(
       DataQueries.synthWavMedia(Fixtures.table(spark, dir, "documents")))
 
+  /** Video media fixtures staged for streaming ingest, 4 files so frame
+    * keys genuinely accumulate across micro-batches (re-encode variants
+    * hash to different files than their originals, so matching pairs
+    * span batches).
+    */
+  private def stagedVideo(spark: SparkSession, dir: String): (String, StructType) =
+    stage(spark, dir, "media_vid", 4)(
+      DataQueries.synthVideoMedia(Fixtures.table(spark, dir, "documents")))
+
   /** Run `result` (a streaming DataFrame) to completion into a memory
     * sink and return the sink table. Unique query names keep bench
     * reruns and concurrent suites from colliding.
@@ -308,7 +317,35 @@ object StreamQueries {
       .orderBy("canonical_id")
   }
 
+  /** Streaming VIDEO near-dup — the third media grain of the ingest
+    * family, and deliberately a different composition than the image /
+    * audio gates: video identity is a PAIR predicate (>= 2 of 4 sampled
+    * frames agree at the same position), not a single fingerprint, so a
+    * complete-mode groupBy(fingerprint) cannot express it. Instead the
+    * gate runs the production ingest shape directly: each of the 4 real
+    * micro-batches extracts its (media_id, frame_idx, frame-hash) keys
+    * STATELESSLY ([[DataQueries.videoFrameKeys]] — sampleFrames + the
+    * mod-2^64 fold are pure flatMap/map, unchanged on the streaming
+    * Dataset) into an append-mode ingest ledger; the >= 2-of-4 keyed
+    * pair join ([[DataQueries.videoPairsFromKeys]], 4 join keys per
+    * video — never all-pairs) then runs over the drained ledger, the
+    * nightly-index composition. Matching pairs SPAN micro-batches (a
+    * re-encode variant lands in a different staged file than its
+    * original), so the gate proves cross-batch accumulation; the sink
+    * equals the batch pair set regardless of arrival order by
+    * construction, and the oracle is dedup_video_frames' replay
+    * verbatim.
+    */
+  def streamVideoDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (path, schema) = stagedVideo(spark, dir)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(path)
+    val ledger = drain(DataQueries.videoFrameKeys(stream), "append", "videofh")
+    DataQueries.videoPairsFromKeys(ledger).orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_video_dedup" -> (streamVideoDedup _),
     "stream_phash_dedup" -> (streamPhashDedup _),
     "stream_audio_dedup" -> (streamAudioDedup _),
     "stream_mix_gate" -> (streamMixGate _),
@@ -324,6 +361,10 @@ object StreamQueries {
     // batch replay of the streaming perceptual dedup: the shared image
     // fingerprint CTEs (DataQueries.imagePhashCtes), grouped by the
     // lo/hi fingerprint halves
+    // batch replay of the streaming video gate: the dedup_video_frames
+    // oracle VERBATIM — the streamed ingest ledger feeds the same
+    // >= 2-of-4 pair join, so the two faces must hash-match exactly
+    "stream_video_dedup" -> DataQueries.videoFramesOracle,
     "stream_phash_dedup" ->
       ("WITH " + DataQueries.imagePhashCtes +
         " SELECT MIN(media_id) AS canonical_id, " +

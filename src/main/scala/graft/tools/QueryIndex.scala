@@ -101,8 +101,29 @@ object QueryIndex {
           "would flip the hash and surface). Production-shape evidence: " +
           "k=512 at m=64 on the x10 replica, see SCALING.md"),
       "forecast_events_snaive" ->
-        ("first of THREE forecasts whose yhat/band VALUES are hash-checked " +
+        ("first of FOUR forecasts whose yhat/band VALUES are hash-checked " +
           "(exact-cents + mirrored IEEE tree); the backtest's skill baseline"),
+      "forecast_events_holt" ->
+        ("fourth fully value-hash-checked forecast and the first " +
+          "SEQUENTIAL-recurrence one: Holt double exponential smoothing " +
+          "(alpha = beta = 1/2), determinism from a fixed fold order — " +
+          "per-metric date-sorted flatMapGroups fold, replayed step by " +
+          "step as a recursive CTE with the identical IEEE op sequence"),
+      "dedup_image_admit" ->
+        ("incremental admission on the MEDIA grain (text had it since " +
+          "round 11): delta images vs the stored corpus fingerprints " +
+          "via the pigeonhole delta-vs-corpus band join " +
+          "(Dedup.hammingJoin — never all-pairs, corpus never " +
+          "re-fingerprinted); dup_exact / dup_near / new statuses, the " +
+          "Dedup.incremental convention"),
+      "stream_video_dedup" ->
+        ("streaming video near-dup: per-micro-batch STATELESS frame " +
+          "sampling + mod-2^64 frame fold into an append-mode ingest " +
+          "ledger, then the >= 2-of-4 keyed pair join over the drained " +
+          "ledger (the nightly-index composition — video identity is a " +
+          "pair predicate, so the complete-mode groupBy shape of the " +
+          "image/audio gates cannot express it); pairs span " +
+          "micro-batches, oracle = dedup_video_frames verbatim"),
       "forecast_events_smean" ->
         ("second fully value-hash-checked forecast: day-of-week " +
           "climatology mean +/- 1.28 sd, same exact-cents + mirrored-IEEE " +

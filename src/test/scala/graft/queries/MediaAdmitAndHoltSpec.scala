@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+import graft.operators.Dedup
+
+/** Round-14 additions: the delta-vs-corpus Hamming join behind
+  * incremental image admission, the admission statuses themselves, and
+  * the Holt face's forecast invariants (its VALUES are driver-hash-
+  * checked by the oracle; these pin the semantic shape).
+  */
+class MediaAdmitAndHoltSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hammingJoin == brute-force delta-vs-corpus join on adversarial fingerprints") {
+    // fingerprints straddling chunk boundaries, sign bit, and exact
+    // collisions across the two sets
+    val corpus = Seq(
+      (1L, 0L), (2L, -1L), (3L, 0x00F0000000000000L),
+      (4L, 0x0123456789ABCDEFL), (5L, Long.MinValue)
+    ).toDF("media_id", "h")
+    val delta = Seq(
+      (10L, 0L),                    // exact hit on 1
+      (11L, 7L),                    // hamming 3 to 1
+      (12L, 15L),                   // hamming 4 to 1 — must NOT match
+      (13L, -2L),                   // hamming 1 to 2
+      (14L, 0x0123456789ABCDEEL),   // hamming 1 to 4
+      (15L, Long.MinValue | 3L),    // hamming 2 to 5
+      (16L, 0x5555555555555555L)    // far from everything
+    ).toDF("media_id", "h")
+    val banded = Dedup.hammingJoin(delta, corpus, "media_id", "h", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = delta.as("d").crossJoin(corpus.as("c"))
+      .select(col("d.media_id").as("doc_id"), col("c.media_id").as("match_id"),
+        bit_count(col("d.h").bitwiseXOR(col("c.h"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute, s"banded=$banded brute=$brute")
+    assert(!banded.exists(_._1 == 12L))
+    assert(banded.exists(t => t._1 == 10L && t._2 == 1L && t._3 == 0))
+  }
+
+  test("dedup_image_admit: status and match of EVERY delta image equal the " +
+    "brute-force classification; brightness variants of corpus images are exact") {
+    val out = DataQueries.dedupImageAdmit(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    val media = DataQueries.synthPnmMedia(
+      graft.sources.Fixtures.table(spark, sf0001, "documents"))
+    val fps = graft.multimodal.Multimodal.dHash(media).toDF().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val corpusFps = fps.filter { case (id, _) => id < 1000000L && id % 2 == 0 }
+    assert(out.keySet == fps.keySet.diff(corpusFps.keySet))
+    out.foreach { case (id, (st, m)) =>
+      val hs = corpusFps.map { case (cid, h) =>
+        cid -> java.lang.Long.bitCount(fps(id) ^ h) }
+      val exact = hs.collect { case (cid, 0) => cid }
+      val near = hs.collect { case (cid, d) if d >= 1 && d <= 3 => cid }
+      val (expSt, expM) =
+        if (exact.nonEmpty) ("dup_exact", exact.min)
+        else if (near.nonEmpty) ("dup_near", near.min)
+        else ("new", -1L)
+      assert(st == expSt && m == expM, s"$id: got ($st,$m) want ($expSt,$expM)")
+    }
+    // dHash is brightness-invariant, so every brightness variant of a
+    // CORPUS image must classify exact; and genuinely new images exist
+    val brightOfEven = out.keys.filter(id =>
+      id >= 1000000L && id < 2000000L && (id - 1000000L) % 2 == 0)
+    assert(brightOfEven.nonEmpty)
+    brightOfEven.foreach(id => assert(out(id)._1 == "dup_exact"))
+    assert(out.values.exists(_._1 == "new"))
+    assert(out.values.exists(_._1 == "dup_near"))
+  }
+
+  test("forecast_events_holt: 3 metrics x 7 strictly-future days, ordered bands, " +
+    "deterministic across runs") {
+    val df = CoreQueries.queries("forecast_events_holt")(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.length == 21)
+    assert(rows.map(_.getString(0)).distinct.sorted.toSeq ==
+      Seq("active_users", "event_count", "value_sum"))
+    val maxDs = SparkEntry.queries("max_date")(spark, sf0001).head().getDate(0)
+    rows.foreach { r =>
+      assert(r.getDate(1).after(maxDs), s"ds ${r.getDate(1)} not future")
+      val (lo, y, hi) = (r.getDouble(3), r.getDouble(2), r.getDouble(4))
+      assert(lo <= y && y <= hi, s"band disorder: $lo $y $hi")
+    }
+    val again = CoreQueries.queries("forecast_events_holt")(spark, sf0001).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+}
