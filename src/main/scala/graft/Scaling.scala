@@ -135,7 +135,14 @@ object Scaling {
     // complete-mode aggregate), and the third value-checked forecast
     // (one per-metric exact-long aggregate + 7-row fan-out)
     "dedup_audio_clusters", "dedup_video_clusters", "stream_audio_dedup",
-    "forecast_events_lintrend")
+    "forecast_events_lintrend",
+    // round 14: incremental media admission (delta fingerprints + the
+    // pigeonhole delta-vs-corpus band join — expected the
+    // dedup_image_phash shape), the streaming video gate (staging write
+    // + 4-micro-batch stateless frame keys + the keyed pair join over
+    // the drained ledger), and the fourth value-checked forecast (one
+    // shuffle to group metrics + a linear per-metric fold)
+    "dedup_image_admit", "stream_video_dedup", "forecast_events_holt")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

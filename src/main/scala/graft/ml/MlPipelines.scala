@@ -85,7 +85,14 @@ object MlPipelines {
     val toVec = udf((idxs: Seq[Long]) =>
       org.apache.spark.ml.linalg.Vectors.sparse(numFeatures,
         idxs.map(_.toInt).toArray, Array.fill(idxs.length)(1.0)))
+    // feat is consumed THREE times (the fit pass + both sides of the
+    // self-join), and the sparse-vector UDF is the pipeline's most
+    // expensive per-row step — persist it (CacheScope-tracked, released
+    // by the harness like every defensive cache) so the vectorization
+    // runs once, the standard MLlib-LSH practice
+    import graft.operators.CacheScope.Cacheable
     val feat = idx.select(col("doc_id"), toVec(col("idxs")).as("features"))
+      .cacheTracked()
     val model = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numTables).setSeed(seed)
       .fit(feat)

@@ -99,7 +99,9 @@ object QueryIndex {
           "(never aborts; the oracle's fixed-m replay assumes unstarved " +
           "waves, true on this corpus at k=8, m=4 — a starved wave " +
           "would flip the hash and surface). Production-shape evidence: " +
-          "k=512 at m=64 on the x10 replica, see SCALING.md"),
+          "k=384 (the corpus's 394-merge ceiling) at m=64 and m=384 on " +
+          "the x10 replica — 35 starved waves, 3.6x faster than " +
+          "sequential, see SCALING.md"),
       "forecast_events_snaive" ->
         ("first of FOUR forecasts whose yhat/band VALUES are hash-checked " +
           "(exact-cents + mirrored IEEE tree); the backtest's skill baseline"),
