@@ -142,7 +142,8 @@ object Scaling {
     // + 4-micro-batch stateless frame keys + the keyed pair join over
     // the drained ledger), and the fourth value-checked forecast (one
     // shuffle to group metrics + a linear per-metric fold)
-    "dedup_image_admit", "stream_video_dedup", "forecast_events_holt")
+    "dedup_image_admit", "dedup_audio_admit", "dedup_video_admit",
+    "stream_video_dedup", "forecast_events_holt")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -321,6 +321,37 @@ object DataQueries {
       .orderBy("cluster_id")
   }
 
+  /** Incremental AUDIO admission — [[dedupImageAdmit]]'s nightly shape
+    * on the audio grain, same split convention (corpus = even
+    * originals' fingerprints, delta = odd originals + every planted
+    * variant) and the same [[Dedup.hammingJoin]] pigeonhole band join.
+    * Gain variants of corpus clips classify `dup_exact` (energy
+    * gradients are volume-invariant — Hamming 0), jitter variants of
+    * corpus clips `dup_exact`/`dup_near` (Hamming 0–3), odd-base media
+    * `new`. With [[dedupImageAdmit]] and [[dedupVideoAdmit]] this
+    * closes nightly admission across ALL media grains (text has had it
+    * since round 11).
+    */
+  def dedupAudioAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Multimodal.audioFingerprint(
+      synthWavMedia(table(spark, dir, "documents"))).toDF()
+    val isCorpus = col("media_id") < lit(GainIdOffset) &&
+      pmod(col("media_id"), lit(2)) === 0
+    val matches = Dedup.hammingJoin(fp.filter(!isCorpus), fp.filter(isCorpus),
+      "media_id", "afp", maxHamming = 3)
+    val agg = matches.groupBy(col("doc_id"))
+      .agg(min(when(col("hamming") === 0, col("match_id"))).as("exact_match"),
+        min(when(col("hamming") > 0, col("match_id"))).as("near_match"))
+    fp.filter(!isCorpus).select(col("media_id").as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id").as("media_id"),
+        when(col("exact_match").isNotNull, lit("dup_exact"))
+          .when(col("near_match").isNotNull, lit("dup_near"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"))
+      .orderBy("media_id")
+  }
+
   /** media_id offset for the video "re-encode" variants. */
   private val ReencodeIdOffset = 5000000L
 
@@ -417,6 +448,52 @@ object DataQueries {
       .agg(count(lit(1)).as("n_members"),
         sum((col("doc_id") < ReencodeIdOffset).cast("long")).as("n_originals"))
       .orderBy("cluster_id")
+
+  /** Incremental VIDEO admission — the nightly shape on the video
+    * grain. Video identity is a FRAME-AGREEMENT predicate, not a
+    * single fingerprint, so the tiers follow the agreement count
+    * against the stored frame-key index instead of a Hamming radius:
+    * a delta video whose 4 sampled frames ALL agree with some corpus
+    * video at the same positions is `dup_exact` (byte-identical
+    * payloads hash identically at every offset; the fixture corpora
+    * have no such cross-split pair, so the tier is pinned by the
+    * brute-force spec, not the fixtures); 2–3 agreeing frames is
+    * `dup_near` (the re-encode
+    * variants of corpus videos — a corrupted header breaks only the
+    * windows containing byte 0); fewer is `new`. match_id = min
+    * corpus id in the highest matching tier, the admission convention.
+    * The corpus here is the ODD originals — re-encode variants plant
+    * on doc_id % 8 == 5, which is always odd, so the odd side is the
+    * one whose variants exercise the near tier (the image/audio admits
+    * use the even side for the same reason in reverse). The join is
+    * (frame_idx, frame-hash)-keyed — 4 keys per delta video against
+    * the corpus index, never all-pairs, and the corpus is never
+    * re-fingerprinted.
+    */
+  def dedupVideoAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = videoFrameKeys(synthVideoMedia(table(spark, dir, "documents")))
+    val isCorpus = col("media_id") < lit(ReencodeIdOffset) &&
+      pmod(col("media_id"), lit(2)) === 1
+    val cor = keyed.filter(isCorpus)
+    val del = keyed.filter(!isCorpus)
+    val common = del.as("d")
+      .join(cor.as("c"),
+        col("d.frame_idx") === col("c.frame_idx") && col("d.fh") === col("c.fh"))
+      .groupBy(col("d.media_id").as("doc_id"), col("c.media_id").as("cid"))
+      .agg(count(lit(1)).as("n_common"))
+    val agg = common.groupBy(col("doc_id"))
+      .agg(min(when(col("n_common") === 4, col("cid"))).as("exact_match"),
+        min(when(col("n_common") >= 2 && col("n_common") <= 3, col("cid")))
+          .as("near_match"))
+    del.select(col("media_id")).distinct()
+      .join(agg, col("media_id") === col("doc_id"), "left")
+      .select(col("media_id"),
+        when(col("exact_match").isNotNull, lit("dup_exact"))
+          .when(col("near_match").isNotNull, lit("dup_near"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"))
+      .orderBy("media_id")
+  }
 
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(table(spark, dir, "embeddings"), threshold = 0.45)
@@ -1272,6 +1349,8 @@ object DataQueries {
     "dedup_image_phash" -> (dedupImagePhash _),
     "dedup_image_clusters" -> (dedupImageClusters _),
     "dedup_image_admit" -> (dedupImageAdmit _),
+    "dedup_audio_admit" -> (dedupAudioAdmit _),
+    "dedup_video_admit" -> (dedupVideoAdmit _),
     "dedup_audio_fingerprint" -> (dedupAudioFingerprint _),
     "dedup_audio_clusters" -> (dedupAudioClusters _),
     "dedup_video_frames" -> (dedupVideoFrames _),
@@ -2172,6 +2251,49 @@ object DataQueries {
         "WHEN ag.nm IS NOT NULL THEN 'dup_near' ELSE 'new' END AS status, " +
         "COALESCE(ag.em, ag.nm) AS match_id " +
         "FROM del d LEFT JOIN ag ON d.media_id = ag.media_id " +
+        "ORDER BY d.media_id"),
+    // dedup_audio_admit replay: the image-admit composition over the
+    // audio fingerprint CTEs (corpus boundary 3e6 — below the gain /
+    // noise variant offsets)
+    "dedup_audio_admit" ->
+      ("WITH " + audioFpCtes +
+        ", acor AS (SELECT * FROM afp WHERE media_id < 3000000 " +
+        "AND media_id % 2 = 0), " +
+        "adel AS (SELECT * FROM afp WHERE NOT (media_id < 3000000 " +
+        "AND media_id % 2 = 0)), " +
+        "amt AS (SELECT d.media_id, c.media_id AS cid, " +
+        "bit_count(xor(d.lo, c.lo)) + bit_count(xor(d.hi, c.hi)) AS hamming " +
+        "FROM adel d JOIN acor c ON TRUE), " +
+        "aag AS (SELECT media_id, " +
+        "MIN(CASE WHEN hamming = 0 THEN cid END) AS em, " +
+        "MIN(CASE WHEN hamming > 0 AND hamming <= 3 THEN cid END) AS nm " +
+        "FROM amt GROUP BY 1) " +
+        "SELECT d.media_id, CASE WHEN aag.em IS NOT NULL THEN 'dup_exact' " +
+        "WHEN aag.nm IS NOT NULL THEN 'dup_near' ELSE 'new' END AS status, " +
+        "COALESCE(aag.em, aag.nm) AS match_id " +
+        "FROM adel d LEFT JOIN aag ON d.media_id = aag.media_id " +
+        "ORDER BY d.media_id"),
+    // dedup_video_admit replay: the frame-key CTEs split at the corpus
+    // boundary (5e6 — below the re-encode offset), the (frame_idx,
+    // fh)-keyed join, agreement counts, and the tiered status CASE
+    "dedup_video_admit" ->
+      ("WITH " + videoFrameCtes +
+        ", vcor AS (SELECT * FROM vh WHERE media_id < 5000000 " +
+        "AND media_id % 2 = 1), " +
+        "vdel AS (SELECT * FROM vh WHERE NOT (media_id < 5000000 " +
+        "AND media_id % 2 = 1)), " +
+        "vcm AS (SELECT d.media_id, c.media_id AS cid, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_common FROM vdel d JOIN vcor c " +
+        "ON d.frame_idx = c.frame_idx AND d.fh = c.fh GROUP BY 1, 2), " +
+        "vag AS (SELECT media_id, " +
+        "MIN(CASE WHEN n_common = 4 THEN cid END) AS em, " +
+        "MIN(CASE WHEN n_common >= 2 AND n_common <= 3 THEN cid END) AS nm " +
+        "FROM vcm GROUP BY 1) " +
+        "SELECT d.media_id, CASE WHEN vag.em IS NOT NULL THEN 'dup_exact' " +
+        "WHEN vag.nm IS NOT NULL THEN 'dup_near' ELSE 'new' END AS status, " +
+        "COALESCE(vag.em, vag.nm) AS match_id " +
+        "FROM (SELECT DISTINCT media_id FROM vdel) d " +
+        "LEFT JOIN vag ON d.media_id = vag.media_id " +
         "ORDER BY d.media_id"),
     // dedup_audio_fingerprint replay: samples restated from the text
     // bytes ((byte - 79) * amp + jitter), 65 exact integer frame

@@ -118,6 +118,18 @@ object QueryIndex {
           "(Dedup.hammingJoin — never all-pairs, corpus never " +
           "re-fingerprinted); dup_exact / dup_near / new statuses, the " +
           "Dedup.incremental convention"),
+      "dedup_audio_admit" ->
+        ("incremental admission on the audio grain — dedup_image_admit's " +
+          "composition over the volume-invariant energy-gradient " +
+          "fingerprints (gain variants of corpus clips classify exact); " +
+          "with the image and video admits, nightly admission covers " +
+          "every media grain"),
+      "dedup_video_admit" ->
+        ("incremental admission on the video grain: tiers follow the " +
+          "frame-AGREEMENT count against the stored (frame_idx, hash) " +
+          "index (4/4 exact, 2-3 near, else new) — video identity is a " +
+          "pair predicate, so a Hamming radius doesn't apply; 4 join " +
+          "keys per delta video, corpus never re-fingerprinted"),
       "stream_video_dedup" ->
         ("streaming video near-dup: per-micro-batch STATELESS frame " +
           "sampling + mod-2^64 frame fold into an append-mode ingest " +

@@ -73,6 +73,68 @@ class MediaAdmitAndHoltSpec extends SparkSpec {
     assert(out.values.exists(_._1 == "dup_near"))
   }
 
+  test("dedup_audio_admit: status and match of EVERY delta clip equal the " +
+    "brute-force classification; gain variants of corpus clips are exact") {
+    val out = DataQueries.dedupAudioAdmit(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    val media = DataQueries.synthWavMedia(
+      graft.sources.Fixtures.table(spark, sf0001, "documents"))
+    val fps = graft.multimodal.Multimodal.audioFingerprint(media).toDF().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val corpusFps = fps.filter { case (id, _) => id < 3000000L && id % 2 == 0 }
+    assert(out.keySet == fps.keySet.diff(corpusFps.keySet))
+    out.foreach { case (id, (st, m)) =>
+      val hs = corpusFps.map { case (cid, h) =>
+        cid -> java.lang.Long.bitCount(fps(id) ^ h) }
+      val exact = hs.collect { case (cid, 0) => cid }
+      val near = hs.collect { case (cid, d) if d >= 1 && d <= 3 => cid }
+      val (expSt, expM) =
+        if (exact.nonEmpty) ("dup_exact", exact.min)
+        else if (near.nonEmpty) ("dup_near", near.min)
+        else ("new", -1L)
+      assert(st == expSt && m == expM, s"$id: got ($st,$m) want ($expSt,$expM)")
+    }
+    // gain halves every frame energy, so gradients — and the print —
+    // are identical: every gain variant of a CORPUS clip is exact
+    val gainOfEven = out.keys.filter(id =>
+      id >= 3000000L && id < 4000000L && (id - 3000000L) % 2 == 0)
+    assert(gainOfEven.nonEmpty)
+    gainOfEven.foreach(id => assert(out(id)._1 == "dup_exact"))
+    assert(out.values.exists(_._1 == "new"))
+  }
+
+  test("dedup_video_admit: tiers follow brute-force frame-agreement counts; " +
+    "re-encode variants of corpus videos populate the near tier") {
+    val out = DataQueries.dedupVideoAdmit(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    val keyed = DataQueries.videoFrameKeys(DataQueries.synthVideoMedia(
+      graft.sources.Fixtures.table(spark, sf0001, "documents"))).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byMedia = keyed.groupBy(_._1).map { case (id, rows) =>
+      id -> rows.map(t => (t._2, t._3)).toSet }
+    val corpus = byMedia.filter { case (id, _) => id < 5000000L && id % 2 == 1 }
+    assert(out.keySet == byMedia.keySet.diff(corpus.keySet))
+    out.foreach { case (id, (st, m)) =>
+      val counts = corpus.map { case (cid, fr) =>
+        cid -> byMedia(id).intersect(fr).size }
+      val exact = counts.collect { case (cid, 4) => cid }
+      val near = counts.collect { case (cid, n) if n >= 2 && n <= 3 => cid }
+      val (expSt, expM) =
+        if (exact.nonEmpty) ("dup_exact", exact.min)
+        else if (near.nonEmpty) ("dup_near", near.min)
+        else ("new", -1L)
+      assert(st == expSt && m == expM, s"$id: got ($st,$m) want ($expSt,$expM)")
+    }
+    // the exact tier (4/4 frames) needs byte-identical sampled windows
+    // across the split — absent at sf0.001 (no exact-duplicate texts);
+    // its logic is pinned by the brute-force parity loop above. The
+    // near tier is the one the re-encode variants exist to exercise.
+    assert(out.values.exists(_._1 == "dup_near"))
+    assert(out.values.exists(_._1 == "new"))
+  }
+
   test("forecast_events_holt: 3 metrics x 7 strictly-future days, ordered bands, " +
     "deterministic across runs") {
     val df = CoreQueries.queries("forecast_events_holt")(spark, sf0001)
