@@ -842,6 +842,20 @@ object Dedup {
     * id, `hamming`), regardless of `idCol`.
     */
   def hammingJoin(delta: DataFrame, corpus: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int): DataFrame =
+    hammingJoinCandidates(delta, corpus, idCol, hashCol, maxHamming)
+      .distinct()
+
+  /** [[hammingJoin]] WITHOUT the candidate dedup: a (doc_id, match_id,
+    * hamming) row per AGREEING CHUNK, so a pair within distance d
+    * appears up to maxHamming+1−d times. Entirely STATELESS (explode +
+    * equi-join + filter — no distinct), which makes it legal on a
+    * STREAMING delta against a static corpus index: the ingest-time
+    * admission gates aggregate it with duplicate-insensitive MIN, where
+    * the multiplicity is harmless. Batch callers wanting set semantics
+    * use [[hammingJoin]].
+    */
+  def hammingJoinCandidates(delta: DataFrame, corpus: DataFrame, idCol: String,
       hashCol: String, maxHamming: Int): DataFrame = {
     val nChunks = maxHamming + 1
     val bitsPerChunk = 64 / nChunks
@@ -859,7 +873,6 @@ object Dedup {
     keyed(delta, "doc_id").join(keyed(corpus, "match_id"), Seq("chunk", "cv"))
       .select(col("doc_id"), col("match_id"),
         col("_hj_doc_id"), col("_hj_match_id"))
-      .distinct()
       .withColumn("hamming",
         bit_count(col("_hj_doc_id").bitwiseXOR(col("_hj_match_id"))))
       .filter(col("hamming") <= maxHamming)

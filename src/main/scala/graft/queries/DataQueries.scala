@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
@@ -200,24 +200,41 @@ object DataQueries {
     * fingerprints from the shared CTEs and restates the banded join as
     * the full filtered join (identical by the pigeonhole guarantee).
     */
-  def dedupImageAdmit(spark: SparkSession, dir: String): DataFrame = {
-    val fp = Multimodal.dHash(
-      synthPnmMedia(table(spark, dir, "documents"))).toDF()
-    val isCorpus = col("media_id") < lit(BrightIdOffset) &&
-      pmod(col("media_id"), lit(2)) === 0
-    val matches = Dedup.hammingJoin(fp.filter(!isCorpus), fp.filter(isCorpus),
-      "media_id", "dhash", maxHamming = 3)
-    val agg = matches.groupBy(col("doc_id"))
+  /** The image-admission corpus split: stored index = even originals. */
+  private[queries] def imageIsCorpus: Column =
+    col("media_id") < lit(BrightIdOffset) && pmod(col("media_id"), lit(2)) === 0
+
+  /** Exact-before-near Hamming match aggregation over a (doc_id,
+    * match_id, hamming) frame — duplicate-insensitive (MIN), so it
+    * accepts both [[Dedup.hammingJoin]]'s set semantics and the
+    * streaming-legal [[Dedup.hammingJoinCandidates]] multiplicities.
+    */
+  private[queries] def admitMatchAgg(matches: DataFrame): DataFrame =
+    matches.groupBy(col("doc_id"))
       .agg(min(when(col("hamming") === 0, col("match_id"))).as("exact_match"),
         min(when(col("hamming") > 0, col("match_id"))).as("near_match"))
-    fp.filter(!isCorpus).select(col("media_id").as("doc_id"))
-      .join(agg, Seq("doc_id"), "left")
+
+  /** Admission statuses from delta ids + the [[admitMatchAgg]] frame —
+    * the [[Dedup.incremental]] convention, shared by the batch and
+    * streaming admission faces so the status CASE cannot drift.
+    */
+  private[queries] def admitStatuses(deltaIds: DataFrame,
+      agg: DataFrame): DataFrame =
+    deltaIds.join(agg, Seq("doc_id"), "left")
       .select(col("doc_id").as("media_id"),
         when(col("exact_match").isNotNull, lit("dup_exact"))
           .when(col("near_match").isNotNull, lit("dup_near"))
           .otherwise(lit("new")).as("status"),
         coalesce(col("exact_match"), col("near_match")).as("match_id"))
       .orderBy("media_id")
+
+  def dedupImageAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Multimodal.dHash(
+      synthPnmMedia(table(spark, dir, "documents"))).toDF()
+    val matches = Dedup.hammingJoin(fp.filter(!imageIsCorpus),
+      fp.filter(imageIsCorpus), "media_id", "dhash", maxHamming = 3)
+    admitStatuses(fp.filter(!imageIsCorpus).select(col("media_id").as("doc_id")),
+      admitMatchAgg(matches))
   }
 
   /** media_id offsets for the audio perceptual-duplicate variants. */
@@ -332,24 +349,17 @@ object DataQueries {
     * closes nightly admission across ALL media grains (text has had it
     * since round 11).
     */
+  /** The audio-admission corpus split: stored index = even originals. */
+  private[queries] def audioIsCorpus: Column =
+    col("media_id") < lit(GainIdOffset) && pmod(col("media_id"), lit(2)) === 0
+
   def dedupAudioAdmit(spark: SparkSession, dir: String): DataFrame = {
     val fp = Multimodal.audioFingerprint(
       synthWavMedia(table(spark, dir, "documents"))).toDF()
-    val isCorpus = col("media_id") < lit(GainIdOffset) &&
-      pmod(col("media_id"), lit(2)) === 0
-    val matches = Dedup.hammingJoin(fp.filter(!isCorpus), fp.filter(isCorpus),
-      "media_id", "afp", maxHamming = 3)
-    val agg = matches.groupBy(col("doc_id"))
-      .agg(min(when(col("hamming") === 0, col("match_id"))).as("exact_match"),
-        min(when(col("hamming") > 0, col("match_id"))).as("near_match"))
-    fp.filter(!isCorpus).select(col("media_id").as("doc_id"))
-      .join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id").as("media_id"),
-        when(col("exact_match").isNotNull, lit("dup_exact"))
-          .when(col("near_match").isNotNull, lit("dup_near"))
-          .otherwise(lit("new")).as("status"),
-        coalesce(col("exact_match"), col("near_match")).as("match_id"))
-      .orderBy("media_id")
+    val matches = Dedup.hammingJoin(fp.filter(!audioIsCorpus),
+      fp.filter(audioIsCorpus), "media_id", "afp", maxHamming = 3)
+    admitStatuses(fp.filter(!audioIsCorpus).select(col("media_id").as("doc_id")),
+      admitMatchAgg(matches))
   }
 
   /** media_id offset for the video "re-encode" variants. */
@@ -470,12 +480,16 @@ object DataQueries {
     * the corpus index, never all-pairs, and the corpus is never
     * re-fingerprinted.
     */
+  /** The video-admission corpus split: stored index = ODD originals
+    * (re-encode variants plant on odd bases — see [[dedupVideoAdmit]]).
+    */
+  private[queries] def videoIsCorpus: Column =
+    col("media_id") < lit(ReencodeIdOffset) && pmod(col("media_id"), lit(2)) === 1
+
   def dedupVideoAdmit(spark: SparkSession, dir: String): DataFrame = {
     val keyed = videoFrameKeys(synthVideoMedia(table(spark, dir, "documents")))
-    val isCorpus = col("media_id") < lit(ReencodeIdOffset) &&
-      pmod(col("media_id"), lit(2)) === 1
-    val cor = keyed.filter(isCorpus)
-    val del = keyed.filter(!isCorpus)
+    val cor = keyed.filter(videoIsCorpus)
+    val del = keyed.filter(!videoIsCorpus)
     val common = del.as("d")
       .join(cor.as("c"),
         col("d.frame_idx") === col("c.frame_idx") && col("d.fh") === col("c.fh"))
@@ -485,14 +499,7 @@ object DataQueries {
       .agg(min(when(col("n_common") === 4, col("cid"))).as("exact_match"),
         min(when(col("n_common") >= 2 && col("n_common") <= 3, col("cid")))
           .as("near_match"))
-    del.select(col("media_id")).distinct()
-      .join(agg, col("media_id") === col("doc_id"), "left")
-      .select(col("media_id"),
-        when(col("exact_match").isNotNull, lit("dup_exact"))
-          .when(col("near_match").isNotNull, lit("dup_near"))
-          .otherwise(lit("new")).as("status"),
-        coalesce(col("exact_match"), col("near_match")).as("match_id"))
-      .orderBy("media_id")
+    admitStatuses(del.select(col("media_id").as("doc_id")).distinct(), agg)
   }
 
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
@@ -1765,6 +1772,81 @@ object DataQueries {
       "FROM vf))"
 
   // >= 2-common-frames video pair set — wrapped by both video oracles
+  /** The dedup_image_admit replay — also the oracle of the streaming
+    * admission gate (`stream_image_admit`), whose complete-mode match
+    * aggregation must converge to the same classification: the shared
+    * fingerprint CTEs split into corpus (even originals) and delta, the
+    * banded join restated as the full filtered join (pigeonhole
+    * guarantee), the exact-before-near MIN selection, the status CASE.
+    */
+  private[queries] lazy val imageAdmitOracle: String =
+    "WITH " + imagePhashCtes +
+      ", cor AS (SELECT * FROM fp WHERE media_id < 1000000 " +
+      "AND media_id % 2 = 0), " +
+      "del AS (SELECT * FROM fp WHERE NOT (media_id < 1000000 " +
+      "AND media_id % 2 = 0)), " +
+      "mt AS (SELECT d.media_id, c.media_id AS cid, " +
+      "bit_count(xor(d.lo, c.lo)) + bit_count(xor(d.hi, c.hi)) AS hamming " +
+      "FROM del d JOIN cor c ON TRUE), " +
+      "ag AS (SELECT media_id, " +
+      "MIN(CASE WHEN hamming = 0 THEN cid END) AS em, " +
+      "MIN(CASE WHEN hamming > 0 AND hamming <= 3 THEN cid END) AS nm " +
+      "FROM mt GROUP BY 1) " +
+      "SELECT d.media_id, CASE WHEN ag.em IS NOT NULL THEN 'dup_exact' " +
+      "WHEN ag.nm IS NOT NULL THEN 'dup_near' ELSE 'new' END AS status, " +
+      "COALESCE(ag.em, ag.nm) AS match_id " +
+      "FROM del d LEFT JOIN ag ON d.media_id = ag.media_id " +
+      "ORDER BY d.media_id"
+
+  /** The dedup_audio_admit replay — also the oracle of the streaming
+    * audio admission gate (stream_audio_admit): the image-admit
+    * composition over the audio fingerprint CTEs (corpus boundary 3e6
+    * — below the gain / noise variant offsets).
+    */
+  private[queries] lazy val audioAdmitOracle: String =
+    "WITH " + audioFpCtes +
+      ", acor AS (SELECT * FROM afp WHERE media_id < 3000000 " +
+      "AND media_id % 2 = 0), " +
+      "adel AS (SELECT * FROM afp WHERE NOT (media_id < 3000000 " +
+      "AND media_id % 2 = 0)), " +
+      "amt AS (SELECT d.media_id, c.media_id AS cid, " +
+      "bit_count(xor(d.lo, c.lo)) + bit_count(xor(d.hi, c.hi)) AS hamming " +
+      "FROM adel d JOIN acor c ON TRUE), " +
+      "aag AS (SELECT media_id, " +
+      "MIN(CASE WHEN hamming = 0 THEN cid END) AS em, " +
+      "MIN(CASE WHEN hamming > 0 AND hamming <= 3 THEN cid END) AS nm " +
+      "FROM amt GROUP BY 1) " +
+      "SELECT d.media_id, CASE WHEN aag.em IS NOT NULL THEN 'dup_exact' " +
+      "WHEN aag.nm IS NOT NULL THEN 'dup_near' ELSE 'new' END AS status, " +
+      "COALESCE(aag.em, aag.nm) AS match_id " +
+      "FROM adel d LEFT JOIN aag ON d.media_id = aag.media_id " +
+      "ORDER BY d.media_id"
+
+  /** The dedup_video_admit replay — also the oracle of the streaming
+    * video admission gate (stream_video_admit): frame-key CTEs split at
+    * the corpus boundary (5e6, ODD originals), the (frame_idx,
+    * fh)-keyed join, agreement counts, the tiered status CASE.
+    */
+  private[queries] lazy val videoAdmitOracle: String =
+    "WITH " + videoFrameCtes +
+      ", vcor AS (SELECT * FROM vh WHERE media_id < 5000000 " +
+      "AND media_id % 2 = 1), " +
+      "vdel AS (SELECT * FROM vh WHERE NOT (media_id < 5000000 " +
+      "AND media_id % 2 = 1)), " +
+      "vcm AS (SELECT d.media_id, c.media_id AS cid, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_common FROM vdel d JOIN vcor c " +
+      "ON d.frame_idx = c.frame_idx AND d.fh = c.fh GROUP BY 1, 2), " +
+      "vag AS (SELECT media_id, " +
+      "MIN(CASE WHEN n_common = 4 THEN cid END) AS em, " +
+      "MIN(CASE WHEN n_common >= 2 AND n_common <= 3 THEN cid END) AS nm " +
+      "FROM vcm GROUP BY 1) " +
+      "SELECT d.media_id, CASE WHEN vag.em IS NOT NULL THEN 'dup_exact' " +
+      "WHEN vag.nm IS NOT NULL THEN 'dup_near' ELSE 'new' END AS status, " +
+      "COALESCE(vag.em, vag.nm) AS match_id " +
+      "FROM (SELECT DISTINCT media_id FROM vdel) d " +
+      "LEFT JOIN vag ON d.media_id = vag.media_id " +
+      "ORDER BY d.media_id"
+
   /** The dedup_video_frames replay — also the oracle of the streaming
     * gate (`stream_video_dedup`), whose drained ingest ledger feeds the
     * SAME pair join, so batch ≡ stream by construction: sampleFrames'
@@ -2234,67 +2316,15 @@ object DataQueries {
     // corpus (even originals) and delta, the banded delta-vs-corpus join
     // restated as the full filtered join (pigeonhole guarantee), then
     // the incremental status CASE with min-corpus-id match selection
-    "dedup_image_admit" ->
-      ("WITH " + imagePhashCtes +
-        ", cor AS (SELECT * FROM fp WHERE media_id < 1000000 " +
-        "AND media_id % 2 = 0), " +
-        "del AS (SELECT * FROM fp WHERE NOT (media_id < 1000000 " +
-        "AND media_id % 2 = 0)), " +
-        "mt AS (SELECT d.media_id, c.media_id AS cid, " +
-        "bit_count(xor(d.lo, c.lo)) + bit_count(xor(d.hi, c.hi)) AS hamming " +
-        "FROM del d JOIN cor c ON TRUE), " +
-        "ag AS (SELECT media_id, " +
-        "MIN(CASE WHEN hamming = 0 THEN cid END) AS em, " +
-        "MIN(CASE WHEN hamming > 0 AND hamming <= 3 THEN cid END) AS nm " +
-        "FROM mt GROUP BY 1) " +
-        "SELECT d.media_id, CASE WHEN ag.em IS NOT NULL THEN 'dup_exact' " +
-        "WHEN ag.nm IS NOT NULL THEN 'dup_near' ELSE 'new' END AS status, " +
-        "COALESCE(ag.em, ag.nm) AS match_id " +
-        "FROM del d LEFT JOIN ag ON d.media_id = ag.media_id " +
-        "ORDER BY d.media_id"),
+    "dedup_image_admit" -> imageAdmitOracle,
     // dedup_audio_admit replay: the image-admit composition over the
     // audio fingerprint CTEs (corpus boundary 3e6 — below the gain /
     // noise variant offsets)
-    "dedup_audio_admit" ->
-      ("WITH " + audioFpCtes +
-        ", acor AS (SELECT * FROM afp WHERE media_id < 3000000 " +
-        "AND media_id % 2 = 0), " +
-        "adel AS (SELECT * FROM afp WHERE NOT (media_id < 3000000 " +
-        "AND media_id % 2 = 0)), " +
-        "amt AS (SELECT d.media_id, c.media_id AS cid, " +
-        "bit_count(xor(d.lo, c.lo)) + bit_count(xor(d.hi, c.hi)) AS hamming " +
-        "FROM adel d JOIN acor c ON TRUE), " +
-        "aag AS (SELECT media_id, " +
-        "MIN(CASE WHEN hamming = 0 THEN cid END) AS em, " +
-        "MIN(CASE WHEN hamming > 0 AND hamming <= 3 THEN cid END) AS nm " +
-        "FROM amt GROUP BY 1) " +
-        "SELECT d.media_id, CASE WHEN aag.em IS NOT NULL THEN 'dup_exact' " +
-        "WHEN aag.nm IS NOT NULL THEN 'dup_near' ELSE 'new' END AS status, " +
-        "COALESCE(aag.em, aag.nm) AS match_id " +
-        "FROM adel d LEFT JOIN aag ON d.media_id = aag.media_id " +
-        "ORDER BY d.media_id"),
+    "dedup_audio_admit" -> audioAdmitOracle,
     // dedup_video_admit replay: the frame-key CTEs split at the corpus
     // boundary (5e6 — below the re-encode offset), the (frame_idx,
     // fh)-keyed join, agreement counts, and the tiered status CASE
-    "dedup_video_admit" ->
-      ("WITH " + videoFrameCtes +
-        ", vcor AS (SELECT * FROM vh WHERE media_id < 5000000 " +
-        "AND media_id % 2 = 1), " +
-        "vdel AS (SELECT * FROM vh WHERE NOT (media_id < 5000000 " +
-        "AND media_id % 2 = 1)), " +
-        "vcm AS (SELECT d.media_id, c.media_id AS cid, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_common FROM vdel d JOIN vcor c " +
-        "ON d.frame_idx = c.frame_idx AND d.fh = c.fh GROUP BY 1, 2), " +
-        "vag AS (SELECT media_id, " +
-        "MIN(CASE WHEN n_common = 4 THEN cid END) AS em, " +
-        "MIN(CASE WHEN n_common >= 2 AND n_common <= 3 THEN cid END) AS nm " +
-        "FROM vcm GROUP BY 1) " +
-        "SELECT d.media_id, CASE WHEN vag.em IS NOT NULL THEN 'dup_exact' " +
-        "WHEN vag.nm IS NOT NULL THEN 'dup_near' ELSE 'new' END AS status, " +
-        "COALESCE(vag.em, vag.nm) AS match_id " +
-        "FROM (SELECT DISTINCT media_id FROM vdel) d " +
-        "LEFT JOIN vag ON d.media_id = vag.media_id " +
-        "ORDER BY d.media_id"),
+    "dedup_video_admit" -> videoAdmitOracle,
     // dedup_audio_fingerprint replay: samples restated from the text
     // bytes ((byte - 79) * amp + jitter), 65 exact integer frame
     // energies, gradient bits, lo/hi halves — the image-phash pattern

@@ -112,6 +112,15 @@ object StreamQueries {
     stage(spark, dir, "media_vid", 4)(
       DataQueries.synthVideoMedia(Fixtures.table(spark, dir, "documents")))
 
+  /** DELTA-only image fixtures (the admission split's tonight-batch
+    * side) staged for streaming ingest, 4 files so classifications
+    * genuinely accumulate across micro-batches.
+    */
+  private def stagedDeltaMedia(spark: SparkSession, dir: String): (String, StructType) =
+    stage(spark, dir, "media_pnm_delta", 4)(
+      DataQueries.synthPnmMedia(Fixtures.table(spark, dir, "documents"))
+        .filter(!DataQueries.imageIsCorpus))
+
   /** Run `result` (a streaming DataFrame) to completion into a memory
     * sink and return the sink table. Unique query names keep bench
     * reruns and concurrent suites from colliding.
@@ -344,7 +353,121 @@ object StreamQueries {
     DataQueries.videoPairsFromKeys(ledger).orderBy("doc_a", "doc_b")
   }
 
+  /** Streaming ADMISSION — the ingest-time classification shape that
+    * completes the round-14 admission family: tonight's delta images
+    * arrive as a 4-micro-batch stream, each batch fingerprints
+    * statelessly (the real decode + dHash path) and band-joins the
+    * STATIC stored corpus index in-stream
+    * ([[graft.operators.Dedup.hammingJoinCandidates]] — explode +
+    * stream-static equi-join + filter, no distinct, so the whole
+    * classification chain is stateless until the aggregation), and a
+    * complete-mode MIN aggregation ([[DataQueries.admitMatchAgg]] is
+    * duplicate-insensitive by construction, which is what makes the
+    * candidates' chunk multiplicity legal) accumulates each image's
+    * best exact/near match as batches arrive. Statuses (including
+    * `new` — images that never matched, absent from the sink) come
+    * from the shared [[DataQueries.admitStatuses]] against the static
+    * delta id set after the drain. The final classification equals
+    * [[DataQueries.dedupImageAdmit]] regardless of arrival order, and
+    * the oracle is its replay verbatim.
+    */
+  def streamImageAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Fixtures.table(spark, dir, "documents")
+    val corpusFp = graft.multimodal.Multimodal.dHash(
+      DataQueries.synthPnmMedia(docs)).toDF()
+      .filter(DataQueries.imageIsCorpus)
+    val (path, schema) = stagedDeltaMedia(spark, dir)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(path)
+    val fp = graft.multimodal.Multimodal.dHash(stream).toDF()
+    val agg = DataQueries.admitMatchAgg(
+      graft.operators.Dedup.hammingJoinCandidates(fp, corpusFp,
+        "media_id", "dhash", maxHamming = 3))
+    val sunk = drain(agg, "complete", "imgadmit")
+    val deltaIds = DataQueries.synthPnmMedia(docs)
+      .filter(!DataQueries.imageIsCorpus)
+      .select(col("media_id").as("doc_id"))
+    DataQueries.admitStatuses(deltaIds, sunk)
+  }
+
+  /** DELTA-only WAV fixtures for the streaming audio admission gate. */
+  private def stagedDeltaAudio(spark: SparkSession, dir: String): (String, StructType) =
+    stage(spark, dir, "media_wav_delta", 4)(
+      DataQueries.synthWavMedia(Fixtures.table(spark, dir, "documents"))
+        .filter(!DataQueries.audioIsCorpus))
+
+  /** DELTA-only video fixtures for the streaming video admission gate. */
+  private def stagedDeltaVideo(spark: SparkSession, dir: String): (String, StructType) =
+    stage(spark, dir, "media_vid_delta", 4)(
+      DataQueries.synthVideoMedia(Fixtures.table(spark, dir, "documents"))
+        .filter(!DataQueries.videoIsCorpus))
+
+  /** [[streamImageAdmit]]'s exact composition on the AUDIO grain:
+    * stateless RIFF/PCM fingerprints per micro-batch, the stateless
+    * banded join against the static stored index, the complete-mode
+    * duplicate-insensitive MIN aggregation, statuses from the shared
+    * helper post-drain. Classification equals
+    * [[DataQueries.dedupAudioAdmit]] regardless of arrival order;
+    * oracle verbatim.
+    */
+  def streamAudioAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Fixtures.table(spark, dir, "documents")
+    val corpusFp = graft.multimodal.Multimodal.audioFingerprint(
+      DataQueries.synthWavMedia(docs)).toDF()
+      .filter(DataQueries.audioIsCorpus)
+    val (path, schema) = stagedDeltaAudio(spark, dir)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(path)
+    val fp = graft.multimodal.Multimodal.audioFingerprint(stream).toDF()
+    val agg = DataQueries.admitMatchAgg(
+      graft.operators.Dedup.hammingJoinCandidates(fp, corpusFp,
+        "media_id", "afp", maxHamming = 3))
+    val sunk = drain(agg, "complete", "audadmit")
+    val deltaIds = DataQueries.synthWavMedia(docs)
+      .filter(!DataQueries.audioIsCorpus)
+      .select(col("media_id").as("doc_id"))
+    DataQueries.admitStatuses(deltaIds, sunk)
+  }
+
+  /** Streaming VIDEO admission — the frame-agreement variant: each
+    * micro-batch extracts its delta frame keys statelessly and
+    * equi-joins the STATIC corpus (frame_idx, hash) index in-stream;
+    * ONE complete-mode aggregation accumulates the per-(delta, corpus)
+    * agreement count (streaming allows a single aggregation, so the
+    * tier selection — a second grouping — runs on the drained counts,
+    * where it is a static two-column aggregate). Tiers and statuses
+    * equal [[DataQueries.dedupVideoAdmit]] regardless of arrival
+    * order; oracle verbatim.
+    */
+  def streamVideoAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Fixtures.table(spark, dir, "documents")
+    val corpusKeys = DataQueries.videoFrameKeys(
+      DataQueries.synthVideoMedia(docs))
+      .filter(DataQueries.videoIsCorpus)
+    val (path, schema) = stagedDeltaVideo(spark, dir)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(path)
+    val keys = DataQueries.videoFrameKeys(stream)
+    val common = keys.as("d")
+      .join(corpusKeys.as("c"),
+        col("d.frame_idx") === col("c.frame_idx") && col("d.fh") === col("c.fh"))
+      .groupBy(col("d.media_id").as("doc_id"), col("c.media_id").as("cid"))
+      .agg(count(lit(1)).as("n_common"))
+    val sunk = drain(common, "complete", "vidadmit")
+    val agg = sunk.groupBy(col("doc_id"))
+      .agg(min(when(col("n_common") === 4, col("cid"))).as("exact_match"),
+        min(when(col("n_common") >= 2 && col("n_common") <= 3, col("cid")))
+          .as("near_match"))
+    val deltaIds = DataQueries.synthVideoMedia(docs)
+      .filter(!DataQueries.videoIsCorpus)
+      .select(col("media_id").as("doc_id")).distinct()
+    DataQueries.admitStatuses(deltaIds, agg)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_image_admit" -> (streamImageAdmit _),
+    "stream_audio_admit" -> (streamAudioAdmit _),
+    "stream_video_admit" -> (streamVideoAdmit _),
     "stream_video_dedup" -> (streamVideoDedup _),
     "stream_phash_dedup" -> (streamPhashDedup _),
     "stream_audio_dedup" -> (streamAudioDedup _),
@@ -361,6 +484,14 @@ object StreamQueries {
     // batch replay of the streaming perceptual dedup: the shared image
     // fingerprint CTEs (DataQueries.imagePhashCtes), grouped by the
     // lo/hi fingerprint halves
+    // batch replay of the streaming admission gate: dedup_image_admit's
+    // oracle VERBATIM — the complete-mode MIN aggregation converges to
+    // the batch classification, so the two faces must hash-match
+    "stream_image_admit" -> DataQueries.imageAdmitOracle,
+    // batch replays of the audio/video streaming admission gates:
+    // the batch admits' oracles VERBATIM
+    "stream_audio_admit" -> DataQueries.audioAdmitOracle,
+    "stream_video_admit" -> DataQueries.videoAdmitOracle,
     // batch replay of the streaming video gate: the dedup_video_frames
     // oracle VERBATIM — the streamed ingest ledger feeds the same
     // >= 2-of-4 pair join, so the two faces must hash-match exactly

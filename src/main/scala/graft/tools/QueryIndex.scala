@@ -130,6 +130,26 @@ object QueryIndex {
           "index (4/4 exact, 2-3 near, else new) — video identity is a " +
           "pair predicate, so a Hamming radius doesn't apply; 4 join " +
           "keys per delta video, corpus never re-fingerprinted"),
+      "stream_image_admit" ->
+        ("ingest-time ADMISSION: delta images stream in 4 micro-batches, " +
+          "fingerprint statelessly, band-join the STATIC corpus index " +
+          "in-stream (hammingJoinCandidates — no distinct, so the chain " +
+          "stays stateless), and a duplicate-insensitive complete-mode " +
+          "MIN aggregation accumulates each image's best match; " +
+          "classification equals dedup_image_admit by construction, " +
+          "oracle verbatim"),
+      "stream_audio_admit" ->
+        ("stream_image_admit's composition on the audio grain: stateless " +
+          "per-batch RIFF/PCM fingerprints, stateless banded join against " +
+          "the static index, complete-mode MIN accumulation; equals " +
+          "dedup_audio_admit, oracle verbatim"),
+      "stream_video_admit" ->
+        ("streaming admission on the video grain: stateless per-batch " +
+          "frame keys equi-join the static (frame_idx, hash) index; ONE " +
+          "complete-mode aggregation accumulates (delta, corpus) " +
+          "agreement counts (streaming allows a single agg level) and " +
+          "the tier selection runs on the drained counts; equals " +
+          "dedup_video_admit, oracle verbatim"),
       "stream_video_dedup" ->
         ("streaming video near-dup: per-micro-batch STATELESS frame " +
           "sampling + mod-2^64 frame fold into an append-mode ingest " +

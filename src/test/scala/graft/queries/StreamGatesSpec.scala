@@ -66,6 +66,34 @@ class StreamGatesSpec extends SparkSpec {
     assert(got.filter($"n_images" >= 2).count() > 0)
   }
 
+  test("stream_image_admit equals the batch admission classification") {
+    val got = StreamQueries.streamImageAdmit(spark, sf0001)
+    val want = DataQueries.dedupImageAdmit(spark, sf0001)
+    assert(canon(got) == canon(want))
+    // the in-stream banded join + complete-mode MIN must surface all
+    // three statuses on the fixture split
+    val statuses = got.select($"status").collect().map(_.getString(0)).toSet
+    assert(statuses == Set("dup_exact", "dup_near", "new"))
+  }
+
+  test("stream_video_dedup equals the batch >= 2-of-4 frame pair set") {
+    val got = StreamQueries.streamVideoDedup(spark, sf0001)
+    val want = DataQueries.queries("dedup_video_frames")(spark, sf0001)
+    assert(canon(got) == canon(want))
+  }
+
+  test("stream_audio_admit equals the batch audio admission") {
+    val got = StreamQueries.streamAudioAdmit(spark, sf0001)
+    val want = DataQueries.dedupAudioAdmit(spark, sf0001)
+    assert(canon(got) == canon(want))
+  }
+
+  test("stream_video_admit equals the batch video admission") {
+    val got = StreamQueries.streamVideoAdmit(spark, sf0001)
+    val want = DataQueries.dedupVideoAdmit(spark, sf0001)
+    assert(canon(got) == canon(want))
+  }
+
   test("stream_interval_join equals the batch self-join within 1 hour") {
     val got = StreamQueries.streamIntervalJoin(spark, sf0001)
     val e = Fixtures.table(spark, sf0001, "events")
