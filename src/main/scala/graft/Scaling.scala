@@ -143,6 +143,7 @@ object Scaling {
     // the drained ledger), and the fourth value-checked forecast (one
     // shuffle to group metrics + a linear per-metric fold)
     "dedup_image_admit", "dedup_audio_admit", "dedup_video_admit",
+    "dedup_embedding_admit",
     "stream_video_dedup", "stream_image_admit", "stream_audio_admit",
     "stream_video_admit", "forecast_events_holt")
 

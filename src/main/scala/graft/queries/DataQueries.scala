@@ -502,6 +502,22 @@ object DataQueries {
     admitStatuses(del.select(col("media_id").as("doc_id")).distinct(), agg)
   }
 
+  /** Incremental admission on the EMBEDDING grain
+    * ([[Dedup.embeddingAdmit]]): corpus = even vec_ids' stored LSH
+    * index, delta = odd vec_ids; dup_exact = bit-identical corpus
+    * vector, dup_near = bucket-shared + exact cosine >= 0.45, else new.
+    * Completes the round's admission family — text, image, audio,
+    * video, and vectors all classify through the same
+    * fingerprint-delta / band-join-index / never-rescan-corpus shape.
+    */
+  def dedupEmbeddingAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    Dedup.embeddingAdmit(
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+      threshold = 0.45, dim = 64)
+  }
+
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(table(spark, dir, "embeddings"), threshold = 0.45)
       .orderBy("vec_a", "vec_b")
@@ -1358,6 +1374,7 @@ object DataQueries {
     "dedup_image_admit" -> (dedupImageAdmit _),
     "dedup_audio_admit" -> (dedupAudioAdmit _),
     "dedup_video_admit" -> (dedupVideoAdmit _),
+    "dedup_embedding_admit" -> (dedupEmbeddingAdmit _),
     "dedup_audio_fingerprint" -> (dedupAudioFingerprint _),
     "dedup_audio_clusters" -> (dedupAudioClusters _),
     "dedup_video_frames" -> (dedupVideoFrames _),
@@ -2442,6 +2459,36 @@ object DataQueries {
         "SELECT DISTINCT vec_a, vec_b, ROUND(cs, 6) AS cos FROM scored " +
         "WHERE cs >= 0.45 ORDER BY vec_a, vec_b"
     },
+    // dedup_embedding_admit replay: raw float-array equality for the
+    // exact tier, plane-literal buckets + cross-split candidate join +
+    // exact-cosine verify for the near tier, the admission status CASE
+    "dedup_embedding_admit" ->
+      ("WITH planes(tbl, bit, p) AS (VALUES " +
+        Similarity.lshPlanesSqlValues(64, 16, 3, 7L) + "), " +
+        "e AS (SELECT vec_id, embedding AS raw, " +
+        "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "nrm AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nv " +
+        "FROM e), " +
+        "ex AS (SELECT d.vec_id, MIN(c.vec_id) AS em FROM e d JOIN e c " +
+        "ON d.raw = c.raw AND d.vec_id % 2 = 1 AND c.vec_id % 2 = 0 " +
+        "GROUP BY 1), " +
+        "bk AS (SELECT e.vec_id, pl.tbl, " +
+        "SUM(CASE WHEN list_inner_product(e.v, pl.p) >= 0 THEN (1 << bit) " +
+        "ELSE 0 END) AS bucket FROM e CROSS JOIN planes pl GROUP BY 1, 2), " +
+        "cand AS (SELECT DISTINCT d.vec_id, c.vec_id AS c_id " +
+        "FROM bk d JOIN bk c ON d.tbl = c.tbl AND d.bucket = c.bucket " +
+        "WHERE d.vec_id % 2 = 1 AND c.vec_id % 2 = 0), " +
+        "nr AS (SELECT cand.vec_id, MIN(cand.c_id) AS nm FROM cand " +
+        "JOIN nrm a ON a.vec_id = cand.vec_id " +
+        "JOIN nrm b ON b.vec_id = cand.c_id " +
+        "WHERE list_inner_product(a.v, b.v) / (a.nv * b.nv) >= 0.45 " +
+        "GROUP BY 1) " +
+        "SELECT d.vec_id, CASE WHEN ex.em IS NOT NULL THEN 'dup_exact' " +
+        "WHEN nr.nm IS NOT NULL THEN 'dup_near' ELSE 'new' END AS status, " +
+        "COALESCE(ex.em, nr.nm) AS match_id " +
+        "FROM (SELECT vec_id FROM e WHERE vec_id % 2 = 1) d " +
+        "LEFT JOIN ex ON d.vec_id = ex.vec_id " +
+        "LEFT JOIN nr ON d.vec_id = nr.vec_id ORDER BY d.vec_id"),
     // decontaminateEmbeddingLsh replay: plane-literal buckets (16 tables
     // x 3 bits, seed 7), cross-split candidate join, exact-cosine verify.
     "decontaminate_embedding_lsh" ->

@@ -130,6 +130,13 @@ object QueryIndex {
           "index (4/4 exact, 2-3 near, else new) — video identity is a " +
           "pair predicate, so a Hamming radius doesn't apply; 4 join " +
           "keys per delta video, corpus never re-fingerprinted"),
+      "dedup_embedding_admit" ->
+        ("incremental admission on the VECTOR grain, closing the family " +
+          "across every ingested representation: dup_exact = " +
+          "bit-identical corpus embedding (raw array equality — complete, " +
+          "not LSH-bounded), dup_near = shared plane-literal LSH bucket + " +
+          "exact cosine >= 0.45; spec pins exact completeness, near " +
+          "soundness, and a recall floor vs brute-force truth"),
       "stream_image_admit" ->
         ("ingest-time ADMISSION: delta images stream in 4 micro-batches, " +
           "fingerprint statelessly, band-join the STATIC corpus index " +

@@ -135,6 +135,44 @@ class MediaAdmitAndHoltSpec extends SparkSpec {
     assert(out.values.exists(_._1 == "new"))
   }
 
+  test("dedup_embedding_admit: exact tier complete (array equality is not " +
+    "LSH-bounded), near tier sound (every match cosine-verified), recall floor") {
+    val out = DataQueries.dedupEmbeddingAdmit(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    val vecs = graft.sources.Fixtures.table(spark, sf0001, "embeddings")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray).toMap
+    val cor = vecs.filter(_._1 % 2 == 0)
+    val del = vecs.filter(_._1 % 2 == 1)
+    assert(out.keySet == del.keySet)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    out.foreach { case (id, (st, m)) =>
+      val exact = cor.collect {
+        case (cid, v) if java.util.Arrays.equals(v, del(id)) => cid }
+      if (exact.nonEmpty)
+        assert(st == "dup_exact" && m == exact.min, s"$id: ($st,$m)")
+      else assert(st != "dup_exact", s"$id claims exact with none: $m")
+      if (st == "dup_near")
+        assert(cos(del(id), cor(m)) >= 0.45, s"$id near-match unverified")
+    }
+    // LSH candidate recall vs brute-force cosine truth: bounded below
+    val bruteNear = del.keys.filter(id =>
+      cor.exists { case (_, v) => cos(del(id), v) >= 0.45 }).toSet
+    val gotMatched = out.collect { case (id, (st, _)) if st != "new" => id }.toSet
+    assert(bruteNear.nonEmpty)
+    val recall = gotMatched.intersect(bruteNear).size.toDouble / bruteNear.size
+    assert(recall >= 0.7, s"admission recall $recall below floor")
+    assert(out.values.exists(_._1 == "new"))
+  }
+
   test("forecast_events_holt: 3 metrics x 7 strictly-future days, ordered bands, " +
     "deterministic across runs") {
     val df = CoreQueries.queries("forecast_events_holt")(spark, sf0001)
