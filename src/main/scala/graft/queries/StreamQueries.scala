@@ -464,10 +464,77 @@ object StreamQueries {
     DataQueries.admitStatuses(deltaIds, agg)
   }
 
+  /** Staged DELTA embeddings (odd vec_ids) for streaming admission. */
+  private def stagedDeltaEmb(spark: SparkSession, dir: String): (String, StructType) =
+    stage(spark, dir, "emb_delta", 4)(
+      Fixtures.table(spark, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(2)) === 1)
+        .select(col("vec_id"), col("embedding")))
+
+  /** Streaming admission on the EMBEDDING grain — the fourth and last
+    * grain of the ingest-time admission family, and the one with TWO
+    * match tiers to accumulate: the exact tier is a stream-static
+    * equality join on the raw float array, the near tier the
+    * stream-static plane-literal bucket join + in-row cosine filter
+    * (both stateless). Streaming allows ONE aggregation level, so the
+    * two tiers UNION into a single stateless stream of tagged match
+    * rows — (vec_id, c_id, is_exact) — and one complete-mode MIN
+    * aggregation accumulates both tiers at once (exact pairs also
+    * surface through the bucket join at cos 1.0; the MIN per tier is
+    * insensitive to that overlap and to the multi-table multiplicity).
+    * Classification equals [[DataQueries.dedupEmbeddingAdmit]]
+    * regardless of arrival order; oracle verbatim. Bucket bits are the
+    * batch face's corpus-sized auto-bits (computed on the static side).
+    */
+  def streamEmbeddingAdmit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CacheScope.Cacheable
+    val emb = Fixtures.table(spark, dir, "embeddings")
+    // the STATIC side of a stream-static join is re-evaluated on every
+    // micro-batch — persist both corpus frames so the stored index is
+    // computed once, not once per trigger (the production index IS
+    // materialized storage; CacheScope releases like every defensive
+    // cache)
+    val corpus = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+      .cacheTracked()
+    val bits = math.max(3, math.ceil(math.log(
+      math.max(1.0, corpus.count() / 250.0)) / math.log(2.0)).toInt)
+    import graft.functions.VectorFunctions
+    val cb = graft.operators.Similarity.lshBuckets(
+        corpus.select(col("c_id").as("vec_id"), col("ce").as("embedding")),
+        64, 16, bits, 7L)
+      .select(col("vec_id").as("c_id"), col("tbl"), col("bucket"),
+        col("embedding").as("ce"), VectorFunctions.norm(col("embedding")).as("cn"))
+      .cacheTracked()
+    val (path, schema) = stagedDeltaEmb(spark, dir)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(path)
+    val exactRows = stream.join(corpus, col("embedding") === col("ce"))
+      .select(col("vec_id").as("doc_id"), col("c_id"), lit(true).as("is_exact"))
+    val db = graft.operators.Similarity.lshBuckets(stream, 64, 16, bits, 7L)
+      .select(col("vec_id"), col("tbl"), col("bucket"), col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("dn"))
+    val nearRows = db.join(cb, Seq("tbl", "bucket"))
+      .withColumn("cos", VectorFunctions.cosineWithNorms(
+        col("embedding"), col("ce"), col("dn"), col("cn")))
+      .filter(col("cos") >= 0.45)
+      .select(col("vec_id").as("doc_id"), col("c_id"), lit(false).as("is_exact"))
+    val agg = exactRows.unionByName(nearRows)
+      .groupBy(col("doc_id"))
+      .agg(min(when(col("is_exact"), col("c_id"))).as("exact_match"),
+        min(when(!col("is_exact"), col("c_id"))).as("near_match"))
+    val sunk = drain(agg, "complete", "embadmit")
+    val deltaIds = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id").as("doc_id"))
+    DataQueries.admitStatuses(deltaIds, sunk)
+      .withColumnRenamed("media_id", "vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_image_admit" -> (streamImageAdmit _),
     "stream_audio_admit" -> (streamAudioAdmit _),
     "stream_video_admit" -> (streamVideoAdmit _),
+    "stream_embedding_admit" -> (streamEmbeddingAdmit _),
     "stream_video_dedup" -> (streamVideoDedup _),
     "stream_phash_dedup" -> (streamPhashDedup _),
     "stream_audio_dedup" -> (streamAudioDedup _),
@@ -492,6 +559,7 @@ object StreamQueries {
     // the batch admits' oracles VERBATIM
     "stream_audio_admit" -> DataQueries.audioAdmitOracle,
     "stream_video_admit" -> DataQueries.videoAdmitOracle,
+    "stream_embedding_admit" -> DataQueries.oracleSql("dedup_embedding_admit"),
     // batch replay of the streaming video gate: the dedup_video_frames
     // oracle VERBATIM — the streamed ingest ledger feeds the same
     // >= 2-of-4 pair join, so the two faces must hash-match exactly

@@ -137,6 +137,13 @@ object QueryIndex {
           "not LSH-bounded), dup_near = shared plane-literal LSH bucket + " +
           "exact cosine >= 0.45; spec pins exact completeness, near " +
           "soundness, and a recall floor vs brute-force truth"),
+      "stream_embedding_admit" ->
+        ("streaming admission on the VECTOR grain — the two match tiers " +
+          "(raw-array equality; bucket join + in-row cosine) UNION into " +
+          "one stateless tagged stream so a single complete-mode MIN " +
+          "aggregation accumulates both (streaming's one-agg-level " +
+          "constraint); equals dedup_embedding_admit, oracle verbatim — " +
+          "streaming admission now covers all four grains"),
       "stream_image_admit" ->
         ("ingest-time ADMISSION: delta images stream in 4 micro-batches, " +
           "fingerprint statelessly, band-join the STATIC corpus index " +

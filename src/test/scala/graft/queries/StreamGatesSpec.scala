@@ -94,6 +94,12 @@ class StreamGatesSpec extends SparkSpec {
     assert(canon(got) == canon(want))
   }
 
+  test("stream_embedding_admit equals the batch embedding admission") {
+    val got = StreamQueries.streamEmbeddingAdmit(spark, sf0001)
+    val want = DataQueries.dedupEmbeddingAdmit(spark, sf0001)
+    assert(canon(got) == canon(want))
+  }
+
   test("stream_interval_join equals the batch self-join within 1 hour") {
     val got = StreamQueries.streamIntervalJoin(spark, sf0001)
     val e = Fixtures.table(spark, sf0001, "events")
