@@ -145,7 +145,8 @@ object Scaling {
     "dedup_image_admit", "dedup_audio_admit", "dedup_video_admit",
     "dedup_embedding_admit",
     "stream_video_dedup", "stream_image_admit", "stream_audio_admit",
-    "stream_video_admit", "stream_embedding_admit", "forecast_events_holt")
+    "stream_video_admit", "stream_embedding_admit", "forecast_events_holt",
+    "forecast_events_holt_damped")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -505,15 +505,19 @@ object CoreQueries {
     * group metrics, then a linear fold per metric — the events scan
     * dominates; 1000 metrics fold in parallel, one task each.
     */
-  def forecastEventsHolt(spark: SparkSession, dir: String): DataFrame = {
+  /** The Holt level/trend/error fold shared by the linear and damped
+    * projection faces — ONE construction per fitted state, the long-form
+    * builders' discipline, so the two checked faces cannot drift in
+    * their recurrence. One row per metric: (metric, d1, l, b, sd).
+    */
+  private def holtFit(spark: SparkSession, dir: String): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
     val s = eventsLong(spark, dir)
       .select(col("metric"), col("ds"),
         round(col("y") * 100).cast("long").as("yc"))
       .as[(String, java.sql.Date, Long)]
-    def grain(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000.0
-    val out = s.groupByKey(_._1).flatMapGroups { (metric, it) =>
+    s.groupByKey(_._1).flatMapGroups { (metric, it) =>
       val rows = it.toArray.sortBy(_._2.toLocalDate.toEpochDay)
       if (rows.length < 2) Iterator.empty
       else {
@@ -531,17 +535,45 @@ object CoreQueries {
           l = l1; b = b1; i += 1
         }
         val sd = math.sqrt(se / rows.length.toDouble) / 100.0
-        val d1 = rows(rows.length - 1)._2.toLocalDate
-        (1 to 7).iterator.map { h =>
-          val yhat = (l + h.toDouble * b) / 100.0
-          (metric, java.sql.Date.valueOf(d1.plusDays(h.toLong)),
-            grain(yhat), grain(yhat - 1.28 * sd), grain(yhat + 1.28 * sd))
-        }
+        Iterator.single((metric, rows(rows.length - 1)._2, l, b, sd))
       }
-    }
-    out.toDF("metric", "ds", "yhat", "yhat_lower", "yhat_upper")
+    }.toDF("metric", "d1", "l", "b", "sd")
+  }
+
+  /** Shared 7-day fan-out + grain for the Holt faces: `yhatC` builds the
+    * point forecast from (l, b, h) — the only thing the faces differ in.
+    */
+  private def holtProject(fit: DataFrame)(yhatC: Column): DataFrame = {
+    def grain(c: Column) = floor(c * 10000 + 0.5) / 10000.0
+    fit.select(col("metric"), col("d1"), col("l"), col("b"), col("sd"),
+        explode(sequence(lit(1), lit(7))).as("h"))
+      .withColumn("ds", date_add(col("d1"), col("h")))
+      .select(col("metric"), col("ds"),
+        grain(yhatC).as("yhat"),
+        grain(yhatC - lit(1.28) * col("sd")).as("yhat_lower"),
+        grain(yhatC + lit(1.28) * col("sd")).as("yhat_upper"))
       .orderBy("metric", "ds")
   }
+
+  def forecastEventsHolt(spark: SparkSession, dir: String): DataFrame =
+    holtProject(holtFit(spark, dir))(
+      (col("l") + col("h").cast("double") * col("b")) / lit(100.0))
+
+  /** DAMPED-trend Holt [public: Gardner & McKenzie 1985; FPP3 §8.2's
+    * damped form] — the FIFTH fully value-hash-checked forecast, sharing
+    * [[holtFit]]'s recurrence with [[forecastEventsHolt]] and differing
+    * ONLY in the projection: yhat(T+h) = l + (Σ_{i=1..h} φ^i)·b with
+    * φ = 1/2, where the damp factor collapses to the exactly-dyadic
+    * 1 − 0.5^h — POWER(0.5, h) is exponent arithmetic, bit-exact in
+    * both engines, so the whole projection tree replays like the linear
+    * face's. Damping is what production horizon-extrapolation actually
+    * ships (an undamped trend overshoots at long h); at h ≤ 7 the two
+    * faces bracket the forecast and share the same band width.
+    */
+  def forecastEventsHoltDamped(spark: SparkSession, dir: String): DataFrame =
+    holtProject(holtFit(spark, dir))(
+      (col("l") + (lit(1.0) - pow(lit(0.5), col("h").cast("double"))) *
+        col("b")) / lit(100.0))
 
   /** Sub-daily forecast over HOURLY event buckets — the path where
     * Prophet's daily-seasonality auto-rule genuinely fires (720 hourly
@@ -800,6 +832,7 @@ object CoreQueries {
     "forecast_events_smean" -> (forecastEventsSmean _),
     "forecast_events_lintrend" -> (forecastEventsLintrend _),
     "forecast_events_holt" -> (forecastEventsHolt _),
+    "forecast_events_holt_damped" -> (forecastEventsHoltDamped _),
     "forecast_backtest" -> (forecastBacktest _),
     "forecast_backtest_gate" -> (forecastBacktestGate _),
     "forecast_backtest_naive" -> (forecastBacktestNaive _),
@@ -886,6 +919,44 @@ object CoreQueries {
       s"1 AS band_ok$extraCols FROM cal CROSS JOIN h CROSS JOIN (VALUES " +
       "('active_users'), ('event_count'), ('value_sum')) m(metric) " +
       "ORDER BY metric, date"
+
+  /** The shared Holt recursive-CTE replay, parameterized by the face's
+    * projection expression over (l, t, gs.h) — fit identical, only the
+    * point forecast differs between the linear and damped faces.
+    */
+  private def holtOracle(yhatSql: String): String =
+    s"WITH RECURSIVE b AS ($bucketizeSql), " +
+      "m AS (SELECT 'event_count' AS metric, date AS ds, " +
+      "CAST(event_count AS DOUBLE) AS y FROM b " +
+      "UNION ALL SELECT 'value_sum', date, value_sum FROM b " +
+      "UNION ALL SELECT 'active_users', date, CAST(active_users AS DOUBLE) FROM b), " +
+      "s AS (SELECT metric, ds, CAST(ROUND(y * 100) AS BIGINT) AS yc FROM m), " +
+      "si AS (SELECT metric, ds, yc, ROW_NUMBER() OVER " +
+      "(PARTITION BY metric ORDER BY ds) AS i FROM s), " +
+      "st AS (SELECT metric, MAX(ds) AS d1, CAST(COUNT(*) AS BIGINT) AS n " +
+      "FROM s GROUP BY 1), " +
+      "holt(metric, i, l, t, se) AS (" +
+      "SELECT metric, i, CAST(yc AS DOUBLE), CAST(0 AS DOUBLE), " +
+      "CAST(0 AS DOUBLE) FROM si WHERE i = 1 " +
+      "UNION ALL " +
+      "SELECT h.metric, s2.i, " +
+      "0.5 * CAST(s2.yc AS DOUBLE) + 0.5 * (h.l + h.t), " +
+      "0.5 * ((0.5 * CAST(s2.yc AS DOUBLE) + 0.5 * (h.l + h.t)) - h.l) " +
+      "+ 0.5 * h.t, " +
+      "h.se + (CAST(s2.yc AS DOUBLE) - (h.l + h.t)) * " +
+      "(CAST(s2.yc AS DOUBLE) - (h.l + h.t)) " +
+      "FROM holt h JOIN si s2 ON s2.metric = h.metric AND s2.i = h.i + 1), " +
+      "fin AS (SELECT h.metric, st.d1, st.n, h.l, h.t, " +
+      "SQRT(h.se / CAST(st.n AS DOUBLE)) / 100.0 AS sd " +
+      "FROM holt h JOIN st ON st.metric = h.metric AND h.i = st.n " +
+      "WHERE st.n >= 2), " +
+      "f AS (SELECT metric, d1 + CAST(gs.h AS INTEGER) AS ds, " +
+      s"$yhatSql AS yhat, sd " +
+      "FROM fin CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h) gs) " +
+      "SELECT metric, ds, FLOOR(yhat * 10000 + 0.5) / 10000 AS yhat, " +
+      "FLOOR((yhat - 1.28 * sd) * 10000 + 0.5) / 10000 AS yhat_lower, " +
+      "FLOOR((yhat + 1.28 * sd) * 10000 + 0.5) / 10000 AS yhat_upper " +
+      "FROM f ORDER BY metric, ds"
 
   val oracleSql: Map[String, String] = Map(
     // DuckDB recomputes the hourly bucket count per metric; the horizon
@@ -1032,39 +1103,13 @@ object CoreQueries {
     // one-step errors accumulated in the same pre-update order, then the
     // shared 1e-4 floor grain — the fourth fully value-checked forecast
     // and the first sequential-recurrence one
-    "forecast_events_holt" ->
-      (s"WITH RECURSIVE b AS ($bucketizeSql), " +
-        "m AS (SELECT 'event_count' AS metric, date AS ds, " +
-        "CAST(event_count AS DOUBLE) AS y FROM b " +
-        "UNION ALL SELECT 'value_sum', date, value_sum FROM b " +
-        "UNION ALL SELECT 'active_users', date, CAST(active_users AS DOUBLE) FROM b), " +
-        "s AS (SELECT metric, ds, CAST(ROUND(y * 100) AS BIGINT) AS yc FROM m), " +
-        "si AS (SELECT metric, ds, yc, ROW_NUMBER() OVER " +
-        "(PARTITION BY metric ORDER BY ds) AS i FROM s), " +
-        "st AS (SELECT metric, MAX(ds) AS d1, CAST(COUNT(*) AS BIGINT) AS n " +
-        "FROM s GROUP BY 1), " +
-        "holt(metric, i, l, t, se) AS (" +
-        "SELECT metric, i, CAST(yc AS DOUBLE), CAST(0 AS DOUBLE), " +
-        "CAST(0 AS DOUBLE) FROM si WHERE i = 1 " +
-        "UNION ALL " +
-        "SELECT h.metric, s2.i, " +
-        "0.5 * CAST(s2.yc AS DOUBLE) + 0.5 * (h.l + h.t), " +
-        "0.5 * ((0.5 * CAST(s2.yc AS DOUBLE) + 0.5 * (h.l + h.t)) - h.l) " +
-        "+ 0.5 * h.t, " +
-        "h.se + (CAST(s2.yc AS DOUBLE) - (h.l + h.t)) * " +
-        "(CAST(s2.yc AS DOUBLE) - (h.l + h.t)) " +
-        "FROM holt h JOIN si s2 ON s2.metric = h.metric AND s2.i = h.i + 1), " +
-        "fin AS (SELECT h.metric, st.d1, st.n, h.l, h.t, " +
-        "SQRT(h.se / CAST(st.n AS DOUBLE)) / 100.0 AS sd " +
-        "FROM holt h JOIN st ON st.metric = h.metric AND h.i = st.n " +
-        "WHERE st.n >= 2), " +
-        "f AS (SELECT metric, d1 + CAST(gs.h AS INTEGER) AS ds, " +
-        "(l + CAST(gs.h AS DOUBLE) * t) / 100.0 AS yhat, sd " +
-        "FROM fin CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h) gs) " +
-        "SELECT metric, ds, FLOOR(yhat * 10000 + 0.5) / 10000 AS yhat, " +
-        "FLOOR((yhat - 1.28 * sd) * 10000 + 0.5) / 10000 AS yhat_lower, " +
-        "FLOOR((yhat + 1.28 * sd) * 10000 + 0.5) / 10000 AS yhat_upper " +
-        "FROM f ORDER BY metric, ds"),
+    "forecast_events_holt" -> holtOracle(
+      "(l + CAST(gs.h AS DOUBLE) * t) / 100.0"),
+    // the damped face: identical recursive fit, only the projection
+    // changes — damp factor 1 - 0.5^h (exactly dyadic, POWER is
+    // exponent arithmetic in both engines)
+    "forecast_events_holt_damped" -> holtOracle(
+      "(l + (1.0 - POWER(0.5, CAST(gs.h AS DOUBLE))) * t) / 100.0"),
     // the OLS linear-trend replay: exact-cents sufficient statistics as
     // BIGINTs (n, Sx, Sxx, Sy, Sxy, Syy + the slope's integer
     // numerator/denominator), then the SAME IEEE expression tree and

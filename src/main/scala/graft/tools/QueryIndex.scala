@@ -103,8 +103,14 @@ object QueryIndex {
           "the x10 replica — 35 starved waves, 3.6x faster than " +
           "sequential, see SCALING.md"),
       "forecast_events_snaive" ->
-        ("first of FOUR forecasts whose yhat/band VALUES are hash-checked " +
+        ("first of FIVE forecasts whose yhat/band VALUES are hash-checked " +
           "(exact-cents + mirrored IEEE tree); the backtest's skill baseline"),
+      "forecast_events_holt_damped" ->
+        ("fifth fully value-hash-checked forecast: damped-trend Holt " +
+          "(Gardner-McKenzie, phi = 1/2) — shares forecast_events_holt's " +
+          "fold exactly (one holtFit construction) and differs only in " +
+          "the projection, whose damp factor 1 - 0.5^h is exactly dyadic " +
+          "so POWER replays bit-for-bit"),
       "forecast_events_holt" ->
         ("fourth fully value-hash-checked forecast and the first " +
           "SEQUENTIAL-recurrence one: Holt double exponential smoothing " +

@@ -189,4 +189,28 @@ class MediaAdmitAndHoltSpec extends SparkSpec {
     val again = CoreQueries.queries("forecast_events_holt")(spark, sf0001).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("forecast_events_holt_damped: shares the linear face's fit; divergence " +
+    "from the undamped projection grows with horizon") {
+    def byKey(name: String) =
+      CoreQueries.queries(name)(spark, sf0001).collect()
+        .map(r => (r.getString(0), r.getDate(1).toString) -> r.getDouble(2)).toMap
+    val lin = byKey("forecast_events_holt")
+    val dmp = byKey("forecast_events_holt_damped")
+    assert(lin.keySet == dmp.keySet && lin.size == 21)
+    // per metric, |linear - damped| = (h - (1 - 0.5^h)) * |b| / 100 is
+    // non-decreasing in h — the damped face flattens the extrapolation
+    lin.keys.groupBy(_._1).foreach { case (_, ks) =>
+      val diffs = ks.toSeq.sortBy(_._2).map(k => math.abs(lin(k) - dmp(k)))
+      diffs.sliding(2).foreach {
+        case Seq(a, b) => assert(b >= a - 1e-4, s"divergence shrank: $diffs")
+        case _ =>
+      }
+    }
+    val out = CoreQueries.queries("forecast_events_holt_damped")(spark, sf0001)
+      .collect()
+    out.foreach { r =>
+      assert(r.getDouble(3) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(4))
+    }
+  }
 }
