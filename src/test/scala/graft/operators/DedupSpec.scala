@@ -450,4 +450,49 @@ class DedupSpec extends SparkSpec {
       dropIncIndexTables("plan_incidx")
     }
   }
+
+  test("autoBits: the shared corpus-sizing formula's breakpoints are pinned") {
+    // occupancy target 250/bucket; floor 3 bits; strict doubling steps
+    assert(Similarity.autoBits(0) == 3)
+    assert(Similarity.autoBits(250) == 3)
+    assert(Similarity.autoBits(2000) == 3) // log2(8) = 3 exactly
+    assert(Similarity.autoBits(2001) == 4) // first corpus above the 3-bit regime
+    assert(Similarity.autoBits(4000) == 4) // log2(16) = 4 exactly
+    assert(Similarity.autoBits(4001) == 5)
+  }
+
+  test("embeddingAdmit auto-sizing in the >3-bit regime equals explicit bits=4") {
+    val emb = Fixtures.table(spark, sf0001, "embeddings")
+    // the wide-face corpus construction: even vec_ids < 500 replicated
+    // 16x with shifted ids — EXACTLY 4000 vectors, so auto picks 4 bits
+    val delta = emb.filter($"vec_id" < 500 && pmod($"vec_id", lit(2)) === 1)
+    val corpus = emb.filter($"vec_id" < 500 && pmod($"vec_id", lit(2)) === 0)
+      .select($"vec_id", $"embedding", explode(sequence(lit(1), lit(16))).as("k"))
+      .select(($"vec_id" + $"k" * 1000L).as("vec_id"), $"embedding")
+    assert(corpus.count() == 4000)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val auto = Dedup.embeddingAdmit(delta, corpus, threshold = 0.45, dim = 64)
+    val explicit = Dedup.embeddingAdmit(delta, corpus, threshold = 0.45,
+      dim = 64, bitsPerTable = 4)
+    assert(rows(auto) == rows(explicit),
+      "auto-sized bits must reproduce the explicit 4-bit plan exactly")
+    // and the 4-bit regime is genuinely different (smaller-candidate)
+    // geometry than 3 bits — the whole point of auto-sizing is that the
+    // per-bucket delta x corpus join shrinks as bits grow. Final
+    // classifications can coincide (both geometries are supersets of
+    // the true near set on this fixture); the candidate VOLUME cannot.
+    def candidates(bits: Int): Long = {
+      def bk(df: org.apache.spark.sql.DataFrame) =
+        Similarity.lshBuckets(df, 64, 16, bits, 7L)
+          .select($"vec_id", $"tbl", $"bucket")
+      bk(delta).join(
+        bk(corpus).select($"vec_id".as("c_id"), $"tbl", $"bucket"),
+        Seq("tbl", "bucket")).count()
+    }
+    val c3 = candidates(3)
+    val c4 = candidates(4)
+    assert(c4 < c3,
+      s"4-bit buckets must generate fewer candidates than 3-bit ($c4 vs $c3)")
+  }
 }

@@ -100,6 +100,28 @@ class StreamGatesSpec extends SparkSpec {
     assert(canon(got) == canon(want))
   }
 
+  test("streaming embedding admission in the auto-bits >3-bit regime equals " +
+      "the batch wide face") {
+    import graft.operators.Similarity
+    val emb = Fixtures.table(spark, sf0001, "embeddings")
+    val corpus = DataQueries.wideAdmitCorpus(emb)
+    val bits = Similarity.autoBits(corpus.count())
+    assert(bits == 4, "the wide corpus must land in the 4-bit regime")
+    val delta = emb.filter($"vec_id" < 500 && pmod($"vec_id", lit(2)) === 1)
+      .select($"vec_id", $"embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wide_admit").toString
+    delta.repartition(3).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val agg = StreamQueries.embeddingAdmitMatches(corpus, stream, bits)
+    val sunk = StreamQueries.drain(agg, "complete", "wideadmit")
+    val got = DataQueries.admitStatuses(
+      delta.select($"vec_id".as("doc_id")), sunk)
+      .withColumnRenamed("media_id", "vec_id")
+    val want = DataQueries.dedupEmbeddingAdmitWide(spark, sf0001)
+    assert(canon(got) == canon(want))
+  }
+
   test("stream_interval_join equals the batch self-join within 1 hour") {
     val got = StreamQueries.streamIntervalJoin(spark, sf0001)
     val e = Fixtures.table(spark, sf0001, "events")
