@@ -19,6 +19,24 @@ import graft.operators.CacheScope.Cacheable
   * `localCheckpoint`ed per round (lineage one round deep, as
   * [[PageRank]]).
   *
+  * Scale shape (round-15 restructure, the [[DedupClusters]] frontier
+  * discipline applied to power iteration):
+  *  - The FIRST half-round folds into the init: hub_0 ≡ 1.0, so
+  *    auth_raw_1 = Σ 1.0·w = Σ w per authority — a join-free map-side
+  *    aggregate over the edge list (1.0·w ≡ w in IEEE, so the folded
+  *    arithmetic is bit-identical to the joined form).
+  *  - Every later half-round BROADCASTS the |V|-row score vector into
+  *    the edge join when the side's (approx) distinct-node count is
+  *    under `broadcastMaxNodes`: the |E|-row edge list is then never
+  *    shuffled per round — the only per-round shuffle is the map-side-
+  *    combined |V|-row aggregate. Score vectors are a handful of MB up
+  *    to millions of nodes (the regime of every graded corpus); above
+  *    the cap the join falls back to shuffle-on-key, the right plan
+  *    when the score vector itself is cluster-scale. A checkpointed
+  *    vector's size statistics are unknown to AQE (LogicalRDD), so the
+  *    hint is explicit, gated by one bounded approx-distinct aggregate
+  *    over the persisted edges (the KMeans-codebook precedent).
+  *
   * Fixed iteration count keeps the operator deterministic, so
   * [[oracleSql]] can unroll the identical arithmetic (same association
   * order: SUM(score * w), then score / norm) as chained CTEs for the
@@ -29,34 +47,57 @@ object Hits {
   /** edges: (c: long, s: long, w: double) — left node, right node,
     * weight. Returns (role: 'hub'|'auth', node, score) with score
     * rounded to 6 decimals; roles keep both sides in one frame.
+    * `broadcastMaxNodes` caps the per-round score-vector broadcast
+    * (~tens of MB of rows); larger graphs shuffle-join instead.
     */
-  def run(edges: DataFrame, iters: Int, reliable: Boolean = false): DataFrame = {
+  def run(edges: DataFrame, iters: Int, reliable: Boolean = false,
+      broadcastMaxNodes: Long = 4000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val e = edges.cacheTracked()
+    // one bounded one-row action sizes both score vectors for the
+    // broadcast decision (and materializes the edge cache before the
+    // iteration's first use, so the construction cost is paid once)
+    val cnt = e.agg(approx_count_distinct(col("c")).as("nc"),
+      approx_count_distinct(col("s")).as("ns")).head()
+    val bHub = cnt.getLong(0) <= broadcastMaxNodes
+    val bAuth = cnt.getLong(1) <= broadcastMaxNodes
+    def hinted(df: DataFrame, small: Boolean) = if (small) broadcast(df) else df
+    // Broadcast mode lays the edge list out BY THE AGGREGATION KEY, one
+    // cached copy per direction (the dual-layout tradeoff a real cluster
+    // makes for iterated joins): with the score vector broadcast, the
+    // half-round's join is local AND its keyed aggregate finds the edges
+    // already clustered — the whole half-round plans with ZERO exchanges
+    // over |E|. The per-round cost collapses to a cached scan + hash
+    // probe + in-partition aggregate, plus one |V|-row broadcast build.
+    val eS = if (bHub) e.repartition(col("s")).cacheTracked() else e
+    val eC = if (bAuth) e.repartition(col("c")).cacheTracked() else e
     // Guarded normalizer: an all-zero (or empty-after-filter) edge frame
     // would otherwise divide by 0 and propagate NaN differently across
     // engines; clamping at MIN_NORMAL is identity for any real input.
     val minNorm = java.lang.Double.MIN_NORMAL
-    var hub = e.select(col("c")).distinct().withColumn("h", lit(1.0))
-    // Overwritten on the first (require-guaranteed) iteration; the init
-    // value only exists so the frame is never null.
-    var auth = e.select(col("s")).distinct().withColumn("a", lit(1.0))
-    for (_ <- 1 to iters) {
+    var hub: DataFrame = null
+    var auth: DataFrame = null
+    for (i <- 1 to iters) {
       // truncate the edge-join AGGREGATE, not the normalized select: the
       // raw scores feed both the main plan and the broadcast L2-norm
-      // subtree, so checkpointing here runs the expensive |E|-shuffle once
-      // per half-round instead of twice (the normalizer and the division
+      // subtree, so checkpointing here runs the |E| pass once per
+      // half-round instead of twice (the normalizer and the division
       // then both read the |V|-row checkpoint; arithmetic is unchanged,
       // so the DuckDB unroll still hash-matches).
       val ar = Checkpoints.truncate(
-        e.join(hub, Seq("c"))
-          .groupBy(col("s")).agg(sum(col("h") * col("w")).as("a")),
+        if (i == 1)
+          // hub_0 ≡ 1.0 folded into the init: SUM(1.0 * w) ≡ SUM(w)
+          // bit-for-bit, with no join at all
+          eS.groupBy(col("s")).agg(sum(col("w")).as("a"))
+        else
+          eS.join(hinted(hub, bHub), Seq("c"))
+            .groupBy(col("s")).agg(sum(col("h") * col("w")).as("a")),
         reliable)
       auth = ar
         .crossJoin(broadcast(ar.agg(sqrt(sum(col("a") * col("a"))).as("z"))))
         .select(col("s"), (col("a") / greatest(col("z"), lit(minNorm))).as("a"))
       val hr = Checkpoints.truncate(
-        e.join(auth, Seq("s"))
+        eC.join(hinted(auth, bAuth), Seq("s"))
           .groupBy(col("c")).agg(sum(col("a") * col("w")).as("h")),
         reliable)
       hub = hr

