@@ -146,7 +146,10 @@ object Scaling {
     "dedup_embedding_admit",
     "stream_video_dedup", "stream_image_admit", "stream_audio_admit",
     "stream_video_admit", "stream_embedding_admit", "forecast_events_holt",
-    "forecast_events_holt_damped")
+    "forecast_events_holt_damped",
+    // round 15: the seasonal-state recurrence face (same shape as holt —
+    // one metric-grouping shuffle + a linear per-metric fold)
+    "forecast_events_holt_winters")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

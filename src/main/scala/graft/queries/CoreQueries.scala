@@ -575,6 +575,83 @@ object CoreQueries {
       (col("l") + (lit(1.0) - pow(lit(0.5), col("h").cast("double"))) *
         col("b")) / lit(100.0))
 
+  /** Holt-Winters ADDITIVE-SEASONAL forecast [public: Winters 1960;
+    * Hyndman & Athanasopoulos FPP3 §8.3, additive form with
+    * α = β = γ = 1/2, season length m = 7 observations] — the SIXTH
+    * fully value-hash-checked forecast and the first with EVOLVING
+    * SEASONAL STATE: on top of [[holtFit]]'s level/trend recurrence the
+    * state carries a 7-slot seasonal array indexed by ROW position mod 7
+    * (7 OBSERVATIONS, not calendar days — on the gapless daily fixture
+    * the two coincide; on a gapped series the period is positional, the
+    * classic regular-series HW definition). Simple initialization
+    * [FPP3 §8.3's convention]: l_7 = mean(y_1..y_7), b_7 = 0,
+    * s_j = y_j − l_7; recurrence for t > 7 with slot k = (t−1) mod 7:
+    * l_t = ½(y_t − s_k) + ½(l_{t−1} + b_{t−1}),
+    * b_t = ½(l_t − l_{t−1}) + ½b_{t−1},
+    * s_k ← ½(y_t − (l_{t−1} + b_{t−1})) + ½s_k,
+    * e_t = y_t − (l_{t−1} + b_{t−1} + s_k);
+    * yhat(T+h) = l + h·b + s_{(n+h−1) mod 7}, band = ±1.28·√(Σe²/(n−7)).
+    * Determinism is the `holt` discipline extended to the array: the
+    * per-metric fold runs date-sorted in one `flatMapGroups` (state = 9
+    * doubles), inputs are exact integer cents, and the oracle replays
+    * the IDENTICAL IEEE op sequence step by step as a recursive CTE
+    * whose state row carries the 7 slots as columns s0..s6, updating
+    * exactly one per step via a slot CASE (repeated subtrees re-evaluate
+    * to the same bits — double arithmetic is deterministic). Outputs go
+    * through the shared FLOOR(x·1e4 + 0.5) grain; metrics with < 14
+    * observed days (no full season + smoothing run) drop via the same
+    * n >= 14 predicate in both engines. Scale: identical to `holt` —
+    * one shuffle to group metrics, a linear fold per metric.
+    */
+  def forecastEventsHoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val s = eventsLong(spark, dir)
+      .select(col("metric"), col("ds"),
+        round(col("y") * 100).cast("long").as("yc"))
+      .as[(String, java.sql.Date, Long)]
+    val fit = s.groupByKey(_._1).flatMapGroups { (metric, it) =>
+      val rows = it.toArray.sortBy(_._2.toLocalDate.toEpochDay)
+      if (rows.length < 14) Iterator.empty
+      else {
+        var l = rows.take(7).map(_._3).sum.toDouble / 7.0
+        var b = 0.0
+        val sa = Array.tabulate(7)(j => rows(j)._3.toDouble - l)
+        var se = 0.0
+        var i = 7
+        while (i < rows.length) {
+          val y = rows(i)._3.toDouble
+          val k = i % 7
+          val e = y - (l + b + sa(k))
+          // mirrored TOKEN-FOR-TOKEN in the oracle's recursive CTE
+          val l1 = 0.5 * (y - sa(k)) + 0.5 * (l + b)
+          val b1 = 0.5 * (l1 - l) + 0.5 * b
+          val s1 = 0.5 * (y - (l + b)) + 0.5 * sa(k)
+          se += e * e
+          l = l1; b = b1; sa(k) = s1; i += 1
+        }
+        val sd = math.sqrt(se / (rows.length - 7).toDouble) / 100.0
+        Iterator.single((metric, rows(rows.length - 1)._2,
+          rows.length.toLong, l, b, sa.toSeq, sd))
+      }
+    }.toDF("metric", "d1", "n", "l", "b", "s", "sd")
+    def grain(c: Column) = floor(c * 10000 + 0.5) / 10000.0
+    val fut = fit.select(col("metric"), col("d1"), col("n"), col("l"),
+        col("b"), col("s"), col("sd"),
+        explode(sequence(lit(1), lit(7))).as("h"))
+      .withColumn("ds", date_add(col("d1"), col("h")))
+    // slot selection is index arithmetic + element pick — no float ops,
+    // so the CASE rendering in the oracle is trivially the same value
+    val yhat = (col("l") + col("h").cast("double") * col("b") +
+      element_at(col("s"),
+        ((col("n") + col("h") - 1) % 7).cast("int") + 1)) / lit(100.0)
+    fut.select(col("metric"), col("ds"),
+      grain(yhat).as("yhat"),
+      grain(yhat - lit(1.28) * col("sd")).as("yhat_lower"),
+      grain(yhat + lit(1.28) * col("sd")).as("yhat_upper"))
+      .orderBy("metric", "ds")
+  }
+
   /** Sub-daily forecast over HOURLY event buckets — the path where
     * Prophet's daily-seasonality auto-rule genuinely fires (720 hourly
     * points, spacing 1/24 day): fits carry an order-4 daily Fourier
@@ -833,6 +910,7 @@ object CoreQueries {
     "forecast_events_lintrend" -> (forecastEventsLintrend _),
     "forecast_events_holt" -> (forecastEventsHolt _),
     "forecast_events_holt_damped" -> (forecastEventsHoltDamped _),
+    "forecast_events_holt_winters" -> (forecastEventsHoltWinters _),
     "forecast_backtest" -> (forecastBacktest _),
     "forecast_backtest_gate" -> (forecastBacktestGate _),
     "forecast_backtest_naive" -> (forecastBacktestNaive _),
@@ -957,6 +1035,63 @@ object CoreQueries {
       "FLOOR((yhat - 1.28 * sd) * 10000 + 0.5) / 10000 AS yhat_lower, " +
       "FLOOR((yhat + 1.28 * sd) * 10000 + 0.5) / 10000 AS yhat_upper " +
       "FROM f ORDER BY metric, ds"
+
+  /** Holt-Winters additive recursive-CTE replay: the `holtOracle`
+    * discipline with the 7-slot seasonal array carried as columns
+    * s0..s6, exactly one updated per step via the slot CASE. Every
+    * expression tree below mirrors [[forecastEventsHoltWinters]]'s fold
+    * token for token; repeated subtrees (l1 inside b1, sK in four
+    * places) re-evaluate to identical bits because IEEE double
+    * arithmetic is deterministic.
+    */
+  private def holtWintersOracle: String = {
+    val y = "CAST(r.yc AS DOUBLE)"
+    val sK = "CASE (r.i - 1) % 7 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 " +
+      "WHEN 2 THEN h.s2 WHEN 3 THEN h.s3 WHEN 4 THEN h.s4 " +
+      "WHEN 5 THEN h.s5 ELSE h.s6 END"
+    val l1 = s"0.5 * ($y - ($sK)) + 0.5 * (h.l + h.t)"
+    val b1 = s"0.5 * (($l1) - h.l) + 0.5 * h.t"
+    val s1 = s"0.5 * ($y - (h.l + h.t)) + 0.5 * ($sK)"
+    val e = s"$y - (h.l + h.t + ($sK))"
+    val slotCols = (0 to 6).map(j =>
+      s"CASE WHEN (r.i - 1) % 7 = $j THEN $s1 ELSE h.s$j END").mkString(", ")
+    val initSeas = (1 to 7).map(j => s"y$j - l7").mkString(", ")
+    val initPivot = (1 to 7).map(j =>
+      s"SUM(CASE WHEN i = $j THEN CAST(yc AS DOUBLE) END) AS y$j").mkString(", ")
+    val futSeas = "CASE (st2.n + gs.h - 1) % 7 WHEN 0 THEN s0 WHEN 1 THEN s1 " +
+      "WHEN 2 THEN s2 WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5 ELSE s6 END"
+    s"WITH RECURSIVE b AS ($bucketizeSql), " +
+      "m AS (SELECT 'event_count' AS metric, date AS ds, " +
+      "CAST(event_count AS DOUBLE) AS y FROM b " +
+      "UNION ALL SELECT 'value_sum', date, value_sum FROM b " +
+      "UNION ALL SELECT 'active_users', date, CAST(active_users AS DOUBLE) FROM b), " +
+      "s AS (SELECT metric, ds, CAST(ROUND(y * 100) AS BIGINT) AS yc FROM m), " +
+      "si AS (SELECT metric, ds, yc, ROW_NUMBER() OVER " +
+      "(PARTITION BY metric ORDER BY ds) AS i FROM s), " +
+      "st AS (SELECT metric, MAX(ds) AS d1, CAST(COUNT(*) AS BIGINT) AS n " +
+      "FROM s GROUP BY 1), " +
+      "init AS (SELECT metric, CAST(SUM(yc) AS DOUBLE) / 7.0 AS l7, " +
+      s"$initPivot FROM si WHERE i <= 7 GROUP BY metric HAVING COUNT(*) = 7), " +
+      "hw(metric, i, l, t, s0, s1, s2, s3, s4, s5, s6, se) AS (" +
+      "SELECT metric, 7, l7, CAST(0 AS DOUBLE), " +
+      s"$initSeas, CAST(0 AS DOUBLE) FROM init " +
+      "UNION ALL " +
+      s"SELECT h.metric, r.i, $l1, $b1, $slotCols, " +
+      s"h.se + ($e) * ($e) " +
+      "FROM hw h JOIN si r ON r.metric = h.metric AND r.i = h.i + 1), " +
+      "fin AS (SELECT h.metric, st2.d1, st2.n, h.l, h.t, " +
+      "h.s0, h.s1, h.s2, h.s3, h.s4, h.s5, h.s6, " +
+      "SQRT(h.se / CAST(st2.n - 7 AS DOUBLE)) / 100.0 AS sd " +
+      "FROM hw h JOIN st st2 ON st2.metric = h.metric AND h.i = st2.n " +
+      "WHERE st2.n >= 14), " +
+      "f AS (SELECT metric, d1 + CAST(gs.h AS INTEGER) AS ds, " +
+      s"(l + CAST(gs.h AS DOUBLE) * t + ($futSeas)) / 100.0 AS yhat, sd " +
+      "FROM fin st2 CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h) gs) " +
+      "SELECT metric, ds, FLOOR(yhat * 10000 + 0.5) / 10000 AS yhat, " +
+      "FLOOR((yhat - 1.28 * sd) * 10000 + 0.5) / 10000 AS yhat_lower, " +
+      "FLOOR((yhat + 1.28 * sd) * 10000 + 0.5) / 10000 AS yhat_upper " +
+      "FROM f ORDER BY metric, ds"
+  }
 
   val oracleSql: Map[String, String] = Map(
     // DuckDB recomputes the hourly bucket count per metric; the horizon
@@ -1105,6 +1240,9 @@ object CoreQueries {
     // and the first sequential-recurrence one
     "forecast_events_holt" -> holtOracle(
       "(l + CAST(gs.h AS DOUBLE) * t) / 100.0"),
+    // the seasonal face: its own recursive CTE carrying the 7 seasonal
+    // slots as state columns (see holtWintersOracle)
+    "forecast_events_holt_winters" -> holtWintersOracle,
     // the damped face: identical recursive fit, only the projection
     // changes — damp factor 1 - 0.5^h (exactly dyadic, POWER is
     // exponent arithmetic in both engines)
