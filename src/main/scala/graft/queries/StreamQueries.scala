@@ -89,37 +89,28 @@ object StreamQueries {
         .withColumn("ts",
           timestamp_micros(col("doc_id") + lit(31536000000000L))))
 
-  /** Synthesized P5 media fixtures staged for streaming ingest, 4 files
+  /** Synthesized P5 media fixtures staged for streaming ingest, 3 files
     * so fingerprint state genuinely accumulates across micro-batches.
     */
   private def stagedMedia(spark: SparkSession, dir: String): (String, StructType) =
-    stage(spark, dir, "media_pnm", 4)(
+    stage(spark, dir, "media_pnm", 3)(
       DataQueries.synthPnmMedia(Fixtures.table(spark, dir, "documents")))
 
-  /** RIFF/WAVE media fixtures staged for streaming ingest, 4 files so
+  /** RIFF/WAVE media fixtures staged for streaming ingest, 3 files so
     * fingerprint state genuinely accumulates across micro-batches.
     */
   private def stagedAudio(spark: SparkSession, dir: String): (String, StructType) =
-    stage(spark, dir, "media_wav", 4)(
+    stage(spark, dir, "media_wav", 3)(
       DataQueries.synthWavMedia(Fixtures.table(spark, dir, "documents")))
 
-  /** Video media fixtures staged for streaming ingest, 4 files so frame
+  /** Video media fixtures staged for streaming ingest, 3 files so frame
     * keys genuinely accumulate across micro-batches (re-encode variants
     * hash to different files than their originals, so matching pairs
     * span batches).
     */
   private def stagedVideo(spark: SparkSession, dir: String): (String, StructType) =
-    stage(spark, dir, "media_vid", 4)(
+    stage(spark, dir, "media_vid", 3)(
       DataQueries.synthVideoMedia(Fixtures.table(spark, dir, "documents")))
-
-  /** DELTA-only image fixtures (the admission split's tonight-batch
-    * side) staged for streaming ingest, 4 files so classifications
-    * genuinely accumulate across micro-batches.
-    */
-  private def stagedDeltaMedia(spark: SparkSession, dir: String): (String, StructType) =
-    stage(spark, dir, "media_pnm_delta", 4)(
-      DataQueries.synthPnmMedia(Fixtures.table(spark, dir, "documents"))
-        .filter(!DataQueries.imageIsCorpus))
 
   /** Run `result` (a streaming DataFrame) to completion into a memory
     * sink and return the sink table. Unique query names keep bench
@@ -128,7 +119,19 @@ object StreamQueries {
   private[queries] def drain(result: DataFrame, mode: String, label: String): DataFrame = {
     val spark = result.sparkSession
     val qn = s"graft_stream_${label}_${nameCtr.incrementAndGet()}"
-    val q = result.writeStream.outputMode(mode).format("memory").queryName(qn).start()
+    // State partitions are sized to the gate's key cardinality, not the
+    // batch engine's CPU count: a stateful operator commits one state
+    // store per shuffle partition per micro-batch, so 32 partitions over
+    // a few thousand keys is pure per-trigger commit overhead (the same
+    // sizing decision a production streaming job makes — state partition
+    // count is fixed at the query's first start anyway). The conf is
+    // restored immediately; batch plans before/after the drain see the
+    // session default. Results are partition-count-independent.
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try result.writeStream.outputMode(mode).format("memory").queryName(qn).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     try q.processAllAvailable()
     finally q.stop()
     // Copy the sink out and DROP it: each drain registers a fresh
@@ -144,13 +147,13 @@ object StreamQueries {
     out
   }
 
-  /** Daily tumbling-window bucketize, streamed — 4 micro-batches folding
+  /** Daily tumbling-window bucketize, streamed — 3 micro-batches folding
     * into complete-mode window state. `active_users` (an HLL sketch, not
     * DuckDB-replayable) is computed but not emitted; the batch
     * `bucketize_events` gate pins the exact-distinct column.
     */
   def streamBucketize(spark: SparkSession, dir: String): DataFrame = {
-    val (path, schema) = stagedEvents(spark, dir, parts = 4)
+    val (path, schema) = stagedEvents(spark, dir, parts = 3)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(path)
     drain(EventBucketizer.dailyBuckets(stream, watermark = NeverLate),
@@ -163,20 +166,20 @@ object StreamQueries {
     * expansion (the same 7x fan-out the batch twin spells as an explode).
     */
   def streamSlidingCounts(spark: SparkSession, dir: String): DataFrame = {
-    val (path, schema) = stagedEvents(spark, dir, parts = 4)
+    val (path, schema) = stagedEvents(spark, dir, parts = 3)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(path)
     drain(EventBucketizer.slidingCounts(stream, watermark = NeverLate),
       "complete", "sliding")
   }
 
-  /** Keyed running counters via `mapGroupsWithState` across 4 real
+  /** Keyed running counters via `mapGroupsWithState` across 3 real
     * micro-batches; the sink's per-batch emission log reduces to final
     * counts with `max`, which must equal the batch GROUP BY.
     */
   def streamUserTypeCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (path, schema) = stagedEvents(spark, dir, parts = 4)
+    val (path, schema) = stagedEvents(spark, dir, parts = 3)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(path)
     val typed = stream.select(col("user_id"), col("event_type"))
@@ -210,7 +213,7 @@ object StreamQueries {
     * 4-file staging (one staging write serves all event gates).
     */
   def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
-    val (path, schema) = stagedEvents(spark, dir, parts = 4)
+    val (path, schema) = stagedEvents(spark, dir, parts = 3)
     def side(t: String) = spark.readStream.schema(schema).parquet(path)
       .filter(col("event_type") === t)
     drain(EventBucketizer.viewClickPairs(side("view"), side("click"),
@@ -223,7 +226,7 @@ object StreamQueries {
     */
   def streamDriftPsi(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (path, schema) = stagedEvents(spark, dir, parts = 4)
+    val (path, schema) = stagedEvents(spark, dir, parts = 3)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(path)
     val pts = stream.select(col("ts"), col("value"))
@@ -234,7 +237,7 @@ object StreamQueries {
   }
 
   /** Streaming face of the pretraining pipeline's curation front half:
-    * documents arrive in 4 real micro-batches, pass the STATELESS quality
+    * documents arrive in 3 real micro-batches, pass the STATELESS quality
     * gate, join the tempered mix plan STREAM-STATIC (the plan — per-lang
     * Bernoulli fraction over the gated corpus's language histogram — is
     * computed batch-side by the same [[TextQueries.mixFractions]]
@@ -253,7 +256,7 @@ object StreamQueries {
     */
   def streamMixGate(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
-    val (path, schema) = stage(spark, dir, "documents_mix", 4)(
+    val (path, schema) = stage(spark, dir, "documents_mix", 3)(
       Fixtures.table(spark, dir, "documents"))
     val gatedBatch = Fixtures.table(spark, dir, "documents")
       .filter(TextFunctions.qualityScore(col("text")) >= 0.3)
@@ -276,7 +279,7 @@ object StreamQueries {
   }
 
   /** Streaming perceptual image dedup — the ingest-time monitor shape:
-    * binary media payloads arrive as a 4-micro-batch stream, each batch
+    * binary media payloads arrive as a 3-micro-batch stream, each batch
     * fingerprints its images STATELESSLY through the real decode /
     * resample / dHash path ([[graft.multimodal.Multimodal.dHash]] runs
     * unchanged on the streaming Dataset — it is a pure flatMap, so no
@@ -355,7 +358,7 @@ object StreamQueries {
 
   /** Streaming ADMISSION — the ingest-time classification shape that
     * completes the round-14 admission family: tonight's delta images
-    * arrive as a 4-micro-batch stream, each batch fingerprints
+    * arrive as a 3-micro-batch stream, each batch fingerprints
     * statelessly (the real decode + dHash path) and band-joins the
     * STATIC stored corpus index in-stream
     * ([[graft.operators.Dedup.hammingJoinCandidates]] — explode +
@@ -381,9 +384,15 @@ object StreamQueries {
       DataQueries.synthPnmMedia(docs)).toDF()
       .filter(DataQueries.imageIsCorpus)
       .cacheTracked()
-    val (path, schema) = stagedDeltaMedia(spark, dir)
+    // the admits stream the SHARED full-media staging (one staging write
+    // serves the dedup and admission gates) and take the delta split with
+    // a stateless in-stream filter — semantically identical to staging
+    // delta-only files, minus a per-gate staging write (round-14 verdict
+    // #5, the streaming-harness floor)
+    val (path, schema) = stagedMedia(spark, dir)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(path)
+      .filter(!DataQueries.imageIsCorpus)
     val fp = graft.multimodal.Multimodal.dHash(stream).toDF()
     val agg = DataQueries.admitMatchAgg(
       graft.operators.Dedup.hammingJoinCandidates(fp, corpusFp,
@@ -394,18 +403,6 @@ object StreamQueries {
       .select(col("media_id").as("doc_id"))
     DataQueries.admitStatuses(deltaIds, sunk)
   }
-
-  /** DELTA-only WAV fixtures for the streaming audio admission gate. */
-  private def stagedDeltaAudio(spark: SparkSession, dir: String): (String, StructType) =
-    stage(spark, dir, "media_wav_delta", 4)(
-      DataQueries.synthWavMedia(Fixtures.table(spark, dir, "documents"))
-        .filter(!DataQueries.audioIsCorpus))
-
-  /** DELTA-only video fixtures for the streaming video admission gate. */
-  private def stagedDeltaVideo(spark: SparkSession, dir: String): (String, StructType) =
-    stage(spark, dir, "media_vid_delta", 4)(
-      DataQueries.synthVideoMedia(Fixtures.table(spark, dir, "documents"))
-        .filter(!DataQueries.videoIsCorpus))
 
   /** [[streamImageAdmit]]'s exact composition on the AUDIO grain:
     * stateless RIFF/PCM fingerprints per micro-batch, the stateless
@@ -423,9 +420,12 @@ object StreamQueries {
       DataQueries.synthWavMedia(docs)).toDF()
       .filter(DataQueries.audioIsCorpus)
       .cacheTracked()
-    val (path, schema) = stagedDeltaAudio(spark, dir)
+    // shared full staging + stateless in-stream delta filter, as
+    // streamImageAdmit
+    val (path, schema) = stagedAudio(spark, dir)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(path)
+      .filter(!DataQueries.audioIsCorpus)
     val fp = graft.multimodal.Multimodal.audioFingerprint(stream).toDF()
     val agg = DataQueries.admitMatchAgg(
       graft.operators.Dedup.hammingJoinCandidates(fp, corpusFp,
@@ -455,9 +455,12 @@ object StreamQueries {
       DataQueries.synthVideoMedia(docs))
       .filter(DataQueries.videoIsCorpus)
       .cacheTracked()
-    val (path, schema) = stagedDeltaVideo(spark, dir)
+    // shared full staging + stateless in-stream delta filter, as
+    // streamImageAdmit
+    val (path, schema) = stagedVideo(spark, dir)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(path)
+      .filter(!DataQueries.videoIsCorpus)
     val keys = DataQueries.videoFrameKeys(stream)
     val common = keys.as("d")
       .join(corpusKeys.as("c"),
@@ -477,7 +480,7 @@ object StreamQueries {
 
   /** Staged DELTA embeddings (odd vec_ids) for streaming admission. */
   private def stagedDeltaEmb(spark: SparkSession, dir: String): (String, StructType) =
-    stage(spark, dir, "emb_delta", 4)(
+    stage(spark, dir, "emb_delta", 3)(
       Fixtures.table(spark, dir, "embeddings")
         .filter(pmod(col("vec_id"), lit(2)) === 1)
         .select(col("vec_id"), col("embedding")))

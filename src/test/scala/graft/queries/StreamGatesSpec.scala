@@ -38,7 +38,7 @@ class StreamGatesSpec extends SparkSpec {
     assert(canon(got) == canon(want))
   }
 
-  test("stream_user_type_counts equals the batch group-by across 4 micro-batches") {
+  test("stream_user_type_counts equals the batch group-by across 3 micro-batches") {
     val got = StreamQueries.streamUserTypeCounts(spark, sf0001)
     val events = Fixtures.table(spark, sf0001, "events")
     val want = events.groupBy($"user_id", $"event_type")
