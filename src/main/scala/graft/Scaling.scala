@@ -153,8 +153,10 @@ object Scaling {
     "stream_video_admit", "stream_embedding_admit", "forecast_events_holt",
     "forecast_events_holt_damped",
     // round 15: the seasonal-state recurrence face (same shape as holt —
-    // one metric-grouping shuffle + a linear per-metric fold)
-    "forecast_events_holt_winters")
+    // one metric-grouping shuffle + a linear per-metric fold) and the
+    // refit-on-arrival streaming forecast gate (state = one row per day;
+    // per-trigger refit cost independent of event volume)
+    "forecast_events_holt_winters", "stream_forecast_snaive")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

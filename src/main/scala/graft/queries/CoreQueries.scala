@@ -315,10 +315,18 @@ object CoreQueries {
     * BOTH engines); the explicit nd > 1 filter additionally pins the
     * drift denominator away from zero.
     */
-  def forecastEventsSnaive(spark: SparkSession, dir: String): DataFrame = {
-    val s = eventsLong(spark, dir)
+  def forecastEventsSnaive(spark: SparkSession, dir: String): DataFrame =
+    snaiveForecast(eventsLong(spark, dir)
       .select(col("metric"), col("ds"),
-        round(col("y") * 100).cast("long").as("yc"))
+        round(col("y") * 100).cast("long").as("yc")))
+
+  /** The snaive fit + projection over a prepared (metric, ds, yc:cents)
+    * series frame — ONE construction shared by the registered batch face
+    * and the streaming refit-on-arrival gate
+    * ([[StreamQueries.streamForecastSnaive]]), the long-form builders'
+    * discipline: the two faces cannot drift in their arithmetic.
+    */
+  private[queries] def snaiveForecast(s: DataFrame): DataFrame = {
     // nd > 1 guards the drift denominator (nd - 1): a single-day series
     // would divide by zero (Inf yhat, an ANSI floor error). Defensive
     // only on top of the structural requirement: a series needs >= 8
@@ -1002,6 +1010,63 @@ object CoreQueries {
     * projection expression over (l, t, gs.h) — fit identical, only the
     * point forecast differs between the linear and damped faces.
     */
+  /** The seasonal-naive-with-drift replay (exact-cents series, integer
+    * residual sums, then one IEEE expression tree and the shared 1e-4
+    * floor grain — yhat itself under the hash), shared by the batch face
+    * and the streaming refit gate. `includeActiveUsers = false` drops
+    * the exact-distinct metric a streaming aggregate cannot carry
+    * (COUNT(DISTINCT) is not an incremental streaming aggregate; the
+    * gate forecasts the two monoid metrics).
+    */
+  private[queries] def snaiveOracle(includeActiveUsers: Boolean): String = {
+    val melt = "SELECT 'event_count' AS metric, date AS ds, " +
+      "CAST(event_count AS DOUBLE) AS y FROM b " +
+      "UNION ALL SELECT 'value_sum', date, value_sum FROM b" +
+      (if (includeActiveUsers)
+        " UNION ALL SELECT 'active_users', date, CAST(active_users AS DOUBLE) FROM b"
+      else "")
+    s"WITH b AS ($bucketizeSql), " +
+      s"m AS ($melt), " +
+      "s AS (SELECT metric, ds, CAST(ROUND(y * 100) AS BIGINT) AS yc FROM m), " +
+      // HAVING COUNT(*) > 1 mirrors the Spark side's nd > 1 drift
+      // guard (structurally redundant — the inner join on `r` needs
+      // >= 8 days — but stated identically in both engines)
+      "st AS (SELECT metric, MIN(ds) AS d0, MAX(ds) AS d1, " +
+      "CAST(COUNT(*) AS BIGINT) AS nd FROM s GROUP BY 1 " +
+      "HAVING COUNT(*) > 1), " +
+      "ep AS (SELECT s.metric, MAX(CASE WHEN ds = d0 THEN yc END) AS y0, " +
+      "MAX(CASE WHEN ds = d1 THEN yc END) AS y1 FROM s JOIN st USING (metric) " +
+      "WHERE ds = d0 OR ds = d1 GROUP BY 1), " +
+      "r AS (SELECT a.metric, CAST(COUNT(*) AS BIGINT) AS nr, " +
+      "CAST(SUM(a.yc - b2.yc) AS BIGINT) AS sr, " +
+      "CAST(SUM((a.yc - b2.yc) * (a.yc - b2.yc)) AS BIGINT) AS srr " +
+      "FROM s a JOIN s b2 ON a.metric = b2.metric AND a.ds = b2.ds + 7 " +
+      "GROUP BY 1), " +
+      "f AS (SELECT st.metric, d1, nd, y0, y1, nr, sr, srr, " +
+      "CAST(gs.h AS BIGINT) AS h FROM st JOIN ep USING (metric) " +
+      "JOIN r USING (metric) CROSS JOIN " +
+      "(SELECT unnest(generate_series(1, 7)) AS h) gs), " +
+      "j AS (SELECT f.metric, f.d1 + CAST(h AS INTEGER) AS ds, h, nd, " +
+      "y0, y1, nr, sr, srr, COALESCE(s.yc, f.y1) AS ylagc FROM f " +
+      "LEFT JOIN s ON s.metric = f.metric " +
+      "AND s.ds = f.d1 + CAST(h - 7 AS INTEGER)) " +
+      "SELECT metric, ds, " +
+      "FLOOR((CAST(ylagc AS DOUBLE) / 100.0 + CAST(h AS DOUBLE) * " +
+      "(CAST(y1 - y0 AS DOUBLE) / 100.0 / CAST(nd - 1 AS DOUBLE))) " +
+      "* 10000 + 0.5) / 10000 AS yhat, " +
+      "FLOOR((CAST(ylagc AS DOUBLE) / 100.0 + CAST(h AS DOUBLE) * " +
+      "(CAST(y1 - y0 AS DOUBLE) / 100.0 / CAST(nd - 1 AS DOUBLE)) - 1.28 * " +
+      "(SQRT(GREATEST(0.0, CAST(srr AS DOUBLE) / nr - " +
+      "(CAST(sr AS DOUBLE) / nr) * (CAST(sr AS DOUBLE) / nr))) / 100.0)) " +
+      "* 10000 + 0.5) / 10000 AS yhat_lower, " +
+      "FLOOR((CAST(ylagc AS DOUBLE) / 100.0 + CAST(h AS DOUBLE) * " +
+      "(CAST(y1 - y0 AS DOUBLE) / 100.0 / CAST(nd - 1 AS DOUBLE)) + 1.28 * " +
+      "(SQRT(GREATEST(0.0, CAST(srr AS DOUBLE) / nr - " +
+      "(CAST(sr AS DOUBLE) / nr) * (CAST(sr AS DOUBLE) / nr))) / 100.0)) " +
+      "* 10000 + 0.5) / 10000 AS yhat_upper " +
+      "FROM j ORDER BY metric, ds"
+  }
+
   private def holtOracle(yhatSql: String): String =
     s"WITH RECURSIVE b AS ($bucketizeSql), " +
       "m AS (SELECT 'event_count' AS metric, date AS ds, " +
@@ -1156,50 +1221,7 @@ object CoreQueries {
     // the full seasonal-naive-with-drift replay: exact-cents series,
     // integer residual sums, then the SAME IEEE expression tree and the
     // shared 1e-4 floor grain — yhat itself under the hash
-    "forecast_events_snaive" ->
-      (s"WITH b AS ($bucketizeSql), " +
-        "m AS (SELECT 'event_count' AS metric, date AS ds, " +
-        "CAST(event_count AS DOUBLE) AS y FROM b " +
-        "UNION ALL SELECT 'value_sum', date, value_sum FROM b " +
-        "UNION ALL SELECT 'active_users', date, CAST(active_users AS DOUBLE) FROM b), " +
-        "s AS (SELECT metric, ds, CAST(ROUND(y * 100) AS BIGINT) AS yc FROM m), " +
-        // HAVING COUNT(*) > 1 mirrors the Spark side's nd > 1 drift
-        // guard (structurally redundant — the inner join on `r` needs
-        // >= 8 days — but stated identically in both engines)
-        "st AS (SELECT metric, MIN(ds) AS d0, MAX(ds) AS d1, " +
-        "CAST(COUNT(*) AS BIGINT) AS nd FROM s GROUP BY 1 " +
-        "HAVING COUNT(*) > 1), " +
-        "ep AS (SELECT s.metric, MAX(CASE WHEN ds = d0 THEN yc END) AS y0, " +
-        "MAX(CASE WHEN ds = d1 THEN yc END) AS y1 FROM s JOIN st USING (metric) " +
-        "WHERE ds = d0 OR ds = d1 GROUP BY 1), " +
-        "r AS (SELECT a.metric, CAST(COUNT(*) AS BIGINT) AS nr, " +
-        "CAST(SUM(a.yc - b2.yc) AS BIGINT) AS sr, " +
-        "CAST(SUM((a.yc - b2.yc) * (a.yc - b2.yc)) AS BIGINT) AS srr " +
-        "FROM s a JOIN s b2 ON a.metric = b2.metric AND a.ds = b2.ds + 7 " +
-        "GROUP BY 1), " +
-        "f AS (SELECT st.metric, d1, nd, y0, y1, nr, sr, srr, " +
-        "CAST(gs.h AS BIGINT) AS h FROM st JOIN ep USING (metric) " +
-        "JOIN r USING (metric) CROSS JOIN " +
-        "(SELECT unnest(generate_series(1, 7)) AS h) gs), " +
-        "j AS (SELECT f.metric, f.d1 + CAST(h AS INTEGER) AS ds, h, nd, " +
-        "y0, y1, nr, sr, srr, COALESCE(s.yc, f.y1) AS ylagc FROM f " +
-        "LEFT JOIN s ON s.metric = f.metric " +
-        "AND s.ds = f.d1 + CAST(h - 7 AS INTEGER)) " +
-        "SELECT metric, ds, " +
-        "FLOOR((CAST(ylagc AS DOUBLE) / 100.0 + CAST(h AS DOUBLE) * " +
-        "(CAST(y1 - y0 AS DOUBLE) / 100.0 / CAST(nd - 1 AS DOUBLE))) " +
-        "* 10000 + 0.5) / 10000 AS yhat, " +
-        "FLOOR((CAST(ylagc AS DOUBLE) / 100.0 + CAST(h AS DOUBLE) * " +
-        "(CAST(y1 - y0 AS DOUBLE) / 100.0 / CAST(nd - 1 AS DOUBLE)) - 1.28 * " +
-        "(SQRT(GREATEST(0.0, CAST(srr AS DOUBLE) / nr - " +
-        "(CAST(sr AS DOUBLE) / nr) * (CAST(sr AS DOUBLE) / nr))) / 100.0)) " +
-        "* 10000 + 0.5) / 10000 AS yhat_lower, " +
-        "FLOOR((CAST(ylagc AS DOUBLE) / 100.0 + CAST(h AS DOUBLE) * " +
-        "(CAST(y1 - y0 AS DOUBLE) / 100.0 / CAST(nd - 1 AS DOUBLE)) + 1.28 * " +
-        "(SQRT(GREATEST(0.0, CAST(srr AS DOUBLE) / nr - " +
-        "(CAST(sr AS DOUBLE) / nr) * (CAST(sr AS DOUBLE) / nr))) / 100.0)) " +
-        "* 10000 + 0.5) / 10000 AS yhat_upper " +
-        "FROM j ORDER BY metric, ds"),
+    "forecast_events_snaive" -> snaiveOracle(includeActiveUsers = true),
     // the seasonal-mean replay: exact-cents per-(metric, dow) sums, the
     // SAME IEEE expression tree and 1e-4 floor grain — the second
     // forecast with yhat AND both band edges under the hash
