@@ -1106,15 +1106,23 @@ object RelationalQueries {
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
     val edges = coPurchaseEdges(spark, dir)
       .cacheTracked()
+    // degree table = one row per vertex of the THRESHOLDED graph (tiny
+    // next to the edge list) — broadcast into both orientation joins so
+    // the edge list is annotated in one local pass instead of two
+    // shuffles (the HITS/PageRank round-15 lever applied to the one-shot
+    // orientation step)
     val deg = edges.select(col("p1").as("v")).union(edges.select(col("p2")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     val lt = col("d1") < col("d2") ||
       (col("d1") === col("d2") && col("p1") < col("p2"))
+    // oriented edges cached BY THE WEDGE KEY `u`, so the wedge self-join
+    // reads both sides from the same clustered cache with no exchange
     val ori = edges
-      .join(deg.select(col("v").as("p1"), col("d").as("d1")), Seq("p1"))
-      .join(deg.select(col("v").as("p2"), col("d").as("d2")), Seq("p2"))
+      .join(broadcast(deg.select(col("v").as("p1"), col("d").as("d1"))), Seq("p1"))
+      .join(broadcast(deg.select(col("v").as("p2"), col("d").as("d2"))), Seq("p2"))
       .select(when(lt, col("p1")).otherwise(col("p2")).as("u"),
         when(lt, col("p2")).otherwise(col("p1")).as("v"))
+      .repartition(col("u"))
       .cacheTracked()
     val wedge = ori.as("w1")
       .join(ori.as("w2"), col("w1.u") === col("w2.u") && col("w1.v") < col("w2.v"))
