@@ -75,4 +75,18 @@ class PageRankSpec extends SparkSpec {
     val b = PageRank.run(edges, iters = 5, redistributeDangling = true).collect().toSeq
     assert(a == b, "no dangling nodes -> dm = 0 every round -> identical ranks")
   }
+
+  test("broadcast mode and shuffle mode are row-identical (both variants)") {
+    // the two physical regimes (score-vector broadcast over an agg-key-
+    // clustered edge cache vs shuffle-on-key over the src-sorted cache)
+    // must agree exactly — same association order, rounded to 6dp, so
+    // any divergence is a restructure bug, not float noise
+    val edges = ((0L until 8L).map(i => (i, (i * 3 + 1) % 8, 1.0 + (i % 3))) ++
+      Seq((2L, 5L, 4.0), (7L, 0L, 0.5))).toDF("src", "dst", "w")
+    def run(bmax: Long, dangling: Boolean) =
+      PageRank.run(edges, iters = 6, redistributeDangling = dangling,
+        broadcastMaxNodes = bmax).collect().map(_.toString).sorted.toSeq
+    assert(run(4000000L, dangling = false) == run(0L, dangling = false))
+    assert(run(4000000L, dangling = true) == run(0L, dangling = true))
+  }
 }
