@@ -156,7 +156,8 @@ object Scaling {
     // one metric-grouping shuffle + a linear per-metric fold) and the
     // refit-on-arrival streaming forecast gate (state = one row per day;
     // per-trigger refit cost independent of event volume)
-    "forecast_events_holt_winters", "stream_forecast_snaive")
+    "forecast_events_holt_winters", "forecast_events_holt_winters_damped",
+    "stream_forecast_snaive")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -611,14 +611,22 @@ object CoreQueries {
     * n >= 14 predicate in both engines. Scale: identical to `holt` —
     * one shuffle to group metrics, a linear fold per metric.
     */
-  def forecastEventsHoltWinters(spark: SparkSession, dir: String): DataFrame = {
+  /** The Holt-Winters level/trend/seasonal fold shared by the linear and
+    * DAMPED faces — one construction per fitted state, like [[holtFit]].
+    * `phi` is the trend damping (1.0 = undamped): the recurrence applies
+    * it as `pb = phi·b` everywhere the previous trend is consumed, and
+    * phi = 1.0 is bit-exact identity (1.0·b ≡ b in IEEE), so the linear
+    * face's values are unchanged by the sharing. One row per metric:
+    * (metric, d1, n, l, b, s[7], sd).
+    */
+  private def hwFit(spark: SparkSession, dir: String, phi: Double): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
     val s = eventsLong(spark, dir)
       .select(col("metric"), col("ds"),
         round(col("y") * 100).cast("long").as("yc"))
       .as[(String, java.sql.Date, Long)]
-    val fit = s.groupByKey(_._1).flatMapGroups { (metric, it) =>
+    s.groupByKey(_._1).flatMapGroups { (metric, it) =>
       val rows = it.toArray.sortBy(_._2.toLocalDate.toEpochDay)
       if (rows.length < 14) Iterator.empty
       else {
@@ -630,11 +638,12 @@ object CoreQueries {
         while (i < rows.length) {
           val y = rows(i)._3.toDouble
           val k = i % 7
-          val e = y - (l + b + sa(k))
           // mirrored TOKEN-FOR-TOKEN in the oracle's recursive CTE
-          val l1 = 0.5 * (y - sa(k)) + 0.5 * (l + b)
-          val b1 = 0.5 * (l1 - l) + 0.5 * b
-          val s1 = 0.5 * (y - (l + b)) + 0.5 * sa(k)
+          val pb = phi * b
+          val e = y - (l + pb + sa(k))
+          val l1 = 0.5 * (y - sa(k)) + 0.5 * (l + pb)
+          val b1 = 0.5 * (l1 - l) + 0.5 * pb
+          val s1 = 0.5 * (y - (l + pb)) + 0.5 * sa(k)
           se += e * e
           l = l1; b = b1; sa(k) = s1; i += 1
         }
@@ -643,6 +652,12 @@ object CoreQueries {
           rows.length.toLong, l, b, sa.toSeq, sd))
       }
     }.toDF("metric", "d1", "n", "l", "b", "s", "sd")
+  }
+
+  /** Shared 7-day fan-out + grain for the HW faces; `trendC(h)` is the
+    * only difference between the linear and damped projections.
+    */
+  private def hwProject(fit: DataFrame)(trendC: Column => Column): DataFrame = {
     def grain(c: Column) = floor(c * 10000 + 0.5) / 10000.0
     val fut = fit.select(col("metric"), col("d1"), col("n"), col("l"),
         col("b"), col("s"), col("sd"),
@@ -650,7 +665,7 @@ object CoreQueries {
       .withColumn("ds", date_add(col("d1"), col("h")))
     // slot selection is index arithmetic + element pick — no float ops,
     // so the CASE rendering in the oracle is trivially the same value
-    val yhat = (col("l") + col("h").cast("double") * col("b") +
+    val yhat = (col("l") + trendC(col("h")) +
       element_at(col("s"),
         ((col("n") + col("h") - 1) % 7).cast("int") + 1)) / lit(100.0)
     fut.select(col("metric"), col("ds"),
@@ -659,6 +674,24 @@ object CoreQueries {
       grain(yhat + lit(1.28) * col("sd")).as("yhat_upper"))
       .orderBy("metric", "ds")
   }
+
+  def forecastEventsHoltWinters(spark: SparkSession, dir: String): DataFrame =
+    hwProject(hwFit(spark, dir, phi = 1.0))(
+      h => h.cast("double") * col("b"))
+
+  /** DAMPED-trend Holt-Winters [public: Gardner & McKenzie 1985 damping
+    * composed with Winters' additive seasonality; FPP3 §8.3's damped
+    * form, phi = 1/2] — the SEVENTH fully value-hash-checked forecast:
+    * the [[hwFit]] recurrence with the previous trend consumed as
+    * phi·b_{t−1} in all three state updates, projected with the
+    * geometric damp sum (phi + … + phi^h) = 1 − 0.5^h (exactly dyadic —
+    * POWER is exponent arithmetic, the forecast_events_holt_damped
+    * precedent). The linear and damped faces share one fold; only phi
+    * and the projection differ.
+    */
+  def forecastEventsHoltWintersDamped(spark: SparkSession, dir: String): DataFrame =
+    hwProject(hwFit(spark, dir, phi = 0.5))(
+      h => (lit(1.0) - pow(lit(0.5), h.cast("double"))) * col("b"))
 
   /** Sub-daily forecast over HOURLY event buckets — the path where
     * Prophet's daily-seasonality auto-rule genuinely fires (720 hourly
@@ -919,6 +952,7 @@ object CoreQueries {
     "forecast_events_holt" -> (forecastEventsHolt _),
     "forecast_events_holt_damped" -> (forecastEventsHoltDamped _),
     "forecast_events_holt_winters" -> (forecastEventsHoltWinters _),
+    "forecast_events_holt_winters_damped" -> (forecastEventsHoltWintersDamped _),
     "forecast_backtest" -> (forecastBacktest _),
     "forecast_backtest_gate" -> (forecastBacktestGate _),
     "forecast_backtest_naive" -> (forecastBacktestNaive _),
@@ -1109,15 +1143,19 @@ object CoreQueries {
     * places) re-evaluate to identical bits because IEEE double
     * arithmetic is deterministic.
     */
-  private def holtWintersOracle: String = {
+  private def holtWintersOracle(damped: Boolean = false): String = {
     val y = "CAST(r.yc AS DOUBLE)"
     val sK = "CASE (r.i - 1) % 7 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 " +
       "WHEN 2 THEN h.s2 WHEN 3 THEN h.s3 WHEN 4 THEN h.s4 " +
       "WHEN 5 THEN h.s5 ELSE h.s6 END"
-    val l1 = s"0.5 * ($y - ($sK)) + 0.5 * (h.l + h.t)"
-    val b1 = s"0.5 * (($l1) - h.l) + 0.5 * h.t"
-    val s1 = s"0.5 * ($y - (h.l + h.t)) + 0.5 * ($sK)"
-    val e = s"$y - (h.l + h.t + ($sK))"
+    // pb = phi * b_{t-1}: the previous trend as the recurrence consumes
+    // it. phi = 1 renders as plain h.t (bit-identical to 1.0 * h.t, the
+    // Scala side's unified fold)
+    val bt = if (damped) "0.5 * h.t" else "h.t"
+    val l1 = s"0.5 * ($y - ($sK)) + 0.5 * (h.l + $bt)"
+    val b1 = s"0.5 * (($l1) - h.l) + 0.5 * ($bt)"
+    val s1 = s"0.5 * ($y - (h.l + $bt)) + 0.5 * ($sK)"
+    val e = s"$y - (h.l + $bt + ($sK))"
     val slotCols = (0 to 6).map(j =>
       s"CASE WHEN (r.i - 1) % 7 = $j THEN $s1 ELSE h.s$j END").mkString(", ")
     val initSeas = (1 to 7).map(j => s"y$j - l7").mkString(", ")
@@ -1150,7 +1188,8 @@ object CoreQueries {
       "FROM hw h JOIN st st2 ON st2.metric = h.metric AND h.i = st2.n " +
       "WHERE st2.n >= 14), " +
       "f AS (SELECT metric, d1 + CAST(gs.h AS INTEGER) AS ds, " +
-      s"(l + CAST(gs.h AS DOUBLE) * t + ($futSeas)) / 100.0 AS yhat, sd " +
+      s"(l + ${if (damped) "(1.0 - POWER(0.5, CAST(gs.h AS DOUBLE)))"
+        else "CAST(gs.h AS DOUBLE)"} * t + ($futSeas)) / 100.0 AS yhat, sd " +
       "FROM fin st2 CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h) gs) " +
       "SELECT metric, ds, FLOOR(yhat * 10000 + 0.5) / 10000 AS yhat, " +
       "FLOOR((yhat - 1.28 * sd) * 10000 + 0.5) / 10000 AS yhat_lower, " +
@@ -1264,7 +1303,10 @@ object CoreQueries {
       "(l + CAST(gs.h AS DOUBLE) * t) / 100.0"),
     // the seasonal face: its own recursive CTE carrying the 7 seasonal
     // slots as state columns (see holtWintersOracle)
-    "forecast_events_holt_winters" -> holtWintersOracle,
+    "forecast_events_holt_winters" -> holtWintersOracle(),
+    // the damped seasonal face: phi = 1/2 folded into the recurrence's
+    // trend consumption and the geometric damp sum in the projection
+    "forecast_events_holt_winters_damped" -> holtWintersOracle(damped = true),
     // the damped face: identical recursive fit, only the projection
     // changes — damp factor 1 - 0.5^h (exactly dyadic, POWER is
     // exponent arithmetic in both engines)

@@ -254,4 +254,20 @@ class MediaAdmitAndHoltSpec extends SparkSpec {
       }
     }
   }
+
+  test("forecast_events_holt_winters_damped: shares the seasonal fold shape; " +
+    "ordered bands and the same calendar as the linear face") {
+    def byKey(name: String) =
+      CoreQueries.queries(name)(spark, sf0001).collect()
+        .map(r => (r.getString(0), r.getDate(1).toString) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val lin = byKey("forecast_events_holt_winters")
+    val dmp = byKey("forecast_events_holt_winters_damped")
+    // identical (metric, date) calendar; both faces emit 3 metrics x 7 days
+    assert(lin.keySet == dmp.keySet && lin.size == 21)
+    dmp.values.foreach { case (y, lo, hi) => assert(lo <= y && y <= hi) }
+    // phi < 1 is a genuinely different fit (not just a reprojection):
+    // at least one forecast value must differ between the faces
+    assert(lin != dmp, "damping must change at least one forecast value")
+  }
 }
