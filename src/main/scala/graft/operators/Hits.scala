@@ -47,11 +47,15 @@ object Hits {
   /** edges: (c: long, s: long, w: double) — left node, right node,
     * weight. Returns (role: 'hub'|'auth', node, score) with score
     * rounded to 6 decimals; roles keep both sides in one frame.
-    * `broadcastMaxNodes` caps the per-round score-vector broadcast
-    * (~tens of MB of rows); larger graphs shuffle-join instead.
+    * `broadcastMaxNodes` caps the per-round score-vector broadcast;
+    * larger graphs shuffle-join instead. The 1M default keeps each
+    * broadcast ~tens of MB (node id + double ≈ 24 B/row plus hash-table
+    * overhead) — inside Spark's customary broadcast budget on
+    * default-configured executors (ADVICE r15 flagged the previous 4M
+    * default as a 100–200 MB-per-round driver/executor memory risk).
     */
   def run(edges: DataFrame, iters: Int, reliable: Boolean = false,
-      broadcastMaxNodes: Long = 4000000L): DataFrame = {
+      broadcastMaxNodes: Long = 1000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val e = edges.cacheTracked()
     // one bounded one-row action sizes both score vectors for the
@@ -71,6 +75,11 @@ object Hits {
     // probe + in-partition aggregate, plus one |V|-row broadcast build.
     val eS = if (bHub) e.repartition(col("s")).cacheTracked() else e
     val eC = if (bAuth) e.repartition(col("c")).cacheTracked() else e
+    // When both per-direction layouts exist, the original layout `e` is
+    // only needed to BUILD them — dropping it after round 1 (whose two
+    // eager checkpoints materialize eS and eC) cuts peak cache from
+    // three |E| copies to two (ADVICE r15).
+    val dropOriginal = bHub && bAuth
     // Guarded normalizer: an all-zero (or empty-after-filter) edge frame
     // would otherwise divide by 0 and propagate NaN differently across
     // engines; clamping at MIN_NORMAL is identity for any real input.
@@ -103,6 +112,7 @@ object Hits {
       hub = hr
         .crossJoin(broadcast(hr.agg(sqrt(sum(col("h") * col("h"))).as("z"))))
         .select(col("c"), (col("h") / greatest(col("z"), lit(minNorm))).as("h"))
+      if (i == 1 && dropOriginal) e.unpersist(blocking = false)
     }
     hub.select(lit("hub").as("role"), col("c").as("node"),
         round(col("h"), 6).as("score"))

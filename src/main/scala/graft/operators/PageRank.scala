@@ -43,6 +43,10 @@ object PageRank {
 
   /** edges: (src: long, dst: long, w: double). Returns (node, pr) with
     * `pr` rounded to 6 decimals (cross-engine float-sum tolerance).
+    * `broadcastMaxNodes` defaults to 1M — each per-round broadcast stays
+    * ~tens of MB, inside the customary broadcast budget on default-
+    * configured executors; the HLL ±5% sizing error then fuzzes the
+    * boundary well below any memory cliff (ADVICE r15).
     * `reliable` selects the lineage-truncation mode (see [[Checkpoints]]):
     * default executor-local; true = FS-backed, surviving executor loss.
     *
@@ -58,7 +62,7 @@ object PageRank {
   def run(edges: DataFrame, iters: Int, damping: Double = 0.85,
       reliable: Boolean = false,
       redistributeDangling: Boolean = false,
-      broadcastMaxNodes: Long = 4000000L): DataFrame = {
+      broadcastMaxNodes: Long = 1000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     // Cached BY SRC, sorted within partitions: the out-weight aggregate
     // below then plans with no exchange at all, and in shuffle mode (the

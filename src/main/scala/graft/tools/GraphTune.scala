@@ -49,15 +49,22 @@ object GraphTune {
     }
     def hitsEdges() = edges().select(col("c"), col("s"), col("w").cast("double").as("w"))
 
-    args.drop(1).headOption.getOrElse("all") match {
-      case _ =>
-        time("warmup pagerank")(graft.operators.PageRank.run(prEdges(), 5))
-        time("pagerank bcast")(graft.operators.PageRank.run(prEdges(), 5))
-        time("pagerank dangling")(graft.operators.PageRank.run(prEdges(), 5,
-          redistributeDangling = true))
-        time("hits bcast")(graft.operators.Hits.run(hitsEdges(), 3))
-        time("pagerank bcast 2")(graft.operators.PageRank.run(prEdges(), 5))
-        time("hits bcast 2")(graft.operators.Hits.run(hitsEdges(), 3))
+    // second CLI arg selects the case family (ADVICE r15: the previous
+    // catch-all match silently ran everything)
+    val mode = args.drop(1).headOption.getOrElse("all")
+    if (mode == "pagerank" || mode == "all") {
+      time("warmup pagerank")(graft.operators.PageRank.run(prEdges(), 5))
+      time("pagerank bcast")(graft.operators.PageRank.run(prEdges(), 5))
+      time("pagerank dangling")(graft.operators.PageRank.run(prEdges(), 5,
+        redistributeDangling = true))
+      time("pagerank bcast 2")(graft.operators.PageRank.run(prEdges(), 5))
+      time("pagerank shuffle")(graft.operators.PageRank.run(prEdges(), 5,
+        broadcastMaxNodes = 0L))
+    }
+    if (mode == "hits" || mode == "all") {
+      time("warmup hits")(graft.operators.Hits.run(hitsEdges(), 3))
+      time("hits bcast")(graft.operators.Hits.run(hitsEdges(), 3))
+      time("hits bcast 2")(graft.operators.Hits.run(hitsEdges(), 3))
     }
     spark.stop()
   }
