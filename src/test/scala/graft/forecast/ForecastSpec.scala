@@ -286,4 +286,60 @@ class ForecastEngineSpec extends SparkSpec {
     assert(regressed.map(_._1).toSeq == healthy.map(_._1).toSeq,
       "calendar bits stay pinned independently of the fit values")
   }
+
+  test("ridge-trend oracle config pin: an 8-point daily window fits " +
+    "trend-only with changepoints exactly {3/7, 5/7} (p = 4)") {
+    // the forecast_events_ridge_trend DuckDB oracle hard-codes this
+    // shape (design [1, t, (t-3/7)+, (t-5/7)+], lambda diag
+    // [1e-6, 1e-6, 1+0.05*8, 1+0.05*8]); this spec pins the fit rules
+    // that produce it so a config drift fails HERE, not as a silent
+    // oracle hash mismatch
+    val start = java.time.LocalDate.parse("2023-01-01").toEpochDay
+    val pts = Array.tabulate(8)(i =>
+      (start + i, 5.0 + 2.0 * i + (if (i % 2 == 0) 0.3 else -0.3)))
+    val p = ProphetLike.fit(pts)
+    assert(!p.weeklyEnabled, "span 7 < 14 must keep weekly off")
+    assert(!p.yearlyEnabled && !p.dailyEnabled)
+    assert(p.spanDays == 7.0)
+    assert(p.changepoints.toSeq == Seq(3.0 / 7.0, 5.0 / 7.0),
+      s"changepoint quantiles moved: ${p.changepoints.toSeq}")
+    assert(p.beta.length == 4, s"p must be 4, got ${p.beta.length}")
+    // the analytic band widens with the horizon (deltaScale > 0 on a
+    // kinked series) and brackets yhat
+    val fut = ProphetLike.predict(p, Array(pts.last._1 + 1, pts.last._1 + 7))
+    fut.foreach { case (_, yh, lo, hi) => assert(lo <= yh && yh <= hi) }
+    assert(fut(1)._4 - fut(1)._3 >= fut(0)._4 - fut(0)._3,
+      "band must not narrow with horizon")
+  }
+
+  test("forecast_events_ridge_trend equals a driver-side " +
+    "fit-and-predict over each metric's last 8 days") {
+    val got = graft.queries.CoreQueries.queries(
+      "forecast_events_ridge_trend")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.size == 21, s"3 metrics x 7 days, got ${got.size}")
+    val melted = graft.SparkEntry.queries("series_melt")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getDouble(2)))
+      .groupBy(_._1)
+    def grain(x: Double) = math.floor(x * 10000 + 0.5) / 10000.0
+    melted.foreach { case (metric, ms) =>
+      val s = ms.sortBy(_._2.toLocalDate.toEpochDay)
+      val d1 = s.last._2.toLocalDate.toEpochDay
+      val win = s.filter { t =>
+        val d = t._2.toLocalDate.toEpochDay; d >= d1 - 7 && d <= d1
+      }
+      assert(win.length == 8, s"$metric fixture window gapped")
+      val pts = win.map(t =>
+        (t._2.toLocalDate.toEpochDay, math.rint(t._3 * 100) / 100.0))
+      val params = ProphetLike.fit(pts)
+      ProphetLike.predict(params, Array.tabulate(7)(h => d1 + h + 1))
+        .foreach { case (d, yh, lo, hi) =>
+          val key = (metric, java.time.LocalDate.ofEpochDay(d).toString)
+          assert(got(key) == ((grain(yh), grain(lo), grain(hi))),
+            s"$key: ${got(key)} vs direct (${grain(yh)}, ${grain(lo)}, ${grain(hi)})")
+        }
+    }
+  }
 }

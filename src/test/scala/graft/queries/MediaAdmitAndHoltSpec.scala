@@ -270,4 +270,56 @@ class MediaAdmitAndHoltSpec extends SparkSpec {
     // at least one forecast value must differ between the faces
     assert(lin != dmp, "damping must change at least one forecast value")
   }
+
+  test("forecast_events_holt_winters_mul: ratio seasonal state replays " +
+    "against a driver-side scalar fold; projection multiplies the slot") {
+    val rows = CoreQueries.queries("forecast_events_holt_winters_mul")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 21)
+    rows.foreach { case (_, _, y, lo, hi) => assert(lo <= y && y <= hi) }
+    // scalar replay of the MULTIPLICATIVE recurrence (FPP3 §8.3 ratio
+    // form): divide where the additive fold subtracts, error against
+    // (l + b)*s_k, projection (l + h*b)*s
+    val melted = SparkEntry.queries("series_melt")(spark, sf0001)
+    val byMetric = melted.collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getDouble(2)))
+      .groupBy(_._1)
+    byMetric.foreach { case (metric, ms) =>
+      val ys = ms.sortBy(_._2.toLocalDate.toEpochDay)
+        .map(t => math.rint(t._3 * 100).toLong)
+      assert(ys.length >= 14 && ys.forall(_ > 0L),
+        s"fixture must satisfy the mul guard for $metric")
+      var l = ys.take(7).sum.toDouble / 7.0
+      var b = 0.0
+      val sa = Array.tabulate(7)(j => ys(j).toDouble / l)
+      var se = 0.0
+      for (i <- 7 until ys.length) {
+        val y = ys(i).toDouble; val k = i % 7
+        val e = y - (l + b) * sa(k)
+        val l1 = 0.5 * (y / sa(k)) + 0.5 * (l + b)
+        val b1 = 0.5 * (l1 - l) + 0.5 * b
+        val s1 = 0.5 * (y / (l + b)) + 0.5 * sa(k)
+        se += e * e; l = l1; b = b1; sa(k) = s1
+      }
+      val sd = math.sqrt(se / (ys.length - 7).toDouble) / 100.0
+      val got = rows.filter(_._1 == metric).sortBy(_._2)
+      got.zipWithIndex.foreach { case ((_, _, y, lo, hi), idx) =>
+        val h = idx + 1
+        val want = (l + h.toDouble * b) * sa((ys.length + h - 1) % 7) / 100.0
+        def grain(x: Double) = math.floor(x * 10000 + 0.5) / 10000.0
+        assert(y == grain(want), s"$metric h=$h: $y vs ${grain(want)}")
+        assert(lo == grain(want - 1.28 * sd) && hi == grain(want + 1.28 * sd))
+      }
+    }
+    // the ratio state is a genuinely different model from the additive
+    // face, not a reparameterization
+    val add = CoreQueries.queries("forecast_events_holt_winters")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) -> r.getDouble(2))
+      .toMap
+    val mulMap = rows.map(t => (t._1, t._2) -> t._3).toMap
+    assert(add.keySet == mulMap.keySet, "both faces share the calendar")
+    assert(add != mulMap, "mul must change at least one forecast value")
+  }
 }
