@@ -66,6 +66,20 @@ object GraphTune {
       time("hits bcast")(graft.operators.Hits.run(hitsEdges(), 3))
       time("hits bcast 2")(graft.operators.Hits.run(hitsEdges(), 3))
     }
+    // the node-cap boundary probe (round-16 verdict ask #6): force each
+    // physical mode regardless of |V| so the crossover is measurable on
+    // replicas that straddle the default cap
+    if (mode == "capprobe") {
+      time("warmup pagerank")(graft.operators.PageRank.run(prEdges(), 5))
+      time("pagerank bcast forced")(graft.operators.PageRank.run(prEdges(), 5,
+        broadcastMaxNodes = Long.MaxValue))
+      time("pagerank shuffle forced")(graft.operators.PageRank.run(prEdges(), 5,
+        broadcastMaxNodes = 0L))
+      time("pagerank bcast forced 2")(graft.operators.PageRank.run(prEdges(), 5,
+        broadcastMaxNodes = Long.MaxValue))
+      time("pagerank shuffle forced 2")(graft.operators.PageRank.run(prEdges(), 5,
+        broadcastMaxNodes = 0L))
+    }
     spark.stop()
   }
 }
