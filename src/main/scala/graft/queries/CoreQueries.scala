@@ -730,6 +730,18 @@ object CoreQueries {
     hwProject(hwFit(spark, dir, phi = 1.0, mul = true), mul = true)(
       h => h.cast("double") * col("b"))
 
+  /** Damped multiplicative Holt-Winters — the FOURTH corner of the
+    * classical {linear, damped} × {additive, multiplicative} seasonal
+    * taxonomy [public: FPP3 §8.3's full method table], completing it
+    * under the driver hash: the [[hwFit]] ratio recurrence with the
+    * trend consumed as φ·b (φ = 1/2) and the geometric damp sum
+    * 1 − 0.5^h in the factor projection (exactly dyadic, the
+    * holt_damped precedent). Ninth fully value-hash-checked forecast.
+    */
+  def forecastEventsHoltWintersMulDamped(spark: SparkSession, dir: String): DataFrame =
+    hwProject(hwFit(spark, dir, phi = 0.5, mul = true), mul = true)(
+      h => (lit(1.0) - pow(lit(0.5), h.cast("double"))) * col("b"))
+
   /** The FIRST value-hash CORRECTNESS row through the ACTUAL
     * [[graft.forecast.ProphetLike.fit]]/[[graft.forecast.ProphetLike.predict]]
     * production path (round-15 verdict ask #3): each metric's LAST 8
@@ -1057,6 +1069,8 @@ object CoreQueries {
     "forecast_events_holt_winters" -> (forecastEventsHoltWinters _),
     "forecast_events_holt_winters_damped" -> (forecastEventsHoltWintersDamped _),
     "forecast_events_holt_winters_mul" -> (forecastEventsHoltWintersMul _),
+    "forecast_events_holt_winters_mul_damped" ->
+      (forecastEventsHoltWintersMulDamped _),
     "forecast_events_ridge_trend" -> (forecastEventsRidgeTrend _),
     "forecast_backtest" -> (forecastBacktest _),
     "forecast_backtest_gate" -> (forecastBacktestGate _),
@@ -1283,12 +1297,11 @@ object CoreQueries {
     // additive renderings carry neither token, byte-identical to r15
     val stMin = if (mul) ", CAST(MIN(yc) AS BIGINT) AS miny" else ""
     val finGuard = if (mul) " AND st2.miny > 0" else ""
+    val damp = if (damped) "(1.0 - POWER(0.5, CAST(gs.h AS DOUBLE)))"
+      else "CAST(gs.h AS DOUBLE)"
     val yhatF =
-      if (mul)
-        s"(l + CAST(gs.h AS DOUBLE) * t) * ($futSeas) / 100.0"
-      else
-        s"(l + ${if (damped) "(1.0 - POWER(0.5, CAST(gs.h AS DOUBLE)))"
-          else "CAST(gs.h AS DOUBLE)"} * t + ($futSeas)) / 100.0"
+      if (mul) s"(l + $damp * t) * ($futSeas) / 100.0"
+      else s"(l + $damp * t + ($futSeas)) / 100.0"
     s"WITH RECURSIVE b AS ($bucketizeSql), " +
       "m AS (SELECT 'event_count' AS metric, date AS ds, " +
       "CAST(event_count AS DOUBLE) AS y FROM b " +
@@ -1542,6 +1555,11 @@ object CoreQueries {
     // projection (l + h·b)·s — the same recursive-CTE step replay with
     // the min(y) > 0 series guard stated in both engines
     "forecast_events_holt_winters_mul" -> holtWintersOracle(mul = true),
+    // the damped multiplicative face: φ = 1/2 in the ratio recurrence's
+    // trend consumption + the dyadic damp sum in the factor projection —
+    // completes the {linear, damped} × {additive, multiplicative} table
+    "forecast_events_holt_winters_mul_damped" ->
+      holtWintersOracle(damped = true, mul = true),
     // the damped face: identical recursive fit, only the projection
     // changes — damp factor 1 - 0.5^h (exactly dyadic, POWER is
     // exponent arithmetic in both engines)

@@ -322,4 +322,22 @@ class MediaAdmitAndHoltSpec extends SparkSpec {
     assert(add.keySet == mulMap.keySet, "both faces share the calendar")
     assert(add != mulMap, "mul must change at least one forecast value")
   }
+
+  test("forecast_events_holt_winters_mul_damped: completes the 2x2 " +
+    "seasonal taxonomy; damping flattens the multiplicative extrapolation") {
+    def byKey(name: String) =
+      CoreQueries.queries(name)(spark, sf0001).collect()
+        .map(r => (r.getString(0), r.getDate(1).toString) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val lin = byKey("forecast_events_holt_winters_mul")
+    val dmp = byKey("forecast_events_holt_winters_mul_damped")
+    assert(lin.keySet == dmp.keySet && lin.size == 21)
+    dmp.values.foreach { case (y, lo, hi) => assert(lo <= y && y <= hi) }
+    // phi < 1 is a genuinely different fit, and the four faces of the
+    // taxonomy are four distinct models
+    assert(lin != dmp, "damping must change at least one forecast value")
+    val addDmp = byKey("forecast_events_holt_winters_damped")
+    assert(addDmp.keySet == dmp.keySet && addDmp != dmp,
+      "mul-damped must differ from additive-damped")
+  }
 }
