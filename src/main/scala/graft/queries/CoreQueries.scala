@@ -808,6 +808,72 @@ object CoreQueries {
       .orderBy("metric", "ds")
   }
 
+  /** Rolling-origin backtest of the ACTUAL [[graft.forecast.ProphetLike]]
+    * ridge fit, fully value-hash-checked — the first backtest whose
+    * model-dependent skill columns (mae, rmse) are under the driver hash,
+    * closing the gap `forecast_backtest` documents (its Prophet-config
+    * mae/rmse are not SQL-expressible; this face IS, via the
+    * [[forecastEventsRidgeTrend]] closed form). Calendar: the same
+    * Prophet-style cutoff spine as the backtest gate, per metric — from
+    * d1 − 7 stepping back 3 while ≥ 14 training days remain. Per
+    * (metric, cutoff): the last 8 training days (all present on the
+    * gapless fixture; gapped windows drop via the identical count = 8
+    * predicate in both engines) fit the real ridge model — the n = 8
+    * trend-only config the oracle replays by Cramer — and the 7-step
+    * horizon's errors against the held-out actuals reduce to
+    * n / mae / rmse through the shared 1e-4 floor grain. The band is not
+    * needed, so the oracle skips σ/deltaScale; cross-engine float-sum
+    * order in the error aggregates (~1e-15) is absorbed by the grain
+    * like the solve's LU-vs-Cramer noise. Scale: the events scan
+    * dominates; one bounded 8-row fit per (metric, cutoff).
+    */
+  def forecastBacktestRidge(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val s = eventsLong(spark, dir)
+      .select(col("metric"), col("ds"),
+        round(col("y") * 100).cast("long").as("yc"))
+      .as[(String, java.sql.Date, Long)]
+    val rowsDs = s.groupByKey(_._1).flatMapGroups { (metric, it) =>
+      val rows = it.toArray.sortBy(_._2.toLocalDate.toEpochDay)
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val byDay = rows.map(r => (r._2.toLocalDate.toEpochDay, r._3)).toMap
+        val d0 = rows.head._2.toLocalDate.toEpochDay
+        val d1 = rows.last._2.toLocalDate.toEpochDay
+        Iterator.from(0)
+          .map(i => d1 - 7 - 3L * i)
+          .takeWhile(c => c - d0 + 1 >= 14)
+          .flatMap { cutoff =>
+            val win = (cutoff - 7 to cutoff).flatMap(d =>
+              byDay.get(d).map(yc => (d, yc.toDouble / 100.0)))
+            if (win.length != 8) None
+            else {
+              val params = graft.forecast.ProphetLike.fit(win.toArray)
+              val preds = graft.forecast.ProphetLike.predict(
+                params, Array.tabulate(7)(h => cutoff + h + 1))
+              val errs = preds.flatMap { case (d, yh, _, _) =>
+                byDay.get(d).map(yc => yc.toDouble / 100.0 - yh)
+              }
+              if (errs.isEmpty) None
+              else {
+                val n = errs.length
+                val mae = errs.map(math.abs).sum / n.toDouble
+                val rmse = math.sqrt(errs.map(e => e * e).sum / n.toDouble)
+                Some((metric,
+                  java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(cutoff)),
+                  n.toLong, mae, rmse))
+              }
+            }
+          }
+      }
+    }.toDF("metric", "cutoff", "n", "mae0", "rmse0")
+    def grain(c: Column) = floor(c * 10000 + 0.5) / 10000.0
+    rowsDs.select(col("metric"), col("cutoff"), col("n"),
+      grain(col("mae0")).as("mae"), grain(col("rmse0")).as("rmse"))
+      .orderBy("metric", "cutoff")
+  }
+
   /** Sub-daily forecast over HOURLY event buckets — the path where
     * Prophet's daily-seasonality auto-rule genuinely fires (720 hourly
     * points, spacing 1/24 day): fits carry an order-4 daily Fourier
@@ -1072,6 +1138,7 @@ object CoreQueries {
     "forecast_events_holt_winters_mul_damped" ->
       (forecastEventsHoltWintersMulDamped _),
     "forecast_events_ridge_trend" -> (forecastEventsRidgeTrend _),
+    "forecast_backtest_ridge" -> (forecastBacktestRidge _),
     "forecast_backtest" -> (forecastBacktest _),
     "forecast_backtest_gate" -> (forecastBacktestGate _),
     "forecast_backtest_naive" -> (forecastBacktestNaive _),
@@ -1362,17 +1429,44 @@ object CoreQueries {
     * the residual join back to the rows, and the projection replays
     * predict's analytic band token for token.
     */
+  /** The symmetric 4×4 ridge Gram matrix / moment vector column names
+    * shared by the ridge oracles, and the Cramer numerator for β_j
+    * (column j of A replaced by b).
+    */
+  private val RidgeA: IndexedSeq[IndexedSeq[String]] = IndexedSeq(
+    IndexedSeq("a11", "a12", "a13", "a14"),
+    IndexedSeq("a12", "a22", "a23", "a24"),
+    IndexedSeq("a13", "a23", "a33", "a34"),
+    IndexedSeq("a14", "a24", "a34", "a44"))
+  private val RidgeB = IndexedSeq("b1", "b2", "b3", "b4")
+  private def ridgeACol(j: Int): String =
+    det4Sql(RidgeA.zipWithIndex.map { case (row, i) =>
+      row.updated(j, RidgeB(i))
+    })
+
+  /** The per-key Gram sums + ridge diagonal over a CTE `f(… , t, h1,
+    * h2, yv, yscale)` and the Cramer solve — shared by the trend and
+    * backtest ridge oracles; `keys` is the grouping ("metric" or
+    * "metric, cutoff") and `extraAgg` rides along in `g` (e.g. the
+    * projection anchor MAX(d1)). λ_cp is spelled (1.0 + 0.05 * 8.0),
+    * NOT the literal 1.4: Scala's 1.0 + 0.05·n lands one ulp above the
+    * decimal-1.4 double, and the oracle must add the same bits.
+    */
+  private def ridgeSolveCtes(keys: String, extraAgg: String): String =
+    s"g AS (SELECT $keys, MAX(yscale) AS yscale$extraAgg, " +
+      "CAST(COUNT(*) AS DOUBLE) + 1e-6 AS a11, SUM(t) AS a12, " +
+      "SUM(h1) AS a13, SUM(h2) AS a14, SUM(t * t) + 1e-6 AS a22, " +
+      "SUM(t * h1) AS a23, SUM(t * h2) AS a24, " +
+      "SUM(h1 * h1) + (1.0 + 0.05 * 8.0) AS a33, SUM(h1 * h2) AS a34, " +
+      "SUM(h2 * h2) + (1.0 + 0.05 * 8.0) AS a44, " +
+      "SUM(yv) AS b1, SUM(t * yv) AS b2, SUM(h1 * yv) AS b3, " +
+      s"SUM(h2 * yv) AS b4 FROM f GROUP BY $keys), " +
+      s"dn AS (SELECT *, ${det4Sql(RidgeA)} AS den FROM g), " +
+      s"bt AS (SELECT * EXCLUDE (den), ${ridgeACol(0)} / den AS be1, " +
+      s"${ridgeACol(1)} / den AS be2, ${ridgeACol(2)} / den AS be3, " +
+      s"${ridgeACol(3)} / den AS be4 FROM dn), "
+
   private def ridgeTrendOracle: String = {
-    val A: IndexedSeq[IndexedSeq[String]] = IndexedSeq(
-      IndexedSeq("a11", "a12", "a13", "a14"),
-      IndexedSeq("a12", "a22", "a23", "a24"),
-      IndexedSeq("a13", "a23", "a33", "a34"),
-      IndexedSeq("a14", "a24", "a34", "a44"))
-    val bv = IndexedSeq("b1", "b2", "b3", "b4")
-    def aCol(j: Int): String =
-      det4Sql(A.zipWithIndex.map { case (row, i) =>
-        row.updated(j, bv(i))
-      })
     s"WITH b AS ($bucketizeSql), " +
       "m AS (SELECT 'event_count' AS metric, date AS ds, " +
       "CAST(event_count AS DOUBLE) AS y FROM b " +
@@ -1394,21 +1488,7 @@ object CoreQueries {
       "GREATEST(0.0, CAST(w.x AS DOUBLE) / 7.0 - 5.0 / 7.0) AS h2, " +
       "w.y / ys.yscale AS yv FROM w JOIN wn USING (metric) " +
       "JOIN ys USING (metric)), " +
-      // Gram sums + ridge diagonal. λ_cp is spelled (1.0 + 0.05 * 8.0),
-      // NOT the literal 1.4: Scala's 1.0 + 0.05*n lands one ulp above
-      // the decimal-1.4 double, and the oracle must add the same bits
-      "g AS (SELECT metric, MAX(d1) AS d1, MAX(yscale) AS yscale, " +
-      "CAST(COUNT(*) AS DOUBLE) + 1e-6 AS a11, SUM(t) AS a12, " +
-      "SUM(h1) AS a13, SUM(h2) AS a14, SUM(t * t) + 1e-6 AS a22, " +
-      "SUM(t * h1) AS a23, SUM(t * h2) AS a24, " +
-      "SUM(h1 * h1) + (1.0 + 0.05 * 8.0) AS a33, SUM(h1 * h2) AS a34, " +
-      "SUM(h2 * h2) + (1.0 + 0.05 * 8.0) AS a44, " +
-      "SUM(yv) AS b1, SUM(t * yv) AS b2, SUM(h1 * yv) AS b3, " +
-      "SUM(h2 * yv) AS b4 FROM f GROUP BY 1), " +
-      s"dn AS (SELECT *, ${det4Sql(A)} AS den FROM g), " +
-      s"bt AS (SELECT metric, d1, yscale, ${aCol(0)} / den AS be1, " +
-      s"${aCol(1)} / den AS be2, ${aCol(2)} / den AS be3, " +
-      s"${aCol(3)} / den AS be4 FROM dn), " +
+      ridgeSolveCtes("metric", ", MAX(d1) AS d1") +
       // residual pass: σ = √(Σe²/(n−p)) with n−p = 4, deltaScale from
       // the two hinge deltas
       "rs AS (SELECT f.metric, SUM((f.yv - (bt.be1 + bt.be2 * f.t + " +
@@ -1436,11 +1516,62 @@ object CoreQueries {
       "FROM p ORDER BY metric, ds"
   }
 
+  /** DuckDB replay of [[forecastBacktestRidge]]: the ridge-trend oracle's
+    * window/Gram/Cramer machinery keyed by (metric, cutoff) over the
+    * backtest-gate cutoff spine, then the 7-step projection joins the
+    * held-out actuals and reduces to n / mae / rmse (no band, so no
+    * σ/deltaScale CTEs).
+    */
+  private def ridgeBacktestOracle: String = {
+    s"WITH b AS ($bucketizeSql), " +
+      "m AS (SELECT 'event_count' AS metric, date AS ds, " +
+      "CAST(event_count AS DOUBLE) AS y FROM b " +
+      "UNION ALL SELECT 'value_sum', date, value_sum FROM b " +
+      "UNION ALL SELECT 'active_users', date, CAST(active_users AS DOUBLE) FROM b), " +
+      "s AS (SELECT metric, ds, CAST(ROUND(y * 100) AS BIGINT) AS yc FROM m), " +
+      "st AS (SELECT metric, MIN(ds) AS d0, MAX(ds) AS d1 FROM s GROUP BY 1), " +
+      // the per-metric Prophet-style cutoff spine (the backtest gate's)
+      "cuts AS (SELECT st.metric, st.d1 - 7 - 3 * CAST(i AS INTEGER) AS cutoff " +
+      "FROM st CROSS JOIN generate_series(0, 1000) gs(i) " +
+      "WHERE (st.d1 - 7 - 3 * CAST(i AS INTEGER)) - st.d0 + 1 >= 14), " +
+      // the last-8-training-days window per (metric, cutoff)
+      "w AS (SELECT s.metric, c.cutoff, " +
+      "CAST(s.ds - (c.cutoff - 7) AS BIGINT) AS x, " +
+      "CAST(s.yc AS DOUBLE) / 100.0 AS y FROM s JOIN cuts c USING (metric) " +
+      "WHERE s.ds BETWEEN c.cutoff - 7 AND c.cutoff), " +
+      "wn AS (SELECT metric, cutoff FROM w GROUP BY 1, 2 HAVING COUNT(*) = 8), " +
+      "ys AS (SELECT metric, cutoff, GREATEST(1e-12, MAX(ABS(y))) AS yscale " +
+      "FROM w GROUP BY 1, 2), " +
+      "f AS (SELECT w.metric, w.cutoff, ys.yscale, " +
+      "CAST(w.x AS DOUBLE) / 7.0 AS t, " +
+      "GREATEST(0.0, CAST(w.x AS DOUBLE) / 7.0 - 3.0 / 7.0) AS h1, " +
+      "GREATEST(0.0, CAST(w.x AS DOUBLE) / 7.0 - 5.0 / 7.0) AS h2, " +
+      "w.y / ys.yscale AS yv FROM w JOIN wn USING (metric, cutoff) " +
+      "JOIN ys USING (metric, cutoff)), " +
+      ridgeSolveCtes("metric, cutoff", "") +
+      "f2 AS (SELECT metric, cutoff, cutoff + CAST(gs.h AS INTEGER) AS ds, " +
+      "CAST(7 + gs.h AS DOUBLE) / 7.0 AS tf, yscale, be1, be2, be3, be4 " +
+      "FROM bt CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h) gs), " +
+      "p AS (SELECT metric, cutoff, ds, " +
+      "(be1 + be2 * tf + be3 * GREATEST(0.0, tf - 3.0 / 7.0) + " +
+      "be4 * GREATEST(0.0, tf - 5.0 / 7.0)) * yscale AS yhat FROM f2), " +
+      "j AS (SELECT p.metric, p.cutoff, " +
+      "CAST(s.yc AS DOUBLE) / 100.0 - p.yhat AS e FROM p " +
+      "JOIN s ON s.metric = p.metric AND s.ds = p.ds) " +
+      "SELECT metric, cutoff, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "FLOOR((SUM(ABS(e)) / COUNT(*)) * 10000 + 0.5) / 10000 AS mae, " +
+      "FLOOR(SQRT(SUM(e * e) / COUNT(*)) * 10000 + 0.5) / 10000 AS rmse " +
+      "FROM j GROUP BY 1, 2 ORDER BY metric, cutoff"
+  }
+
   val oracleSql: Map[String, String] = Map(
     // the ridge-trend replay: the production ProphetLike.fit reduced to
     // its closed form — Gram sums, Cramer solve, residual σ, analytic
     // band — with the n = 8 config's λs/changepoints as literals
     "forecast_events_ridge_trend" -> ridgeTrendOracle,
+    // the first backtest with model-dependent skill columns (mae/rmse)
+    // under the hash: the ridge closed form per (metric, cutoff)
+    "forecast_backtest_ridge" -> ridgeBacktestOracle,
     // DuckDB recomputes the hourly bucket count per metric; the horizon
     // (24) and the band-sanity bit are expected constants.
     "forecast_events_hourly_gate" ->

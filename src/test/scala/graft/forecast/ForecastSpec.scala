@@ -312,6 +312,26 @@ class ForecastEngineSpec extends SparkSpec {
       "band must not narrow with horizon")
   }
 
+  test("forecast_backtest_ridge: gate calendar, n = horizon, and " +
+    "rmse >= mae on every row; skill varies across cutoffs") {
+    val rows = graft.queries.CoreQueries.queries(
+      "forecast_backtest_ridge")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // 30-day gapless fixture: cutoffs d1-7, -10, -13, -16 (then the
+    // >= 14-training-day floor stops the spine) x 3 metrics
+    assert(rows.length == 12, s"got ${rows.length}")
+    assert(rows.forall(_._3 == 7L), "every cutoff holds out the full horizon")
+    rows.foreach { case (m, c, _, mae, rmse) =>
+      assert(mae >= 0 && rmse >= mae,
+        s"$m@$c: rmse $rmse must dominate mae $mae")
+    }
+    // the fits are real: identical skill on every (metric, cutoff) would
+    // mean the model collapsed to a constant
+    assert(rows.map(_._4).distinct.length > 1, "mae must vary across rows")
+  }
+
   test("forecast_events_ridge_trend equals a driver-side " +
     "fit-and-predict over each metric's last 8 days") {
     val got = graft.queries.CoreQueries.queries(
