@@ -808,6 +808,64 @@ object CoreQueries {
       .orderBy("metric", "ds")
   }
 
+  /** In-sample anomaly detection through the ACTUAL
+    * [[graft.forecast.ProphetLike]] fit/predict path, fully
+    * value-hash-checked — the anomaly family's strongest oracle twin
+    * (`forecast_anomalies` itself stays rows-only: its Prophet-config
+    * band is not SQL-expressible; THIS face's n = 8 ridge config is,
+    * via the [[forecastEventsRidgeTrend]] closed form). Each metric's
+    * last 8 days fit the ridge model and predict is evaluated on the
+    * SAME in-sample days, where the analytic band is the noise-only
+    * ±z₈₀·σ (dt = 0); a day whose actual falls outside its band flags
+    * `is_anomaly`. The flag compares the GRAINED actual against the
+    * GRAINED band edges — quantities the driver hash already proves
+    * equal across engines — so the bit adds no new float-boundary
+    * fragility class beyond the grain itself. Scale: the events scan
+    * dominates; one bounded 8-row fit per metric.
+    */
+  def forecastAnomaliesRidge(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val s = eventsLong(spark, dir)
+      .select(col("metric"), col("ds"),
+        round(col("y") * 100).cast("long").as("yc"))
+      .as[(String, java.sql.Date, Long)]
+    val fitRows = s.groupByKey(_._1).flatMapGroups { (metric, it) =>
+      val rows = it.toArray.sortBy(_._2.toLocalDate.toEpochDay)
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val d1 = rows.last._2.toLocalDate.toEpochDay
+        val win = rows.filter { r =>
+          val d = r._2.toLocalDate.toEpochDay
+          d >= d1 - 7 && d <= d1
+        }
+        if (win.length != 8) Iterator.empty
+        else {
+          val pts = win.map(r =>
+            (r._2.toLocalDate.toEpochDay, r._3.toDouble / 100.0))
+          val params = graft.forecast.ProphetLike.fit(pts)
+          val byDay = pts.toMap
+          graft.forecast.ProphetLike.predict(params, pts.map(_._1))
+            .iterator.map { case (d, yh, lo, hi) =>
+              (metric,
+                java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d)),
+                byDay(d), yh, lo, hi)
+            }
+        }
+      }
+    }.toDF("metric", "ds", "y0", "yh", "lo", "hi")
+    def grain(c: Column) = floor(c * 10000 + 0.5) / 10000.0
+    fitRows.select(col("metric"), col("ds"),
+      grain(col("y0")).as("y"),
+      grain(col("yh")).as("yhat"),
+      grain(col("lo")).as("yhat_lower"),
+      grain(col("hi")).as("yhat_upper"))
+      .withColumn("is_anomaly",
+        (col("y") < col("yhat_lower") || col("y") > col("yhat_upper"))
+          .cast("int"))
+      .orderBy("metric", "ds")
+  }
+
   /** Rolling-origin backtest of the ACTUAL [[graft.forecast.ProphetLike]]
     * ridge fit, fully value-hash-checked — the first backtest whose
     * model-dependent skill columns (mae, rmse) are under the driver hash,
@@ -1139,6 +1197,7 @@ object CoreQueries {
       (forecastEventsHoltWintersMulDamped _),
     "forecast_events_ridge_trend" -> (forecastEventsRidgeTrend _),
     "forecast_backtest_ridge" -> (forecastBacktestRidge _),
+    "forecast_anomalies_ridge" -> (forecastAnomaliesRidge _),
     "forecast_backtest" -> (forecastBacktest _),
     "forecast_backtest_gate" -> (forecastBacktestGate _),
     "forecast_backtest_naive" -> (forecastBacktestNaive _),
@@ -1564,11 +1623,63 @@ object CoreQueries {
       "FROM j GROUP BY 1, 2 ORDER BY metric, cutoff"
   }
 
+  /** DuckDB replay of [[forecastAnomaliesRidge]]: the ridge-trend
+    * machinery evaluated on the IN-SAMPLE window rows (raw y carried
+    * through, never reconstructed as yv·yscale — division-then-multiply
+    * would not be bit-identical), with the noise-only band rendered as
+    * SQRT(sigma * sigma) exactly as predict computes it at dt = 0, and
+    * the anomaly bit compared on the grained columns.
+    */
+  private def ridgeAnomaliesOracle: String = {
+    val yg = "FLOOR(y * 10000 + 0.5) / 10000"
+    val log = "FLOOR((yhat - hw) * 10000 + 0.5) / 10000"
+    val hig = "FLOOR((yhat + hw) * 10000 + 0.5) / 10000"
+    s"WITH b AS ($bucketizeSql), " +
+      "m AS (SELECT 'event_count' AS metric, date AS ds, " +
+      "CAST(event_count AS DOUBLE) AS y FROM b " +
+      "UNION ALL SELECT 'value_sum', date, value_sum FROM b " +
+      "UNION ALL SELECT 'active_users', date, CAST(active_users AS DOUBLE) FROM b), " +
+      "s AS (SELECT metric, ds, CAST(ROUND(y * 100) AS BIGINT) AS yc FROM m), " +
+      "st AS (SELECT metric, MAX(ds) AS d1 FROM s GROUP BY 1), " +
+      "w AS (SELECT s.metric, s.ds, CAST(s.ds - (t.d1 - 7) AS BIGINT) AS x, " +
+      "CAST(s.yc AS DOUBLE) / 100.0 AS y FROM s JOIN st t USING (metric) " +
+      "WHERE s.ds BETWEEN t.d1 - 7 AND t.d1), " +
+      "wn AS (SELECT metric FROM w GROUP BY 1 HAVING COUNT(*) = 8), " +
+      "ys AS (SELECT metric, GREATEST(1e-12, MAX(ABS(y))) AS yscale " +
+      "FROM w GROUP BY 1), " +
+      "f AS (SELECT w.metric, w.ds, w.y, ys.yscale, " +
+      "CAST(w.x AS DOUBLE) / 7.0 AS t, " +
+      "GREATEST(0.0, CAST(w.x AS DOUBLE) / 7.0 - 3.0 / 7.0) AS h1, " +
+      "GREATEST(0.0, CAST(w.x AS DOUBLE) / 7.0 - 5.0 / 7.0) AS h2, " +
+      "w.y / ys.yscale AS yv FROM w JOIN wn USING (metric) " +
+      "JOIN ys USING (metric)), " +
+      ridgeSolveCtes("metric", "") +
+      "rs AS (SELECT f.metric, SUM((f.yv - (bt.be1 + bt.be2 * f.t + " +
+      "bt.be3 * f.h1 + bt.be4 * f.h2)) * (f.yv - (bt.be1 + bt.be2 * f.t + " +
+      "bt.be3 * f.h1 + bt.be4 * f.h2))) AS sse FROM f " +
+      "JOIN bt USING (metric) GROUP BY 1), " +
+      "fin AS (SELECT bt.metric, SQRT(rs.sse / 4.0) AS sigma " +
+      "FROM bt JOIN rs USING (metric)), " +
+      "p AS (SELECT f.metric, f.ds, f.y, " +
+      "(bt.be1 + bt.be2 * f.t + bt.be3 * f.h1 + bt.be4 * f.h2) * f.yscale " +
+      "AS yhat, " +
+      "1.2815515655446004 * SQRT(fin.sigma * fin.sigma) * f.yscale AS hw " +
+      "FROM f JOIN bt USING (metric) JOIN fin USING (metric)) " +
+      s"SELECT metric, ds, $yg AS y, " +
+      "FLOOR(yhat * 10000 + 0.5) / 10000 AS yhat, " +
+      s"$log AS yhat_lower, $hig AS yhat_upper, " +
+      s"CASE WHEN $yg < $log OR $yg > $hig THEN 1 ELSE 0 END AS is_anomaly " +
+      "FROM p ORDER BY metric, ds"
+  }
+
   val oracleSql: Map[String, String] = Map(
     // the ridge-trend replay: the production ProphetLike.fit reduced to
     // its closed form — Gram sums, Cramer solve, residual σ, analytic
     // band — with the n = 8 config's λs/changepoints as literals
     "forecast_events_ridge_trend" -> ridgeTrendOracle,
+    // the anomaly family's value-hash face: in-sample ridge band,
+    // anomaly bit derived from the grained (already hash-equal) columns
+    "forecast_anomalies_ridge" -> ridgeAnomaliesOracle,
     // the first backtest with model-dependent skill columns (mae/rmse)
     // under the hash: the ridge closed form per (metric, cutoff)
     "forecast_backtest_ridge" -> ridgeBacktestOracle,

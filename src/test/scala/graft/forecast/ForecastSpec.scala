@@ -312,6 +312,25 @@ class ForecastEngineSpec extends SparkSpec {
       "band must not narrow with horizon")
   }
 
+  test("forecast_anomalies_ridge: 8 in-sample rows per metric, bands " +
+    "bracket yhat, and the bit equals the grained band comparison") {
+    val rows = graft.queries.CoreQueries.queries(
+      "forecast_anomalies_ridge")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getInt(6)))
+    assert(rows.length == 24, s"3 metrics x 8 window days, got ${rows.length}")
+    rows.foreach { case (m, d, y, yh, lo, hi, bit) =>
+      assert(lo <= yh && yh <= hi, s"$m@$d band must bracket yhat")
+      val want = if (y < lo || y > hi) 1 else 0
+      assert(bit == want, s"$m@$d bit $bit vs grained comparison $want")
+    }
+    // z80 on 4 dof is a generous in-sample band; the fixture should not
+    // flag everything (a degenerate sigma would)
+    assert(rows.count(_._7 == 1) < rows.length,
+      "an all-anomaly output means the band collapsed")
+  }
+
   test("forecast_backtest_ridge: gate calendar, n = horizon, and " +
     "rmse >= mae on every row; skill varies across cutoffs") {
     val rows = graft.queries.CoreQueries.queries(
