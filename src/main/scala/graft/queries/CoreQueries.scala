@@ -767,13 +767,21 @@ object CoreQueries {
     * 171–173 — under the driver hash BY VALUE for the first time.
     * Scale: the events scan dominates; one 8-row fit per metric.
     */
-  def forecastEventsRidgeTrend(spark: SparkSession, dir: String): DataFrame = {
-    val spark0 = spark
-    import spark0.implicits._
-    val s = eventsLong(spark, dir)
+  def forecastEventsRidgeTrend(spark: SparkSession, dir: String): DataFrame =
+    ridgeTrendForecast(eventsLong(spark, dir)
       .select(col("metric"), col("ds"),
-        round(col("y") * 100).cast("long").as("yc"))
-      .as[(String, java.sql.Date, Long)]
+        round(col("y") * 100).cast("long").as("yc")))
+
+  /** The ridge fit + projection over a prepared (metric, ds, yc:cents)
+    * series frame — ONE construction shared by the registered batch face
+    * and the streaming refit-on-arrival gate
+    * ([[StreamQueries.streamForecastRidge]]), the [[snaiveForecast]]
+    * discipline: the two faces cannot drift in their arithmetic.
+    */
+  private[queries] def ridgeTrendForecast(s0: DataFrame): DataFrame = {
+    val spark0 = s0.sparkSession
+    import spark0.implicits._
+    val s = s0.as[(String, java.sql.Date, Long)]
     val fitRows = s.groupByKey(_._1).flatMapGroups { (metric, it) =>
       val rows = it.toArray.sortBy(_._2.toLocalDate.toEpochDay)
       if (rows.isEmpty) Iterator.empty
@@ -1525,12 +1533,15 @@ object CoreQueries {
       s"${ridgeACol(1)} / den AS be2, ${ridgeACol(2)} / den AS be3, " +
       s"${ridgeACol(3)} / den AS be4 FROM dn), "
 
-  private def ridgeTrendOracle: String = {
+  private[queries] def ridgeTrendOracle(
+      includeActiveUsers: Boolean = true): String = {
     s"WITH b AS ($bucketizeSql), " +
       "m AS (SELECT 'event_count' AS metric, date AS ds, " +
       "CAST(event_count AS DOUBLE) AS y FROM b " +
-      "UNION ALL SELECT 'value_sum', date, value_sum FROM b " +
-      "UNION ALL SELECT 'active_users', date, CAST(active_users AS DOUBLE) FROM b), " +
+      "UNION ALL SELECT 'value_sum', date, value_sum FROM b" +
+      (if (includeActiveUsers)
+        " UNION ALL SELECT 'active_users', date, CAST(active_users AS DOUBLE) FROM b"
+      else "") + "), " +
       "s AS (SELECT metric, ds, CAST(ROUND(y * 100) AS BIGINT) AS yc FROM m), " +
       "st AS (SELECT metric, MAX(ds) AS d1 FROM s GROUP BY 1), " +
       // the 8-day window, x = day offset 0..7 from the window start
@@ -1676,7 +1687,7 @@ object CoreQueries {
     // the ridge-trend replay: the production ProphetLike.fit reduced to
     // its closed form — Gram sums, Cramer solve, residual σ, analytic
     // band — with the n = 8 config's λs/changepoints as literals
-    "forecast_events_ridge_trend" -> ridgeTrendOracle,
+    "forecast_events_ridge_trend" -> ridgeTrendOracle(),
     // the anomaly family's value-hash face: in-sample ridge band,
     // anomaly bit derived from the grained (already hash-equal) columns
     "forecast_anomalies_ridge" -> ridgeAnomaliesOracle,

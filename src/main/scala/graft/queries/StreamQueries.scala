@@ -218,6 +218,58 @@ object StreamQueries {
       .orderBy("metric", "ds")
   }
 
+  /** [[streamForecastSnaive]]'s refit-on-arrival composition with the
+    * PRODUCTION model: every micro-batch refits the real
+    * [[graft.forecast.ProphetLike]] ridge fit on the accumulated daily
+    * series via the shared [[CoreQueries.ridgeTrendForecast]]
+    * construction (the n = 8 closed-form-checkable config), so the
+    * nightly "refit the actual model on ingest" shape — not just the
+    * naive baseline — runs under streaming. The last trigger's fit is
+    * the result, hash-compared against the ridge-trend oracle on the
+    * two monoid metrics (`active_users` is an exact COUNT(DISTINCT),
+    * which no streaming aggregate carries incrementally). Early refits
+    * exercise the partial-history path (windows shorter than 8 days
+    * drop their metric, the documented input contract) and are
+    * superseded like last night's model.
+    *
+    * Scale: state = one row per day; each refit's input is that
+    * |days|-row frame, so per-trigger fit cost is independent of the
+    * trigger's event volume.
+    */
+  def streamForecastRidge(spark: SparkSession, dir: String): DataFrame = {
+    val (path, schema) = stagedEvents(spark, dir, parts = 3)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(path)
+    val daily = EventBucketizer.dailyBuckets(stream, watermark = NeverLate)
+      .select(col("date"), col("event_count"), col("value_sum"))
+    val fits =
+      new java.util.concurrent.ConcurrentHashMap[Long, Array[org.apache.spark.sql.Row]]()
+    @volatile var outSchema: StructType = null
+    val qn = s"graft_stream_ridgerefit_${nameCtr.incrementAndGet()}"
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try daily.writeStream.outputMode("complete").queryName(qn)
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          val s = df.select(col("date").as("ds"),
+              expr("stack(2, 'event_count', CAST(event_count AS DOUBLE), " +
+                "'value_sum', value_sum) AS (metric, y)"))
+            .select(col("metric"), col("ds"),
+              round(col("y") * 100).cast("long").as("yc"))
+          val fc = CoreQueries.ridgeTrendForecast(s)
+          outSchema = fc.schema
+          fits.put(id, fc.collect())
+          ()
+        }.start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    try q.processAllAvailable()
+    finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val last = fits.keys.asScala.max
+    spark.createDataFrame(fits.get(last).toSeq.asJava, outSchema)
+      .orderBy("metric", "ds")
+  }
+
   /** Exact trailing-7-day sliding-window counts, streamed: each event
     * lands in its 7 trailing windows via the engine's sliding-window
     * expansion (the same 7x fan-out the batch twin spells as an explode).
@@ -632,6 +684,7 @@ object StreamQueries {
     "stream_mix_gate" -> (streamMixGate _),
     "stream_bucketize" -> (streamBucketize _),
     "stream_forecast_snaive" -> (streamForecastSnaive _),
+    "stream_forecast_ridge" -> (streamForecastRidge _),
     "stream_sliding_counts" -> (streamSlidingCounts _),
     "stream_user_type_counts" -> (streamUserTypeCounts _),
     "stream_dedup" -> (streamDedup _),
@@ -696,6 +749,10 @@ object StreamQueries {
     // last trigger's refit equals the batch fit on the full history
     "stream_forecast_snaive" ->
       CoreQueries.snaiveOracle(includeActiveUsers = false),
+    // the ridge replay VERBATIM minus the exact-distinct metric — the
+    // last trigger's refit of the PRODUCTION model equals the batch fit
+    "stream_forecast_ridge" ->
+      CoreQueries.ridgeTrendOracle(includeActiveUsers = false),
     "stream_sliding_counts" ->
       ("SELECT CAST(ts AS DATE) + CAST(x AS INTEGER) AS day, " +
         "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum " +

@@ -141,6 +141,15 @@ class StreamGatesSpec extends SparkSpec {
     assert(canon(got) == canon(want))
   }
 
+  test("stream_forecast_ridge: the last refit equals the batch ridge " +
+    "face on the two monoid metrics") {
+    val got = StreamQueries.streamForecastRidge(spark, sf0001)
+    val want = CoreQueries.queries("forecast_events_ridge_trend")(spark, sf0001)
+      .filter($"metric" =!= "active_users")
+    assert(got.count() == 14)
+    assert(canon(got) == canon(want))
+  }
+
   test("stream_interval_join equals the batch self-join within 1 hour") {
     val got = StreamQueries.streamIntervalJoin(spark, sf0001)
     val e = Fixtures.table(spark, sf0001, "events")
