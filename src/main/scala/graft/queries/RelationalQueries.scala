@@ -988,10 +988,17 @@ object RelationalQueries {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .agg(count(lit(1)).as("w"))
+    // symmetrize in ONE pass: explode both directions per aggregated
+    // edge instead of a union whose arms would each re-run the
+    // lineitem⋈orders + groupBy subtree (Catalyst does not CSE across
+    // union arms — the dedup_containment round-16 lever)
     val edges = e0
-      .select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"),
-        col("w").cast("double").as("w"))
-      .union(e0.select(col("s") * 2 + 1, col("c") * 2, col("w").cast("double")))
+      .select(explode(array(
+        struct((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"),
+          col("w").cast("double").as("w")),
+        struct((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst"),
+          col("w").cast("double").as("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
     graft.operators.PageRank.run(edges, iters = 5)
   }
 
