@@ -23,11 +23,135 @@ object QueryIndex {
     // per-query scale-status notes (kept here so the generated index
     // carries them; the same note lives in the operator's scaladoc)
     val notes = Map(
+      "dedup_embedding_admit" ->
+        ("incremental admission on the VECTOR grain, closing the family " +
+          "across every ingested representation: dup_exact = " +
+          "bit-identical corpus embedding (raw array equality — complete, " +
+          "not LSH-bounded), dup_near = shared plane-literal LSH bucket + " +
+          "exact cosine >= 0.45; spec pins exact completeness, near " +
+          "soundness, and a recall floor vs brute-force truth; bucket " +
+          "bits come from the SHARED Similarity.autoBits (graded corpora " +
+          "land in the spec-pinned 3-bit regime matching the oracle's " +
+          "plane literals; a hard bits=3 pin was tried and reverted — it " +
+          "re-created the quadratic-bucket cost at x30, 11.1s -> 26.1s)"),
+      "dedup_embedding_admit_wide" ->
+        ("the AUTO-BITS >3-bit regime under oracle: corpus = 16x " +
+          "id-shifted replication of even vec_ids < 500 (exactly 4000 " +
+          "vectors at every SF by construction), so Similarity.autoBits " +
+          "picks 4 bits and the oracle replays the 4-bit hyperplanes as " +
+          "plan-time literals — closing round 14's \"formula proven only " +
+          "in the 3-bit regime\" gap; DedupSpec pins auto == explicit-4 " +
+          "and the shrinking candidate volume, StreamGatesSpec runs the " +
+          "same regime through the streaming core"),
       "er_sorted_neighborhood" ->
         ("DEMONSTRATION-ONLY at scale: the textbook single-pass SNM; " +
           "per-block rank window serializes as common-prefix blocks grow " +
           "with the corpus (measured 8.0x under 3x at x30). Production " +
-          "twin: er_snm_multikey (multi-pass finer keys, measured linear)."),
+          "twin: er_snm_multikey (multi-pass finer keys, measured " +
+          "linear). RETIRED from the scaling family in round 15 (the " +
+          "permanent resolution of the 3-rounds-carried weak flag): its " +
+          "oracle row and spec remain the correctness evidence; only the " +
+          "production twin is scale-measured."),
+      "forecast_anomalies_ridge" ->
+        ("the anomaly family's VALUE-hash face through the real " +
+          "ProphetLike fit/predict path: in-sample evaluation of the " +
+          "8-day ridge fit, noise-only +/-z80*sigma band " +
+          "(SQRT(sigma*sigma) rendered exactly as predict computes dt=0), " +
+          "is_anomaly compared on the GRAINED (already hash-equal) " +
+          "columns so the bit adds no new float-boundary class; " +
+          "forecast_anomalies itself stays rows-only (Prophet-config " +
+          "band, documented)"),
+      "forecast_backtest_ridge" ->
+        ("first backtest with MODEL-DEPENDENT skill columns (mae, rmse) " +
+          "under the driver hash: the backtest-gate cutoff spine per " +
+          "metric, each cutoff fitting the REAL ProphetLike ridge model " +
+          "on its last 8 training days (the forecast_events_ridge_trend " +
+          "closed form, shared ridgeSolveCtes Cramer machinery keyed by " +
+          "(metric, cutoff)) and scoring the 7-step horizon against " +
+          "held-out actuals; grain-absorbed cross-engine noise as the " +
+          "trend face"),
+      "forecast_events_holt_winters" ->
+        ("SIXTH fully value-hash-checked forecast and the first with " +
+          "EVOLVING SEASONAL STATE: Holt-Winters additive (Winters 1960; " +
+          "FPP3 §8.3, alpha=beta=gamma=1/2, m=7 observations, simple init " +
+          "l7=mean(y1..7), s_j=y_j−l7) — the recursive-CTE step-replay " +
+          "discipline extended to an array: the oracle carries the 7 " +
+          "seasonal slots as state columns s0..s6 and updates exactly one " +
+          "per step via a slot CASE; spec replays the full fold " +
+          "scalar-side per metric; n>=14 input contract in both engines"),
+      "forecast_events_holt_winters_damped" ->
+        ("SEVENTH fully value-hash-checked forecast: damped-trend " +
+          "Holt-Winters (Gardner-McKenzie damping composed with Winters " +
+          "seasonality, phi = 1/2) — shares the seasonal fold with the " +
+          "linear face through one hwFit construction (phi applied as pb " +
+          "= phi*b everywhere the previous trend is consumed; phi = 1.0 " +
+          "is bit-exact identity so the sharing cannot move the linear " +
+          "face), projection uses the exactly-dyadic geometric damp sum 1 " +
+          "- 0.5^h"),
+      "forecast_events_holt_winters_mul" ->
+        ("EIGHTH fully value-hash-checked forecast: MULTIPLICATIVE " +
+          "Holt-Winters (Winters 1960; FPP3 §8.3 ratio form) — the same " +
+          "hwFit fold with mul=true: seasonal RATIO state s_j = y_j/l7, " +
+          "division where the additive recurrence subtracts, error vs " +
+          "(l+b)*s_k, projection (l+h*b)*s; min(y)>0 series guard stated " +
+          "in both engines (every fixture metric passes); completes the " +
+          "additive/multiplicative halves of the classical seasonal " +
+          "taxonomy under the driver hash"),
+      "forecast_events_holt_winters_mul_damped" ->
+        ("NINTH fully value-hash-checked forecast, completing the " +
+          "classical {linear, damped} x {additive, multiplicative} " +
+          "Holt-Winters taxonomy: the hwFit ratio recurrence with phi = " +
+          "1/2 trend consumption and the exactly-dyadic geometric damp " +
+          "sum 1 - 0.5^h inside the factor projection (l + damp*b)*s"),
+      "forecast_events_ridge_trend" ->
+        ("FIRST value-hash row through the ACTUAL " +
+          "ProphetLike.fit/predict production path: each metric's last 8 " +
+          "days fit the real ridge model, whose n=8/span=7 config rules " +
+          "pin a closed-form shape (seasonality all off, changepoints " +
+          "exactly {3/7, 5/7}, p=4, lambda=[1e-6,1e-6,1+0.05*8,1+0.05*8]) " +
+          "— the oracle solves the same normal equations by explicit " +
+          "Cramer cofactor arithmetic (det4Sql) over per-metric Gram sums " +
+          "and replays predict's analytic band; LU-vs-Cramer rounding " +
+          "(~1e-12) absorbed by the shared 1e-4 floor grain; config " +
+          "spec-pinned in ProphetLikeSpec"),
+      "stream_embedding_admit" ->
+        ("streaming admission on the VECTOR grain — the two match tiers " +
+          "(raw-array equality; bucket join + in-row cosine) UNION into " +
+          "one stateless tagged stream so a single complete-mode MIN " +
+          "aggregation accumulates both (streaming's one-agg-level " +
+          "constraint); equals dedup_embedding_admit, oracle verbatim — " +
+          "streaming admission now covers all four grains; bits = shared " +
+          "Similarity.autoBits like the batch face, classification core " +
+          "shared (embeddingAdmitMatches) and exercised in the 4-bit " +
+          "regime by StreamGatesSpec"),
+      "stream_forecast_ridge" ->
+        ("stream_forecast_snaive's refit-on-arrival composition with the " +
+          "PRODUCTION model: every micro-batch refits the real " +
+          "ProphetLike ridge fit on the accumulated daily series via the " +
+          "shared CoreQueries.ridgeTrendForecast construction; last " +
+          "trigger's fit hash-checked against the ridge oracle on the two " +
+          "monoid metrics — the nightly refit-on-ingest shape now runs " +
+          "the actual model under streaming, not just the naive baseline"),
+      "stream_forecast_snaive" ->
+        ("the forecast family's own streaming face (refit-on-arrival): " +
+          "events fold into the complete-mode daily bucketize and EVERY " +
+          "micro-batch refits CoreQueries.snaiveForecast (the batch " +
+          "face's exact construction) via foreachBatch — a real fit per " +
+          "trigger, the nightly refit-on-ingest shape; the last trigger's " +
+          "fit is the result, hash-checked against the snaive oracle on " +
+          "the two monoid metrics (active_users is exact COUNT(DISTINCT), " +
+          "not an incremental streaming aggregate)"),
+      "stream_image_admit" ->
+        ("ingest-time ADMISSION: the SHARED full-media staging streams " +
+          "in 3 micro-batches (one staging write serves the dedup and " +
+          "admission gates), a stateless in-stream !imageIsCorpus filter " +
+          "takes the delta split, each batch fingerprints statelessly and " +
+          "band-joins the STATIC cached corpus index in-stream " +
+          "(hammingJoinCandidates — no distinct, so the chain stays " +
+          "stateless), and a duplicate-insensitive complete-mode MIN " +
+          "aggregation accumulates each image's best match; " +
+          "classification equals dedup_image_admit by construction, " +
+          "oracle verbatim"),
       "dedup_embedding" ->
         "quarantined brute-force oracle anchor; scale path = dedup_embedding_lsh / semdedup",
       "pipeline_pretrain_full" ->
@@ -136,28 +260,6 @@ object QueryIndex {
           "index (4/4 exact, 2-3 near, else new) — video identity is a " +
           "pair predicate, so a Hamming radius doesn't apply; 4 join " +
           "keys per delta video, corpus never re-fingerprinted"),
-      "dedup_embedding_admit" ->
-        ("incremental admission on the VECTOR grain, closing the family " +
-          "across every ingested representation: dup_exact = " +
-          "bit-identical corpus embedding (raw array equality — complete, " +
-          "not LSH-bounded), dup_near = shared plane-literal LSH bucket + " +
-          "exact cosine >= 0.45; spec pins exact completeness, near " +
-          "soundness, and a recall floor vs brute-force truth"),
-      "stream_embedding_admit" ->
-        ("streaming admission on the VECTOR grain — the two match tiers " +
-          "(raw-array equality; bucket join + in-row cosine) UNION into " +
-          "one stateless tagged stream so a single complete-mode MIN " +
-          "aggregation accumulates both (streaming's one-agg-level " +
-          "constraint); equals dedup_embedding_admit, oracle verbatim — " +
-          "streaming admission now covers all four grains"),
-      "stream_image_admit" ->
-        ("ingest-time ADMISSION: delta images stream in 4 micro-batches, " +
-          "fingerprint statelessly, band-join the STATIC corpus index " +
-          "in-stream (hammingJoinCandidates — no distinct, so the chain " +
-          "stays stateless), and a duplicate-insensitive complete-mode " +
-          "MIN aggregation accumulates each image's best match; " +
-          "classification equals dedup_image_admit by construction, " +
-          "oracle verbatim"),
       "stream_audio_admit" ->
         ("stream_image_admit's composition on the audio grain: stateless " +
           "per-batch RIFF/PCM fingerprints, stateless banded join against " +
