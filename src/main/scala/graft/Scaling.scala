@@ -157,7 +157,15 @@ object Scaling {
     // refit-on-arrival streaming forecast gate (state = one row per day;
     // per-trigger refit cost independent of event volume)
     "forecast_events_holt_winters", "forecast_events_holt_winters_damped",
-    "stream_forecast_snaive")
+    "stream_forecast_snaive",
+    // round 16: the multiplicative seasonal faces (same fold shape as
+    // the additive ones), the closed-form ridge family through the real
+    // ProphetLike fit (bounded 8-row fits per metric / per cutoff — the
+    // events scan dominates), and the production-model refit gate
+    "forecast_events_holt_winters_mul",
+    "forecast_events_holt_winters_mul_damped",
+    "forecast_events_ridge_trend", "forecast_backtest_ridge",
+    "forecast_anomalies_ridge", "stream_forecast_ridge")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
