@@ -778,7 +778,7 @@ object CoreQueries {
     * ([[StreamQueries.streamForecastRidge]]), the [[snaiveForecast]]
     * discipline: the two faces cannot drift in their arithmetic.
     */
-  private[queries] def ridgeTrendForecast(s0: DataFrame): DataFrame = {
+  private[graft] def ridgeTrendForecast(s0: DataFrame): DataFrame = {
     val spark0 = s0.sparkSession
     import spark0.implicits._
     val s = s0.as[(String, java.sql.Date, Long)]
@@ -872,6 +872,32 @@ object CoreQueries {
         (col("y") < col("yhat_lower") || col("y") > col("yhat_upper"))
           .cast("int"))
       .orderBy("metric", "ds")
+  }
+
+  /** The ridge value-hash face on the LONG-HISTORY table (~6.5 years of
+    * order days — the fixture whose horizon the reference's per-table
+    * loop actually sweeps): [[ridgeTrendForecast]] over an EXACT-CENTS
+    * daily orders series built at the SOURCE grain — revenue summed as
+    * per-order integer cents (order-independent, so the engines agree
+    * bit-for-bit where the bucketized double-sum-then-round could
+    * straddle a rounding boundary) and order_count scaled to cents.
+    * Both directions fan out of one pass (explode, not union — the
+    * containment lever). The last-8-day window predicate is calendar-
+    * based and symmetric: at sf0.001 the sparse order stream gaps the
+    * window (6 of 8 days) and BOTH engines emit zero rows — the
+    * documented gapped-window contract — while both graded scales carry
+    * full windows.
+    */
+  def forecastOrdersRidge(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("ds"))
+      .agg(count(lit(1)).as("nc"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("rc"))
+    val s = daily.select(col("ds"), explode(array(
+        struct(lit("order_count").as("metric"), (col("nc") * 100).as("yc")),
+        struct(lit("revenue").as("metric"), col("rc").as("yc")))).as("m"))
+      .select(col("m.metric").as("metric"), col("ds"), col("m.yc").as("yc"))
+    ridgeTrendForecast(s)
   }
 
   /** Rolling-origin backtest of the ACTUAL [[graft.forecast.ProphetLike]]
@@ -1206,6 +1232,7 @@ object CoreQueries {
     "forecast_events_ridge_trend" -> (forecastEventsRidgeTrend _),
     "forecast_backtest_ridge" -> (forecastBacktestRidge _),
     "forecast_anomalies_ridge" -> (forecastAnomaliesRidge _),
+    "forecast_orders_ridge" -> (forecastOrdersRidge _),
     "forecast_backtest" -> (forecastBacktest _),
     "forecast_backtest_gate" -> (forecastBacktestGate _),
     "forecast_backtest_naive" -> (forecastBacktestNaive _),
@@ -1534,15 +1561,36 @@ object CoreQueries {
       s"${ridgeACol(3)} / den AS be4 FROM dn), "
 
   private[queries] def ridgeTrendOracle(
-      includeActiveUsers: Boolean = true): String = {
-    s"WITH b AS ($bucketizeSql), " +
-      "m AS (SELECT 'event_count' AS metric, date AS ds, " +
-      "CAST(event_count AS DOUBLE) AS y FROM b " +
-      "UNION ALL SELECT 'value_sum', date, value_sum FROM b" +
-      (if (includeActiveUsers)
-        " UNION ALL SELECT 'active_users', date, CAST(active_users AS DOUBLE) FROM b"
-      else "") + "), " +
-      "s AS (SELECT metric, ds, CAST(ROUND(y * 100) AS BIGINT) AS yc FROM m), " +
+      includeActiveUsers: Boolean = true): String =
+    ridgeTrendOracleFrom(
+      s"b AS ($bucketizeSql), " +
+        "m AS (SELECT 'event_count' AS metric, date AS ds, " +
+        "CAST(event_count AS DOUBLE) AS y FROM b " +
+        "UNION ALL SELECT 'value_sum', date, value_sum FROM b" +
+        (if (includeActiveUsers)
+          " UNION ALL SELECT 'active_users', date, CAST(active_users AS DOUBLE) FROM b"
+        else "") + "), " +
+        "s AS (SELECT metric, ds, CAST(ROUND(y * 100) AS BIGINT) AS yc FROM m), ")
+
+  /** [[ridgeTrendOracle]] over the exact-cents daily ORDERS series —
+    * revenue as per-order integer cents summed (order-independent),
+    * order_count scaled to cents, mirroring
+    * [[forecastOrdersRidge]]'s source-grain construction.
+    */
+  private def ordersRidgeOracle: String =
+    ridgeTrendOracleFrom(
+      "d AS (SELECT CAST(o_orderdate AS DATE) AS ds, " +
+        "CAST(COUNT(*) AS BIGINT) AS nc, " +
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rc " +
+        "FROM orders GROUP BY 1), " +
+        "s AS (SELECT 'order_count' AS metric, ds, nc * 100 AS yc FROM d " +
+        "UNION ALL SELECT 'revenue', ds, rc FROM d), ")
+
+  /** The ridge-trend replay body over any `s(metric, ds, yc:BIGINT)`
+    * cents-series CTE chain (events and orders faces share it).
+    */
+  private def ridgeTrendOracleFrom(seriesCtes: String): String = {
+    s"WITH $seriesCtes" +
       "st AS (SELECT metric, MAX(ds) AS d1 FROM s GROUP BY 1), " +
       // the 8-day window, x = day offset 0..7 from the window start
       "w AS (SELECT s.metric, t.d1, CAST(s.ds - (t.d1 - 7) AS BIGINT) AS x, " +
@@ -1691,6 +1739,9 @@ object CoreQueries {
     // the anomaly family's value-hash face: in-sample ridge band,
     // anomaly bit derived from the grained (already hash-equal) columns
     "forecast_anomalies_ridge" -> ridgeAnomaliesOracle,
+    // the ridge face on the long-history orders table, exact-cents at
+    // the source grain (shared replay body)
+    "forecast_orders_ridge" -> ordersRidgeOracle,
     // the first backtest with model-dependent skill columns (mae/rmse)
     // under the hash: the ridge closed form per (metric, cutoff)
     "forecast_backtest_ridge" -> ridgeBacktestOracle,

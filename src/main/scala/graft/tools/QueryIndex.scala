@@ -23,6 +23,15 @@ object QueryIndex {
     // per-query scale-status notes (kept here so the generated index
     // carries them; the same note lives in the operator's scaladoc)
     val notes = Map(
+      "forecast_orders_ridge" ->
+        ("the ridge value-hash face on the LONG-HISTORY orders table: " +
+          "exact-cents daily series built at the SOURCE grain (revenue " +
+          "summed as per-order integer cents — order-independent where " +
+          "the bucketized double-sum-then-round could straddle a " +
+          "boundary), shared ridgeTrendForecast construction and shared " +
+          "oracle replay body; the calendar window predicate is " +
+          "symmetric, so the sparse sf0.001 stream's gapped window " +
+          "yields zero rows in BOTH engines (spec-pinned contract)"),
       "dedup_embedding_admit" ->
         ("incremental admission on the VECTOR grain, closing the family " +
           "across every ingested representation: dup_exact = " +

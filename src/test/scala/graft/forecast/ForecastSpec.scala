@@ -331,6 +331,31 @@ class ForecastEngineSpec extends SparkSpec {
       "an all-anomaly output means the band collapsed")
   }
 
+  test("forecast_orders_ridge: the gapped-window contract — zero rows " +
+    "on the sparse sf0.001 order stream, ordered bands where it fits") {
+    // sf0.001 has only 6 of the last 8 calendar days (measured); the
+    // count = 8 predicate must drop BOTH metrics in both engines — the
+    // oracle's symmetric empty result is what the driver hash compares
+    val sparse = graft.queries.CoreQueries.queries(
+      "forecast_orders_ridge")(spark, sf0001)
+    assert(sparse.count() == 0,
+      "a gapped last-8-day window must emit nothing")
+    // synthetic dense window through the same shared construction: melt
+    // 8 consecutive days x 2 metrics and fit
+    import spark.implicits._
+    val start = java.time.LocalDate.parse("2024-03-01")
+    val s = (0 until 8).flatMap { i =>
+      val d = java.sql.Date.valueOf(start.plusDays(i))
+      Seq(("order_count", d, (10 + i) * 100L),
+        ("revenue", d, 100000L + 2500L * i))
+    }.toDF("metric", "ds", "yc")
+    val fc = graft.queries.CoreQueries.ridgeTrendForecast(s).collect()
+    assert(fc.length == 14, "2 metrics x 7 horizon days")
+    fc.foreach { r =>
+      assert(r.getDouble(3) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(4))
+    }
+  }
+
   test("forecast_backtest_ridge: gate calendar, n = horizon, and " +
     "rmse >= mae on every row; skill varies across cutoffs") {
     val rows = graft.queries.CoreQueries.queries(
