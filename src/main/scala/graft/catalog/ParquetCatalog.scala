@@ -2,6 +2,7 @@ package graft.catalog
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** Table-name rewrite for forecast outputs.
@@ -156,15 +157,24 @@ final class ParquetCatalog(val spark: SparkSession, val root: String) {
     * recurring fact-to-fact joins (lineitem x orders on the order key at
     * 100 TB) is paid once at ingest instead of per query. `sortBy` within
     * buckets additionally lets sort-merge join skip its per-task sorts
-    * when each bucket is a single file. CatalogSpec pins the no-Exchange
-    * plan property.
+    * when each bucket is a single file. The explicit repartition on the
+    * bucket column (same Murmur3 hash as the bucket spec) lands each
+    * bucket in EXACTLY ONE task, so the table is nBuckets files total —
+    * without it, a bucketed write fans into (upstream tasks × buckets)
+    * files and every later bucketed scan pays the small-files tax (the
+    * round-17 dedup_incremental_admit audit measured this directly: the
+    * x30 admit cycle under data-sized shuffle partitions was ~25% file-
+    * listing/open overhead). At a scale where one file per bucket is too
+    * big, raise nBuckets — that also raises join parallelism, the right
+    * coupling. CatalogSpec pins the no-Exchange plan property.
     */
   def writeBucketed(
       name: String,
       df: DataFrame,
       bucketCol: String,
       nBuckets: Int): Unit =
-    df.write
+    df.repartition(nBuckets, col(bucketCol))
+      .write
       .mode("overwrite")
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
@@ -179,8 +189,9 @@ final class ParquetCatalog(val spark: SparkSession, val root: String) {
     * maintenance primitive — nightly admissions land as new per-bucket
     * files, never rewriting the stored 100 TB; Spark's bucketed scan
     * unions a bucket's files per task. The spec must match the table's
-    * (Spark validates and fails loudly on drift). File-count note: each
-    * append adds ≤ `nBuckets` files; compaction cadence is the same
+    * (Spark validates and fails loudly on drift). File-count note: the
+    * bucket-column repartition makes each append add exactly ≤
+    * `nBuckets` files (one per non-empty bucket); compaction cadence is the same
     * rebuild that bounds df-cap drift ([[graft.operators.Dedup
     * .admitToIncrementalIndex]]).
     */
@@ -189,7 +200,8 @@ final class ParquetCatalog(val spark: SparkSession, val root: String) {
       df: DataFrame,
       bucketCol: String,
       nBuckets: Int): Unit =
-    df.write
+    df.repartition(nBuckets, col(bucketCol))
+      .write
       .mode("append")
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)

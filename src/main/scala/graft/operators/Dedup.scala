@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.operators.CacheScope.Cacheable
 
@@ -508,26 +509,29 @@ object Dedup {
     val exacts = delta.select(col("doc_id"), normExpr.as("nt"))
       .join(corpus.select(col("doc_id").as("cid"), normExpr.as("nt")), "nt")
       .groupBy(col("doc_id")).agg(min(col("cid")).as("exact_match"))
-    val dsets = delta
+    // the UNCAPPED set sizes (true Jaccard denominators, the
+    // decontaminate/ngramJaccardPairs convention) ride THROUGH the
+    // explodes as constant-within-doc columns and are restored by max()
+    // under the candidate agg — the previous per-side join-backs were
+    // two extra shuffles, and the corpus-side one re-ran wordShingles
+    // over the whole corpus (round-17 shared-frame audit)
+    val dsh = delta
       .select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val csets = corpus
+      .select(col("doc_id"), size(col("sh")).as("nd"),
+        explode(col("sh")).as("shingle"))
+    val cshAll = corpus
       .select(col("doc_id").as("cid"), wordShingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val dsh = dsets.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val cshAll = csets.select(col("cid"), explode(col("sh")).as("shingle"))
+      .select(col("cid"), size(col("sh")).as("nc"),
+        explode(col("sh")).as("shingle"))
       .cacheTracked()
     val hot = cshAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
       .select(col("shingle"))
     val csh = cshAll.join(broadcast(hot), Seq("shingle"), "left_anti")
-    // sizes come from the UNCAPPED sets (true Jaccard denominator), the
-    // decontaminate/ngramJaccardPairs convention
     val near = dsh.join(csh, "shingle")
       .groupBy(col("doc_id"), col("cid"))
-      .agg(count(lit(1)).as("c"))
-      .join(dsets.select(col("doc_id"), size(col("sh")).as("nd")), "doc_id")
-      .join(csets.select(col("cid"), size(col("sh")).as("nc")), "cid")
+      .agg(count(lit(1)).as("c"), max(col("nd")).as("nd"),
+        max(col("nc")).as("nc"))
       .filter(col("c").cast("double") / (col("nd") + col("nc") - col("c"))
         >= threshold)
       .groupBy(col("doc_id")).agg(min(col("cid")).as("near_match"))
@@ -549,19 +553,31 @@ object Dedup {
     *     canonical (lowest) corpus id, BUCKETED by `nt` — the exact-match
     *     side;
     *   - `<prefix>_postings`: the df-capped shingle inverted index
-    *     (shingle, cid), BUCKETED by `shingle` — hot shingles (corpus
-    *     df > `maxShingleDf`) are dropped at BUILD time, so no nightly
-    *     run ever pays their fan-out;
-    *   - `<prefix>_sizes`: (cid, nc) true-Jaccard denominators from the
-    *     UNCAPPED sets.
+    *     (shingle, cid, nc), BUCKETED by `shingle` — hot shingles
+    *     (corpus df > `maxShingleDf`) are dropped at BUILD time, so no
+    *     nightly run ever pays their fan-out. `nc` is the doc's
+    *     UNCAPPED distinct-shingle count (the true Jaccard
+    *     denominator), denormalized into every posting row: constant
+    *     within a doc, it survives the candidate aggregation via max(),
+    *     so the nightly query needs NO join against a per-doc sizes
+    *     table — the previous separate `_sizes` table cost a
+    *     corpus-sized exchange on `cid` every night, the exact
+    *     "100 TB side exchanged again" violation the bucketed layout
+    *     exists to prevent (round-17 audit). Complete by construction:
+    *     every candidate pair has >= 1 posting row.
     *
     * Bucketing is the point: both index joins carry the corpus side's
     * hash distribution in the file layout, so the nightly query shuffles
     * ONLY the delta — the 100 TB side is never exchanged again
-    * (DedupSpec pins the one-Exchange probe plan). The corpus is scanned
-    * twice (postings, sizes) rather than persisting the exploded
-    * shingles: at index-build scale a rescan is cheaper than caching a
-    * ~n×|doc| blow-up, and the build runs once per corpus version.
+    * (DedupSpec pins the one-Exchange probe plan). The corpus is shingled
+    * ONCE: the exploded (cid, shingle) frame is persisted (MEMORY_AND_DISK
+    * — at build scale it spills, the same bytes `_postings` is about to
+    * write anyway) and feeds all three derived tables — the hot-set
+    * aggregate, the capped postings, and the sizes (`wordShingles` is
+    * array_distinct, so the per-cid exploded-row count IS the true
+    * Jaccard denominator `size(sh)`). The previous form re-scanned and
+    * re-shingled the corpus for postings and sizes; the round-17 audit
+    * (the dedup_containment lever, shared-frame flavor) removed both.
     */
   def buildIncrementalIndex(
       corpus: DataFrame,
@@ -574,24 +590,33 @@ object Dedup {
       corpus.select(col("doc_id").as("cid"), normExpr.as("nt"))
         .groupBy(col("nt")).agg(min(col("cid")).as("cid")),
       "nt", nBuckets)
-    def csh = corpus
+    // nc — the UNCAPPED distinct-shingle count, the true Jaccard
+    // denominator — is stamped on every row BEFORE the explode
+    // (constant within a doc, zero extra exchanges). Explode of an
+    // empty array emits no rows, so the size(sh) > 0 filter of the
+    // previous form is implicit.
+    val cshExp = corpus
       .select(col("doc_id").as("cid"), wordShingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val cshExp = csh.select(col("cid"), explode(col("sh")).as("shingle"))
-    // the dropped-as-hot set is STORED (not recoverable from postings,
-    // which exclude it) so admissions can honor the same cap; written
-    // first, then read back for the anti-join — one aggregation job, no
-    // recompute
-    cat.writeTable(s"${prefix}_hot",
-      cshExp.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxShingleDf)
-        .select(col("shingle")), sortCol = "shingle")
-    cat.writeBucketed(s"${prefix}_postings",
-      cshExp.join(broadcast(cat.load(s"${prefix}_hot")),
-        Seq("shingle"), "left_anti"),
-      "shingle", nBuckets)
-    cat.writeTable(s"${prefix}_sizes",
-      csh.select(col("cid"), size(col("sh")).as("nc")), sortCol = "cid")
+      .select(col("cid"), size(col("sh")).as("nc"),
+        explode(col("sh")).as("shingle"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the dropped-as-hot set is STORED (not recoverable from postings,
+      // which exclude it) so admissions can honor the same cap; written
+      // first, then read back for the anti-join — one aggregation job,
+      // no recompute. Tiny by construction (only above-cap boilerplate
+      // shingles) and broadcast on every read — one file, not one per
+      // shuffle task.
+      cat.writeTable(s"${prefix}_hot",
+        cshExp.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf)
+          .select(col("shingle")).repartition(1), sortCol = "shingle")
+      cat.writeBucketed(s"${prefix}_postings",
+        cshExp.join(broadcast(cat.load(s"${prefix}_hot")),
+          Seq("shingle"), "left_anti")
+          .select(col("shingle"), col("cid"), col("nc")),
+        "shingle", nBuckets)
+    } finally { cshExp.unpersist(); () }
   }
 
   /** Nightly index maintenance: fold tonight's `new` docs into the stored
@@ -604,8 +629,9 @@ object Dedup {
     *     doc_id within the batch). Global nt-uniqueness is preserved by
     *     construction: an admitted doc's nt cannot equal a stored nt —
     *     it would have classified `dup_exact`, not `new`.
-    *   - `_postings`: admitted shingles minus the stored BUILD-time hot
-    *     set. Documented drift vs a fresh rebuild: a shingle that
+    *   - `_postings`: admitted (shingle, cid, nc) rows minus the stored
+    *     BUILD-time hot set. Documented drift vs a fresh rebuild: a
+    *     shingle that
     *     crosses `maxShingleDf` only when counting admissions keeps its
     *     postings until the next rebuild, so candidate generation can
     *     briefly see a hot shingle's fan-out (bounded by the admissions
@@ -613,7 +639,6 @@ object Dedup {
     *     trade; the rebuild cadence that compacts per-bucket files
     *     bounds it too). When no shingle crosses the cap between
     *     rebuilds, maintained == rebuilt exactly (DedupSpec pins this).
-    *   - `_sizes`: admitted (cid, nc) appended.
     *
     * `statuses` is [[incrementalIndexed]]'s output for `delta`; only its
     * `status == "new"` rows are admitted.
@@ -624,17 +649,32 @@ object Dedup {
       delta: DataFrame,
       statuses: DataFrame,
       n: Int = 3,
+      nBuckets: Int = 8): Unit =
+    admitBaseToIncrementalIndex(cat, prefix, incrementalBase(delta, n),
+      statuses, nBuckets)
+
+  /** [[admitToIncrementalIndex]] over a pre-built [[incrementalBase]] —
+    * the admit-cycle caller already paid the delta's normalize+shingle
+    * pass to CLASSIFY it; passing the same (cached) base here means
+    * admission re-derives nothing: norm rows come from `nt`, postings
+    * from `sh`, no second `wordShingles` fold, no delta rescan.
+    */
+  def admitBaseToIncrementalIndex(
+      cat: graft.catalog.ParquetCatalog,
+      prefix: String,
+      deltaBase: DataFrame,
+      statuses: DataFrame,
       nBuckets: Int = 8): Unit = {
     // materialize BEFORE the first append: `statuses` is typically a plan
     // that READS _norm/_postings, and the appends below mutate them — a
     // lazy re-execution against the mutated index would reclassify the
     // night's docs dup_exact and admit nothing. Pinning the snapshot here
     // also stops the classification re-running once per append.
-    val admitted = delta.join(
+    val admitted = deltaBase.join(
       statuses.filter(col("status") === "new").select(col("doc_id")), "doc_id")
       .cacheTracked()
     admitted.count()
-    try admitAppends(cat, prefix, admitted, n, nBuckets)
+    try admitAppends(cat, prefix, admitted, nBuckets)
     finally { admitted.unpersist(); () }
   }
 
@@ -642,22 +682,21 @@ object Dedup {
       cat: graft.catalog.ParquetCatalog,
       prefix: String,
       admitted: DataFrame,
-      n: Int,
       nBuckets: Int): Unit = {
     cat.appendBucketed(s"${prefix}_norm",
-      admitted.select(col("doc_id").as("cid"), normExpr.as("nt"))
+      admitted.select(col("doc_id").as("cid"), col("nt"))
         .groupBy(col("nt")).agg(min(col("cid")).as("cid")),
       "nt", nBuckets)
-    def ash = admitted
-      .select(col("doc_id").as("cid"), wordShingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // nc stamped before the explode, exactly as at build time (UNCAPPED
+    // size, i.e. before the hot anti-join); sh comes from the cached base
     cat.appendBucketed(s"${prefix}_postings",
-      ash.select(col("cid"), explode(col("sh")).as("shingle"))
+      admitted
+        .select(col("doc_id").as("cid"), size(col("sh")).as("nc"),
+          explode(col("sh")).as("shingle"))
         .join(broadcast(cat.load(s"${prefix}_hot")),
-          Seq("shingle"), "left_anti"),
+          Seq("shingle"), "left_anti")
+        .select(col("shingle"), col("cid"), col("nc")),
       "shingle", nBuckets)
-    cat.appendTable(s"${prefix}_sizes",
-      ash.select(col("cid"), size(col("sh")).as("nc")), sortCol = "cid")
   }
 
   /** [[incremental]] against a stored [[buildIncrementalIndex]] index:
@@ -672,28 +711,53 @@ object Dedup {
       prefix: String,
       delta: DataFrame,
       n: Int = 3,
+      threshold: Double = 0.5): DataFrame =
+    incrementalIndexedFromBase(cat, prefix,
+      incrementalBase(delta, n).cacheTracked(), threshold)
+
+  /** The ONE delta projection (doc_id, nt, sh) every nightly stage
+    * consumes — the exact probe, the candidate explode, the status
+    * spine, and (for the admit cycle) the admission appends. Build it
+    * once, cache it (the delta is the bounded nightly side, so the
+    * cache is small by construction), and thread it through the
+    * `...FromBase` entry points; normalize and shingle then run exactly
+    * once per night (the shared-frame discipline of [[shingleSets]]).
+    */
+  def incrementalBase(delta: DataFrame, n: Int = 3): DataFrame =
+    delta.select(col("doc_id"), normExpr.as("nt"),
+      wordShingles(col("text"), n).as("sh"))
+
+  /** [[incrementalIndexed]] over a pre-built (and ideally cached)
+    * [[incrementalBase]]. */
+  def incrementalIndexedFromBase(
+      cat: graft.catalog.ParquetCatalog,
+      prefix: String,
+      base: DataFrame,
       threshold: Double = 0.5): DataFrame = {
     val normIdx = cat.loadBucketed(s"${prefix}_norm")
     val postings = cat.loadBucketed(s"${prefix}_postings")
-    val sizes = cat.load(s"${prefix}_sizes")
     // the index holds one row per distinct nt, so each delta doc joins at
     // most one row — no re-aggregation needed on the exact side
-    val exacts = delta.select(col("doc_id"), normExpr.as("nt"))
+    val exacts = base.select(col("doc_id"), col("nt"))
       .join(normIdx, "nt")
       .select(col("doc_id"), col("cid").as("exact_match"))
-    val dsets = delta
-      .select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val dsh = dsets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // nd rides THROUGH the explode (constant within a doc, max() under
+    // the candidate agg restores it) — the previous join-back on doc_id
+    // was a whole extra shuffle of the delta sets
+    val dsh = base.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).as("nd"),
+        explode(col("sh")).as("shingle"))
+    // nc arrives ON the posting rows (denormalized at build time), so
+    // the threshold decision closes over the candidate agg alone — the
+    // nightly plan touches no per-doc corpus table at all
     val near = dsh.join(postings, "shingle")
       .groupBy(col("doc_id"), col("cid"))
-      .agg(count(lit(1)).as("c"))
-      .join(dsets.select(col("doc_id"), size(col("sh")).as("nd")), "doc_id")
-      .join(sizes, "cid")
+      .agg(count(lit(1)).as("c"), max(col("nd")).as("nd"),
+        max(col("nc")).as("nc"))
       .filter(col("c").cast("double") / (col("nd") + col("nc") - col("c"))
         >= threshold)
       .groupBy(col("doc_id")).agg(min(col("cid")).as("near_match"))
-    delta.select(col("doc_id"))
+    base.select(col("doc_id"))
       .join(exacts, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -900,15 +900,24 @@ object DataQueries {
     * case; DedupSpec pins maintained == rebuilt).
     */
   def dedupIncrementalAdmit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CacheScope.Cacheable
     val docs = table(spark, dir, "documents")
     val cat = new graft.catalog.ParquetCatalog(spark, incIndexRoot)
     val corpus = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
     val night1 = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
     val night2 = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
     Dedup.buildIncrementalIndex(corpus, cat, "graft_admidx")
+    // night 1 is normalized+shingled ONCE: the same cached base feeds
+    // the classification AND the admission appends (round-17 audit —
+    // admission previously re-scanned and re-shingled the night)
+    val n1base = Dedup.incrementalBase(night1).cacheTracked()
+    // the nightly report is delta-bounded: one sorted file, not one per
+    // shuffle task (it's re-read immediately for the admission join)
     cat.writeTable("graft_admidx_n1_status",
-      Dedup.incrementalIndexed(cat, "graft_admidx", night1), sortCol = "doc_id")
-    Dedup.admitToIncrementalIndex(cat, "graft_admidx", night1,
+      Dedup.incrementalIndexedFromBase(cat, "graft_admidx", n1base)
+        .repartition(1),
+      sortCol = "doc_id")
+    Dedup.admitBaseToIncrementalIndex(cat, "graft_admidx", n1base,
       cat.load("graft_admidx_n1_status"))
     Dedup.incrementalIndexed(cat, "graft_admidx", night2).orderBy("doc_id")
   }
