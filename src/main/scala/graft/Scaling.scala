@@ -165,7 +165,13 @@ object Scaling {
     "forecast_events_holt_winters_mul",
     "forecast_events_holt_winters_mul_damped",
     "forecast_events_ridge_trend", "forecast_backtest_ridge",
-    "forecast_anomalies_ridge", "stream_forecast_ridge")
+    "forecast_anomalies_ridge", "stream_forecast_ridge",
+    // round 17: the orders-table ridge face — the one ridge face whose
+    // input TABLE grows with scale factor (the events faces above all
+    // scan the fixed 30-day events fixture), so its orders-scan +
+    // source-grain cents aggregation is measured directly — and the
+    // p = 5 holidays face (events-scan shape, one extra design column)
+    "forecast_orders_ridge", "forecast_events_holidays_ridge")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -52,6 +52,18 @@ final case class BacktestRow(
   */
 object Backtest {
 
+  /** Hard cap on the cutoff spine, shared with every DuckDB oracle that
+    * replays the calendar via `generate_series(0, 1000)`: both engines
+    * enumerate AT MOST this many cutoffs, so a series longer than the
+    * supported history (horizon + period·1000 + initial days — ~8.3
+    * years at the standard horizon 7 / period 3 / initial 14 config)
+    * truncates its OLDEST cutoffs identically on both sides instead of
+    * the oracle silently missing spine rows the engine emits. 1001
+    * rolling origins is far past any useful backtest depth; raising it
+    * means raising the oracle literal in lockstep.
+    */
+  val MaxCutoffs = 1001
+
   /** `long` must have columns (table, metric, ds, y) like
     * [[ForecastEngine.forecast]]. Fault isolation matches the engine: a
     * (series, cutoff) whose fit throws contributes no row.
@@ -140,6 +152,7 @@ object Backtest {
     def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
     val cutoffs = Iterator.iterate(last - horizon.toLong)(_ - period)
       .takeWhile(c => c - first + 1 >= initial)
+      .take(MaxCutoffs)
       .toArray.reverse
     cutoffs.iterator.flatMap { c =>
       val train = sorted.filter(_._1 <= c)
@@ -182,6 +195,7 @@ object Backtest {
     // descending generation, ascending emission — Prophet's cutoff rule
     val cutoffs = Iterator.iterate(last - horizon.toLong)(_ - period)
       .takeWhile(c => c - first + 1 >= initial)
+      .take(MaxCutoffs)
       .toArray.reverse
     cutoffs.iterator.flatMap { c =>
       val train = sorted.filter(_._1 <= c)

@@ -39,6 +39,22 @@ object CoreQueries {
     m <- 1 to 12
   } yield java.time.LocalDate.of(y, m, 1).toEpochDay).toArray
 
+  /** The month-start calendar densified with a mid-month payday (the
+    * 1st AND 25th of every month, 2024–2025) — the holiday set of the
+    * ridge holidays face. The densification is the point: on the
+    * January fixture the last-8-day fit window (Jan 23–30) contains the
+    * 25th and the 7-day horizon (Jan 31–Feb 6) contains Feb 1, so BOTH
+    * the fitted holiday coefficient and its future projection are
+    * nonzero and under the driver hash — month-start alone would fire
+    * only in the horizon and the fitted coefficient would shrink to an
+    * exact zero, checking nothing but the dof change.
+    */
+  private val monthEdgeDays: Array[Long] = (for {
+    y <- 2024 to 2025
+    m <- 1 to 12
+    d <- Seq(1, 25)
+  } yield java.time.LocalDate.of(y, m, d).toEpochDay).toArray
+
   private def fcHolidays(spark: SparkSession, dir: String): Dataset[ForecastRow] =
     ForecastEngine.forecast(eventsLong(spark, dir), interval = 7,
       onlyFuture = false, holidays = Map("month_start" -> monthStarts))
@@ -660,7 +676,19 @@ object CoreQueries {
           l = l1; b = b1; sa(k) = s1; i += 1
         }
         val sd = math.sqrt(se / (rows.length - 7).toDouble) / 100.0
-        Iterator.single((metric, rows(rows.length - 1)._2,
+        // Multiplicative guard, part 2 (symmetric with the oracle's fin
+        // WHERE): input positivity does not imply STATE positivity — on
+        // a rapidly decaying series the trend can drive (l + pb) or a
+        // seasonal ratio slot through zero, and the divisions above then
+        // emit Inf/NaN. Both engines replay the identical IEEE fold, but
+        // the floor grain maps non-finite differently (Spark's cast vs
+        // DuckDB's FLOOR), so a non-finite final state drops the metric
+        // in BOTH engines instead of hashing divergently.
+        val finite = (java.lang.Double.isFinite(l) &&
+          java.lang.Double.isFinite(b) && java.lang.Double.isFinite(se) &&
+          sa.forall(java.lang.Double.isFinite))
+        if (mul && !finite) Iterator.empty
+        else Iterator.single((metric, rows(rows.length - 1)._2,
           rows.length.toLong, l, b, sa.toSeq, sd))
       }
     }.toDF("metric", "d1", "n", "l", "b", "s", "sd")
@@ -772,13 +800,40 @@ object CoreQueries {
       .select(col("metric"), col("ds"),
         round(col("y") * 100).cast("long").as("yc")))
 
+  /** The HOLIDAYS branch of the production fit under the driver hash
+    * (round-16 verdict ask #3): [[ridgeTrendForecast]]'s n = 8 window
+    * with ONE additive holiday indicator — `fit(points, holidayDays)`,
+    * the exact `ForecastEngine` branch `forecast_events_holidays`
+    * exercises with its month-start calendar, which that face can only
+    * rows-check. The indicator makes p = 5: design [1, t, (t−3/7)₊,
+    * (t−5/7)₊, hol] with ridge λ = [1e-6, 1e-6, λ_cp, λ_cp, 1.0] (the
+    * Normal(0,10)-like holiday prior) — still closed-form: the oracle
+    * solves the 5×5 normal equations by generated Cramer cofactors
+    * ([[detSql]], the det4Sql discipline one size up) and σ now divides
+    * by n − p = 3. deltaScale excludes the holiday coefficient
+    * (changepoint deltas only), matching the production slice. The
+    * [[monthEdgeDays]] calendar (1st + 25th) fires in-window AND
+    * in-horizon on the fixture, so the fitted coefficient and its
+    * projection are both nonzero — the branch is checked doing real
+    * work, not shrinking an unobserved column to zero. DuckDB's side of
+    * the indicator is pure calendar arithmetic: DAY(ds) IN (1, 25)
+    * (equivalent to membership in the expanded day array anywhere in
+    * 2024–2025, where the fixture and its horizon live).
+    */
+  def forecastEventsHolidaysRidge(spark: SparkSession, dir: String): DataFrame =
+    ridgeTrendForecast(eventsLong(spark, dir)
+      .select(col("metric"), col("ds"),
+        round(col("y") * 100).cast("long").as("yc")),
+      Map("month_edge" -> monthEdgeDays))
+
   /** The ridge fit + projection over a prepared (metric, ds, yc:cents)
     * series frame — ONE construction shared by the registered batch face
     * and the streaming refit-on-arrival gate
     * ([[StreamQueries.streamForecastRidge]]), the [[snaiveForecast]]
     * discipline: the two faces cannot drift in their arithmetic.
     */
-  private[graft] def ridgeTrendForecast(s0: DataFrame): DataFrame = {
+  private[graft] def ridgeTrendForecast(s0: DataFrame,
+      holidayDays: Map[String, Array[Long]] = Map.empty): DataFrame = {
     val spark0 = s0.sparkSession
     import spark0.implicits._
     val s = s0.as[(String, java.sql.Date, Long)]
@@ -797,7 +852,7 @@ object CoreQueries {
           // the oracle replays the closed form these calls reduce to
           val pts = win.map(r =>
             (r._2.toLocalDate.toEpochDay, r._3.toDouble / 100.0))
-          val params = graft.forecast.ProphetLike.fit(pts)
+          val params = graft.forecast.ProphetLike.fit(pts, holidayDays)
           val preds = graft.forecast.ProphetLike.predict(
             params, Array.tabulate(7)(h => d1 + h + 1))
           preds.iterator.map { case (d, yh, lo, hi) =>
@@ -933,7 +988,10 @@ object CoreQueries {
         val byDay = rows.map(r => (r._2.toLocalDate.toEpochDay, r._3)).toMap
         val d0 = rows.head._2.toLocalDate.toEpochDay
         val d1 = rows.last._2.toLocalDate.toEpochDay
-        Iterator.from(0)
+        // spine capped at Backtest.MaxCutoffs = the oracle's
+        // generate_series(0, 1000): both engines truncate the oldest
+        // cutoffs identically past ~8.3 years of history (see MaxCutoffs)
+        Iterator.range(0, graft.forecast.Backtest.MaxCutoffs)
           .map(i => d1 - 7 - 3L * i)
           .takeWhile(c => c - d0 + 1 >= 14)
           .flatMap { cutoff =>
@@ -1230,6 +1288,7 @@ object CoreQueries {
     "forecast_events_holt_winters_mul_damped" ->
       (forecastEventsHoltWintersMulDamped _),
     "forecast_events_ridge_trend" -> (forecastEventsRidgeTrend _),
+    "forecast_events_holidays_ridge" -> (forecastEventsHolidaysRidge _),
     "forecast_backtest_ridge" -> (forecastBacktestRidge _),
     "forecast_anomalies_ridge" -> (forecastAnomaliesRidge _),
     "forecast_orders_ridge" -> (forecastOrdersRidge _),
@@ -1457,7 +1516,14 @@ object CoreQueries {
     // the mul positivity guard lives in `st` (min cents) + fin's WHERE;
     // additive renderings carry neither token, byte-identical to r15
     val stMin = if (mul) ", CAST(MIN(yc) AS BIGINT) AS miny" else ""
-    val finGuard = if (mul) " AND st2.miny > 0" else ""
+    // part 2 of the multiplicative guard (see hwFit): final STATES must
+    // be finite, not just inputs positive — non-finite floor-grains
+    // differently across engines, so both drop the metric instead
+    val finGuard = if (mul) " AND st2.miny > 0 AND ISFINITE(h.l) " +
+      "AND ISFINITE(h.t) AND ISFINITE(h.se) AND ISFINITE(h.s0) " +
+      "AND ISFINITE(h.s1) AND ISFINITE(h.s2) AND ISFINITE(h.s3) " +
+      "AND ISFINITE(h.s4) AND ISFINITE(h.s5) AND ISFINITE(h.s6)"
+    else ""
     val damp = if (damped) "(1.0 - POWER(0.5, CAST(gs.h AS DOUBLE)))"
       else "CAST(gs.h AS DOUBLE)"
     val yhatF =
@@ -1514,6 +1580,25 @@ object CoreQueries {
       s"(${m(0)(2)}) * ${det3(minor(2))} - (${m(0)(3)}) * ${det3(minor(3))})"
   }
 
+  /** n×n determinant as an explicit SQL Laplace cofactor expansion —
+    * [[det4Sql]] generalized (recursive first-row expansion, 2×2 base
+    * case), used by the p = 5 holidays ridge oracle. Still generated,
+    * never hand-written: a 5×5 expands to 60 signed 2×2 minors.
+    */
+  private def detSql(m: IndexedSeq[IndexedSeq[String]]): String =
+    if (m.length == 2)
+      s"((${m(0)(0)}) * (${m(1)(1)}) - (${m(0)(1)}) * (${m(1)(0)}))"
+    else {
+      val terms = m(0).indices.map { j =>
+        val minor = (1 until m.length)
+          .map(i => m(0).indices.filterNot(_ == j).map(m(i)(_)).toIndexedSeq)
+          .toIndexedSeq
+        val t = s"(${m(0)(j)}) * ${detSql(minor)}"
+        if (j == 0) t else if (j % 2 == 0) s"+ $t" else s"- $t"
+      }
+      s"(${terms.mkString(" ")})"
+    }
+
   /** DuckDB replay of [[forecastEventsRidgeTrend]]: the last-8-day
     * window's Gram matrix A = X'X + diag(1e-6, 1e-6, 1.4, 1.4) and
     * moment vector X'y are per-metric SUMs over the standardized series
@@ -1560,17 +1645,101 @@ object CoreQueries {
       s"${ridgeACol(1)} / den AS be2, ${ridgeACol(2)} / den AS be3, " +
       s"${ridgeACol(3)} / den AS be4 FROM dn), "
 
+  /** The events fixture melted to the exact-cents (metric, ds, yc)
+    * series CTE chain — shared by the events-fed ridge oracles. */
+  private def eventsCentsSeriesCtes(includeActiveUsers: Boolean = true): String =
+    s"b AS ($bucketizeSql), " +
+      "m AS (SELECT 'event_count' AS metric, date AS ds, " +
+      "CAST(event_count AS DOUBLE) AS y FROM b " +
+      "UNION ALL SELECT 'value_sum', date, value_sum FROM b" +
+      (if (includeActiveUsers)
+        " UNION ALL SELECT 'active_users', date, CAST(active_users AS DOUBLE) FROM b"
+      else "") + "), " +
+      "s AS (SELECT metric, ds, CAST(ROUND(y * 100) AS BIGINT) AS yc FROM m), "
+
   private[queries] def ridgeTrendOracle(
       includeActiveUsers: Boolean = true): String =
-    ridgeTrendOracleFrom(
-      s"b AS ($bucketizeSql), " +
-        "m AS (SELECT 'event_count' AS metric, date AS ds, " +
-        "CAST(event_count AS DOUBLE) AS y FROM b " +
-        "UNION ALL SELECT 'value_sum', date, value_sum FROM b" +
-        (if (includeActiveUsers)
-          " UNION ALL SELECT 'active_users', date, CAST(active_users AS DOUBLE) FROM b"
-        else "") + "), " +
-        "s AS (SELECT metric, ds, CAST(ROUND(y * 100) AS BIGINT) AS yc FROM m), ")
+    ridgeTrendOracleFrom(eventsCentsSeriesCtes(includeActiveUsers))
+
+  /** DuckDB replay of [[forecastEventsHolidaysRidge]] — the p = 5
+    * holidays ridge: the trend oracle's window/standardize chain plus a
+    * holiday indicator column (DAY(ds) IN (1, 25), the
+    * [[monthEdgeDays]] calendar as plan-time arithmetic), the 5×5 Gram
+    * with diag(1e-6, 1e-6, λ_cp, λ_cp, 1.0), β by generated 5×5 Cramer
+    * ([[detSql]]), σ from n − p = 3 dof, deltaScale from the two hinge
+    * deltas ONLY (the production slice excludes the holiday), and the
+    * projection adding be5 · hol(future day) inside the same analytic
+    * band replay.
+    */
+  private[queries] def ridgeHolidaysOracle: String = {
+    val holOf = (d: String) => s"CASE WHEN DAY($d) IN (1, 25) THEN 1.0 ELSE 0.0 END"
+    val cols = IndexedSeq("one", "t", "h1", "h2", "hol")
+    val lam = IndexedSeq("1e-6", "1e-6",
+      "(1.0 + 0.05 * 8.0)", "(1.0 + 0.05 * 8.0)", "1.0")
+    def prod(i: Int, j: Int): String = (cols(i), cols(j)) match {
+      case ("one", "one") => "CAST(COUNT(*) AS DOUBLE)"
+      case ("one", c)     => s"SUM($c)"
+      case (a, b)         => s"SUM($a * $b)"
+    }
+    val gram = for { i <- 0 until 5; j <- i until 5 } yield
+      (if (i == j) s"${prod(i, j)} + ${lam(i)}" else prod(i, j)) +
+        s" AS a${i + 1}${j + 1}"
+    val bs = (0 until 5).map { i =>
+      (if (cols(i) == "one") "SUM(yv)" else s"SUM(${cols(i)} * yv)") +
+        s" AS b${i + 1}"
+    }
+    val a = IndexedSeq.tabulate(5, 5)((i, j) =>
+      if (i <= j) s"a${i + 1}${j + 1}" else s"a${j + 1}${i + 1}")
+    val bNames = (1 to 5).map(i => s"b$i")
+    def aCol(j: Int): String =
+      detSql(a.zipWithIndex.map { case (row, i) => row.updated(j, bNames(i)) })
+    val resid = "(f.yv - (bt.be1 + bt.be2 * f.t + bt.be3 * f.h1 + " +
+      "bt.be4 * f.h2 + bt.be5 * f.hol))"
+    s"WITH ${eventsCentsSeriesCtes()}" +
+      "st AS (SELECT metric, MAX(ds) AS d1 FROM s GROUP BY 1), " +
+      "w AS (SELECT s.metric, t.d1, s.ds, " +
+      "CAST(s.ds - (t.d1 - 7) AS BIGINT) AS x, " +
+      "CAST(s.yc AS DOUBLE) / 100.0 AS y FROM s JOIN st t USING (metric) " +
+      "WHERE s.ds BETWEEN t.d1 - 7 AND t.d1), " +
+      "wn AS (SELECT metric FROM w GROUP BY 1 HAVING COUNT(*) = 8), " +
+      "ys AS (SELECT metric, GREATEST(1e-12, MAX(ABS(y))) AS yscale " +
+      "FROM w GROUP BY 1), " +
+      "f AS (SELECT w.metric, w.d1, ys.yscale, " +
+      "CAST(w.x AS DOUBLE) / 7.0 AS t, " +
+      "GREATEST(0.0, CAST(w.x AS DOUBLE) / 7.0 - 3.0 / 7.0) AS h1, " +
+      "GREATEST(0.0, CAST(w.x AS DOUBLE) / 7.0 - 5.0 / 7.0) AS h2, " +
+      s"${holOf("w.ds")} AS hol, " +
+      "w.y / ys.yscale AS yv FROM w JOIN wn USING (metric) " +
+      "JOIN ys USING (metric)), " +
+      "g AS (SELECT metric, MAX(yscale) AS yscale, MAX(d1) AS d1, " +
+      s"${(gram ++ bs).mkString(", ")} FROM f GROUP BY metric), " +
+      s"dn AS (SELECT *, ${detSql(a)} AS den FROM g), " +
+      "bt AS (SELECT * EXCLUDE (den), " +
+      (0 until 5).map(j => s"${aCol(j)} / den AS be${j + 1}").mkString(", ") +
+      " FROM dn), " +
+      s"rs AS (SELECT f.metric, SUM($resid * $resid) AS sse FROM f " +
+      "JOIN bt USING (metric) GROUP BY 1), " +
+      "fin AS (SELECT bt.metric, bt.d1, bt.yscale, bt.be1, bt.be2, " +
+      "bt.be3, bt.be4, bt.be5, SQRT(rs.sse / 3.0) AS sigma, " +
+      "SQRT((bt.be3 * bt.be3 + bt.be4 * bt.be4) / 2.0) AS dsc " +
+      "FROM bt JOIN rs USING (metric)), " +
+      "f2 AS (SELECT metric, d1 + CAST(gs.h AS INTEGER) AS ds, " +
+      "CAST(7 + gs.h AS DOUBLE) / 7.0 AS tf, " +
+      "CAST(gs.h AS DOUBLE) / 7.0 AS dt2, " +
+      s"${holOf("d1 + CAST(gs.h AS INTEGER)")} AS holf, " +
+      "yscale, be1, be2, be3, be4, be5, " +
+      "sigma, dsc FROM fin CROSS JOIN " +
+      "(SELECT unnest(generate_series(1, 7)) AS h) gs), " +
+      "p AS (SELECT metric, ds, " +
+      "(be1 + be2 * tf + be3 * GREATEST(0.0, tf - 3.0 / 7.0) + " +
+      "be4 * GREATEST(0.0, tf - 5.0 / 7.0) + be5 * holf) * yscale AS yhat, " +
+      "1.2815515655446004 * SQRT(sigma * sigma + (dsc * dt2) * (dsc * dt2)) " +
+      "* yscale AS hw FROM f2) " +
+      "SELECT metric, ds, FLOOR(yhat * 10000 + 0.5) / 10000 AS yhat, " +
+      "FLOOR((yhat - hw) * 10000 + 0.5) / 10000 AS yhat_lower, " +
+      "FLOOR((yhat + hw) * 10000 + 0.5) / 10000 AS yhat_upper " +
+      "FROM p ORDER BY metric, ds"
+  }
 
   /** [[ridgeTrendOracle]] over the exact-cents daily ORDERS series —
     * revenue as per-order integer cents summed (order-independent),
@@ -1736,6 +1905,9 @@ object CoreQueries {
     // its closed form — Gram sums, Cramer solve, residual σ, analytic
     // band — with the n = 8 config's λs/changepoints as literals
     "forecast_events_ridge_trend" -> ridgeTrendOracle(),
+    // the holidays branch of the production fit: p = 5 Gram/Cramer with
+    // the month-edge indicator as plan-time calendar arithmetic
+    "forecast_events_holidays_ridge" -> ridgeHolidaysOracle,
     // the anomaly family's value-hash face: in-sample ridge band,
     // anomaly bit derived from the grained (already hash-equal) columns
     "forecast_anomalies_ridge" -> ridgeAnomaliesOracle,

@@ -184,7 +184,23 @@ object StreamQueries {
     * refit's input is that |days|-row frame, so the per-trigger fit
     * cost is independent of the event volume in the trigger.
     */
-  def streamForecastSnaive(spark: SparkSession, dir: String): DataFrame = {
+  def streamForecastSnaive(spark: SparkSession, dir: String): DataFrame =
+    refitOnArrival(spark, dir, "refit")(CoreQueries.snaiveForecast)
+
+  /** The refit-on-arrival harness both forecast gates share (one copy
+    * of the fragile conf/lifecycle plumbing — staging, the
+    * shuffle-partition save/restore around start(), the per-batch
+    * foreachBatch collect into a concurrent map, last-trigger
+    * reconstruction): events arrive in 3 real micro-batches, fold into
+    * the complete-mode daily bucketize aggregate, and EVERY trigger
+    * refits `fit` on the accumulated exact-cents (metric, ds, yc)
+    * series. The last trigger's fit (complete output = the full
+    * bucketized history, arrival-order independent) is the gate's
+    * result. Per-batch fit results are small by the fits' own contract
+    * (≤ 7 rows per metric), so the collect into the map is bounded.
+    */
+  private def refitOnArrival(spark: SparkSession, dir: String,
+      namePart: String)(fit: DataFrame => DataFrame): DataFrame = {
     val (path, schema) = stagedEvents(spark, dir, parts = 3)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(path)
@@ -193,7 +209,7 @@ object StreamQueries {
     val fits =
       new java.util.concurrent.ConcurrentHashMap[Long, Array[org.apache.spark.sql.Row]]()
     @volatile var outSchema: StructType = null
-    val qn = s"graft_stream_refit_${nameCtr.incrementAndGet()}"
+    val qn = s"graft_stream_${namePart}_${nameCtr.incrementAndGet()}"
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q =
@@ -204,7 +220,7 @@ object StreamQueries {
                 "'value_sum', value_sum) AS (metric, y)"))
             .select(col("metric"), col("ds"),
               round(col("y") * 100).cast("long").as("yc"))
-          val fc = CoreQueries.snaiveForecast(s)
+          val fc = fit(s)
           outSchema = fc.schema
           fits.put(id, fc.collect())
           ()
@@ -236,39 +252,9 @@ object StreamQueries {
     * |days|-row frame, so per-trigger fit cost is independent of the
     * trigger's event volume.
     */
-  def streamForecastRidge(spark: SparkSession, dir: String): DataFrame = {
-    val (path, schema) = stagedEvents(spark, dir, parts = 3)
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(path)
-    val daily = EventBucketizer.dailyBuckets(stream, watermark = NeverLate)
-      .select(col("date"), col("event_count"), col("value_sum"))
-    val fits =
-      new java.util.concurrent.ConcurrentHashMap[Long, Array[org.apache.spark.sql.Row]]()
-    @volatile var outSchema: StructType = null
-    val qn = s"graft_stream_ridgerefit_${nameCtr.incrementAndGet()}"
-    val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try daily.writeStream.outputMode("complete").queryName(qn)
-        .foreachBatch { (df: DataFrame, id: Long) =>
-          val s = df.select(col("date").as("ds"),
-              expr("stack(2, 'event_count', CAST(event_count AS DOUBLE), " +
-                "'value_sum', value_sum) AS (metric, y)"))
-            .select(col("metric"), col("ds"),
-              round(col("y") * 100).cast("long").as("yc"))
-          val fc = CoreQueries.ridgeTrendForecast(s)
-          outSchema = fc.schema
-          fits.put(id, fc.collect())
-          ()
-        }.start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", saved)
-    try q.processAllAvailable()
-    finally q.stop()
-    import scala.jdk.CollectionConverters._
-    val last = fits.keys.asScala.max
-    spark.createDataFrame(fits.get(last).toSeq.asJava, outSchema)
-      .orderBy("metric", "ds")
-  }
+  def streamForecastRidge(spark: SparkSession, dir: String): DataFrame =
+    refitOnArrival(spark, dir, "ridgerefit")(
+      CoreQueries.ridgeTrendForecast(_))
 
   /** Exact trailing-7-day sliding-window counts, streamed: each event
     * lands in its 7 trailing windows via the engine's sliding-window

@@ -123,6 +123,16 @@ object QueryIndex {
           "and replays predict's analytic band; LU-vs-Cramer rounding " +
           "(~1e-12) absorbed by the shared 1e-4 floor grain; config " +
           "spec-pinned in ProphetLikeSpec"),
+      "forecast_events_holidays_ridge" ->
+        ("the HOLIDAYS branch of the production fit under the hash: " +
+          "fit(points, holidayDays) with the month-edge calendar (1st + " +
+          "25th) makes p=5 — design [1, t, hinge1, hinge2, hol], lambda " +
+          "appends the Normal(0,10)-like 1.0, sigma divides n-p=3 — and " +
+          "the oracle solves the 5x5 normal equations by generated " +
+          "Cramer cofactors (detSql) with the indicator as plan-time " +
+          "calendar arithmetic DAY(ds) IN (1,25); the calendar fires " +
+          "in-window AND in-horizon, so the fitted coefficient and its " +
+          "projection are both nonzero under the hash"),
       "stream_embedding_admit" ->
         ("streaming admission on the VECTOR grain — the two match tiers " +
           "(raw-array equality; bucket join + in-row cosine) UNION into " +
