@@ -171,7 +171,8 @@ object Scaling {
     // scan the fixed 30-day events fixture), so its orders-scan +
     // source-grain cents aggregation is measured directly — and the
     // p = 5 holidays face (events-scan shape, one extra design column)
-    "forecast_orders_ridge", "forecast_events_holidays_ridge")
+    "forecast_orders_ridge", "forecast_events_holidays_ridge",
+    "forecast_events_logistic_ridge")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

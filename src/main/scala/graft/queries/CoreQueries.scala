@@ -826,6 +826,38 @@ object CoreQueries {
         round(col("y") * 100).cast("long").as("yc")),
       Map("month_edge" -> monthEdgeDays))
 
+  /** The LOGISTIC-growth branch of the production fit under the driver
+    * hash (round-16 verdict ask #5 — the last fit config with neither a
+    * value-hash face nor a documented impossibility; it IS plan-time
+    * expressible): `fit(points, holidays, GrowthConfig("logistic", cap,
+    * floor = 0))` over the n = 8 window. The logit-link fit is the
+    * linear ridge ON z = LN(r / (1 − r)), r = clamp(y / cap, 1e-6,
+    * 1 − 1e-6) — so the oracle reuses the ENTIRE p = 4 Gram/Cramer
+    * replay verbatim with z in place of y (yscale = max|z|), and only
+    * the projection changes: predict maps the standardized linear
+    * predictor AND its band endpoints through cap / (1 + EXP(−z ·
+    * yscale)), the monotone sigmoid, so the mapped endpoints are the
+    * transformed quantiles and every output lies in (0, cap). The cap
+    * is the production rule (1.5 × observed global max — one one-row
+    * agg, fcLogistic's bounded residency) DERIVED FROM THE CENTS
+    * SERIES, so both engines compute it from the identical pinned
+    * input. New cross-engine float surface: LN at the transform and EXP
+    * at the projection (platform libm vs Java Math) agree to ≤ 1 ulp —
+    * the LU-vs-Cramer noise class, absorbed by the shared 1e-4 floor
+    * grain exactly as before.
+    */
+  def forecastEventsLogisticRidge(spark: SparkSession, dir: String): DataFrame = {
+    val s0 = eventsLong(spark, dir)
+      .select(col("metric"), col("ds"),
+        round(col("y") * 100).cast("long").as("yc"))
+    val capCents = s0.agg(max(col("yc"))).collect().head.getLong(0)
+    val cap = capCents.toDouble / 100.0 * 1.5
+    ridgeFitForecast(s0)(pts =>
+      graft.forecast.ProphetLike.fit(pts, Map.empty[String, Array[Long]],
+        graft.forecast.ProphetLike.GrowthConfig(growth = "logistic",
+          cap = cap, floor = 0.0)))
+  }
+
   /** The ridge fit + projection over a prepared (metric, ds, yc:cents)
     * series frame — ONE construction shared by the registered batch face
     * and the streaming refit-on-arrival gate
@@ -833,7 +865,20 @@ object CoreQueries {
     * discipline: the two faces cannot drift in their arithmetic.
     */
   private[graft] def ridgeTrendForecast(s0: DataFrame,
-      holidayDays: Map[String, Array[Long]] = Map.empty): DataFrame = {
+      holidayDays: Map[String, Array[Long]] = Map.empty): DataFrame =
+    ridgeFitForecast(s0)(pts =>
+      graft.forecast.ProphetLike.fit(pts, holidayDays))
+
+  /** The last-8-day window harness shared by every ridge face: group by
+    * metric, take the trailing 8-calendar-day window (count = 8 or the
+    * metric drops — the gapped-window contract), run `fitFn` — ALWAYS a
+    * production [[graft.forecast.ProphetLike]] entry point, never a
+    * reimplementation — and project predict's 7-step horizon through
+    * the shared 1e-4 floor grain.
+    */
+  private[graft] def ridgeFitForecast(s0: DataFrame)(
+      fitFn: Array[(Long, Double)] => graft.forecast.ProphetParams)
+      : DataFrame = {
     val spark0 = s0.sparkSession
     import spark0.implicits._
     val s = s0.as[(String, java.sql.Date, Long)]
@@ -852,7 +897,7 @@ object CoreQueries {
           // the oracle replays the closed form these calls reduce to
           val pts = win.map(r =>
             (r._2.toLocalDate.toEpochDay, r._3.toDouble / 100.0))
-          val params = graft.forecast.ProphetLike.fit(pts, holidayDays)
+          val params = fitFn(pts)
           val preds = graft.forecast.ProphetLike.predict(
             params, Array.tabulate(7)(h => d1 + h + 1))
           preds.iterator.map { case (d, yh, lo, hi) =>
@@ -1289,6 +1334,7 @@ object CoreQueries {
       (forecastEventsHoltWintersMulDamped _),
     "forecast_events_ridge_trend" -> (forecastEventsRidgeTrend _),
     "forecast_events_holidays_ridge" -> (forecastEventsHolidaysRidge _),
+    "forecast_events_logistic_ridge" -> (forecastEventsLogisticRidge _),
     "forecast_backtest_ridge" -> (forecastBacktestRidge _),
     "forecast_anomalies_ridge" -> (forecastAnomaliesRidge _),
     "forecast_orders_ridge" -> (forecastOrdersRidge _),
@@ -1755,6 +1801,65 @@ object CoreQueries {
         "s AS (SELECT 'order_count' AS metric, ds, nc * 100 AS yc FROM d " +
         "UNION ALL SELECT 'revenue', ds, rc FROM d), ")
 
+  /** DuckDB replay of [[forecastEventsLogisticRidge]]: the trend
+    * oracle's window/Gram/Cramer/band machinery run on z = LN(r/(1−r)),
+    * r = clamp(y/cap, 1e-6, 1−1e-6), with cap = 1.5 × global cents max
+    * as a CTE scalar and the projection mapped through the sigmoid
+    * cap / (1 + EXP(−std · yscale)) at yhat AND both band endpoints
+    * (monotone ⇒ transformed quantiles).
+    */
+  private[queries] def ridgeLogisticOracle: String =
+    s"WITH ${eventsCentsSeriesCtes()}" +
+      "cp AS (SELECT CAST(MAX(yc) AS DOUBLE) / 100.0 * 1.5 AS cap FROM s), " +
+      "st AS (SELECT metric, MAX(ds) AS d1 FROM s GROUP BY 1), " +
+      // the 8-day window with the logit transform applied per row: the
+      // clamp margins and the cap are the fit's own literals
+      "w0 AS (SELECT s.metric, t.d1, " +
+      "CAST(s.ds - (t.d1 - 7) AS BIGINT) AS x, " +
+      "LEAST(1.0 - 1e-6, GREATEST(1e-6, " +
+      "(CAST(s.yc AS DOUBLE) / 100.0) / cp.cap)) AS r " +
+      "FROM s JOIN st t USING (metric) CROSS JOIN cp " +
+      "WHERE s.ds BETWEEN t.d1 - 7 AND t.d1), " +
+      "w AS (SELECT metric, d1, x, LN(r / (1.0 - r)) AS y FROM w0), " +
+      "wn AS (SELECT metric FROM w GROUP BY 1 HAVING COUNT(*) = 8), " +
+      "ys AS (SELECT metric, GREATEST(1e-12, MAX(ABS(y))) AS yscale " +
+      "FROM w GROUP BY 1), " +
+      "f AS (SELECT w.metric, w.d1, ys.yscale, " +
+      "CAST(w.x AS DOUBLE) / 7.0 AS t, " +
+      "GREATEST(0.0, CAST(w.x AS DOUBLE) / 7.0 - 3.0 / 7.0) AS h1, " +
+      "GREATEST(0.0, CAST(w.x AS DOUBLE) / 7.0 - 5.0 / 7.0) AS h2, " +
+      "w.y / ys.yscale AS yv FROM w JOIN wn USING (metric) " +
+      "JOIN ys USING (metric)), " +
+      ridgeSolveCtes("metric", ", MAX(d1) AS d1") +
+      "rs AS (SELECT f.metric, SUM((f.yv - (bt.be1 + bt.be2 * f.t + " +
+      "bt.be3 * f.h1 + bt.be4 * f.h2)) * (f.yv - (bt.be1 + bt.be2 * f.t + " +
+      "bt.be3 * f.h1 + bt.be4 * f.h2))) AS sse FROM f " +
+      "JOIN bt USING (metric) GROUP BY 1), " +
+      "fin AS (SELECT bt.metric, bt.d1, bt.yscale, bt.be1, bt.be2, " +
+      "bt.be3, bt.be4, SQRT(rs.sse / 4.0) AS sigma, " +
+      "SQRT((bt.be3 * bt.be3 + bt.be4 * bt.be4) / 2.0) AS dsc " +
+      "FROM bt JOIN rs USING (metric)), " +
+      "f2 AS (SELECT metric, d1 + CAST(gs.h AS INTEGER) AS ds, " +
+      "CAST(7 + gs.h AS DOUBLE) / 7.0 AS tf, " +
+      "CAST(gs.h AS DOUBLE) / 7.0 AS dt2, yscale, be1, be2, be3, be4, " +
+      "sigma, dsc FROM fin CROSS JOIN " +
+      "(SELECT unnest(generate_series(1, 7)) AS h) gs), " +
+      // std and half live in STANDARDIZED z space; the sigmoid map
+      // multiplies back by yscale inside the exponent, predict's toY
+      "p AS (SELECT metric, ds, yscale, cap, " +
+      "(be1 + be2 * tf + be3 * GREATEST(0.0, tf - 3.0 / 7.0) + " +
+      "be4 * GREATEST(0.0, tf - 5.0 / 7.0)) AS std, " +
+      "1.2815515655446004 * SQRT(sigma * sigma + (dsc * dt2) * (dsc * dt2)) " +
+      "AS half FROM f2 CROSS JOIN cp) " +
+      "SELECT metric, ds, " +
+      "FLOOR((cap / (1.0 + EXP(-(std * yscale)))) * 10000 + 0.5) / 10000 " +
+      "AS yhat, " +
+      "FLOOR((cap / (1.0 + EXP(-((std - half) * yscale)))) * 10000 + 0.5) " +
+      "/ 10000 AS yhat_lower, " +
+      "FLOOR((cap / (1.0 + EXP(-((std + half) * yscale)))) * 10000 + 0.5) " +
+      "/ 10000 AS yhat_upper " +
+      "FROM p ORDER BY metric, ds"
+
   /** The ridge-trend replay body over any `s(metric, ds, yc:BIGINT)`
     * cents-series CTE chain (events and orders faces share it).
     */
@@ -1908,6 +2013,9 @@ object CoreQueries {
     // the holidays branch of the production fit: p = 5 Gram/Cramer with
     // the month-edge indicator as plan-time calendar arithmetic
     "forecast_events_holidays_ridge" -> ridgeHolidaysOracle,
+    // the logistic-growth branch: the same p = 4 replay on the
+    // logit-transformed series, projection through the sigmoid
+    "forecast_events_logistic_ridge" -> ridgeLogisticOracle,
     // the anomaly family's value-hash face: in-sample ridge band,
     // anomaly bit derived from the grained (already hash-equal) columns
     "forecast_anomalies_ridge" -> ridgeAnomaliesOracle,

@@ -133,6 +133,18 @@ object QueryIndex {
           "calendar arithmetic DAY(ds) IN (1,25); the calendar fires " +
           "in-window AND in-horizon, so the fitted coefficient and its " +
           "projection are both nonzero under the hash"),
+      "forecast_events_logistic_ridge" ->
+        ("the LOGISTIC-growth branch of the production fit under the " +
+          "hash — the last fit config that had neither a value-hash " +
+          "face nor a documented impossibility: the logit-link fit is " +
+          "the linear ridge on z = LN(r/(1-r)), r = clamp(y/cap), so " +
+          "the oracle reuses the whole p=4 Gram/Cramer replay on z and " +
+          "maps the projection (yhat and BOTH band endpoints — " +
+          "monotone => transformed quantiles) through " +
+          "cap/(1+EXP(-std*yscale)); cap is the production 1.5x-global-" +
+          "max rule derived from the cents series; LN/EXP libm-vs-Java " +
+          "1-ulp noise is the LU-vs-Cramer class, absorbed by the 1e-4 " +
+          "grain"),
       "stream_embedding_admit" ->
         ("streaming admission on the VECTOR grain — the two match tiers " +
           "(raw-array equality; bucket join + in-row cosine) UNION into " +
