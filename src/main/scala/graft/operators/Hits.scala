@@ -48,23 +48,28 @@ object Hits {
     * weight. Returns (role: 'hub'|'auth', node, score) with score
     * rounded to 6 decimals; roles keep both sides in one frame.
     * `broadcastMaxNodes` caps the per-round score-vector broadcast;
-    * larger graphs shuffle-join instead. The 1M default keeps each
-    * broadcast ~tens of MB (node id + double ≈ 24 B/row plus hash-table
-    * overhead) — inside Spark's customary broadcast budget on
-    * default-configured executors (ADVICE r15 flagged the previous 4M
-    * default as a 100–200 MB-per-round driver/executor memory risk).
+    * larger graphs shuffle-join instead. Negative (the default) derives
+    * the cap from the session's BYTES budget via [[GraphBroadcast]] —
+    * 24 MB / 24 B-per-row = the measured-crossover 1M nodes on default
+    * config, movable per cluster with `spark.graft.graph.
+    * broadcastBudgetBytes` (the crossover is a memory property: ADVICE
+    * r15 flagged the old 4M row literal as a 100–200 MB-per-round
+    * memory risk, and the r16 x100 A/B measured shuffle FASTER above
+    * ~1M on this host). Non-negative pins it (0 = force shuffle,
+    * Long.MaxValue = force broadcast — the GraphTune A/B convention).
     */
   def run(edges: DataFrame, iters: Int, reliable: Boolean = false,
-      broadcastMaxNodes: Long = 1000000L): DataFrame = {
+      broadcastMaxNodes: Long = -1L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val e = edges.cacheTracked()
+    val nodeCap = GraphBroadcast.maxNodes(edges.sparkSession, broadcastMaxNodes)
     // one bounded one-row action sizes both score vectors for the
     // broadcast decision (and materializes the edge cache before the
     // iteration's first use, so the construction cost is paid once)
     val cnt = e.agg(approx_count_distinct(col("c")).as("nc"),
       approx_count_distinct(col("s")).as("ns")).head()
-    val bHub = cnt.getLong(0) <= broadcastMaxNodes
-    val bAuth = cnt.getLong(1) <= broadcastMaxNodes
+    val bHub = cnt.getLong(0) <= nodeCap
+    val bAuth = cnt.getLong(1) <= nodeCap
     def hinted(df: DataFrame, small: Boolean) = if (small) broadcast(df) else df
     // Broadcast mode lays the edge list out BY THE AGGREGATION KEY, one
     // cached copy per direction (the dual-layout tradeoff a real cluster

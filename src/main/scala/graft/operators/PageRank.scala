@@ -43,10 +43,13 @@ object PageRank {
 
   /** edges: (src: long, dst: long, w: double). Returns (node, pr) with
     * `pr` rounded to 6 decimals (cross-engine float-sum tolerance).
-    * `broadcastMaxNodes` defaults to 1M — each per-round broadcast stays
-    * ~tens of MB, inside the customary broadcast budget on default-
-    * configured executors; the HLL ±5% sizing error then fuzzes the
-    * boundary well below any memory cliff (ADVICE r15).
+    * `broadcastMaxNodes` < 0 (the default) derives the cap from the
+    * session's BYTES budget via [[GraphBroadcast]] — 24 MB / 24 B-per-
+    * row = the measured-crossover 1M nodes on default config, movable
+    * per cluster with `spark.graft.graph.broadcastBudgetBytes`; the
+    * HLL ±5% sizing error then fuzzes the boundary well below any
+    * memory cliff (ADVICE r15). Non-negative pins it (0 = force
+    * shuffle, Long.MaxValue = force broadcast — GraphTune's A/B).
     * `reliable` selects the lineage-truncation mode (see [[Checkpoints]]):
     * default executor-local; true = FS-backed, surviving executor loss.
     *
@@ -62,8 +65,9 @@ object PageRank {
   def run(edges: DataFrame, iters: Int, damping: Double = 0.85,
       reliable: Boolean = false,
       redistributeDangling: Boolean = false,
-      broadcastMaxNodes: Long = 1000000L): DataFrame = {
+      broadcastMaxNodes: Long = -1L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
+    val nodeCap = GraphBroadcast.maxNodes(edges.sparkSession, broadcastMaxNodes)
     // Cached BY SRC, sorted within partitions: the out-weight aggregate
     // below then plans with no exchange at all, and in shuffle mode (the
     // >broadcastMaxNodes regime) each round's rank join reuses the layout
@@ -83,7 +87,7 @@ object PageRank {
     // only fuzzes the broadcast decision boundary, never arithmetic.
     val cnt = e.agg(approx_count_distinct(col("src")).as("ns"),
       approx_count_distinct(col("dst")).as("nd")).head()
-    val small = math.max(cnt.getLong(0), cnt.getLong(1)) <= broadcastMaxNodes
+    val small = math.max(cnt.getLong(0), cnt.getLong(1)) <= nodeCap
     def hinted(df: DataFrame) = if (small) broadcast(df) else df
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     // Broadcast mode lays the annotated edge list out BY THE AGGREGATION
