@@ -1631,7 +1631,7 @@ object CoreQueries {
     * case), used by the p = 5 holidays ridge oracle. Still generated,
     * never hand-written: a 5×5 expands to 60 signed 2×2 minors.
     */
-  private def detSql(m: IndexedSeq[IndexedSeq[String]]): String =
+  private[queries] def detSql(m: IndexedSeq[IndexedSeq[String]]): String =
     if (m.length == 2)
       s"((${m(0)(0)}) * (${m(1)(1)}) - (${m(0)(1)}) * (${m(1)(0)}))"
     else {

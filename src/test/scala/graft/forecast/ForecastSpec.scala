@@ -406,4 +406,88 @@ class ForecastEngineSpec extends SparkSpec {
         }
     }
   }
+
+  test("forecast_events_holidays_ridge: p = 5 with a NONZERO fitted " +
+    "holiday coefficient, and the face equals the direct holiday fit") {
+    val monthEdge = (for {
+      y <- 2024 to 2025; m <- 1 to 12; d <- Seq(1, 25)
+    } yield java.time.LocalDate.of(y, m, d).toEpochDay).toArray
+    val got = graft.queries.CoreQueries.queries(
+      "forecast_events_holidays_ridge")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.size == 21, s"3 metrics x 7 days, got ${got.size}")
+    val melted = graft.SparkEntry.queries("series_melt")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getDouble(2)))
+      .groupBy(_._1)
+    def grain(x: Double) = math.floor(x * 10000 + 0.5) / 10000.0
+    melted.foreach { case (metric, ms) =>
+      val s = ms.sortBy(_._2.toLocalDate.toEpochDay)
+      val d1 = s.last._2.toLocalDate.toEpochDay
+      val win = s.filter { t =>
+        val d = t._2.toLocalDate.toEpochDay; d >= d1 - 7 && d <= d1
+      }
+      val pts = win.map(t =>
+        (t._2.toLocalDate.toEpochDay, math.rint(t._3 * 100) / 100.0))
+      val params = ProphetLike.fit(pts.toArray,
+        Map("month_edge" -> monthEdge))
+      // the month-edge calendar fires IN-WINDOW (Jan 25), so the fitted
+      // coefficient must be nonzero — the design reason for densifying
+      // month-start with a payday (an unobserved column would shrink to
+      // an exact zero and check nothing but the dof change)
+      assert(params.beta.length == 5,
+        s"$metric: p must be 5 ([1, t, h1, h2, hol]), got ${params.beta.length}")
+      assert(params.beta(4) != 0.0,
+        s"$metric: the holiday coefficient must be fitted, not shrunk to 0")
+      ProphetLike.predict(params, Array.tabulate(7)(h => d1 + h + 1))
+        .foreach { case (d, yh, lo, hi) =>
+          val key = (metric, java.time.LocalDate.ofEpochDay(d).toString)
+          assert(got(key) == ((grain(yh), grain(lo), grain(hi))),
+            s"$key: ${got(key)} vs direct (${grain(yh)}, ${grain(lo)}, ${grain(hi)})")
+        }
+    }
+  }
+
+  test("forecast_events_logistic_ridge: every output strictly inside " +
+    "(0, cap), bands bracket, and the face equals the direct logistic fit") {
+    val rows = graft.queries.CoreQueries.queries(
+      "forecast_events_logistic_ridge")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 21, s"3 metrics x 7 days, got ${rows.length}")
+    // the production cap rule from the pinned cents series
+    val melted = graft.SparkEntry.queries("series_melt")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getDouble(2)))
+    val cap = melted.map(t => math.rint(t._3 * 100)).max / 100.0 * 1.5
+    rows.foreach { case (m, d, yh, lo, hi) =>
+      assert(lo <= yh && yh <= hi, s"$m@$d band must bracket yhat")
+      // the sigmoid maps ALL of R into (0, cap): saturation is the
+      // mode's contract, checked on every emitted value
+      Seq(yh, lo, hi).foreach(v =>
+        assert(v > 0.0 && v < cap, s"$m@$d: $v escapes (0, $cap)"))
+    }
+    // direct-path equality on one metric (the full 21-row equality is
+    // the driver hash's job; this pins the Scala face to the production
+    // GrowthConfig branch)
+    def grain(x: Double) = math.floor(x * 10000 + 0.5) / 10000.0
+    val m0 = melted.filter(_._1 == "event_count")
+      .sortBy(_._2.toLocalDate.toEpochDay)
+    val d1 = m0.last._2.toLocalDate.toEpochDay
+    val pts = m0.filter { t =>
+      val d = t._2.toLocalDate.toEpochDay; d >= d1 - 7 && d <= d1
+    }.map(t => (t._2.toLocalDate.toEpochDay, math.rint(t._3 * 100) / 100.0))
+    val params = ProphetLike.fit(pts.toArray,
+      Map.empty[String, Array[Long]],
+      ProphetLike.GrowthConfig(growth = "logistic", cap = cap, floor = 0.0))
+    val got = rows.filter(_._1 == "event_count")
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    ProphetLike.predict(params, Array.tabulate(7)(h => d1 + h + 1))
+      .foreach { case (d, yh, lo, hi) =>
+        val key = java.time.LocalDate.ofEpochDay(d).toString
+        assert(got(key) == ((grain(yh), grain(lo), grain(hi))),
+          s"$key: ${got(key)} vs direct (${grain(yh)}, ${grain(lo)}, ${grain(hi)})")
+      }
+  }
 }
