@@ -490,4 +490,60 @@ class ForecastEngineSpec extends SparkSpec {
           s"$key: ${got(key)} vs direct (${grain(yh)}, ${grain(lo)}, ${grain(hi)})")
       }
   }
+
+  test("holidays ridge face recovers a PLANTED holiday bump and " +
+    "projects it onto the future holiday day") {
+    // 8 flat days (Jan 23–30) with a planted +50 bump on Jan 25 (a
+    // month-edge holiday); the horizon contains Feb 1 (also month-edge)
+    import spark.implicits._
+    val start = java.time.LocalDate.parse("2024-01-23")
+    val s = (0 until 8).map { i =>
+      val d = java.sql.Date.valueOf(start.plusDays(i))
+      val bump = if (start.plusDays(i).getDayOfMonth == 25) 5000L else 0L
+      ("m", d, 10000L + bump)
+    }.toDF("metric", "ds", "yc")
+    val monthEdge = (for {
+      y <- 2024 to 2025; m <- 1 to 12; d <- Seq(1, 25)
+    } yield java.time.LocalDate.of(y, m, d).toEpochDay).toArray
+    val fc = graft.queries.CoreQueries
+      .ridgeTrendForecast(s, Map("month_edge" -> monthEdge))
+      .collect()
+      .map(r => r.getDate(1).toString -> r.getDouble(2)).toMap
+    assert(fc.size == 7)
+    // Feb 1 (the future holiday) must carry a materially larger lift
+    // than its non-holiday neighbors — the coefficient fitted on Jan 25
+    // projecting forward (λ_hol = 1.0 shrinks ~+50 to roughly half;
+    // > +15 over the neighbor mean is well clear of the flat baseline)
+    val feb1 = fc("2024-02-01")
+    val neighbors = Seq(fc("2024-01-31"), fc("2024-02-02"))
+    assert(feb1 - neighbors.sum / 2 > 15.0,
+      s"planted holiday bump not recovered: feb1=$feb1 vs $neighbors")
+  }
+
+  test("logistic ridge face saturates where the linear face overshoots " +
+    "the cap") {
+    // a steep riser: linear extrapolation of the last-8-day trend blows
+    // through any nearby ceiling, the sigmoid cannot
+    import spark.implicits._
+    val start = java.time.LocalDate.parse("2024-03-01")
+    val s = (0 until 8).map { i =>
+      val d = java.sql.Date.valueOf(start.plusDays(i))
+      ("m", d, 1000L + 2000L * i) // 10 → 150 over the window
+    }.toDF("metric", "ds", "yc")
+    val cap = 160.0
+    val logi = graft.queries.CoreQueries.ridgeFitForecast(s)(pts =>
+      ProphetLike.fit(pts, Map.empty[String, Array[Long]],
+        ProphetLike.GrowthConfig(growth = "logistic", cap = cap, floor = 0.0)))
+      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(logi.length == 7)
+    logi.foreach { case (yh, lo, hi) =>
+      Seq(yh, lo, hi).foreach(v =>
+        assert(v > 0.0 && v < cap, s"logistic output $v escapes (0, $cap)"))
+    }
+    val linear = graft.queries.CoreQueries.ridgeTrendForecast(s)
+      .collect().map(_.getDouble(2))
+    assert(linear.exists(_ > cap),
+      s"fixture too tame: the linear face should overshoot $cap " +
+        s"(max ${linear.max}) for the saturation contrast to mean anything")
+  }
 }
