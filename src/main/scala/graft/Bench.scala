@@ -67,6 +67,7 @@ object Bench {
     // growing with input bytes on replicated corpora; env-overridable
     val parts = Tuning.shufflePartitionsFor(sfDir, cpus.toInt)
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    Tuning.applySessionTuning(spark)
     System.err.println(s"[bench] shuffle.partitions=$parts for $sfDir")
     // Warm the JVM once so the first measured queries don't absorb
     // executor startup, parquet footer reads, and whole-stage-codegen JIT

@@ -188,6 +188,7 @@ object Scaling {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Tuning.applySessionTuning(spark)
     spark
   }
 

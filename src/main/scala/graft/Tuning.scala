@@ -35,4 +35,38 @@ object Tuning {
       val byData = (bytes + TargetPartitionBytes - 1) / TargetPartitionBytes
       math.min(1024L, math.max(cores.toLong, byData)).toInt
     }
+
+  /** Session-level adaptive-execution tuning shared by every harness main
+    * (Bench/Verify/Scaling/QuietTime/...), applied AFTER session creation
+    * (all runtime SQLConf keys).
+    *
+    * `spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true`
+    * lets AQE coalesce the output partitioning of CACHED plans. The
+    * operator library cache-tracks shared subframes by design (distinct-
+    * value grains, recall-gate pair sets, codebooks — see CacheScope);
+    * with the default `false`, every one of those caches pins the full
+    * `spark.sql.shuffle.partitions` layout, so each of its N consumers
+    * schedules N x that many tasks over data AQE would otherwise coalesce
+    * to size-appropriate partitions (guide §2.2: fewer, larger reduce
+    * partitions; measured on mad_per_group_offsets at sf0.1: 55 jobs,
+    * ~25 of them 32-task stages over KB-sized cached frames). The flag is
+    * scale-neutral: coalescing targets AQE's advisory byte size, so at
+    * cluster scale partitions stay large and numerous — only the
+    * overhead regime collapses. Spark defaults it to false only to keep
+    * exchange-reuse matching stable, a concern for plan-identical reuse
+    * across queries, which the per-query bench/driver never relies on.
+    *
+    * Env overrides (controlled experiments, same spirit as
+    * SPARK_GRAFT_PARTS): SPARK_GRAFT_CACHED_COALESCE=false restores the
+    * Spark default; SPARK_GRAFT_PARALLELISM_FIRST / SPARK_GRAFT_ADVISORY
+    * expose the coalescing knobs without a rebuild.
+    */
+  def applySessionTuning(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+      sys.env.getOrElse("SPARK_GRAFT_CACHED_COALESCE", "true"))
+    sys.env.get("SPARK_GRAFT_PARALLELISM_FIRST").foreach(v =>
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", v))
+    sys.env.get("SPARK_GRAFT_ADVISORY").foreach(v =>
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", v))
+  }
 }

@@ -18,6 +18,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Tuning.applySessionTuning(spark)
     new java.io.File(outDir).mkdirs()
     // Dev-only subset filter (comma-separated names); driver sets nothing,
     // so the full surface runs in grading.

@@ -34,6 +34,7 @@ object QuietTime {
     spark.sparkContext.setLogLevel("WARN")
     val parts = graft.Tuning.shufflePartitionsFor(sfDir, cpus.toInt)
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    graft.Tuning.applySessionTuning(spark)
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to reps).foreach { i =>
