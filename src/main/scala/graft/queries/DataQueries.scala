@@ -104,7 +104,9 @@ object DataQueries {
     */
   private[queries] def synthPnmMedia(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    // spreadCompute: the raster/encode flatMap is compute-bound and the
+    // fixture scans as one task (identity at production scale — Tuning)
+    graft.Tuning.spreadCompute(docs).select(col("doc_id").cast("long"), col("text"))
       .filter(length(col("text")) >= 1)
       .as[(Long, String)]
       .flatMap { case (id, text) =>
@@ -280,7 +282,7 @@ object DataQueries {
       samples.foreach(s => b.putShort(s.toShort))
       b.array()
     }
-    docs.select(col("doc_id").cast("long"), col("text"))
+    graft.Tuning.spreadCompute(docs).select(col("doc_id").cast("long"), col("text"))
       .filter(length(col("text")) >= 1)
       .as[(Long, String)]
       .flatMap { case (id, text) =>
@@ -376,7 +378,7 @@ object DataQueries {
     */
   private[queries] def synthVideoMedia(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    graft.Tuning.spreadCompute(docs).select(col("doc_id").cast("long"), col("text"))
       .filter(length(col("text")) >= 1)
       .as[(Long, String)]
       .flatMap { case (id, text) =>
@@ -826,7 +828,7 @@ object DataQueries {
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val exploded = docs.select(col("doc_id"),
+    val exploded = graft.Tuning.spreadCompute(docs).select(col("doc_id"),
       explode(Dedup.wordShingles(col("text"), 3)).as("shingle"))
     val sh = Dedup.dfCappedShingleIndex(exploded, 1000)
     val te = sh.filter(pmod(col("doc_id"), lit(5)) === 4)

@@ -35,6 +35,7 @@ object QuietTime {
     val parts = graft.Tuning.shufflePartitionsFor(sfDir, cpus.toInt)
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     graft.Tuning.applySessionTuning(spark)
+    graft.Tuning.applyScanSpread(spark, sfDir, cpus.toInt)
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to reps).foreach { i =>

@@ -32,6 +32,7 @@ object StageProfile {
     val parts = graft.Tuning.shufflePartitionsFor(sfDir, cpus.toInt)
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     graft.Tuning.applySessionTuning(spark)
+    graft.Tuning.applyScanSpread(spark, sfDir, cpus.toInt)
 
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val jobLines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
