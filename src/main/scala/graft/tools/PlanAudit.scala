@@ -24,6 +24,12 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // mirror Bench's session conf exactly so audited plans are the
+    // plans the bench actually runs
+    val parts = graft.Tuning.shufflePartitionsFor(sfDir, cpus.toInt)
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    graft.Tuning.applySessionTuning(spark)
+    graft.Tuning.applyScanSpread(spark, sfDir, cpus.toInt)
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (mode == "explain" || mode == "both") df.explain("formatted")
     if (mode == "time" || mode == "both") {
