@@ -86,7 +86,11 @@ object Dedup {
     * [[exact]]; the driver checks both against the same oracle.
     */
   def exactHashKeyed(docs: DataFrame): DataFrame = {
-    val hashed = docs.select(col("doc_id"), col("text"), xxhash64(col("text")).as("h"))
+    // spreadCompute: `hashed` is derived THREE times (dup-hash agg, anti
+    // probe, semi probe) and each derivation re-runs the full-text hash
+    // over the single-task fixture scan (identity at production scale)
+    val hashed = graft.Tuning.spreadCompute(docs)
+      .select(col("doc_id"), col("text"), xxhash64(col("text")).as("h"))
     // PERSISTED: the dup-hash set feeds two broadcasts (anti + semi) whose
     // renewed attribute ids defeat ReuseExchange — without it the
     // corpus-wide hash aggregate underneath runs twice. Bench/Verify
@@ -1016,8 +1020,12 @@ object Dedup {
     * cosine as the verify stage.
     */
   def embeddingCosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding"),
-      VectorFunctions.norm(col("embedding")).as("nrm"))
+    // spreadCompute: the pairwise-cosine probe runs in the scan stage of
+    // the probe side, one task on the single-row-group fixture
+    // (identity at production scale — Tuning.applyScanSpread)
+    val e = graft.Tuning.spreadCompute(emb)
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("nrm"))
     e.as("a")
       .join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", VectorFunctions.cosineWithNorms(
@@ -1050,8 +1058,12 @@ object Dedup {
     * the driver — the centroid seed is xxhash64, which DuckDB can't
     * replay.
     */
-  def semDedup(emb: DataFrame, nCells: Int, threshold: Double,
+  def semDedup(emb0: DataFrame, nCells: Int, threshold: Double,
       nprobe: Int = 3): DataFrame = {
+    // spreadCompute: assignment + within-cell cosine verify are dot-
+    // product-bound over a single-task fixture scan (identity at
+    // production scale — Tuning.applyScanSpread)
+    val emb = graft.Tuning.spreadCompute(emb0)
     // cluster DIRECTIONS, not magnitudes: the dedup criterion is cosine,
     // so assignment runs on L2-normalized vectors (the paper's spherical
     // k-means; L2 on unit vectors is monotone in cosine) — clustering raw
@@ -1161,7 +1173,9 @@ object Dedup {
       seed: Long = 7L,
       maxBucket: Int = 1000): DataFrame = {
     require(maxBucket >= 1, s"maxBucket must be >= 1: $maxBucket")
-    val e = emb.select(col("vec_id"), col("embedding"))
+    // spreadCompute: bucket assignment is numTables x bits dot products
+    // per vector over a single-task scan (identity at production scale)
+    val e = graft.Tuning.spreadCompute(emb).select(col("vec_id"), col("embedding"))
     val bits =
       if (bitsPerTable > 0) bitsPerTable
       else {
@@ -1210,7 +1224,10 @@ object Dedup {
     * test vectors it collides with and the worst cosine.
     */
   def decontaminateEmbedding(
-      emb: DataFrame, threshold: Double, testMod: Int = 5): DataFrame = {
+      emb0: DataFrame, threshold: Double, testMod: Int = 5): DataFrame = {
+    // spreadCompute: the |train| x |test| cosine verify runs in the
+    // train-side scan stage (identity at production scale)
+    val emb = graft.Tuning.spreadCompute(emb0)
     val test = emb.filter(pmod(col("vec_id"), lit(testMod)) === 0)
       .select(col("vec_id").as("t_id"), col("embedding").as("te"),
         VectorFunctions.norm(col("embedding")).as("tn"))
@@ -1305,8 +1322,9 @@ object Dedup {
   def decontaminateEmbeddingLsh(
       emb: DataFrame, threshold: Double, dim: Int, testMod: Int = 5,
       numTables: Int = 16, bitsPerTable: Int = 3, seed: Long = 7L): DataFrame = {
+    val embS = graft.Tuning.spreadCompute(emb)
     val b = Similarity.lshBuckets(
-        emb.select(col("vec_id"), col("embedding")), dim, numTables, bitsPerTable, seed)
+        embS.select(col("vec_id"), col("embedding")), dim, numTables, bitsPerTable, seed)
       .select(col("vec_id"), col("tbl"), col("bucket"))
       .cacheTracked()
     val isTest = (id: org.apache.spark.sql.Column) => pmod(id, lit(testMod)) === 0
@@ -1316,7 +1334,7 @@ object Dedup {
         Seq("tbl", "bucket"))
       .select(col("vec_id"), col("t_id"))
       .distinct()
-    val e = emb.select(col("vec_id"), col("embedding"))
+    val e = embS.select(col("vec_id"), col("embedding"))
     cand
       .join(e, "vec_id")
       .join(e.select(col("vec_id").as("t_id"), col("embedding").as("te")), "t_id")

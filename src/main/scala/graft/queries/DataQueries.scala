@@ -513,7 +513,7 @@ object DataQueries {
     * fingerprint-delta / band-join-index / never-rescan-corpus shape.
     */
   def dedupEmbeddingAdmit(spark: SparkSession, dir: String): DataFrame = {
-    val emb = table(spark, dir, "embeddings")
+    val emb = graft.Tuning.spreadCompute(table(spark, dir, "embeddings"))
     // AUTO-sized bucket bits (the shared Similarity.autoBits): at the
     // graded SFs the corpus is 250 (sf0.01) / 1000 (sf0.1) even
     // vec_ids, both inside the 3-bit regime whose breakpoints DedupSpec
@@ -555,7 +555,7 @@ object DataQueries {
     * oracle can never drift from the auto-sized plan.
     */
   def dedupEmbeddingAdmitWide(spark: SparkSession, dir: String): DataFrame = {
-    val emb = table(spark, dir, "embeddings")
+    val emb = graft.Tuning.spreadCompute(table(spark, dir, "embeddings"))
     Dedup.embeddingAdmit(
       emb.filter(col("vec_id") < 500 && pmod(col("vec_id"), lit(2)) === 1),
       wideAdmitCorpus(emb),
@@ -586,7 +586,7 @@ object DataQueries {
     */
   def annTopkInt8(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions
-    val emb = table(spark, dir, "embeddings")
+    val emb = graft.Tuning.spreadCompute(table(spark, dir, "embeddings"))
       .select(col("vec_id"), VectorFunctions.dequantizeInt8(
         VectorFunctions.quantizeInt8(col("embedding"))).as("embedding"))
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -594,7 +594,7 @@ object DataQueries {
   }
 
   def annTopk(spark: SparkSession, dir: String): DataFrame = {
-    val emb = table(spark, dir, "embeddings")
+    val emb = graft.Tuning.spreadCompute(table(spark, dir, "embeddings"))
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
       .orderBy("query_id", "rank")
   }
@@ -605,7 +605,7 @@ object DataQueries {
     * candidates, and the exact-cosine rank bit-for-bit.
     */
   def annTopkLsh(spark: SparkSession, dir: String): DataFrame = {
-    val emb = table(spark, dir, "embeddings")
+    val emb = graft.Tuning.spreadCompute(table(spark, dir, "embeddings"))
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), dim = 64, k = 5)
       .orderBy("query_id", "rank")
   }
@@ -619,7 +619,7 @@ object DataQueries {
     * via the plan-time-literal replay ([[Similarity.rpProjectionSql]]).
     */
   def annTopkRp(spark: SparkSession, dir: String): DataFrame = {
-    val emb = table(spark, dir, "embeddings")
+    val emb = graft.Tuning.spreadCompute(table(spark, dir, "embeddings"))
     Similarity.rpTopK(emb, emb.filter(col("vec_id") < 10), dim = 64, k = 5)
       .orderBy("query_id", "rank")
   }
@@ -629,7 +629,7 @@ object DataQueries {
     * assignment/probe/rank stages are deterministic arithmetic.
     */
   def annTopkIvf(spark: SparkSession, dir: String): DataFrame = {
-    val emb = table(spark, dir, "embeddings")
+    val emb = graft.Tuning.spreadCompute(table(spark, dir, "embeddings"))
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
       .orderBy("query_id", "rank")
   }
@@ -640,7 +640,7 @@ object DataQueries {
     * integer sums — order-insensitive, so centroids are bitwise stable
     * and DuckDB replays the whole training; see ivfRefinedSql). */
   def annTopkIvfRefined(spark: SparkSession, dir: String): DataFrame = {
-    val emb = table(spark, dir, "embeddings")
+    val emb = graft.Tuning.spreadCompute(table(spark, dir, "embeddings"))
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, refineIters = 2)
       .orderBy("query_id", "rank")
   }
@@ -651,7 +651,7 @@ object DataQueries {
     * (pqReplayCtes); SimilaritySpec additionally pins recall.
     */
   def annTopkPq(spark: SparkSession, dir: String): DataFrame = {
-    val emb = table(spark, dir, "embeddings")
+    val emb = graft.Tuning.spreadCompute(table(spark, dir, "embeddings"))
     Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), dim = 64, k = 5)
       .orderBy("query_id", "rank")
   }
@@ -661,7 +661,7 @@ object DataQueries {
     * plus the hash-picked cell assignment/probe replay.
     */
   def annTopkIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val emb = table(spark, dir, "embeddings")
+    val emb = graft.Tuning.spreadCompute(table(spark, dir, "embeddings"))
     Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), dim = 64, k = 5)
       .orderBy("query_id", "rank")
   }
@@ -1178,7 +1178,7 @@ object DataQueries {
     * by the driver hash on fixed fixture data).
     */
   def annMmr(spark: SparkSession, dir: String): DataFrame = {
-    val emb = table(spark, dir, "embeddings")
+    val emb = graft.Tuning.spreadCompute(table(spark, dir, "embeddings"))
     Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 10), k = 5, nCandidates = 50)
       .select(col("query_id"), col("rank"), col("vec_id"),
         round(col("mmr_score"), 4).as("mmr_score"))

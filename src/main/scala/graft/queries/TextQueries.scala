@@ -1098,7 +1098,9 @@ object TextQueries {
   }
 
   private[graft] def bpeDictOf(docs: DataFrame): DataFrame =
-    docs
+    // spreadCompute: tokenization over a single-task fixture scan —
+    // identity at production scale (Tuning.applyScanSpread)
+    graft.Tuning.spreadCompute(docs)
       .select(explode(split(lower(col("text")), "\\s+")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("wc"))
@@ -1302,7 +1304,7 @@ object TextQueries {
     * the original word carried through, then the same left-join + sum.
     */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame =
-    bpeEncodedCounts(table(spark, dir, "documents"))
+    bpeEncodedCounts(graft.Tuning.spreadCompute(table(spark, dir, "documents")))
       .orderBy("doc_id")
 
   /** The whole pretraining data path as ONE hash-checked query: exact
@@ -1394,6 +1396,10 @@ object TextQueries {
       .agg(count(lit(1)).as("common"))
       .filter(col("common") >= 5)
       .select("doc_id").distinct()
+    // NOT spread: a checkpoint is a LogicalRDD, whose partition layout
+    // AQE cannot coalesce — a 32-way handoff taxes every CHEAP consumer
+    // (pipeline_pretrain A/B: +0.7 s). The one compute-bound consumer
+    // (pretrain_full's BPE chain) spreads its own corpus boundary.
     stageBoundary(
       kept.filter(pmod(col("doc_id"), lit(5)) =!= 4)
         .join(contaminated, Seq("doc_id"), "left_anti"))
@@ -1406,8 +1412,8 @@ object TextQueries {
     // MUST truncate here: the k-round BPE chain stacks on this plan, and
     // without truncation the composed plan's string rendering alone OOMs
     // the driver (see stageBoundary)
-    val corpus = stageBoundary(
-      mixSelect(clean).select(col("doc_id"), col("text")))
+    val corpus = stageBoundary(graft.Tuning.spreadCompute(
+      mixSelect(clean).select(col("doc_id"), col("text"))))
     val toks = stageBoundary(
       bpeEncodedCounts(corpus)
         .select(col("doc_id"), col("n_bpe_tokens").as("n"))
